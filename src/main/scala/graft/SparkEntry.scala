@@ -19,18 +19,69 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // projection / filter / agg / sort (SURVEY §2.2)
     "q_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q_revenue_filter" -> ((s, d) => Relational.revenueFilter(s, d)),
     "q_top_orders" -> ((s, d) => Relational.topOrders(s, d)),
     "q_join_agg_topk" -> ((s, d) => Relational.joinAggTopK(s, d)),
+    // joins
+    "q_join_brand_revenue" -> ((s, d) => Joins.brandRevenue(s, d)),
+    "q_join_priority_stats" -> ((s, d) => Joins.priorityStats(s, d)),
+    "q_semi_join_big_lines" -> ((s, d) => Joins.ordersWithBigLines(s, d)),
+    "q_anti_join_no_orders" -> ((s, d) => Joins.customersWithoutOrders(s, d)),
+    "q_join_region_balance" -> ((s, d) => Joins.regionBalance(s, d)),
+    // aggregations
+    "q_agg_distinct" -> ((s, d) => Aggregates.distinctStats(s, d)),
+    "q_agg_approx_distinct" -> ((s, d) => Aggregates.approxDistinct(s, d)),
+    "q_agg_rollup" -> ((s, d) => Aggregates.rollupSummary(s, d)),
+    "q_agg_cube" -> ((s, d) => Aggregates.cubeSummary(s, d)),
+    "q_agg_monthly" -> ((s, d) => Aggregates.monthlyOrderStats(s, d)),
+    // windows
+    "q_window_running" -> ((s, d) => Windows.runningCustomerRevenue(s, d)),
+    "q_window_topk" -> ((s, d) => Windows.topOrdersPerCustomer(s, d)),
+    "q_window_gaps" -> ((s, d) => Windows.eventGaps(s, d)),
+    "q_sessionize" -> ((s, d) => Windows.sessionize(s, d)),
+    // events: range scan (O11), json, as-of, range join
+    "q_event_time_range" -> ((s, d) => EventOps.eventTimeRange(s, d)),
+    "q_json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
+    "q_asof_last_order" -> ((s, d) => EventOps.asofLastOrder(s, d)),
+    "q_event_pairs_60s" -> ((s, d) => EventOps.eventPairs60s(s, d)),
+    // set ops + scalar functions
+    "q_union_customers" -> ((s, d) => SetAndScalar.unionCustomers(s, d)),
+    "q_intersect_customers" -> ((s, d) => SetAndScalar.intersectCustomers(s, d)),
+    "q_except_parts" -> ((s, d) => SetAndScalar.exceptParts(s, d)),
+    "q_scalar_funcs" -> ((s, d) => SetAndScalar.scalarFuncs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (q_agg_approx_distinct: HLL sketch estimates are engine-specific —
+    * covered by a rows-only check + ScalaTest epsilon assertion). */
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> Relational.pricingSummarySql,
     "q_revenue_filter" -> Relational.revenueFilterSql,
     "q_top_orders" -> Relational.topOrdersSql,
     "q_join_agg_topk" -> Relational.joinAggTopKSql,
+    "q_join_brand_revenue" -> Joins.brandRevenueSql,
+    "q_join_priority_stats" -> Joins.priorityStatsSql,
+    "q_semi_join_big_lines" -> Joins.ordersWithBigLinesSql,
+    "q_anti_join_no_orders" -> Joins.customersWithoutOrdersSql,
+    "q_join_region_balance" -> Joins.regionBalanceSql,
+    "q_agg_distinct" -> Aggregates.distinctStatsSql,
+    "q_agg_rollup" -> Aggregates.rollupSummarySql,
+    "q_agg_cube" -> Aggregates.cubeSummarySql,
+    "q_agg_monthly" -> Aggregates.monthlyOrderStatsSql,
+    "q_window_running" -> Windows.runningCustomerRevenueSql,
+    "q_window_topk" -> Windows.topOrdersPerCustomerSql,
+    "q_window_gaps" -> Windows.eventGapsSql,
+    "q_sessionize" -> Windows.sessionizeSql,
+    "q_event_time_range" -> EventOps.eventTimeRangeSql,
+    "q_json_props" -> EventOps.jsonPropsSql,
+    "q_asof_last_order" -> EventOps.asofLastOrderSql,
+    "q_event_pairs_60s" -> EventOps.eventPairs60sSql,
+    "q_union_customers" -> SetAndScalar.unionCustomersSql,
+    "q_intersect_customers" -> SetAndScalar.intersectCustomersSql,
+    "q_except_parts" -> SetAndScalar.exceptPartsSql,
+    "q_scalar_funcs" -> SetAndScalar.scalarFuncsSql,
   )
 }

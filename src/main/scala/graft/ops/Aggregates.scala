@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY.md §2.2 "Aggregations"): multi-function
+  * aggs, exact + approximate distinct, ROLLUP / CUBE grouping sets.
+  *
+  * All of these are two-phase HashAggregate (partial map-side combine →
+  * final) in Spark — the shuffle carries one row per (group, partition),
+  * so at 100 TB the network cost is bounded by group cardinality, not
+  * input size.
+  */
+object Aggregates {
+
+  /** Exact distinct counts per group. count_distinct triggers Spark's
+    * two-shuffle expand plan; acceptable because group cardinality is
+    * tiny. For high-cardinality groups at scale prefer
+    * [[approxDistinct]] (single shuffle, HLL sketch merge). */
+  def distinctStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def distinctStatsSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** HLL++ approximate distinct — the 100 TB path for distinct counts
+    * (mergeable sketch, one shuffle, fixed memory). Sketch estimates are
+    * implementation-specific, so there is no cross-engine oracle; the
+    * driver records a rows-only check, and the ScalaTest spec asserts
+    * the estimate is within rsd of the exact count. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** ROLLUP over (returnflag, linestatus): hierarchical subtotals +
+    * grand total. NULL group markers are replaced with '(all)' so the
+    * oracle compare never depends on engine NULL-ordering defaults. */
+  def rollupSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n_lines"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  def rollupSummarySql: String =
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |  coalesce(l_linestatus, '(all)') AS linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** CUBE over (orderstatus, orderpriority): all 4 grouping-set
+    * combinations. */
+  def cubeSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("sum_total"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("sum_total"), col("n_orders"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+  }
+
+  def cubeSummarySql: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+      |  coalesce(o_orderpriority, '(all)') AS orderpriority,
+      |  round(sum(o_totalprice), 2) AS sum_total,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** min/max/stddev/percentile-free stats per month (date_trunc).
+    * DuckDB's date_trunc returns DATE, Spark's TIMESTAMP — both sides
+    * cast explicitly to TIMESTAMP. */
+  def monthlyOrderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(min(col("o_totalprice")), 2).as("min_total"),
+        round(max(col("o_totalprice")), 2).as("max_total"),
+        round(avg(col("o_totalprice")), 4).as("avg_total"))
+      .orderBy(col("month"))
+  }
+
+  def monthlyOrderStatsSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  count(*) AS n_orders,
+      |  round(min(o_totalprice), 2) AS min_total,
+      |  round(max(o_totalprice), 2) AS max_total,
+      |  round(avg(o_totalprice), 4) AS avg_total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream query surface: JSON property extraction, the
+  * reference's time-range catalog scan (O11), as-of join, and
+  * time-band (range) self-join.
+  *
+  * O11 provenance: the replay query `Source = :s AND Timestamp BETWEEN
+  * :a AND :b` (`/root/reference/src/event_replayer/lambda_function.py:15-41`)
+  * — equality on the partition key + range on the sort key, executed
+  * storage-side. Re-expressed here over `events` with `event_type` as
+  * the source key; Catalyst pushes both predicates into the parquet
+  * scan (partition pruning + row-group min/max skipping at scale).
+  */
+object EventOps {
+
+  /** O11: time-range scan with source equality. Timestamps emitted as
+    * epoch-millis BIGINT (ns-precision parquet truncates identically
+    * in both engines at ms). */
+  def eventTimeRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase" &&
+        col("ts") >= to_timestamp(lit("2024-01-08 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-15 00:00:00")))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  def eventTimeRangeSql: String =
+    """SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, value
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin
+
+  /** JSON scalar extraction from the `props` column. Uses
+    * regexp_extract (identical no-match semantics in Spark and DuckDB)
+    * so the oracle does not depend on a JSON extension; the engine
+    * ALSO exposes from_json/get_json_object — asserted equivalent in
+    * the ScalaTest spec. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.select(col("event_id"), col("event_type"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  def jsonPropsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** As-of join: for each purchase event, the most recent order date of
+    * the matching customer at-or-before the event. Implemented as an
+    * equi-join on the user key + max-filter aggregation — at 100 TB the
+    * equi key bounds the join fan-out and the agg is per-event; for
+    * unkeyed as-of, the union+last_value window formulation applies. */
+  def asofLastOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    ev.join(ord,
+        ev("user_id") === ord("o_custkey") && ord("o_orderdate") <= ev("ts"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("o_orderdate")).as("last_order_date"))
+      .orderBy(col("event_id"))
+  }
+
+  def asofLastOrderSql: String =
+    """SELECT event_id, user_id,
+      |  (SELECT max(o_orderdate) FROM orders
+      |   WHERE o_custkey = user_id AND o_orderdate <= e.ts) AS last_order_date
+      |FROM events e
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** Range (time-band) self-join: per user, count ordered event pairs
+    * within 60 s of each other. The equi key (user_id) bounds the
+    * quadratic term; at 100 TB add coarse time-bucket equality to the
+    * join key so each side co-partitions by (user, bucket). */
+  def eventPairs60s(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+    val a = ev.alias("a")
+    val b = ev.alias("b")
+    a.join(b,
+        col("a.user_id") === col("b.user_id") &&
+        col("b.ts_ms") > col("a.ts_ms") &&
+        col("b.ts_ms") - col("a.ts_ms") <= 60000L)
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  def eventPairs60sSql: String =
+    """SELECT a.user_id AS user_id, count(*) AS n_pairs
+      |FROM (SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events) a
+      |JOIN (SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms FROM events) b
+      |  ON a.user_id = b.user_id
+      | AND b.ts_ms > a.ts_ms
+      | AND b.ts_ms - a.ts_ms <= 60000
+      |GROUP BY a.user_id
+      |ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.2 "Joins"): broadcast-hash, sort-merge,
+  * semi, anti. The reference has no joins at all — this is the engine
+  * surface mandated by the north star.
+  *
+  * Scale notes per query are in each Scaladoc; the common rules:
+  * dimensions (`part` 20k rows @ sf0.1, `customer` 15k, `supplier`,
+  * `nation`, `region`) are always the broadcast side; fact⋈fact
+  * (`lineitem`⋈`orders`) shuffles on the join key once and relies on
+  * AQE for skew splitting.
+  */
+object Joins {
+
+  /** Broadcast-hash join fact⋈dim: lineitem⋈part on partkey, revenue by
+    * brand. At 100 TB `part` stays broadcast-sized relative to the fact
+    * side; no shuffle of lineitem at all — the agg shuffle is 25 rows. */
+  def brandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  def brandRevenueSql: String =
+    """SELECT p_brand,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** Sort-merge join fact⋈fact: lineitem⋈orders, priority stats.
+    * Both sides shuffle on orderkey; at 100 TB this is the canonical
+    * SMJ + AQE-coalesced plan (bucketing both tables on orderkey would
+    * remove the shuffle entirely — documented, not needed here). */
+  def priorityStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def priorityStatsSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lines,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-semi join (EXISTS): orders that contain at least one
+    * high-quantity line. Semi joins stream the probe side and never
+    * duplicate rows — the right side is reduced to its join keys. */
+  def ordersWithBigLines(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 48)
+    Tables.orders(spark, sfDir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def ordersWithBigLinesSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_total
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no orders. */
+  def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    Tables.customer(spark, sfDir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Multi-way dim chain with two broadcasts: customer⋈nation⋈region,
+    * account balance stats per region. Dims chain-broadcast; the only
+    * shuffle is the 5-row final agg. */
+  def regionBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  def regionBalanceSql: String =
+    """SELECT r_name, count(*) AS n_customers,
+      |  round(sum(c_acctbal), 2) AS sum_bal,
+      |  round(avg(c_acctbal), 4) AS avg_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+}

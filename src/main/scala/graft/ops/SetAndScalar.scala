@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set operations + scalar-function surface (SURVEY.md §2.2 "Set ops"
+  * and "Scalar functions"). All Catalyst-native; set ops shuffle on the
+  * full row (distinct semantics) — at scale prefer key-only projections
+  * before the set op, as done here.
+  */
+object SetAndScalar {
+
+  /** UNION (distinct) of two customer-key sets: buyers of urgent orders
+    * ∪ BUILDING-segment customers. */
+  def unionCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val building = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    urgent.union(building).distinct().orderBy(col("custkey"))
+  }
+
+  def unionCustomersSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |UNION
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY custkey""".stripMargin
+
+  /** INTERSECT: customers who bought in both 1995 and 2000. */
+  def intersectCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val y95 = ord.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey").as("custkey"))
+    val y00 = ord.filter(year(col("o_orderdate")) === 2000).select(col("o_custkey").as("custkey"))
+    y95.intersect(y00).orderBy(col("custkey"))
+  }
+
+  def intersectCustomersSql: String =
+    """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2000
+      |ORDER BY custkey""".stripMargin
+
+  /** EXCEPT: parts never shipped. */
+  def exceptParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir).select(col("p_partkey").as("partkey"))
+    val shipped = Tables.lineitem(spark, sfDir).select(col("l_partkey").as("partkey"))
+    p.except(shipped).orderBy(col("partkey"))
+  }
+
+  def exceptPartsSql: String =
+    """SELECT p_partkey AS partkey FROM part
+      |EXCEPT
+      |SELECT l_partkey AS partkey FROM lineitem
+      |ORDER BY partkey""".stripMargin
+
+  /** Scalar-function sampler over orders: string (upper/substr/concat/
+    * length), date (year/month/date_trunc), math (round/abs/mod),
+    * conditional (CASE). One row per order, fully deterministic. */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.select(
+        col("o_orderkey"),
+        upper(substring(col("o_orderpriority"), 1, 3)).as("prio3"),
+        concat(col("o_orderstatus"), lit("_"), col("o_orderpriority")).as("status_prio"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        date_trunc("month", col("o_orderdate")).as("order_month_start"),
+        round(col("o_totalprice") / 1000.0, 1).as("total_k"),
+        abs(col("o_totalprice") - 100000.0).as("dist_100k"),
+        (col("o_orderkey") % 7).as("key_mod7"),
+        when(col("o_totalprice") > 150000, "big")
+          .when(col("o_totalprice") > 50000, "mid")
+          .otherwise("small").as("bucket"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  def scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  upper(substring(o_orderpriority, 1, 3)) AS prio3,
+      |  o_orderstatus || '_' || o_orderpriority AS status_prio,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+      |  round(o_totalprice / 1000.0, 1) AS total_k,
+      |  abs(o_totalprice - 100000.0) AS dist_100k,
+      |  o_orderkey % 7 AS key_mod7,
+      |  CASE WHEN o_totalprice > 150000 THEN 'big'
+      |       WHEN o_totalprice > 50000 THEN 'mid'
+      |       ELSE 'small' END AS bucket
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+}

@@ -1,0 +1,134 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.2 "Window functions"):
+  * ranking, lag/lead, running frames, per-group top-k, sessionization.
+  *
+  * Scale: window state is per-partition-key; Spark shuffles once on
+  * partitionBy keys then sorts within partitions. Skewed keys are the
+  * risk at 100 TB — all queries here partition on high-cardinality
+  * keys (custkey, user_id), and the sessionize pattern is the same
+  * shape Structured Streaming's session_window handles incrementally.
+  */
+object Windows {
+
+  /** Running revenue per customer: row_number + cumulative sum over an
+    * ordered frame. Emits one row per order with its running total. */
+  def runningCustomerRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    ord.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  def runningCustomerRevenueSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Top-2 orders per customer by totalprice — the distributed top-k
+    * idiom (row_number ≤ k), which never materializes a full sort. */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rk"))
+      .filter(col("rk") <= 2)
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  def topOrdersPerCustomerSql: String =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 2
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** lag/lead + rank over the events stream table: per-user inter-event
+    * gap in milliseconds. Event time is normalized to epoch-millis
+    * BIGINT on both sides (the parquet stores TIMESTAMP(NANOS) which
+    * Spark and DuckDB truncate differently — see graft.Events). */
+  def eventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev.select(
+        col("user_id"), col("event_id"), col("ts_ms"), col("event_type"),
+        (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap_ms"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        rank().over(w).cast("long").as("rk"))
+      .orderBy(col("user_id"), col("rk"))
+  }
+
+  def eventGapsSql: String =
+    """SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_type,
+      |  epoch_ms(ts::TIMESTAMP) - lag(epoch_ms(ts::TIMESTAMP), 1) OVER w AS gap_ms,
+      |  lead(event_type, 1) OVER w AS next_type,
+      |  CAST(rank() OVER w AS BIGINT) AS rk
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id)
+      |ORDER BY user_id, rk""".stripMargin
+
+  /** Sessionization: a new session starts after a >30 min gap; session
+    * id = cumulative count of boundaries. This is the batch formulation
+    * of the reference's ingest-buffer grouping (SURVEY §2.2 streaming
+    * row) and of streaming session_window — same semantics, replayable
+    * on history. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev.select(
+      col("user_id"), col("event_id"), col("ts_ms"),
+      when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs || lag(col("ts_ms"), 1).over(w).isNull, 1L)
+        .otherwise(0L).as("is_start"))
+    flagged
+      .withColumn("session_id",
+        sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_ms")).as("session_start_ms"),
+        max(col("ts_ms")).as("session_end_ms"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  def sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+      |    CASE WHEN epoch_ms(ts::TIMESTAMP) - lag(epoch_ms(ts::TIMESTAMP), 1)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id) > 1800000
+      |         OR lag(epoch_ms(ts::TIMESTAMP), 1)
+      |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts_ms,
+      |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |  min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}
