@@ -1,0 +1,48 @@
+package graft
+
+import graft.lake._
+import java.io.{File, FileOutputStream}
+import java.sql.Timestamp
+import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.SparkSession
+
+/** Runnable end-to-end demo of the lake core — the full reference
+  * dataflow (ingest → catalog → range query → replay → subscribe) as a
+  * library consumer drives it:
+  * `sbt "runMain graft.LakeDemo /tmp/demo_lake"`.
+  */
+object LakeDemo {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/tmp/graft_lake_demo_" + System.nanoTime())
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val layout = Layout(root)
+    def gz(dir: String, name: String, content: String): Unit = {
+      new File(dir).mkdirs()
+      val o = new GZIPOutputStream(new FileOutputStream(new File(dir, name)))
+      o.write(content.getBytes("UTF-8")); o.close()
+    }
+    gz(layout.bronzeSourceDir("clicks"), "obj1.gz", """{"click_id":1,"page":"/home"}{"click_id":2,"page":"/cart"}""")
+    gz(layout.bronzeSourceDir("tweets"), "obj2.gz", """{"tweet_id":10,"text":"hi"}""")
+
+    val t0 = System.currentTimeMillis()
+    val n = Ingest.ingestBatch(spark, layout, t0)
+    println(s"[demo] ingested records: $n")
+    Catalog.load(spark, layout).show(false)
+
+    val hits = Catalog.rangeQuery(spark, layout, "clicks",
+      new Timestamp(t0 - 1000), new Timestamp(t0 + 1000))
+    println(s"[demo] range-query hits: ${hits.count()}")
+
+    val replayed = Replay.replay(spark, layout, "clicks",
+      new Timestamp(t0 - 1000), new Timestamp(t0 + 1000))
+    println(s"[demo] replayed records: $replayed")
+    println(s"[demo] clicks subscriber sees: ${Distribution.subscribe(spark, layout, "clicks").count()}")
+    println(s"[demo] catalog rows after replay (must equal before): ${Catalog.load(spark, layout).count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-range replay — the engine form of the reference's
+  * event_replayer + Replay branch (O11–O13,
+  * `/root/reference/src/event_replayer/lambda_function.py:15-54`,
+  * `/root/reference/src/event_recorder/lambda_function.py:94-99`).
+  *
+  * Semantics preserved (SURVEY.md §2.3 items 1–2):
+  *  - replay granularity is the OBJECT (catalog key), not the event —
+  *    all records of every matched object are re-published;
+  *  - replay does NOT re-append to the catalog (no replay storms).
+  *
+  * The reference's SQS hop (one message per matched item, O12)
+  * collapses: the matched key set drives the read directly.
+  *
+  * Scale: the matched key list is only collected when small (it is a
+  * *file* list — bounded by objects-per-range, not events). Above
+  * [[maxCollectedKeys]] the replay switches to reading the source's
+  * bronze partition and semi-joining on `input_file_name()` — no
+  * driver materialization at any range size.
+  */
+object Replay {
+
+  val maxCollectedKeys = 10000
+
+  /** Replay [t0, t1] of `source` into the distribution area; returns
+    * the number of re-published records. */
+  def replay(spark: SparkSession, layout: Layout, source: String,
+      t0: java.sql.Timestamp, t1: java.sql.Timestamp): Long = {
+    val matched = Catalog.rangeQuery(spark, layout, source, t0, t1)
+      .select(col("key")).distinct()
+    val nKeys = matched.count()
+    if (nKeys == 0) return 0L
+
+    val records: DataFrame =
+      if (nKeys <= maxCollectedKeys) {
+        val keys = matched.collect().map(_.getString(0))
+        readObjects(spark, keys, source)
+      } else {
+        // big range: scan the source partition, keep matched files only
+        val all = Ingest.readBronze(spark, layout).filter(col("source") === source)
+        all.join(matched.withColumnRenamed("key", "mkey"),
+            col("key") === col("mkey"), "left_semi")
+      }
+    val n = records.count()
+    Distribution.publish(records.select(col("source"), col("key"), col("json")), layout)
+    // NOTE deliberately no Catalog.append here (§2.3 item 2).
+    n
+  }
+
+  /** Re-read whole objects by key (replay unit = object). */
+  private def readObjects(spark: SparkSession, keys: Array[String], source: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("wholetext", "true").textFile(keys: _*)
+      .withColumn("key", input_file_name())
+    raw.select(col("key"), col("value")).as[(String, String)]
+      .flatMap { case (key, content) =>
+        ConcatJson.split(content).map(json => (source, key, json)) }
+      .toDF("source", "key", "json")
+  }
+}
