@@ -51,6 +51,22 @@ object SparkEntry {
     "q_intersect_customers" -> ((s, d) => SetAndScalar.intersectCustomers(s, d)),
     "q_except_parts" -> ((s, d) => SetAndScalar.exceptParts(s, d)),
     "q_scalar_funcs" -> ((s, d) => SetAndScalar.scalarFuncs(s, d)),
+    // text analysis (documents)
+    "q_text_stats" -> ((s, d) => Text.textStats(s, d)),
+    "q_term_freq" -> ((s, d) => Text.termFreq(s, d)),
+    "q_token_counts" -> ((s, d) => Text.tokenCounts(s, d)),
+    "q_lang_id" -> ((s, d) => Text.langId(s, d)),
+    "q_fingerprints" -> ((s, d) => Text.fingerprints(s, d)),
+    // dedup (documents)
+    "q_dedup_exact_summary" -> ((s, d) => Dedup.exactSummary(s, d)),
+    "q_dedup_exact_groups" -> ((s, d) => Dedup.exactGroups(s, d)),
+    "q_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
+    "q_lsh_near_dup_pairs" -> ((s, d) => Dedup.lshNearDupPairs(s, d)),
+    "q_simhash_buckets" -> ((s, d) => Dedup.simhashBuckets(s, d)),
+    // similarity search (embeddings)
+    "q_knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
+    "q_grid_near_dup" -> ((s, d) => Similarity.gridNearDupPairs(s, d)),
+    "q_vector_stats" -> ((s, d) => Similarity.vectorStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -83,5 +99,18 @@ object SparkEntry {
     "q_intersect_customers" -> SetAndScalar.intersectCustomersSql,
     "q_except_parts" -> SetAndScalar.exceptPartsSql,
     "q_scalar_funcs" -> SetAndScalar.scalarFuncsSql,
+    "q_text_stats" -> Text.textStatsSql,
+    "q_term_freq" -> Text.termFreqSql,
+    "q_token_counts" -> Text.tokenCountsSql,
+    "q_lang_id" -> Text.langIdSql,
+    "q_fingerprints" -> Text.fingerprintsSql,
+    "q_dedup_exact_summary" -> Dedup.exactSummarySql,
+    "q_dedup_exact_groups" -> Dedup.exactGroupsSql,
+    "q_minhash_signatures" -> Dedup.minhashSignaturesSql,
+    "q_lsh_near_dup_pairs" -> Dedup.lshNearDupPairsSql,
+    "q_simhash_buckets" -> Dedup.simhashBucketsSql,
+    "q_knn_brute_force" -> Similarity.knnBruteForceSql,
+    "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
+    "q_vector_stats" -> Similarity.vectorStatsSql,
   )
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents` (north-star extension,
+  * SURVEY.md §2.2): per-document stats and quality scoring, term
+  * frequencies, BPE-ish token counting, stopword-based language ID,
+  * and content fingerprinting.
+  *
+  * Everything is per-row array math (no shuffle) or explode+agg (one
+  * shuffle, map-side combined) — the shapes that stay linear at 100 TB
+  * of documents. No UDFs: all expressions are codegen'd built-ins,
+  * every one with a DuckDB-parity formulation for the oracle.
+  */
+object Text {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Per-doc token/char statistics + quality ratios: length, token
+    * count, distinct-token ratio (lexical diversity), mean token
+    * length. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_computed"),
+        size(tokens).cast("long").as("n_tokens"),
+        size(array_distinct(tokens)).cast("long").as("n_distinct_tokens"),
+        round(size(array_distinct(tokens)) / size(tokens).cast("double"), 4).as("distinct_ratio"),
+        round((length(col("text")) - (size(tokens) - 1)) / size(tokens).cast("double"), 4).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  def textStatsSql: String =
+    """SELECT doc_id, lang,
+      |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |  round(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS distinct_ratio,
+      |  round((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus term frequencies: explode → count + doc frequency, top 20.
+    * The explode fan-out is bounded by corpus token count; partial
+    * aggregation collapses it map-side before the shuffle. */
+  def termFreq(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(20)
+
+  def termFreqSql: String =
+    """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token
+      |ORDER BY tf DESC, token
+      |LIMIT 20""".stripMargin
+
+  /** BPE-ish token counting: whitespace tokens plus regex subword
+    * units (letter runs / digit runs / single other chars) — the
+    * pre-tokenizer shape of BPE vocabularies, counted per language. */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(tokens).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_units"))
+      .groupBy(col("lang"))
+      .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_units")).as("total_bpe_units"),
+        round(avg(col("bpe_units")), 4).as("avg_bpe_units"))
+      .orderBy(col("lang"))
+
+  def tokenCountsSql: String =
+    """SELECT lang,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_units,
+      |  round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4) AS avg_bpe_units
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Stopword-hit language ID (n-gram-free heuristic): count hits from
+    * tiny per-language stopword sets, argmax with deterministic
+    * tie-break (en > es > de > fr), 'und' when nothing matches.
+    * Classifier quality is measured against the labeled `lang` column. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    def score(words: Seq[String]): Column =
+      size(filter(tokens, t => words.map(t === _).reduce(_ || _)))
+    val en = score(Seq("the", "a", "of", "and"))
+    val es = score(Seq("el", "la", "de", "los"))
+    val de = score(Seq("der", "die", "das", "und"))
+    val fr = score(Seq("le", "les", "et", "une"))
+    val pred = when(en >= es && en >= de && en >= fr && en > 0, "en")
+      .when(es >= de && es >= fr && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  def langIdSql: String = {
+    def score(words: Seq[String]): String =
+      s"len(list_filter(string_split(text, ' '), t -> ${words.map(w => s"t = '$w'").mkString(" OR ")}))"
+    val (en, es, de, fr) = (
+      score(Seq("the", "a", "of", "and")), score(Seq("el", "la", "de", "los")),
+      score(Seq("der", "die", "das", "und")), score(Seq("le", "les", "et", "une")))
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en > 0 THEN 'en'
+       |         WHEN $es >= $de AND $es >= $fr AND $es > 0 THEN 'es'
+       |         WHEN $de >= $fr AND $de > 0 THEN 'de'
+       |         WHEN $fr > 0 THEN 'fr'
+       |         ELSE 'und' END AS pred_lang
+       |  FROM documents)
+       |SELECT lang, pred_lang, count(*) AS n
+       |FROM scored
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Content fingerprinting: md5 of the normalized text (the rolling-
+    * hash fingerprint role; md5 chosen for engine parity) + per-source
+    * duplicate-fingerprint counts. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), md5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      .orderBy(col("source"))
+
+  def fingerprintsSql: String =
+    """SELECT source, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_distinct_fp
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the extension operators (SURVEY.md §5.2 items
+  * 2–3): MinHash estimates Jaccard, cosine matches a hand-rolled
+  * reference, approx_count_distinct lands within rsd, language ID
+  * covers the corpus, and the json-extraction variants agree.
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  test("approx_count_distinct within rsd of exact") {
+    val df = Aggregates.approxDistinct(spark, sfDir)
+    val exact = Aggregates.distinctStats(spark, sfDir)
+    val joined = df.join(exact, "l_returnflag")
+      .select(col("approx_parts"), col("n_parts")).collect()
+    joined.foreach { case Row(approx: Long, ex: Long) =>
+      assert(math.abs(approx - ex).toDouble / ex < 0.1,
+        s"approx $approx vs exact $ex")
+    }
+  }
+
+  test("cosine matches hand-computed reference") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val c = df.collect()(0).getDouble(0)
+    assert(math.abs(c - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("knn brute force: self-similarity excluded, scores in [-1,1] desc") {
+    val rows = Similarity.knnBruteForce(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
+  test("minhash equality rate approximates Jaccard for near-dup docs") {
+    import spark.implicits._
+    // two 80%-overlapping token streams + one disjoint
+    val base = (1 to 50).map(i => s"tok$i")
+    val near = (11 to 60).map(i => s"tok$i")
+    val far = (100 to 150).map(i => s"far$i")
+    val docs = Seq((0L, base.mkString(" ")), (1L, near.mkString(" ")), (2L, far.mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("___docs")
+    val tmp = tmpDir("mh")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sigs = Dedup.minhashSignatures(spark, tmp).collect()
+      .map(r => r.getLong(0) -> Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    val matches01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val matches02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    // J(0,1) ≈ 0.55 on 3-gram shingles, J(0,2) = 0 → expect more
+    // signature agreement with the near doc than the far one.
+    assert(matches01 >= matches02)
+    assert(matches02 == 0)
+  }
+
+  test("lsh near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Dedup.lshNearDupPairs(spark, "/root/testdata/sf0.01").collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("language id covers every doc with a prediction") {
+    val n = Text.langId(spark, sfDir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(n == 500) // every sf0.001 doc classified exactly once
+  }
+
+  test("regexp json extraction agrees with get_json_object") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val both = ev.select(
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("via_regex"),
+      get_json_object(col("props"), "$.k").cast("long").as("via_json"))
+    assert(both.filter(col("via_regex") =!= col("via_json")).count() == 0)
+  }
+
+  test("exact dedup summary is consistent") {
+    val r = Dedup.exactSummary(spark, sfDir).collect()(0)
+    val (nDocs, nDistinct, nGroups, nRedundant) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs == 500)
+    assert(nDocs - nDistinct == nRedundant)
+    assert(nGroups <= nRedundant)
+  }
+}
