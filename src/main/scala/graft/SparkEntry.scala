@@ -67,6 +67,8 @@ object SparkEntry {
     "q_knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_grid_near_dup" -> ((s, d) => Similarity.gridNearDupPairs(s, d)),
     "q_vector_stats" -> ((s, d) => Similarity.vectorStats(s, d)),
+    // multimodal: binary column round trip
+    "q_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +114,6 @@ object SparkEntry {
     "q_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
     "q_vector_stats" -> Similarity.vectorStatsSql,
+    "q_binary_meta" -> Multimodal.binaryMetaSql,
   )
 }
