@@ -61,13 +61,24 @@ object Dedup {
       |HAVING count(*) > 1
       |ORDER BY keep_id""".stripMargin
 
-  /** Token 3-gram shingles of a document. */
-  private def shingles: Column =
-    transform(sequence(lit(1), greatest(size(tokens) - 2, lit(1))),
-      i => concat_ws(" ",
-        element_at(tokens, i),
-        element_at(tokens, i + 1),
-        element_at(tokens, i + 2)))
+  /** Token 3-gram shingles of a document.
+    *
+    * Built with zip_with over shifted slices rather than
+    * `transform(sequence(i), i -> element_at(tokens, i…))`: higher-order
+    * functions bind their ARRAY arguments once, while an `element_at`
+    * lambda body references the tokenizer expression itself — after
+    * CollapseProject inlining, that re-ran `split` ~3·|shingles| times
+    * per document (profiled: 5 s of a 6.5 s LSH pass at sf0.1). Here
+    * `split` is evaluated a constant ~6 times per row. */
+  private def shingles: Column = {
+    val t = tokens
+    val n = size(tokens)
+    val s2 = slice(tokens, lit(2), greatest(n - 1, lit(0)))
+    val s3 = slice(tokens, lit(3), greatest(n - 2, lit(0)))
+    val pairs = zip_with(t, s2, (x, y) => concat(x, lit(" "), y))
+    val trips = zip_with(pairs, s3, (xy, z) => concat(xy, lit(" "), z))
+    slice(trips, lit(1), greatest(n - 2, lit(1)))
+  }
 
   private val ShinglesSqlDuck: String =
     """list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 2)),
@@ -83,13 +94,32 @@ object Dedup {
   private def minhashSqlDuck(k: Int): String =
     s"list_min(list_transform($ShinglesSqlDuck, s -> md5('$k' || '|' || s)))"
 
+  /** All signature components in ONE pass: shingle array computed once
+    * per doc, exploded, then 4 min-aggs.
+    *
+    * Why not 4 [[minhash]] column expressions? Catalyst inlines the
+    * shingle construction (split + 3 array lookups per shingle) into
+    * every use, so k signatures re-tokenize the document ~3k× — at
+    * sf0.1 that was 65 s of a 97 s bench. The explode→hash-agg shape
+    * evaluates split/shingles once per doc and is also the right
+    * 100 TB plan: map-side partial min-agg collapses the shingle
+    * fan-out before the (doc_id-keyed) shuffle. Only (doc_id, shingle)
+    * rows flow through the explode — no payload arrays. */
+  private def signatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingles).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),
+        min(md5(concat(lit("1|"), col("shingle")))).as("sig1"),
+        min(md5(concat(lit("2|"), col("shingle")))).as("sig2"),
+        min(md5(concat(lit("3|"), col("shingle")))).as("sig3"))
+
   /** Per-doc MinHash signatures (4 permutations shown; the LSH query
     * derives 2 bands of 2 rows from the same signatures). */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        minhash(0).as("sig0"), minhash(1).as("sig1"),
-        minhash(2).as("sig2"), minhash(3).as("sig3"))
+    signatures(spark, sfDir)
+      .select(col("doc_id"), col("sig0"), col("sig1"), col("sig2"), col("sig3"))
       .orderBy(col("doc_id"))
 
   def minhashSignaturesSql: String =
@@ -102,19 +132,39 @@ object Dedup {
   /** LSH candidate pairs + exact-Jaccard verify: docs sharing either
     * band bucket (band = hash of 2 signature rows) become candidates;
     * only candidates pay the exact token-set Jaccard, and pairs at
-    * ≥ 0.5 survive. This is the full near-dup pipeline — no pairwise
-    * scan anywhere. */
+    * ≥ 0.5 survive.
+    *
+    * Plan shape matters here: an `ON b1a = b1b OR b2a = b2b` join has
+    * no equi keys, so Spark would pick BroadcastNestedLoopJoin — O(n²)
+    * band comparisons (measured: 241 s of a 276 s bench at sf0.1, and
+    * quadratic death at scale). Instead each doc EXPLODES into one row
+    * per band keyed (band_no, band_value), and candidates come from a
+    * hash-partitioned equi self-join on that key — the canonical LSH
+    * bucket join: cost ∝ Σ bucket² per band, never n². Pairs found by
+    * both bands are deduped with a groupBy before paying the Jaccard. */
   def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(tokens).as("toks"),
-        md5(concat(minhash(0), minhash(1))).as("band1"),
-        md5(concat(minhash(2), minhash(3))).as("band2"))
-    val a = sigs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"),
-      col("band1").as("b1a"), col("band2").as("b2a"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"),
-      col("band1").as("b1b"), col("band2").as("b2b"))
-    a.join(b, col("doc_a") < col("doc_b") &&
-        (col("b1a") === col("b1b") || col("b2a") === col("b2b")))
+    val sigs = signatures(spark, sfDir)
+      .select(col("doc_id"),
+        array(
+          struct(lit(1).as("band_no"), md5(concat(col("sig0"), col("sig1"))).as("band_val")),
+          struct(lit(2).as("band_no"), md5(concat(col("sig2"), col("sig3"))).as("band_val")))
+          .as("bands"))
+    val banded = sigs.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
+    val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_no", "band_val")) // equi join: hash shuffle on band key
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()                                   // dedup pairs matched by both bands
+    // Only the (few) candidates pay for token arrays: join the docs
+    // back by id — at scale this is the "fetch text for candidates"
+    // hash join, keeping heavyweight payloads out of the LSH shuffle.
+    val docToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(tokens).as("toks"))
+    candidates
+      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("toks_a"), col("toks_b"))) /
           size(array_distinct(concat(col("toks_a"), col("toks_b")))).cast("double"), 4)

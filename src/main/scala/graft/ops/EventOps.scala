@@ -89,19 +89,27 @@ object EventOps {
       |ORDER BY event_id""".stripMargin
 
   /** Range (time-band) self-join: per user, count ordered event pairs
-    * within 60 s of each other. The equi key (user_id) bounds the
-    * quadratic term; at 100 TB add coarse time-bucket equality to the
-    * join key so each side co-partitions by (user, bucket). */
+    * within 60 s of each other.
+    *
+    * Scale shape: a join keyed only on user_id degrades to per-user
+    * O(events²) when users are few/heavy. The banded formulation makes
+    * the time range part of the EQUI key: the left side explodes into
+    * the two 60 s buckets its matches can live in (its own and the
+    * next), the right side is keyed by its bucket, and the join is a
+    * plain hash join on (user, bucket) with the exact range as a
+    * residual filter. Cost is per-(user,minute)-bucket quadratic —
+    * bounded — instead of per-user quadratic. */
   def eventPairs60s(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
-    val a = ev.alias("a")
-    val b = ev.alias("b")
-    a.join(b,
-        col("a.user_id") === col("b.user_id") &&
-        col("b.ts_ms") > col("a.ts_ms") &&
-        col("b.ts_ms") - col("a.ts_ms") <= 60000L)
-      .groupBy(col("a.user_id").as("user_id"))
+      .withColumn("bucket", floor(col("ts_ms") / 60000L))
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts_ms").as("ts_a"),
+        explode(array(col("bucket"), col("bucket") + 1)).as("bucket"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("ts_ms").as("ts_b"),
+        col("bucket"))
+    a.join(b, Seq("user_id", "bucket"))             // equi join on (user, minute bucket)
+      .filter(col("ts_b") > col("ts_a") && col("ts_b") - col("ts_a") <= 60000L)
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("user_id"))
   }

@@ -24,9 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double
-    * (codegen'd higher-order functions; no UDF). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Backed by the native codegen expression
+    * [[graft.functions.CosineSimilarity]] (single fused loop inside
+    * whole-stage codegen); [[cosineHof]] keeps the built-in
+    * higher-order-function formulation as a semantics reference. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
+
+  /** Reference formulation via built-in HOFs (CodegenFallback — ~100×
+    * slower per pair; used in tests to pin [[cosine]]'s semantics). */
+  def cosineHof(a: Column, b: Column): Column = {
     def d(c: Column): Column = transform(c, x => x.cast("double"))
     val da = d(a); val db = d(b)
     val dot = aggregate(zip_with(da, db, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

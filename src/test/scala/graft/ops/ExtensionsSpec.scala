@@ -31,6 +31,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(math.abs(c - 10.0 / 14.0) < 1e-12)
   }
 
+  test("codegen CosineSimilarity is bit-identical to the HOF formulation") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      Similarity.cosine(col("embedding"), col("qv")).as("native"),
+      Similarity.cosineHof(col("embedding"), col("qv")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("CosineSimilarity null handling") {
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
   test("knn brute force: self-similarity excluded, scores in [-1,1] desc") {
     val rows = Similarity.knnBruteForce(spark, sfDir).collect()
     assert(rows.length == 10)
