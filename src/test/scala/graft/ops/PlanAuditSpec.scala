@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audits (SURVEY.md §4.3): the scale posture is a plan
+  * property, not a hope — these tests fail if a change reintroduces a
+  * nested-loop join, loses parquet pushdown/pruning, or globally sorts
+  * where a top-k should stream. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def scanInfo(df: DataFrame): String =
+    df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+
+  test("revenue filter: all predicates pushed to the parquet scan") {
+    val df = Relational.revenueFilter(spark, sfDir)
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString("\n")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount", "LessThan(l_quantity").foreach { f =>
+      assert(pushed.contains(f), s"missing pushed filter $f in: $pushed")
+    }
+  }
+
+  test("revenue filter: column pruning — scan reads only needed columns") {
+    val df = Relational.revenueFilter(spark, sfDir)
+    val schemaLine = df.queryExecution.sparkPlan.toString
+    // 4 of 11 lineitem columns
+    assert(schemaLine.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("top-k queries use TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topOrders(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("fact-dim joins broadcast the dimension side") {
+    val p = plan(Joins.brandRevenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("no nested-loop / cartesian joins in the candidate-pair pipelines") {
+    Seq(
+      "lsh" -> Dedup.lshNearDupPairs(spark, sfDir),
+      "grid" -> Similarity.gridNearDupPairs(spark, sfDir),
+      "pairs60s" -> EventOps.eventPairs60s(spark, sfDir)
+    ).foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name uses nested loop join")
+      assert(!p.contains("CartesianProduct"), s"$name uses cartesian product")
+    }
+  }
+
+  test("knn brute force is a single-pass scan + TakeOrdered (no shuffle of the corpus)") {
+    val p = plan(Similarity.knnBruteForce(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("catalog range query prunes partitions on source") {
+    import spark.implicits._
+    val layout = graft.lake.Layout(tmpDir("planlake"))
+    val entries = Seq(
+      graft.lake.CatalogEntry("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "t", "k1"),
+      graft.lake.CatalogEntry("b", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "t", "k2")).toDS()
+    graft.lake.Catalog.append(spark, layout, entries)
+    val q = graft.lake.Catalog.rangeQuery(spark, layout, "a",
+      java.sql.Timestamp.valueOf("2023-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    val scan = scanInfo(q)
+    // partition filter on the Hive-style source= dir, not a data filter
+    assert(scan.contains("PartitionFilters: [isnotnull(source"), scan)
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    val df = Relational.pricingSummary(spark, sfDir)
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    assert(codegen.contains("WholeStageCodegen"), "no codegen spans found")
+  }
+
+  test("native cosine expression participates in codegen (no CodegenFallback)") {
+    val df = Similarity.knnBruteForce(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the plan with codegen subtrees
+    val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+    // the generated code contains our fused loop accumulators
+    assert(codegen.contains("getFloat"), "cosine loop not codegen'd")
+  }
+}
