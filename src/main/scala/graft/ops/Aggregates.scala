@@ -112,6 +112,31 @@ object Aggregates {
       .orderBy(col("month"))
   }
 
+  /** Interpolated percentiles per group (exact, not sketch): Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear-
+    * interpolation definition. (The sketch alternative for 100 TB —
+    * `approx_percentile`, mergeable t-digest-style, one pass — is
+    * engine-specific in value and therefore tested in ScalaTest, not
+    * against the oracle.) */
+  def priceQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    ord.groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.9))).as("q_raw"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        transform(col("q_raw"), x => round(x, 4)).as("quantiles"),
+        col("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def priceQuantilesSql: String =
+    """SELECT o_orderpriority,
+      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]), x -> round(x, 4)) AS quantiles,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def monthlyOrderStatsSql: String =
     """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
       |  count(*) AS n_orders,

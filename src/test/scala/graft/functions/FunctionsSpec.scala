@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.lake.Envelope
+import org.apache.spark.sql.functions._
+
+/** Tests for the function-extension layer: SQL registration of the
+  * native expression, the MinHash Aggregator UDAF (vs the relational
+  * formulation), and the O1 ingest-envelope codec. */
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine_sim callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0f, 2.0f, 3.0f), array(3.0f, 2.0f, 1.0f)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("cosine_sim SQL rejects wrong arity and type") {
+    GraftExtensions.register(spark)
+    intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0f))").collect() }
+    intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0), array(2.0))").collect() // double, not float
+    }
+  }
+
+  test("MinHashAggregator matches the relational minhash signatures") {
+    // same salt|shingle scheme: compare against Dedup's signatures on
+    // a tiny synthetic documents table
+    val docs = Seq((0L, "a b c d e"), (1L, "c d e f g")).toDF("doc_id", "text")
+    val tmp = tmpDir("agg")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val relational = graft.ops.Dedup.minhashSignatures(spark, tmp).collect()
+      .map(r => r.getLong(0) -> Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .toMap
+
+    // aggregator over explicitly-built shingles
+    val shingled = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split(" ")
+        t.sliding(3).filter(_.length == 3).map(s => (id, s.mkString(" ")))
+      }.toDF("doc_id", "shingle")
+    val sigCol = udaf(new MinHashAggregator(4))
+    val viaAgg = shingled.groupBy(col("doc_id"))
+      .agg(sigCol(col("shingle")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    assert(viaAgg.keySet == relational.keySet)
+    viaAgg.foreach { case (id, sig) => assert(sig == relational(id), s"doc $id") }
+  }
+
+  test("envelope wrap/unwrap round-trips payload and stream name") {
+    val payloads = Seq(
+      ("clicks", """{"click_id":1,"page":"/home"}"""),
+      ("tweets", """{"tweet_id":2,"text":"héllo \"quoted\" }{ tricky"}"""))
+      .toDF("stream", "body")
+    val wrapped = payloads.select(col("stream"), col("body"),
+      Envelope.wrap(col("body"), col("stream")).as("env"))
+    // envelope shape matches the reference template: Record.Data is base64
+    val shape = wrapped.select(
+      get_json_object(col("env"), "$.DeliveryStreamName").as("s"),
+      get_json_object(col("env"), "$.Record.Data").as("d")).collect()
+    assert(shape.forall(r => r.getString(1) != null && !r.getString(1).contains("{")))
+
+    val (src, body) = Envelope.unwrap(col("env"))
+    val back = wrapped.select(col("stream"), col("body"), src.as("src2"), body.as("body2"))
+      .collect()
+    back.foreach { r =>
+      assert(r.getString(0) == r.getString(2))
+      assert(r.getString(1) == r.getString(3))
+    }
+  }
+}
