@@ -18,7 +18,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        # exact: all queries are bit-identical across engines (verified
+        # at sf0.01); keep it strict so rounding drift is caught early
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, (list, tuple)):
