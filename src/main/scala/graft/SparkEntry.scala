@@ -70,6 +70,13 @@ object SparkEntry {
     "q_vector_stats" -> ((s, d) => Similarity.vectorStats(s, d)),
     // multimodal: binary column round trip
     "q_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    // classic analytics shapes + SQL surface
+    "q_local_supplier_volume" -> ((s, d) => Analytics.localSupplierVolume(s, d)),
+    "q_returned_item_ranking" -> ((s, d) => Analytics.returnedItemRanking(s, d)),
+    "q_promo_revenue" -> ((s, d) => Analytics.promoRevenueShare(s, d)),
+    "q_grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
+    // IVF ANN index build
+    "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -117,5 +124,10 @@ object SparkEntry {
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
     "q_vector_stats" -> Similarity.vectorStatsSql,
     "q_binary_meta" -> Multimodal.binaryMetaSql,
+    "q_local_supplier_volume" -> Analytics.localSupplierVolumeSql,
+    "q_returned_item_ranking" -> Analytics.returnedItemRankingSql,
+    "q_promo_revenue" -> Analytics.promoRevenueShareSql,
+    "q_grouping_sets" -> Analytics.groupingSetsSql,
+    "q_ivf_assign" -> Similarity.ivfAssignSql,
   )
 }

@@ -101,6 +101,50 @@ object Similarity {
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** IVF-style ANN, stage 1 — build the inverted file: a deterministic
+    * centroid subset (every 50th vector plays centroid; a production
+    * build would k-means these) and each vector assigned to its
+    * nearest centroid via broadcast join + rank-1 window. Output is
+    * the inverted-list directory: centroid → list size.
+    *
+    * Scale shape: corpus × centroids is a broadcast nested product of
+    * corpus × K (K small), never corpus²; the assignment shuffle is on
+    * vec_id for the rank window. Probing (stage 2, [[ivfTopK]]) scans
+    * only the query's nearest lists. */
+  def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine(col("embedding"), col("c_emb")), 4).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("list_size"),
+        round(avg(col("sim")), 4).as("avg_sim"))
+      .orderBy(col("centroid_id"))
+  }
+
+  def ivfAssignSql: String =
+    """WITH centroids AS (
+      |  SELECT vec_id AS centroid_id, embedding AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |assigned AS (
+      |  SELECT vec_id, centroid_id,
+      |    round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) AS sim,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) DESC,
+      |               centroid_id) AS rk
+      |  FROM embeddings CROSS JOIN centroids)
+      |SELECT centroid_id, count(*) AS list_size, round(avg(sim), 4) AS avg_sim
+      |FROM assigned WHERE rk = 1
+      |GROUP BY centroid_id
+      |ORDER BY centroid_id""".stripMargin
+
   /** Vector statistics per label: mean L2 norm, mean leading
     * component — array math + agg parity exercise. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {
