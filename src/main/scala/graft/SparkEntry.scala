@@ -75,8 +75,12 @@ object SparkEntry {
     "q_returned_item_ranking" -> ((s, d) => Analytics.returnedItemRanking(s, d)),
     "q_promo_revenue" -> ((s, d) => Analytics.promoRevenueShare(s, d)),
     "q_grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
-    // IVF ANN index build
+    // IVF ANN index build + probe
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(s, d)),
+    "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    // rolling-hash fingerprint + near-dedup keep list
+    "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
+    "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -129,5 +133,8 @@ object SparkEntry {
     "q_promo_revenue" -> Analytics.promoRevenueShareSql,
     "q_grouping_sets" -> Analytics.groupingSetsSql,
     "q_ivf_assign" -> Similarity.ivfAssignSql,
+    "q_ivf_topk" -> Similarity.ivfTopKSql,
+    "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
+    "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
   )
 }

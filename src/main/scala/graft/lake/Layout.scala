@@ -25,3 +25,33 @@ final case class Layout(root: String) {
 
   def bronzeSourceDir(source: String): String = s"$bronzeDir/$source"
 }
+
+/** Small-file compaction for the lake's partition dirs — streaming
+  * ingest at a 60 s trigger writes one file per micro-batch per
+  * source; over days that is thousands of small files per partition,
+  * and at 100 TB the file-listing + per-file open cost dominates
+  * scans. Compaction rewrites a partition to `targetFiles` files;
+  * readers see the change atomically at the partition-dir level
+  * (overwrite of one `source=` dir). */
+object Compaction {
+  import org.apache.spark.sql.SparkSession
+
+  def compactSource(spark: SparkSession, layout: Layout, source: String,
+      targetFiles: Int = 1): Long = {
+    val dir = s"${layout.distributionDir}/source=$source"
+    val df = spark.read.format("json").load(dir)
+    val n = df.count()
+    val tmp = s"$dir.__compacting"
+    df.coalesce(targetFiles).write.mode("overwrite").format("json").save(tmp)
+    val fs = new java.io.File(dir)
+    val bak = new java.io.File(s"$dir.__old")
+    fs.renameTo(bak)
+    new java.io.File(tmp).renameTo(fs)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+    n
+  }
+}

@@ -188,6 +188,37 @@ object Dedup {
        |      CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** End-to-end near-dedup keep-list: corpus minus the higher-id side
+    * of every confirmed near-dup pair (greedy min-id survivor — the
+    * full dedup pipeline's output surface: shingle → MinHash → LSH →
+    * Jaccard → drop). Anti-join keeps the corpus scan single-pass. */
+  def nearDedupSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val drop = lshNearDupPairs(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, sfDir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  def nearDedupSummarySql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
+       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)
+       |  WHERE round(len(list_intersect(a.toks, b.toks)) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5)
+       |SELECT lang, count(*) AS n_kept
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** 16-bit SimHash per doc + bucket sizes. Bit j's weight is the sign
     * of Σ_tokens (bit_j(h(token))·2 − 1) where h = first 16 bits of
     * md5. Identical fingerprints (same bucket) are near-dup candidates

@@ -145,6 +145,72 @@ object Similarity {
       |GROUP BY centroid_id
       |ORDER BY centroid_id""".stripMargin
 
+  /** IVF-style ANN, stage 2 — probe: rank centroids against the query
+    * vector, keep vectors assigned to the top-`nprobe` lists, then
+    * exact top-k within the probed subset. At scale the assignment is
+    * a precomputed table partitioned by centroid, so a probe reads
+    * `nprobe/K` of the corpus instead of all of it; recall vs the
+    * exact scan is asserted in ScalaTest. */
+  def ivfTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+
+    // assignment (stage 1 shape, inline here so the query is self-contained)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("centroid_id"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(cosine(col("embedding"), col("c_emb")), 4).as("sim"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+
+    // probe list: nprobe centroids nearest to the query
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        round(cosine(col("c_emb"), col("q_emb")), 4).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+
+    assigned.join(broadcast(probed), Seq("centroid_id"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTopKSql: String =
+    """WITH centroids AS (
+      |  SELECT vec_id AS centroid_id, embedding AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |assigned AS (
+      |  SELECT vec_id, embedding, centroid_id,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) DESC,
+      |               centroid_id) AS rk
+      |  FROM embeddings CROSS JOIN centroids),
+      |probed AS (
+      |  SELECT centroid_id
+      |  FROM centroids CROSS JOIN q
+      |  ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]), 4) DESC, centroid_id
+      |  LIMIT 3)
+      |SELECT vec_id,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) AS cos_sim
+      |FROM assigned a
+      |JOIN probed USING (centroid_id)
+      |CROSS JOIN q
+      |WHERE a.rk = 1 AND a.vec_id <> 0
+      |ORDER BY cos_sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   /** Vector statistics per label: mean L2 norm, mean leading
     * component — array math + agg parity exercise. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -142,4 +142,32 @@ object Text {
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  /** Polynomial rolling-hash document fingerprint (Rabin–Karp shape):
+    * fold token hashes h(t) through acc = (acc·B + h) mod M. Token
+    * hash = first 32 md5 bits (engine-portable); B/M chosen so
+    * acc·B + h < 2⁶³ — DuckDB errors on BIGINT overflow, Java wraps,
+    * so staying in range keeps both engines identical. Order-sensitive
+    * (unlike the set-based MinHash) — permuted docs get different
+    * prints. */
+  def rollingFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 1000003L
+    val M = 2147483647L
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        aggregate(tokens, lit(0L),
+          (acc, x) => pmod(acc * B + conv(substring(md5(x), 1, 8), 16, 10).cast("long"), lit(M)))
+          .as("rolling_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  def rollingFingerprintsSql: String =
+    """SELECT doc_id, source,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+      |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.lake.{Compaction, Distribution, Layout}
+import org.apache.spark.sql.functions._
+
+/** Scale-tooling semantics: salted joins preserve results, IVF probe
+  * recall vs exact top-k, compaction preserves data while reducing
+  * file count. */
+class ScaleToolsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted join result equals unsalted join") {
+    val big = graft.Tables.lineitem(spark, sfDir)
+    val small = graft.Tables.orders(spark, sfDir)
+    val plain = big.join(small, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity")), sum(col("o_totalprice"))).collect()(0)
+    val salted = Skew.saltedJoin(big, small, "l_orderkey", "o_orderkey", "l_partkey", 4)
+      .agg(count(lit(1)), sum(col("l_quantity")), sum(col("o_totalprice"))).collect()(0)
+    assert(plain == salted)
+  }
+
+  test("salt column is deterministic and spans [0, n)") {
+    val s = graft.Tables.lineitem(spark, sfDir)
+      .select(Skew.saltColumn(col("l_partkey"), 4).as("s"))
+    val vals = s.distinct().collect().map(_.getInt(0)).sorted
+    assert(vals.toSeq == Seq(0, 1, 2, 3))
+    // deterministic across evaluations
+    assert(s.collect().toSeq == s.collect().toSeq)
+  }
+
+  test("IVF probe recall@10 vs exact brute force is substantial") {
+    val exact = Similarity.knnBruteForce(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    // nprobe=3 of ~10 lists at sf0.001: expect well above random
+    assert(recall >= 0.3, s"recall@10 = $recall")
+  }
+
+  test("compaction reduces file count and preserves rows") {
+    val layout = Layout(tmpDir("compact"))
+    import spark.implicits._
+    // write several small per-source batches (as streaming would)
+    (1 to 5).foreach { i =>
+      Seq(("clicks", s"k$i", s"""{"n":$i}"""))
+        .toDF("source", "key", "json")
+        .repartition(3)
+        .write.mode("append").partitionBy("source").format("json")
+        .save(layout.distributionDir)
+    }
+    val dir = new java.io.File(s"${layout.distributionDir}/source=clicks")
+    val before = dir.listFiles().count(_.getName.endsWith(".json"))
+    assert(before >= 5)
+    val n = Compaction.compactSource(spark, layout, "clicks", targetFiles = 1)
+    assert(n == 5)
+    val after = dir.listFiles().count(_.getName.endsWith(".json"))
+    assert(after == 1, s"expected 1 file after compaction, found $after")
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 5)
+  }
+}
