@@ -81,6 +81,10 @@ object SparkEntry {
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
+    // tf-idf, label centroids, column profiling
+    "q_tfidf" -> ((s, d) => Text.tfidf(s, d)),
+    "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q_profile_orders" -> ((s, d) => SetAndScalar.profileOrders(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,5 +140,8 @@ object SparkEntry {
     "q_ivf_topk" -> Similarity.ivfTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
+    "q_tfidf" -> Text.tfidfSql,
+    "q_label_centroids" -> Similarity.labelCentroidsSql,
+    "q_profile_orders" -> SetAndScalar.profileOrdersSql,
   )
 }

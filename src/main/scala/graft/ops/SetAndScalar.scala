@@ -56,6 +56,38 @@ object SetAndScalar {
       |SELECT l_partkey AS partkey FROM lineitem
       |ORDER BY partkey""".stripMargin
 
+  /** Column profiling (data-quality surface for pipeline tables): per
+    * column — null count, distinct count, min/max as strings. The
+    * union-of-aggs shape profiles k columns in k cheap passes; a
+    * single-pass variant would pivot, but per-column scans let
+    * Catalyst prune to exactly one column each. */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    def arm(c: String): DataFrame =
+      ord.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .map(arm).reduce(_ union _)
+      .orderBy(col("column_name"))
+  }
+
+  def profileOrdersSql: String = {
+    def arm(c: String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   /** Scalar-function sampler over orders: string (upper/substr/concat/
     * length), date (year/month/date_trunc), math (round/abs/mod),
     * conditional (CASE). One row per order, fully deterministic. */

@@ -211,6 +211,33 @@ object Similarity {
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** Per-label centroid vectors (element-wise mean): posexplode →
+    * (label, position) mean → ordered re-assembly. The re-assembled
+    * array is exactly what [[ivfAssign]]'s production variant would
+    * use as learned centroids. Values rounded for cross-engine
+    * compare; assembly order is pinned by position sort. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 4).as("m"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("centroid"))
+      .orderBy(col("label"))
+  }
+
+  def labelCentroidsSql: String =
+    """SELECT label, list(m ORDER BY pos) AS centroid
+      |FROM (
+      |  SELECT label, pos, round(avg(v), 4) AS m
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |               unnest(range(0, len(embedding))) AS pos
+      |        FROM embeddings)
+      |  GROUP BY label, pos)
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+
   /** Vector statistics per label: mean L2 norm, mean leading
     * component — array math + agg parity exercise. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -143,6 +143,36 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** TF-IDF: the classic text-relevance score, as a three-stage
+    * relational dataflow — tf per (doc, term), df per term, score =
+    * tf · ln(N/df). Top-30 scored (doc, term) pairs. All three stages
+    * are map-side-combined aggs; the tf⋈df join shuffles on the term.
+    * (DuckDB's `log` is log10 — both sides use `ln` explicitly.) */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(tokens).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs") / col("df")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("token"))
+      .limit(30)
+  }
+
+  def tfidfSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, token, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      |FROM tf JOIN df USING (token) CROSS JOIN n
+      |ORDER BY tfidf DESC, doc_id, token
+      |LIMIT 30""".stripMargin
+
   /** Polynomial rolling-hash document fingerprint (Rabin–Karp shape):
     * fold token hashes h(t) through acc = (acc·B + h) mod M. Token
     * hash = first 32 md5 bits (engine-portable); B/M chosen so
