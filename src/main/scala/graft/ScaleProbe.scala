@@ -1,0 +1,27 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ScaleProbe {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale] $name%-28s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val d = "/tmp/sfbig"
+    time("lsh_near_dup 50k docs")(println("  pairs=" + ops.Dedup.lshNearDupPairs(spark, d).count()))
+    time("near_dedup 50k docs")(ops.Dedup.nearDedupSummary(spark, d).count())
+    time("sessionize 1M events")(ops.Windows.sessionize(spark, d).count())
+    time("event_pairs 1M events")(ops.EventOps.eventPairs60s(spark, d).count())
+    time("knn 20k vecs")(ops.Similarity.knnBruteForce(spark, d).count())
+    time("ivf_topk 20k vecs")(ops.Similarity.ivfTopK(spark, d).count())
+    time("grid_near_dup 20k vecs")(println("  pairs=" + ops.Similarity.gridNearDupPairs(spark, d).count()))
+    time("tfidf 50k docs")(ops.Text.tfidf(spark, d).count())
+    time("simhash 50k docs")(ops.Dedup.simhashBuckets(spark, d).count())
+    spark.stop()
+  }
+}
