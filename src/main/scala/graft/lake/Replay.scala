@@ -54,7 +54,8 @@ object Replay {
   /** Re-read whole objects by key (replay unit = object). */
   private def readObjects(spark: SparkSession, keys: Array[String], source: String): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.option("wholetext", "true").textFile(keys: _*)
+    val raw = spark.read.option("wholetext", "true")
+      .textFile(scala.collection.immutable.ArraySeq.unsafeWrapArray(keys): _*)
       .withColumn("key", input_file_name())
     raw.select(col("key"), col("value")).as[(String, String)]
       .flatMap { case (key, content) =>

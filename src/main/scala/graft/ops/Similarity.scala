@@ -54,7 +54,7 @@ object Similarity {
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("q_embedding")), 4).as("cos_sim"))
+        (round(cosine(col("embedding"), col("q_embedding")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -62,7 +62,7 @@ object Similarity {
   def knnBruteForceSql: String =
     """SELECT vec_id, label,
       |  round(list_cosine_similarity(embedding::DOUBLE[],
-      |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) AS cos_sim
+      |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM embeddings
       |WHERE vec_id <> 0
       |ORDER BY cos_sim DESC, vec_id
@@ -84,7 +84,7 @@ object Similarity {
     a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        (round(cosine(col("emb_a"), col("emb_b")), 4) + lit(0.0)).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -96,7 +96,7 @@ object Similarity {
       |    CAST(floor(embedding[2] * 10) AS BIGINT) AS cell
       |  FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
       |ORDER BY vec_a, vec_b""".stripMargin
@@ -115,7 +115,7 @@ object Similarity {
     assignments(spark, sfDir)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("list_size"),
-        round(avg(col("sim")), 4).as("avg_sim"))
+        (round(avg(col("sim")), 4) + lit(0.0)).as("avg_sim"))
       .orderBy(col("centroid_id"))
 
   /** (vec_id → nearest centroid, sim) — the IVF assignment, shaped for
@@ -132,7 +132,7 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("centroid_id"),
-        round(cosine(col("embedding"), col("c_emb")), 4).as("sim"))
+        (round(cosine(col("embedding"), col("c_emb")), 4) + lit(0.0)).as("sim"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("centroid_id")).as("neg_cid"))).as("best"))
       .select(col("vec_id"),
@@ -146,12 +146,12 @@ object Similarity {
       |  FROM embeddings WHERE vec_id % 50 = 0),
       |assigned AS (
       |  SELECT vec_id, centroid_id,
-      |    round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) AS sim,
+      |    round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) + 0.0 AS sim,
       |    row_number() OVER (PARTITION BY vec_id
       |      ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) DESC,
       |               centroid_id) AS rk
       |  FROM embeddings CROSS JOIN centroids)
-      |SELECT centroid_id, count(*) AS list_size, round(avg(sim), 4) AS avg_sim
+      |SELECT centroid_id, count(*) AS list_size, round(avg(sim), 4) + 0.0 AS avg_sim
       |FROM assigned WHERE rk = 1
       |GROUP BY centroid_id
       |ORDER BY centroid_id""".stripMargin
@@ -173,7 +173,7 @@ object Similarity {
     // probe list: nprobe centroids nearest to the query
     val probed = centroids.crossJoin(broadcast(q))
       .select(col("centroid_id"),
-        round(cosine(col("c_emb"), col("q_emb")), 4).as("q_sim"))
+        (round(cosine(col("c_emb"), col("q_emb")), 4) + lit(0.0)).as("q_sim"))
       .orderBy(col("q_sim").desc, col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
@@ -187,7 +187,7 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -206,10 +206,10 @@ object Similarity {
       |probed AS (
       |  SELECT centroid_id
       |  FROM centroids CROSS JOIN q
-      |  ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]), 4) DESC, centroid_id
+      |  ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]), 4) + 0.0 DESC, centroid_id
       |  LIMIT 3)
       |SELECT vec_id,
-      |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) AS cos_sim
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM assigned a
       |JOIN probed USING (centroid_id)
       |CROSS JOIN q
@@ -226,7 +226,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v")), 4).as("m"))
+      .agg((round(avg(col("v")), 4) + lit(0.0)).as("m"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("centroid"))
@@ -236,7 +236,7 @@ object Similarity {
   def labelCentroidsSql: String =
     """SELECT label, list(m ORDER BY pos) AS centroid
       |FROM (
-      |  SELECT label, pos, round(avg(v), 4) AS m
+      |  SELECT label, pos, round(avg(v), 4) + 0.0 AS m
       |  FROM (SELECT label, unnest(embedding) AS v,
       |               unnest(range(0, len(embedding))) AS pos
       |        FROM embeddings)
@@ -255,14 +255,14 @@ object Similarity {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("l2")), 4).as("avg_norm"),
-        round(avg(col("c1")), 4).as("avg_c1"))
+        (round(avg(col("c1")), 4) + lit(0.0)).as("avg_c1"))
       .orderBy(col("label"))
   }
 
   def vectorStatsSql: String =
     """SELECT label, count(*) AS n_vecs,
       |  round(avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))), 4) AS avg_norm,
-      |  round(avg(embedding[1]::DOUBLE), 4) AS avg_c1
+      |  round(avg(embedding[1]::DOUBLE), 4) + 0.0 AS avg_c1
       |FROM embeddings
       |GROUP BY label
       |ORDER BY label""".stripMargin

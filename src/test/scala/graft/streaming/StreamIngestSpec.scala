@@ -32,6 +32,35 @@ class StreamIngestSpec extends SparkTestBase {
     assert(cat.filter(col("source") === "clicks").count() == 1)
   }
 
+  test("checkpoint restart does not re-process bronze objects (exactly-once)") {
+    val layout = Layout(tmpDir("slake_ck"))
+    def write(dir: String, name: String, content: String): Unit = {
+      val d = new java.io.File(dir); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, name).toPath, content)
+    }
+    write(layout.bronzeSourceDir("clicks"), "a.json", """{"click_id":1}{"click_id":2}""")
+
+    val q1 = StreamIngest.start(spark, layout, Trigger.AvailableNow())
+    q1.awaitTermination(60000)
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 2)
+    assert(Catalog.load(spark, layout).count() == 1)
+
+    // restart over the SAME checkpoint: the already-processed object
+    // must not be re-delivered or re-cataloged (the reference's SQS
+    // path is at-least-once; this is the strict upgrade, SURVEY §2.3.7)
+    val q2 = StreamIngest.start(spark, layout, Trigger.AvailableNow())
+    q2.awaitTermination(60000)
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 2)
+    assert(Catalog.load(spark, layout).count() == 1)
+
+    // but a NEW object after restart is picked up
+    write(layout.bronzeSourceDir("clicks"), "b.json", """{"click_id":3}""")
+    val q3 = StreamIngest.start(spark, layout, Trigger.AvailableNow())
+    q3.awaitTermination(60000)
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 3)
+    assert(Catalog.load(spark, layout).count() == 2)
+  }
+
   test("processBatch is idempotent per catalog content on empty batches") {
     val layout = Layout(tmpDir("slake2"))
     val empty = spark.range(0).selectExpr("'s' as source", "'k' as key", "'{}' as json").filter("false")
