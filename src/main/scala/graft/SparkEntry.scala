@@ -81,6 +81,9 @@ object SparkEntry {
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
+    // pivot + SQL-surface subqueries
+    "q_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
+    "q_sql_subqueries" -> ((s, d) => EventOps.sqlSubqueries(s, d)),
     // tf-idf, label centroids, column profiling
     "q_tfidf" -> ((s, d) => Text.tfidf(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
@@ -140,6 +143,8 @@ object SparkEntry {
     "q_ivf_topk" -> Similarity.ivfTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
+    "q_event_pivot" -> EventOps.eventTypePivotSql,
+    "q_sql_subqueries" -> EventOps.sqlSubqueriesSql,
     "q_tfidf" -> Text.tfidfSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,

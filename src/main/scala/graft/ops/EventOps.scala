@@ -62,6 +62,52 @@ object EventOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Pivot: per-user event counts spread across event-type columns —
+    * the explicit value list keeps the output schema static (required
+    * for determinism AND the 100 TB rule: an unlisted pivot needs a
+    * distinct-values pre-pass over the fact table). */
+  def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+
+  def eventTypePivotSql: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Correlated subqueries through the SQL surface (IN + correlated
+    * scalar): Catalyst decorrelates both into joins — semantically the
+    * semi-join / as-of surface, exercised as SQL text. */
+  def sqlSubqueries(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey) AS n_orders
+        |FROM customer_v
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders_v WHERE o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  def sqlSubqueriesSql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** As-of join: for each purchase event, the most recent order date of
     * the matching customer at-or-before the event. Implemented as an
     * equi-join on the user key + max-filter aggregation — at 100 TB the

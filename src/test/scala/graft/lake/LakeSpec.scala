@@ -94,6 +94,25 @@ class LakeSpec extends SparkTestBase {
     assert(Distribution.subscribe(spark, layout, "tweets").count() == 0)
   }
 
+  test("schema-on-read parse of opaque payloads tolerates malformed records") {
+    val layout = freshLake()
+    seedBronze(layout)
+    val bronze = Ingest.readBronze(spark, layout)
+      .filter(org.apache.spark.sql.functions.col("source") === "clicks")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "click_id BIGINT, page STRING")
+    val parsed = Ingest.parsed(bronze, schema)
+    val rows = parsed.select("event.click_id", "event.page").collect()
+    assert(rows.length == 3)
+    // the pathological payload parses with its literal "}{" intact
+    assert(rows.map(r => Option(r.get(1)).orNull).contains("}{"))
+    // a record missing a field yields null, not a failure (the
+    // reference never validates payloads — permissiveness preserved)
+    val sparse = Ingest.parsed(
+      spark.createDataFrame(Seq(Tuple1("""{"click_id":9}"""))).toDF("json"), schema)
+    assert(sparse.select("event.page").collect()(0).isNullAt(0))
+  }
+
   test("replay outside the range re-emits nothing") {
     val layout = freshLake()
     seedBronze(layout)
