@@ -86,6 +86,7 @@ object SparkEntry {
     "q_sql_subqueries" -> ((s, d) => EventOps.sqlSubqueries(s, d)),
     // tf-idf, label centroids, column profiling
     "q_tfidf" -> ((s, d) => Text.tfidf(s, d)),
+    "q_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_profile_orders" -> ((s, d) => SetAndScalar.profileOrders(s, d)),
   )
@@ -146,6 +147,7 @@ object SparkEntry {
     "q_event_pivot" -> EventOps.eventTypePivotSql,
     "q_sql_subqueries" -> EventOps.sqlSubqueriesSql,
     "q_tfidf" -> Text.tfidfSql,
+    "q_stratified_sample" -> Text.stratifiedSampleSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,
   )

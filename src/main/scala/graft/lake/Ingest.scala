@@ -22,12 +22,10 @@ import org.apache.spark.sql.types.StructType
 object Ingest {
 
   /** O5: source = first path segment under bronze/
-    * (reference: `key.split('/')[0]`). */
-  def sourceFromPath(bronzeDir: String): Column = {
-    val prefixLen = bronzeDir.stripSuffix("/").length + 2 // "file:" handling done below
-    // robust: take the segment that follows ".../bronze/"
+    * (reference: `key.split('/')[0]`,
+    * `/root/reference/src/event_recorder/lambda_function.py:81-82`). */
+  def sourceFromPath(bronzeDir: String): Column =
     element_at(split(regexp_extract(input_file_name(), "bronze/(.*)$", 1), "/"), 1)
-  }
 
   /** Read bronze objects for all sources into (source, key, json)
     * rows. `wholetext` keeps one object = one row so the concatenated

@@ -143,6 +143,31 @@ object Text {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Deterministic stratified sampling — reproducible corpus subsets
+    * for training-data pipelines. The sample predicate is a content
+    * hash bucket (first 16 md5 bits mod 100), NOT rand(): re-running,
+    * retrying, or re-partitioning yields the same sample everywhere,
+    * and the rate is adjustable per stratum (here: keep en at ~10%,
+    * others at ~30%). */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"), lit(100))
+    val rate = when(col("lang") === "en", 10).otherwise(30)
+    Tables.documents(spark, sfDir)
+      .withColumn("sampled", bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sampled").cast("long")).cast("long").as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  def stratifiedSampleSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN ('0x' || substr(md5(text), 1, 4))::BIGINT % 100 <
+      |    (CASE WHEN lang = 'en' THEN 10 ELSE 30 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** TF-IDF: the classic text-relevance score, as a three-stage
     * relational dataflow — tf per (doc, term), df per term, score =
     * tf · ln(N/df). Top-30 scored (doc, term) pairs. All three stages
