@@ -21,11 +21,17 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
-  /** O5: source = first path segment under bronze/
+  /** O5: source = first path segment under the bronze dir
     * (reference: `key.split('/')[0]`,
-    * `/root/reference/src/event_recorder/lambda_function.py:81-82`). */
-  def sourceFromPath(bronzeDir: String): Column =
-    element_at(split(regexp_extract(input_file_name(), "bronze/(.*)$", 1), "/"), 1)
+    * `/root/reference/src/event_recorder/lambda_function.py:81-82`).
+    * Anchored on the FULL regex-quoted bronze path — a bare
+    * `bronze/` substring match would mis-derive the source for any
+    * lake root that itself contains a `bronze` segment. */
+  def sourceFromPath(bronzeDir: String): Column = {
+    val dir = bronzeDir.stripSuffix("/")
+    regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(dir) + "/([^/]+)/", 1)
+  }
 
   /** Read bronze objects for all sources into (source, key, json)
     * rows. `wholetext` keeps one object = one row so the concatenated

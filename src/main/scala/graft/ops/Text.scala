@@ -153,10 +153,11 @@ object Text {
     val bucket = pmod(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"), lit(100))
     val rate = when(col("lang") === "en", 10).otherwise(30)
     Tables.documents(spark, sfDir)
-      .withColumn("sampled", bucket < rate)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("sampled").cast("long")).cast("long").as("n_sampled"))
+        // CASE-shaped (not sum-of-nullable-cast) so NULL text counts
+        // as unsampled in both engines, matching the oracle's CASE
+        sum(when(bucket < rate, 1L).otherwise(0L)).as("n_sampled"))
       .orderBy(col("lang"))
   }
 

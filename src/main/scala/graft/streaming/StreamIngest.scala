@@ -27,8 +27,7 @@ object StreamIngest {
       .option("wholetext", "true")
       .text(s"${layout.bronzeDir}/*/*")
       .withColumn("key", input_file_name())
-      .withColumn("source",
-        element_at(split(regexp_extract(input_file_name(), "bronze/(.*)$", 1), "/"), 1))
+      .withColumn("source", Ingest.sourceFromPath(layout.bronzeDir))
       .select($"source", $"key", $"value").as[(String, String, String)]
       .flatMap { case (source, key, content) =>
         ConcatJson.split(content).map(json => (source, key, json)) }

@@ -113,6 +113,16 @@ class LakeSpec extends SparkTestBase {
     assert(sparse.select("event.page").collect()(0).isNullAt(0))
   }
 
+  test("source derivation is anchored: a lake root containing 'bronze' still routes correctly") {
+    // regression: a bare `bronze/` substring match would classify every
+    // row under source="bronze" for this layout
+    val layout = Layout(tmpDir("lake") + "/bronze")
+    writeGzObject(layout.bronzeSourceDir("clicks"), "obj.gz", """{"id":1}""")
+    Ingest.ingestBatch(spark, layout, 1L)
+    val sources = Catalog.load(spark, layout).select("source").collect().map(_.getString(0)).toSet
+    assert(sources == Set("clicks"), sources.toString)
+  }
+
   test("replay outside the range re-emits nothing") {
     val layout = freshLake()
     seedBronze(layout)
