@@ -43,6 +43,15 @@ object LakeDemo {
     println(s"[demo] replayed records: $replayed")
     println(s"[demo] clicks subscriber sees: ${Distribution.subscribe(spark, layout, "clicks").count()}")
     println(s"[demo] catalog rows after replay (must equal before): ${Catalog.load(spark, layout).count()}")
+
+    // streaming ingest over the same bronze area (AvailableNow: drains
+    // discovered-but-unprocessed objects exactly once, then stops)
+    gz(layout.bronzeSourceDir("clicks"), "obj3.gz", """{"click_id":3,"page":"/checkout"}""")
+    val sq = graft.streaming.StreamIngest.start(spark, layout,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    sq.awaitTermination(120000)
+    println(s"[demo] after streaming ingest, clicks delivered: ${Distribution.subscribe(spark, layout, "clicks").count()}")
+    println(s"[demo] catalog rows: ${Catalog.load(spark, layout).count()}")
     spark.stop()
   }
 }

@@ -22,6 +22,16 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("approx_percentile within tolerance of exact percentile") {
+    val ord = graft.Tables.orders(spark, sfDir)
+    val r = ord.agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("exact"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"))
+      .collect()(0)
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("cosine matches hand-computed reference") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
