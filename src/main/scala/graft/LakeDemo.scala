@@ -44,8 +44,10 @@ object LakeDemo {
     println(s"[demo] clicks subscriber sees: ${Distribution.subscribe(spark, layout, "clicks").count()}")
     println(s"[demo] catalog rows after replay (must equal before): ${Catalog.load(spark, layout).count()}")
 
-    // streaming ingest over the same bronze area (AvailableNow: drains
-    // discovered-but-unprocessed objects exactly once, then stops)
+    // streaming ingest over the same bronze area. NOTE: the stream
+    // tracks its own checkpointed progress — with a fresh checkpoint it
+    // (re)processes ALL bronze objects including the batch-ingested
+    // ones; pick one ingest mode per lake in production.
     gz(layout.bronzeSourceDir("clicks"), "obj3.gz", """{"click_id":3,"page":"/checkout"}""")
     val sq = graft.streaming.StreamIngest.start(spark, layout,
       org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -65,13 +65,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val v = ctx.freshName("v")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
-        |  double x = (double) $a.getFloat($i);
-        |  double y = (double) $b.getFloat($i);
-        |  $dot += x * y; $nx += x * x; $ny += y * y;
+        |  double $x = (double) $a.getFloat($i);
+        |  double $y = (double) $b.getFloat($i);
+        |  $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
         |}
         |for (int $i = $n; $i < $a.numElements(); $i++) {
         |  double $v = (double) $a.getFloat($i); $nx += $v * $v;

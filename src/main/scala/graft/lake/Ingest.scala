@@ -37,12 +37,22 @@ object Ingest {
     * rows. `wholetext` keeps one object = one row so the concatenated
     * splitter sees full object content (objects are Firehose-buffer
     * sized — ~10 MB max per the reference — so a row is bounded). */
-  def readBronze(spark: SparkSession, layout: Layout): DataFrame = {
+  def readBronze(spark: SparkSession, layout: Layout): DataFrame =
+    readBronzePath(spark, s"${layout.bronzeDir}/*/*", layout.bronzeDir)
+
+  /** Read ONE source's bronze partition — used by big-range replay so
+    * a replay of one source lists/scans only that source's directory
+    * (a filter above the typed flatMap would NOT push into the file
+    * listing; path pruning must happen here). */
+  def readBronzeSource(spark: SparkSession, layout: Layout, source: String): DataFrame =
+    readBronzePath(spark, s"${layout.bronzeSourceDir(source)}/*", layout.bronzeDir)
+
+  private def readBronzePath(spark: SparkSession, glob: String, bronzeDir: String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.option("wholetext", "true")
-      .textFile(s"${layout.bronzeDir}/*/*")
+      .textFile(glob)
       .withColumn("key", input_file_name())
-      .withColumn("source", sourceFromPath(layout.bronzeDir))
+      .withColumn("source", sourceFromPath(bronzeDir))
     raw.select(col("source"), col("key"), col("value"))
       .as[(String, String, String)]
       .flatMap { case (source, key, content) =>
@@ -59,14 +69,18 @@ object Ingest {
 
   /** Batch ingest: bronze → canonical parquet lake partitioned by
     * source (the reference's per-source prefix layout), appending
-    * catalog entries for each ingested object. One pass, no driver
-    * materialization. */
+    * catalog entries for each ingested object. The bronze scan is
+    * persisted for the three consumers (lake write, catalog, count) —
+    * otherwise each would re-read and re-split every object, and a
+    * file arriving mid-ingest could be cataloged without being
+    * written. */
   def ingestBatch(spark: SparkSession, layout: Layout, arrivalMs: Long): Long = {
-    val bronze = readBronze(spark, layout)
-    bronze.write.mode("append").partitionBy("source").format("json")
-      .save(layout.lakeDir)
-    val entries = Catalog.entriesFor(bronze, arrivalMs)
-    Catalog.append(spark, layout, entries)
-    bronze.count()
+    val bronze = readBronze(spark, layout).persist()
+    try {
+      bronze.write.mode("append").partitionBy("source").parquet(layout.lakeDir)
+      val entries = Catalog.entriesFor(bronze, arrivalMs)
+      Catalog.append(spark, layout, entries)
+      bronze.count()
+    } finally bronze.unpersist()
   }
 }

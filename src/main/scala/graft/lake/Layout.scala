@@ -41,15 +41,27 @@ object Compaction {
     val dir = s"${layout.distributionDir}/source=$source"
     val df = spark.read.format("json").load(dir)
     val n = df.count()
-    val tmp = s"$dir.__compacting"
-    df.coalesce(targetFiles).write.mode("overwrite").format("json").save(tmp)
-    val fs = new java.io.File(dir)
-    val bak = new java.io.File(s"$dir.__old")
-    fs.renameTo(bak)
-    new java.io.File(tmp).renameTo(fs)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
+    }
+    val tmpF = new java.io.File(s"$dir.__compacting")
+    val bak = new java.io.File(s"$dir.__old")
+    // clear leftovers of a crashed prior run BEFORE writing, so the
+    // renames below cannot fail against stale targets
+    if (tmpF.exists()) rm(tmpF)
+    if (bak.exists()) rm(bak)
+    df.coalesce(targetFiles).write.mode("overwrite").format("json").save(tmpF.toString)
+    val fs = new java.io.File(dir)
+    // every rename is checked: on failure the original data is intact
+    // (or restorable from the backup) and we fail loudly — the one
+    // unrecoverable mistake would be deleting the backup after a
+    // failed swap-in.
+    if (!fs.renameTo(bak))
+      throw new java.io.IOException(s"compaction: cannot move $dir aside")
+    if (!tmpF.renameTo(fs)) {
+      bak.renameTo(fs) // restore
+      throw new java.io.IOException(s"compaction: cannot swap in compacted $dir")
     }
     rm(bak)
     n

@@ -40,8 +40,10 @@ object Replay {
         val keys = matched.collect().map(_.getString(0))
         readObjects(spark, keys, source)
       } else {
-        // big range: scan the source partition, keep matched files only
-        val all = Ingest.readBronze(spark, layout).filter(col("source") === source)
+        // big range: list/scan ONLY this source's bronze partition
+        // (path-level pruning — a filter above the split flatMap would
+        // not reach the file listing), keep matched files via semi-join
+        val all = Ingest.readBronzeSource(spark, layout, source)
         all.join(matched.withColumnRenamed("key", "mkey"),
             col("key") === col("mkey"), "left_semi")
       }

@@ -107,7 +107,9 @@ object Dedup {
     * rows flow through the explode — no payload arrays. */
   private def signatures(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingles).as("shingle"))
+      // explode_outer: a NULL/degenerate text must still yield a row
+      // (with NULL signatures) to match the oracle's row count
+      .select(col("doc_id"), explode_outer(shingles).as("shingle"))
       .groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),

@@ -36,8 +36,16 @@ object StatefulSessions {
     var cur = state.getOption
     sorted.foreach { e =>
       cur match {
+        // late event predating the open session by more than the gap:
+        // it can never merge — close it immediately as its own session
+        // (watermark already bounds how late it can be)
+        case Some(s) if e.tsMs < s.startMs - gapMs =>
+          closed ::= ClosedSession(userId, e.tsMs, e.tsMs, 1, e.value)
+        // merge: within gap of the session's span (back-extends
+        // startMs for late-but-adjacent events)
         case Some(s) if e.tsMs - s.lastMs <= gapMs =>
-          cur = Some(s.copy(lastMs = math.max(s.lastMs, e.tsMs),
+          cur = Some(s.copy(startMs = math.min(s.startMs, e.tsMs),
+            lastMs = math.max(s.lastMs, e.tsMs),
             nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
         case Some(s) =>
           closed ::= ClosedSession(userId, s.startMs, s.lastMs, s.nEvents, s.sumValue)

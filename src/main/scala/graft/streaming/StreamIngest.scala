@@ -12,7 +12,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * catalog and (b) fanned out to the per-source distribution area —
   * exactly the event_recorder's job
   * (`/root/reference/src/event_recorder/lambda_function.py:68-92`),
-  * with exactly-once file-sink semantics instead of at-least-once SQS.
+  * with checkpointed exactly-once source progress (vs the reference's
+  * at-least-once SQS redelivery) and marker-idempotent batch commits —
+  * see [[processBatch]] for the precise delivery guarantee.
   *
   * The 60 s default trigger mirrors the reference's Firehose buffer
   * interval (`serverless_datalake_stack.py:139`).
@@ -37,7 +39,7 @@ object StreamIngest {
       .option("checkpointLocation", s"${layout.checkpointDir}/ingest")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, layout, System.currentTimeMillis())
+        processBatch(batch, layout, System.currentTimeMillis(), batchId)
       }
       .start()
   }
@@ -45,13 +47,29 @@ object StreamIngest {
   /** One micro-batch = one reference SQS delivery: catalog-append the
     * distinct objects, publish every record per source. Factored out so
     * batch tests (and batch [[graft.lake.Ingest.ingestBatch]]) exercise
-    * the same code path the stream runs — SURVEY §7.4 risk 3. */
-  def processBatch(batch: DataFrame, layout: Layout, arrivalMs: Long): Unit = {
+    * the same code path the stream runs — SURVEY §7.4 risk 3.
+    *
+    * Delivery semantics: the SOURCE side is exactly-once (checkpointed
+    * file-stream offsets), but foreachBatch with two appends is
+    * at-least-once on redelivery — like the reference's SQS path. A
+    * completion marker per batchId makes a fully-committed batch
+    * idempotent on redelivery; a crash BETWEEN the two appends can
+    * still duplicate that one batch's catalog rows (window documented
+    * here deliberately — the cure is [[dedupedByEventId]] downstream,
+    * mirroring SURVEY §2.3 item 7). */
+  def processBatch(batch: DataFrame, layout: Layout, arrivalMs: Long,
+      batchId: Long = -1L): Unit = {
     if (batch.isEmpty) return
+    val marker = new java.io.File(s"${layout.checkpointDir}/markers/$batchId")
+    if (batchId >= 0 && marker.exists()) return // replayed completed batch
     val cached = batch.persist()
     try {
       Catalog.append(batch.sparkSession, layout, Catalog.entriesFor(cached, arrivalMs))
       Distribution.publish(cached, layout)
+      if (batchId >= 0) {
+        marker.getParentFile.mkdirs()
+        marker.createNewFile()
+      }
     } finally cached.unpersist()
   }
 

@@ -52,7 +52,7 @@ class LakeSpec extends SparkTestBase {
     val layout = freshLake()
     seedBronze(layout)
     Ingest.ingestBatch(spark, layout, 1704067200123L)
-    val clicks = spark.read.json(s"${layout.lakeDir}/source=clicks")
+    val clicks = spark.read.parquet(s"${layout.lakeDir}/source=clicks")
     val pages = clicks.select("json").collect().map(_.getString(0)).toSet
     assert(pages.contains("""{"click_id":3,"page":"}{"}"""))
   }

@@ -34,6 +34,32 @@ class StatefulSessionsSpec extends SparkTestBase {
     assert(s.startMs == ms("2024-01-01 00:00:00") && s.endMs == ms("2024-01-01 00:10:00"))
   }
 
+  test("late event older than the open session by more than the gap becomes its own session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = sessionize(spark, mem.toDS()).writeStream
+      .format("memory").queryName("fs_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+
+    mem.addData(Event(1L, ms("2024-01-01 12:00:00"), 1.0), Event(1L, ms("2024-01-01 12:10:00"), 2.0))
+    q.processAllAvailable()
+    // within the 1h watermark but >30min before the session start:
+    // must NOT merge into (and pollute) the 12:00 session
+    mem.addData(Event(1L, ms("2024-01-01 11:15:00"), 50.0))
+    q.processAllAvailable()
+    mem.addData(Event(2L, ms("2024-01-01 20:00:00"), 0.0)) // close everything
+    q.processAllAvailable()
+    mem.addData(Event(2L, ms("2024-01-01 23:00:00"), 0.0)) // fire timeouts
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("fs_late").as[ClosedSession].collect().filter(_.userId == 1L)
+      .sortBy(_.startMs)
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows(0).nEvents == 1 && rows(0).sumValue == 50.0 && rows(0).startMs == ms("2024-01-01 11:15:00"))
+    assert(rows(1).nEvents == 2 && rows(1).sumValue == 3.0 && rows(1).startMs == ms("2024-01-01 12:00:00"))
+  }
+
   test("event-time timeout closes idle sessions across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
