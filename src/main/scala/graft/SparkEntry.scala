@@ -81,6 +81,7 @@ object SparkEntry {
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
+    "q_near_dup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
     // pivot + SQL-surface subqueries
     "q_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
     "q_sql_subqueries" -> ((s, d) => EventOps.sqlSubqueries(s, d)),
@@ -144,6 +145,7 @@ object SparkEntry {
     "q_ivf_topk" -> Similarity.ivfTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
+    "q_near_dup_clusters" -> Dedup.nearDupClustersSql,
     "q_event_pivot" -> EventOps.eventTypePivotSql,
     "q_sql_subqueries" -> EventOps.sqlSubqueriesSql,
     "q_tfidf" -> Text.tfidfSql,

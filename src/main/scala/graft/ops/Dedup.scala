@@ -221,6 +221,75 @@ object Dedup {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  /** Transitive near-dup CLUSTERS: connected components over the
+    * confirmed pair graph, by min-label propagation to a fixpoint.
+    * Output: (doc_id, cluster_rep = min doc id of the component) for
+    * every doc in any pair.
+    *
+    * Scale: each iteration is one join+agg over the candidate-pair
+    * set — a tiny fraction of the corpus — and converges in
+    * O(component diameter) rounds (near-dup components are shallow);
+    * iteration happens on the driver but all DATA stays distributed.
+    * The convergence check reads a single aggregated count. Oracle:
+    * DuckDB recursive CTE computing min reachable id. */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // The candidate-pair graph is a tiny fraction of the corpus by
+    // construction — collapse it to few partitions so each fixpoint
+    // iteration is a handful of tasks, not shuffle-partitions many.
+    val pairs = lshNearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .coalesce(1)
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "nb_label"), Seq("doc_b"))
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("cluster_rep")).orderBy(col("doc_id"))
+  }
+
+  def nearDupClustersSql: String =
+    s"""WITH RECURSIVE sigs AS (
+       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
+       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |  FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)
+       |  WHERE round(len(list_intersect(a.toks, b.toks)) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_a AS src, doc_a AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.doc_b AS dst
+       |  FROM reach r JOIN edges e ON r.dst = e.doc_a)
+       |SELECT src AS doc_id, min(dst) AS cluster_rep
+       |FROM reach
+       |GROUP BY src
+       |ORDER BY doc_id""".stripMargin
+
   /** 16-bit SimHash per doc + bucket sizes. Bit j's weight is the sign
     * of Σ_tokens (bit_j(h(token))·2 − 1) where h = first 16 bits of
     * md5. Identical fingerprints (same bucket) are near-dup candidates
