@@ -232,17 +232,54 @@ object Dedup {
     * iteration happens on the driver but all DATA stays distributed.
     * The convergence check reads a single aggregated count. Oracle:
     * DuckDB recursive CTE computing min reachable id. */
+  /** Edge-count threshold below which the component computation runs
+    * as driver-side union-find (a few MB of ids) instead of the
+    * distributed fixpoint — the same small-side escape hatch as
+    * [[graft.lake.Replay.maxCollectedKeys]]. Components and results
+    * are identical either way (min-id representative). */
+  val maxCollectedEdges: Long = 1000000L
+
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // The candidate-pair graph is a tiny fraction of the corpus by
-    // construction — collapse it to few partitions so each fixpoint
-    // iteration is a handful of tasks, not shuffle-partitions many.
-    val pairs = lshNearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val pairsDf = lshNearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b")).persist()
+    val nEdges = pairsDf.count()
+    if (nEdges <= maxCollectedEdges) {
+      // small graph: collect ids only, union-find locally, return a
+      // distributed frame (deterministic min-id representatives)
+      import spark.implicits._
+      val es = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+      pairsDf.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      val out = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      return spark.createDataset(out).toDF("doc_id", "cluster_rep")
+        .orderBy(col("doc_id"))
+    }
+    // Huge graph: distributed min-label propagation to a fixpoint.
+    // Collapse the (still corpus-fraction-sized) state to few
+    // partitions so each iteration is a handful of tasks.
+    val pairs = pairsDf
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .coalesce(1)
       .persist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
+    // Convergence check: labels only ever decrease, so the fixpoint is
+    // reached exactly when Σ label stops changing — a single-row agg on
+    // the cached state per iteration (no join, and it fully
+    // materializes the cache, unlike a limit-1 existence probe).
+    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -253,12 +290,13 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
+        .coalesce(1)
         .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
