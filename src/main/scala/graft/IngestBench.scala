@@ -12,8 +12,9 @@ object IngestBench {
   def main(args: Array[String]): Unit = {
     val nObjects = args.headOption.map(_.toInt).getOrElse(200)
     val perObject = args.drop(1).headOption.map(_.toInt).getOrElse(500)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,5 +50,7 @@ object IngestBench {
 
     println(f"""{"ingest_records":$total,"ingest_sec":$ingestS%.2f,"ingest_rec_per_sec":${total / ingestS}%.0f,"replay_records":$replayed,"replay_sec":$replayS%.2f,"replay_rec_per_sec":${replayed / replayS}%.0f}""")
     spark.stop()
+    def rm(f: File): Unit = { if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    rm(new File(layout.root))
   }
 }

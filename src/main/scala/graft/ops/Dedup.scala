@@ -144,7 +144,13 @@ object Dedup {
     * hash-partitioned equi self-join on that key — the canonical LSH
     * bucket join: cost ∝ Σ bucket² per band, never n². Pairs found by
     * both bands are deduped with a groupBy before paying the Jaccard. */
-  def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairsUnsorted(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Confirmed near-dup pairs, unsorted — consumers that don't need
+    * the query-surface ordering (clustering, keep lists) skip the
+    * global range-shuffle sort. */
+  private def nearDupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = signatures(spark, sfDir)
       .select(col("doc_id"),
         array(
@@ -172,7 +178,6 @@ object Dedup {
           size(array_distinct(concat(col("toks_a"), col("toks_b")))).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def lshNearDupPairsSql: String =
@@ -195,7 +200,7 @@ object Dedup {
     * full dedup pipeline's output surface: shingle → MinHash → LSH →
     * Jaccard → drop). Anti-join keeps the corpus scan single-pass. */
   def nearDedupSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val drop = lshNearDupPairs(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
+    val drop = nearDupPairsUnsorted(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, sfDir)
       .join(drop, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
@@ -221,17 +226,6 @@ object Dedup {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
-  /** Transitive near-dup CLUSTERS: connected components over the
-    * confirmed pair graph, by min-label propagation to a fixpoint.
-    * Output: (doc_id, cluster_rep = min doc id of the component) for
-    * every doc in any pair.
-    *
-    * Scale: each iteration is one join+agg over the candidate-pair
-    * set — a tiny fraction of the corpus — and converges in
-    * O(component diameter) rounds (near-dup components are shallow);
-    * iteration happens on the driver but all DATA stays distributed.
-    * The convergence check reads a single aggregated count. Oracle:
-    * DuckDB recursive CTE computing min reachable id. */
   /** Edge-count threshold below which the component computation runs
     * as driver-side union-find (a few MB of ids) instead of the
     * distributed fixpoint — the same small-side escape hatch as
@@ -239,8 +233,20 @@ object Dedup {
     * are identical either way (min-id representative). */
   val maxCollectedEdges: Long = 1000000L
 
+  /** Transitive near-dup CLUSTERS: connected components over the
+    * confirmed pair graph. Output: (doc_id, cluster_rep = min doc id
+    * of the component) for every doc in any pair; oracle is a DuckDB
+    * recursive CTE computing the min reachable id.
+    *
+    * Two execution paths, identical results: below
+    * [[maxCollectedEdges]] the id pairs collect to the driver for
+    * path-compressed union-find; above it, distributed min-label
+    * propagation iterates to a fixpoint (labels decrease
+    * monotonically, so Σlabel is the convergence witness) and THROWS
+    * if the iteration cap is hit rather than returning silently-split
+    * components. */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairsDf = lshNearDupPairs(spark, sfDir).select(col("doc_a"), col("doc_b")).persist()
+    val pairsDf = nearDupPairsUnsorted(spark, sfDir).persist()
     val nEdges = pairsDf.count()
     if (nEdges <= maxCollectedEdges) {
       // small graph: collect ids only, union-find locally, return a
@@ -266,23 +272,21 @@ object Dedup {
         .orderBy(col("doc_id"))
     }
     // Huge graph: distributed min-label propagation to a fixpoint.
-    // Collapse the (still corpus-fraction-sized) state to few
-    // partitions so each iteration is a handful of tasks.
-    val pairs = pairsDf
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .coalesce(1)
+    // State stays hash-partitioned on doc_id across the cluster; each
+    // iteration is one join+agg over the (corpus-fraction) pair graph.
+    val edges = pairsDf
+      .union(pairsDf.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    edges.count() // materialize so the pairs cache below can be dropped
+    pairsDf.unpersist()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
-    // Convergence check: labels only ever decrease, so the fixpoint is
-    // reached exactly when Σ label stops changing — a single-row agg on
-    // the cached state per iteration (no join, and it fully
-    // materializes the cache, unlike a limit-1 existence probe).
     var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIters = 64 // one hop per round: covers component diameter ≤ 64, then fails loudly
+    while (!converged && iter < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("label", "nb_label"), Seq("doc_b"))
         .groupBy(col("doc_a").as("doc_id"))
@@ -290,7 +294,6 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"))
-        .coalesce(1)
         .persist()
       val nextSum = next.agg(sum(col("label"))).collect()(0).getLong(0)
       labels.unpersist()
@@ -300,6 +303,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters: no fixpoint after $maxIters iterations — component diameter pathological")
+    // NOTE the returned frame reads the final labels cache (it IS the
+    // result); it stays persisted for the consumer.
     labels.select(col("doc_id"), col("label").as("cluster_rep")).orderBy(col("doc_id"))
   }
 
