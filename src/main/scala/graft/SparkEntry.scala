@@ -82,6 +82,10 @@ object SparkEntry {
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
     "q_near_dup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    // behavioral analytics
+    "q_funnel" -> ((s, d) => Behavior.funnel(s, d)),
+    "q_weekly_retention" -> ((s, d) => Behavior.weeklyRetention(s, d)),
+    "q_value_histogram" -> ((s, d) => Behavior.valueHistogram(s, d)),
     // pivot + SQL-surface subqueries
     "q_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
     "q_sql_subqueries" -> ((s, d) => EventOps.sqlSubqueries(s, d)),
@@ -146,6 +150,9 @@ object SparkEntry {
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,
+    "q_funnel" -> Behavior.funnelSql,
+    "q_weekly_retention" -> Behavior.weeklyRetentionSql,
+    "q_value_histogram" -> Behavior.valueHistogramSql,
     "q_event_pivot" -> EventOps.eventTypePivotSql,
     "q_sql_subqueries" -> EventOps.sqlSubqueriesSql,
     "q_tfidf" -> Text.tfidfSql,

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the event stream — the workloads an event
+  * lake exists to serve: funnel conversion, periodic retention, and
+  * value distributions. All are single-shuffle aggregations (per-user
+  * or per-bucket) that scale linearly with event volume.
+  */
+object Behavior {
+
+  /** Signup→purchase funnel: per-user first-touch timestamps, then the
+    * corpus-level conversion summary (converted = first purchase after
+    * first signup). One groupBy(user) pass; conditional min-aggs avoid
+    * separate scans per stage. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_ms"))).as("first_signup_ms"),
+        min(when(col("event_type") === "purchase", col("ts_ms"))).as("first_purchase_ms"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("first_signup_ms").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+        sum(when(col("first_signup_ms").isNotNull &&
+          col("first_purchase_ms") > col("first_signup_ms"), 1L).otherwise(0L))
+          .as("n_converted"))
+  }
+
+  def funnelSql: String =
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts::TIMESTAMP) END) AS first_signup_ms,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts::TIMESTAMP) END) AS first_purchase_ms
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN first_signup_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+      |  CAST(sum(CASE WHEN first_signup_ms IS NOT NULL
+      |       AND first_purchase_ms > first_signup_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM per_user""".stripMargin
+
+  /** Weekly retention: of the users active in week w, how many are
+    * also active in week w+1. Distinct (user, week) pairs → lead over
+    * the per-user week sequence → per-week retention counts. */
+  def weeklyRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(604800000L)).as("week"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("week"))
+    ev.withColumn("next_week", lead(col("week"), 1).over(w))
+      .groupBy(col("week"))
+      .agg(
+        count(lit(1)).as("n_active"),
+        sum(when(col("next_week") === col("week") + 1, 1L).otherwise(0L)).as("n_retained"))
+      .orderBy(col("week"))
+  }
+
+  def weeklyRetentionSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 604800000) AS BIGINT) AS week
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, week,
+      |    lead(week, 1) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+      |  FROM weeks)
+      |SELECT week, count(*) AS n_active,
+      |  CAST(sum(CASE WHEN next_week = week + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      |FROM seq
+      |GROUP BY week
+      |ORDER BY week""".stripMargin
+
+  /** Value histogram: fixed-width bins over event values per type —
+    * the one-pass distribution profile (bin = floor(value/bin_width)). */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(col("event_type"),
+        floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  def valueHistogramSql: String =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+      |  count(*) AS n, round(avg(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY event_type, bin
+      |ORDER BY event_type, bin""".stripMargin
+}
