@@ -110,6 +110,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(both.filter(col("via_regex") =!= col("via_json")).count() == 0)
   }
 
+  test("typed Dataset surface: case-class rows + groupByKey aggregation") {
+    import spark.implicits._
+    import ExtensionsSpec.Line
+    val ds = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+      .as[Line]
+    val typedAgg = ds.groupByKey(_.l_returnflag)
+      .mapGroups((flag, rows) => (flag, rows.map(_.l_quantity).sum))
+      .collect().toMap
+    val untyped = graft.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(typedAgg.keySet == untyped.keySet)
+    typedAgg.foreach { case (k, v) => assert(math.abs(v - untyped(k)) < 1e-6) }
+  }
+
   test("exact dedup summary is consistent") {
     val r = Dedup.exactSummary(spark, sfDir).collect()(0)
     val (nDocs, nDistinct, nGroups, nRedundant) =
@@ -118,4 +134,8 @@ class ExtensionsSpec extends SparkTestBase {
     assert(nDocs - nDistinct == nRedundant)
     assert(nGroups <= nRedundant)
   }
+}
+
+object ExtensionsSpec {
+  case class Line(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
 }
