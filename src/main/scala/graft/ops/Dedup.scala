@@ -336,6 +336,50 @@ object Dedup {
        |GROUP BY src
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental near-dup: check a NEW batch of documents against the
+    * existing corpus without recomparing the corpus to itself — the
+    * streaming-dedup building block (each micro-batch joins its band
+    * keys against the corpus's precomputed band index; cost ∝ batch
+    * size, not corpus size).
+    *
+    * `corpus`/`batch` need (doc_id, text). Returns (new_doc, corpus_doc,
+    * jaccard) for confirmed matches at ≥ threshold. */
+  def incrementalNearDups(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    def banded(docs: DataFrame, idAs: String): DataFrame = {
+      val sigs = docs
+        .select(col("doc_id"), explode_outer(shingles).as("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(
+          min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),
+          min(md5(concat(lit("1|"), col("shingle")))).as("sig1"),
+          min(md5(concat(lit("2|"), col("shingle")))).as("sig2"),
+          min(md5(concat(lit("3|"), col("shingle")))).as("sig3"))
+      sigs.select(col("doc_id").as(idAs),
+          array(
+            struct(lit(1).as("band_no"), md5(concat(col("sig0"), col("sig1"))).as("band_val")),
+            struct(lit(2).as("band_no"), md5(concat(col("sig2"), col("sig3"))).as("band_val")))
+            .as("bands"))
+        .select(col(idAs), explode(col("bands")).as("b"))
+        .select(col(idAs), col("b.band_no"), col("b.band_val"))
+    }
+    val corpusBands = banded(corpus, "corpus_doc")
+    val batchBands = banded(batch, "new_doc")
+    val candidates = batchBands.join(corpusBands, Seq("band_no", "band_val"))
+      .select(col("new_doc"), col("corpus_doc")).distinct()
+    val corpusToks = corpus.select(col("doc_id").as("corpus_doc"), array_distinct(tokens).as("toks_c"))
+    val batchToks = batch.select(col("doc_id").as("new_doc"), array_distinct(tokens).as("toks_n"))
+    candidates
+      .join(batchToks, Seq("new_doc"))
+      .join(corpusToks, Seq("corpus_doc"))
+      .select(col("new_doc"), col("corpus_doc"),
+        round(size(array_intersect(col("toks_n"), col("toks_c"))) /
+          size(array_distinct(concat(col("toks_n"), col("toks_c")))).cast("double"), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+
   /** 16-bit SimHash per doc + bucket sizes. Bit j's weight is the sign
     * of Σ_tokens (bit_j(h(token))·2 − 1) where h = first 16 bits of
     * md5. Identical fingerprints (same bucket) are near-dup candidates
