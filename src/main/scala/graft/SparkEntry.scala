@@ -78,6 +78,7 @@ object SparkEntry {
     // IVF ANN index build + probe
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(s, d)),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
+    "q_ivf_trained_topk" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),

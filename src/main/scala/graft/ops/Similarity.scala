@@ -244,6 +244,33 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** IVF probe over TRAINED (k-means) centroids — the production
+    * variant of [[ivfTopK]] (whose modulo-sampled centroids exist for
+    * the oracle's sake). The iterative training is not practically
+    * SQL-expressible, so this registers with a rows-only check; the
+    * training itself is determinism- and monotonicity-tested. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = KMeansIvf.trainCentroids(spark, emb, k = 8, iters = 2)
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("c_emb"), col("q_emb")).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    KMeansIvf.assign(emb, centroids)
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Vector statistics per label: mean L2 norm, mean leading
     * component — array math + agg parity exercise. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {
