@@ -1,0 +1,58 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: key correctness (Morton interleave) and the
+  * file-skipping property — z-clustered files bound BOTH dimensions,
+  * while single-column clustering leaves the other dimension's
+  * per-file range near-global. */
+class ZOrderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("Morton key interleaves bits correctly") {
+    val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 5), (65535, 65535))
+      .toDF("a", "b")
+      .select(ZOrder.zorderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    // interleave(3,5): a=011, b=101 -> bits: a0=1->b0, b0=1->b1, a1=1->b2,
+    // b1=0, a2=0, b2=1->b5 = 1+2+4+32 = 39
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 3L, 39L, (1L << 32) - 1))
+  }
+
+  /** Per-file (min, max) spread of a column, averaged across files —
+    * the proxy for how much a filter on that column can skip. */
+  private def avgSpread(path: String, column: String): Double = {
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val spreads = files.map { f =>
+      val mm = spark.read.parquet(f).agg(min(col(column)), max(col(column))).collect()(0)
+      (mm.getLong(1) - mm.getLong(0)).toDouble
+    }
+    spreads.sum / spreads.length
+  }
+
+  test("z-ordered files bound both dimensions; single-sort bounds only one") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    val zPath = tmpDir("zorder")
+    val sPath = tmpDir("singlesort")
+    ZOrder.writeZOrdered(li, zPath, "l_partkey", "l_suppkey", nFiles = 8)
+    li.repartitionByRange(8, col("l_partkey")).sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(sPath)
+
+    // data is preserved
+    assert(spark.read.parquet(zPath).count() == li.count())
+
+    val globalSupp = li.agg(max(col("l_suppkey")) - min(col("l_suppkey")))
+      .collect()(0).getLong(0).toDouble
+    // single-column sort: supplier spread per file ≈ global (no pruning power)
+    val singleSupp = avgSpread(sPath, "l_suppkey")
+    assert(singleSupp > globalSupp * 0.8, s"single=$singleSupp global=$globalSupp")
+    // z-order: partkey spread per file must shrink vs global partkey spread
+    val globalPart = li.agg(max(col("l_partkey")) - min(col("l_partkey")))
+      .collect()(0).getLong(0).toDouble
+    val zPart = avgSpread(zPath, "l_partkey")
+    assert(zPart < globalPart * 0.8, s"z part spread $zPart vs global $globalPart")
+  }
+}
