@@ -19,8 +19,11 @@ object ZOrder {
 
   val bitsPerDim = 16
 
-  /** Morton-interleave the low 16 bits of two non-negative int
-    * columns: bit i of `a` → bit 2i, bit i of `b` → bit 2i+1. */
+  /** Morton-interleave the LOW 16 BITS of two non-negative int
+    * columns: bit i of `a` → bit 2i, bit i of `b` → bit 2i+1.
+    * CONTRACT: inputs must fit 16 bits — higher bits are discarded and
+    * values 2¹⁶ apart would alias. [[writeZOrdered]] normalizes
+    * arbitrary ranges into the key domain before calling this. */
   def zorderKey(a: Column, b: Column): Column = {
     val la = a.cast("long")
     val lb = b.cast("long")
@@ -31,12 +34,25 @@ object ZOrder {
   }
 
   /** Rewrite a table into `nFiles` files clustered by the z-key of the
-    * two dimensions (range partition on the key, sort within files). */
+    * two dimensions (range partition on the key, sort within files).
+    * Each dimension is min/max-scaled into the 16-bit key domain first
+    * (two cheap scalar aggs), so arbitrary value ranges never alias —
+    * the same normalize-then-interleave approach production layout
+    * optimizers use, robust at any scale. */
   def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
-      nFiles: Int): Unit =
-    df.withColumn("__z", zorderKey(col(dimA), col(dimB)))
+      nFiles: Int): Unit = {
+    val maxKey = (1 << bitsPerDim) - 1
+    val r = df.agg(
+      min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
+      min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).collect()(0)
+    val (aMin, aMax, bMin, bMax) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi > lo) floor((c.cast("double") - lo) * maxKey / (hi - lo)).cast("long")
+      else lit(0L)
+    df.withColumn("__z", zorderKey(scaled(col(dimA), aMin, aMax), scaled(col(dimB), bMin, bMax)))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -11,35 +11,42 @@ import org.apache.spark.sql.functions._
   */
 object Behavior {
 
-  /** Signup→purchase funnel: per-user first-touch timestamps, then the
-    * corpus-level conversion summary (converted = first purchase after
-    * first signup). One groupBy(user) pass; conditional min-aggs avoid
-    * separate scans per stage. */
+  /** Signup→purchase funnel: converted = a purchase STRICTLY AFTER the
+    * user's first signup (a pre-signup purchase must not mask a later
+    * conversion — so the post-signup purchase is found against the
+    * windowed first-signup time, not the global first purchase). One
+    * window pass + one groupBy(user) pass. */
   def funnel(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .withColumn("ts_ms", unix_millis(col("ts")))
-    ev.groupBy(col("user_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    ev.withColumn("first_signup_ms",
+        min(when(col("event_type") === "signup", col("ts_ms"))).over(w))
+      .groupBy(col("user_id"))
       .agg(
-        min(when(col("event_type") === "signup", col("ts_ms"))).as("first_signup_ms"),
-        min(when(col("event_type") === "purchase", col("ts_ms"))).as("first_purchase_ms"))
+        first(col("first_signup_ms")).as("first_signup_ms"),
+        min(when(col("event_type") === "purchase" &&
+          col("ts_ms") > col("first_signup_ms"), col("ts_ms"))).as("first_conv_ms"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(when(col("first_signup_ms").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
-        sum(when(col("first_signup_ms").isNotNull &&
-          col("first_purchase_ms") > col("first_signup_ms"), 1L).otherwise(0L))
-          .as("n_converted"))
+        sum(when(col("first_conv_ms").isNotNull, 1L).otherwise(0L)).as("n_converted"))
   }
 
   def funnelSql: String =
-    """WITH per_user AS (
-      |  SELECT user_id,
-      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts::TIMESTAMP) END) AS first_signup_ms,
-      |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts::TIMESTAMP) END) AS first_purchase_ms
-      |  FROM events GROUP BY user_id)
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts::TIMESTAMP) END)
+      |      OVER (PARTITION BY user_id) AS first_signup_ms
+      |  FROM events),
+      |per_user AS (
+      |  SELECT user_id, min(first_signup_ms) AS first_signup_ms,
+      |    min(CASE WHEN event_type = 'purchase' AND ts_ms > first_signup_ms
+      |             THEN ts_ms END) AS first_conv_ms
+      |  FROM flagged GROUP BY user_id)
       |SELECT count(*) AS n_users,
       |  CAST(sum(CASE WHEN first_signup_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
-      |  CAST(sum(CASE WHEN first_signup_ms IS NOT NULL
-      |       AND first_purchase_ms > first_signup_ms THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |  CAST(sum(CASE WHEN first_conv_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
       |FROM per_user""".stripMargin
 
   /** Weekly retention: of the users active in week w, how many are
@@ -82,13 +89,13 @@ object Behavior {
     ev.groupBy(col("event_type"),
         floor(col("value") / 50.0).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("value")), 4).as("avg_value"))
+        (round(avg(col("value")), 4) + lit(0.0)).as("avg_value"))
       .orderBy(col("event_type"), col("bin"))
   }
 
   def valueHistogramSql: String =
     """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
-      |  count(*) AS n, round(avg(value), 4) AS avg_value
+      |  count(*) AS n, round(avg(value), 4) + 0.0 AS avg_value
       |FROM events
       |GROUP BY event_type, bin
       |ORDER BY event_type, bin""".stripMargin

@@ -106,7 +106,14 @@ object Dedup {
     * fan-out before the (doc_id-keyed) shuffle. Only (doc_id, shingle)
     * rows flow through the explode — no payload arrays. */
   private def signatures(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    signaturesOf(Tables.documents(spark, sfDir))
+
+  /** Signatures for ANY (doc_id, text) frame — the single source of
+    * truth for the hashing scheme: the incremental path MUST produce
+    * byte-identical band values to the corpus index or the
+    * batch-vs-corpus join silently finds nothing. */
+  def signaturesOf(docs: DataFrame): DataFrame =
+    docs
       // explode_outer: a NULL/degenerate text must still yield a row
       // (with NULL signatures) to match the oracle's row count
       .select(col("doc_id"), explode_outer(shingles).as("shingle"))
@@ -116,6 +123,19 @@ object Dedup {
         min(md5(concat(lit("1|"), col("shingle")))).as("sig1"),
         min(md5(concat(lit("2|"), col("shingle")))).as("sig2"),
         min(md5(concat(lit("3|"), col("shingle")))).as("sig3"))
+
+  /** LSH band index of ANY (doc_id, text) frame: one row per
+    * (doc_id, band_no, band_val). Precompute + persist this for a
+    * corpus that incremental batches will be checked against. */
+  def bandIndexOf(docs: DataFrame): DataFrame =
+    signaturesOf(docs)
+      .select(col("doc_id"),
+        array(
+          struct(lit(1).as("band_no"), md5(concat(col("sig0"), col("sig1"))).as("band_val")),
+          struct(lit(2).as("band_no"), md5(concat(col("sig2"), col("sig3"))).as("band_val")))
+          .as("bands"))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
 
   /** Per-doc MinHash signatures (4 permutations shown; the LSH query
     * derives 2 bands of 2 rows from the same signatures). */
@@ -151,14 +171,7 @@ object Dedup {
     * the query-surface ordering (clustering, keep lists) skip the
     * global range-shuffle sort. */
   private def nearDupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = signatures(spark, sfDir)
-      .select(col("doc_id"),
-        array(
-          struct(lit(1).as("band_no"), md5(concat(col("sig0"), col("sig1"))).as("band_val")),
-          struct(lit(2).as("band_no"), md5(concat(col("sig2"), col("sig3"))).as("band_val")))
-          .as("bands"))
-    val banded = sigs.select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
+    val banded = bandIndexOf(Tables.documents(spark, sfDir))
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val")) // equi join: hash shuffle on band key
@@ -336,35 +349,19 @@ object Dedup {
        |GROUP BY src
        |ORDER BY doc_id""".stripMargin
 
-  /** Incremental near-dup: check a NEW batch of documents against the
-    * existing corpus without recomparing the corpus to itself — the
-    * streaming-dedup building block (each micro-batch joins its band
-    * keys against the corpus's precomputed band index; cost ∝ batch
-    * size, not corpus size).
+  /** Incremental near-dup against a PRECOMPUTED corpus index — the
+    * streaming-dedup building block. The caller materializes
+    * `corpusIndex = bandIndexOf(corpus)` and `corpus` tokens once
+    * (persist or write to the lake) and each micro-batch then costs
+    * O(batch) signature work + an equi join into the index. Both sides
+    * hash with [[signaturesOf]] — byte-identical band values by
+    * construction.
     *
-    * `corpus`/`batch` need (doc_id, text). Returns (new_doc, corpus_doc,
-    * jaccard) for confirmed matches at ≥ threshold. */
-  def incrementalNearDups(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
-      threshold: Double = 0.5): DataFrame = {
-    def banded(docs: DataFrame, idAs: String): DataFrame = {
-      val sigs = docs
-        .select(col("doc_id"), explode_outer(shingles).as("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(
-          min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),
-          min(md5(concat(lit("1|"), col("shingle")))).as("sig1"),
-          min(md5(concat(lit("2|"), col("shingle")))).as("sig2"),
-          min(md5(concat(lit("3|"), col("shingle")))).as("sig3"))
-      sigs.select(col("doc_id").as(idAs),
-          array(
-            struct(lit(1).as("band_no"), md5(concat(col("sig0"), col("sig1"))).as("band_val")),
-            struct(lit(2).as("band_no"), md5(concat(col("sig2"), col("sig3"))).as("band_val")))
-            .as("bands"))
-        .select(col(idAs), explode(col("bands")).as("b"))
-        .select(col(idAs), col("b.band_no"), col("b.band_val"))
-    }
-    val corpusBands = banded(corpus, "corpus_doc")
-    val batchBands = banded(batch, "new_doc")
+    * Returns (new_doc, corpus_doc, jaccard) at ≥ threshold. */
+  def incrementalNearDups(spark: SparkSession, corpusIndex: DataFrame, corpus: DataFrame,
+      batch: DataFrame, threshold: Double): DataFrame = {
+    val corpusBands = corpusIndex.withColumnRenamed("doc_id", "corpus_doc")
+    val batchBands = bandIndexOf(batch).withColumnRenamed("doc_id", "new_doc")
     val candidates = batchBands.join(corpusBands, Seq("band_no", "band_val"))
       .select(col("new_doc"), col("corpus_doc")).distinct()
     val corpusToks = corpus.select(col("doc_id").as("corpus_doc"), array_distinct(tokens).as("toks_c"))
@@ -379,6 +376,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .orderBy(col("new_doc"), col("corpus_doc"))
   }
+
+  /** Convenience overload computing the corpus index inline (one-shot
+    * batch comparisons; for repeated micro-batches precompute the
+    * index with [[bandIndexOf]] and use the primary overload). */
+  def incrementalNearDups(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    incrementalNearDups(spark, bandIndexOf(corpus), corpus, batch, threshold)
 
   /** 16-bit SimHash per doc + bucket sizes. Bit j's weight is the sign
     * of Σ_tokens (bit_j(h(token))·2 − 1) where h = first 16 bits of

@@ -33,14 +33,19 @@ object KMeansIvf {
     var i = 0
     while (i < iters) {
       val assigned = assign(emb, centroids)
-      val next = emb.join(assigned, Seq("vec_id"))
+      val recentered = emb.join(assigned, Seq("vec_id"))
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("v")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m").cast("float")).as("c_emb"))
-      centroids = next
+      // a centroid that captured no vectors keeps its previous
+      // position — the function always returns exactly k centroids
+      centroids = centroids
+        .select(col("centroid_id"), col("c_emb").as("prev_emb"))
+        .join(recentered, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("c_emb"), col("prev_emb")).as("c_emb"))
       i += 1
     }
     centroids

@@ -252,7 +252,10 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
       nprobe: Int = 3, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val centroids = KMeansIvf.trainCentroids(spark, emb, k = 8, iters = 2)
+    // localCheckpoint: training is consumed by both the probe ranking
+    // and the assignment — without it the 2-iteration lineage would
+    // re-execute per consumer
+    val centroids = KMeansIvf.trainCentroids(spark, emb, k = 8, iters = 2).localCheckpoint()
     val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
     val probed = centroids.crossJoin(broadcast(q))
       .select(col("centroid_id"), cosine(col("c_emb"), col("q_emb")).as("q_sim"))

@@ -5,10 +5,12 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
 
 /** At-least-once → effectively-once dedup with BOUNDED state, on
   * Spark 4's `transformWithState` (the arbitrary-state successor to
-  * flatMapGroupsWithState): the first record per id passes, repeats
-  * within the TTL are dropped, and the per-id state expires
-  * automatically — no watermark contract needed on the id column,
-  * unlike `dropDuplicates`.
+  * flatMapGroupsWithState): ONE record per id passes, repeats within
+  * the TTL are dropped, and the per-id state expires automatically —
+  * no watermark contract needed on the id column, unlike
+  * `dropDuplicates`. (Which duplicate of an id wins WITHIN a single
+  * micro-batch is shuffle-arrival-order dependent; across batches the
+  * earlier batch's survivor always wins.)
   *
   * Complements [[StreamIngest.dedupedByEventId]] (watermark-based):
   * use this form when redelivery horizons are known in wall-clock

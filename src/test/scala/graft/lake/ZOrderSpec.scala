@@ -25,9 +25,10 @@ class ZOrderSpec extends SparkTestBase {
   private def avgSpread(path: String, column: String): Double = {
     val files = new java.io.File(path).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    val spreads = files.map { f =>
+    val spreads = files.flatMap { f =>
       val mm = spark.read.parquet(f).agg(min(col(column)), max(col(column))).collect()(0)
-      (mm.getLong(1) - mm.getLong(0)).toDouble
+      if (mm.isNullAt(0)) None // empty range partition → empty file
+      else Some((mm.getLong(1) - mm.getLong(0)).toDouble)
     }
     spreads.sum / spreads.length
   }

@@ -46,7 +46,9 @@ class TtlDedupSpec extends SparkTestBase {
       runAvailable(expectRows = 2)
       val r1 = readOut()
       assert(r1.map(_.id).toSeq == Seq(1L, 2L), r1.mkString(","))
-      assert(r1.find(_.id == 1L).get.payload == "a") // the FIRST record won
+      // exactly ONE of id 1's duplicates survived (which one is
+      // shuffle-order dependent within a batch)
+      assert(Set("a", "a-dup").contains(r1.find(_.id == 1L).get.payload))
 
       // redelivery of id 1 after a RESTART (same checkpoint): state
       // must survive and still drop it, while new id 3 passes
