@@ -52,6 +52,8 @@ object SparkEntry {
     "q_intersect_customers" -> ((s, d) => SetAndScalar.intersectCustomers(s, d)),
     "q_except_parts" -> ((s, d) => SetAndScalar.exceptParts(s, d)),
     "q_scalar_funcs" -> ((s, d) => SetAndScalar.scalarFuncs(s, d)),
+    "q_ship_delays" -> ((s, d) => SetAndScalar.shipDelays(s, d)),
+    "q_edit_distances" -> ((s, d) => SetAndScalar.editDistances(s, d)),
     // text analysis (documents)
     "q_text_stats" -> ((s, d) => Text.textStats(s, d)),
     "q_term_freq" -> ((s, d) => Text.termFreq(s, d)),
@@ -128,6 +130,8 @@ object SparkEntry {
     "q_intersect_customers" -> SetAndScalar.intersectCustomersSql,
     "q_except_parts" -> SetAndScalar.exceptPartsSql,
     "q_scalar_funcs" -> SetAndScalar.scalarFuncsSql,
+    "q_ship_delays" -> SetAndScalar.shipDelaysSql,
+    "q_edit_distances" -> SetAndScalar.editDistancesSql,
     "q_text_stats" -> Text.textStatsSql,
     "q_term_freq" -> Text.termFreqSql,
     "q_token_counts" -> Text.tokenCountsSql,

@@ -88,6 +88,54 @@ object SetAndScalar {
       .map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** Date arithmetic + array aggregation: per-priority shipping delay
+    * (datediff over the order⋈lineitem join) and the sorted distinct
+    * status set as a csv string. (Month-difference is deliberately
+    * absent: Spark's months_between is fractional while DuckDB's
+    * date_diff('month') counts boundary crossings — no portable
+    * semantics.) */
+  def shipDelays(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(avg(col("delay_days")), 4).as("avg_delay_days"),
+        max(col("delay_days")).as("max_delay_days"),
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def shipDelaysSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lines,
+      |  round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay_days,
+      |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_delay_days,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Edit-distance matrix over the priority vocabulary — levenshtein
+    * parity (both engines implement classic Wagner–Fischer). */
+  def editDistances(spark: SparkSession, sfDir: String): DataFrame = {
+    val prios = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("p")).distinct()
+    prios.crossJoin(prios.select(col("p").as("q")))
+      .select(col("p"), col("q"),
+        levenshtein(col("p"), col("q")).cast("long").as("edit_dist"))
+      .orderBy(col("p"), col("q"))
+  }
+
+  def editDistancesSql: String =
+    """SELECT a.p, b.q, CAST(levenshtein(a.p, b.q) AS BIGINT) AS edit_dist
+      |FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) a
+      |CROSS JOIN (SELECT DISTINCT o_orderpriority AS q FROM orders) b
+      |ORDER BY p, q""".stripMargin
+
   /** Scalar-function sampler over orders: string (upper/substr/concat/
     * length), date (year/month/date_trunc), math (round/abs/mod),
     * conditional (CASE). One row per order, fully deterministic. */

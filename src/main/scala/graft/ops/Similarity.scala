@@ -115,7 +115,10 @@ object Similarity {
     assignments(spark, sfDir)
       .groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("list_size"),
-        (round(avg(col("sim")), 4) + lit(0.0)).as("avg_sim"))
+        // sims are already 4-dp rounded, so their MEAN lands exactly on
+        // rounding boundaries and engine sum-order flips the last digit
+        // (caught at sf0.1) — emit the exact scaled-integer sum instead
+        round(sum(col("sim")) * 10000).cast("long").as("sum_sim_e4"))
       .orderBy(col("centroid_id"))
 
   /** (vec_id → nearest centroid, sim) — the IVF assignment, shaped for
@@ -151,7 +154,8 @@ object Similarity {
       |      ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) DESC,
       |               centroid_id) AS rk
       |  FROM embeddings CROSS JOIN centroids)
-      |SELECT centroid_id, count(*) AS list_size, round(avg(sim), 4) + 0.0 AS avg_sim
+      |SELECT centroid_id, count(*) AS list_size,
+      |  CAST(round(sum(sim) * 10000) AS BIGINT) AS sum_sim_e4
       |FROM assigned WHERE rk = 1
       |GROUP BY centroid_id
       |ORDER BY centroid_id""".stripMargin
