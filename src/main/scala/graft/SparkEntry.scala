@@ -59,6 +59,7 @@ object SparkEntry {
     "q_term_freq" -> ((s, d) => Text.termFreq(s, d)),
     "q_token_counts" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_lang_id" -> ((s, d) => Text.langId(s, d)),
+    "q_lang_id_ngram" -> ((s, d) => Text.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => Text.fingerprints(s, d)),
     // dedup (documents)
     "q_dedup_exact_summary" -> ((s, d) => Dedup.exactSummary(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "q_term_freq" -> Text.termFreqSql,
     "q_token_counts" -> Text.tokenCountsSql,
     "q_lang_id" -> Text.langIdSql,
+    "q_lang_id_ngram" -> Text.langIdNgramSql,
     "q_fingerprints" -> Text.fingerprintsSql,
     "q_dedup_exact_summary" -> Dedup.exactSummarySql,
     "q_dedup_exact_groups" -> Dedup.exactGroupsSql,

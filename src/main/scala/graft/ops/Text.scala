@@ -126,6 +126,65 @@ object Text {
        |ORDER BY lang, pred_lang""".stripMargin
   }
 
+  /** N-gram language ID (the n-gram-heuristic variant of [[langId]]):
+    * per-language character-bigram profiles are LEARNED from the
+    * corpus (top-20 bigrams by frequency per language), and each doc
+    * is classified by profile overlap of its distinct bigrams —
+    * argmax with (score desc, lang asc) tie-break via rank-1 window.
+    * Output: the (lang, pred_lang) confusion matrix.
+    *
+    * Shapes: profile training is explode→count→rank (map-side combined
+    * aggs + a per-lang top-k window over ≤ |langs|·|bigrams| rows);
+    * classification joins each doc's distinct bigrams against the tiny
+    * broadcast profile table. Linear in corpus size. */
+  def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val docBigrams = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(
+        transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+          i => col("text").substr(i, lit(2))))).as("bigram"))
+    val counts = docBigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
+    val wTop = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bigram"))
+    val profiles = counts.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("profile_lang"), col("bigram"))
+    val scores = docBigrams.join(broadcast(profiles), Seq("bigram"))
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+    val wBest = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("profile_lang"))
+    scores.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .groupBy(col("lang"), col("profile_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  def langIdNgramSql: String =
+    """WITH doc_bigrams AS (
+      |  SELECT doc_id, lang,
+      |    unnest(list_distinct(list_transform(range(1, greatest(length(text), 2)),
+      |      i -> substr(text, i, 2)))) AS bigram
+      |  FROM documents),
+      |counts AS (SELECT lang, bigram, count(*) AS df FROM doc_bigrams GROUP BY lang, bigram),
+      |profiles AS (
+      |  SELECT lang AS profile_lang, bigram FROM (
+      |    SELECT lang, bigram,
+      |      row_number() OVER (PARTITION BY lang ORDER BY df DESC, bigram) AS rk
+      |    FROM counts) t WHERE rk <= 20),
+      |scores AS (
+      |  SELECT d.doc_id, d.lang, p.profile_lang, count(*) AS score
+      |  FROM doc_bigrams d JOIN profiles p USING (bigram)
+      |  GROUP BY d.doc_id, d.lang, p.profile_lang),
+      |best AS (
+      |  SELECT doc_id, lang, profile_lang,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) AS rk
+      |  FROM scores)
+      |SELECT lang, profile_lang AS pred_lang, count(*) AS n
+      |FROM best WHERE rk = 1
+      |GROUP BY lang, pred_lang
+      |ORDER BY lang, pred_lang""".stripMargin
+
   /** Content fingerprinting: md5 of the normalized text (the rolling-
     * hash fingerprint role; md5 chosen for engine parity) + per-source
     * duplicate-fingerprint counts. */
