@@ -140,10 +140,14 @@ object Text {
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
+    // materialized once: consumed by BOTH profile training and scoring
+    // (docs with no profile-matching bigram drop out of the matrix —
+    // deterministic, identical in the oracle's inner join)
     val docBigrams = docs.select(col("doc_id"), col("lang"),
       explode(array_distinct(
         transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
           i => col("text").substr(i, lit(2))))).as("bigram"))
+      .localCheckpoint()
     val counts = docBigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
     val wTop = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bigram"))
     val profiles = counts.withColumn("rk", row_number().over(wTop))
