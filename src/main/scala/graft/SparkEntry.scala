@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup_exact_groups" -> ((s, d) => Dedup.exactGroups(s, d)),
     "q_minhash_signatures" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q_lsh_near_dup_pairs" -> ((s, d) => Dedup.lshNearDupPairs(s, d)),
+    "q_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_simhash_buckets" -> ((s, d) => Dedup.simhashBuckets(s, d)),
     // similarity search (embeddings)
     "q_knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_dedup_exact_groups" -> Dedup.exactGroupsSql,
     "q_minhash_signatures" -> Dedup.minhashSignaturesSql,
     "q_lsh_near_dup_pairs" -> Dedup.lshNearDupPairsSql,
+    "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "q_simhash_buckets" -> Dedup.simhashBucketsSql,
     "q_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,

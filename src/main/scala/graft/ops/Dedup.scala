@@ -349,6 +349,46 @@ object Dedup {
        |GROUP BY src
        |ORDER BY doc_id""".stripMargin
 
+  /** N-gram (token 3-gram shingle set) Jaccard for the LSH candidate
+    * pairs — the order-sensitive variant of the token-set Jaccard in
+    * [[lshNearDupPairs]] (shingle sets penalize reordering that token
+    * sets cannot see). Shingle arrays are fetched per candidate only,
+    * like the token arrays. */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val banded = bandIndexOf(Tables.documents(spark, sfDir))
+    val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val docShingles = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    candidates
+      .join(docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_distinct(concat(col("sh_a"), col("sh_b")))).cast("double"), 4)
+          .as("ngram_jaccard"))
+      .filter(col("ngram_jaccard") >= 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def ngramJaccardPairsSql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, list_distinct($ShinglesSqlDuck) AS sh,
+       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
+       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |  FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  round(len(list_intersect(a.sh, b.sh)) /
+       |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS ngram_jaccard
+       |FROM sigs a JOIN sigs b
+       |  ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)
+       |WHERE round(len(list_intersect(a.sh, b.sh)) /
+       |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Incremental near-dup against a PRECOMPUTED corpus index — the
     * streaming-dedup building block. The caller materializes
     * `corpusIndex = bandIndexOf(corpus)` and `corpus` tokens once
