@@ -96,6 +96,20 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("ngram jaccard pairs: ordered, thresholded, and ngram <= reordering-blind token jaccard + slack") {
+    val ngram = Dedup.ngramJaccardPairs(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val token = Dedup.lshNearDupPairs(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ngram.nonEmpty)
+    ngram.foreach { case ((a, b), j) =>
+      assert(a < b && j >= 0.3)
+      // shingle-set similarity is (weakly) below unigram-set similarity
+      // for these pairs: reordering breaks shingles but not tokens
+      token.get((a, b)).foreach(tj => assert(j <= tj + 0.05, s"($a,$b): ngram=$j token=$tj"))
+    }
+  }
+
   test("language id covers every doc with a prediction") {
     val n = Text.langId(spark, sfDir)
       .agg(sum("n")).collect()(0).getLong(0)
