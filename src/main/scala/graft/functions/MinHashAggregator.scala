@@ -4,11 +4,39 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import java.security.MessageDigest
 
+/** The MinHash hashing scheme shared by every surface that produces
+  * signatures — the relational formulation ([[graft.ops.Dedup]]), this
+  * UDAF, and the DuckDB oracle SQL all derive from these constants, so
+  * band values stay byte-identical across surfaces by construction.
+  *
+  * One md5 per shingle, parsed to a 32-bit int h from the first 8 hex
+  * digits; permutation k is the universal-hash mix `(a_k·h + b_k) mod
+  * p`, p = 2³¹−1. Bounds: a_k < 2³¹ and h < 2³² keep a_k·h + b_k <
+  * 2⁶³ — DuckDB errors on int64 overflow (Java wraps), so staying in
+  * range keeps every engine identical.
+  */
+object MinHashScheme {
+  val P: Long = 2147483647L // 2^31 − 1 (prime)
+  val A: IndexedSeq[Long] = IndexedSeq(1103515245L, 1200556037L, 1431655765L, 2027485109L)
+  val B: IndexedSeq[Long] = IndexedSeq(12345L, 987654321L, 555555555L, 111111111L)
+
+  /** JVM-side h(shingle): first 32 md5 bits as a long (== Spark
+    * `conv(substring(md5(s),1,8),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(s),1,8))::BIGINT`). */
+  def hash32(md: MessageDigest, shingle: String): Long = {
+    val d = md.digest(shingle.getBytes("UTF-8"))
+    // first 4 bytes big-endian == first 8 hex digits
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  def mix(k: Int, h: Long): Long = (A(k) * h + B(k)) % P
+}
+
 /** Typed UDAF (SURVEY.md §2.2 "UDF/UDAF" row): MinHash signature as an
   * `Aggregator[IN, BUF, OUT]` — aggregates a group's shingles into a
-  * k-wide signature of lexicographic-min salted md5s, identical in
-  * value to the relational formulation in [[graft.ops.Dedup]] (same
-  * salt|shingle hashing), so either surface can produce signatures.
+  * k-wide signature of min-mixed shingle hashes, identical in value to
+  * the relational formulation in [[graft.ops.Dedup]] (same
+  * [[MinHashScheme]]), so either surface can produce signatures.
   *
   * The buffer is a fixed k-array of the current minima — mergeable
   * (element-wise min), so Spark runs it as a proper two-phase
@@ -22,43 +50,41 @@ import java.security.MessageDigest
   *   //   udaf(new MinHashAggregator(4)).apply(col("shingle")))
   * }}}
   */
-class MinHashAggregator(k: Int) extends Aggregator[String, Array[String], Array[String]] {
+class MinHashAggregator(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
-  override def zero: Array[String] = Array.fill(k)(null)
+  // Long.MaxValue = "no shingle seen yet": mixes are in [0, P) so any
+  // real value replaces it; an empty group keeps it (callers treat a
+  // MaxValue signature as the relational NULL-signature case)
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  override def reduce(buf: Array[String], shingle: String): Array[String] = {
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
     val md = MessageDigest.getInstance("MD5")
+    val h = MinHashScheme.hash32(md, shingle)
     var i = 0
     while (i < k) {
-      val h = MinHashAggregator.hex(md.digest(s"$i|$shingle".getBytes("UTF-8")))
-      if (buf(i) == null || h < buf(i)) buf(i) = h
+      val m = MinHashScheme.mix(i, h)
+      if (m < buf(i)) buf(i) = m
       i += 1
     }
     buf
   }
 
-  override def merge(a: Array[String], b: Array[String]): Array[String] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
     while (i < k) {
-      if (a(i) == null || (b(i) != null && b(i) < a(i))) a(i) = b(i)
+      if (b(i) < a(i)) a(i) = b(i)
       i += 1
     }
     a
   }
 
-  override def finish(buf: Array[String]): Array[String] = buf
+  override def finish(buf: Array[Long]): Array[Long] = buf
 
-  override def bufferEncoder: Encoder[Array[String]] = MinHashAggregator.arrEnc
-  override def outputEncoder: Encoder[Array[String]] = MinHashAggregator.arrEnc
+  override def bufferEncoder: Encoder[Array[Long]] = MinHashAggregator.arrEnc
+  override def outputEncoder: Encoder[Array[Long]] = MinHashAggregator.arrEnc
 }
 
 object MinHashAggregator {
-  private val arrEnc: Encoder[Array[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
-
-  private[functions] def hex(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length * 2)
-    bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  private val arrEnc: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -117,21 +117,26 @@ object Aggregates {
     * interpolation definition. (The sketch alternative for 100 TB —
     * `approx_percentile`, mergeable t-digest-style, one pass — is
     * engine-specific in value and therefore tested in ScalaTest, not
-    * against the oracle.) */
+    * against the oracle.) Emitted as three scalar columns — ARRAY
+    * outputs are unsortable/unhashable in the driver's checker. */
   def priceQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.orders(spark, sfDir)
     ord.groupBy(col("o_orderpriority"))
       .agg(percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.9))).as("q_raw"),
         count(lit(1)).as("n_orders"))
       .select(col("o_orderpriority"),
-        transform(col("q_raw"), x => round(x, 4)).as("quantiles"),
+        (round(col("q_raw")(0), 4) + lit(0.0)).as("q25"),
+        (round(col("q_raw")(1), 4) + lit(0.0)).as("q50"),
+        (round(col("q_raw")(2), 4) + lit(0.0)).as("q90"),
         col("n_orders"))
       .orderBy(col("o_orderpriority"))
   }
 
   def priceQuantilesSql: String =
     """SELECT o_orderpriority,
-      |  list_transform(quantile_cont(o_totalprice, [0.25, 0.5, 0.9]), x -> round(x, 4)) AS quantiles,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) + 0.0 AS q25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) + 0.0 AS q50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) + 0.0 AS q90,
       |  count(*) AS n_orders
       |FROM orders
       |GROUP BY o_orderpriority

@@ -9,9 +9,15 @@ import org.apache.spark.sql.functions._
   * multi-way fact⋈fact⋈dim-chain plans end-to-end, plus GROUPING SETS
   * through the SQL surface.
   *
-  * Plan shapes at scale: facts shuffle once on the equi key, the dim
-  * chain broadcasts, aggregation is two-phase; GROUPING SETS expands
-  * after aggregation input is reduced.
+  * Plan shapes at scale: facts shuffle once on the equi key,
+  * aggregation is two-phase; GROUPING SETS expands after aggregation
+  * input is reduced. Broadcast hints appear ONLY on fixed-cardinality
+  * dims (nation = 25 rows, region = 5 rows, forever). customer /
+  * supplier / part grow linearly with scale factor (customer ≈ 15 M
+  * rows at sf100), and a hint is a mandate — a forced broadcast there
+  * OOMs at 100× instead of degrading to a shuffle join. Those sides
+  * are left unhinted so AQE picks broadcast when the runtime size
+  * allows and sort-merge when it doesn't.
   */
 object Analytics {
 
@@ -29,8 +35,8 @@ object Analytics {
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -64,7 +70,7 @@ object Analytics {
     val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
     val n = Tables.nation(spark, sfDir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -94,7 +100,7 @@ object Analytics {
         col("l_shipdate") < ts("1996-04-01 00:00:00"))
     val p = Tables.part(spark, sfDir)
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2)
           .as("promo_revenue"),

@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *    find clusters with a single agg.
   *
   * Engine-parity notes: hashes are md5 (byte-identical across
-  * engines); MinHash "permutations" are salted md5s compared
-  * lexicographically (min over shingles), avoiding any engine-specific
-  * integer hash; SimHash bit weights come from the first 4 hex digits
-  * of md5 via base-16 parse (`conv` ≡ DuckDB `('0x'||h)::BIGINT`).
+  * engines) parsed to integers via hex-prefix (`conv` ≡ DuckDB
+  * `('0x'||h)::BIGINT`); MinHash "permutations" are universal-hash
+  * mixes `(a_k·h + b_k) mod p` of ONE md5 per shingle (min over
+  * shingles as int64), avoiding both engine-specific integer hashes
+  * and redundant digests; SimHash bit weights come from the same
+  * hex-prefix parse.
   */
 object Dedup {
 
@@ -85,19 +87,38 @@ object Dedup {
       | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"""
       .stripMargin.replace("\n", "")
 
-  /** MinHash signature component k: lexicographic min over shingles of
-    * the salted hash md5(k|shingle) — one deterministic "permutation"
-    * per salt, identical in any engine with md5. */
-  private def minhash(k: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(k.toString), lit("|"), s))))
+  /** MinHash permutation arithmetic — constants and bounds documented
+    * at [[graft.functions.MinHashScheme]] (shared with the UDAF
+    * surface). Profiling round 1 showed 4 salted md5s per shingle
+    * dominated the near-dup family (~32 s ≈ 40% of the sf0.1 suite);
+    * mixing one digest replaces 3 of the 4 with two integer ops. */
+  private val MixP = graft.functions.MinHashScheme.P
+  private val MixA = graft.functions.MinHashScheme.A
+  private val MixB = graft.functions.MinHashScheme.B
+
+  /** First 32 md5 bits of a shingle as a long — the one digest per
+    * shingle everything else mixes from. */
+  private def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  private def mixK(k: Int, h: Column): Column =
+    (lit(MixA(k)) * h + lit(MixB(k))) % lit(MixP)
 
   private def minhashSqlDuck(k: Int): String =
-    s"list_min(list_transform($ShinglesSqlDuck, s -> md5('$k' || '|' || s)))"
+    s"list_min(list_transform($ShinglesSqlDuck, " +
+      s"s -> (${MixA(k)} * (('0x' || substr(md5(s), 1, 8))::BIGINT) + ${MixB(k)}) % $MixP))"
+
+  /** A band value rendered identically in both engines: the two member
+    * signatures (BIGINTs) joined with '|' — decimal rendering of int64
+    * is engine-independent, and no digest is needed just to build an
+    * equi-join key. */
+  private def bandSqlDuck(k1: Int, k2: Int): String =
+    s"((${minhashSqlDuck(k1)})::VARCHAR || '|' || (${minhashSqlDuck(k2)})::VARCHAR)"
 
   /** All signature components in ONE pass: shingle array computed once
     * per doc, exploded, then 4 min-aggs.
     *
-    * Why not 4 [[minhash]] column expressions? Catalyst inlines the
+    * Why not 4 per-signature column expressions? Catalyst inlines the
     * shingle construction (split + 3 array lookups per shingle) into
     * every use, so k signatures re-tokenize the document ~3k× — at
     * sf0.1 that was 65 s of a 97 s bench. The explode→hash-agg shape
@@ -117,12 +138,14 @@ object Dedup {
       // explode_outer: a NULL/degenerate text must still yield a row
       // (with NULL signatures) to match the oracle's row count
       .select(col("doc_id"), explode_outer(shingles).as("shingle"))
+      // one digest per shingle; the 4 permutations are integer mixes
+      .select(col("doc_id"), shingleHash(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),
-        min(md5(concat(lit("1|"), col("shingle")))).as("sig1"),
-        min(md5(concat(lit("2|"), col("shingle")))).as("sig2"),
-        min(md5(concat(lit("3|"), col("shingle")))).as("sig3"))
+        min(mixK(0, col("h"))).as("sig0"),
+        min(mixK(1, col("h"))).as("sig1"),
+        min(mixK(2, col("h"))).as("sig2"),
+        min(mixK(3, col("h"))).as("sig3"))
 
   /** LSH band index of ANY (doc_id, text) frame: one row per
     * (doc_id, band_no, band_val). Precompute + persist this for a
@@ -130,9 +153,13 @@ object Dedup {
   def bandIndexOf(docs: DataFrame): DataFrame =
     signaturesOf(docs)
       .select(col("doc_id"),
+        // concat (NOT concat_ws): a NULL signature must yield a NULL
+        // band value — NULL never equi-joins, exactly like the
+        // oracle's `sig || '|' || sig` — whereas concat_ws would
+        // collapse every degenerate doc into one "" bucket.
         array(
-          struct(lit(1).as("band_no"), md5(concat(col("sig0"), col("sig1"))).as("band_val")),
-          struct(lit(2).as("band_no"), md5(concat(col("sig2"), col("sig3"))).as("band_val")))
+          struct(lit(1).as("band_no"), concat(col("sig0").cast("string"), lit("|"), col("sig1").cast("string")).as("band_val")),
+          struct(lit(2).as("band_no"), concat(col("sig2").cast("string"), lit("|"), col("sig3").cast("string")).as("band_val")))
           .as("bands"))
       .select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
@@ -196,8 +223,8 @@ object Dedup {
   def lshNearDupPairsSql: String =
     s"""WITH sigs AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
-       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
-       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
        |  FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  round(len(list_intersect(a.toks, b.toks)) /
@@ -224,8 +251,8 @@ object Dedup {
   def nearDedupSummarySql: String =
     s"""WITH sigs AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
-       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
-       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
        |  FROM documents),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -327,8 +354,8 @@ object Dedup {
   def nearDupClustersSql: String =
     s"""WITH RECURSIVE sigs AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
-       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
-       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
        |  FROM documents),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -377,8 +404,8 @@ object Dedup {
   def ngramJaccardPairsSql: String =
     s"""WITH sigs AS (
        |  SELECT doc_id, list_distinct($ShinglesSqlDuck) AS sh,
-       |    md5(${minhashSqlDuck(0)} || ${minhashSqlDuck(1)}) AS band1,
-       |    md5(${minhashSqlDuck(2)} || ${minhashSqlDuck(3)}) AS band2
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
        |  FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  round(len(list_intersect(a.sh, b.sh)) /

@@ -9,20 +9,25 @@ import org.apache.spark.sql.functions._
   * surface mandated by the north star.
   *
   * Scale notes per query are in each Scaladoc; the common rules:
-  * dimensions (`part` 20k rows @ sf0.1, `customer` 15k, `supplier`,
-  * `nation`, `region`) are always the broadcast side; fact⋈fact
+  * only FIXED-cardinality dims (`nation` 25 rows, `region` 5 rows)
+  * carry explicit `broadcast` hints — a hint is a mandate, and
+  * `customer`/`supplier`/`part` grow linearly with scale factor, so
+  * their join strategy is left to AQE (broadcast when the runtime
+  * size allows, shuffle join when not); fact⋈fact
   * (`lineitem`⋈`orders`) shuffles on the join key once and relies on
   * AQE for skew splitting.
   */
 object Joins {
 
-  /** Broadcast-hash join fact⋈dim: lineitem⋈part on partkey, revenue by
-    * brand. At 100 TB `part` stays broadcast-sized relative to the fact
-    * side; no shuffle of lineitem at all — the agg shuffle is 25 rows. */
+  /** Fact⋈dim join: lineitem⋈part on partkey, revenue by brand.
+    * `part` grows with sf (≈20 M rows at sf100) so it is not hinted —
+    * AQE broadcasts it at small scale (no lineitem shuffle; the agg
+    * shuffle is 25 rows) and degrades to a shuffle join at 100×
+    * instead of OOMing on a mandated broadcast. */
   def brandRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

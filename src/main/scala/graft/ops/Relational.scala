@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * Design rules (100 TB posture, SURVEY §4.3):
   *  - declarative DataFrame plans only → Catalyst pushes filters/prunes
   *    columns into the parquet scan; nothing materializes on the driver;
-  *  - dimension sides of joins are explicitly `broadcast(...)` when they
-  *    are provably small (customer/part/supplier/nation/region);
-  *    fact⋈fact joins stay sort-merge + AQE;
+  *  - `broadcast(...)` hints only on FIXED-cardinality dims (nation,
+  *    region); sf-scaling tables (customer/part/supplier) are left to
+  *    AQE — a hint is a mandate and would OOM at 100×; fact⋈fact joins
+  *    stay sort-merge + AQE;
   *  - every query ends in a deterministic ORDER BY on its *output*
   *    columns (rounded before ordering, unique tiebreaker) so the
   *    DuckDB-oracle hash compare is order-stable across engines.
@@ -97,16 +98,18 @@ object Relational {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q3-shaped shipping-priority: broadcast the filtered customer
-    * dim into orders, sort-merge orders⋈lineitem (both facts), agg, top-k.
-    * At 100 TB: customer-filter broadcast is a few MB; the fact join
-    * shuffles on orderkey once; AQE coalesces. */
+  /** TPC-H Q3-shaped shipping-priority: filtered customer dim joins
+    * into orders, sort-merge orders⋈lineitem (both facts), agg, top-k.
+    * At 100 TB: customer grows with sf (≈15 M rows at sf100), so it is
+    * NOT hinted — AQE broadcasts the filtered side when the runtime
+    * size allows and falls back to shuffle join when it doesn't; the
+    * fact join shuffles on orderkey once; AQE coalesces. */
   def joinAggTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, sfDir).filter(col("o_orderdate") < ts("1999-03-15 00:00:00"))
     val li = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > ts("1996-03-15 00:00:00"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))

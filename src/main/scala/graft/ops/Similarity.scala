@@ -221,32 +221,28 @@ object Similarity {
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 10""".stripMargin
 
-  /** Per-label centroid vectors (element-wise mean): posexplode →
-    * (label, position) mean → ordered re-assembly. The re-assembled
-    * array is exactly what [[ivfAssign]]'s production variant would
-    * use as learned centroids. Values rounded for cross-engine
-    * compare; assembly order is pinned by position sort. */
+  /** Per-label centroid vectors (element-wise mean), emitted in the
+    * exploded form `(label, pos, m)` — one row per vector component.
+    * Same information as the assembled ARRAY (re-assembly is a
+    * `collect_list` over pos away) but scalar columns, so the
+    * driver's checker can sort/hash it. Values rounded for
+    * cross-engine compare. */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((round(avg(col("v")), 4) + lit(0.0)).as("m"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("centroid"))
-      .orderBy(col("label"))
+      .select(col("label"), col("pos").cast("bigint").as("pos"), col("m"))
+      .orderBy(col("label"), col("pos"))
   }
 
   def labelCentroidsSql: String =
-    """SELECT label, list(m ORDER BY pos) AS centroid
-      |FROM (
-      |  SELECT label, pos, round(avg(v), 4) + 0.0 AS m
-      |  FROM (SELECT label, unnest(embedding) AS v,
-      |               unnest(range(0, len(embedding))) AS pos
-      |        FROM embeddings)
-      |  GROUP BY label, pos)
-      |GROUP BY label
-      |ORDER BY label""".stripMargin
+    """SELECT label, CAST(pos AS BIGINT) AS pos, round(avg(v), 4) + 0.0 AS m
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             unnest(range(0, len(embedding))) AS pos
+      |      FROM embeddings)
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
 
   /** IVF probe over TRAINED (k-means) centroids — the production
     * variant of [[ivfTopK]] (whose modulo-sampled centroids exist for

@@ -27,13 +27,13 @@ class FunctionsSpec extends SparkTestBase {
   }
 
   test("MinHashAggregator matches the relational minhash signatures") {
-    // same salt|shingle scheme: compare against Dedup's signatures on
+    // same MinHashScheme mixes: compare against Dedup's signatures on
     // a tiny synthetic documents table
     val docs = Seq((0L, "a b c d e"), (1L, "c d e f g")).toDF("doc_id", "text")
     val tmp = tmpDir("agg")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val relational = graft.ops.Dedup.minhashSignatures(spark, tmp).collect()
-      .map(r => r.getLong(0) -> Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
 
     // aggregator over explicitly-built shingles
@@ -45,7 +45,7 @@ class FunctionsSpec extends SparkTestBase {
     val sigCol = udaf(new MinHashAggregator(4))
     val viaAgg = shingled.groupBy(col("doc_id"))
       .agg(sigCol(col("shingle")).as("sig"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
 
     assert(viaAgg.keySet == relational.keySet)
     viaAgg.foreach { case (id, sig) => assert(sig == relational(id), s"doc $id") }

@@ -79,7 +79,7 @@ class ExtensionsSpec extends SparkTestBase {
     val tmp = tmpDir("mh")
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val sigs = Dedup.minhashSignatures(spark, tmp).collect()
-      .map(r => r.getLong(0) -> Seq(r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val matches01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
     val matches02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
     // J(0,1) ≈ 0.55 on 3-gram shingles, J(0,2) = 0 → expect more

@@ -43,6 +43,47 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("no broadcast hint on a subtree that scales with sf (hint = mandate = OOM at 100x)") {
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // tables whose row count grows linearly with scale factor: a
+    // mandated broadcast over a raw scan of any of these OOMs at 100x
+    val scaling = Seq("customer.parquet", "supplier.parquet", "part.parquet",
+      "orders.parquet", "lineitem.parquet", "events.parquet",
+      "documents.parquet", "embeddings.parquet")
+    // a hinted subtree is acceptable if it aggregates, limits, or
+    // point-filters (pk = literal) before broadcasting — its size does
+    // not grow with the fact tables even at 100x
+    def bounded(p: LogicalPlan): Boolean = {
+      val shrinks = p.collectFirst {
+        case _: Aggregate => true
+        case _: GlobalLimit => true
+        case f: Filter if f.condition.exists {
+          // pk = literal point lookup (the literal may sit under a Cast)
+          case EqualTo(a, b) if a.foldable || b.foldable => true
+          case _ => false
+        } => true
+      }.getOrElse(false)
+      val scalingScan = p.collectFirst {
+        case r: LogicalRelation if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] &&
+          r.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.exists(rp => scaling.exists(rp.toString.contains)) => true
+      }.getOrElse(false)
+      shrinks || !scalingScan
+    }
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val analyzed = fn(spark, sfDir).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.nonEmpty =>
+          assert(bounded(h.child),
+            s"$name: broadcast hint over an unbounded (sf-scaling) subtree:\n${h.child}")
+        case _ =>
+      }
+    }
+  }
+
   test("no nested-loop / cartesian joins in the candidate-pair pipelines") {
     Seq(
       "lsh" -> Dedup.lshNearDupPairs(spark, sfDir),
