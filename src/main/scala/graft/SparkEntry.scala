@@ -58,6 +58,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => Text.textStats(s, d)),
     "q_term_freq" -> ((s, d) => Text.termFreq(s, d)),
     "q_token_counts" -> ((s, d) => Text.tokenCounts(s, d)),
+    "q_bpe_tokens" -> ((s, d) => Bpe.bpeTokens(s, d)),
     "q_lang_id" -> ((s, d) => Text.langId(s, d)),
     "q_lang_id_ngram" -> ((s, d) => Text.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => Text.fingerprints(s, d)),
@@ -68,6 +69,7 @@ object SparkEntry {
     "q_lsh_near_dup_pairs" -> ((s, d) => Dedup.lshNearDupPairs(s, d)),
     "q_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_simhash_buckets" -> ((s, d) => Dedup.simhashBuckets(s, d)),
+    "q_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     // similarity search (embeddings)
     "q_knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_grid_near_dup" -> ((s, d) => Similarity.gridNearDupPairs(s, d)),
@@ -102,9 +104,10 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops
-    * (q_agg_approx_distinct: HLL sketch estimates are engine-specific —
-    * covered by a rows-only check + ScalaTest epsilon assertion). */
+    * the same parquet tables. Engine-specific estimates (HLL sketches,
+    * trained k-means probes) are checked through DERIVED columns: the
+    * deterministic part is hash-compared exactly and the estimate is
+    * asserted inside a bound the oracle states as a literal. */
   def oracleSql: Map[String, String] = Map(
     "q_pricing_summary" -> Relational.pricingSummarySql,
     "q_revenue_filter" -> Relational.revenueFilterSql,
@@ -116,6 +119,7 @@ object SparkEntry {
     "q_anti_join_no_orders" -> Joins.customersWithoutOrdersSql,
     "q_join_region_balance" -> Joins.regionBalanceSql,
     "q_agg_distinct" -> Aggregates.distinctStatsSql,
+    "q_agg_approx_distinct" -> Aggregates.approxDistinctSql,
     "q_agg_rollup" -> Aggregates.rollupSummarySql,
     "q_agg_cube" -> Aggregates.cubeSummarySql,
     "q_agg_monthly" -> Aggregates.monthlyOrderStatsSql,
@@ -137,6 +141,7 @@ object SparkEntry {
     "q_text_stats" -> Text.textStatsSql,
     "q_term_freq" -> Text.termFreqSql,
     "q_token_counts" -> Text.tokenCountsSql,
+    "q_bpe_tokens" -> Bpe.bpeTokensSql,
     "q_lang_id" -> Text.langIdSql,
     "q_lang_id_ngram" -> Text.langIdNgramSql,
     "q_fingerprints" -> Text.fingerprintsSql,
@@ -146,6 +151,7 @@ object SparkEntry {
     "q_lsh_near_dup_pairs" -> Dedup.lshNearDupPairsSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "q_simhash_buckets" -> Dedup.simhashBucketsSql,
+    "q_simhash_near_dup" -> Dedup.simhashNearDupSql,
     "q_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
     "q_vector_stats" -> Similarity.vectorStatsSql,
@@ -156,6 +162,7 @@ object SparkEntry {
     "q_grouping_sets" -> Analytics.groupingSetsSql,
     "q_ivf_assign" -> Similarity.ivfAssignSql,
     "q_ivf_topk" -> Similarity.ivfTopKSql,
+    "q_ivf_trained_topk" -> Similarity.ivfTrainedTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,

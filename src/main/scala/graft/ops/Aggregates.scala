@@ -38,18 +38,33 @@ object Aggregates {
       |ORDER BY l_returnflag""".stripMargin
 
   /** HLL++ approximate distinct — the 100 TB path for distinct counts
-    * (mergeable sketch, one shuffle, fixed memory). Sketch estimates are
-    * implementation-specific, so there is no cross-engine oracle; the
-    * driver records a rows-only check, and the ScalaTest spec asserts
-    * the estimate is within rsd of the exact count. */
+    * (mergeable sketch, one shuffle, fixed memory). The raw sketch
+    * estimate is implementation-specific, so the oracle-checkable
+    * surface is DERIVED: the exact count (hash-compared directly) and
+    * `approx_ok` = |approx − exact| / exact < 3·rsd, which the oracle
+    * asserts as literal TRUE — if Spark's estimate ever drifts outside
+    * the 3-sigma band the hash mismatches and the row goes red. */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val rsd = 0.02
     val li = Tables.lineitem(spark, sfDir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_lines"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_lines"),
+        (abs(col("approx_parts") - col("n_parts")) / col("n_parts") < 3 * rsd).as("approx_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  def approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_lines,
+      |  TRUE AS approx_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** ROLLUP over (returnflag, linestatus): hierarchical subtotals +
     * grand total. NULL group markers are replaced with '(all)' so the

@@ -451,10 +451,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     incrementalNearDups(spark, bandIndexOf(corpus), corpus, batch, threshold)
 
-  /** 16-bit SimHash per doc + bucket sizes. Bit j's weight is the sign
-    * of Σ_tokens (bit_j(h(token))·2 − 1) where h = first 16 bits of
-    * md5. Identical fingerprints (same bucket) are near-dup candidates
-    * at hamming distance 0. */
+  /** Band-0 SimHash bucket histogram: the first 16-bit band of the
+    * 64-bit fingerprint (see [[simhashNearDup]]) as an exact-collision
+    * bucket count — the hamming-0-within-one-band view. The full
+    * near-dup search over all 4 bands with a hamming-distance verify
+    * is [[simhashNearDup]]; this query exists for the bucket-size
+    * distribution (LSH load-balance diagnostics). */
   def simhashBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long")
     val bitSums = (0 until 16).map(j =>
@@ -487,5 +489,87 @@ object Dedup {
        |GROUP BY simhash
        |HAVING count(*) > 1
        |ORDER BY simhash""".stripMargin
+  }
+
+  /** 64-bit SimHash fingerprints, stored as 4×16-bit band fields
+    * f0..f3 (band m = sign-aggregated bits of md5-hex digits
+    * 4m+1..4m+4 of each token). Keeping the fingerprint as four
+    * 16-bit fields rather than one int64 serves two masters: every
+    * band is directly an equi-join key, and the hamming distance is a
+    * sum of per-band `bit_count(xor)` terms that never nears the
+    * int64 overflow DuckDB errors on. */
+  private[ops] def simhashFieldsOf(docs: DataFrame): DataFrame = {
+    val withH = docs
+      .select(col("doc_id"), explode(tokens).as("token"))
+      // one md5 per token; 4 disjoint 16-bit slices of the digest
+      .select(col("doc_id") +: (0 until 4).map(m =>
+        conv(substring(md5(col("token")), 1 + 4 * m, 4), 16, 10).cast("long").as(s"h$m")): _*)
+    val bitSums = for { m <- 0 until 4; j <- 0 until 16 } yield
+      sum(shiftright(col(s"h$m"), j).bitwiseAND(1) * 2 - 1).as(s"s${m}_$j")
+    val fields = (0 until 4).map { m =>
+      (0 until 16).map(j =>
+        when(col(s"s${m}_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as(s"f$m")
+    }
+    withH.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: fields: _*)
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ 3 over the 64-bit
+    * fingerprint — the banded hamming search real pipelines run.
+    *
+    * Candidates come from 4 equi self-joins (one per 16-bit band,
+    * expressed as one explode + one hash join on (band_no, band_val) —
+    * never a nested loop); by pigeonhole, ≤ 3 differing bits across 4
+    * bands leave at least one band identical, so the banding is EXACT
+    * for this threshold: recall 1.0, and only candidates pay the
+    * hamming verify. Scale shape is the same bucketed LSH join as
+    * [[lshNearDupPairs]]: cost ∝ Σ bucket², never n². */
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = simhashFieldsOf(Tables.documents(spark, sfDir))
+    val bands = f.select(col("doc_id"), explode(array(
+        (0 until 4).map(m => struct(lit(m).as("band_no"), col(s"f$m").as("band_val"))): _*)).as("b"))
+      .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
+    val a = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // fingerprints are 4 small ints — fetching them back for the few
+    // candidates keeps the band shuffle payload-free
+    val fa = f.select(col("doc_id").as("doc_a"),
+      col("f0").as("a0"), col("f1").as("a1"), col("f2").as("a2"), col("f3").as("a3"))
+    val fb = f.select(col("doc_id").as("doc_b"),
+      col("f0").as("b0"), col("f1").as("b1"), col("f2").as("b2"), col("f3").as("b3"))
+    candidates.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 4).map(m => bit_count(col(s"a$m").bitwiseXOR(col(s"b$m"))))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def simhashNearDupSql: String = {
+    def h(m: Int) = s"(('0x' || substr(md5(token), ${1 + 4 * m}, 4))::BIGINT)"
+    val bitSums = (for { m <- 0 until 4; j <- 0 until 16 } yield
+      s"sum(((${h(m)} >> $j) & 1) * 2 - 1) AS s${m}_$j").mkString(", ")
+    def field(m: Int) = (0 until 16)
+      .map(j => s"CASE WHEN s${m}_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val fields = (0 until 4).map(m => s"CAST(${field(m)} AS BIGINT) AS f$m").mkString(", ")
+    val hamming = (0 until 4)
+      .map(m => s"bit_count(xor(a.f$m, b.f$m))").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |sums AS (
+       |  SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+       |f AS (
+       |  SELECT doc_id, $fields FROM sums)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST($hamming AS BIGINT) AS hamming
+       |FROM f a JOIN f b
+       |  ON a.doc_id < b.doc_id AND
+       |     (a.f0 = b.f0 OR a.f1 = b.f1 OR a.f2 = b.f2 OR a.f3 = b.f3)
+       |WHERE $hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

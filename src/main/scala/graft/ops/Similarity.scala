@@ -244,18 +244,28 @@ object Similarity {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** Where [[ivfTrainedTopK]] materializes its trained centroids. The
+    * iterative k-means itself is not practically SQL-expressible, but
+    * it IS deterministic (fixed init, fixed tie-breaks), so the oracle
+    * contract is: Spark trains, writes the (tiny, k-row) centroid
+    * table to parquet inside the query's own lineage, and the DuckDB
+    * oracle reads the SAME parquet and replays the probe — the whole
+    * probe path gets a hash-checked row, and any training
+    * nondeterminism would surface as a mismatch on re-run. */
+  val TrainedCentroidsPath: String = "/tmp/graft-oracle/ivf_trained_centroids"
+
   /** IVF probe over TRAINED (k-means) centroids — the production
     * variant of [[ivfTopK]] (whose modulo-sampled centroids exist for
-    * the oracle's sake). The iterative training is not practically
-    * SQL-expressible, so this registers with a rows-only check; the
-    * training itself is determinism- and monotonicity-tested. */
+    * a self-contained oracle). Training determinism/monotonicity is
+    * additionally ScalaTested. */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
       nprobe: Int = 3, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    // localCheckpoint: training is consumed by both the probe ranking
-    // and the assignment — without it the 2-iteration lineage would
-    // re-execute per consumer
-    val centroids = KMeansIvf.trainCentroids(spark, emb, k = 8, iters = 2).localCheckpoint()
+    // materialized (not just cached): shared by the probe ranking and
+    // the assignment, and the oracle's input — see TrainedCentroidsPath
+    KMeansIvf.trainCentroids(spark, emb, k = 8, iters = 2)
+      .coalesce(1).write.mode("overwrite").parquet(TrainedCentroidsPath)
+    val centroids = spark.read.parquet(TrainedCentroidsPath)
     val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
     val probed = centroids.crossJoin(broadcast(q))
       .select(col("centroid_id"), cosine(col("c_emb"), col("q_emb")).as("q_sim"))
@@ -269,10 +279,35 @@ object Similarity {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("embedding"), col("q_emb")), 4).as("cos_sim"))
+        (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  def ivfTrainedTopKSql: String =
+    s"""WITH centroids AS (
+       |  SELECT centroid_id, c_emb
+       |  FROM read_parquet('$TrainedCentroidsPath/*.parquet')),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]) DESC,
+       |               centroid_id) AS rk
+       |  FROM embeddings CROSS JOIN centroids),
+       |probed AS (
+       |  SELECT centroid_id
+       |  FROM centroids CROSS JOIN q
+       |  ORDER BY list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]) DESC, centroid_id
+       |  LIMIT 3)
+       |SELECT vec_id,
+       |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
+       |FROM assigned a
+       |JOIN probed USING (centroid_id)
+       |CROSS JOIN q
+       |WHERE a.rk = 1 AND a.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
 
   /** Vector statistics per label: mean L2 norm, mean leading
     * component — array math + agg parity exercise. */

@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
 class ExtensionsSpec extends SparkTestBase {
   import org.apache.spark.sql.Row
 
-  test("approx_count_distinct within rsd of exact") {
-    val df = Aggregates.approxDistinct(spark, sfDir)
-    val exact = Aggregates.distinctStats(spark, sfDir)
-    val joined = df.join(exact, "l_returnflag")
-      .select(col("approx_parts"), col("n_parts")).collect()
-    joined.foreach { case Row(approx: Long, ex: Long) =>
-      assert(math.abs(approx - ex).toDouble / ex < 0.1,
-        s"approx $approx vs exact $ex")
+  test("approx_count_distinct within 3*rsd of exact (approx_ok derived column)") {
+    val rows = Aggregates.approxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("approx_ok")),
+        s"estimate outside 3*rsd for ${r.getString(0)}")
     }
+    // the exact column must agree with the exact-distinct query
+    val exact = Aggregates.distinctStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("n_parts"))).toMap
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("n_parts")) == exact(r.getString(0))))
   }
 
   test("approx_percentile within tolerance of exact percentile") {
@@ -86,6 +88,23 @@ class ExtensionsSpec extends SparkTestBase {
     // signature agreement with the near doc than the far one.
     assert(matches01 >= matches02)
     assert(matches02 == 0)
+  }
+
+  test("simhash banded search is exact at hamming <= 3 (vs brute force)") {
+    // pigeonhole: <= 3 differing bits across 4 bands leave one band
+    // equal, so the banded candidates must contain EVERY such pair
+    val fields = Dedup.simhashFieldsOf(
+        graft.Tables.documents(spark, sfDir)).collect()
+      .map(r => (r.getLong(0), Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val expected = (for {
+      (ida, fa) <- fields; (idb, fb) <- fields if ida < idb
+      ham = (0 until 4).map(m => java.lang.Long.bitCount(fa(m) ^ fb(m))).sum
+      if ham <= 3
+    } yield (ida, idb, ham.toLong)).toSet
+    val got = Dedup.simhashNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "corpus should contain simhash near-dups at sf0.001")
   }
 
   test("lsh near-dup pairs are symmetric-free and above threshold") {
