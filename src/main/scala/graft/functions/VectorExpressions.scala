@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics (kept bit-identical to the HOF formulation and the DuckDB
   * oracle `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])`): each
   * float is widened to double, accumulation is sequential in index
-  * order, result = dot / (√Σx² · √Σy²). Null input → null; mismatched
-  * lengths use the shorter prefix for the dot product (zip semantics)
-  * but full norms — callers should pass equal-dimension vectors.
+  * order, result = dot / (√Σx² · √Σy²). Null input → null, and a null
+  * ELEMENT → null (the HOF aggregate poisons on null; the element scan
+  * is only emitted when the schema's containsNull admits it, so
+  * containsNull=false stays branch-free). Mismatched lengths use the
+  * shorter prefix for the dot product (zip semantics) but full norms —
+  * callers should pass equal-dimension vectors.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,11 +39,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"cosine_sim requires ARRAY<FLOAT> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
     }
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // a null ELEMENT also nulls the result (HOF-reference semantics:
+  // null poisons the aggregate), so nullability follows containsNull
+  // too, not just top-level input nullability
+  override def nullable: Boolean = left.nullable || right.nullable || mayHaveNullElements
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // null element anywhere → null result, matching the HOF reference
+    // (zip_with/aggregate propagate null through the accumulator);
+    // only checked when the schema admits null elements
+    if (mayHaveNullElements) {
+      var i = 0
+      while (i < x.numElements()) { if (x.isNullAt(i)) return null; i += 1 }
+      i = 0
+      while (i < y.numElements()) { if (y.isNullAt(i)) return null; i += 1 }
+    }
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
@@ -67,7 +86,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val v = ctx.freshName("v")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // null-element scan emitted ONLY when the schema admits null
+      // elements — the containsNull=false hot path stays branch-free
+      val nullScan = if (mayHaveNullElements) {
+        s"""
+          |for (int $i = 0; $i < $a.numElements(); $i++) {
+          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+          |}
+          |for (int $i = 0; $i < $b.numElements() && !${ev.isNull}; $i++) {
+          |  if ($b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          |}
+          |if (!${ev.isNull}) {
+         """.stripMargin
+      } else "{"
       s"""
+        |$nullScan
         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
@@ -82,6 +115,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         |  double $v = (double) $b.getFloat($i); $ny += $v * $v;
         |}
         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        |}
       """.stripMargin
     })
 

@@ -30,40 +30,46 @@ final case class Layout(root: String) {
   * ingest at a 60 s trigger writes one file per micro-batch per
   * source; over days that is thousands of small files per partition,
   * and at 100 TB the file-listing + per-file open cost dominates
-  * scans. Compaction rewrites a partition to `targetFiles` files;
-  * readers see the change atomically at the partition-dir level
-  * (overwrite of one `source=` dir). */
+  * scans. Compaction rewrites a partition to `targetFiles` files.
+  *
+  * Consistency contract (deliberately NOT claimed atomic): the swap is
+  * two directory renames, so a reader that lists `source=X` in the
+  * window between them sees the partition briefly ABSENT (never
+  * partial, never doubled). Transient dirs are `_`-prefixed siblings —
+  * Spark's file listing skips `_`/`.` paths, so whole-directory
+  * partition discovery over the distribution root can never pick them
+  * up as bogus partition values. All paths go through the Hadoop
+  * FileSystem API, so the same code runs against HDFS/S3A, not just
+  * the local FS. */
 object Compaction {
   import org.apache.spark.sql.SparkSession
+  import org.apache.hadoop.fs.Path
 
   def compactSource(spark: SparkSession, layout: Layout, source: String,
       targetFiles: Int = 1): Long = {
-    val dir = s"${layout.distributionDir}/source=$source"
-    val df = spark.read.format("json").load(dir)
+    val dirStr = s"${layout.distributionDir}/source=$source"
+    val df = spark.read.format("json").load(dirStr)
     val n = df.count()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    val tmpF = new java.io.File(s"$dir.__compacting")
-    val bak = new java.io.File(s"$dir.__old")
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"${layout.distributionDir}/_compacting_source=$source")
+    val bak = new Path(s"${layout.distributionDir}/_old_source=$source")
     // clear leftovers of a crashed prior run BEFORE writing, so the
     // renames below cannot fail against stale targets
-    if (tmpF.exists()) rm(tmpF)
-    if (bak.exists()) rm(bak)
-    df.coalesce(targetFiles).write.mode("overwrite").format("json").save(tmpF.toString)
-    val fs = new java.io.File(dir)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    df.coalesce(targetFiles).write.mode("overwrite").format("json").save(tmp.toString)
     // every rename is checked: on failure the original data is intact
     // (or restorable from the backup) and we fail loudly — the one
     // unrecoverable mistake would be deleting the backup after a
     // failed swap-in.
-    if (!fs.renameTo(bak))
-      throw new java.io.IOException(s"compaction: cannot move $dir aside")
-    if (!tmpF.renameTo(fs)) {
-      bak.renameTo(fs) // restore
-      throw new java.io.IOException(s"compaction: cannot swap in compacted $dir")
+    if (!fs.rename(dir, bak))
+      throw new java.io.IOException(s"compaction: cannot move $dirStr aside")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(bak, dir) // restore
+      throw new java.io.IOException(s"compaction: cannot swap in compacted $dirStr")
     }
-    rm(bak)
+    fs.delete(bak, true)
     n
   }
 }

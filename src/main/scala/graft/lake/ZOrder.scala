@@ -45,9 +45,16 @@ object ZOrder {
     val r = df.agg(
       min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
       min(col(dimB)).cast("double"), max(col(dimB)).cast("double")).collect()(0)
-    val (aMin, aMax, bMin, bMax) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // an empty table or an all-NULL dimension yields NULL aggregates —
+    // getDouble would NPE; such a dimension carries no clustering
+    // signal, so it degrades to the constant-0 key axis
+    def stat(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val (aMin, aMax, bMin, bMax) = (stat(0), stat(1), stat(2), stat(3))
     def scaled(c: Column, lo: Double, hi: Double): Column =
-      if (hi > lo) floor((c.cast("double") - lo) * maxKey / (hi - lo)).cast("long")
+      // NULL dim values land at the low edge of the key domain (a NULL
+      // would otherwise null the whole interleaved key and make row
+      // order nondeterministic under range partition)
+      if (hi > lo) floor((coalesce(c.cast("double"), lit(lo)) - lo) * maxKey / (hi - lo)).cast("long")
       else lit(0L)
     df.withColumn("__z", zorderKey(scaled(col(dimA), aMin, aMax), scaled(col(dimB), bMin, bMax)))
       .repartitionByRange(nFiles, col("__z"))

@@ -3,6 +3,9 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /** Multimodal columns (north-star extension): image/audio/video as
   * opaque BINARY columns with typed metadata, processed in partition
@@ -12,9 +15,11 @@ import org.apache.spark.sql.functions._
   * batch shape (`mapPartitions` over a typed Dataset = the Scala
   * analogue of batch-UDF processing: one iterator per partition, so
   * per-batch setup like a decoder init happens once per partition, not
-  * per row). The DECODE STEP IS A DETERMINISTIC FAKE — the container
-  * ships no image/audio codecs — marked [STUB] below; swapping
-  * `FakeCodec` for a real codec changes no plumbing.
+  * per row). IMAGE decode/resize/feature-extract are REAL
+  * (`javax.imageio`, [[ImageCodec]] — PNG/JPEG/BMP/GIF dimensions,
+  * pixel resampling, luminance histograms); video/audio, whose codecs
+  * the JDK does not ship, use [[FakeCodec]]'s deterministic header
+  * scheme behind the same dispatch seam.
   *
   * Scale: assets are heavy rows — partitioning is by (modality,
   * asset_id range) so one partition holds a bounded byte volume;
@@ -30,8 +35,82 @@ object Multimodal {
   final case class MediaFeatures(assetId: Long, modality: String, feature: Array[Float])
   final case class Frame(assetId: Long, frameNo: Int, content: Array[Byte])
 
-  /** [STUB] Deterministic fake codec. A real implementation would wrap
-    * javax.imageio / ffmpeg here; everything downstream is agnostic. */
+  /** Real image codec over `javax.imageio` (JDK-built-in readers: PNG,
+    * JPEG, BMP, GIF, WBMP — zero added dependencies). Bytes are
+    * dispatched here by content magic; non-image modalities (no video/
+    * audio codec ships in the JDK) fall back to [[FakeCodec]]'s
+    * deterministic header scheme, honestly marked. */
+  object ImageCodec {
+    ImageIO.setUseCache(false) // no temp-file cache on executor threads
+
+    /** Container format by magic bytes — cheap dispatch without
+      * touching ImageIO for non-image payloads. */
+    def detectFormat(bytes: Array[Byte]): Option[String] = {
+      def b(i: Int): Int = bytes(i) & 0xff
+      if (bytes.length < 8) None
+      else if (b(0) == 0x89 && b(1) == 0x50 && b(2) == 0x4e && b(3) == 0x47) Some("png")
+      else if (b(0) == 0xff && b(1) == 0xd8 && b(2) == 0xff) Some("jpeg")
+      else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+      else None
+    }
+
+    def isImage(bytes: Array[Byte]): Boolean = detectFormat(bytes).isDefined
+
+    private def read(bytes: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException("undecodable image bytes")
+      img
+    }
+
+    /** Decode real dimensions from the container. Duration stays 0 —
+      * still images have none. */
+    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+      val fmt = detectFormat(bytes).getOrElse("unknown")
+      val img = read(bytes)
+      MediaMeta(img.getWidth, img.getHeight, 0L, fmt)
+    }
+
+    /** Real pixel resample: scaled redraw at (w/factor, h/factor),
+      * re-encoded as PNG (lossless, deterministic across JDKs for the
+      * same pixel data). */
+    def resize(bytes: Array[Byte], factor: Int): Array[Byte] = {
+      val src = read(bytes)
+      val (w, h) = (math.max(src.getWidth / factor, 1), math.max(src.getHeight / factor, 1))
+      val dst = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, w, h, null) finally g.dispose()
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(dst, "png", out)
+      out.toByteArray
+    }
+
+    /** Normalized 32-bin LUMINANCE histogram over decoded pixels — the
+      * pixel-space analogue of [[FakeCodec.features]]'s byte histogram,
+      * same output contract (32 floats, sums to 1). */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val img = read(bytes)
+      val hist = new Array[Float](32)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          hist(lum >> 3) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+      hist.map(_ / n)
+    }
+  }
+
+  /** Deterministic header codec for modalities whose codecs the JDK
+    * does not ship (video/audio) and for synthetic fixtures. Real
+    * images never reach this path — [[ImageCodec]] claims them by
+    * magic bytes in [[decodeAll]]/[[extractFeatures]]/[[resizeAll]]. */
   object FakeCodec {
     /** "Decode" = parse fake 8-byte header: [w:2][h:2][durMs:4]. */
     def decodeMeta(bytes: Array[Byte], codec: String): MediaMeta = {
@@ -64,24 +143,41 @@ object Multimodal {
   }
 
   /** Batch-shaped decode: one codec "session" per partition iterator —
-    * the exact batch contract a heavyweight decoder needs. */
+    * the exact batch contract a heavyweight decoder needs. Real image
+    * bytes (PNG/JPEG/BMP/GIF magic) decode through [[ImageCodec]];
+    * everything else through the header scheme. */
   def decodeAll(assets: Dataset[MediaAsset]): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // per-partition (per-batch) setup would init the real codec here
-      it.map(a => a.copy(meta = FakeCodec.decodeMeta(a.content, a.meta.codec)))
+      // per-partition (per-batch) setup: ImageIO readers are resolved
+      // once per JVM; heavier codecs would init here
+      it.map { a =>
+        val meta =
+          if (ImageCodec.isImage(a.content)) ImageCodec.decodeMeta(a.content)
+          else FakeCodec.decodeMeta(a.content, a.meta.codec)
+        a.copy(meta = meta)
+      }
     }
   }
 
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(a =>
-      MediaFeatures(a.assetId, a.modality, FakeCodec.features(a.content))))
+    assets.mapPartitions(_.map { a =>
+      val f =
+        if (ImageCodec.isImage(a.content)) ImageCodec.features(a.content)
+        else FakeCodec.features(a.content)
+      MediaFeatures(a.assetId, a.modality, f)
+    })
   }
 
   def resizeAll(assets: Dataset[MediaAsset], factor: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(a => a.copy(content = FakeCodec.resize(a.content, factor))))
+    assets.mapPartitions(_.map { a =>
+      val c =
+        if (ImageCodec.isImage(a.content)) ImageCodec.resize(a.content, factor)
+        else FakeCodec.resize(a.content, factor)
+      a.copy(content = c)
+    })
   }
 
   /** Frame sampling fans out one video row to many frame rows —

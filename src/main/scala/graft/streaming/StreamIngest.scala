@@ -60,18 +60,38 @@ object StreamIngest {
   def processBatch(batch: DataFrame, layout: Layout, arrivalMs: Long,
       batchId: Long = -1L): Unit = {
     if (batch.isEmpty) return
-    val marker = new java.io.File(s"${layout.checkpointDir}/markers/$batchId")
-    if (batchId >= 0 && marker.exists()) return // replayed completed batch
+    // Hadoop FileSystem API (not java.io.File): the checkpoint dir may
+    // be HDFS/S3 on a real cluster, where File.exists() is always
+    // false and the idempotency guard would silently disappear
+    val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val markersDir = new org.apache.hadoop.fs.Path(s"${layout.checkpointDir}/markers")
+    val fs = markersDir.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(markersDir, batchId.toString)
+    if (batchId >= 0 && fs.exists(marker)) return // replayed completed batch
     val cached = batch.persist()
     try {
       Catalog.append(batch.sparkSession, layout, Catalog.entriesFor(cached, arrivalMs))
       Distribution.publish(cached, layout)
       if (batchId >= 0) {
-        marker.getParentFile.mkdirs()
-        marker.createNewFile()
+        fs.mkdirs(markersDir)
+        fs.create(marker, true).close()
+        pruneMarkers(fs, markersDir, batchId)
       }
     } finally cached.unpersist()
   }
+
+  /** Markers strictly older than (committed − keep) can never be
+    * replayed again (the source checkpoint has moved past them) —
+    * prune so the marker dir doesn't grow unboundedly with stream
+    * lifetime. Best-effort: a failed prune only leaves extra files. */
+  private def pruneMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      markersDir: org.apache.hadoop.fs.Path, committedBatchId: Long, keep: Long = 100L): Unit =
+    try {
+      fs.listStatus(markersDir).foreach { st =>
+        val id = st.getPath.getName.toLongOption
+        if (id.exists(_ < committedBatchId - keep)) fs.delete(st.getPath, false)
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Deduplicating event-time view over parsed events, for
     * at-least-once upstreams (SURVEY §2.3 item 7): watermark + drop

@@ -18,6 +18,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(r - 10.0 / 14.0) < 1e-12)
   }
 
+  test("cosine_sim propagates a null ELEMENT as null, like the HOF reference") {
+    GraftExtensions.register(spark)
+    // interpreted and codegen paths both: array(... null ...) has
+    // containsNull=true, so the null-element scan is emitted
+    val df = spark.sql(
+      """SELECT cosine_sim(array(1.0f, CAST(NULL AS FLOAT)), array(1.0f, 2.0f)) AS c,
+        |       cosine_sim(array(1.0f, 2.0f), array(1.0f, 2.0f)) AS ok""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.isNullAt(0))
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // HOF reference agrees
+    val hof = spark.range(1).select(graft.ops.Similarity.cosineHof(
+      expr("array(1.0f, CAST(NULL AS FLOAT))"), expr("array(1.0f, 2.0f)")).as("c")).collect()(0)
+    assert(hof.isNullAt(0))
+  }
+
   test("cosine_sim SQL rejects wrong arity and type") {
     GraftExtensions.register(spark)
     intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0f))").collect() }

@@ -30,6 +30,27 @@ class KMeansIncrementalSpec extends SparkTestBase {
     a.foreach { case (k, v) => assert(v == b(k)) }
   }
 
+  test("IVF recall vs nprobe is monotone and reaches 1.0 at nprobe=k") {
+    // ground truth: exact brute-force top-10 neighbours of vec_id=0
+    val truth = Similarity.knnBruteForce(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val got = Similarity.ivfTrainedTopK(spark, sfDir, nprobe = np).collect()
+        .map(_.getLong(0)).toSet
+      np -> truth.intersect(got).size.toDouble / truth.size
+    }
+    info(s"recall curve (trained IVF, k=8 centroids): " +
+      recalls.map { case (np, r) => s"nprobe=$np:${"%.2f".format(r)}" }.mkString(" "))
+    // weakly monotone in nprobe
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1 - 1e-9, s"recall dropped from $r1 (nprobe=$np1) to $r2 (nprobe=$np2)")
+    }
+    // probing every list IS the exact scan
+    assert(recalls.last._2 == 1.0)
+    // probing the best list alone should already find a decent share
+    assert(recalls.head._2 >= 0.3, s"nprobe=1 recall ${recalls.head._2}")
+  }
+
   test("incremental near-dup finds batch-vs-corpus matches only") {
     val corpus = graft.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     // new batch: a near-copy of corpus doc 7 (drop last 2 tokens) + a novel doc

@@ -33,6 +33,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(2).meta == MediaMeta(1280, 720, 90000L, "fakemp4"))
   }
 
+  private def realImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7) % 256 << 16) | ((y * 11) % 256 << 8) | ((x + y) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("REAL codec: png/bmp bytes decode to true dimensions through the batch path") {
+    val real = Seq(
+      MediaAsset(10, "image", realImage(64, 48, "png"), MediaMeta(0, 0, 0, "?")),
+      MediaAsset(11, "image", realImage(31, 17, "bmp"), MediaMeta(0, 0, 0, "?")))
+    val out = decodeAll(real.toDS()).collect().sortBy(_.assetId)
+    assert(out(0).meta == MediaMeta(64, 48, 0L, "png"))
+    assert(out(1).meta == MediaMeta(31, 17, 0L, "bmp"))
+  }
+
+  test("REAL codec: resize resamples pixels (decoded dims shrink by factor)") {
+    val real = Seq(MediaAsset(12, "image", realImage(64, 48, "png"), MediaMeta(0, 0, 0, "?")))
+    val resized = resizeAll(real.toDS(), 4).collect()(0)
+    val meta = Multimodal.ImageCodec.decodeMeta(resized.content)
+    assert(meta.width == 16 && meta.height == 12)
+  }
+
+  test("REAL codec: luminance histogram is normalized and content-sensitive") {
+    val a = Multimodal.ImageCodec.features(realImage(40, 40, "png"))
+    assert(a.length == 32 && math.abs(a.sum - 1.0f) < 1e-3)
+    // a uniformly black image concentrates all mass in bin 0
+    val black = {
+      val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val b = Multimodal.ImageCodec.features(black)
+    assert(b(0) == 1.0f && a(0) < 1.0f)
+  }
+
   test("feature extraction: fixed width, normalized, deterministic") {
     val f = extractFeatures(assets.toDS()).collect().sortBy(_.assetId)
     assert(f.forall(_.feature.length == 32))
