@@ -73,6 +73,7 @@ object SparkEntry {
     // similarity search (embeddings)
     "q_knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_grid_near_dup" -> ((s, d) => Similarity.gridNearDupPairs(s, d)),
+    "q_hyperplane_lsh" -> ((s, d) => Similarity.hyperplaneLshPairs(s, d)),
     "q_vector_stats" -> ((s, d) => Similarity.vectorStats(s, d)),
     // multimodal: binary column round trip
     "q_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -154,6 +155,7 @@ object SparkEntry {
     "q_simhash_near_dup" -> Dedup.simhashNearDupSql,
     "q_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
+    "q_hyperplane_lsh" -> Similarity.hyperplaneLshPairsSql,
     "q_vector_stats" -> Similarity.vectorStatsSql,
     "q_binary_meta" -> Multimodal.binaryMetaSql,
     "q_local_supplier_volume" -> Analytics.localSupplierVolumeSql,

@@ -336,6 +336,91 @@ object Similarity {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Hyperplane-LSH (random-projection / sign-hash) near-dup pairs —
+    * the high-dimensional ANN candidate generator ([[gridNearDupPairs]]
+    * quantizes only 2 leading dims; this projects on 16 deterministic
+    * pseudo-random hyperplanes spanning EVERY dimension, the SimHash-
+    * for-vectors construction).
+    *
+    * Determinism/parity: hyperplane weights derive from md5(b_pos)
+    * (integers in [-1000, 1000]), and the dot product is computed in
+    * INTEGERS (components quantized via floor(v·10⁴)) — floating-point
+    * summation order differs between engines and partitionings, and a
+    * sign() on a near-zero float dot would flake; an integer sum is
+    * order-independent, so the sign bits are bit-stable everywhere.
+    * Bounds: |term| ≤ 10⁴·10³ and dims ≤ 10⁴ keep the dot < 2⁶³.
+    *
+    * Scale shape: posexplode → broadcast-join the (16·dim)-row plane
+    * table → per-(vec, plane) partial-agg dot (map-side combined, only
+    * (id, b, int) rows shuffle) → 8-bit band codes → equi self-join per
+    * band (the LSH bucket join again — never n²) → exact cosine verify
+    * on candidates only. */
+  def hyperplaneLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    // explode, not crossJoin(range(16)): same 16·dim rows without a
+    // cartesian operator in the plan (PlanAuditSpec forbids them
+    // wholesale in the candidate-pair pipelines)
+    val planes = comps.select(col("pos")).distinct()
+      .select(col("pos"), explode(sequence(lit(0L), lit(15L))).as("b"))
+      .select(col("b"), col("pos"),
+        (conv(substring(md5(concat(col("b"), lit("_"), col("pos"))), 1, 8), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+    val dots = comps.join(broadcast(planes), Seq("pos"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum(floor(col("v").cast("double") * 10000).cast("long") * col("w")).as("dot"))
+    // two 8-bit bands: per-band collision prob stays useful for
+    // near-identical vectors while 2⁸ buckets bound bucket sizes
+    val codes = dots
+      .groupBy(col("vec_id"), (col("b") / 8).cast("int").as("band_no"))
+      .agg(sum(when(col("dot") >= 0,
+        pow(lit(2), col("b") % 8).cast("long")).otherwise(0L)).as("band_val"))
+    val a = codes.select(col("band_no"), col("band_val"), col("vec_id").as("vec_a"))
+    val bb = codes.select(col("band_no"), col("band_val"), col("vec_id").as("vec_b"))
+    val candidates = a.join(bb, Seq("band_no", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    candidates.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (round(cosine(col("emb_a"), col("emb_b")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def hyperplaneLshPairsSql: String =
+    """WITH comps AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |         unnest(range(0, len(embedding))) AS pos
+      |  FROM embeddings),
+      |planes AS (
+      |  SELECT t.b, p.pos,
+      |    (('0x' || substr(md5(t.b || '_' || p.pos), 1, 8))::BIGINT % 2001 - 1000) AS w
+      |  FROM range(16) t(b), (SELECT DISTINCT pos FROM comps) p),
+      |dots AS (
+      |  SELECT c.vec_id, pl.b,
+      |    sum(CAST(floor(c.v::DOUBLE * 10000) AS BIGINT) * pl.w) AS dot
+      |  FROM comps c JOIN planes pl USING (pos)
+      |  GROUP BY c.vec_id, pl.b),
+      |codes AS (
+      |  SELECT vec_id, CAST(b // 8 AS INT) AS band_no,
+      |    CAST(sum(CASE WHEN dot >= 0 THEN CAST(pow(2, b % 8) AS BIGINT) ELSE 0 END) AS BIGINT) AS band_val
+      |  FROM dots
+      |  GROUP BY vec_id, CAST(b // 8 AS INT)),
+      |cand AS (
+      |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      |  FROM codes x JOIN codes y
+      |    ON x.band_no = y.band_no AND x.band_val = y.band_val
+      |   AND x.vec_id < y.vec_id)
+      |SELECT c.vec_a, c.vec_b,
+      |  round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) + 0.0 AS cos_sim
+      |FROM cand c
+      |JOIN embeddings ea ON ea.vec_id = c.vec_a
+      |JOIN embeddings eb ON eb.vec_id = c.vec_b
+      |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
   /** Vector statistics per label: mean L2 norm, mean leading
     * component — array math + agg parity exercise. */
   def vectorStats(spark: SparkSession, sfDir: String): DataFrame = {

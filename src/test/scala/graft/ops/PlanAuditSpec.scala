@@ -58,6 +58,7 @@ class PlanAuditSpec extends SparkTestBase {
     def bounded(p: LogicalPlan): Boolean = {
       val shrinks = p.collectFirst {
         case _: Aggregate => true
+        case _: Deduplicate => true // distinct = group-by-all-columns
         case _: GlobalLimit => true
         case f: Filter if f.condition.exists {
           // pk = literal point lookup (the literal may sit under a Cast)
@@ -88,6 +89,8 @@ class PlanAuditSpec extends SparkTestBase {
     Seq(
       "lsh" -> Dedup.lshNearDupPairs(spark, sfDir),
       "grid" -> Similarity.gridNearDupPairs(spark, sfDir),
+      "hyperplane" -> Similarity.hyperplaneLshPairs(spark, sfDir),
+      "simhash_near_dup" -> Dedup.simhashNearDup(spark, sfDir),
       "pairs60s" -> EventOps.eventPairs60s(spark, sfDir)
     ).foreach { case (name, df) =>
       val p = plan(df)
