@@ -22,6 +22,11 @@ object ScaleProbe {
     time("grid_near_dup 20k vecs")(println("  pairs=" + ops.Similarity.gridNearDupPairs(spark, d).count()))
     time("tfidf 50k docs")(ops.Text.tfidf(spark, d).count())
     time("simhash 50k docs")(ops.Dedup.simhashBuckets(spark, d).count())
+    time("simhash_near_dup 50k docs")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d).count()))
+    time("hyperplane_lsh 20k vecs")(println("  pairs=" + ops.Similarity.hyperplaneLshPairs(spark, d).count()))
+    time("bpe_tokens 50k docs")(ops.Bpe.bpeTokens(spark, d).count())
+    time("lang_id_ngram 50k docs")(ops.Text.langIdNgram(spark, d).count())
+    time("ivf_trained_topk 20k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
     spark.stop()
   }
 }

@@ -355,26 +355,36 @@ object Similarity {
     * (id, b, int) rows shuffle) → 8-bit band codes → equi self-join per
     * band (the LSH bucket join again — never n²) → exact cosine verify
     * on candidates only. */
-  def hyperplaneLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def hyperplaneLshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    hyperplaneLshPairs(spark, sfDir, nPlanes = 16, bandBits = 8)
+
+  /** Tunable form: `nPlanes` total sign bits in `nPlanes/bandBits`
+    * bands. Bucket saturation is the scale knob — expected random
+    * collisions per band are n²/2^bandBits, so at 10⁹ vectors you run
+    * e.g. 64 planes × 16-bit bands, not the 16×8 the oracle-checked
+    * default uses (10×-probed at 20k vecs). Recall per band falls as
+    * bandBits grows; add bands (more planes) to compensate — the
+    * standard LSH (bands, rows) trade. */
+  def hyperplaneLshPairs(spark: SparkSession, sfDir: String,
+      nPlanes: Int, bandBits: Int): DataFrame = {
+    require(nPlanes % bandBits == 0 && bandBits <= 62, "bands must tile the code")
     val emb = Tables.embeddings(spark, sfDir)
     val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    // explode, not crossJoin(range(16)): same 16·dim rows without a
-    // cartesian operator in the plan (PlanAuditSpec forbids them
+    // explode, not crossJoin(range(n)): same nPlanes·dim rows without
+    // a cartesian operator in the plan (PlanAuditSpec forbids them
     // wholesale in the candidate-pair pipelines)
     val planes = comps.select(col("pos")).distinct()
-      .select(col("pos"), explode(sequence(lit(0L), lit(15L))).as("b"))
+      .select(col("pos"), explode(sequence(lit(0L), lit(nPlanes - 1L))).as("b"))
       .select(col("b"), col("pos"),
         (conv(substring(md5(concat(col("b"), lit("_"), col("pos"))), 1, 8), 16, 10)
           .cast("long") % 2001 - 1000).as("w"))
     val dots = comps.join(broadcast(planes), Seq("pos"))
       .groupBy(col("vec_id"), col("b"))
       .agg(sum(floor(col("v").cast("double") * 10000).cast("long") * col("w")).as("dot"))
-    // two 8-bit bands: per-band collision prob stays useful for
-    // near-identical vectors while 2⁸ buckets bound bucket sizes
     val codes = dots
-      .groupBy(col("vec_id"), (col("b") / 8).cast("int").as("band_no"))
+      .groupBy(col("vec_id"), (col("b") / bandBits).cast("int").as("band_no"))
       .agg(sum(when(col("dot") >= 0,
-        pow(lit(2), col("b") % 8).cast("long")).otherwise(0L)).as("band_val"))
+        pow(lit(2), col("b") % bandBits).cast("long")).otherwise(0L)).as("band_val"))
     val a = codes.select(col("band_no"), col("band_val"), col("vec_id").as("vec_a"))
     val bb = codes.select(col("band_no"), col("band_val"), col("vec_id").as("vec_b"))
     val candidates = a.join(bb, Seq("band_no", "band_val"))

@@ -120,6 +120,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scan.contains("PartitionFilters: [isnotnull(source"), scan)
   }
 
+  test("distribution subscribe prunes to the subscribed source's partition") {
+    // subscribe loads the whole distribution root then filters — that
+    // is only scale-safe because source is a partition column (pruned
+    // at planning, so one topic-dir is listed/read); this pins it so a
+    // layout refactor can't silently regress to full-root scans
+    import org.apache.spark.sql.functions.{col, lit}
+    val layout = graft.lake.Layout(tmpDir("sublake"))
+    val batch = spark.range(6).select(
+      (col("id") % 2 === 0).cast("string").as("source"),
+      col("id").cast("string").as("payload"))
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(col("source") === "true", "clicks").otherwise("tweets"))
+    graft.lake.Distribution.publish(batch, layout)
+    val q = graft.lake.Distribution.subscribe(spark, layout, "clicks")
+    val scan = scanInfo(q)
+    assert(scan.contains("PartitionFilters: [isnotnull(source"), scan)
+    assert(q.count() == 3)
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val df = Relational.pricingSummary(spark, sfDir)
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
