@@ -42,6 +42,18 @@ object Prof {
     // --- q_join_agg_topk ---
     time("q_join_agg_topk (AQE, no hint)")(ops.Relational.joinAggTopK(spark, d).count())
 
+    // --- q_simhash_near_dup stages ---
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    time("simhash token explode")(toks.count())
+    val hInline = toks.select(col("doc_id") +: (0 until 4).map(m =>
+      conv(substring(md5(col("token")), 1 + 4 * m, 4), 16, 10).cast("long").as(s"h$m")): _*)
+    time("h0..h3 inline md5 x4?")(hInline.agg(sum(col("h0") + col("h1") + col("h2") + col("h3"))).collect())
+    val hShared = toks.withColumn("d", md5(col("token")))
+      .select(col("doc_id") +: (0 until 4).map(m =>
+        conv(substring(col("d"), 1 + 4 * m, 4), 16, 10).cast("long").as(s"h$m")): _*)
+    time("h0..h3 shared md5 col")(hShared.agg(sum(col("h0") + col("h1") + col("h2") + col("h3"))).collect())
+    time("full q_simhash_near_dup")(ops.Dedup.simhashNearDup(spark, d).count())
+
     // --- q_ivf_trained_topk stages ---
     val emb = Tables.embeddings(spark, d)
     time("emb scan")(emb.count())

@@ -59,6 +59,7 @@ object SparkEntry {
     "q_term_freq" -> ((s, d) => Text.termFreq(s, d)),
     "q_token_counts" -> ((s, d) => Text.tokenCounts(s, d)),
     "q_bpe_tokens" -> ((s, d) => Bpe.bpeTokens(s, d)),
+    "q_quality_score" -> ((s, d) => Text.qualityScore(s, d)),
     "q_lang_id" -> ((s, d) => Text.langId(s, d)),
     "q_lang_id_ngram" -> ((s, d) => Text.langIdNgram(s, d)),
     "q_fingerprints" -> ((s, d) => Text.fingerprints(s, d)),
@@ -70,6 +71,7 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_simhash_buckets" -> ((s, d) => Dedup.simhashBuckets(s, d)),
     "q_simhash_near_dup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q_incremental_near_dup" -> ((s, d) => Dedup.incrementalNearDupQuery(s, d)),
     // similarity search (embeddings)
     "q_knn_brute_force" -> ((s, d) => Similarity.knnBruteForce(s, d)),
     "q_grid_near_dup" -> ((s, d) => Similarity.gridNearDupPairs(s, d)),
@@ -143,6 +145,7 @@ object SparkEntry {
     "q_term_freq" -> Text.termFreqSql,
     "q_token_counts" -> Text.tokenCountsSql,
     "q_bpe_tokens" -> Bpe.bpeTokensSql,
+    "q_quality_score" -> Text.qualityScoreSql,
     "q_lang_id" -> Text.langIdSql,
     "q_lang_id_ngram" -> Text.langIdNgramSql,
     "q_fingerprints" -> Text.fingerprintsSql,
@@ -153,6 +156,7 @@ object SparkEntry {
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "q_simhash_buckets" -> Dedup.simhashBucketsSql,
     "q_simhash_near_dup" -> Dedup.simhashNearDupSql,
+    "q_incremental_near_dup" -> Dedup.incrementalNearDupQuerySql,
     "q_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
     "q_hyperplane_lsh" -> Similarity.hyperplaneLshPairsSql,

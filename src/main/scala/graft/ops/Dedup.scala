@@ -451,6 +451,38 @@ object Dedup {
       threshold: Double = 0.5): DataFrame =
     incrementalNearDups(spark, bandIndexOf(corpus), corpus, batch, threshold)
 
+  /** Oracle-checked surface for [[incrementalNearDups]]: the corpus is
+    * split deterministically (doc_id mod 5) into an 80% "existing
+    * corpus" and a 20% "new batch", and the batch is checked against
+    * the corpus index — O(batch) signature work + an equi band join,
+    * the streaming-dedup shape, with only cross-partition pairs
+    * emitted (batch-internal dups are the NEXT batch's corpus
+    * problem). */
+  def incrementalNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    incrementalNearDups(spark, corpus, batch, threshold = 0.5)
+  }
+
+  def incrementalNearDupQuerySql: String =
+    s"""WITH csigs AS (
+       |  SELECT doc_id AS corpus_doc, list_distinct(string_split(text,' ')) AS toks,
+       |    ${bandSqlDuck(0, 1)} AS band1, ${bandSqlDuck(2, 3)} AS band2
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       |bsigs AS (
+       |  SELECT doc_id AS new_doc, list_distinct(string_split(text,' ')) AS toks,
+       |    ${bandSqlDuck(0, 1)} AS band1, ${bandSqlDuck(2, 3)} AS band2
+       |  FROM documents WHERE doc_id % 5 = 0)
+       |SELECT b.new_doc, c.corpus_doc,
+       |  round(len(list_intersect(b.toks, c.toks)) /
+       |        CAST(len(list_distinct(list_concat(b.toks, c.toks))) AS DOUBLE), 4) AS jaccard
+       |FROM bsigs b JOIN csigs c
+       |  ON b.band1 = c.band1 OR b.band2 = c.band2
+       |WHERE round(len(list_intersect(b.toks, c.toks)) /
+       |      CAST(len(list_distinct(list_concat(b.toks, c.toks))) AS DOUBLE), 4) >= 0.5
+       |ORDER BY new_doc, corpus_doc""".stripMargin
+
   /** Band-0 SimHash bucket histogram: the first 16-bit band of the
     * 64-bit fingerprint (see [[simhashNearDup]]) as an exact-collision
     * bucket count — the hamming-0-within-one-band view. The full

@@ -203,6 +203,56 @@ object Text {
       |GROUP BY lang, pred_lang
       |ORDER BY lang, pred_lang""".stripMargin
 
+  /** Composite document quality score — the filter stage of a
+    * training-data pipeline: per-doc signals (stopword ratio, non-
+    * alphanumeric ratio, lexical diversity, mean token length band)
+    * combined into a 0..1 score, histogrammed per language in decile
+    * buckets. Every signal is per-row array/string math (no shuffle);
+    * the histogram is one map-side-combined agg. Weights are fixed —
+    * tuning them is corpus policy, not engine capability. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = size(tokens).cast("double")
+    val stopHits = size(filter(tokens,
+      t => Seq("the", "a", "of", "and", "to", "in", "is", "it").map(t === _).reduce(_ || _)))
+    val stopRatio = stopHits / n
+    // share of characters outside [a-zA-Z0-9 ] — boilerplate/markup signal
+    val punctRatio = (length(col("text")) -
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") / length(col("text"))
+    val distinctRatio = size(array_distinct(tokens)) / n
+    val avgTokLen = (length(col("text")) - (n - 1)) / n
+    // each component clamped to [0,1]; natural-text sweet spots score high
+    val score =
+      least(stopRatio * 5, lit(1.0)) * 0.3 +
+        (lit(1.0) - punctRatio) * 0.2 +
+        least(distinctRatio * 1.25, lit(1.0)) * 0.3 +
+        (lit(1.0) - least(abs(avgTokLen - 5.0) / 5.0, lit(1.0))) * 0.2
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        least(floor(score * 10).cast("long"), lit(9L)).as("decile"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  def qualityScoreSql: String = {
+    val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+      .map(w => s"t = '$w'").mkString(" OR ")
+    val stopRatio = s"(len(list_filter(string_split(text, ' '), t -> $stop)) / $n)"
+    val punctRatio = s"(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text))"
+    val distinctRatio = s"(len(list_distinct(string_split(text, ' '))) / $n)"
+    val avgTokLen = s"((length(text) - ($n - 1)) / $n)"
+    val score =
+      s"least($stopRatio * 5, 1.0) * 0.3 + (1.0 - $punctRatio) * 0.2 + " +
+        s"least($distinctRatio * 1.25, 1.0) * 0.3 + " +
+        s"(1.0 - least(abs($avgTokLen - 5.0) / 5.0, 1.0)) * 0.2"
+    s"""SELECT lang, least(CAST(floor(($score) * 10) AS BIGINT), 9) AS decile,
+       |  count(*) AS n_docs
+       |FROM documents
+       |GROUP BY lang, decile
+       |ORDER BY lang, decile""".stripMargin
+  }
+
   /** Content fingerprinting: md5 of the normalized text (the rolling-
     * hash fingerprint role; md5 chosen for engine parity) + per-source
     * duplicate-fingerprint counts. */

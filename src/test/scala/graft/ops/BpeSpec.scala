@@ -45,6 +45,21 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.applyMerges("thethe", Bpe.merges) == Vector("the", "the"))
   }
 
+  test("ScalaCheck: replace-chain == JVM reference on random words") {
+    import org.scalacheck.Gen
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    // fixed seed: same 40 random-ish words every run
+    val words = Gen.listOfN(40, word)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L)).get.distinct
+    val viaCol = words.toDF("word")
+      .select(col("word"), Bpe.tokenCountCol(col("word")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(viaCol(w) == Bpe.applyMerges(w, Bpe.merges).length.toLong, s"'$w'")
+    }
+  }
+
   test("bpe token counts: one row per lang, tokens <= chars, positive") {
     val rows = Bpe.bpeTokens(spark, sfDir).collect()
     assert(rows.nonEmpty)
