@@ -139,6 +139,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(q.count() == 3)
   }
 
+  test("AQE broadcasts the unhinted filtered-customer side at runtime") {
+    // the round-1 plans FORCED broadcast(customer) — a mandate that
+    // OOMs at 100× scale. The hint is gone; this pins that AQE still
+    // picks a broadcast join at runtime when the filtered side is
+    // small, so removing the hint cost nothing at bench scale while
+    // letting big scales degrade to shuffle joins instead of dying.
+    val df = Relational.joinAggTopK(spark, sfDir)
+    df.collect() // AQE finalizes plans during execution
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(200))
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "expected AQE to convert the small filtered join side to broadcast")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     val df = Relational.pricingSummary(spark, sfDir)
     val codegen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
