@@ -24,6 +24,9 @@ object ScaleProbe {
     time("simhash 50k docs")(ops.Dedup.simhashBuckets(spark, d).count())
     time("simhash_near_dup 50k docs")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d).count()))
     time("hyperplane_lsh 20k vecs")(println("  pairs=" + ops.Similarity.hyperplaneLshPairs(spark, d).count()))
+    // the saturation knob: 2x16-bit bands cut random collisions by
+    // ~2^8 per band vs 2x8-bit, shrinking the verify set at scale
+    time("hyperplane 32x16 20k vecs")(println("  pairs=" + ops.Similarity.hyperplaneLshPairs(spark, d, nPlanes = 32, bandBits = 16).count()))
     time("bpe_tokens 50k docs")(ops.Bpe.bpeTokens(spark, d).count())
     time("lang_id_ngram 50k docs")(ops.Text.langIdNgram(spark, d).count())
     time("ivf_trained_topk 20k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
