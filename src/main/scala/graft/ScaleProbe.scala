@@ -23,6 +23,7 @@ object ScaleProbe {
     time("tfidf 50k docs")(ops.Text.tfidf(spark, d).count())
     time("simhash 50k docs")(ops.Dedup.simhashBuckets(spark, d).count())
     time("simhash_near_dup 50k docs")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d).count()))
+    time("simhash 6-band hamming<=3 50k")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d, nBands = 6, maxHamming = 3).count()))
     time("hyperplane_lsh 20k vecs")(println("  pairs=" + ops.Similarity.hyperplaneLshPairs(spark, d).count()))
     // the saturation knob: 2x16-bit bands cut random collisions by
     // ~2^8 per band vs 2x8-bit, shrinking the verify set at scale

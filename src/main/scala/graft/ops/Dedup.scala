@@ -530,15 +530,29 @@ object Dedup {
     * band is directly an equi-join key, and the hamming distance is a
     * sum of per-band `bit_count(xor)` terms that never nears the
     * int64 overflow DuckDB errors on. */
-  private[ops] def simhashFieldsOf(docs: DataFrame): DataFrame = {
+  private[ops] def simhashFieldsOf(docs: DataFrame): DataFrame =
+    simhashFieldsOf(docs, nBands = 4)
+
+  /** `nBands`×16-bit fingerprint fields (nBands ≤ 8 — md5 has 32 hex
+    * digits = 8 disjoint 16-bit slices). More bands WIDEN the exact
+    * hamming window (banded candidates are exact for hamming ≤
+    * nBands−1) but each band adds a full bucket-join: measured at 10×
+    * (50k docs, heavy real duplication), 6 bands cost 87 s vs 15.7 s
+    * for 4 — candidate volume, not agg width, dominates. Treat band
+    * count as the RECALL knob; to fight bucket saturation at huge n,
+    * widen the bucket (join on pairs of adjacent fields = 32-bit
+    * bands), the same trade [[Similarity.hyperplaneLshPairs]] measured
+    * (16-bit bands: 11.7 s → 4.9 s). */
+  private[ops] def simhashFieldsOf(docs: DataFrame, nBands: Int): DataFrame = {
+    require(nBands >= 1 && nBands <= 8, "md5 yields at most 8 16-bit slices")
     val withH = docs
       .select(col("doc_id"), explode(tokens).as("token"))
-      // one md5 per token; 4 disjoint 16-bit slices of the digest
-      .select(col("doc_id") +: (0 until 4).map(m =>
+      // one md5 per token; nBands disjoint 16-bit slices of the digest
+      .select(col("doc_id") +: (0 until nBands).map(m =>
         conv(substring(md5(col("token")), 1 + 4 * m, 4), 16, 10).cast("long").as(s"h$m")): _*)
-    val bitSums = for { m <- 0 until 4; j <- 0 until 16 } yield
+    val bitSums = for { m <- 0 until nBands; j <- 0 until 16 } yield
       sum(shiftright(col(s"h$m"), j).bitwiseAND(1) * 2 - 1).as(s"s${m}_$j")
-    val fields = (0 until 4).map { m =>
+    val fields = (0 until nBands).map { m =>
       (0 until 16).map(j =>
         when(col(s"s${m}_$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _).as(s"f$m")
     }
@@ -557,27 +571,34 @@ object Dedup {
     * for this threshold: recall 1.0, and only candidates pay the
     * hamming verify. Scale shape is the same bucketed LSH join as
     * [[lshNearDupPairs]]: cost ∝ Σ bucket², never n². */
-  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    val f = simhashFieldsOf(Tables.documents(spark, sfDir))
+  def simhashNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    simhashNearDup(spark, sfDir, nBands = 4, maxHamming = 3)
+
+  /** Tunable form — banding stays EXACT while maxHamming ≤ nBands−1
+    * (pigeonhole); the oracle-checked default is (4, 3). */
+  def simhashNearDup(spark: SparkSession, sfDir: String,
+      nBands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming <= nBands - 1, "banding is only exact for hamming <= nBands-1")
+    val f = simhashFieldsOf(Tables.documents(spark, sfDir), nBands)
     val bands = f.select(col("doc_id"), explode(array(
-        (0 until 4).map(m => struct(lit(m).as("band_no"), col(s"f$m").as("band_val"))): _*)).as("b"))
+        (0 until nBands).map(m => struct(lit(m).as("band_no"), col(s"f$m").as("band_val"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
     val a = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // fingerprints are 4 small ints — fetching them back for the few
-    // candidates keeps the band shuffle payload-free
-    val fa = f.select(col("doc_id").as("doc_a"),
-      col("f0").as("a0"), col("f1").as("a1"), col("f2").as("a2"), col("f3").as("a3"))
-    val fb = f.select(col("doc_id").as("doc_b"),
-      col("f0").as("b0"), col("f1").as("b1"), col("f2").as("b2"), col("f3").as("b3"))
+    // fingerprints are nBands small ints — fetching them back for the
+    // few candidates keeps the band shuffle payload-free
+    val fa = f.select(col("doc_id").as("doc_a") +:
+      (0 until nBands).map(m => col(s"f$m").as(s"a$m")): _*)
+    val fb = f.select(col("doc_id").as("doc_b") +:
+      (0 until nBands).map(m => col(s"f$m").as(s"b$m")): _*)
     candidates.join(fa, Seq("doc_a")).join(fb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (0 until 4).map(m => bit_count(col(s"a$m").bitwiseXOR(col(s"b$m"))))
+        (0 until nBands).map(m => bit_count(col(s"a$m").bitwiseXOR(col(s"b$m"))))
           .reduce(_ + _).cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
