@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: a library operator must not crash on
+  * empty/NULL/one-char documents or zero vectors — the rows that
+  * always exist somewhere in 100 TB of real data. These tests pin
+  * "executes and returns a frame" plus the specific semantics that are
+  * cheap to state (NULL text drops out of explodes; zero vectors rank
+  * last, not crash). */
+class DegenerateInputSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val degenerateDocs = {
+    val tmp = tmpDir("degdocs")
+    Seq(
+      (1L, "", "en", "s1"),
+      (2L, null.asInstanceOf[String], "en", "s1"),
+      (3L, "x", "de", "s2"),
+      (4L, "a b c a b c", "de", "s2"),
+      (5L, "   ", "fr", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  private lazy val degenerateVecs = {
+    val tmp = tmpDir("degvecs")
+    Seq(
+      (0L, Array(0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f), 0),
+      (2L, Array(1f, 0f, 0f), 1),
+      (3L, Array(0f, 1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  test("text/dedup operators survive empty, NULL, and whitespace docs") {
+    // every text-surface operator must execute; row bounds are loose
+    // on purpose — semantics for real docs are pinned elsewhere
+    assert(Text.textStats(spark, degenerateDocs).count() == 5)
+    assert(Text.qualityScore(spark, degenerateDocs).count() >= 1)
+    assert(Bpe.bpeTokens(spark, degenerateDocs).count() >= 1)
+    assert(Dedup.exactSummary(spark, degenerateDocs).count() == 1)
+    assert(Dedup.minhashSignatures(spark, degenerateDocs).count() == 5)
+    assert(Dedup.simhashNearDup(spark, degenerateDocs).count() >= 0)
+    assert(Dedup.lshNearDupPairs(spark, degenerateDocs).count() >= 0)
+    assert(Text.langId(spark, degenerateDocs).count() >= 1)
+  }
+
+  test("NULL text yields NULL minhash signatures (not a crash, not a fake bucket)") {
+    val sigs = Dedup.minhashSignatures(spark, degenerateDocs).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(sigs(2L), "NULL text must produce NULL sig")
+    assert(!sigs(4L), "real text must produce a sig")
+    // and NULL band values never join: doc 1 ("") and doc 2 (NULL)
+    // must not pair with anything
+    val pairs = Dedup.lshNearDupPairs(spark, degenerateDocs).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+  }
+
+  test("similarity operators survive the all-zero vector") {
+    // cosine(0-vec, q) = 0/0 = NaN — must flow through ranking without
+    // crashing and never beat a real similarity
+    val knn = Similarity.knnBruteForce(spark, degenerateVecs).collect()
+    assert(knn.nonEmpty)
+    assert(knn.head.getLong(0) != 0L || knn.head.getDouble(2).isNaN == false)
+    assert(Similarity.hyperplaneLshPairs(spark, degenerateVecs).count() >= 0)
+    assert(Similarity.labelCentroids(spark, degenerateVecs).count() >= 1)
+    assert(Similarity.vectorStats(spark, degenerateVecs).count() >= 1)
+  }
+}
