@@ -42,6 +42,7 @@ object SparkEntry {
     "q_window_topk" -> ((s, d) => Windows.topOrdersPerCustomer(s, d)),
     "q_window_gaps" -> ((s, d) => Windows.eventGaps(s, d)),
     "q_sessionize" -> ((s, d) => Windows.sessionize(s, d)),
+    "q_window_rank_stats" -> ((s, d) => Windows.rankStats(s, d)),
     // events: range scan (O11), json, as-of, range join
     "q_event_time_range" -> ((s, d) => EventOps.eventTimeRange(s, d)),
     "q_json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_window_topk" -> Windows.topOrdersPerCustomerSql,
     "q_window_gaps" -> Windows.eventGapsSql,
     "q_sessionize" -> Windows.sessionizeSql,
+    "q_window_rank_stats" -> Windows.rankStatsSql,
     "q_event_time_range" -> EventOps.eventTimeRangeSql,
     "q_json_props" -> EventOps.jsonPropsSql,
     "q_asof_last_order" -> EventOps.asofLastOrderSql,

@@ -131,4 +131,36 @@ object Windows {
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Ranking-statistics windows — ntile / percent_rank / cume_dist
+    * over per-priority price order (the remaining built-in window
+    * family). The window ORDER BY carries a unique tiebreaker
+    * (orderkey), so every rank function is deterministic; the output
+    * is sampled (orderkey mod 100) AFTER the windows are computed, so
+    * the full partitions are exercised while the compare set stays
+    * small. */
+  def rankStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        (round(percent_rank().over(w), 4) + lit(0.0)).as("pct_rank"),
+        (round(cume_dist().over(w), 4) + lit(0.0)).as("cume"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  def rankStatsSql: String =
+    """SELECT o_orderpriority, o_orderkey, quartile, pct_rank, cume
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |    round(percent_rank() OVER w, 4) + 0.0 AS pct_rank,
+      |    round(cume_dist() OVER w, 4) + 0.0 AS cume
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 }
