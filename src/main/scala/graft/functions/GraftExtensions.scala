@@ -20,9 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * engine, the DataFrame surface plus these expressions cover it.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -37,10 +36,21 @@ object GraftExtensions {
       CosineSimilarity(children.head, children(1))
     })
 
+  val distinctCharBigramsDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("distinct_char_bigrams"),
+    new ExpressionInfo(classOf[DistinctCharBigrams].getName, "distinct_char_bigrams"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "distinct_char_bigrams takes exactly 1 argument")
+      DistinctCharBigrams(children.head)
+    })
+
+  val descriptors: Seq[FunctionDescriptor] =
+    Seq(cosineSimDescriptor, distinctCharBigramsDescriptor)
+
   /** Imperative registration for an existing session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (_, _, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", builder, "built-in")
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

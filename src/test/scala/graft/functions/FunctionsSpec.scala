@@ -34,6 +34,13 @@ class FunctionsSpec extends SparkTestBase {
     assert(hof.isNullAt(0))
   }
 
+  test("distinct_char_bigrams callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT distinct_char_bigrams('abab') AS b")
+      .collect()(0).getSeq[String](0)
+    assert(r == Seq("ab", "ba"))
+  }
+
   test("cosine_sim SQL rejects wrong arity and type") {
     GraftExtensions.register(spark)
     intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0f))").collect() }
