@@ -1,0 +1,58 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only 50× documents probe (≈250k docs): synthesizes a 50×
+  * corpus by replicating sf0.1 documents with a PER-REPLICA token
+  * appended — byte-identical replication would put every doc in a
+  * 50-member exact-dup cluster and blow candidate pairs up
+  * quadratically in replica count, which says nothing about real
+  * corpora; the perturbation keeps near-dup cluster sizes at their
+  * natural scale while multiplying corpus volume. Runs the near-dup
+  * family end-to-end to expose any super-linear constant the 10×
+  * probe is too small to see. */
+object Scale50 {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale50] $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    val d = "/tmp/sf50"
+    val docs50 = s"$d/documents.parquet"
+    if (!new java.io.File(docs50).exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val n = base.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+      time("synthesize 50x docs") {
+        // per-replica tag on every ODD token: replicas of one base doc
+        // share only the even tokens (pairwise Jaccard ≈ 1/3 < the 0.5
+        // threshold), so they do NOT form 50-member near-dup clusters —
+        // while near-dup pairs WITHIN a replica keep their natural
+        // similarity (both docs get the same transformation). Corpus
+        // volume ×50, cluster structure ×50, cluster SIZE unchanged.
+        base.crossJoin(spark.range(50).select(col("id").as("rep")))
+          .select(
+            (col("doc_id") + col("rep") * n).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              (t, i) => when(i % 2 === 1, concat(t, lit("_r"), col("rep"))).otherwise(t)),
+              " ").as("text"),
+            col("lang"), col("source"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(docs50)
+      }
+    }
+    println("  docs=" + spark.read.parquet(docs50).count())
+    time("minhash_signatures 250k")(ops.Dedup.minhashSignatures(spark, d).count())
+    time("lsh_near_dup 250k")(println("  pairs=" + ops.Dedup.lshNearDupPairs(spark, d).count()))
+    time("simhash_near_dup 250k")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d).count()))
+    time("near_dedup_summary 250k")(ops.Dedup.nearDedupSummary(spark, d).count())
+    time("bpe_tokens 250k")(ops.Bpe.bpeTokens(spark, d).count())
+    time("lang_id_ngram 250k")(ops.Text.langIdNgram(spark, d).count())
+    spark.stop()
+  }
+}
