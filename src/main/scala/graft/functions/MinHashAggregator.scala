@@ -53,11 +53,14 @@ object MinHashScheme {
 class MinHashAggregator(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
 
   // Long.MaxValue = "no shingle seen yet": mixes are in [0, P) so any
-  // real value replaces it; an empty group keeps it (callers treat a
-  // MaxValue signature as the relational NULL-signature case)
+  // real value replaces it; [[finish]] maps an untouched buffer to a
+  // NULL signature, matching the relational surface exactly
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // NULL shingles occur for degenerate docs (explode_outer over an
+    // empty shingle array) — the relational min() skips them; so do we
+    if (shingle == null) return buf
     val md = MessageDigest.getInstance("MD5")
     val h = MinHashScheme.hash32(md, shingle)
     var i = 0
@@ -78,7 +81,12 @@ class MinHashAggregator(k: Int) extends Aggregator[String, Array[Long], Array[Lo
     a
   }
 
-  override def finish(buf: Array[Long]): Array[Long] = buf
+  // a group that never saw a real shingle yields a NULL signature —
+  // the relational surface's NULL-band semantics (NULL never
+  // equi-joins), NOT a real-looking MaxValue that would collapse every
+  // degenerate doc into one fake LSH bucket
+  override def finish(buf: Array[Long]): Array[Long] =
+    if (buf.forall(_ == Long.MaxValue)) null else buf
 
   override def bufferEncoder: Encoder[Array[Long]] = MinHashAggregator.arrEnc
   override def outputEncoder: Encoder[Array[Long]] = MinHashAggregator.arrEnc

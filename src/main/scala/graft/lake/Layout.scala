@@ -66,8 +66,13 @@ object Compaction {
     if (!fs.rename(dir, bak))
       throw new java.io.IOException(s"compaction: cannot move $dirStr aside")
     if (!fs.rename(tmp, dir)) {
-      fs.rename(bak, dir) // restore
-      throw new java.io.IOException(s"compaction: cannot swap in compacted $dirStr")
+      // the restore itself can fail (transient FS error) — then the
+      // data sits only in the _-prefixed backup, which listings skip:
+      // say so explicitly instead of reporting just the swap failure
+      if (!fs.rename(bak, dir))
+        throw new java.io.IOException(
+          s"compaction: swap-in AND restore failed — data preserved at $bak, manual rename required")
+      throw new java.io.IOException(s"compaction: cannot swap in compacted $dirStr (restored original)")
     }
     fs.delete(bak, true)
     n

@@ -152,20 +152,29 @@ object Multimodal {
       // per-partition (per-batch) setup: ImageIO readers are resolved
       // once per JVM; heavier codecs would init here
       it.map { a =>
-        val meta =
-          if (ImageCodec.isImage(a.content)) ImageCodec.decodeMeta(a.content)
-          else FakeCodec.decodeMeta(a.content, a.meta.codec)
+        // per-row containment: a truncated/corrupt image (or a fake
+        // header whose first bytes collide with a magic, e.g. width
+        // 0x424D == 'BM') must degrade to the header codec, not abort
+        // the job — one bad asset in 100 TB is a certainty
+        val meta = attempt(a, _ => ImageCodec.decodeMeta(a.content),
+          () => FakeCodec.decodeMeta(a.content, a.meta.codec))
         a.copy(meta = meta)
       }
     }
   }
 
+  /** Try the real codec when magic bytes claim an image; contain any
+    * decode failure and fall back to the deterministic header codec. */
+  private def attempt[T](a: MediaAsset, real: MediaAsset => T, fake: () => T): T =
+    if (ImageCodec.isImage(a.content))
+      try real(a) catch { case _: Exception => fake() }
+    else fake()
+
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val f =
-        if (ImageCodec.isImage(a.content)) ImageCodec.features(a.content)
-        else FakeCodec.features(a.content)
+      val f = attempt(a, x => ImageCodec.features(x.content),
+        () => FakeCodec.features(a.content))
       MediaFeatures(a.assetId, a.modality, f)
     })
   }
@@ -173,9 +182,8 @@ object Multimodal {
   def resizeAll(assets: Dataset[MediaAsset], factor: Int): Dataset[MediaAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val c =
-        if (ImageCodec.isImage(a.content)) ImageCodec.resize(a.content, factor)
-        else FakeCodec.resize(a.content, factor)
+      val c = attempt(a, x => ImageCodec.resize(x.content, factor),
+        () => FakeCodec.resize(a.content, factor))
       a.copy(content = c)
     })
   }

@@ -55,6 +55,10 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         (round(cosine(col("embedding"), col("q_embedding")), 4) + lit(0.0)).as("cos_sim"))
+      // an all-zero vector yields cos = 0/0 = NaN, and BOTH engines
+      // order NaN above +inf in DESC — without this filter a junk
+      // vector would "win" top-k; no-op on NaN-free corpora
+      .filter(!isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -65,6 +69,8 @@ object Similarity {
       |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM embeddings
       |WHERE vec_id <> 0
+      |  AND NOT isnan(round(list_cosine_similarity(embedding::DOUBLE[],
+      |    (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) + 0.0)
       |ORDER BY cos_sim DESC, vec_id
       |LIMIT 10""".stripMargin
 
@@ -370,10 +376,15 @@ object Similarity {
     require(nPlanes % bandBits == 0 && bandBits <= 62, "bands must tile the code")
     val emb = Tables.embeddings(spark, sfDir)
     val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-    // explode, not crossJoin(range(n)): same nPlanes·dim rows without
-    // a cartesian operator in the plan (PlanAuditSpec forbids them
-    // wholesale in the candidate-pair pipelines)
-    val planes = comps.select(col("pos")).distinct()
+    // the (nPlanes·dim)-row plane table is built from a RANGE leaf,
+    // not from comps: deriving positions via posexplode+distinct would
+    // shuffle n·dim corpus rows on the broadcast side just to
+    // enumerate 0..dim-1. The dimension is one scalar read off a
+    // single row (vector columns are fixed-width by contract).
+    // explode, not crossJoin(range(n)): same rows without a cartesian
+    // operator (PlanAuditSpec forbids them in candidate pipelines).
+    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    val planes = spark.range(dim).select(col("id").cast("int").as("pos"))
       .select(col("pos"), explode(sequence(lit(0L), lit(nPlanes - 1L))).as("b"))
       .select(col("b"), col("pos"),
         (conv(substring(md5(concat(col("b"), lit("_"), col("pos"))), 1, 8), 16, 10)

@@ -216,11 +216,11 @@ object Text {
       t => Seq("the", "a", "of", "and", "to", "in", "is", "it").map(t === _).reduce(_ || _)))
     val stopRatio = stopHits / n
     // share of characters outside [a-zA-Z0-9 ] — boilerplate/markup
-    // signal. Guarded: ANSI mode (Spark 4 default) throws on /0, and
-    // empty docs exist in any real corpus.
+    // signal: what REMAINS after deleting the allowed class is the
+    // punctuation mass. Guarded: ANSI mode (Spark 4 default) throws
+    // on /0, and empty docs exist in any real corpus.
     val punctRatio = when(length(col("text")) > 0,
-      (length(col("text")) -
-        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", ""))).cast("double") / length(col("text")))
+      length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("double") / length(col("text")))
       .otherwise(lit(0.0))
     val distinctRatio = size(array_distinct(tokens)) / n
     val avgTokLen = (length(col("text")) - (n - 1)) / n
@@ -243,7 +243,7 @@ object Text {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
       .map(w => s"t = '$w'").mkString(" OR ")
     val stopRatio = s"(len(list_filter(string_split(text, ' '), t -> $stop)) / $n)"
-    val punctRatio = s"(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"
+    val punctRatio = s"(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"
     val distinctRatio = s"(len(list_distinct(string_split(text, ' '))) / $n)"
     val avgTokLen = s"((length(text) - ($n - 1)) / $n)"
     val score =

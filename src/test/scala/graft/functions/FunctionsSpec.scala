@@ -34,6 +34,16 @@ class FunctionsSpec extends SparkTestBase {
     assert(hof.isNullAt(0))
   }
 
+  test("MinHashAggregator: NULL shingles skipped, shingle-less group -> NULL signature") {
+    val sigCol = udaf(new MinHashAggregator(4))
+    val rows = Seq((1L, "a b c"), (1L, null), (2L, null))
+      .toDF("doc_id", "shingle")
+      .groupBy(col("doc_id")).agg(sigCol(col("shingle")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rows(1L), "real shingles must produce a signature despite a NULL row")
+    assert(rows(2L), "a group with only NULL shingles must sign as NULL (never joins)")
+  }
+
   test("distinct_char_bigrams callable from SQL after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT distinct_char_bigrams('abab') AS b")

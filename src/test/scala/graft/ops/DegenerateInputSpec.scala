@@ -28,10 +28,10 @@ class DegenerateInputSpec extends SparkTestBase {
   private lazy val degenerateVecs = {
     val tmp = tmpDir("degvecs")
     Seq(
-      (0L, Array(0f, 0f, 0f), 0),
+      (0L, Array(1f, 0f, 0f), 0), // the query vector — real
       (1L, Array(1f, 0f, 0f), 0),
-      (2L, Array(1f, 0f, 0f), 1),
-      (3L, Array(0f, 1f, 0f), 1))
+      (2L, Array(0f, 1f, 0f), 1),
+      (3L, Array(0f, 0f, 0f), 1)) // all-zero: cosine = NaN
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     tmp
@@ -62,11 +62,14 @@ class DegenerateInputSpec extends SparkTestBase {
   }
 
   test("similarity operators survive the all-zero vector") {
-    // cosine(0-vec, q) = 0/0 = NaN — must flow through ranking without
-    // crashing and never beat a real similarity
+    // cosine(0-vec, q) = 0/0 = NaN, and NaN sorts ABOVE +inf in DESC
+    // order in both Spark and DuckDB — the NaN guard in knnBruteForce
+    // must keep the junk vector out of the top-k entirely
     val knn = Similarity.knnBruteForce(spark, degenerateVecs).collect()
     assert(knn.nonEmpty)
-    assert(knn.head.getLong(0) != 0L || knn.head.getDouble(2).isNaN == false)
+    assert(!knn.map(_.getLong(0)).contains(3L), "all-zero vector must not rank")
+    assert(knn.head.getLong(0) == 1L, "the identical real vector must rank first")
+    assert(!knn.head.getDouble(2).isNaN)
     assert(Similarity.hyperplaneLshPairs(spark, degenerateVecs).count() >= 0)
     assert(Similarity.labelCentroids(spark, degenerateVecs).count() >= 1)
     assert(Similarity.vectorStats(spark, degenerateVecs).count() >= 1)

@@ -51,6 +51,17 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).meta == MediaMeta(31, 17, 0L, "bmp"))
   }
 
+  test("REAL codec: corrupt magic-matching bytes fall back to the header codec, not a crash") {
+    // PNG magic + garbage: ImageIO fails to decode; the batch path must
+    // contain the failure per-row and degrade to the header scheme
+    val corrupt = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47) ++ Array.fill[Byte](64)(7)
+    val assets = Seq(MediaAsset(20, "image", corrupt, MediaMeta(0, 0, 0, "c")))
+    val out = decodeAll(assets.toDS()).collect()(0)
+    // header parse of the garbage bytes — deterministic, job survives
+    assert(out.meta.codec == "c" && out.assetId == 20)
+    assert(extractFeatures(assets.toDS()).collect()(0).feature.length == 32)
+  }
+
   test("REAL codec: resize resamples pixels (decoded dims shrink by factor)") {
     val real = Seq(MediaAsset(12, "image", realImage(64, 48, "png"), MediaMeta(0, 0, 0, "?")))
     val resized = resizeAll(real.toDS(), 4).collect()(0)
