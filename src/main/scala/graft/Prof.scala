@@ -6,10 +6,7 @@ import org.apache.spark.sql.functions._
   * expensive queries' stages in isolation at sf0.1 to see where the
   * time goes before optimizing. */
 object Prof {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[prof] $name%-36s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
-  }
+  private def time[T](name: String)(f: => T): T = DevTiming.time("prof")(name)(f)
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -12,10 +12,7 @@ import org.apache.spark.sql.functions._
   * family end-to-end to expose any super-linear constant the 10×
   * probe is too small to see. */
 object Scale50 {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[scale50] $name%-30s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
-  }
+  private def time[T](name: String)(f: => T): T = DevTiming.time("scale50")(name)(f)
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")

@@ -1,10 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object ScaleProbe {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[scale] $name%-28s ${(System.nanoTime()-t0)/1e9}%7.2f s"); r
-  }
+  private def time[T](name: String)(f: => T): T = DevTiming.time("scale")(name)(f)
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
