@@ -18,6 +18,7 @@ object ScaleProbe {
     time("ivf_topk 20k vecs")(ops.Similarity.ivfTopK(spark, d).count())
     time("grid_near_dup 20k vecs")(println("  pairs=" + ops.Similarity.gridNearDupPairs(spark, d).count()))
     time("tfidf 50k docs")(ops.Text.tfidf(spark, d).count())
+    time("hll approx-distinct (sketch only)")(ops.Aggregates.approxDistinctRaw(spark, d).count())
     time("simhash 50k docs")(ops.Dedup.simhashBuckets(spark, d).count())
     time("simhash_near_dup 50k docs")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d).count()))
     time("simhash 6-band hamming<=3 50k")(println("  pairs=" + ops.Dedup.simhashNearDup(spark, d, nBands = 6, maxHamming = 3).count()))

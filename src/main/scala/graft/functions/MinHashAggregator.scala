@@ -57,11 +57,15 @@ class MinHashAggregator(k: Int) extends Aggregator[String, Array[Long], Array[Lo
   // NULL signature, matching the relational surface exactly
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
+  // one digest per deserialized aggregator copy (= per task), not per
+  // shingle: MD5 digest() resets itself after each call, and instance
+  // construction per row was measurable in the near-dup profile
+  @transient private lazy val md: MessageDigest = MessageDigest.getInstance("MD5")
+
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
     // NULL shingles occur for degenerate docs (explode_outer over an
     // empty shingle array) — the relational min() skips them; so do we
     if (shingle == null) return buf
-    val md = MessageDigest.getInstance("MD5")
     val h = MinHashScheme.hash32(md, shingle)
     var i = 0
     while (i < k) {

@@ -37,13 +37,28 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** HLL++ approximate distinct — the 100 TB path for distinct counts
-    * (mergeable sketch, one shuffle, fixed memory). The raw sketch
+  /** Sketch-only approximate distinct — the ACTUAL 100 TB path
+    * (mergeable HLL++, one shuffle, fixed memory, no exact-distinct
+    * expansion). [[approxDistinct]] is the VERIFICATION query, which
+    * deliberately pays the exact count so the oracle can bound the
+    * estimate; production callers and scale probes use this form. */
+  def approxDistinctRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** HLL++ approximate distinct, VERIFICATION form. The raw sketch
     * estimate is implementation-specific, so the oracle-checkable
     * surface is DERIVED: the exact count (hash-compared directly) and
     * `approx_ok` = |approx − exact| / exact < 3·rsd, which the oracle
     * asserts as literal TRUE — if Spark's estimate ever drifts outside
-    * the 3-sigma band the hash mismatches and the row goes red. */
+    * the 3-sigma band the hash mismatches and the row goes red. The
+    * exact companion is the cost of a hard cross-engine check; the
+    * sketch-only plan a 100 TB run would use is [[approxDistinctRaw]]
+    * (ScaleProbe times that one). */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val rsd = 0.02
     val li = Tables.lineitem(spark, sfDir)

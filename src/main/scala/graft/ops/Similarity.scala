@@ -91,7 +91,10 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (round(cosine(col("emb_a"), col("emb_b")), 4) + lit(0.0)).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.35)
+      // NaN >= x is TRUE in both engines' ordering-based compare — a
+      // pair of junk (all-zero) vectors would otherwise be emitted as
+      // a confirmed near-dup with cos_sim = NaN
+      .filter(col("cos_sim") >= 0.35 && !isnan(col("cos_sim")))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -105,6 +108,7 @@ object Similarity {
       |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35
+      |  AND NOT isnan(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4))
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** IVF-style ANN, stage 1 — build the inverted file: a deterministic
@@ -263,7 +267,17 @@ object Similarity {
   /** IVF probe over TRAINED (k-means) centroids — the production
     * variant of [[ivfTopK]] (whose modulo-sampled centroids exist for
     * a self-contained oracle). Training determinism/monotonicity is
-    * additionally ScalaTested. */
+    * additionally ScalaTested.
+    *
+    * NOTE: CONSTRUCTING this frame runs the index build eagerly
+    * (corpus-key scan, sample k-means, centroid export) — the oracle
+    * contract requires the materialized centroids to exist before the
+    * returned plan is read. Plan-only consumers (audits) pay the build
+    * too; that is the honest cost of a query whose first stage IS an
+    * index build. The export path is per-corpus-keyed, so concurrent
+    * runs at different data only race if two sessions process the SAME
+    * corpus simultaneously — acceptable for the single-tenant driver;
+    * a multi-tenant deployment would key by session id as well. */
   def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
       nprobe: Int = 3, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -310,6 +324,9 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
         (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      // NaN sorts above +inf DESC in both engines: keep junk vectors
+      // out of the top-k (see knnBruteForce)
+      .filter(!isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -339,6 +356,7 @@ object Similarity {
        |JOIN probed USING (centroid_id)
        |CROSS JOIN q
        |WHERE a.rk = 1 AND a.vec_id <> 0
+       |  AND NOT isnan(round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
 
@@ -406,7 +424,9 @@ object Similarity {
     candidates.join(ea, Seq("vec_a")).join(eb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         (round(cosine(col("emb_a"), col("emb_b")), 4) + lit(0.0)).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.35)
+      // junk vectors collide on all-equal sign codes AND pass a plain
+      // >= filter with NaN — guard like the other ANN emitters
+      .filter(col("cos_sim") >= 0.35 && !isnan(col("cos_sim")))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -440,6 +460,7 @@ object Similarity {
       |JOIN embeddings ea ON ea.vec_id = c.vec_a
       |JOIN embeddings eb ON eb.vec_id = c.vec_b
       |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+      |  AND NOT isnan(round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4))
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Vector statistics per label: mean L2 norm, mean leading

@@ -232,7 +232,13 @@ object Text {
         (lit(1.0) - least(abs(avgTokLen - 5.0) / 5.0, lit(1.0))) * 0.2
     Tables.documents(spark, sfDir)
       .select(col("lang"),
-        least(floor(score * 10).cast("long"), lit(9L)).as("decile"))
+        // NULL text must land in decile 0 (junk), explicitly: the
+        // composite score is NULL for NULL text and least() SKIPS
+        // NULLs in Spark (and in current DuckDB), which would
+        // otherwise file NULL docs in decile 9 — the top-quality
+        // bucket of a training-data filter
+        when(col("text").isNull, lit(0L))
+          .otherwise(least(floor(score * 10).cast("long"), lit(9L))).as("decile"))
       .groupBy(col("lang"), col("decile"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("decile"))
@@ -250,7 +256,9 @@ object Text {
       s"least($stopRatio * 5, 1.0) * 0.3 + (1.0 - $punctRatio) * 0.2 + " +
         s"least($distinctRatio * 1.25, 1.0) * 0.3 + " +
         s"(1.0 - least(abs($avgTokLen - 5.0) / 5.0, 1.0)) * 0.2"
-    s"""SELECT lang, least(CAST(floor(($score) * 10) AS BIGINT), 9) AS decile,
+    s"""SELECT lang,
+       |  CASE WHEN text IS NULL THEN 0
+       |       ELSE least(CAST(floor(($score) * 10) AS BIGINT), 9) END AS decile,
        |  count(*) AS n_docs
        |FROM documents
        |GROUP BY lang, decile
