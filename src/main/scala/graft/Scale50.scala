@@ -50,6 +50,32 @@ object Scale50 {
     time("near_dedup_summary 250k")(ops.Dedup.nearDedupSummary(spark, d).count())
     time("bpe_tokens 250k")(ops.Bpe.bpeTokens(spark, d).count())
     time("lang_id_ngram 250k")(ops.Text.langIdNgram(spark, d).count())
+
+    // 50× embeddings (100k vectors): replicas get a per-replica
+    // component bump on dimension (rep mod dim) — large enough to
+    // break exact duplication, small enough to keep the corpus's
+    // similarity structure
+    val vecs50 = s"$d/embeddings.parquet"
+    if (!new java.io.File(vecs50).exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val n = base.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+      time("synthesize 50x embeddings") {
+        base.crossJoin(spark.range(50).select(col("id").as("rep")))
+          .select(
+            (col("vec_id") + col("rep") * n).as("vec_id"),
+            transform(col("embedding"),
+              (v, i) => when(i === pmod(col("rep"), size(col("embedding"))),
+                v + (col("rep") % 17).cast("float") * 0.01f).otherwise(v)).as("embedding"),
+            col("label"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(vecs50)
+      }
+    }
+    println("  vecs=" + spark.read.parquet(vecs50).count())
+    time("knn_brute_force 100k vecs")(ops.Similarity.knnBruteForce(spark, d).count())
+    time("hyperplane 32x16 100k vecs")(println("  pairs=" +
+      ops.Similarity.hyperplaneLshPairs(spark, d, nPlanes = 32, bandBits = 16).count()))
+    time("ivf_trained_topk 100k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
     spark.stop()
   }
 }

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_scalar_funcs" -> ((s, d) => SetAndScalar.scalarFuncs(s, d)),
     "q_ship_delays" -> ((s, d) => SetAndScalar.shipDelays(s, d)),
     "q_edit_distances" -> ((s, d) => SetAndScalar.editDistances(s, d)),
+    "q_array_funcs" -> ((s, d) => SetAndScalar.arrayFuncs(s, d)),
     // text analysis (documents)
     "q_text_stats" -> ((s, d) => Text.textStats(s, d)),
     "q_term_freq" -> ((s, d) => Text.termFreq(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_scalar_funcs" -> SetAndScalar.scalarFuncsSql,
     "q_ship_delays" -> SetAndScalar.shipDelaysSql,
     "q_edit_distances" -> SetAndScalar.editDistancesSql,
+    "q_array_funcs" -> SetAndScalar.arrayFuncsSql,
     "q_text_stats" -> Text.textStatsSql,
     "q_term_freq" -> Text.termFreqSql,
     "q_token_counts" -> Text.tokenCountsSql,

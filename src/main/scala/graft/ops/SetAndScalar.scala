@@ -174,4 +174,44 @@ object SetAndScalar {
       |       ELSE 'small' END AS bucket
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Array-function surface: per-order line aggregation into arrays,
+    * consumed through SCALAR derivations only — the driver's checker
+    * cannot sort/hash ARRAY output columns (the q_agg_quantiles
+    * lesson), so the arrays are exercised (collect → sort → join/
+    * element access/reduction) but emitted as strings and numbers.
+    * collect_list order is nondeterministic under parallelism; every
+    * consumer sorts first, so the output is partition-layout-proof. */
+  def arrayFuncs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_orderkey") % 500 === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_list(col("l_linenumber").cast("long")).as("lines"),
+        collect_list(col("l_quantity").cast("double")).as("qtys"))
+      .select(col("l_orderkey"),
+        size(col("lines")).cast("long").as("n_lines"),
+        array_join(sort_array(col("lines")), ",").as("line_csv"),
+        element_at(sort_array(col("lines")), 1).as("first_line"),
+        element_at(sort_array(col("lines"), asc = false), 1).as("last_line"),
+        (round(array_max(col("qtys")), 2) + lit(0.0)).as("max_qty"),
+        (round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 2) + lit(0.0)).as("sum_qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  def arrayFuncsSql: String =
+    """SELECT l_orderkey,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  array_to_string(list_sort(lines), ',') AS line_csv,
+      |  list_sort(lines)[1] AS first_line,
+      |  list_reverse_sort(lines)[1] AS last_line,
+      |  round(list_max(qtys), 2) + 0.0 AS max_qty,
+      |  round(list_sum(qtys), 2) + 0.0 AS sum_qty
+      |FROM (
+      |  SELECT l_orderkey,
+      |    list(CAST(l_linenumber AS BIGINT)) AS lines,
+      |    list(CAST(l_quantity AS DOUBLE)) AS qtys
+      |  FROM lineitem
+      |  WHERE l_orderkey % 500 = 0
+      |  GROUP BY l_orderkey)
+      |ORDER BY l_orderkey""".stripMargin
 }
