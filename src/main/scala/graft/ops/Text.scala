@@ -210,7 +210,10 @@ object Text {
     * buckets. Every signal is per-row array/string math (no shuffle);
     * the histogram is one map-side-combined agg. Weights are fixed —
     * tuning them is corpus policy, not engine capability. */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document quality decile (0 = junk, 9 = best) of a `text`
+    * column — the reusable filter-stage predicate; [[qualityScore]]
+    * histograms it and streaming intakes filter on it. */
+  def qualityDecile: Column = {
     val n = size(tokens).cast("double")
     val stopHits = size(filter(tokens,
       t => Seq("the", "a", "of", "and", "to", "in", "is", "it").map(t === _).reduce(_ || _)))
@@ -230,19 +233,20 @@ object Text {
         (lit(1.0) - punctRatio) * 0.2 +
         least(distinctRatio * 1.25, lit(1.0)) * 0.3 +
         (lit(1.0) - least(abs(avgTokLen - 5.0) / 5.0, lit(1.0))) * 0.2
+    // NULL text must land in decile 0 (junk), explicitly: the
+    // composite score is NULL for NULL text and least() SKIPS NULLs
+    // in Spark (and in current DuckDB), which would otherwise file
+    // NULL docs in decile 9 — the top-quality bucket
+    when(col("text").isNull, lit(0L))
+      .otherwise(least(floor(score * 10).cast("long"), lit(9L)))
+  }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("lang"),
-        // NULL text must land in decile 0 (junk), explicitly: the
-        // composite score is NULL for NULL text and least() SKIPS
-        // NULLs in Spark (and in current DuckDB), which would
-        // otherwise file NULL docs in decile 9 — the top-quality
-        // bucket of a training-data filter
-        when(col("text").isNull, lit(0L))
-          .otherwise(least(floor(score * 10).cast("long"), lit(9L))).as("decile"))
+      .select(col("lang"), qualityDecile.as("decile"))
       .groupBy(col("lang"), col("decile"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("decile"))
-  }
 
   def qualityScoreSql: String = {
     val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"

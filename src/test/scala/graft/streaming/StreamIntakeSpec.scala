@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.ops.{Dedup, Text}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** The full streaming TRAINING-DATA INTAKE pipeline, composed from the
+  * library's own stages inside one foreachBatch:
+  *
+  *   quality filter (decile ≥ threshold) → exact dedup vs everything
+  *   already accepted (fingerprint anti-join) → near-dup check vs the
+  *   accepted corpus band index → survivors appended to the corpus +
+  *   both indices updated.
+  *
+  * This is the composition the north-star operators exist for; each
+  * stage is the battle-tested operator (same expressions as the oracle
+  * queries), and the loop never rescans the accepted corpus — each
+  * batch pays O(batch) work plus equi joins into the two indices.
+  */
+class StreamIntakeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quality-filter -> exact-dedup -> near-dedup intake accepts exactly the right docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("intake")
+    val corpusPath = s"$root/accepted"
+    val fpPath = s"$root/fp_index"
+    val bandPath = s"$root/band_index"
+
+    // seed: one good accepted doc (stopword-rich, diverse)
+    val good = (1 to 30).map(i => s"the tok$i of and").mkString(" ")
+    val seed = Seq((1L, good)).toDF("doc_id", "text")
+    seed.write.mode("overwrite").parquet(corpusPath)
+    seed.select(col("doc_id"), md5(col("text")).as("fp")).write.mode("overwrite").parquet(fpPath)
+    Dedup.bandIndexOf(seed).write.mode("overwrite").parquet(bandPath)
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stages = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // 1. quality gate — junk (low-diversity, stopword-free)
+          // lands in deciles ≤ 3 on this scoring, so the bar is 4
+          val quality = batch.filter(Text.qualityDecile >= 4)
+          // 2. exact dedup vs ACCEPTED fingerprints (anti join)
+          val fps = s.read.parquet(fpPath)
+          val novel = quality.withColumn("fp", md5(col("text")))
+            .join(fps.select(col("fp")), Seq("fp"), "left_anti")
+          // 3. near-dup gate vs the accepted band index
+          val nearDups = Dedup.incrementalNearDups(s, s.read.parquet(bandPath),
+            s.read.parquet(corpusPath), novel, 0.5)
+            .select(col("new_doc").as("doc_id")).distinct()
+          val survivors = novel.join(nearDups, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("text")).persist()
+          val ids = survivors.collect().map(_.getLong(0))
+          // 4. accept: corpus + both indices grow
+          survivors.write.mode("append").parquet(corpusPath)
+          survivors.select(col("doc_id"), md5(col("text")).as("fp"))
+            .write.mode("append").parquet(fpPath)
+          Dedup.bandIndexOf(survivors).write.mode("append").parquet(bandPath)
+          survivors.unpersist()
+          accepted.synchronized {
+            accepted ++= ids
+            stages += s"batch$bid: in=${batch.count()} q=${quality.count()} accepted=${ids.mkString(",")}"
+          }
+          ()
+        }
+      }
+      .start()
+
+    val junk = "aaa aaa aaa aaa aaa aaa aaa aaa" // low diversity, no stopwords
+    val exactCopy = good
+    val nearCopy = good.split(" ").dropRight(3).mkString(" ")
+    val freshDoc = (1 to 30).map(i => s"the zz$i of and is").mkString(" ")
+    mem.addData((10L, junk), (11L, exactCopy), (12L, nearCopy), (13L, freshDoc))
+    q.processAllAvailable()
+    // second batch: an exact copy of the doc accepted in batch 1 must
+    // now be rejected by the UPDATED fingerprint index
+    mem.addData((20L, freshDoc), (21L, (1 to 30).map(i => s"the qq$i of and is").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+
+    stages.synchronized(stages.foreach(l => info(l)))
+    assert(accepted.synchronized(accepted.toSet) == Set(13L, 21L),
+      s"expected only the fresh docs accepted, got ${accepted.toSet}: $stages")
+    // the accepted corpus = seed + the two fresh docs
+    assert(spark.read.parquet(corpusPath).count() == 3)
+  }
+}
