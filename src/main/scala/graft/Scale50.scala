@@ -64,8 +64,11 @@ object Scale50 {
           .select(
             (col("vec_id") + col("rep") * n).as("vec_id"),
             transform(col("embedding"),
+              // +1: rep ∈ {0,17,34} would otherwise get a ZERO bump
+              // and produce byte-identical replicas — the exact-dup
+              // explosion this synthesis exists to avoid
               (v, i) => when(i === pmod(col("rep"), size(col("embedding"))),
-                v + (col("rep") % 17).cast("float") * 0.01f).otherwise(v)).as("embedding"),
+                v + (col("rep") % 17 + 1).cast("float") * 0.01f).otherwise(v)).as("embedding"),
             col("label"))
           .repartition(64)
           .write.mode("overwrite").parquet(vecs50)

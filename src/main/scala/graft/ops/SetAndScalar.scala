@@ -194,7 +194,11 @@ object SetAndScalar {
         element_at(sort_array(col("lines")), 1).as("first_line"),
         element_at(sort_array(col("lines"), asc = false), 1).as("last_line"),
         (round(array_max(col("qtys")), 2) + lit(0.0)).as("max_qty"),
-        (round(aggregate(col("qtys"), lit(0.0), (a, x) => a + x), 2) + lit(0.0)).as("sum_qty"))
+        // scaled-integer sum: a double fold over collect_list's
+        // nondeterministic order is the non-associative-FP trap the
+        // oracle gate exists to catch — integer addition commutes
+        aggregate(col("qtys"), lit(0L), (a, x) => a + round(x * 100).cast("long"))
+          .as("sum_qty_c2"))
       .orderBy(col("l_orderkey"))
   }
 
@@ -205,7 +209,7 @@ object SetAndScalar {
       |  list_sort(lines)[1] AS first_line,
       |  list_reverse_sort(lines)[1] AS last_line,
       |  round(list_max(qtys), 2) + 0.0 AS max_qty,
-      |  round(list_sum(qtys), 2) + 0.0 AS sum_qty
+      |  CAST(list_sum(list_transform(qtys, x -> CAST(round(x * 100) AS BIGINT))) AS BIGINT) AS sum_qty_c2
       |FROM (
       |  SELECT l_orderkey,
       |    list(CAST(l_linenumber AS BIGINT)) AS lines,

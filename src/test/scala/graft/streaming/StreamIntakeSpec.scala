@@ -18,6 +18,13 @@ import org.apache.spark.sql.DataFrame
   * stage is the battle-tested operator (same expressions as the oracle
   * queries), and the loop never rescans the accepted corpus — each
   * batch pays O(batch) work plus equi joins into the two indices.
+  *
+  * Delivery note: the three appends inside one foreachBatch are
+  * at-least-once on batch retry, exactly like
+  * [[StreamIngest.processBatch]]'s catalog/distribution pair — a
+  * production intake adds the same batch-id marker guard StreamIngest
+  * ships (and the fp anti-join already makes a replayed batch a no-op
+  * for the corpus, since its survivors' fingerprints are indexed).
   */
 class StreamIntakeSpec extends SparkTestBase {
   import spark.implicits._
@@ -46,9 +53,13 @@ class StreamIntakeSpec extends SparkTestBase {
           // 1. quality gate — junk (low-diversity, stopword-free)
           // lands in deciles ≤ 3 on this scoring, so the bar is 4
           val quality = batch.filter(Text.qualityDecile >= 4)
-          // 2. exact dedup vs ACCEPTED fingerprints (anti join)
+          // 2. exact dedup vs ACCEPTED fingerprints (anti join) AND
+          // within the batch itself — two identical docs arriving in
+          // one micro-batch both miss the index, so the intra-batch
+          // dropDuplicates is load-bearing, not belt-and-braces
           val fps = s.read.parquet(fpPath)
           val novel = quality.withColumn("fp", md5(col("text")))
+            .dropDuplicates("fp")
             .join(fps.select(col("fp")), Seq("fp"), "left_anti")
           // 3. near-dup gate vs the accepted band index
           val nearDups = Dedup.incrementalNearDups(s, s.read.parquet(bandPath),
@@ -76,7 +87,12 @@ class StreamIntakeSpec extends SparkTestBase {
     val exactCopy = good
     val nearCopy = good.split(" ").dropRight(3).mkString(" ")
     val freshDoc = (1 to 30).map(i => s"the zz$i of and is").mkString(" ")
-    mem.addData((10L, junk), (11L, exactCopy), (12L, nearCopy), (13L, freshDoc))
+    val twinDoc = (1 to 30).map(i => s"the ww$i of and is").mkString(" ")
+    // 14/15: the SAME doc twice within one batch — only the
+    // intra-batch dropDuplicates can catch this (neither fp is in the
+    // accepted index yet)
+    mem.addData((10L, junk), (11L, exactCopy), (12L, nearCopy), (13L, freshDoc),
+      (14L, twinDoc), (15L, twinDoc))
     q.processAllAvailable()
     // second batch: an exact copy of the doc accepted in batch 1 must
     // now be rejected by the UPDATED fingerprint index
@@ -85,9 +101,13 @@ class StreamIntakeSpec extends SparkTestBase {
     q.stop()
 
     stages.synchronized(stages.foreach(l => info(l)))
-    assert(accepted.synchronized(accepted.toSet) == Set(13L, 21L),
-      s"expected only the fresh docs accepted, got ${accepted.toSet}: $stages")
-    // the accepted corpus = seed + the two fresh docs
-    assert(spark.read.parquet(corpusPath).count() == 3)
+    val got = accepted.synchronized(accepted.toSet)
+    // exactly one of the intra-batch twins survives (which one is
+    // dropDuplicates' arbitrary pick)
+    assert(got.intersect(Set(14L, 15L)).size == 1, s"twin handling wrong: $got")
+    assert(got - 14L - 15L == Set(13L, 21L),
+      s"expected only the fresh docs accepted, got $got: $stages")
+    // the accepted corpus = seed + two fresh docs + one twin
+    assert(spark.read.parquet(corpusPath).count() == 4)
   }
 }
