@@ -23,13 +23,18 @@ object Bench {
       System.err.println(s"[bench] warmup failed: ${e.getClass.getName}: ${e.getMessage}")
     }
     // a failed query must be VISIBLE in the emitted JSON (name +
-    // exception class in "failures"), never silently timed as if it ran
+    // exception class in "failures") and must NOT contribute a timing:
+    // a fail-fast query's partial elapsed would deflate "total" while
+    // looking like a completed run, so "queries"/"total" carry only
+    // queries that finished.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => failures(name) = e.getClass.getSimpleName }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        results(name) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable => failures(name) = e.getClass.getSimpleName }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,8 +35,20 @@ object Distribution {
       .save(layout.distributionDir)
 
   /** Subscriber view of one source's stream (the test_subscriber
-    * equivalent, `/root/reference/src/test_subscriber/lambda_function.py:8-9`). */
-  def subscribe(spark: SparkSession, layout: Layout, source: String): DataFrame =
+    * equivalent, `/root/reference/src/test_subscriber/lambda_function.py:8-9`).
+    *
+    * Compaction-aware: [[Compaction.compactSource]]'s swap is two
+    * renames, so there is a window where `source=X` is absent while a
+    * `_`-prefixed transient sibling exists. A subscriber that planned
+    * in that window used to silently see an EMPTY view of a populated
+    * partition; now it detects the in-flight swap (the transient
+    * sibling is the marker), waits for it to finish, and fails loudly
+    * if it never does — an absent partition with NO marker still means
+    * "no data yet", which stays a valid empty view. */
+  def subscribe(spark: SparkSession, layout: Layout, source: String,
+      maxWaitMs: Long = 10000L, pollMs: Long = 50L): DataFrame = {
+    Compaction.awaitQuiescent(spark, layout, source, maxWaitMs, pollMs)
     spark.read.format("json").load(layout.distributionDir)
       .filter(col("source") === source)
+  }
 }

@@ -45,6 +45,32 @@ object Compaction {
   import org.apache.spark.sql.SparkSession
   import org.apache.hadoop.fs.Path
 
+  private[lake] def transientPaths(layout: Layout, source: String): Seq[Path] = Seq(
+    new Path(s"${layout.distributionDir}/_compacting_source=$source"),
+    new Path(s"${layout.distributionDir}/_old_source=$source"))
+
+  /** Reader-side detection hook for the swap window: if `source=X` is
+    * absent but a transient compaction sibling exists, a swap is in
+    * flight — poll until the partition reappears (the window is two
+    * renames, normally sub-millisecond), and throw after `maxWaitMs`
+    * so a crashed compaction surfaces as an error instead of as a
+    * silently empty subscriber view. No marker + no partition is NOT
+    * an error: that is a genuinely empty source. */
+  def awaitQuiescent(spark: SparkSession, layout: Layout, source: String,
+      maxWaitMs: Long = 10000L, pollMs: Long = 50L): Unit = {
+    val dir = new Path(s"${layout.distributionDir}/source=$source")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    while (!fs.exists(dir) && transientPaths(layout, source).exists(fs.exists)) {
+      if (System.nanoTime() > deadline)
+        throw new java.io.IOException(
+          s"subscribe($source): compaction swap appears stuck — partition absent but " +
+            s"transient compaction dirs remain after ${maxWaitMs} ms; " +
+            s"recover by renaming the surviving _old/_compacting dir back to source=$source")
+      Thread.sleep(pollMs)
+    }
+  }
+
   def compactSource(spark: SparkSession, layout: Layout, source: String,
       targetFiles: Int = 1): Long = {
     val dirStr = s"${layout.distributionDir}/source=$source"
@@ -52,8 +78,9 @@ object Compaction {
     val n = df.count()
     val dir = new Path(dirStr)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(s"${layout.distributionDir}/_compacting_source=$source")
-    val bak = new Path(s"${layout.distributionDir}/_old_source=$source")
+    // shared with awaitQuiescent so the reader-side marker check can
+    // never drift from the writer-side transient names
+    val Seq(tmp, bak) = transientPaths(layout, source)
     // clear leftovers of a crashed prior run BEFORE writing, so the
     // renames below cannot fail against stale targets
     if (fs.exists(tmp)) fs.delete(tmp, true)

@@ -254,6 +254,20 @@ object Similarity {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** Root for oracle-shared materializations. Configurable via the
+    * `GRAFT_ORACLE_ROOT` env var (the oracle SQL is generated in the
+    * same JVM, so both engines read one resolved value); the default
+    * is user-keyed under the JVM tmpdir so two users on one host can
+    * never contend for directory ownership. */
+  val OracleExportRoot: String = sys.env.getOrElse("GRAFT_ORACLE_ROOT",
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-oracle-${System.getProperty("user.name", "anon")}")
+
+  /** Per-JVM run id: concurrent sessions (even over the SAME corpus)
+    * export under disjoint subdirs, so the cross-session overwrite race
+    * a fixed path had is structurally gone. The SQL glob below includes
+    * the run id, so a DuckDB replay only ever sees its own run's files. */
+  private val RunId: String = java.util.UUID.randomUUID().toString.take(8)
+
   /** Where [[ivfTrainedTopK]] materializes its trained centroids. The
     * iterative k-means itself is not practically SQL-expressible, but
     * it IS deterministic (fixed init, fixed tie-breaks), so the oracle
@@ -262,24 +276,18 @@ object Similarity {
     * oracle reads the SAME parquet and replays the probe — the whole
     * probe path gets a hash-checked row, and any training
     * nondeterminism would surface as a mismatch on re-run. */
-  val TrainedCentroidsPath: String = "/tmp/graft-oracle/ivf_trained_centroids"
+  val TrainedCentroidsPath: String = s"$OracleExportRoot/run=$RunId/ivf_trained_centroids"
 
-  /** IVF probe over TRAINED (k-means) centroids — the production
-    * variant of [[ivfTopK]] (whose modulo-sampled centroids exist for
-    * a self-contained oracle). Training determinism/monotonicity is
-    * additionally ScalaTested.
-    *
-    * NOTE: CONSTRUCTING this frame runs the index build eagerly
-    * (corpus-key scan, sample k-means, centroid export) — the oracle
-    * contract requires the materialized centroids to exist before the
-    * returned plan is read. Plan-only consumers (audits) pay the build
-    * too; that is the honest cost of a query whose first stage IS an
-    * index build. The export path is per-corpus-keyed, so concurrent
-    * runs at different data only race if two sessions process the SAME
-    * corpus simultaneously — acceptable for the single-tenant driver;
-    * a multi-tenant deployment would key by session id as well. */
-  def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
-      nprobe: Int = 3, k: Int = 10): DataFrame = {
+  /** The explicit index-build step behind [[ivfTrainedTopK]]: trains
+    * sample k-means centroids and commits them under a
+    * (run, corpus-fingerprint)-keyed parquet dir; returns that dir.
+    * Idempotent — if the export already carries a `_SUCCESS` marker
+    * (Spark's committer writes it last, so its presence means the
+    * parquet is complete) the training job is skipped entirely, so
+    * repeated query construction and plan-only consumers pay the build
+    * at most once per JVM. Callers who want to front-load the cost can
+    * invoke this directly. */
+  def buildTrainedCentroids(spark: SparkSession, sfDir: String): String = {
     val emb = Tables.embeddings(spark, sfDir)
     // per-corpus subdir + corpus_key column: the export path is shared
     // by every scale factor, so runs at different SFs must not clobber
@@ -298,15 +306,38 @@ object Similarity {
         (col("vec_id") + 1L)) % lit(1000003L)
     val corpusKey = emb.agg(sum(keyTerm).cast("long")).collect()(0).getLong(0)
     val exportDir = s"$TrainedCentroidsPath/k=$corpusKey"
-    // train on a deterministic 1-in-4 sample: k-means cost is
-    // iterations × |train| × k cosines, and sample-trained centroids
-    // are standard IVF practice (the full corpus is still assigned and
-    // probed below); the deterministic predicate keeps re-runs and the
-    // materialized oracle input in agreement. Profiled: full-corpus
-    // training was ~2 s of the 2.6 s query at sf0.1.
-    KMeansIvf.trainCentroids(spark, emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 2)
-      .withColumn("corpus_key", lit(corpusKey))
-      .coalesce(1).write.mode("overwrite").parquet(exportDir)
+    val fs = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
+    if (!fs.exists(committed)) {
+      // train on a deterministic 1-in-4 sample: k-means cost is
+      // iterations × |train| × k cosines, and sample-trained centroids
+      // are standard IVF practice (the full corpus is still assigned
+      // and probed); the deterministic predicate keeps re-runs and the
+      // materialized oracle input in agreement. Profiled: full-corpus
+      // training was ~2 s of the 2.6 s query at sf0.1.
+      KMeansIvf.trainCentroids(spark, emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 2)
+        .withColumn("corpus_key", lit(corpusKey))
+        .coalesce(1).write.mode("overwrite").parquet(exportDir)
+    }
+    exportDir
+  }
+
+  /** IVF probe over TRAINED (k-means) centroids — the production
+    * variant of [[ivfTopK]] (whose modulo-sampled centroids exist for
+    * a self-contained oracle). Training determinism/monotonicity is
+    * additionally ScalaTested.
+    *
+    * NOTE: CONSTRUCTING this frame runs the index build eagerly
+    * (via [[buildTrainedCentroids]]) — the oracle contract requires the
+    * materialized centroids to exist before the returned plan is read.
+    * The build is idempotent per (run, corpus): a second construction
+    * over the same corpus in this JVM (bench loops, plan audits) finds
+    * the committed export and skips training. */
+  def ivfTrainedTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      nprobe: Int = 3, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exportDir = buildTrainedCentroids(spark, sfDir)
     // materialized (not just cached): shared by the probe ranking and
     // the assignment, and the oracle's input — see TrainedCentroidsPath
     val centroids = spark.read.parquet(exportDir).drop("corpus_key")
@@ -397,11 +428,25 @@ object Similarity {
     // the (nPlanes·dim)-row plane table is built from a RANGE leaf,
     // not from comps: deriving positions via posexplode+distinct would
     // shuffle n·dim corpus rows on the broadcast side just to
-    // enumerate 0..dim-1. The dimension is one scalar read off a
-    // single row (vector columns are fixed-width by contract).
+    // enumerate 0..dim-1. One min/max aggregate both reads the
+    // dimension AND VALIDATES the fixed-width contract: the oracle
+    // enumerates DISTINCT pos over all rows, so a mixed-width corpus
+    // would silently diverge between engines — fail loudly instead.
+    // The same aggregate handles the empty corpus (NULL min), which a
+    // bare limit(1).collect()(0) threw on.
     // explode, not crossJoin(range(n)): same rows without a cartesian
     // operator (PlanAuditSpec forbids them in candidate pipelines).
-    val dim = emb.select(size(col("embedding"))).limit(1).collect()(0).getInt(0)
+    val widths = emb.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx")).collect()(0)
+    if (widths.isNullAt(0)) {
+      // empty corpus → zero pairs, with the contract schema the
+      // non-empty path (and the oracle) emits
+      return comps.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+        lit(0.0).as("cos_sim")).limit(0)
+    }
+    require(widths.getInt(0) == widths.getInt(1),
+      s"embeddings must be fixed-width; found sizes in [${widths.getInt(0)}, ${widths.getInt(1)}]")
+    val dim = widths.getInt(0)
     val planes = spark.range(dim).select(col("id").cast("int").as("pos"))
       .select(col("pos"), explode(sequence(lit(0L), lit(nPlanes - 1L))).as("b"))
       .select(col("b"), col("pos"),

@@ -74,4 +74,35 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(Similarity.labelCentroids(spark, degenerateVecs).count() >= 1)
     assert(Similarity.vectorStats(spark, degenerateVecs).count() >= 1)
   }
+
+  test("hyperplane LSH handles an empty corpus and rejects mixed widths") {
+    val empty = tmpDir("emptyvecs")
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val out = Similarity.hyperplaneLshPairs(spark, empty)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("vec_a", "vec_b", "cos_sim"))
+
+    val mixed = tmpDir("mixedvecs")
+    Seq((0L, Array(1f, 0f), 0), (1L, Array(1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$mixed/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hyperplaneLshPairs(spark, mixed)
+    }
+    assert(e.getMessage.contains("fixed-width"))
+  }
+
+  test("trained-centroid build is idempotent per (run, corpus)") {
+    val dir1 = Similarity.buildTrainedCentroids(spark, degenerateVecs)
+    val fs = new org.apache.hadoop.fs.Path(dir1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val success = new org.apache.hadoop.fs.Path(dir1, "_SUCCESS")
+    assert(fs.exists(success))
+    val stamp = fs.getFileStatus(success).getModificationTime
+    val dir2 = Similarity.buildTrainedCentroids(spark, degenerateVecs)
+    assert(dir2 == dir1, "same corpus must key to the same export dir")
+    assert(fs.getFileStatus(success).getModificationTime == stamp,
+      "second construction must reuse the committed export, not retrain")
+  }
 }

@@ -57,4 +57,29 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(after == 1, s"expected 1 file after compaction, found $after")
     assert(Distribution.subscribe(spark, layout, "clicks").count() == 5)
   }
+
+  test("subscribe detects a stuck compaction swap instead of returning an empty view") {
+    val layout = Layout(tmpDir("compactwin"))
+    import spark.implicits._
+    Seq(("clicks", "k1", """{"n":1}"""))
+      .toDF("source", "key", "json")
+      .write.mode("append").partitionBy("source").format("json")
+      .save(layout.distributionDir)
+    val root = new java.io.File(layout.distributionDir)
+    val live = new java.io.File(root, "source=clicks")
+    val old = new java.io.File(root, "_old_source=clicks")
+    // simulate a compaction that crashed mid-swap: partition renamed
+    // aside, compacted dir never swapped in
+    assert(live.renameTo(old))
+    val e = intercept[java.io.IOException] {
+      Distribution.subscribe(spark, layout, "clicks", maxWaitMs = 200, pollMs = 20)
+    }
+    assert(e.getMessage.contains("compaction swap appears stuck"))
+    // recovery path named in the error: rename back, subscribe works
+    assert(old.renameTo(live))
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 1)
+    // and an absent partition with NO transient marker stays a valid
+    // empty view (genuinely no data), not an error
+    assert(Distribution.subscribe(spark, layout, "nosuch").count() == 0)
+  }
 }
