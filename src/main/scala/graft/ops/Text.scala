@@ -135,10 +135,13 @@ object Text {
     * confusion matrix.
     *
     * Shapes: profile training is explode→count→rank over the SAMPLE
-    * (map-side combined aggs + a per-lang top-k window);
-    * classification joins every doc's distinct bigrams against the
-    * tiny broadcast profile table. Linear in corpus size, with the
-    * train pass paying only the sample. */
+    * (map-side combined aggs + a per-lang top-k window); the trained
+    * profiles — the MODEL, ≤ langs×20 strings — are collected and
+    * ride into a single native scoring pass over the corpus
+    * ([[graft.functions.BigramProfileBest]]): one map stage + the
+    * final tiny confusion-matrix agg, no per-bigram row explosion and
+    * no per-doc window shuffle at scoring time. Linear in corpus
+    * size, with the train pass paying only the sample. */
   def langIdNgram(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
@@ -158,16 +161,31 @@ object Text {
       pmod(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"), lit(5)) < 1)
     val counts = bigramsOf(trainDocs).groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
     val wTop = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bigram"))
-    val profiles = counts.withColumn("rk", row_number().over(wTop))
+    val profileRows = counts.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 20)
-      .select(col("lang").as("profile_lang"), col("bigram"))
-    val scores = bigramsOf(docs).join(broadcast(profiles), Seq("bigram"))
-      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
-      .agg(count(lit(1)).as("score"))
-    val wBest = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("profile_lang"))
-    scores.withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .groupBy(col("lang"), col("profile_lang").as("pred_lang"))
+      .select(col("lang"), col("bigram"))
+      .collect() // model-sized: ≤ 20 bigrams per language
+    val langs: Array[String] = profileRows.map(_.getString(0)).distinct.sorted
+    require(langs.length <= 64,
+      s"bigram_profile_best scores at most 64 language profiles, corpus has ${langs.length}")
+    if (langs.isEmpty) {
+      // empty corpus → empty confusion matrix with the contract schema
+      return docs.select(col("lang"), col("lang").as("pred_lang"),
+        lit(0L).as("n")).limit(0)
+    }
+    val byLang = profileRows.groupBy(_.getString(0))
+    // profile order = lang ASC, so the expression's lowest-index
+    // tie-break IS the (score DESC, profile_lang ASC) rank-1 window
+    // of the relational form (and of the oracle SQL)
+    val profileSets: Seq[Seq[String]] = langs.toSeq.map(l => byLang(l).map(_.getString(1)).toSeq)
+    val best = graft.functions.TextFunctions.bigram_profile_best(col("text"), profileSets)
+    docs.select(col("lang"), best.as("bi"))
+      // -1 = no profile bigram hit: such docs fall out of the
+      // relational join (and the oracle's) — drop them here too
+      .filter(col("bi") >= 0)
+      .select(col("lang"),
+        element_at(array(langs.map(lit).toIndexedSeq: _*), col("bi") + 1).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))
   }
