@@ -61,8 +61,11 @@ case class DistinctCharBigrams(child: Expression)
   * `profiles`) of the profile sharing the most DISTINCT character
   * bigrams with the input, ties to the LOWEST index, or -1 when no
   * profile bigram occurs at all. Bigram enumeration is identical to
-  * [[DistinctCharBigrams]] (FunctionsSpec pins both against the HOF
-  * formulation).
+  * [[DistinctCharBigrams]] (pinned against the HOF formulation in
+  * FunctionsSpec), and FunctionsSpec pins this expression against the
+  * relational explode→join→count→rank-1 formulation, including
+  * empty/1-char/multibyte/NULL inputs, equal-score ties, zero-hit -1,
+  * and bigrams belonging to more than one profile.
   *
   * This is the scoring stage of n-gram language ID collapsed to one
   * map pass: the relational form (explode every doc's bigrams →

@@ -37,18 +37,60 @@ object Distribution {
   /** Subscriber view of one source's stream (the test_subscriber
     * equivalent, `/root/reference/src/test_subscriber/lambda_function.py:8-9`).
     *
-    * Compaction-aware: [[Compaction.compactSource]]'s swap is two
-    * renames, so there is a window where `source=X` is absent while a
-    * `_`-prefixed transient sibling exists. A subscriber that planned
-    * in that window used to silently see an EMPTY view of a populated
-    * partition; now it detects the in-flight swap (the transient
-    * sibling is the marker), waits for it to finish, and fails loudly
-    * if it never does — an absent partition with NO marker still means
-    * "no data yet", which stays a valid empty view. */
+    * Compaction-aware, PLAN-TIME BEST-EFFORT: [[Compaction
+    * .compactSource]]'s swap is two renames, so there is a window
+    * where `source=X` is absent while a `_`-prefixed transient sibling
+    * exists. The quiescence check here runs once, when the view is
+    * constructed — it narrows the silently-empty-view race (a swap in
+    * flight NOW is detected, waited out, and fails loudly if stuck)
+    * but does not close it: the returned frame is lazy, so a swap that
+    * begins after this check and before the caller's action can still
+    * yield an empty view or a FileNotFoundException at read time.
+    * Callers that need the read itself to be consistent use
+    * [[subscribeConsistent]]. An absent partition with NO marker still
+    * means "no data yet", which stays a valid empty view. */
   def subscribe(spark: SparkSession, layout: Layout, source: String,
       maxWaitMs: Long = 10000L, pollMs: Long = 50L): DataFrame = {
     Compaction.awaitQuiescent(spark, layout, source, maxWaitMs, pollMs)
     spark.read.format("json").load(layout.distributionDir)
       .filter(col("source") === source)
+  }
+
+  /** Action-time-consistent subscriber view: materializes the read NOW
+    * (localCheckpoint truncates lineage, so the returned frame no
+    * longer depends on files a later compaction may delete) and
+    * re-verifies afterwards that the result is trustworthy. A snapshot
+    * is suspect only when it came back EMPTY while the partition dir
+    * or a transient compaction marker exists — i.e. the listing ran
+    * inside a swap window that opened after the plan-time check; such
+    * snapshots (and reads that die on files deleted mid-read) are
+    * retried until `maxWaitMs`, then the failure surfaces. A
+    * genuinely empty source — no partition, no marker — returns its
+    * empty view immediately, as with [[subscribe]]. */
+  def subscribeConsistent(spark: SparkSession, layout: Layout, source: String,
+      maxWaitMs: Long = 10000L, pollMs: Long = 50L): DataFrame = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var lastFailure: Throwable = null
+    while (System.nanoTime() <= deadline) {
+      Compaction.awaitQuiescent(spark, layout, source, maxWaitMs, pollMs)
+      try {
+        val snap = spark.read.format("json").load(layout.distributionDir)
+          .filter(col("source") === source)
+          .localCheckpoint(true)
+        if (!snap.isEmpty || !Compaction.swapSuspect(spark, layout, source))
+          return snap
+        lastFailure = new java.io.IOException(
+          s"subscribeConsistent($source): empty read raced a compaction swap")
+      } catch {
+        // a swap that starts mid-read deletes files the listing
+        // already captured — Spark surfaces that as a (wrapped)
+        // FileNotFoundException; anything else still fails after the
+        // deadline below, so a persistent real error is never masked
+        case e: Exception => lastFailure = e
+      }
+      Thread.sleep(pollMs)
+    }
+    throw new java.io.IOException(
+      s"subscribeConsistent($source): no consistent read within ${maxWaitMs} ms", lastFailure)
   }
 }

@@ -71,6 +71,17 @@ object Compaction {
     }
   }
 
+  /** True when an empty subscriber read is NOT trustworthy: the
+    * partition dir exists (the listing must have raced the swap's
+    * first rename) or a transient compaction sibling exists (a swap is
+    * in flight right now). No dir + no marker = genuinely empty. */
+  private[lake] def swapSuspect(spark: SparkSession, layout: Layout,
+      source: String): Boolean = {
+    val dir = new Path(s"${layout.distributionDir}/source=$source")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(dir) || transientPaths(layout, source).exists(fs.exists)
+  }
+
   def compactSource(spark: SparkSession, layout: Layout, source: String,
       targetFiles: Int = 1): Long = {
     val dirStr = s"${layout.distributionDir}/source=$source"

@@ -28,6 +28,13 @@ object KMeansIvf {
     * (centroid_id, c_emb ARRAY<FLOAT>). */
   def trainCentroids(spark: SparkSession, emb: DataFrame, k: Int, iters: Int): DataFrame = {
     import spark.implicits._
+    // same fixed-width contract the hyperplane-LSH path enforces: the
+    // mean-reassembly below indexes each centroid array by component
+    // position, so a mixed-width corpus would otherwise die in an
+    // opaque ArrayIndexOutOfBoundsException mid-iteration. One extra
+    // validation pass is noise next to the iters×|train| training cost,
+    // and buildTrainedCentroids runs this at most once per corpus.
+    Similarity.fixedEmbeddingWidth(emb, "KMeansIvf.trainCentroids")
     def centDf(cs: Array[Array[Float]]): DataFrame =
       cs.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
         .toDF("centroid_id", "c_emb")

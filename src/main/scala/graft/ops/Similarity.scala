@@ -413,6 +413,40 @@ object Similarity {
   def hyperplaneLshPairs(spark: SparkSession, sfDir: String): DataFrame =
     hyperplaneLshPairs(spark, sfDir, nPlanes = 16, bandBits = 8)
 
+  /** Fixed embedding width of a corpus: Some(dim) when non-empty and
+    * fixed-width, None when empty; throws with a clear message on a
+    * mixed-width corpus. One min/max aggregate pass over the frame —
+    * callers on a hot construction path should go through
+    * [[cachedFixedWidth]]. `who` names the operator in the error. */
+  private[ops] def fixedEmbeddingWidth(emb: DataFrame, who: String): Option[Int] = {
+    val widths = emb.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx")).collect()(0)
+    if (widths.isNullAt(0)) None
+    else {
+      require(widths.getInt(0) == widths.getInt(1),
+        s"$who: embeddings must be fixed-width; found sizes in " +
+          s"[${widths.getInt(0)}, ${widths.getInt(1)}]")
+      Some(widths.getInt(0))
+    }
+  }
+
+  // validated width per corpus dir. Only successful (non-empty)
+  // validations are cached: tests populate temp dirs after probing
+  // them empty, and an empty corpus takes the cheap early-exit path
+  // anyway. Corpus dirs are immutable inputs by contract (TESTDATA.md),
+  // so a cached width cannot go stale within a run.
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private[ops] def cachedFixedWidth(spark: SparkSession, sfDir: String): Option[Int] = {
+    val hit = widthCache.get(sfDir)
+    if (hit != null) Some(hit.intValue())
+    else fixedEmbeddingWidth(Tables.embeddings(spark, sfDir),
+        s"hyperplaneLshPairs($sfDir)") match {
+      case Some(d) => widthCache.put(sfDir, d); Some(d)
+      case None => None
+    }
+  }
+
   /** Tunable form: `nPlanes` total sign bits in `nPlanes/bandBits`
     * bands. Bucket saturation is the scale knob — expected random
     * collisions per band are n²/2^bandBits, so at 10⁹ vectors you run
@@ -428,25 +462,23 @@ object Similarity {
     // the (nPlanes·dim)-row plane table is built from a RANGE leaf,
     // not from comps: deriving positions via posexplode+distinct would
     // shuffle n·dim corpus rows on the broadcast side just to
-    // enumerate 0..dim-1. One min/max aggregate both reads the
-    // dimension AND VALIDATES the fixed-width contract: the oracle
-    // enumerates DISTINCT pos over all rows, so a mixed-width corpus
-    // would silently diverge between engines — fail loudly instead.
-    // The same aggregate handles the empty corpus (NULL min), which a
-    // bare limit(1).collect()(0) threw on.
+    // enumerate 0..dim-1. The dimension read doubles as the
+    // fixed-width VALIDATION (the oracle enumerates DISTINCT pos over
+    // all rows, so a mixed-width corpus would silently diverge between
+    // engines — fail loudly instead), and the validated width is
+    // cached per corpus dir so repeated query construction — including
+    // plan-only consumers — pays the O(n) pass once per JVM, like
+    // [[buildTrainedCentroids]] caches its training job.
     // explode, not crossJoin(range(n)): same rows without a cartesian
     // operator (PlanAuditSpec forbids them in candidate pipelines).
-    val widths = emb.agg(min(size(col("embedding"))).as("mn"),
-      max(size(col("embedding"))).as("mx")).collect()(0)
-    if (widths.isNullAt(0)) {
-      // empty corpus → zero pairs, with the contract schema the
-      // non-empty path (and the oracle) emits
-      return comps.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
-        lit(0.0).as("cos_sim")).limit(0)
+    val dim = cachedFixedWidth(spark, sfDir) match {
+      case Some(d) => d
+      case None =>
+        // empty corpus → zero pairs, with the contract schema the
+        // non-empty path (and the oracle) emits
+        return comps.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+          lit(0.0).as("cos_sim")).limit(0)
     }
-    require(widths.getInt(0) == widths.getInt(1),
-      s"embeddings must be fixed-width; found sizes in [${widths.getInt(0)}, ${widths.getInt(1)}]")
-    val dim = widths.getInt(0)
     val planes = spark.range(dim).select(col("id").cast("int").as("pos"))
       .select(col("pos"), explode(sequence(lit(0L), lit(nPlanes - 1L))).as("b"))
       .select(col("b"), col("pos"),

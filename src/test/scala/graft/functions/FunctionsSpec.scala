@@ -103,6 +103,58 @@ class FunctionsSpec extends SparkTestBase {
     assert(nr.isNullAt(0))
   }
 
+  test("bigram_profile_best == relational join+window formulation, incl. degenerate inputs") {
+    import org.apache.spark.sql.expressions.Window
+    // profile 1 shares "bc"/"cd" with profile 0 (>1-profile bigram
+    // membership exercises the bitmask fan-out); profile 2 is multibyte
+    val profiles = Seq(
+      Seq("ab", "bc", "cd"),
+      Seq("bc", "cd", "de"),
+      Seq("日本", "本語"))
+    val samples = Seq(
+      "abcd",    // 0 scores 3, 1 scores 2 → 0
+      "bcde",    // 0 scores 2, 1 scores 3 → 1
+      "bccd",    // both score 2 (bc, cd) → tie to LOWEST index 0
+      "日本語",  // multibyte → 2
+      "zz",      // no hit → -1
+      "z",       // 1-char degenerate → -1
+      "",        // empty degenerate → -1
+      "héllo")   // multibyte, no hit → -1
+    val df = samples.zipWithIndex.map(_.swap).toDF("id", "text")
+    val native = df.select(col("id"),
+        TextFunctions.bigram_profile_best(col("text"), profiles).as("best"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+    // relational reference: explode distinct bigrams → join the profile
+    // table → count per (doc, profile) → rank-1 on (score DESC, idx ASC);
+    // zero-hit docs drop out of the join = -1
+    val profDf = profiles.zipWithIndex
+      .flatMap { case (bgs, i) => bgs.map(bg => (i, bg)) }.toDF("pidx", "bigram")
+    val scores = df
+      .select(col("id"), explode(TextFunctions.distinct_char_bigrams(col("text"))).as("bigram"))
+      .join(profDf, Seq("bigram"))
+      .groupBy(col("id"), col("pidx")).agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("pidx").asc)
+    val relational = scores
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+    samples.indices.foreach { i =>
+      assert(native(i) == relational.getOrElse(i, -1),
+        s"mismatch for '${samples(i)}': native=${native(i)} relational=${relational.get(i)}")
+    }
+    // pin the interesting values directly too, so the reference
+    // formulation itself can't silently drift
+    assert(native(0) == 0 && native(1) == 1 && native(3) == 2)
+    assert(native(2) == 0, "equal-score tie must break to the LOWEST profile index")
+    assert(Seq(4, 5, 6, 7).forall(native(_) == -1), "zero-hit docs must score -1")
+    // NULL text propagates as NULL (UnaryExpression null-safe contract)
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(TextFunctions.bigram_profile_best(col("text"), profiles)).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("envelope wrap/unwrap round-trips payload and stream name") {
     val payloads = Seq(
       ("clicks", """{"click_id":1,"page":"/home"}"""),

@@ -93,6 +93,36 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(e.getMessage.contains("fixed-width"))
   }
 
+  test("trainCentroids rejects mixed widths with a clear message") {
+    // the mean-reassembly indexes centroid arrays by position — without
+    // the guard a mixed-width corpus died in an opaque
+    // ArrayIndexOutOfBoundsException mid-iteration
+    val mixed = Seq((0L, Array(1f, 0f), 0), (1L, Array(1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      KMeansIvf.trainCentroids(spark, mixed, k = 1, iters = 1)
+    }
+    assert(e.getMessage.contains("fixed-width"))
+    assert(e.getMessage.contains("trainCentroids"))
+  }
+
+  test("hyperplane fixed-width validation is cached per corpus dir") {
+    val dir = tmpDir("widthcache")
+    Seq((0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.cachedFixedWidth(spark, dir).contains(2))
+    // overwrite the corpus with different-width vectors: a cached
+    // validation must NOT rescan (corpus dirs are immutable inputs by
+    // contract, so serving the cached width is the documented behavior
+    // — and the proof no O(n) pass runs per construction)
+    Seq((0L, Array(1f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.cachedFixedWidth(spark, dir).contains(2),
+      "second lookup must serve the cached width without rescanning")
+  }
+
   test("trained-centroid build is idempotent per (run, corpus)") {
     val dir1 = Similarity.buildTrainedCentroids(spark, degenerateVecs)
     val fs = new org.apache.hadoop.fs.Path(dir1)

@@ -82,4 +82,38 @@ class ScaleToolsSpec extends SparkTestBase {
     // empty view (genuinely no data), not an error
     assert(Distribution.subscribe(spark, layout, "nosuch").count() == 0)
   }
+
+  test("subscribeConsistent survives a swap window that subscribe's plan-time check misses") {
+    val layout = Layout(tmpDir("consistentsub"))
+    import spark.implicits._
+    Seq(("clicks", "k1", """{"n":1}"""), ("clicks", "k2", """{"n":2}"""))
+      .toDF("source", "key", "json")
+      .write.mode("append").partitionBy("source").format("json")
+      .save(layout.distributionDir)
+    // steady state: same rows as subscribe, already materialized
+    val snap = Distribution.subscribeConsistent(spark, layout, "clicks")
+    assert(snap.count() == 2)
+    // a genuinely empty source returns immediately, like subscribe
+    assert(Distribution.subscribeConsistent(spark, layout, "nosuch").count() == 0)
+
+    // mid-swap: partition renamed aside (a compaction in flight),
+    // finishing 150 ms later on another thread — the consistent read
+    // must wait the window out and return the data, where a lazy
+    // subscribe frame planned in the window reads empty
+    val root = new java.io.File(layout.distributionDir)
+    val live = new java.io.File(root, "source=clicks")
+    val old = new java.io.File(root, "_old_source=clicks")
+    assert(live.renameTo(old))
+    val finisher = new Thread(() => { Thread.sleep(150); old.renameTo(live): Unit })
+    finisher.start()
+    val during = Distribution.subscribeConsistent(spark, layout, "clicks",
+      maxWaitMs = 5000, pollMs = 20)
+    finisher.join()
+    assert(during.count() == 2, "consistent read must wait out the swap window")
+    // and the returned frame is lineage-truncated: rows survive even
+    // if the source files vanish afterwards
+    assert(live.renameTo(old))
+    assert(during.count() == 2)
+    assert(old.renameTo(live))
+  }
 }
