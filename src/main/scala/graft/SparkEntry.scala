@@ -106,6 +106,12 @@ object SparkEntry {
     "q_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_profile_orders" -> ((s, d) => SetAndScalar.profileOrders(s, d)),
+    // round-4 pipeline additions: decontamination, repetition filters,
+    // weighted sampling, interval-overlap join
+    "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
+    "q_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
+    "q_session_overlap" -> ((s, d) => Behavior.sessionOverlap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -185,5 +191,9 @@ object SparkEntry {
     "q_stratified_sample" -> Text.stratifiedSampleSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,
+    "q_decontaminate" -> Dedup.decontaminateSql,
+    "q_doc_repetition" -> Text.docRepetitionSql,
+    "q_weighted_sample" -> Text.weightedSampleSql,
+    "q_session_overlap" -> Behavior.sessionOverlapSql,
   )
 }

@@ -99,4 +99,70 @@ object Behavior {
       |FROM events
       |GROUP BY event_type, bin
       |ORDER BY event_type, bin""".stripMargin
+
+  /** Interval-OVERLAP join — the third member of the temporal-join
+    * trio (as-of: [[EventOps.asofLastOrder]]; point-pair range:
+    * [[EventOps.eventPairs60s]]): cross-user session pairs whose time
+    * intervals overlap, counted per hour of overlap start (concurrency
+    * load profile).
+    *
+    * Scale shape — the banded interval join: a naive formulation is an
+    * inequality self-join (BroadcastNestedLoopJoin, O(n²) at any
+    * scale; the oracle keeps exactly that shape because DuckDB's
+    * IEJoin eats it). Here the EARLIER session explodes over the hour
+    * buckets it covers, the LATER session registers only at its start
+    * bucket, and candidates come from an equi-join on the bucket:
+    * overlap ⇒ the later start lies inside the earlier interval ⇒ its
+    * start bucket is among the earlier side's covered buckets, so
+    * every overlapping pair is found exactly once and no distinct()
+    * pass is needed — the n² is confined to sessions sharing an hour.
+    * The `earlier` tie-break (start, then user) is what makes the
+    * single-capture argument airtight when starts collide. */
+  def sessionOverlap(spark: SparkSession, sfDir: String): DataFrame =
+    sessionOverlapOf(Windows.sessions(spark, sfDir))
+
+  /** The banded interval-overlap core over any
+    * (user_id, session_start_ms, session_end_ms) frame — separated so
+    * BehaviorSpec can pin it row-for-row against the naive inequality
+    * self-join on synthetic interval sets (including the equal-start
+    * and bucket-boundary corners the single-capture argument hinges
+    * on). */
+  private[ops] def sessionOverlapOf(sessionsDf: DataFrame): DataFrame = {
+    val HourMs = 3600000.0
+    val s = sessionsDf
+      .select(col("user_id"),
+        col("session_start_ms").as("start_ms"), col("session_end_ms").as("end_ms"))
+      .withColumn("b0", floor(col("start_ms") / lit(HourMs)).cast("long"))
+      .withColumn("b1", floor(col("end_ms") / lit(HourMs)).cast("long"))
+    val earlier = s.select(col("user_id").as("user_a"),
+      col("start_ms").as("start_a"), col("end_ms").as("end_a"),
+      explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val later = s.select(col("user_id").as("user_b"),
+      col("start_ms").as("start_b"), col("end_ms").as("end_b"),
+      col("b0").as("bucket"))
+    earlier.join(later, Seq("bucket"))
+      .filter(col("user_a") =!= col("user_b"))
+      .filter(col("start_b") <= col("end_a") && col("start_a") <= col("end_b"))
+      .filter(col("start_a") < col("start_b") ||
+        (col("start_a") === col("start_b") && col("user_a") < col("user_b")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket").as("hour_bucket"), col("n_pairs"))
+      .orderBy(col("hour_bucket"))
+  }
+
+  def sessionOverlapSql: String =
+    s"""WITH ${Windows.SessionsCteSql},
+       |pairs AS (
+       |  SELECT CAST(floor(b.session_start_ms / 3600000) AS BIGINT) AS hour_bucket
+       |  FROM sessions a JOIN sessions b
+       |    ON a.user_id <> b.user_id
+       |   AND b.session_start_ms <= a.session_end_ms
+       |   AND a.session_start_ms <= b.session_end_ms
+       |   AND (a.session_start_ms < b.session_start_ms OR
+       |        (a.session_start_ms = b.session_start_ms AND a.user_id < b.user_id)))
+       |SELECT hour_bucket, count(*) AS n_pairs
+       |FROM pairs
+       |GROUP BY hour_bucket
+       |ORDER BY hour_bucket""".stripMargin
 }

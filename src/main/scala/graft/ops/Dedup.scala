@@ -625,4 +625,61 @@ object Dedup {
        |WHERE $hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** Benchmark-decontamination check — the pipeline step every LLM
+    * training run performs before training: which TRAINING documents
+    * share n-gram shingles with the held-out EVALUATION set (and how
+    * much)? Here the eval set is the deterministic 5% split
+    * `doc_id % 20 = 0` (a real pipeline feeds its benchmark suite in
+    * its place — the operator is identical); shingles are the same
+    * token 3-grams the MinHash family uses. Emits one row per
+    * CONTAMINATED training doc: its distinct-shingle count, how many
+    * of those also occur anywhere in the eval set, and the shared
+    * fraction.
+    *
+    * Scale shape: both sides explode to (doc, shingle) rows and the
+    * contamination test is a plain equi-join on the shingle string —
+    * never a doc×doc comparison. The eval side is collapsed to its
+    * DISTINCT shingle set first (benchmark suites are tiny next to the
+    * corpus, so at 100 TB that side is usually broadcast; no hint is
+    * forced here because THIS eval split scales with sf — AQE picks
+    * broadcast when it fits). Map-side partial aggs collapse the
+    * per-doc duplicate shingles before either shuffle. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val evalSh = docs.filter(col("doc_id") % 20 === 0)
+      .select(explode(shingles).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    val trainSh = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), explode(shingles).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+    val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val shared = trainSh.join(evalSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (round(col("n_shared") / col("n_shingles"), 4) + lit(0.0)).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def decontaminateSql: String =
+    s"""WITH tr AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest($ShinglesSqlDuck) AS sh
+       |    FROM documents WHERE doc_id % 20 <> 0)
+       |  WHERE sh IS NOT NULL),
+       |ev AS (
+       |  SELECT DISTINCT sh FROM (
+       |    SELECT unnest($ShinglesSqlDuck) AS sh
+       |    FROM documents WHERE doc_id % 20 = 0)
+       |  WHERE sh IS NOT NULL),
+       |tot AS (
+       |  SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+       |shared AS (
+       |  SELECT doc_id, count(*) AS n_shared
+       |  FROM tr JOIN ev USING (sh) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_shingles, s.n_shared,
+       |  round(s.n_shared / CAST(t.n_shingles AS DOUBLE), 4) + 0.0 AS shared_frac
+       |FROM tot t JOIN shared s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -387,4 +387,86 @@ object Text {
       |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Intra-document repetition profile (the Gopher/RefinedWeb
+    * repetitious-text filters): per doc, of its word 2-grams, the
+    * fraction that are repeats (1 − distinct/total) and the share of
+    * the single most frequent 2-gram. High values mark boilerplate /
+    * degenerate generations that quality-filter out of training sets.
+    *
+    * Scale shape: explode to (doc, gram) → count per (doc, gram) with
+    * map-side partial agg → per-doc roll-up. Everything keys on
+    * doc_id, so both aggs collapse into ONE shuffle of already-partial
+    * counts; no payload columns ride along. The 2-gram construction is
+    * the zip_with-over-shifted-slice idiom ([[graft.ops.Dedup]]'s
+    * shingles) — never `element_at` inside a lambda, which re-splits
+    * per element after CollapseProject inlining. */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens
+    val n = size(t)
+    val pairs = zip_with(t, slice(t, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val grams = slice(pairs, lit(1), greatest(n - 1, lit(1)))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"), col("n_grams"),
+        (round((col("n_grams") - col("n_distinct")) / col("n_grams"), 4) + lit(0.0))
+          .as("dup_frac"),
+        (round(col("top_n") / col("n_grams"), 4) + lit(0.0)).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docRepetitionSql: String =
+    """WITH grams AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, greatest(len(string_split(text, ' ')), 2)),
+      |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS g
+      |    FROM documents)
+      |  WHERE g IS NOT NULL),
+      |counts AS (
+      |  SELECT doc_id, g, count(*) AS n FROM grams GROUP BY doc_id, g)
+      |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+      |  round((sum(n) - count(*)) / CAST(sum(n) AS DOUBLE), 4) + 0.0 AS dup_frac,
+      |  round(max(n) / CAST(sum(n) AS DOUBLE), 4) + 0.0 AS top_frac
+      |FROM counts GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic LENGTH-WEIGHTED document sampling: keep each doc
+    * with probability n_chars / max(n_chars) — the hash-threshold form
+    * of weighted sampling (quality- or domain-weighted in a real
+    * pipeline; the weight column is the only thing that changes). The
+    * uniform draw is the md5-prefix of the content mapped to parts-
+    * per-million, so the sample is reproducible, shuffle-free, and
+    * identical across engines; the keep test multiplies out to pure
+    * INTEGER arithmetic (u_ppm · max < n_chars · 10⁶), so no FP
+    * rounding can flip a keep decision at any scale.
+    *
+    * Scale shape: one scalar max() aggregate (broadcast — it is an
+    * aggregate result, always one row) + a stateless per-row filter:
+    * linear, no shuffle of the corpus. */
+  def weightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val mx = docs.agg(max(col("n_chars")).as("mx"))
+    val uPpm = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % lit(1000000L)
+    docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("n_chars"), uPpm.as("u_ppm"), col("mx"))
+      .filter(col("u_ppm") * col("mx") < col("n_chars") * lit(1000000L))
+      .select(col("doc_id"), col("n_chars"), col("u_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  def weightedSampleSql: String =
+    """SELECT doc_id, n_chars,
+      |  ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS u_ppm
+      |FROM documents, (SELECT max(n_chars) AS mx FROM documents)
+      |WHERE (('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000) * mx
+      |      < n_chars * 1000000
+      |ORDER BY doc_id""".stripMargin
 }

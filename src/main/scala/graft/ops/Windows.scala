@@ -91,7 +91,13 @@ object Windows {
     * of the reference's ingest-buffer grouping (SURVEY §2.2 streaming
     * row) and of streaming session_window — same semantics, replayable
     * on history. */
-  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    sessions(spark, sfDir).orderBy(col("user_id"), col("session_id"))
+
+  /** The session frame behind [[sessionize]], without the output
+    * ordering — reused by [[Behavior.sessionOverlap]] as its interval
+    * table. */
+  private[ops] def sessions(spark: SparkSession, sfDir: String): DataFrame = {
     val gapMs = 30L * 60 * 1000
     val ev = Tables.events(spark, sfDir)
       .withColumn("ts_ms", unix_millis(col("ts")))
@@ -109,11 +115,15 @@ object Windows {
         count(lit(1)).as("n_events"),
         min(col("ts_ms")).as("session_start_ms"),
         max(col("ts_ms")).as("session_end_ms"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
-  def sessionizeSql: String =
-    """WITH flagged AS (
+  /** The session CTE chain shared by [[sessionizeSql]] and
+    * [[Behavior.sessionOverlapSql]] — one definition so the interval
+    * table in the overlap oracle can never drift from the sessionize
+    * oracle. Ends in a `sessions(user_id, session_id, n_events,
+    * session_start_ms, session_end_ms)` CTE. */
+  private[ops] val SessionsCteSql: String =
+    """flagged AS (
       |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
       |    CASE WHEN epoch_ms(ts::TIMESTAMP) - lag(epoch_ms(ts::TIMESTAMP), 1)
       |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id) > 1800000
@@ -121,16 +131,22 @@ object Windows {
       |           OVER (PARTITION BY user_id ORDER BY epoch_ms(ts::TIMESTAMP), event_id) IS NULL
       |         THEN 1 ELSE 0 END AS is_start
       |  FROM events),
-      |sessions AS (
+      |numbered AS (
       |  SELECT user_id, event_id, ts_ms,
       |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-      |  FROM flagged)
-      |SELECT user_id, session_id, count(*) AS n_events,
-      |  min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
-      |FROM sessions
-      |GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms
+      |  FROM numbered
+      |  GROUP BY user_id, session_id)""".stripMargin
+
+  def sessionizeSql: String =
+    s"""WITH $SessionsCteSql
+       |SELECT user_id, session_id, n_events, session_start_ms, session_end_ms
+       |FROM sessions
+       |ORDER BY user_id, session_id""".stripMargin
 
   /** Ranking-statistics windows — ntile / percent_rank / cume_dist
     * over per-priority price order (the remaining built-in window

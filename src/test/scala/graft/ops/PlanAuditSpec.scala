@@ -91,7 +91,9 @@ class PlanAuditSpec extends SparkTestBase {
       "grid" -> Similarity.gridNearDupPairs(spark, sfDir),
       "hyperplane" -> Similarity.hyperplaneLshPairs(spark, sfDir),
       "simhash_near_dup" -> Dedup.simhashNearDup(spark, sfDir),
-      "pairs60s" -> EventOps.eventPairs60s(spark, sfDir)
+      "pairs60s" -> EventOps.eventPairs60s(spark, sfDir),
+      "session_overlap" -> Behavior.sessionOverlap(spark, sfDir),
+      "decontaminate" -> Dedup.decontaminate(spark, sfDir)
     ).foreach { case (name, df) =>
       val p = plan(df)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name uses nested loop join")
