@@ -140,6 +140,94 @@ case class BigramProfileBest(child: Expression, profiles: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** BPE tokenization of a word by rank-greedy merge application — the
+  * LARGE-VOCAB production path next to [[graft.ops.Bpe]]'s
+  * replace-chain (which is oracle-expressible but whose expression
+  * tree grows linearly with the rule count: every word pays one full
+  * string-rewrite pass PER RULE, applicable or not — untenable at the
+  * 50k merges a real tokenizer vocab carries).
+  *
+  * Algorithm (the one production tokenizers use): the merge table
+  * becomes a pair→rank hash; per word, repeatedly find the
+  * lowest-rank adjacent symbol pair and merge all its occurrences
+  * left-to-right, until no pair is in the table. Cost is
+  * O(applied · |word|) hash probes — independent of vocab size.
+  *
+  * Equivalence with sequential rule-order application (what
+  * `Bpe.applyMerges` and the replace chain do) holds for any
+  * TRAINING-ORDERED rule table: a merge at rank k only creates pairs
+  * involving its output symbol, and any rule consuming that symbol
+  * was necessarily trained after rank k — so no pair with rank < k
+  * can ever (re)appear once k is the minimum, and the two orders
+  * coincide. BpeSpec pins this against both reference forms,
+  * including adjacent-merge and repeated-symbol words. The table is
+  * ARBITRARY-rule-unsafe by contract (a hand-built table violating
+  * the training invariant may diverge from sequential order).
+  *
+  * Per-ROW JVM loop + CodegenFallback, same trade as
+  * [[DistinctCharBigrams]]: one codegen boundary per word vs a
+  * 50k-deep codegen'd expression chain that would not even compile. */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_tokens requires STRING input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // pair→rank; key is a NUL-joined pair (symbols are substrings of
+  // real words, which never contain NUL)
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + "\u0000" + b, Integer.valueOf(i))
+    }
+    m
+  }
+  @transient private lazy val mergesArr: Array[(String, String)] = merges.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val word = v.asInstanceOf[UTF8String].toString
+    var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms += word.substring(ci, ci + n)
+      ci += n
+    }
+    var continue = syms.length > 1
+    while (continue) {
+      var best = Integer.MAX_VALUE
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.get(syms(i) + "\u0000" + syms(i + 1))
+        if (r != null && r.intValue() < best) best = r.intValue()
+        i += 1
+      }
+      if (best == Integer.MAX_VALUE) continue = false
+      else {
+        val (a, b) = mergesArr(best)
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out
+        if (syms.length < 2) continue = false
+      }
+    }
+    new GenericArrayData(syms.map(UTF8String.fromString _).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column-API entry point. */
   def distinct_char_bigrams(c: Column): Column =
@@ -148,4 +236,8 @@ object TextFunctions {
   /** Column-API entry point for [[BigramProfileBest]]. */
   def bigram_profile_best(c: Column, profiles: Seq[Seq[String]]): Column =
     Bridge.column(BigramProfileBest(Bridge.expression(c), profiles))
+
+  /** Column-API entry point for [[BpeTokens]]. */
+  def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokens(Bridge.expression(c), merges))
 }

@@ -131,12 +131,21 @@ object Bpe {
   }
 
   /** Per-language BPE token counts over `documents`: lowercase alpha
-    * words, merge-rule tokenization, per-lang totals. */
+    * words, merge-rule tokenization, per-lang totals.
+    *
+    * The Spark side applies the vocab via the native rank-greedy
+    * expression ([[graft.functions.BpeTokens]] — vocab-size-
+    * independent, ~2× the replace chain even at 32 rules, and the only
+    * path that survives a 50k-merge production vocab); the ORACLE
+    * keeps the replace-chain SQL, so the correctness gate itself
+    * re-proves the two applications identical on every run. */
   def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("lang"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
-      .select(col("lang"), tokenCountCol(col("word")).as("n_tok"), length(col("word")).as("n_chars"))
+      .select(col("lang"),
+        size(graft.functions.TextFunctions.bpe_tokens(col("word"), merges)).as("n_tok"),
+        length(col("word")).as("n_chars"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_words"),

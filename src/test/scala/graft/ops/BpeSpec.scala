@@ -60,6 +60,73 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("native rank-greedy BpeTokens == JVM reference == replace chain") {
+    import graft.functions.TextFunctions
+    val words = Seq("the", "that", "weather", "information", "abab", "aaaa",
+      "x", "thethe", "station", "zzz", "anotherinformation") ++ Bpe.seedCorpus.map(_._1)
+    val rows = words.toDF("word")
+      .select(col("word"),
+        TextFunctions.bpe_tokens(col("word"), Bpe.merges).as("toks"),
+        Bpe.tokenCountCol(col("word")).as("n_chain"))
+      .collect()
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val ref = Bpe.applyMerges(w, Bpe.merges)
+      assert(r.getSeq[String](1) == ref, s"'$w': native=${r.getSeq[String](1)} ref=$ref")
+      assert(r.getLong(2) == ref.length.toLong, s"'$w' chain count")
+    }
+    // NULL propagates
+    val nr = Seq[Option[String]](None).toDF("word")
+      .select(TextFunctions.bpe_tokens(col("word"), Bpe.merges)).collect()(0)
+    assert(nr.isNullAt(0))
+    // empty word -> empty token list (replace chain can't express this
+    // row -- its count formula yields -1 -- but [a-z]+ extraction never
+    // feeds it an empty word; the native path handles it cleanly)
+    val er = Seq("").toDF("word")
+      .select(TextFunctions.bpe_tokens(col("word"), Bpe.merges)).collect()(0)
+    assert(er.getSeq[String](0).isEmpty)
+  }
+
+  test("native BpeTokens on a large (10k-rule) vocab stays correct and vocab-size-independent") {
+    // a big TRAINED vocab is unreachable from the tiny seed corpus, so
+    // extend the real table with synthetic training-ordered rules over
+    // symbols that cannot occur in [a-z]+ words (digits): they satisfy
+    // the training invariant trivially (never applicable) and exercise
+    // exactly what a 50k vocab costs the apply path -- rank-map size.
+    val padded = Bpe.merges ++ (0 until 10000).map(i => (s"${i}#", s"#${i}"))
+    val words = Seq("the", "weather", "information", "abab", "thethe", "zzz")
+    val rows = words.toDF("word")
+      .select(col("word"),
+        graft.functions.TextFunctions.bpe_tokens(col("word"), padded).as("toks"))
+      .collect()
+    rows.foreach { r =>
+      val w = r.getString(0)
+      // padding rules never fire: same result as the 32-rule table
+      assert(r.getSeq[String](1) == Bpe.applyMerges(w, Bpe.merges), s"'$w'")
+    }
+  }
+
+  test("ScalaCheck: native rank-greedy == sequential fold on random words and vocabs") {
+    import org.scalacheck.Gen
+    // re-train a DIFFERENT vocab from a random corpus, then compare
+    // orders on random words: exercises the training-invariant
+    // equivalence argument, not just the pinned 32-rule table
+    val word = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val seed = org.scalacheck.rng.Seed(7L)
+    val corpusWords = Gen.listOfN(30, word).apply(Gen.Parameters.default, seed).get
+    val vocab = Bpe.train(corpusWords.map(_ -> 3L), 24)
+    val testWords = Gen.listOfN(60, word)
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(8L)).get.distinct
+    val rows = testWords.toDF("word")
+      .select(col("word"),
+        graft.functions.TextFunctions.bpe_tokens(col("word"), vocab).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    testWords.foreach { w =>
+      assert(rows(w) == Bpe.applyMerges(w, vocab), s"'$w' vocab=$vocab")
+    }
+  }
+
   test("bpe token counts: one row per lang, tokens <= chars, positive") {
     val rows = Bpe.bpeTokens(spark, sfDir).collect()
     assert(rows.nonEmpty)
