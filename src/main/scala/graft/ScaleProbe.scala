@@ -29,6 +29,13 @@ object ScaleProbe {
     time("bpe_tokens 50k docs")(ops.Bpe.bpeTokens(spark, d).count())
     time("lang_id_ngram 50k docs")(ops.Text.langIdNgram(spark, d).count())
     time("ivf_trained_topk 20k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
+    // round-4 operators
+    time("session_overlap 1M events")(println("  buckets=" + ops.Behavior.sessionOverlap(spark, d).count()))
+    time("session_overlap minute-band 1M")(println("  buckets=" +
+      ops.Behavior.sessionOverlapOf(ops.Windows.sessions(spark, d), bandMs = 60000L).count()))
+    time("decontaminate 50k docs")(println("  contaminated=" + ops.Dedup.decontaminate(spark, d).count()))
+    time("doc_repetition 50k docs")(ops.Text.docRepetition(spark, d).count())
+    time("weighted_sample 50k docs")(println("  kept=" + ops.Text.weightedSample(spark, d).count()))
     spark.stop()
   }
 }

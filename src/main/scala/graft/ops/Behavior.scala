@@ -109,17 +109,22 @@ object Behavior {
     * Scale shape — the banded interval join: a naive formulation is an
     * inequality self-join (BroadcastNestedLoopJoin, O(n²) at any
     * scale; the oracle keeps exactly that shape because DuckDB's
-    * IEJoin eats it). Here the EARLIER session explodes over the hour
-    * buckets it covers, the LATER session registers only at its start
+    * IEJoin eats it). Here the EARLIER session explodes over the time
+    * bands it covers, the LATER session registers only at its start
     * bucket, and candidates come from an equi-join on the bucket:
     * overlap ⇒ the later start lies inside the earlier interval ⇒ its
     * start bucket is among the earlier side's covered buckets, so
     * every overlapping pair is found exactly once and no distinct()
-    * pass is needed — the n² is confined to sessions sharing an hour.
+    * pass is needed — the n² is confined to sessions sharing a band.
     * The `earlier` tie-break (start, then user) is what makes the
     * single-capture argument airtight when starts collide. */
   def sessionOverlap(spark: SparkSession, sfDir: String): DataFrame =
-    sessionOverlapOf(Windows.sessions(spark, sfDir))
+    // minute bands, not hour: per-band candidate volume is n² in the
+    // sessions sharing a band, and the 10× probe (1M events) showed
+    // 35.5 s → 4.4 s from shrinking the band 60× while the explode
+    // fan-out only grows by the sessions' band-span — identical output
+    // (BehaviorSpec pins band-width independence)
+    sessionOverlapOf(Windows.sessions(spark, sfDir), bandMs = 60000L)
 
   /** The banded interval-overlap core over any
     * (user_id, session_start_ms, session_end_ms) frame — separated so
@@ -127,13 +132,22 @@ object Behavior {
     * self-join on synthetic interval sets (including the equal-start
     * and bucket-boundary corners the single-capture argument hinges
     * on). */
-  private[ops] def sessionOverlapOf(sessionsDf: DataFrame): DataFrame = {
+  private[graft] def sessionOverlapOf(sessionsDf: DataFrame,
+      bandMs: Long = 3600000L): DataFrame = {
     val HourMs = 3600000.0
+    // the JOIN band is independent of the hour REPORTING bucket:
+    // per-band candidate volume is n² in the sessions sharing a band,
+    // so a denser corpus shrinks bandMs (more bands, each smaller) at
+    // the cost of a larger explode fan-out — the same
+    // bands-vs-bucket-width trade every LSH operator here exposes.
+    // The single-capture argument is band-width-independent: the later
+    // session's start band is always among the earlier session's
+    // covered bands.
     val s = sessionsDf
       .select(col("user_id"),
         col("session_start_ms").as("start_ms"), col("session_end_ms").as("end_ms"))
-      .withColumn("b0", floor(col("start_ms") / lit(HourMs)).cast("long"))
-      .withColumn("b1", floor(col("end_ms") / lit(HourMs)).cast("long"))
+      .withColumn("b0", floor(col("start_ms") / lit(bandMs.toDouble)).cast("long"))
+      .withColumn("b1", floor(col("end_ms") / lit(bandMs.toDouble)).cast("long"))
     val earlier = s.select(col("user_id").as("user_a"),
       col("start_ms").as("start_a"), col("end_ms").as("end_a"),
       explode(sequence(col("b0"), col("b1"))).as("bucket"))
@@ -145,9 +159,8 @@ object Behavior {
       .filter(col("start_b") <= col("end_a") && col("start_a") <= col("end_b"))
       .filter(col("start_a") < col("start_b") ||
         (col("start_a") === col("start_b") && col("user_a") < col("user_b")))
-      .groupBy(col("bucket"))
+      .groupBy(floor(col("start_b") / lit(HourMs)).cast("long").as("hour_bucket"))
       .agg(count(lit(1)).as("n_pairs"))
-      .select(col("bucket").as("hour_bucket"), col("n_pairs"))
       .orderBy(col("hour_bucket"))
   }
 

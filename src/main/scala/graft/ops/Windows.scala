@@ -97,7 +97,7 @@ object Windows {
   /** The session frame behind [[sessionize]], without the output
     * ordering — reused by [[Behavior.sessionOverlap]] as its interval
     * table. */
-  private[ops] def sessions(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def sessions(spark: SparkSession, sfDir: String): DataFrame = {
     val gapMs = 30L * 60 * 1000
     val ev = Tables.events(spark, sfDir)
       .withColumn("ts_ms", unix_millis(col("ts")))

@@ -48,11 +48,16 @@ class BehaviorSpec extends SparkTestBase {
       (95L, 13L * HourMs, 16L * HourMs))
     val s = (random ++ corners)
       .toDF("user_id", "session_start_ms", "session_end_ms")
-    val banded = Behavior.sessionOverlapOf(s)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val naive = naiveOverlap(s)
-    assert(banded == naive,
-      s"banded=${banded.toSeq.sorted} naive=${naive.toSeq.sorted}")
-    assert(banded.values.sum > 50, "fixture must actually exercise overlaps")
+    // band width must not change the result — only the plan's
+    // fan-out/bucket-size trade (minute bands for dense corpora, the
+    // default hour, and a band wider than the reporting bucket)
+    Seq(60000L, 3600000L, 7200000L).foreach { bandMs =>
+      val banded = Behavior.sessionOverlapOf(s, bandMs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(banded == naive,
+        s"bandMs=$bandMs banded=${banded.toSeq.sorted} naive=${naive.toSeq.sorted}")
+    }
+    assert(naive.values.sum > 50, "fixture must actually exercise overlaps")
   }
 }
