@@ -50,6 +50,8 @@ object Scale50 {
     time("near_dedup_summary 250k")(ops.Dedup.nearDedupSummary(spark, d).count())
     time("bpe_tokens 250k")(ops.Bpe.bpeTokens(spark, d).count())
     time("lang_id_ngram 250k")(ops.Text.langIdNgram(spark, d).count())
+    time("decontaminate 250k")(println("  contaminated=" + ops.Dedup.decontaminate(spark, d).count()))
+    time("doc_repetition 250k")(ops.Text.docRepetition(spark, d).count())
 
     // 50× embeddings (100k vectors): replicas get a per-replica
     // component bump on dimension (rep mod dim) — large enough to

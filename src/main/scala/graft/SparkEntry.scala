@@ -37,6 +37,7 @@ object SparkEntry {
     "q_agg_cube" -> ((s, d) => Aggregates.cubeSummary(s, d)),
     "q_agg_monthly" -> ((s, d) => Aggregates.monthlyOrderStats(s, d)),
     "q_agg_quantiles" -> ((s, d) => Aggregates.priceQuantiles(s, d)),
+    "q_corr_stats" -> ((s, d) => Aggregates.corrStats(s, d)),
     // windows
     "q_window_running" -> ((s, d) => Windows.runningCustomerRevenue(s, d)),
     "q_window_topk" -> ((s, d) => Windows.topOrdersPerCustomer(s, d)),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_agg_cube" -> Aggregates.cubeSummarySql,
     "q_agg_monthly" -> Aggregates.monthlyOrderStatsSql,
     "q_agg_quantiles" -> Aggregates.priceQuantilesSql,
+    "q_corr_stats" -> Aggregates.corrStatsSql,
     "q_window_running" -> Windows.runningCustomerRevenueSql,
     "q_window_topk" -> Windows.topOrdersPerCustomerSql,
     "q_window_gaps" -> Windows.eventGapsSql,

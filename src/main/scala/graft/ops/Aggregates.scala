@@ -186,4 +186,69 @@ object Aggregates {
       |FROM orders
       |GROUP BY 1
       |ORDER BY month""".stripMargin
+
+  /** Statistical aggregates — corr / covariance / stddev of
+    * (l_quantity, l_extendedprice) per return flag.
+    *
+    * NOT the built-in corr()/covar_samp()/stddev_samp(): those fold
+    * DOUBLEs in partition order, and FP addition is non-associative —
+    * the low-order bits (and after rounding, occasionally the 4th
+    * decimal) differ between engines and even between partitionings of
+    * the same engine. Instead the moments are EXACT decimal sums of
+    * integer-scaled values (quantity is integer-valued, price has
+    * exactly 2 decimals — checked against the corpus), which are
+    * order-independent; the closed-form statistics are then one
+    * deterministic double expression over those exact sums, identical
+    * in both engines. Same family as the scaled-integer-sum rule used
+    * by q_ivf_assign.
+    *
+    * Scale: one map-side-combinable aggregation — six decimal sums —
+    * in a single shuffle on the group key; decimal(38) accumulators
+    * hold Σp² to ~10³⁸, enough for 10¹⁶ rows. */
+  def corrStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val q = col("l_quantity").cast("decimal(18,0)")
+    val p = (col("l_extendedprice") * 100).cast("decimal(18,0)")
+    val n = col("n").cast("double")
+    val sq = col("sq").cast("double"); val sp = col("sp").cast("double")
+    val sqq = col("sqq").cast("double"); val spp = col("spp").cast("double")
+    val sqp = col("sqp").cast("double")
+    l.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sq"), sum(p).as("sp"),
+        sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+      .select(col("l_returnflag"), col("n"),
+        (round((n * sqp - sq * sp) /
+          (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 4) + lit(0.0))
+          .as("corr_qp"),
+        // descale: price carries the ×100, covariance one factor of it
+        (round((n * sqp - sq * sp) / (n * (n - 1)) / 100.0, 4) + lit(0.0))
+          .as("covar_qp"),
+        (round(sqrt((n * sqq - sq * sq) / (n * (n - 1))), 4) + lit(0.0)).as("sd_q"),
+        (round(sqrt((n * spp - sp * sp) / (n * (n - 1))) / 100.0, 4) + lit(0.0)).as("sd_p"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  def corrStatsSql: String =
+    """WITH sums AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(18,0))) AS sq,
+      |    sum(CAST(l_extendedprice * 100 AS DECIMAL(18,0))) AS sp,
+      |    sum(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_quantity AS DECIMAL(18,0))) AS sqq,
+      |    sum(CAST(l_extendedprice * 100 AS DECIMAL(18,0)) * CAST(l_extendedprice * 100 AS DECIMAL(18,0))) AS spp,
+      |    sum(CAST(l_quantity AS DECIMAL(18,0)) * CAST(l_extendedprice * 100 AS DECIMAL(18,0))) AS sqp
+      |  FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      |  SELECT l_returnflag, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS sqd, CAST(sp AS DOUBLE) AS spd,
+      |    CAST(sqq AS DOUBLE) AS sqqd, CAST(spp AS DOUBLE) AS sppd, CAST(sqp AS DOUBLE) AS sqpd
+      |  FROM sums)
+      |SELECT l_returnflag, n,
+      |  round((nd * sqpd - sqd * spd) /
+      |    (sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd)), 4) + 0.0 AS corr_qp,
+      |  round((nd * sqpd - sqd * spd) / (nd * (nd - 1)) / 100.0, 4) + 0.0 AS covar_qp,
+      |  round(sqrt((nd * sqqd - sqd * sqd) / (nd * (nd - 1))), 4) + 0.0 AS sd_q,
+      |  round(sqrt((nd * sppd - spd * spd) / (nd * (nd - 1))) / 100.0, 4) + 0.0 AS sd_p
+      |FROM d
+      |ORDER BY l_returnflag""".stripMargin
 }
