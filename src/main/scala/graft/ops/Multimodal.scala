@@ -17,9 +17,12 @@ import javax.imageio.ImageIO
   * per-batch setup like a decoder init happens once per partition, not
   * per row). IMAGE decode/resize/feature-extract are REAL
   * (`javax.imageio`, [[ImageCodec]] — PNG/JPEG/BMP/GIF dimensions,
-  * pixel resampling, luminance histograms); video/audio, whose codecs
-  * the JDK does not ship, use [[FakeCodec]]'s deterministic header
-  * scheme behind the same dispatch seam.
+  * pixel resampling, luminance histograms) and so is AUDIO
+  * (`javax.sound.sampled`, [[AudioCodec]] — WAV/AIFF/AU format +
+  * duration decode, PCM amplitude histograms, frame decimation);
+  * only VIDEO, whose codec the JDK does not ship, uses
+  * [[FakeCodec]]'s deterministic header scheme behind the same
+  * dispatch seam.
   *
   * Scale: assets are heavy rows — partitioning is by (modality,
   * asset_id range) so one partition holds a bounded byte volume;
@@ -107,10 +110,109 @@ object Multimodal {
     }
   }
 
-  /** Deterministic header codec for modalities whose codecs the JDK
-    * does not ship (video/audio) and for synthetic fixtures. Real
-    * images never reach this path — [[ImageCodec]] claims them by
-    * magic bytes in [[decodeAll]]/[[extractFeatures]]/[[resizeAll]]. */
+  /** Real audio codec over `javax.sound.sampled` (JDK-built-in
+    * readers: WAV, AIFF/AIFC, AU — zero added dependencies). The
+    * MediaMeta mapping for audio is (width=sample rate Hz,
+    * height=channels, durationMs=frames/frameRate): the two spatial
+    * fields carry the two integral format dimensions an audio asset
+    * has. */
+  object AudioCodec {
+
+    /** Container format by magic bytes — cheap dispatch without
+      * touching AudioSystem for non-audio payloads. */
+    def detectFormat(bytes: Array[Byte]): Option[String] = {
+      def tag(i: Int, s: String): Boolean =
+        s.indices.forall(j => bytes(i + j) == s.charAt(j).toByte)
+      if (bytes.length < 12) None
+      else if (tag(0, "RIFF") && tag(8, "WAVE")) Some("wav")
+      else if (tag(0, "FORM") && (tag(8, "AIFF") || tag(8, "AIFC"))) Some("aiff")
+      else if (tag(0, ".snd")) Some("au")
+      else None
+    }
+
+    def isAudio(bytes: Array[Byte]): Boolean = detectFormat(bytes).isDefined
+
+    private def stream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream =
+      javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+
+    /** Decode the real format header: sample rate, channels, duration
+      * from the frame count. */
+    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        val durMs =
+          if (fmt.getFrameRate > 0 && in.getFrameLength >= 0)
+            (in.getFrameLength * 1000.0 / fmt.getFrameRate).toLong
+          else 0L
+        MediaMeta(fmt.getSampleRate.toInt, fmt.getChannels, durMs,
+          detectFormat(bytes).getOrElse("audio"))
+      } finally in.close()
+    }
+
+    /** Normalized 32-bin AMPLITUDE histogram over decoded PCM samples
+      * (8- or 16-bit) — the audio analogue of [[ImageCodec.features]]'s
+      * luminance histogram, same output contract (32 floats, sums
+      * to 1). */
+    def features(bytes: Array[Byte]): Array[Float] = {
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        val hist = new Array[Float](32)
+        var n = 0
+        if (fmt.getSampleSizeInBits <= 8) {
+          var i = 0
+          while (i < pcm.length) { hist((pcm(i) & 0xff) >> 3) += 1f; n += 1; i += 1 }
+        } else {
+          val big = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < pcm.length) {
+            val s =
+              if (big) (pcm(i) << 8) | (pcm(i + 1) & 0xff)
+              else (pcm(i + 1) << 8) | (pcm(i) & 0xff)
+            hist(math.min(math.abs(s), 32767) >> 10) += 1f
+            n += 1; i += 2
+          }
+        }
+        hist.map(_ / math.max(n, 1).toFloat)
+      } finally in.close()
+    }
+
+    /** Real frame decimation: keep every `factor`-th PCM frame and
+      * re-encode as WAV at sampleRate/factor (the time axis is
+      * preserved — the audio analogue of pixel resampling). */
+    def resample(bytes: Array[Byte], factor: Int): Array[Byte] = {
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        val fs = fmt.getFrameSize
+        val pcm = in.readAllBytes()
+        val out = new ByteArrayOutputStream()
+        var f = 0
+        while (f * fs + fs <= pcm.length) {
+          if (f % factor == 0) out.write(pcm, f * fs, fs)
+          f += 1
+        }
+        val dec = out.toByteArray
+        val decFmt = new javax.sound.sampled.AudioFormat(
+          fmt.getEncoding, fmt.getSampleRate / factor, fmt.getSampleSizeInBits,
+          fmt.getChannels, fmt.getFrameSize, fmt.getFrameRate / factor, fmt.isBigEndian)
+        val encoded = new ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(dec), decFmt, dec.length / fs),
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, encoded)
+        encoded.toByteArray
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic header codec for the one modality whose codec the
+    * JDK does not ship (video) and for synthetic fixtures. Real images
+    * and real audio never reach this path — [[ImageCodec]] and
+    * [[AudioCodec]] claim them by magic bytes in
+    * [[decodeAll]]/[[extractFeatures]]/[[resizeAll]]. */
   object FakeCodec {
     /** "Decode" = parse fake 8-byte header: [w:2][h:2][durMs:4]. */
     def decodeMeta(bytes: Array[Byte], codec: String): MediaMeta = {
@@ -157,23 +259,29 @@ object Multimodal {
         // 0x424D == 'BM') must degrade to the header codec, not abort
         // the job — one bad asset in 100 TB is a certainty
         val meta = attempt(a, _ => ImageCodec.decodeMeta(a.content),
+          _ => AudioCodec.decodeMeta(a.content),
           () => FakeCodec.decodeMeta(a.content, a.meta.codec))
         a.copy(meta = meta)
       }
     }
   }
 
-  /** Try the real codec when magic bytes claim an image; contain any
-    * decode failure and fall back to the deterministic header codec. */
-  private def attempt[T](a: MediaAsset, real: MediaAsset => T, fake: () => T): T =
+  /** Try the real codec the magic bytes claim (image → [[ImageCodec]],
+    * audio → [[AudioCodec]]); contain any decode failure and fall back
+    * to the deterministic header codec. */
+  private def attempt[T](a: MediaAsset, realImage: MediaAsset => T,
+      realAudio: MediaAsset => T, fake: () => T): T =
     if (ImageCodec.isImage(a.content))
-      try real(a) catch { case _: Exception => fake() }
+      try realImage(a) catch { case _: Exception => fake() }
+    else if (AudioCodec.isAudio(a.content))
+      try realAudio(a) catch { case _: Exception => fake() }
     else fake()
 
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val f = attempt(a, x => ImageCodec.features(x.content),
+        x => AudioCodec.features(x.content),
         () => FakeCodec.features(a.content))
       MediaFeatures(a.assetId, a.modality, f)
     })
@@ -183,6 +291,7 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val c = attempt(a, x => ImageCodec.resize(x.content, factor),
+        x => AudioCodec.resample(x.content, factor),
         () => FakeCodec.resize(a.content, factor))
       a.copy(content = c)
     })

@@ -83,6 +83,73 @@ class MultimodalSpec extends SparkTestBase {
     assert(b(0) == 1.0f && a(0) < 1.0f)
   }
 
+  /** A real 16-bit mono PCM WAV: `freq` Hz sine at 8 kHz sample rate,
+    * `ms` milliseconds. */
+  private def realWav(freq: Double, ms: Int): Array[Byte] = {
+    val rate = 8000f
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("REAL audio codec: wav bytes decode format, channels, duration through the batch path") {
+    val wav = realWav(440.0, 500)
+    assert(AudioCodec.detectFormat(wav).contains("wav"))
+    val out = decodeAll(Seq(
+        MediaAsset(10, "audio", wav, MediaMeta(0, 0, 0L, "pcm")))
+      .toDS()).collect()(0)
+    assert(out.meta.width == 8000, "width carries the sample rate")
+    assert(out.meta.height == 1, "height carries the channel count")
+    assert(math.abs(out.meta.durationMs - 500L) <= 1, s"duration ${out.meta.durationMs}")
+    assert(out.meta.codec == "wav")
+  }
+
+  test("REAL audio codec: amplitude histogram is normalized and content-sensitive") {
+    val loud = AudioCodec.features(realWav(440.0, 200))
+    val silence = AudioCodec.features {
+      val rate = 8000f
+      val n = 1600
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(new Array[Byte](n * 2)), fmt, n),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(loud.length == 32 && silence.length == 32)
+    assert(math.abs(loud.sum - 1f) < 1e-3 && math.abs(silence.sum - 1f) < 1e-3)
+    assert(silence(0) == 1f, "silence concentrates in the zero-amplitude bin")
+    assert(loud(0) < 0.5f, "a 12000-amplitude sine must spread across bins")
+  }
+
+  test("REAL audio codec: resample decimates frames and halves the decoded duration's rate") {
+    val wav = realWav(440.0, 400)
+    val half = AudioCodec.resample(wav, 2)
+    val meta = AudioCodec.decodeMeta(half)
+    assert(meta.width == 4000, "sample rate halves")
+    assert(math.abs(meta.durationMs - 400L) <= 2,
+      s"time axis preserved, got ${meta.durationMs} ms")
+    // corrupt audio-magic bytes degrade to the header codec, not a crash
+    val corrupt = "RIFF????WAVEgarbage-not-a-real-wave-chunk".getBytes ++ Array.fill(64)(7.toByte)
+    assert(AudioCodec.isAudio(corrupt))
+    val out = decodeAll(Seq(
+        MediaAsset(11, "audio", corrupt, MediaMeta(0, 0, 0L, "pcm")))
+      .toDS()).collect()(0)
+    assert(out.meta.codec == "pcm", "fallback keeps the caller-declared codec")
+  }
+
   test("feature extraction: fixed width, normalized, deterministic") {
     val f = extractFeatures(assets.toDS()).collect().sortBy(_.assetId)
     assert(f.forall(_.feature.length == 32))
