@@ -645,14 +645,30 @@ object Dedup {
     * forced here because THIS eval split scales with sf — AQE picks
     * broadcast when it fits). Map-side partial aggs collapse the
     * per-doc duplicate shingles before either shuffle. */
+  /** Distinct (doc_id, sh) shingle rows of a document frame — the
+    * exchange format between the decontamination stages (and the
+    * persistable eval-side index for the STREAMING gate: materialize
+    * `shingleSetOf(evalDocs).select("sh").distinct()` once, then each
+    * intake micro-batch equi-joins into it, O(batch) per batch). */
+  def shingleSetOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles).as("sh"))
+      .filter(col("sh").isNotNull).distinct()
+
+  /** Docs sharing ≥ `minShared` distinct shingles with an eval shingle
+    * set (a one-column `sh` frame) — the decontamination REJECT list,
+    * usable batch (the query below) or per-micro-batch (StreamIntake).
+    * Returns (doc_id, n_shared). */
+  def contaminatedIds(docs: DataFrame, evalShingles: DataFrame,
+      minShared: Long): DataFrame =
+    shingleSetOf(docs).join(evalShingles.select(col("sh")).distinct(), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val evalSh = docs.filter(col("doc_id") % 20 === 0)
-      .select(explode(shingles).as("sh"))
-      .filter(col("sh").isNotNull).distinct()
-    val trainSh = docs.filter(col("doc_id") % 20 =!= 0)
-      .select(col("doc_id"), explode(shingles).as("sh"))
-      .filter(col("sh").isNotNull).distinct()
+    val evalSh = shingleSetOf(docs.filter(col("doc_id") % 20 === 0))
+      .select(col("sh")).distinct()
+    val trainSh = shingleSetOf(docs.filter(col("doc_id") % 20 =!= 0))
     val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val shared = trainSh.join(evalSh, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))

@@ -110,4 +110,51 @@ class StreamIntakeSpec extends SparkTestBase {
     // the accepted corpus = seed + two fresh docs + one twin
     assert(spark.read.parquet(corpusPath).count() == 4)
   }
+
+  test("decontamination gate: batches reject docs overlapping the persisted eval-shingle index") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("decontam")
+    val evalShPath = s"$root/eval_shingles"
+    // the "benchmark suite": one eval doc; its distinct-shingle set is
+    // materialized ONCE — every micro-batch equi-joins into it (the
+    // streaming form of q_decontaminate's train-vs-eval check)
+    val evalDoc = (1 to 40).map(i => s"bench$i").mkString(" ")
+    Dedup.shingleSetOf(Seq((999L, evalDoc)).toDF("doc_id", "text"))
+      .select(col("sh")).distinct()
+      .write.mode("overwrite").parquet(evalShPath)
+
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val passed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val contaminated = Dedup.contaminatedIds(
+            batch, s.read.parquet(evalShPath), minShared = 3L)
+          val bad = contaminated.collect().map(_.getLong(0))
+          val ok = batch.join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .select(col("doc_id")).collect().map(_.getLong(0))
+          rejected.synchronized { rejected ++= bad; passed ++= ok }
+          ()
+        }
+      }
+      .start()
+
+    // doc 30 lifts a 10-token window straight out of the eval doc
+    // (8 shared shingles >= 3); doc 31 shares only ONE isolated eval
+    // token (shingles all differ); doc 32 is clean
+    val leaked = "intro " + (10 to 19).map(i => s"bench$i").mkString(" ") + " outro"
+    val brushed = (1 to 20).map(i => s"tok$i").mkString(" ") + " bench5 " +
+      (21 to 30).map(i => s"tok$i").mkString(" ")
+    val clean = (1 to 25).map(i => s"clean$i").mkString(" ")
+    mem.addData((30L, leaked), (31L, brushed), (32L, clean))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(rejected.synchronized(rejected.toSet) == Set(30L),
+      s"only the lifted-window doc is contaminated: $rejected")
+    assert(passed.synchronized(passed.toSet) == Set(31L, 32L),
+      "a single brushed token must not reject a doc at minShared=3")
+  }
 }
