@@ -208,9 +208,85 @@ object Multimodal {
     }
   }
 
-  /** Deterministic header codec for the one modality whose codec the
-    * JDK does not ship (video) and for synthetic fixtures. Real images
-    * and real audio never reach this path — [[ImageCodec]] and
+  /** Real MP4/MOV CONTAINER parser — the JDK ships no video codec, but
+    * the container metadata is plain big-endian box structure
+    * ([size:4][type:4], size==1 → 64-bit extended size): `moov/mvhd`
+    * carries timescale + duration, `moov/trak/tkhd` the presentation
+    * width/height as 16.16 fixed-point. That is exactly the metadata a
+    * pipeline partitions/filters on; only frame DECODE stays behind
+    * [[FakeCodec]] (features/resize/sampleFrames). ISO/IEC 14496-12
+    * box layout, parsed defensively — any structural surprise throws
+    * and the caller's containment falls back per asset. */
+  object VideoCodec {
+
+    def isVideo(bytes: Array[Byte]): Boolean =
+      bytes.length >= 12 &&
+        bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
+
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long =
+      (u32(b, i) << 32) | u32(b, i + 4)
+
+    /** Walk the boxes in [from, to); invoke `f` with each (type,
+      * payloadStart, payloadEnd). */
+    private def walk(b: Array[Byte], from: Long, to: Long)(
+        f: (String, Long, Long) => Unit): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size0 = u32(b, p.toInt)
+        val typ = new String(b, p.toInt + 4, 4, "ISO-8859-1")
+        val (size, hdr) =
+          if (size0 == 1 && p + 16 <= to) (u64(b, p.toInt + 8), 16L)
+          else if (size0 == 0) (to - p, 8L) // box runs to end-of-enclosure
+          else (size0, 8L)
+        if (size < hdr || p + size > to)
+          throw new IllegalArgumentException(s"mp4: malformed box $typ at $p")
+        f(typ, p + hdr, p + size)
+        p += size
+      }
+    }
+
+    /** mvhd (version 0/1): timescale + duration → durationMs; tkhd of
+      * the first track with a nonzero presentation size → width/height
+      * (16.16 fixed-point, integer part). */
+    def decodeMeta(bytes: Array[Byte]): MediaMeta = {
+      var timescale = 0L; var duration = 0L
+      var width = 0; var height = 0
+      walk(bytes, 0L, bytes.length.toLong) {
+        case ("moov", s, e) =>
+          walk(bytes, s, e) {
+            case ("mvhd", ms, _) =>
+              val v = bytes(ms.toInt) & 0xff
+              if (v == 1) { timescale = u32(bytes, ms.toInt + 20); duration = u64(bytes, ms.toInt + 24) }
+              else { timescale = u32(bytes, ms.toInt + 12); duration = u32(bytes, ms.toInt + 16) }
+            case ("trak", ts, te) =>
+              walk(bytes, ts, te) {
+                case ("tkhd", ks, ke) if width == 0 =>
+                  // width/height are the LAST 8 payload bytes (after
+                  // the version-dependent times and the 36-byte matrix)
+                  val w = (u32(bytes, ke.toInt - 8) >> 16).toInt
+                  val h = (u32(bytes, ke.toInt - 4) >> 16).toInt
+                  if (w > 0 && h > 0) { width = w; height = h }
+                  // silence the unused-variable warning on ks
+                  val _ = ks
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      if (timescale <= 0) throw new IllegalArgumentException("mp4: no mvhd timescale")
+      MediaMeta(width, height, duration * 1000 / timescale, "mp4")
+    }
+  }
+
+  /** Deterministic header codec for synthetic fixtures and for the
+    * paths no JDK codec can serve: video FRAME decode
+    * (features/resize/frame-sampling — container metadata is real via
+    * [[VideoCodec]]) and unrecognized byte payloads. Real images and
+    * real audio never reach this path — [[ImageCodec]] and
     * [[AudioCodec]] claim them by magic bytes in
     * [[decodeAll]]/[[extractFeatures]]/[[resizeAll]]. */
   object FakeCodec {
@@ -260,21 +336,26 @@ object Multimodal {
         // the job — one bad asset in 100 TB is a certainty
         val meta = attempt(a, _ => ImageCodec.decodeMeta(a.content),
           _ => AudioCodec.decodeMeta(a.content),
-          () => FakeCodec.decodeMeta(a.content, a.meta.codec))
+          () => FakeCodec.decodeMeta(a.content, a.meta.codec),
+          realVideo = Some((x: MediaAsset) => VideoCodec.decodeMeta(x.content)))
         a.copy(meta = meta)
       }
     }
   }
 
   /** Try the real codec the magic bytes claim (image → [[ImageCodec]],
-    * audio → [[AudioCodec]]); contain any decode failure and fall back
-    * to the deterministic header codec. */
+    * audio → [[AudioCodec]], video container → [[VideoCodec]] where the
+    * caller supplies a metadata-only path); contain any decode failure
+    * and fall back to the deterministic header codec. */
   private def attempt[T](a: MediaAsset, realImage: MediaAsset => T,
-      realAudio: MediaAsset => T, fake: () => T): T =
+      realAudio: MediaAsset => T, fake: () => T,
+      realVideo: Option[MediaAsset => T] = None): T =
     if (ImageCodec.isImage(a.content))
       try realImage(a) catch { case _: Exception => fake() }
     else if (AudioCodec.isAudio(a.content))
       try realAudio(a) catch { case _: Exception => fake() }
+    else if (realVideo.isDefined && VideoCodec.isVideo(a.content))
+      try realVideo.get(a) catch { case _: Exception => fake() }
     else fake()
 
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {

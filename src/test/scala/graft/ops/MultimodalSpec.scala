@@ -150,6 +150,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.meta.codec == "pcm", "fallback keeps the caller-declared codec")
   }
 
+  /** Minimal valid MP4: ftyp + moov{mvhd v0, trak{tkhd v0}} with the
+    * exact ISO/IEC 14496-12 box layout. */
+  private def realMp4(w: Int, h: Int, timescale: Int, duration: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes)
+    // mvhd v0: ver/flags, creation, modification, timescale, duration,
+    // rate, volume+reserved, reserved, matrix, predefined, nextTrackId
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++
+      u32(timescale.toLong) ++ u32(duration.toLong) ++ u32(0x00010000L) ++
+      u32(0x01000000L) ++ new Array[Byte](8) ++ new Array[Byte](36) ++
+      new Array[Byte](24) ++ u32(2))
+    // tkhd v0: ver/flags, creation, modification, trackId, reserved,
+    // duration, reserved(8), layer/alt/volume/reserved(8), matrix,
+    // width/height as 16.16
+    val tkhd = box("tkhd", u32(7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+      u32(duration.toLong) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+      new Array[Byte](36) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("REAL video container parser: mp4 box walk yields true dims and duration") {
+    val mp4 = realMp4(w = 640, h = 360, timescale = 600, duration = 3000)
+    assert(VideoCodec.isVideo(mp4))
+    val out = decodeAll(Seq(
+        MediaAsset(20, "video", mp4, MediaMeta(0, 0, 0L, "h264")))
+      .toDS()).collect()(0)
+    assert(out.meta.width == 640 && out.meta.height == 360)
+    assert(out.meta.durationMs == 5000L, s"3000/600 s, got ${out.meta.durationMs}")
+    assert(out.meta.codec == "mp4")
+    // truncated/garbage moov degrades to the header codec per asset
+    val corrupt = mp4.take(20) ++ Array.fill(32)(0x41.toByte)
+    val bad = decodeAll(Seq(
+        MediaAsset(21, "video", corrupt, MediaMeta(0, 0, 0L, "h264")))
+      .toDS()).collect()(0)
+    assert(bad.meta.codec == "h264", "fallback keeps the caller-declared codec")
+  }
+
   test("feature extraction: fixed width, normalized, deterministic") {
     val f = extractFeatures(assets.toDS()).collect().sortBy(_.assetId)
     assert(f.forall(_.feature.length == 32))
