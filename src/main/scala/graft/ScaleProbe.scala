@@ -29,6 +29,7 @@ object ScaleProbe {
     time("bpe_tokens 50k docs")(ops.Bpe.bpeTokens(spark, d).count())
     time("lang_id_ngram 50k docs")(ops.Text.langIdNgram(spark, d).count())
     time("ivf_trained_topk 20k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
+    time("pq_topk 20k vecs")(ops.Pq.pqTopK(spark, d).count())
     // round-4 operators
     time("session_overlap 1M events")(println("  buckets=" + ops.Behavior.sessionOverlap(spark, d).count()))
     time("session_overlap minute-band 1M")(println("  buckets=" +

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_ivf_assign" -> ((s, d) => Similarity.ivfAssign(s, d)),
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_ivf_trained_topk" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
+    "q_pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
@@ -181,6 +182,7 @@ object SparkEntry {
     "q_ivf_assign" -> Similarity.ivfAssignSql,
     "q_ivf_topk" -> Similarity.ivfTopKSql,
     "q_ivf_trained_topk" -> Similarity.ivfTrainedTopKSql,
+    "q_pq_topk" -> Pq.pqTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,

@@ -1,0 +1,242 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the compression side of a billion-vector
+  * ANN index (IVF-PQ, Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split each vector into M subspaces,
+  * k-means each subspace to K sub-centroids, store each vector as M
+  * small codes (here 4×1 byte for a 64-dim float vector: 64× smaller
+  * than the raw floats), and score candidates with ASYMMETRIC DISTANCE
+  * COMPUTATION — the query is never quantized; per subspace a K-entry
+  * dot-product table is precomputed and a candidate's approximate
+  * score is M table lookups. Exact re-ranking of the top shortlist
+  * restores accuracy.
+  *
+  * Scale shape (the reason PQ exists): at 10⁹ vectors the raw floats
+  * are the storage/IO bottleneck, not the arithmetic. Codes shuffle
+  * and scan at bytes/vector; the full embeddings are touched only for
+  * the shortlist re-rank (payload-joined by id — the same
+  * payload-free-shuffle rule as the IVF probe). Encoding is one
+  * broadcast-join of the (M·K·subDim)-row codebook against exploded
+  * components with map-side partial aggregation; nothing wider than
+  * (vec_id, sub_no, centroid_id, partial) ever shuffles.
+  *
+  * Engine parity: every ranking-relevant quantity is SCALED-INTEGER
+  * arithmetic — components quantized via floor(v·10⁴), distances and
+  * dot products are integer sums — so assignment ties, shortlist
+  * cut-offs and ADC order are bit-identical in Spark and DuckDB at any
+  * partitioning (the hyperplane-LSH integer-dot rule). Training is
+  * deterministic (init = subvectors of the K lowest sampled vec_ids,
+  * ties to the lower centroid id, float-rounded means), so the oracle
+  * contract is the [[Similarity.buildTrainedCentroids]] one: Spark
+  * trains once, commits the codebooks to a content-keyed parquet dir,
+  * and the DuckDB oracle replays encode + ADC + re-rank from the SAME
+  * file.
+  */
+object Pq {
+
+  /** Subspace count, sub-centroids per subspace. 4×8 on the 64-dim
+    * test corpus keeps the oracle replay small; production 10⁹-vector
+    * setups run e.g. M=16, K=256 (16 bytes/vector) — same plans, same
+    * arithmetic, bigger broadcast table. */
+  val M = 4
+  val K = 8
+  private val Scale = 10000L
+
+  private def scaled(c: Column): Column =
+    floor(c.cast("double") * Scale).cast("long")
+
+  /** Exploded scaled components of an embeddings frame:
+    * (vec_id, sub_no, spos, v) with spos 1-based inside the subspace. */
+  private def components(emb: DataFrame, subDim: Int): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"),
+        (col("pos") / subDim).cast("int").as("sub_no"),
+        (col("pos") % subDim + 1).as("spos"),
+        scaled(col("v0")).as("v"))
+
+  /** Exploded scaled codebook components:
+    * (sub_no, centroid_id, spos, c). */
+  private def codebookComponents(codebooks: DataFrame): DataFrame =
+    codebooks.select(col("sub_no"), col("centroid_id"),
+        posexplode(col("c_sub")).as(Seq("sp0", "c0")))
+      .select(col("sub_no"), col("centroid_id"),
+        (col("sp0") + 1).as("spos"), scaled(col("c0")).as("c"))
+
+  /** Per-(vector, subspace) code: nearest sub-centroid by scaled-
+    * integer L2, ties to the lower centroid id. Returns
+    * (vec_id, sub_no, code). */
+  def encode(emb: DataFrame, codebooks: DataFrame, subDim: Int): DataFrame =
+    components(emb, subDim)
+      .join(broadcast(codebookComponents(codebooks)), Seq("sub_no", "spos"))
+      .groupBy(col("vec_id"), col("sub_no"), col("centroid_id"))
+      .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+      .groupBy(col("vec_id"), col("sub_no"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("sub_no"), col("best.centroid_id").as("code"))
+
+  /** Deterministic per-subspace Lloyd's: one distributed pass per
+    * iteration covering ALL subspaces (assign by scaled-int L2 → mean
+    * per (sub_no, centroid, spos), collected — model-sized: M·K·subDim
+    * rows). Returns (sub_no, centroid_id, c_sub ARRAY<FLOAT>). */
+  def trainCodebooks(spark: SparkSession, emb: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    val dim = Similarity.fixedEmbeddingWidth(emb, "Pq.trainCodebooks")
+      .getOrElse(throw new IllegalArgumentException("Pq: empty corpus"))
+    require(dim % M == 0, s"Pq: dim $dim must be divisible by M=$M")
+    val subDim = dim / M
+    def cbDf(cb: Array[Array[Array[Float]]]): DataFrame =
+      (for { m <- cb.indices; j <- cb(m).indices }
+        yield (m, j.toLong, cb(m)(j))).toDF("sub_no", "centroid_id", "c_sub")
+    // init: subspace slices of the K lowest vec_ids' vectors
+    val init = emb.orderBy(col("vec_id")).limit(K)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    var cb: Array[Array[Array[Float]]] =
+      Array.tabulate(M)(m => init.map(_.slice(m * subDim, (m + 1) * subDim)))
+    var i = 0
+    while (i < iters) {
+      val means = components(emb, subDim)
+        .join(broadcast(codebookComponents(cbDf(cb))), Seq("sub_no", "spos"))
+        .groupBy(col("vec_id"), col("sub_no"), col("centroid_id"))
+        .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
+        .groupBy(col("vec_id"), col("sub_no"))
+        .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+        .select(col("vec_id"), col("sub_no"), col("best.centroid_id").as("code"))
+        .join(components(emb, subDim).withColumnRenamed("v", "vraw"),
+          Seq("vec_id", "sub_no"))
+        .groupBy(col("sub_no"), col("code"), col("spos"))
+        .agg((avg(col("vraw")) / Scale).cast("float").as("m"))
+        .collect() // ≤ M·K·subDim rows — the MODEL, never the corpus
+      val next = cb.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2) - 1) = r.getFloat(3)
+      }
+      cb = next
+      i += 1
+    }
+    cbDf(cb)
+  }
+
+  /** Where the trained codebooks are committed for the oracle replay
+    * (same run/corpus keying as the trained-IVF export). */
+  val PqCodebooksPath: String = s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/pq_codebooks"
+
+  /** Train-and-commit, idempotent per (run, corpus) — the PQ analogue
+    * of [[Similarity.buildTrainedCentroids]]. Trains on the
+    * deterministic 1-in-4 sample; encode/probe touch every vector. */
+  def buildCodebooks(spark: SparkSession, sfDir: String): String = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpusKey = Similarity.corpusKeyOf(emb)
+    val exportDir = s"$PqCodebooksPath/k=$corpusKey"
+    val fs = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
+    if (!fs.exists(committed)) {
+      trainCodebooks(spark, emb.filter(col("vec_id") % 4 === 0), iters = 2)
+        .withColumn("corpus_key", lit(corpusKey))
+        .coalesce(1).write.mode("overwrite").parquet(exportDir)
+    }
+    exportDir
+  }
+
+  /** PQ top-k: ADC over the codes builds an integer approximate-dot
+    * shortlist of `shortlist` candidates; exact cosine re-ranks it to
+    * `k`. Output contract matches [[Similarity.ivfTrainedTopK]]:
+    * (vec_id, cos_sim). */
+  def pqTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exportDir = buildCodebooks(spark, sfDir)
+    val codebooks = spark.read.parquet(exportDir).drop("corpus_key")
+    val dim = Similarity.fixedEmbeddingWidth(emb, "Pq.pqTopK")
+      .getOrElse(return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0))
+    val subDim = dim / M
+    // ADC tables: scaled-integer dot of the query's subvectors with
+    // every sub-centroid — M·K rows, computed relationally and
+    // broadcast (no driver round-trip beyond the codebook read)
+    val qComps = components(emb.filter(col("vec_id") === queryVecId), subDim)
+      .select(col("sub_no"), col("spos"), col("v").as("qv"))
+    val dotTable = codebookComponents(codebooks)
+      .join(broadcast(qComps), Seq("sub_no", "spos"))
+      .groupBy(col("sub_no"), col("centroid_id"))
+      .agg(sum(col("qv") * col("c")).as("qdot"))
+    val dt = dotTable.select(col("sub_no").as("dt_sub"),
+      col("centroid_id").as("dt_cid"), col("qdot"))
+    val approx = encode(emb.filter(col("vec_id") =!= queryVecId), codebooks, subDim)
+      .join(broadcast(dt),
+        col("sub_no") === col("dt_sub") && col("code") === col("dt_cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdot")).as("approx_dot"))
+      // integer score + vec_id tiebreak: the shortlist CUT is
+      // bit-deterministic across engines and partitionings
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    approx.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (round(Similarity.cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB replay of the full PQ probe from the committed codebooks:
+    * encode (scaled-int L2, rank-1 window), ADC (scaled-int dot table
+    * join + sum), integer shortlist, exact-cosine re-rank. */
+  def pqTopKSql: String = {
+    val subDim = 16 // oracle corpus is 64-dim; Spark side derives it,
+                    // the SQL states it (a dim change breaks the hash
+                    // loudly, which is the contract working)
+    s"""WITH cb AS (
+       |  SELECT sub_no, centroid_id, c_sub
+       |  FROM read_parquet('$PqCodebooksPath/*/*.parquet')
+       |  WHERE corpus_key = ${Similarity.corpusKeySqlDuck}),
+       |cbc AS (
+       |  SELECT sub_no, centroid_id, t.range AS spos,
+       |    CAST(floor(c_sub[t.range]::DOUBLE * 10000) AS BIGINT) AS c
+       |  FROM cb, range(1, ${subDim + 1}) t),
+       |comps AS (
+       |  SELECT vec_id, CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(embedding[t.range]::DOUBLE * 10000) AS BIGINT) AS v
+       |  FROM embeddings, range(1, ${M * subDim + 1}) t),
+       |dists AS (
+       |  SELECT comps.vec_id, comps.sub_no, cbc.centroid_id,
+       |    sum((v - c) * (v - c)) AS dist
+       |  FROM comps JOIN cbc USING (sub_no, spos)
+       |  GROUP BY comps.vec_id, comps.sub_no, cbc.centroid_id),
+       |codes AS (
+       |  SELECT vec_id, sub_no, centroid_id AS code FROM (
+       |    SELECT vec_id, sub_no, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id, sub_no
+       |        ORDER BY dist, centroid_id) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |qc AS (SELECT sub_no, spos, v AS qv FROM comps WHERE vec_id = 0),
+       |dot_table AS (
+       |  SELECT cbc.sub_no, cbc.centroid_id, sum(qv * c) AS qdot
+       |  FROM cbc JOIN qc USING (sub_no, spos)
+       |  GROUP BY cbc.sub_no, cbc.centroid_id),
+       |shortlist AS (
+       |  SELECT vec_id
+       |  FROM codes JOIN dot_table
+       |    ON codes.sub_no = dot_table.sub_no AND codes.code = dot_table.centroid_id
+       |  WHERE vec_id <> 0
+       |  GROUP BY vec_id
+       |  ORDER BY sum(qdot) DESC, vec_id
+       |  LIMIT 50),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |SELECT s.vec_id,
+       |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
+       |FROM shortlist s
+       |JOIN embeddings e USING (vec_id)
+       |CROSS JOIN q
+       |WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+}

@@ -266,7 +266,7 @@ object Similarity {
     * export under disjoint subdirs, so the cross-session overwrite race
     * a fixed path had is structurally gone. The SQL glob below includes
     * the run id, so a DuckDB replay only ever sees its own run's files. */
-  private val RunId: String = java.util.UUID.randomUUID().toString.take(8)
+  private[ops] val RunId: String = java.util.UUID.randomUUID().toString.take(8)
 
   /** Where [[ivfTrainedTopK]] materializes its trained centroids. The
     * iterative k-means itself is not practically SQL-expressible, but
@@ -277,6 +277,23 @@ object Similarity {
     * probe path gets a hash-checked row, and any training
     * nondeterminism would surface as a mismatch on re-run. */
   val TrainedCentroidsPath: String = s"$OracleExportRoot/run=$RunId/ivf_trained_centroids"
+
+  /** Order-independent content fingerprint of an embeddings corpus —
+    * keys oracle-shared exports (see the comment inside
+    * [[buildTrainedCentroids]]; the DuckDB side recomputes the same
+    * sum, [[corpusKeySqlDuck]]). Shared with [[Pq]]'s codebook
+    * export. */
+  private[ops] def corpusKeyOf(emb: DataFrame): Long = {
+    val keyTerm =
+      (floor(element_at(col("embedding"), 1).cast("double") * 10000).cast("long") *
+        (col("vec_id") + 1L)) % lit(1000003L)
+    emb.agg(sum(keyTerm).cast("long")).collect()(0).getLong(0)
+  }
+
+  private[ops] val corpusKeySqlDuck: String =
+    """(SELECT CAST(sum(
+      |    CAST(floor(embedding[1]::DOUBLE * 10000) AS BIGINT) * (vec_id + 1) % 1000003
+      |  ) AS BIGINT) FROM embeddings)""".stripMargin
 
   /** The explicit index-build step behind [[ivfTrainedTopK]]: trains
     * sample k-means centroids and commits them under a
@@ -301,10 +318,7 @@ object Similarity {
     // its corpus by recomputing the same sum over its view.
     // `%`, not pmod: terms can be negative (embedding components are)
     // and DuckDB's % follows the dividend sign like Java's
-    val keyTerm =
-      (floor(element_at(col("embedding"), 1).cast("double") * 10000).cast("long") *
-        (col("vec_id") + 1L)) % lit(1000003L)
-    val corpusKey = emb.agg(sum(keyTerm).cast("long")).collect()(0).getLong(0)
+    val corpusKey = corpusKeyOf(emb)
     val exportDir = s"$TrainedCentroidsPath/k=$corpusKey"
     val fs = new org.apache.hadoop.fs.Path(exportDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
