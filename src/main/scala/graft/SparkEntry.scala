@@ -107,6 +107,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => Text.tfidf(s, d)),
     "q_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
+    "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "q_profile_orders" -> ((s, d) => SetAndScalar.profileOrders(s, d)),
     // round-4 pipeline additions: decontamination, repetition filters,
     // weighted sampling, interval-overlap join
@@ -194,6 +195,7 @@ object SparkEntry {
     "q_tfidf" -> Text.tfidfSql,
     "q_stratified_sample" -> Text.stratifiedSampleSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,
+    "q_semantic_dedup" -> Similarity.semanticDedupSql,
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,
     "q_decontaminate" -> Dedup.decontaminateSql,
     "q_doc_repetition" -> Text.docRepetitionSql,

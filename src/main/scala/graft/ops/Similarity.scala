@@ -254,6 +254,73 @@ object Similarity {
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
 
+  /** Semantic (embedding-cosine) dedup, SemDeDup-style (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus, compare pairs ONLY
+    * within a cluster, and mark every vector that has an above-`tau`
+    * cluster-mate with a smaller id as a drop — the kept copy is the
+    * smallest such mate. Output: one row per DROPPED vector
+    * `(vec_id, kept_by, max_sim, n_dups)`.
+    *
+    * Scale shape: pair cost is Σ cluster² instead of n² — the same
+    * bucketed-candidate rule as every other near-dup path here (LSH
+    * bands, simhash bands, grid cells); the cluster id is the bucket.
+    * The pair join shuffles both sides once on `centroid_id`, and only
+    * cluster-mates ever meet. Clusters come from the deterministic
+    * modulo-sampled centroid set of [[ivfAssign]] (K ~ n/50, so
+    * E[cluster] ~ 50 and pair cost ~ 50·n); a production run points
+    * this at the k-means assignment of [[ivfTrainedTopK]] — the
+    * candidate/verify plan is identical.
+    *
+    * Parity: assignment reuses the proven [[assignments]] rank-1 rule;
+    * pair sims are 4-dp-rounded before the threshold so the keep/drop
+    * decision is bit-stable across engines; `max` / `min` / `count`
+    * over rounded values are order-independent. */
+  def semanticDedup(spark: SparkSession, sfDir: String, tau: Double = 0.35): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val members = assignments(spark, sfDir).select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = members.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"))
+    val b = members.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b").as("vec_id"), col("vec_a"),
+        (round(cosine(col("emb_a"), col("emb_b")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(col("cos_sim") >= tau && !isnan(col("cos_sim")))
+      .groupBy(col("vec_id"))
+      .agg(min(col("vec_a")).as("kept_by"),
+        max(col("cos_sim")).as("max_sim"),
+        count(lit(1)).as("n_dups"))
+      .orderBy(col("vec_id"))
+  }
+
+  def semanticDedupSql: String =
+    """WITH centroids AS (
+      |  SELECT vec_id AS centroid_id, embedding AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |asg AS (
+      |  SELECT vec_id, centroid_id FROM (
+      |    SELECT vec_id, centroid_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], c_emb::DOUBLE[]), 4) DESC,
+      |                 centroid_id) AS rk
+      |    FROM embeddings CROSS JOIN centroids) WHERE rk = 1),
+      |members AS (
+      |  SELECT a.vec_id, a.centroid_id, e.embedding
+      |  FROM asg a JOIN embeddings e USING (vec_id)),
+      |pairs AS (
+      |  SELECT b.vec_id AS vec_id, a.vec_id AS vec_a,
+      |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0.0 AS cos_sim
+      |  FROM members a JOIN members b
+      |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+      |SELECT vec_id, min(vec_a) AS kept_by, max(cos_sim) AS max_sim,
+      |  count(*) AS n_dups
+      |FROM pairs
+      |WHERE cos_sim >= 0.35 AND NOT isnan(cos_sim)
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
   /** Root for oracle-shared materializations. Configurable via the
     * `GRAFT_ORACLE_ROOT` env var (the oracle SQL is generated in the
     * same JVM, so both engines read one resolved value); the default

@@ -37,6 +37,34 @@ class ScaleToolsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall@10 = $recall")
   }
 
+  test("semantic dedup matches an in-memory within-cluster reference") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // reference cluster assignment: highest rounded cosine, lowest centroid id
+    val centroidIds = emb.keys.filter(_ % 50 == 0).toSeq.sorted
+    val cluster = emb.map { case (id, v) =>
+      id -> centroidIds.map(c => (-cos(v, emb(c)), c)).min._2
+    }
+    val expected = emb.keys.flatMap { vb =>
+      val mates = emb.keys.filter(va => va < vb && cluster(va) == cluster(vb))
+        .map(va => va -> cos(emb(va), emb(vb)))
+        .filter { case (_, s) => !s.isNaN && s >= 0.35 }
+      if (mates.isEmpty) None
+      else Some(vb -> ((mates.map(_._1).min, mates.map(_._2).max, mates.size.toLong)))
+    }.toMap
+    val got = Similarity.semanticDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got == expected, s"got ${got.size} drops, expected ${expected.size}")
+    assert(got.nonEmpty, "threshold should fire on the synthetic corpus")
+    got.foreach { case (dropped, (keptBy, _, _)) => assert(keptBy < dropped) }
+  }
+
   test("compaction reduces file count and preserves rows") {
     val layout = Layout(tmpDir("compact"))
     import spark.implicits._
