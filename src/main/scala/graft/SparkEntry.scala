@@ -92,6 +92,7 @@ object SparkEntry {
     "q_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q_ivf_trained_topk" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "q_pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
+    "q_ivfpq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
@@ -184,6 +185,7 @@ object SparkEntry {
     "q_ivf_topk" -> Similarity.ivfTopKSql,
     "q_ivf_trained_topk" -> Similarity.ivfTrainedTopKSql,
     "q_pq_topk" -> Pq.pqTopKSql,
+    "q_ivfpq_topk" -> Pq.ivfPqTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,

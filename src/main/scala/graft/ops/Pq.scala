@@ -185,6 +185,227 @@ object Pq {
       .limit(k)
   }
 
+  // ------------------------------------------------------------------
+  // IVF-PQ: coarse inverted lists + PQ-coded RESIDUALS — the combined
+  // architecture behind billion-vector indexes (FAISS IVFPQ; Jégou et
+  // al. 2011 §IV). The coarse quantizer prunes the corpus to `nprobe`
+  // lists; within a list, vectors are represented by the PQ codes of
+  // their residual (v − c_coarse), which is far tighter than coding v
+  // directly because residual magnitudes are small. The approximate
+  // score decomposes as q·v ≈ q·c_coarse (one dot per PROBED LIST)
+  // + q·r̃ (M table lookups per candidate) — so a probe touches
+  // nprobe coarse dots + bytes-per-vector codes, never raw floats,
+  // until the shortlist re-rank.
+  //
+  // Coarse centroids are the deterministic modulo-sampled set of
+  // [[Similarity.ivfAssign]] (SQL-expressible, so the oracle replays
+  // assignment from scratch); residual codebooks are trained and
+  // committed like [[buildCodebooks]]. Residuals are computed in
+  // double and rounded to float on BOTH engines (IEEE round-to-
+  // nearest in Spark's cast and DuckDB's ::FLOAT), keeping every
+  // downstream scaled-integer quantity bit-identical.
+  // ------------------------------------------------------------------
+
+  /** (vec_id, centroid_id, embedding=residual) — each vector's offset
+    * from its assigned coarse centroid, float-rounded. */
+  private def residuals(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    Similarity.assignments(spark, sfDir).select(col("vec_id"), col("centroid_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding"), col("c_emb"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float")).as("embedding"))
+  }
+
+  /** Where the trained residual codebooks are committed. */
+  val IvfPqCodebooksPath: String =
+    s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codebooks"
+
+  /** Train-and-commit residual codebooks, idempotent per
+    * (run, corpus); trains on the deterministic 1-in-4 sample of the
+    * residual frame. */
+  def buildIvfPqCodebooks(spark: SparkSession, sfDir: String): String = {
+    val corpusKey = Similarity.corpusKeyOf(Tables.embeddings(spark, sfDir))
+    val exportDir = s"$IvfPqCodebooksPath/k=$corpusKey"
+    val fs = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
+    if (!fs.exists(committed)) {
+      val sample = residuals(spark, sfDir).filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding"))
+      trainCodebooks(spark, sample, iters = 2)
+        .withColumn("corpus_key", lit(corpusKey))
+        .coalesce(1).write.mode("overwrite").parquet(exportDir)
+    }
+    exportDir
+  }
+
+  /** IVF-PQ top-k probe: rank coarse lists against the query, keep
+    * `nprobe`; within probed lists score candidates as
+    * coarse-dot(list) + Σ ADC lookups over residual codes (all
+    * scaled-integer, so the `shortlist` cut is engine-deterministic);
+    * exact-cosine re-rank to `k`. Output contract matches
+    * [[Similarity.ivfTopK]]: (vec_id, cos_sim).
+    *
+    * Candidates' residual codes are computed inside the query here
+    * (the corpus is re-encoded per run); a production deployment
+    * materializes `encode(residuals)` once at index-build time,
+    * partitioned by `centroid_id` — the probe below then starts from
+    * that stored code table and its plan is unchanged from the
+    * `codes` stage on. */
+  def ivfPqTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      nprobe: Int = 3, shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exportDir = buildIvfPqCodebooks(spark, sfDir)
+    val codebooks = spark.read.parquet(exportDir).drop("corpus_key")
+    val dim = Similarity.fixedEmbeddingWidth(emb, "Pq.ivfPqTopK")
+      .getOrElse(return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0))
+    val subDim = dim / M
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("centroid_id"),
+        (round(Similarity.cosine(col("c_emb"), col("q_emb")), 4) + lit(0.0)).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+
+    val qComps = components(emb.filter(col("vec_id") === queryVecId), subDim)
+      .select(col("sub_no"), col("spos"), col("v").as("qv"))
+    // one integer dot per PROBED coarse centroid — nprobe rows
+    val coarseDot = components(
+        centroids.select(col("centroid_id").as("vec_id"), col("c_emb").as("embedding")), subDim)
+      .select(col("vec_id").as("centroid_id"), col("sub_no"), col("spos"), col("v").as("cv"))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(qComps), Seq("sub_no", "spos"))
+      .groupBy(col("centroid_id"))
+      .agg(sum(col("qv") * col("cv")).as("coarse_dot"))
+    // ADC table over the residual codebooks — M·K rows
+    val dt = codebookComponents(codebooks)
+      .join(broadcast(qComps), Seq("sub_no", "spos"))
+      .groupBy(col("sub_no"), col("centroid_id"))
+      .agg(sum(col("qv") * col("c")).as("qdot"))
+      .select(col("sub_no").as("dt_sub"), col("centroid_id").as("dt_cid"), col("qdot"))
+
+    val cand = residuals(spark, sfDir)
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= queryVecId)
+    val approx = encode(cand.select(col("vec_id"), col("embedding")), codebooks, subDim)
+      .join(broadcast(dt),
+        col("sub_no") === col("dt_sub") && col("code") === col("dt_cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qdot")).as("res_dot"))
+      .join(cand.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(broadcast(coarseDot), Seq("centroid_id"))
+      .select(col("vec_id"), (col("res_dot") + col("coarse_dot")).as("approx_dot"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+
+    approx.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (round(Similarity.cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB replay of the IVF-PQ probe from the committed residual
+    * codebooks: coarse assignment (rank-1), probe list, double-minus-
+    * then-float residuals, residual encode, coarse dot + ADC
+    * shortlist, exact re-rank. */
+  def ivfPqTopKSql: String = {
+    val subDim = 16 // oracle corpus is 64-dim (see pqTopKSql note)
+    s"""WITH cb AS (
+       |  SELECT sub_no, centroid_id, c_sub
+       |  FROM read_parquet('$IvfPqCodebooksPath/*/*.parquet')
+       |  WHERE corpus_key = ${Similarity.corpusKeySqlDuck}),
+       |cbc AS (
+       |  SELECT sub_no, centroid_id, t.range AS spos,
+       |    CAST(floor(c_sub[t.range]::DOUBLE * 10000) AS BIGINT) AS c
+       |  FROM cb, range(1, ${subDim + 1}) t),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |asg AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 4) DESC,
+       |                 c.centroid_id) AS rk
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rk = 1),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |probed AS (
+       |  SELECT centroid_id
+       |  FROM centroids CROSS JOIN q
+       |  ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]), 4) + 0.0 DESC, centroid_id
+       |  LIMIT 3),
+       |qc AS (
+       |  SELECT CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(q_emb[t.range]::DOUBLE * 10000) AS BIGINT) AS qv
+       |  FROM q, range(1, ${M * subDim + 1}) t),
+       |cc AS (
+       |  SELECT centroid_id, CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(c_emb[t.range]::DOUBLE * 10000) AS BIGINT) AS cv
+       |  FROM centroids JOIN probed USING (centroid_id), range(1, ${M * subDim + 1}) t),
+       |coarse AS (
+       |  SELECT centroid_id, sum(qv * cv) AS coarse_dot
+       |  FROM cc JOIN qc USING (sub_no, spos)
+       |  GROUP BY centroid_id),
+       |res AS (
+       |  SELECT a.vec_id, a.centroid_id,
+       |    CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(CAST(e.embedding[t.range]::DOUBLE - c.c_emb[t.range]::DOUBLE AS FLOAT)::DOUBLE * 10000) AS BIGINT) AS v
+       |  FROM asg a
+       |  JOIN probed USING (centroid_id)
+       |  JOIN embeddings e ON a.vec_id = e.vec_id
+       |  JOIN centroids c ON a.centroid_id = c.centroid_id,
+       |  range(1, ${M * subDim + 1}) t
+       |  WHERE a.vec_id <> 0),
+       |dists AS (
+       |  SELECT res.vec_id, res.sub_no, cbc.centroid_id,
+       |    sum((v - c) * (v - c)) AS dist
+       |  FROM res JOIN cbc USING (sub_no, spos)
+       |  GROUP BY res.vec_id, res.sub_no, cbc.centroid_id),
+       |codes AS (
+       |  SELECT vec_id, sub_no, centroid_id AS code FROM (
+       |    SELECT vec_id, sub_no, centroid_id,
+       |      row_number() OVER (PARTITION BY vec_id, sub_no
+       |        ORDER BY dist, centroid_id) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |dot_table AS (
+       |  SELECT cbc.sub_no, cbc.centroid_id, sum(qv * c) AS qdot
+       |  FROM cbc JOIN qc USING (sub_no, spos)
+       |  GROUP BY cbc.sub_no, cbc.centroid_id),
+       |shortlist AS (
+       |  SELECT codes.vec_id
+       |  FROM codes
+       |  JOIN dot_table
+       |    ON codes.sub_no = dot_table.sub_no AND codes.code = dot_table.centroid_id
+       |  JOIN asg ON codes.vec_id = asg.vec_id
+       |  JOIN coarse ON asg.centroid_id = coarse.centroid_id
+       |  GROUP BY codes.vec_id
+       |  ORDER BY sum(qdot) + max(coarse_dot) DESC, codes.vec_id
+       |  LIMIT 50)
+       |SELECT s.vec_id,
+       |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
+       |FROM shortlist s
+       |JOIN embeddings e USING (vec_id)
+       |CROSS JOIN q
+       |WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
+       |ORDER BY cos_sim DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** DuckDB replay of the full PQ probe from the committed codebooks:
     * encode (scaled-int L2, rank-1 window), ADC (scaled-int dot table
     * join + sum), integer shortlist, exact-cosine re-rank. */

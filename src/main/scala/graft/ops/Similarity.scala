@@ -139,7 +139,7 @@ object Similarity {
     * the oracle's rank-1 window. Profiled at 10× data: the previous
     * window-over-payload formulation shuffled ~2.4 GB and took 32 s;
     * this shape is payload-free. */
-  private def assignments(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def assignments(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))

@@ -39,6 +39,18 @@ class PqSpec extends SparkTestBase {
     info(s"PQ recall@10 vs brute force: $recall")
   }
 
+  test("IVF-PQ probe stays inside probed lists and recalls within them") {
+    // probed-subset exact top-10 = the best any IVF probe can do at
+    // this nprobe; the PQ shortlist + re-rank should recover most of it
+    val pq = Pq.ivfPqTopK(spark, sfDir).collect().map(_.getLong(0))
+    assert(pq.nonEmpty)
+    assert(pq.distinct.length == pq.length)
+    val ivfExact = Similarity.ivfTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = ivfExact.intersect(pq.toSet).size.toDouble / ivfExact.size
+    assert(recall >= 0.5, s"recall@10 vs exact-within-probed-lists = $recall")
+    info(s"IVF-PQ recall@10 vs exact probe of same lists: $recall")
+  }
+
   test("codebook build is idempotent per (run, corpus)") {
     val dir1 = Pq.buildCodebooks(spark, sfDir)
     val fs = new org.apache.hadoop.fs.Path(dir1)
