@@ -30,6 +30,9 @@ object ScaleProbe {
     time("lang_id_ngram 50k docs")(ops.Text.langIdNgram(spark, d).count())
     time("ivf_trained_topk 20k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
     time("pq_topk 20k vecs")(ops.Pq.pqTopK(spark, d).count())
+    time("ivfpq index build 20k vecs")(ops.Pq.buildIvfPqIndex(spark, d))
+    time("ivfpq_topk 20k vecs (stored index)")(ops.Pq.ivfPqTopK(spark, d).count())
+    time("semantic_dedup 20k vecs")(println("  drops=" + ops.Similarity.semanticDedup(spark, d).count()))
     // round-4 operators
     time("session_overlap 1M events")(println("  buckets=" + ops.Behavior.sessionOverlap(spark, d).count()))
     time("session_overlap minute-band 1M")(println("  buckets=" +

@@ -224,6 +224,11 @@ object Pq {
   val IvfPqCodebooksPath: String =
     s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codebooks"
 
+  /** Where the encoded corpus (the IVF-PQ *index proper*) is
+    * committed, PARTITIONED BY coarse list. */
+  val IvfPqCodesPath: String =
+    s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codes"
+
   /** Train-and-commit residual codebooks, idempotent per
     * (run, corpus); trains on the deterministic 1-in-4 sample of the
     * residual frame. */
@@ -243,6 +248,33 @@ object Pq {
     exportDir
   }
 
+  /** Build the full IVF-PQ index: codebooks + the encoded corpus
+    * `(vec_id, sub_no, code)` partitioned by `centroid_id`, so a
+    * probe's broadcast join against its `nprobe` list ids prunes the
+    * scan to those directories (dynamic partition pruning) — the
+    * read-only-probed-lists property that makes IVF a win at 10⁹
+    * vectors. One encode pass per (run, corpus); probes never touch
+    * raw floats until the shortlist re-rank. Returns
+    * (codebooksDir, codesDir). */
+  def buildIvfPqIndex(spark: SparkSession, sfDir: String): (String, String) = {
+    val cbDir = buildIvfPqCodebooks(spark, sfDir)
+    val corpusKey = Similarity.corpusKeyOf(Tables.embeddings(spark, sfDir))
+    val cdDir = s"$IvfPqCodesPath/k=$corpusKey"
+    val fs = new org.apache.hadoop.fs.Path(cdDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cdDir, "_SUCCESS"))) {
+      val codebooks = spark.read.parquet(cbDir).drop("corpus_key")
+      val res = residuals(spark, sfDir)
+      val dim = Similarity.fixedEmbeddingWidth(res, "Pq.buildIvfPqIndex")
+        .getOrElse(throw new IllegalArgumentException("Pq: empty corpus"))
+      encode(res.select(col("vec_id"), col("embedding")), codebooks, dim / M)
+        .join(res.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(cdDir)
+    }
+    (cbDir, cdDir)
+  }
+
   /** IVF-PQ top-k probe: rank coarse lists against the query, keep
     * `nprobe`; within probed lists score candidates as
     * coarse-dot(list) + Σ ADC lookups over residual codes (all
@@ -250,17 +282,22 @@ object Pq {
     * exact-cosine re-rank to `k`. Output contract matches
     * [[Similarity.ivfTopK]]: (vec_id, cos_sim).
     *
-    * Candidates' residual codes are computed inside the query here
-    * (the corpus is re-encoded per run); a production deployment
-    * materializes `encode(residuals)` once at index-build time,
-    * partitioned by `centroid_id` — the probe below then starts from
-    * that stored code table and its plan is unchanged from the
-    * `codes` stage on. */
+    * The probe starts from the STORED index of [[buildIvfPqIndex]]
+    * (codes partitioned by coarse list): the broadcast join against
+    * the probed list ids prunes the code scan to `nprobe`
+    * directories, the ADC join touches only bytes-per-vector codes,
+    * and raw embeddings are fetched by id solely for the shortlist
+    * re-rank. The oracle replays encode from the committed CODEBOOKS
+    * and raw floats, so every green run also re-proves stored codes ≡
+    * recomputed codes. */
   def ivfPqTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
       nprobe: Int = 3, shortlist: Int = 50, k: Int = 10): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val exportDir = buildIvfPqCodebooks(spark, sfDir)
-    val codebooks = spark.read.parquet(exportDir).drop("corpus_key")
+    val (cbDir, cdDir) = buildIvfPqIndex(spark, sfDir)
+    val codebooks = spark.read.parquet(cbDir).drop("corpus_key")
+    val codes = spark.read.parquet(cdDir)
+      .select(col("vec_id"), col("sub_no"), col("code"),
+        col("centroid_id").cast("long").as("centroid_id"))
     val dim = Similarity.fixedEmbeddingWidth(emb, "Pq.ivfPqTopK")
       .getOrElse(return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0))
     val subDim = dim / M
@@ -292,15 +329,13 @@ object Pq {
       .agg(sum(col("qv") * col("c")).as("qdot"))
       .select(col("sub_no").as("dt_sub"), col("centroid_id").as("dt_cid"), col("qdot"))
 
-    val cand = residuals(spark, sfDir)
+    val approx = codes
       .join(broadcast(probed), Seq("centroid_id"))
       .filter(col("vec_id") =!= queryVecId)
-    val approx = encode(cand.select(col("vec_id"), col("embedding")), codebooks, subDim)
       .join(broadcast(dt),
         col("sub_no") === col("dt_sub") && col("code") === col("dt_cid"))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("centroid_id"))
       .agg(sum(col("qdot")).as("res_dot"))
-      .join(cand.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
       .join(broadcast(coarseDot), Seq("centroid_id"))
       .select(col("vec_id"), (col("res_dot") + col("coarse_dot")).as("approx_dot"))
       .orderBy(col("approx_dot").desc, col("vec_id"))

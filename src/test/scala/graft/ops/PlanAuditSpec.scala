@@ -107,6 +107,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("IVF-PQ probe scans only probed code partitions (dynamic pruning on centroid_id)") {
+    val df = Pq.ivfPqTopK(spark, sfDir)
+    // the codes scan must carry a partition filter fed by the probed-
+    // list subquery — without it a probe reads ALL inverted lists and
+    // the IVF layer buys nothing at 10^9 vectors. sparkPlan (pre-AQE)
+    // exposes the FileSourceScanExec directly; AQE only narrows
+    // further at runtime.
+    val codeScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("ivfpq_codes")) => s
+    }
+    assert(codeScans.nonEmpty, "no parquet scan of the stored code table found")
+    codeScans.foreach { s =>
+      val pf = s.partitionFilters.mkString(", ")
+      assert(pf.contains("dynamicpruning"),
+        s"codes scan lacks a dynamic partition-pruning filter on centroid_id: [$pf]")
+    }
+  }
+
   test("catalog range query prunes partitions on source") {
     import spark.implicits._
     val layout = graft.lake.Layout(tmpDir("planlake"))
