@@ -116,6 +116,10 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
     "q_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
     "q_session_overlap" -> ((s, d) => Behavior.sessionOverlap(s, d)),
+    // pipeline assembly: packing, domain mixing, PII scrub
+    "q_seq_pack" -> ((s, d) => Pipeline.seqPack(s, d)),
+    "q_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
+    "q_pii_redact" -> ((s, d) => Pipeline.piiRedact(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -203,5 +207,8 @@ object SparkEntry {
     "q_doc_repetition" -> Text.docRepetitionSql,
     "q_weighted_sample" -> Text.weightedSampleSql,
     "q_session_overlap" -> Behavior.sessionOverlapSql,
+    "q_seq_pack" -> Pipeline.seqPackSql,
+    "q_source_mix" -> Pipeline.sourceMixSql,
+    "q_pii_redact" -> Pipeline.piiRedactSql,
   )
 }

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data pipeline assembly operators: sequence packing, domain
+  * mixing, and PII redaction. These are the stages that sit BETWEEN the
+  * filtering/dedup surface (`Text`, `Dedup`) and the trainer: decide how
+  * much of each source to keep, scrub what must not be trained on, and
+  * pack the survivors into fixed context windows.
+  *
+  * The reference (`fernandogoncalves-me/serverless-datalake`) has no
+  * analytics surface at all (see SURVEY.md §2.2); these operators are
+  * part of the mandated north-star extension surface.
+  *
+  * All three queries are integer-exact by construction (no FP folds), so
+  * the DuckDB hash-compare is bit-stable at any scale factor.
+  */
+object Pipeline {
+
+  /** Whitespace token count, identical in Spark and DuckDB:
+    * `split('', ' ')` yields one element in both engines. */
+  private def wsTokens: Column = size(split(col("text"), " ")).cast("long")
+
+  // --------------------------------------------------------------------
+  // Sequence packing (concat-and-chunk)
+  // --------------------------------------------------------------------
+
+  /** Packs documents into fixed token-budget context windows per source:
+    * docs are laid out in deterministic doc_id order and a window starts
+    * every `budget` tokens of the running (exclusive) prefix sum — the
+    * concat-then-chunk layout used to build fixed-length training
+    * batches. A document whose prefix straddles a boundary stays with
+    * the pack its FIRST token falls in (greedy-by-offset), so pack sizes
+    * may overshoot by at most one document — the standard trade against
+    * splitting documents mid-sequence.
+    *
+    * Scale: one window per source partition (no global sort). At 100 TB
+    * a single source can exceed one task's sort budget; the production
+    * path sub-shards by `pmod(hash(doc_id), k)` first (packing is
+    * embarrassingly parallel across shards — each shard just becomes its
+    * own stream of packs), exactly like `Behavior.sessionOverlap` bands.
+    * The prefix sums are longs; overflow needs a single source over
+    * 2^63 tokens.
+    */
+  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), wsTokens.as("n_tokens"))
+      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"offset DIV $budget"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  def seqPackSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), offs AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      |  FROM toks
+      |)
+      |SELECT source, "offset" // 512 AS pack_id,
+      |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM offs GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Domain mixing (rebalance sources to a uniform token budget)
+  // --------------------------------------------------------------------
+
+  /** Rebalances the corpus so every source contributes at most a uniform
+    * token budget (`total_tokens DIV n_sources`): over-represented
+    * sources are down-sampled by a deterministic content hash, sources
+    * already under budget keep everything. This is the domain-mixture
+    * step of a pre-training pipeline (uniform here; any target weight
+    * vector drops in the same way — replace `budget` with the per-source
+    * target).
+    *
+    * The keep test is pure integer arithmetic, the same trick as
+    * `Text.weightedSample`: keep iff `u_ppm * src_tokens <
+    * budget * 1_000_000` where u_ppm ∈ [0, 1e6) comes from the doc's
+    * md5 — no FP rate can round differently across engines, and a source
+    * under budget keeps all docs because u_ppm < 1e6 ≤ budget·1e6/src.
+    * Product bound: u_ppm ≤ 1e6, so src_tokens beyond ~9.2e12 needs the
+    * ratio rewritten in decimal — fine past 100 TB of text per source.
+    *
+    * Scale: two partial aggregates (per-source, then the 20-row total)
+    * plus one broadcast join of the 20-row rate table back onto the doc
+    * scan — a single wide shuffle on `source` total.
+    */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text"), wsTokens.as("n_tokens"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("src_tokens"))
+    val budget = bySrc.agg(
+      expr("sum(src_tokens) DIV count(*)").as("budget"))
+    val uPpm = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % lit(1000000L)
+    docs.withColumn("u_ppm", uPpm)
+      .join(broadcast(bySrc), "source")
+      .crossJoin(broadcast(budget))
+      .withColumn("kept", col("u_ppm") * col("src_tokens") < col("budget") * lit(1000000L))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("src_tokens")).as("src_tokens"),
+        max(col("budget")).as("budget"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  def sourceMixSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS u_ppm
+      |  FROM documents
+      |), by_src AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_tokens) AS src_tokens
+      |  FROM toks GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(src_tokens) // count(*) AS budget FROM by_src
+      |)
+      |SELECT t.source, max(b.n_docs) AS n_docs, max(b.src_tokens) AS src_tokens,
+      |  max(tot.budget) AS budget,
+      |  sum(CASE WHEN t.u_ppm * b.src_tokens < tot.budget * 1000000 THEN 1 ELSE 0 END) AS kept_docs,
+      |  sum(CASE WHEN t.u_ppm * b.src_tokens < tot.budget * 1000000 THEN t.n_tokens ELSE 0 END) AS kept_tokens
+      |FROM toks t JOIN by_src b ON t.source = b.source CROSS JOIN tot
+      |GROUP BY t.source ORDER BY t.source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // PII redaction
+  // --------------------------------------------------------------------
+
+  /** Patterns shared by the Spark column and the DuckDB oracle. Kept to
+    * the RE2 ∩ java.util.regex common subset: explicit character
+    * classes, no lookaround, no backreferences, ASCII `\b`. Order
+    * matters: emails first (they contain dots and digits that the IP
+    * and phone patterns would otherwise chew on). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** Scrubs emails, IPv4 addresses, and 7-digit phone numbers from a
+    * text column, replacing each with a typed placeholder. Pure codegen
+    * built-ins (three `regexp_replace`s) — no UDF in the hot path. */
+  def redactPii(c: Column): Column = {
+    val noEmail = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val noIp = regexp_replace(noEmail, Ipv4Pattern, "<IP>")
+    regexp_replace(noIp, PhonePattern, "<PHONE>")
+  }
+
+  /** PII-redaction audit over the corpus. The synthetic corpus carries
+    * no real PII, so the query plants a deterministic contact block
+    * derived from `doc_id` into every document (both engines synthesize
+    * the identical string), then redacts and reports per-source counts
+    * of each PII class plus the net characters removed. The planted
+    * block exercises all three patterns adjacent to each other; the
+    * original `text` is still scanned, so any pattern-shaped content in
+    * a real corpus is counted the same way.
+    *
+    * Scale: stateless per-row rewrite + one partial agg on `source` —
+    * the cheapest possible shape; regex cost is linear in bytes scanned.
+    */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = concat(
+      col("text"), lit(" contact doc"), col("doc_id"),
+      lit("@mail"), pmod(col("doc_id"), lit(7L)), lit(".example.org tel 555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256L)), lit(".0."),
+      pmod(col("doc_id"), lit(250L)))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), dirty.as("dirty"))
+      .select(col("source"), col("dirty"), redactPii(col("dirty")).as("clean"),
+        size(regexp_extract_all(col("dirty"), lit(EmailPattern), lit(0))).cast("long").as("emails"),
+        size(regexp_extract_all(regexp_replace(col("dirty"), lit(EmailPattern), lit("<EMAIL>")),
+          lit(Ipv4Pattern), lit(0))).cast("long").as("ips"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("emails")).as("emails"),
+        sum(col("ips")).as("ips"),
+        sum(length(col("dirty")) - length(col("clean"))).cast("long").as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
+  def piiRedactSql: String =
+    """WITH dirty AS (
+      |  SELECT source,
+      |    text || ' contact doc' || doc_id || '@mail' || (doc_id % 7)
+      |      || '.example.org tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      || ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 250) AS dirty
+      |  FROM documents
+      |), scrubbed AS (
+      |  SELECT source, dirty,
+      |    regexp_replace(regexp_replace(regexp_replace(dirty,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+      |      '\b[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS clean,
+      |    len(regexp_extract_all(dirty,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+      |    len(regexp_extract_all(regexp_replace(dirty,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS ips
+      |  FROM dirty
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(emails) AS BIGINT) AS emails, CAST(sum(ips) AS BIGINT) AS ips,
+      |  CAST(sum(len(dirty) - len(clean)) AS BIGINT) AS chars_removed
+      |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin
+}

