@@ -96,16 +96,20 @@ object Pq {
       .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
     var cb: Array[Array[Array[Float]]] =
       Array.tabulate(M)(m => init.map(_.slice(m * subDim, (m + 1) * subDim)))
+    // the training set's exploded components are scanned twice per
+    // iteration (assign + mean); materialize them once
+    val comps = components(emb, subDim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var i = 0
     while (i < iters) {
-      val means = components(emb, subDim)
+      val means = comps
         .join(broadcast(codebookComponents(cbDf(cb))), Seq("sub_no", "spos"))
         .groupBy(col("vec_id"), col("sub_no"), col("centroid_id"))
         .agg(sum((col("v") - col("c")) * (col("v") - col("c"))).as("dist"))
         .groupBy(col("vec_id"), col("sub_no"))
         .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
         .select(col("vec_id"), col("sub_no"), col("best.centroid_id").as("code"))
-        .join(components(emb, subDim).withColumnRenamed("v", "vraw"),
+        .join(comps.withColumnRenamed("v", "vraw"),
           Seq("vec_id", "sub_no"))
         .groupBy(col("sub_no"), col("code"), col("spos"))
         .agg((avg(col("vraw")) / Scale).cast("float").as("m"))
@@ -117,6 +121,7 @@ object Pq {
       cb = next
       i += 1
     }
+    comps.unpersist()
     cbDf(cb)
   }
 
@@ -232,14 +237,21 @@ object Pq {
   /** Train-and-commit residual codebooks, idempotent per
     * (run, corpus); trains on the deterministic 1-in-4 sample of the
     * residual frame. */
-  def buildIvfPqCodebooks(spark: SparkSession, sfDir: String): String = {
+  def buildIvfPqCodebooks(spark: SparkSession, sfDir: String): String =
+    buildIvfPqCodebooks(spark, sfDir, residuals(spark, sfDir))
+
+  /** As above, but encoding/training read from `res` — lets the index
+    * build share one materialized residual frame instead of recomputing
+    * the coarse assignment per stage. */
+  private def buildIvfPqCodebooks(spark: SparkSession, sfDir: String,
+      res: DataFrame): String = {
     val corpusKey = Similarity.corpusKeyOf(Tables.embeddings(spark, sfDir))
     val exportDir = s"$IvfPqCodebooksPath/k=$corpusKey"
     val fs = new org.apache.hadoop.fs.Path(exportDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
     if (!fs.exists(committed)) {
-      val sample = residuals(spark, sfDir).filter(col("vec_id") % 4 === 0)
+      val sample = res.filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding"))
       trainCodebooks(spark, sample, iters = 2)
         .withColumn("corpus_key", lit(corpusKey))
@@ -257,22 +269,28 @@ object Pq {
     * raw floats until the shortlist re-rank. Returns
     * (codebooksDir, codesDir). */
   def buildIvfPqIndex(spark: SparkSession, sfDir: String): (String, String) = {
-    val cbDir = buildIvfPqCodebooks(spark, sfDir)
     val corpusKey = Similarity.corpusKeyOf(Tables.embeddings(spark, sfDir))
     val cdDir = s"$IvfPqCodesPath/k=$corpusKey"
     val fs = new org.apache.hadoop.fs.Path(cdDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(cdDir, "_SUCCESS"))) {
+    if (fs.exists(new org.apache.hadoop.fs.Path(cdDir, "_SUCCESS")))
+      return (s"$IvfPqCodebooksPath/k=$corpusKey", cdDir)
+    // one coarse assignment pass feeds BOTH the codebook training
+    // sample and the full encode (it was the build's dominant cost
+    // when recomputed per stage)
+    val res = residuals(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cbDir = buildIvfPqCodebooks(spark, sfDir, res)
       val codebooks = spark.read.parquet(cbDir).drop("corpus_key")
-      val res = residuals(spark, sfDir)
       val dim = Similarity.fixedEmbeddingWidth(res, "Pq.buildIvfPqIndex")
         .getOrElse(throw new IllegalArgumentException("Pq: empty corpus"))
       encode(res.select(col("vec_id"), col("embedding")), codebooks, dim / M)
         .join(res.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
         .repartition(col("centroid_id"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(cdDir)
-    }
-    (cbDir, cdDir)
+      (cbDir, cdDir)
+    } finally res.unpersist()
   }
 
   /** IVF-PQ top-k probe: rank coarse lists against the query, keep
