@@ -116,10 +116,14 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
     "q_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
     "q_session_overlap" -> ((s, d) => Behavior.sessionOverlap(s, d)),
-    // pipeline assembly: packing, domain mixing, PII scrub
+    // pipeline assembly: packing, domain mixing, PII scrub, chunking
     "q_seq_pack" -> ((s, d) => Pipeline.seqPack(s, d)),
     "q_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
     "q_pii_redact" -> ((s, d) => Pipeline.piiRedact(s, d)),
+    "q_chunk_windows" -> ((s, d) => Pipeline.chunkWindows(s, d)),
+    // time-series resample + skew-safe aggregation
+    "q_gap_fill" -> ((s, d) => EventOps.gapFill(s, d)),
+    "q_skew_agg" -> ((s, d) => Skew.saltedEventStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -210,5 +214,8 @@ object SparkEntry {
     "q_seq_pack" -> Pipeline.seqPackSql,
     "q_source_mix" -> Pipeline.sourceMixSql,
     "q_pii_redact" -> Pipeline.piiRedactSql,
+    "q_chunk_windows" -> Pipeline.chunkWindowsSql,
+    "q_gap_fill" -> EventOps.gapFillSql,
+    "q_skew_agg" -> Skew.saltedEventStatsSql,
   )
 }

@@ -169,4 +169,73 @@ object EventOps {
       | AND b.ts_ms - a.ts_ms <= 60000
       |GROUP BY a.user_id
       |ORDER BY user_id""".stripMargin
+
+  /** Time-grid resample with forward fill: for a deterministic user
+    * subset (`user_id % 97 = 3`), build a fixed one-hour minute grid
+    * from each user's first event and carry the latest observed `value`
+    * across empty minutes — the gap-filling step of any time-series
+    * feature pipeline (metrics, sensor, clickstream).
+    *
+    * The grid comes from a generator (`explode(sequence(start, start +
+    * 59 min, 1 min))` — 60 rows per user, no range join); the
+    * per-minute "latest" is a max-struct (ties impossible: `event_id`
+    * is unique), and the fill is `last(_, ignoreNulls)` over a
+    * running-rows window. Values are carried, never arithmetically
+    * combined, so the double column hash-matches bit-exactly.
+    *
+    * Scale: one shuffle on `user_id` shared by the per-minute agg, the
+    * grid build, and the fill window (all three partition by user);
+    * grid size is users × 60 regardless of event density.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(97L)) === 3L)
+    val perMin = ev
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("latest"))
+      .select(col("user_id"), col("m"), col("n_events"),
+        col("latest.value").as("last_value"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(date_trunc("minute", min(col("ts"))).as("start"))
+      .select(col("user_id"),
+        explode(sequence(col("start"),
+          col("start") + expr("INTERVAL 59 MINUTES"),
+          expr("INTERVAL 1 MINUTE"))).as("m"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perMin, Seq("user_id", "m"), "left")
+      .withColumn("filled_value", last(col("last_value"), ignoreNulls = true).over(w))
+      .select(col("user_id"), unix_millis(col("m")).as("minute_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("filled_value"))
+      .orderBy(col("user_id"), col("minute_ms"))
+  }
+
+  def gapFillSql: String =
+    """WITH sel AS (
+      |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
+      |  FROM events WHERE user_id % 97 = 3
+      |), ranked AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS m, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM sel
+      |), per_min AS (
+      |  SELECT user_id, m, count(*) AS n_events,
+      |    max(CASE WHEN rk = 1 THEN value END) AS last_value
+      |  FROM ranked GROUP BY user_id, m
+      |), starts AS (
+      |  SELECT user_id, date_trunc('minute', min(ts)) AS start FROM sel GROUP BY user_id
+      |), grid AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(start, start + INTERVAL 59 MINUTE, INTERVAL 1 MINUTE)) AS m
+      |  FROM starts
+      |)
+      |SELECT g.user_id, epoch_ms(g.m) AS minute_ms,
+      |  COALESCE(p.n_events, 0) AS n_events,
+      |  last_value(p.last_value IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM grid g LEFT JOIN per_min p ON g.user_id = p.user_id AND g.m = p.m
+      |ORDER BY g.user_id, minute_ms""".stripMargin
 }

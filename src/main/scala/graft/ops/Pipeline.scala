@@ -76,6 +76,66 @@ object Pipeline {
       |FROM offs GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
   // --------------------------------------------------------------------
+  // Overlapping-window chunking
+  // --------------------------------------------------------------------
+
+  /** Splits every document into overlapping token windows (`win` tokens
+    * starting every `stride`) — the RAG / long-context chunker that
+    * complements [[seqPack]]: packing concatenates short docs, chunking
+    * fans long docs out. Chunk rows are produced by a generator
+    * (`explode(sequence(...))` — no self-join, no UDF) and re-aggregated
+    * per source so the audit output stays small; a caller who wants the
+    * chunk rows themselves stops before the groupBy.
+    *
+    * Chunk count per doc is closed-form integer arithmetic
+    * (`1 + ceil((n_tokens - win) / stride)` for docs over one window),
+    * so both engines enumerate identical chunks. The last chunk of a
+    * long doc keeps `win - stride < len <= win` tokens — never empty.
+    *
+    * Scale: stateless per-row fan-out (output ∝ corpus tokens / stride)
+    * followed by one partial agg on `source` — no shuffle before the
+    * generator, map-side combine after it.
+    */
+  def chunkWindows(spark: SparkSession, sfDir: String,
+      win: Int = 128, stride: Int = 96): DataFrame = {
+    val nChunks = when(col("n_tokens") <= win, lit(1L))
+      .otherwise(expr(s"(n_tokens - $win + $stride - 1) DIV $stride") + lit(1L))
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), wsTokens.as("n_tokens"))
+      .withColumn("n_chunks", nChunks)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_no"))
+      .withColumn("chunk_tokens",
+        least(lit(win.toLong), col("n_tokens") - col("chunk_no") * stride))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_chunks"),
+        sum(col("chunk_tokens")).as("sum_chunk_tokens"),
+        max(col("n_chunks")).as("max_chunks_per_doc"))
+      .orderBy(col("source"))
+  }
+
+  def chunkWindowsSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), nch AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CASE WHEN n_tokens <= 128 THEN 1
+      |         ELSE (n_tokens - 128 + 95) // 96 + 1 END AS n_chunks
+      |  FROM toks
+      |), chunks AS (
+      |  SELECT source, doc_id, n_tokens, n_chunks,
+      |    unnest(generate_series(0, n_chunks - 1)) AS chunk_no
+      |  FROM nch
+      |)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs,
+      |  count(*) AS total_chunks,
+      |  sum(least(128, n_tokens - chunk_no * 96)) AS sum_chunk_tokens,
+      |  max(n_chunks) AS max_chunks_per_doc
+      |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Domain mixing (rebalance sources to a uniform token budget)
   // --------------------------------------------------------------------
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting (SURVEY.md §4.3) — the manual tool
@@ -34,4 +34,35 @@ object Skew {
         salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
       .drop("__salt")
   }
+
+  /** Salted two-phase aggregation over a pathologically low-cardinality
+    * key: `events` has only 5 event types, so a plain `groupBy` funnels
+    * the whole fact table through 5 reducers. The salt splits each key
+    * across `n` partial groups (phase 1, map-side combinable), and
+    * phase 2 merges the `5·n` partials — the classic hot-key
+    * aggregation rewrite for a 100 TB fact table.
+    *
+    * Every aggregate is a count or an integer sum (`floor(value·10³)`),
+    * so re-associating the addition across salt groups cannot change a
+    * bit — which is exactly what the oracle checks: the DuckDB side is
+    * the PLAIN single-phase `GROUP BY`, so a green run proves
+    * salted ≡ unsalted. */
+  def saltedEventStats(spark: SparkSession, sfDir: String, n: Int = 16): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        saltColumn(col("event_id"), n).as("__salt"),
+        floor(col("value") * 1000).cast("long").as("v_e3"))
+    ev.groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("v_e3")).as("pv"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"), sum(col("pv")).as("sum_value_e3"))
+      .orderBy(col("event_type"))
+  }
+
+  def saltedEventStatsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_e3
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 }

@@ -82,6 +82,63 @@ class PipelineSpec extends SparkTestBase {
       assert(over.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("kept_docs")).sum >= 0)
   }
 
+  // ---------------- chunkWindows ----------------
+
+  test("chunkWindows covers every token with the documented overlap") {
+    val rows = Pipeline.chunkWindows(spark, sfDir, win = 128, stride = 96).collect()
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // replay the closed form per doc
+    val expChunks = docs.map { case (_, n) =>
+      if (n <= 128) 1L else (n - 128 + 95) / 96 + 1
+    }.sum
+    assert(rows.map(_.getAs[Long]("total_chunks")).sum == expChunks)
+    // chunk token sum >= corpus tokens (overlap re-counts, never drops)
+    assert(rows.map(_.getAs[Long]("sum_chunk_tokens")).sum >= docs.map(_._2).sum)
+  }
+
+  // ---------------- gapFill ----------------
+
+  test("gapFill emits a dense 60-minute grid per selected user with carried values") {
+    val rows = EventOps.gapFill(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      assert(u % 97 == 3)
+      assert(rs.length == 60, s"user $u grid must be 60 minutes")
+      val sorted = rs.sortBy(_.getAs[Long]("minute_ms"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("minute_ms") - a.getAs[Long]("minute_ms") == 60000L)
+        case _ =>
+      }
+      // first minute holds the user's first event; fill never goes null after it
+      assert(sorted.head.getAs[Long]("n_events") >= 1)
+      assert(sorted.forall(!_.isNullAt(3)))
+      // empty minutes carry the previous filled value forward
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getAs[Long]("n_events") == 0 =>
+          assert(b.getAs[Double]("filled_value") == a.getAs[Double]("filled_value"))
+        case _ =>
+      }
+    }
+  }
+
+  // ---------------- saltedEventStats ----------------
+
+  test("saltedEventStats equals the plain single-phase aggregation") {
+    val salted = Skew.saltedEventStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val plain = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("s"))
+      .orderBy(col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
   test("sourceMix keep decision matches an independent per-doc replay") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("source"), col("text"),
