@@ -189,16 +189,22 @@ object EventOps {
     */
   def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one declared user_id partitioning serves the WHOLE query: the
+    // minute agg clusters by (user_id, m) — a superset of user_id, so
+    // no re-shuffle; the grid agg, the left join (co-partitioned on the
+    // user_id prefix of the join keys) and the fill window reuse it too
+    // (PlanAuditSpec pins the single-exchange plan)
     val ev = Tables.events(spark, sfDir)
       .filter(pmod(col("user_id"), lit(97L)) === 3L)
+      .repartition(col("user_id"))
     val perMin = ev
       .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
       .agg(count(lit(1)).as("n_events"),
         max(struct(col("ts"), col("event_id"), col("value"))).as("latest"))
       .select(col("user_id"), col("m"), col("n_events"),
         col("latest.value").as("last_value"))
-    val grid = ev.groupBy(col("user_id"))
-      .agg(date_trunc("minute", min(col("ts"))).as("start"))
+    val grid = perMin.groupBy(col("user_id"))
+      .agg(min(col("m")).as("start"))
       .select(col("user_id"),
         explode(sequence(col("start"),
           col("start") + expr("INTERVAL 59 MINUTES"),

@@ -187,4 +187,45 @@ class PlanAuditSpec extends SparkTestBase {
     // the generated code contains our fused loop accumulators
     assert(codegen.contains("getFloat"), "cosine loop not codegen'd")
   }
+
+  test("chunkWindows prunes the documents scan to the columns it reads") {
+    val df = Pipeline.chunkWindows(spark, sfDir)
+    val schemaLine = df.queryExecution.sparkPlan.toString
+    // source + doc_id + text, never lang/n_chars
+    assert(schemaLine.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      schemaLine.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+  }
+
+  test("seqPack shuffles once: the per-source window feeds the same-keyed aggregation") {
+    val p = plan(Pipeline.seqPack(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges in:\n$p")
+  }
+
+  test("saltedEventStats keeps both phases map-side combinable (4 HashAggregates)") {
+    val p = plan(Skew.saltedEventStats(spark, sfDir))
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    // partial+final per phase; 2 shuffles total is the salted contract
+    assert(aggs == 4, s"expected 4 HashAggregate nodes, got $aggs in:\n$p")
+  }
+
+  test("gapFill shares one user_id partitioning across agg, grid, join, and fill window") {
+    val df = EventOps.gapFill(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    // AQE plan string repeats the pre-adaptive plan; audit the final only
+    val pf = p.split("== Initial Plan ==")(0)
+    // the declared repartition(user_id) lands once per scan branch
+    // (grid + per-minute agg — Catalyst collapses the grid's min()
+    // through the shared subtree, so the branches scan separately);
+    // the minute agg clusters by (user_id, m) as a superset with no
+    // re-shuffle, and the join output feeds the fill window directly
+    val hash = "Exchange hashpartitioning".r.findAllIn(pf).length
+    assert(hash <= 2, s"expected <=2 hash exchanges, got $hash in:\n$pf")
+    // no exchange may sit between the join and the window: the fill
+    // reuses the grid side's user_id partitioning
+    val afterJoin = pf.split("Window \\[")(1)
+    assert(!afterJoin.split("Join")(0).contains("Exchange"),
+      "window must reuse the join output partitioning")
+  }
 }
