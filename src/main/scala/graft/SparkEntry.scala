@@ -113,6 +113,7 @@ object SparkEntry {
     // round-4 pipeline additions: decontamination, repetition filters,
     // weighted sampling, interval-overlap join
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "q_substring_overlap" -> ((s, d) => Dedup.substringOverlap(s, d)),
     "q_doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
     "q_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
     "q_session_overlap" -> ((s, d) => Behavior.sessionOverlap(s, d)),
@@ -208,6 +209,7 @@ object SparkEntry {
     "q_semantic_dedup" -> Similarity.semanticDedupSql,
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,
     "q_decontaminate" -> Dedup.decontaminateSql,
+    "q_substring_overlap" -> Dedup.substringOverlapSql,
     "q_doc_repetition" -> Text.docRepetitionSql,
     "q_weighted_sample" -> Text.weightedSampleSql,
     "q_session_overlap" -> Behavior.sessionOverlapSql,

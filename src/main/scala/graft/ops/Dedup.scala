@@ -698,4 +698,95 @@ object Dedup {
        |  round(s.n_shared / CAST(t.n_shingles AS DOUBLE), 4) + 0.0 AS shared_frac
        |FROM tot t JOIN shared s USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Exact-substring overlap (Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better", ACL 2022 — the substring-dedup
+  // primitive): find document pairs sharing a VERBATIM run of >= minRun
+  // consecutive tokens, and report the longest such run per pair.
+  // --------------------------------------------------------------------
+
+  /** Pairs of documents sharing an exact token run.
+    *
+    * Relational formulation (suffix arrays are the single-machine tool;
+    * this is the join-parallel equivalent):
+    *  1. every doc emits its rolling `winTokens`-token windows (a
+    *     generator over a closed-form position range — no self-join);
+    *     windows travel as md5 digests, 32 bytes regardless of L;
+    *  2. a doc-frequency cap (`2 <= df <= maxDf`) drops both unique
+    *     windows (no pair can form) and degenerate spam windows
+    *     ("batch batch batch…" repeated across thousands of docs) —
+    *     the cap bounds self-join cost by maxDf·Σdf, never n²;
+    *  3. matching positions join per window; on each pair's match
+    *     DIAGONAL (pa − pb), consecutive positions are grouped by the
+    *     gaps-and-islands trick (pa − row_number is constant within a
+    *     run), so an island of n matched windows is a verbatim shared
+    *     run of n + L − 1 tokens.
+    *
+    * Every quantity is a position or a count — integer-exact across
+    * engines. The df cap can only SHORTEN a reported run (by punching
+    * holes in spam regions), identically on both sides.
+    *
+    * Scale: windows ∝ corpus tokens; shuffles key on window digest,
+    * then (pair, diag) — both well-spread. maxDf is the skew valve.
+    */
+  def substringOverlap(spark: SparkSession, sfDir: String, winTokens: Int = 12,
+      maxDf: Int = 50, minRun: Int = 20): DataFrame = {
+    val L = winTokens
+    val wins = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= L)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - L)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(L)))).as("w"))
+    val keep = wins.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("w"))
+    val rare = wins.join(keep, Seq("w"))
+    val m = rare.select(col("w"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(rare.select(col("w"), col("doc_id").as("db"), col("pos").as("pb")), Seq("w"))
+      .filter(col("da") < col("db"))
+    import org.apache.spark.sql.expressions.Window
+    val byDiag = Window.partitionBy(col("da"), col("db"), col("diag")).orderBy(col("pa"))
+    m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(byDiag))
+      .groupBy(col("da"), col("db"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("da"), col("db"))
+      .agg((max(col("len")) + (L - 1)).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"))
+      .filter(col("max_run_tokens") >= minRun)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("max_run_tokens"), col("n_runs"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def substringOverlapSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |wins0 AS (
+      |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 12)) AS pos
+      |  FROM toks WHERE len(t) >= 12),
+      |wins AS (
+      |  SELECT doc_id, pos, md5(array_to_string(t[pos+1 : pos+12], ' ')) AS w
+      |  FROM wins0),
+      |freq AS (
+      |  SELECT w FROM wins GROUP BY w
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      |rare AS (SELECT wins.* FROM wins SEMI JOIN freq USING (w)),
+      |m AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+      |  FROM rare a JOIN rare b USING (w) WHERE a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT da, db, pa - pb AS diag, pa,
+      |    row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS rn
+      |  FROM m),
+      |runs AS (
+      |  SELECT da, db, count(*) AS len
+      |  FROM isl GROUP BY da, db, diag, pa - rn)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  max(len) + 11 AS max_run_tokens, count(*) AS n_runs
+      |FROM runs GROUP BY da, db HAVING max(len) + 11 >= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -64,6 +64,37 @@ class PipelineSpec extends SparkTestBase {
     assert(packs.forall(_.getAs[Long]("n_docs") >= 1))
   }
 
+  // ---------------- substringOverlap ----------------
+
+  test("substringOverlap pairs genuinely share a verbatim run of the reported length") {
+    val rows = Dedup.substringOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty, "synthetic near-dup clusters must surface shared runs")
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // JVM replay: longest common token run via the same diagonal walk
+    def longestRun(a: Seq[String], b: Seq[String]): Int = {
+      var best = 0
+      val prev = scala.collection.mutable.Map[Int, Int]()
+      val bPos = b.zipWithIndex.groupMap(_._1)(_._2)
+      for (i <- a.indices; j <- bPos.getOrElse(a(i), Nil)) {
+        val run = prev.getOrElse((i - 1) * 100000 + (j - 1), 0) + 1
+        prev((i * 100000) + j) = run
+        best = math.max(best, run)
+      }
+      best
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val reported = r.getAs[Long]("max_run_tokens")
+      val actual = longestRun(texts(a), texts(b))
+      // df-capped windows can only SHORTEN a reported run, never inflate
+      assert(reported <= actual,
+        s"pair ($a,$b): reported $reported > actual longest run $actual")
+      assert(reported >= 20)
+    }
+  }
+
   // ---------------- sourceMix ----------------
 
   test("sourceMix keeps everything for under-budget sources and subsamples over-budget ones") {
