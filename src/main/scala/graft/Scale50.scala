@@ -52,6 +52,11 @@ object Scale50 {
     time("lang_id_ngram 250k")(ops.Text.langIdNgram(spark, d).count())
     time("decontaminate 250k")(println("  contaminated=" + ops.Dedup.decontaminate(spark, d).count()))
     time("doc_repetition 250k")(ops.Text.docRepetition(spark, d).count())
+    time("seq_pack 250k")(ops.Pipeline.seqPack(spark, d).count())
+    time("chunk_windows 250k")(ops.Pipeline.chunkWindows(spark, d).count())
+    time("source_mix 250k")(ops.Pipeline.sourceMix(spark, d).count())
+    time("pii_redact 250k")(ops.Pipeline.piiRedact(spark, d).count())
+    time("substring_overlap 250k")(println("  pairs=" + ops.Dedup.substringOverlap(spark, d).count()))
 
     // 50× embeddings (100k vectors): replicas get a per-replica
     // component bump on dimension (rep mod dim) — large enough to
