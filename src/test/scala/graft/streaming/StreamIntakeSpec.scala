@@ -50,9 +50,15 @@ class StreamIntakeSpec extends SparkTestBase {
       .foreachBatch { (batch: DataFrame, bid: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
+          // 0. PII scrub BEFORE anything is hashed or indexed — the
+          // fingerprint/band indices must never memorize raw PII, and
+          // docs differing only in their PII become exact dups the
+          // very next stage removes
+          val scrubbed = batch.select(col("doc_id"),
+            graft.ops.Pipeline.redactPii(col("text")).as("text"))
           // 1. quality gate — junk (low-diversity, stopword-free)
           // lands in deciles ≤ 3 on this scoring, so the bar is 4
-          val quality = batch.filter(Text.qualityDecile >= 4)
+          val quality = scrubbed.filter(Text.qualityDecile >= 4)
           // 2. exact dedup vs ACCEPTED fingerprints (anti join) AND
           // within the batch itself — two identical docs arriving in
           // one micro-batch both miss the index, so the intra-batch
@@ -98,6 +104,13 @@ class StreamIntakeSpec extends SparkTestBase {
     // now be rejected by the UPDATED fingerprint index
     mem.addData((20L, freshDoc), (21L, (1 to 30).map(i => s"the qq$i of and is").mkString(" ")))
     q.processAllAvailable()
+    // third batch: two docs identical EXCEPT for their PII — the scrub
+    // stage collapses them to the same placeholder text, so the
+    // intra-batch exact dedup keeps exactly one, stored scrubbed
+    val piiBase = (1 to 30).map(i => s"the yy$i of and is").mkString(" ")
+    mem.addData((30L, piiBase + " mail alice@corp.example.com now"),
+      (31L, piiBase + " mail bob.smith@other.example.org now"))
+    q.processAllAvailable()
     q.stop()
 
     stages.synchronized(stages.foreach(l => info(l)))
@@ -105,10 +118,17 @@ class StreamIntakeSpec extends SparkTestBase {
     // exactly one of the intra-batch twins survives (which one is
     // dropDuplicates' arbitrary pick)
     assert(got.intersect(Set(14L, 15L)).size == 1, s"twin handling wrong: $got")
-    assert(got - 14L - 15L == Set(13L, 21L),
+    assert(got.intersect(Set(30L, 31L)).size == 1, s"PII twin handling wrong: $got")
+    assert(got -- Set(14L, 15L, 30L, 31L) == Set(13L, 21L),
       s"expected only the fresh docs accepted, got $got: $stages")
-    // the accepted corpus = seed + two fresh docs + one twin
-    assert(spark.read.parquet(corpusPath).count() == 4)
+    // the accepted corpus = seed + two fresh docs + one twin + one scrubbed PII doc
+    val corpus = spark.read.parquet(corpusPath)
+    assert(corpus.count() == 5)
+    // no raw PII ever reached the corpus; the placeholder did
+    val stored = corpus.filter(col("doc_id").isin(30L, 31L))
+      .select(col("text")).as[String].collect()
+    assert(stored.length == 1 && stored.head.contains("<EMAIL>")
+      && !stored.head.contains("@"), stored.mkString)
   }
 
   test("decontamination gate: batches reject docs overlapping the persisted eval-shingle index") {
