@@ -44,8 +44,30 @@ object GraftExtensions {
       DistinctCharBigrams(children.head)
     })
 
+  /** `redact_pii(text)` — the SQL face of [[graft.ops.Pipeline.redactPii]]:
+    * the same chained regexp_replace tree built directly in Catalyst
+    * (a registry builder must return a RESOLVED expression, so the
+    * Column composition can't be reused here), with the patterns
+    * shared from `Pipeline`, so SQL and DataFrame callers scrub
+    * byte-identically (pinned in FunctionsSpec). */
+  val redactPiiDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("redact_pii"),
+    new ExpressionInfo(classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace].getName,
+      "redact_pii"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "redact_pii takes exactly 1 argument")
+      import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+      import graft.ops.Pipeline
+      Seq(Pipeline.EmailPattern -> "<EMAIL>",
+          Pipeline.Ipv4Pattern -> "<IP>",
+          Pipeline.PhonePattern -> "<PHONE>")
+        .foldLeft(children.head) { case (e, (pat, rep)) =>
+          RegExpReplace(e, Literal(pat), Literal(rep))
+        }
+    })
+
   val descriptors: Seq[FunctionDescriptor] =
-    Seq(cosineSimDescriptor, distinctCharBigramsDescriptor)
+    Seq(cosineSimDescriptor, distinctCharBigramsDescriptor, redactPiiDescriptor)
 
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -18,6 +18,18 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(r - 10.0 / 14.0) < 1e-12)
   }
 
+  test("redact_pii callable from SQL and identical to the DataFrame column") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT redact_pii('mail a@b.co from 10.0.0.1 tel 555-0199 end') AS t")
+      .collect()(0).getString(0)
+    assert(r == "mail <EMAIL> from <IP> tel <PHONE> end", r)
+    val viaColumn = Seq("mail a@b.co from 10.0.0.1 tel 555-0199 end").toDF("x")
+      .select(graft.ops.Pipeline.redactPii(org.apache.spark.sql.functions.col("x")))
+      .as[String].head()
+    assert(r == viaColumn)
+  }
+
   test("cosine_sim propagates a null ELEMENT as null, like the HOF reference") {
     GraftExtensions.register(spark)
     // interpreted and codegen paths both: array(... null ...) has
