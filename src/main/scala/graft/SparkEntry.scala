@@ -104,6 +104,7 @@ object SparkEntry {
     // pivot + SQL-surface subqueries
     "q_event_pivot" -> ((s, d) => EventOps.eventTypePivot(s, d)),
     "q_sql_subqueries" -> ((s, d) => EventOps.sqlSubqueries(s, d)),
+    "q_lateral_topk" -> ((s, d) => EventOps.lateralTopOrders(s, d)),
     // tf-idf, label centroids, column profiling
     "q_tfidf" -> ((s, d) => Text.tfidf(s, d)),
     "q_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_value_histogram" -> Behavior.valueHistogramSql,
     "q_event_pivot" -> EventOps.eventTypePivotSql,
     "q_sql_subqueries" -> EventOps.sqlSubqueriesSql,
+    "q_lateral_topk" -> EventOps.lateralTopOrdersSql,
     "q_tfidf" -> Text.tfidfSql,
     "q_stratified_sample" -> Text.stratifiedSampleSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,

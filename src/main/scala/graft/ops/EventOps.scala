@@ -108,6 +108,35 @@ object EventOps {
       |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Correlated LATERAL top-k — the SQL-surface twin of
+    * [[Windows.topOrdersPerCustomer]]: per customer, the 2 largest
+    * orders via a correlated ORDER BY … LIMIT subquery in the FROM
+    * clause. Catalyst decorrelates the limit into a ranked window over
+    * one equi-join (no per-row re-execution), so the plan is the same
+    * shuffle shape as the window formulation — the point of registering
+    * it is that the SQL surface accepts the idiom at all. */
+  def lateralTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_v c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_v
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey % 100 = 7
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
+  def lateralTopOrdersSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey % 100 = 7
+      |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin
+
   /** As-of join: for each purchase event, the most recent order date of
     * the matching customer at-or-before the event. Implemented as an
     * equi-join on the user key + max-filter aggregation — at 100 TB the
