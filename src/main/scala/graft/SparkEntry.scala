@@ -93,6 +93,7 @@ object SparkEntry {
     "q_ivf_trained_topk" -> ((s, d) => Similarity.ivfTrainedTopK(s, d)),
     "q_pq_topk" -> ((s, d) => Pq.pqTopK(s, d)),
     "q_ivfpq_topk" -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    "q_sq_topk" -> ((s, d) => Pq.sqTopK(s, d)),
     // rolling-hash fingerprint + near-dedup keep list
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
@@ -196,6 +197,7 @@ object SparkEntry {
     "q_ivf_trained_topk" -> Similarity.ivfTrainedTopKSql,
     "q_pq_topk" -> Pq.pqTopKSql,
     "q_ivfpq_topk" -> Pq.ivfPqTopKSql,
+    "q_sq_topk" -> Pq.sqTopKSql,
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,

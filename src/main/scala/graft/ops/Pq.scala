@@ -513,4 +513,90 @@ object Pq {
        |ORDER BY cos_sim DESC, vec_id
        |LIMIT 10""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8) — the OTHER compression scheme of the
+  // billion-vector toolbox (FAISS ScalarQuantizer): one byte per
+  // dimension via per-dim min/max affine codes. No training, no
+  // codebooks — a single stats pass over the corpus — at the cost of
+  // dim bytes/vector where PQ pays M. The right tool when recall
+  // matters more than the last 4× of compression.
+  // ------------------------------------------------------------------
+
+  /** SQ8 top-k: per-dimension min/max over the scaled-integer
+    * components give each vector a byte code per dim
+    * (`(v−min)·255 DIV range`); candidates are scored with the integer
+    * dot of the query's EXACT components against DEQUANTIZED codes
+    * (`min + code·range DIV 255`), and the shortlist is re-ranked by
+    * exact cosine. Output contract matches [[pqTopK]]:
+    * (vec_id, cos_sim).
+    *
+    * Every division's operands are non-negative, so Spark's
+    * truncate-toward-zero `DIV` and DuckDB's floor `//` agree — the
+    * shortlist cut is bit-deterministic across engines.
+    *
+    * Scale: the stats agg is a dim-row model (broadcast); encode +
+    * score is one generator pass with map-side partial sums — nothing
+    * wider than (vec_id, partial) shuffles, the [[pqTopK]] rule. */
+  def sqTopK(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      shortlist: Int = 50, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = Similarity.fixedEmbeddingWidth(emb, "Pq.sqTopK")
+      .getOrElse(return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0))
+    // subDim = dim → sub_no is constant 0 and spos enumerates 1..dim
+    val comps = components(emb, dim).select(col("vec_id"), col("spos"), col("v"))
+    val stats = comps.groupBy(col("spos"))
+      .agg(min(col("v")).as("smin"), max(col("v")).as("smax"))
+      .withColumn("rng", greatest(col("smax") - col("smin"), lit(1L)))
+      .select(col("spos"), col("smin"), col("rng"))
+    val deq = comps.filter(col("vec_id") =!= queryVecId)
+      .join(broadcast(stats), Seq("spos"))
+      .withColumn("code", expr("((v - smin) * 255) DIV rng"))
+      .withColumn("dv", col("smin") + expr("(code * rng) DIV 255"))
+    val qComps = comps.filter(col("vec_id") === queryVecId)
+      .select(col("spos"), col("v").as("qv"))
+    val approx = deq.join(broadcast(qComps), Seq("spos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qv") * col("dv")).as("adot"))
+      .orderBy(col("adot").desc, col("vec_id"))
+      .limit(shortlist)
+      .select(col("vec_id"))
+    val q = emb.filter(col("vec_id") === queryVecId).select(col("embedding").as("q_emb"))
+    approx.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (round(Similarity.cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def sqTopKSql: String =
+    """WITH comp AS (
+      |  SELECT vec_id, t.range AS spos,
+      |    CAST(floor(embedding[t.range]::DOUBLE * 10000) AS BIGINT) AS v
+      |  FROM embeddings, range(1, 65) t),
+      |stats AS (
+      |  SELECT spos, min(v) AS smin,
+      |    greatest(max(v) - min(v), 1) AS rng
+      |  FROM comp GROUP BY spos),
+      |deq AS (
+      |  SELECT vec_id, c.spos,
+      |    smin + ((((v - smin) * 255) // rng) * rng) // 255 AS dv
+      |  FROM comp c JOIN stats USING (spos) WHERE vec_id <> 0),
+      |qc AS (SELECT spos, v AS qv FROM comp WHERE vec_id = 0),
+      |shortlist AS (
+      |  SELECT vec_id FROM deq JOIN qc USING (spos)
+      |  GROUP BY vec_id
+      |  ORDER BY sum(qv * dv) DESC, vec_id
+      |  LIMIT 50),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |SELECT s.vec_id,
+      |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
+      |FROM shortlist s
+      |JOIN embeddings e USING (vec_id)
+      |CROSS JOIN q
+      |WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
+      |ORDER BY cos_sim DESC, vec_id
+      |LIMIT 10""".stripMargin
 }

@@ -39,6 +39,17 @@ class PqSpec extends SparkTestBase {
     info(s"PQ recall@10 vs brute force: $recall")
   }
 
+  test("SQ8 shortlist + exact re-rank beats PQ recall (1 byte/dim vs 1 byte/subspace)") {
+    val exact = Similarity.knnBruteForce(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val sq = Pq.sqTopK(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    // 64 bytes/vector (vs PQ's 4) makes the affine approximation tight
+    // enough that the 50-candidate shortlist should rarely miss
+    assert(recall >= 0.8, s"SQ8 recall@10 = $recall")
+    info(s"SQ8 recall@10 vs brute force: $recall")
+  }
+
   test("IVF-PQ probe stays inside probed lists and recalls within them") {
     // probed-subset exact top-10 = the best any IVF probe can do at
     // this nprobe; the PQ shortlist + re-rank should recover most of it
