@@ -116,6 +116,7 @@ object SparkEntry {
     // weighted sampling, interval-overlap join
     "q_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "q_substring_overlap" -> ((s, d) => Dedup.substringOverlap(s, d)),
+    "q_neardup_pagerank" -> ((s, d) => Graph.nearDupPagerank(s, d)),
     "q_doc_repetition" -> ((s, d) => Text.docRepetition(s, d)),
     "q_weighted_sample" -> ((s, d) => Text.weightedSample(s, d)),
     "q_session_overlap" -> ((s, d) => Behavior.sessionOverlap(s, d)),
@@ -214,6 +215,7 @@ object SparkEntry {
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,
     "q_decontaminate" -> Dedup.decontaminateSql,
     "q_substring_overlap" -> Dedup.substringOverlapSql,
+    "q_neardup_pagerank" -> Graph.nearDupPagerankSql,
     "q_doc_repetition" -> Text.docRepetitionSql,
     "q_weighted_sample" -> Text.weightedSampleSql,
     "q_session_overlap" -> Behavior.sessionOverlapSql,

@@ -112,7 +112,7 @@ object Dedup {
     * signatures (BIGINTs) joined with '|' — decimal rendering of int64
     * is engine-independent, and no digest is needed just to build an
     * equi-join key. */
-  private def bandSqlDuck(k1: Int, k2: Int): String =
+  private[ops] def bandSqlDuck(k1: Int, k2: Int): String =
     s"((${minhashSqlDuck(k1)})::VARCHAR || '|' || (${minhashSqlDuck(k2)})::VARCHAR)"
 
   /** All signature components in ONE pass: shingle array computed once
@@ -197,7 +197,7 @@ object Dedup {
   /** Confirmed near-dup pairs, unsorted — consumers that don't need
     * the query-surface ordering (clustering, keep lists) skip the
     * global range-shuffle sort. */
-  private def nearDupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def nearDupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
     val banded = bandIndexOf(Tables.documents(spark, sfDir))
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
