@@ -123,6 +123,31 @@ class DegenerateInputSpec extends SparkTestBase {
       "second lookup must serve the cached width without rescanning")
   }
 
+  test("pipeline-assembly and graph operators survive empty/NULL/whitespace docs") {
+    // NULL text propagates: size(split(NULL)) is NULL, which must fall
+    // out of windows/generators/filters — never throw
+    assert(Pipeline.seqPack(spark, degenerateDocs).count() >= 1)
+    assert(Pipeline.chunkWindows(spark, degenerateDocs).count() >= 1)
+    assert(Pipeline.sourceMix(spark, degenerateDocs).count() >= 1)
+    assert(Pipeline.piiRedact(spark, degenerateDocs).count() >= 1)
+    assert(Dedup.substringOverlap(spark, degenerateDocs).count() == 0)
+    // no near-dup pairs among the degenerates -> an EMPTY graph: the
+    // pagerank must return an empty frame, not divide by zero
+    assert(Graph.nearDupPagerank(spark, degenerateDocs).count() >= 0)
+  }
+
+  test("SQ8 probe survives the all-zero vector and an empty corpus") {
+    val sq = Pq.sqTopK(spark, degenerateVecs).collect()
+    assert(sq.nonEmpty)
+    assert(!sq.map(_.getLong(0)).contains(3L), "all-zero vector must not rank")
+    val empty = tmpDir("emptysq")
+    Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val out = Pq.sqTopK(spark, empty)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("vec_id", "cos_sim"))
+  }
+
   test("trained-centroid build is idempotent per (run, corpus)") {
     val dir1 = Similarity.buildTrainedCentroids(spark, degenerateVecs)
     val fs = new org.apache.hadoop.fs.Path(dir1)
