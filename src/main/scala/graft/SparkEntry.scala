@@ -128,6 +128,14 @@ object SparkEntry {
     // time-series resample + skew-safe aggregation
     "q_gap_fill" -> ((s, d) => EventOps.gapFill(s, d)),
     "q_skew_agg" -> ((s, d) => Skew.saltedEventStats(s, d)),
+    // RANGE window frame, unpivot, frequency sketch
+    "q_range_frame" -> ((s, d) => Windows.rollingRangeRevenue(s, d)),
+    "q_unpivot" -> ((s, d) => EventOps.eventTypeUnpivot(s, d)),
+    "q_cms_heavy_hitters" -> ((s, d) => Sketch.cmsHeavyHitters(s, d)),
+    // graph BFS, batching analysis, outlier gate
+    "q_graph_bfs" -> ((s, d) => Graph.nearDupBfs(s, d)),
+    "q_pack_efficiency" -> ((s, d) => Pipeline.packEfficiency(s, d)),
+    "q_anomaly_zscore" -> ((s, d) => Aggregates.anomalyZscore(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -225,5 +233,11 @@ object SparkEntry {
     "q_chunk_windows" -> Pipeline.chunkWindowsSql,
     "q_gap_fill" -> EventOps.gapFillSql,
     "q_skew_agg" -> Skew.saltedEventStatsSql,
+    "q_range_frame" -> Windows.rollingRangeRevenueSql,
+    "q_unpivot" -> EventOps.eventTypeUnpivotSql,
+    "q_cms_heavy_hitters" -> Sketch.cmsHeavyHittersSql,
+    "q_graph_bfs" -> Graph.nearDupBfsSql,
+    "q_pack_efficiency" -> Pipeline.packEfficiencySql,
+    "q_anomaly_zscore" -> Aggregates.anomalyZscoreSql,
   )
 }

@@ -251,4 +251,66 @@ object Aggregates {
       |  round(sqrt((nd * sppd - spd * spd) / (nd * (nd - 1))) / 100.0, 4) + 0.0 AS sd_p
       |FROM d
       |ORDER BY l_returnflag""".stripMargin
+
+  /** Per-group z-score outlier detection — the data-quality gate that
+    * flags events whose `value` sits more than 3 population standard
+    * deviations from its event-type mean. The moment sums (n, Σv, Σv²)
+    * are EXACT decimal arithmetic over micro-scaled values (same
+    * discipline as [[corrStats]]: the double-folding built-ins are
+    * partition-order-dependent); only the final flag comparison and the
+    * reported z drop to doubles, computed by the letter-identical
+    * formula on both engines so the decision boundary cannot diverge.
+    * Decimal envelope: v ≤ 10¹⁸ micros and Σv² ≤ 10²⁵ — ~10⁷ events
+    * per type at this value range; widen the casts alongside the data.
+    *
+    * Flag: (n·v − S)² > 9·(n·Q − S²), i.e. |z| > 3 with
+    * z = (n·v − S) / √(n·Q − S²) — the n·x-vs-S form never divides, so
+    * no rounding enters the decision.
+    *
+    * Scale: one hash agg to 5 stat rows (fixed cardinality — the
+    * broadcast hint is safe at ANY sf, unlike the linearly-growing dims
+    * the plan audits ban), then a broadcast join back over one scan. */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000000L).cast("decimal(18,0)").as("v"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(13,0)").as("n"),
+        sum(col("v")).cast("decimal(19,0)").as("s"),
+        sum(col("v") * col("v")).cast("decimal(25,0)").as("q"))
+    val nd = col("n").cast("double"); val sd = col("s").cast("double")
+    val qd = col("q").cast("double"); val vd = col("v").cast("double")
+    val dev = nd * vd - sd
+    ev.join(broadcast(stats), "event_type")
+      .filter(dev * dev > lit(9.0) * (nd * qd - sd * sd))
+      .select(col("event_type"), col("event_id"),
+        col("v").cast("long").as("value_e6"),
+        col("n").cast("long").as("n"),
+        (round(dev / sqrt(nd * qd - sd * sd), 4) + lit(0.0)).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  def anomalyZscoreSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 1000000) AS DECIMAL(18,0)) AS v
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type,
+      |    CAST(count(*) AS DECIMAL(13,0)) AS n,
+      |    CAST(sum(v) AS DECIMAL(19,0)) AS s,
+      |    CAST(sum(v * v) AS DECIMAL(25,0)) AS q
+      |  FROM ev GROUP BY event_type),
+      |joined AS (
+      |  SELECT ev.event_type, ev.event_id, ev.v,
+      |    CAST(st.n AS DOUBLE) AS nd, CAST(st.s AS DOUBLE) AS sd,
+      |    CAST(st.q AS DOUBLE) AS qd, CAST(ev.v AS DOUBLE) AS vd,
+      |    CAST(st.n AS BIGINT) AS n
+      |  FROM ev JOIN stats st ON st.event_type = ev.event_type)
+      |SELECT event_type, event_id,
+      |  CAST(v AS BIGINT) AS value_e6, n,
+      |  round((nd * vd - sd) / sqrt(nd * qd - sd * sd), 4) + 0.0 AS z
+      |FROM joined
+      |WHERE (nd * vd - sd) * (nd * vd - sd) > 9.0 * (nd * qd - sd * sd)
+      |ORDER BY event_type, event_id""".stripMargin
 }

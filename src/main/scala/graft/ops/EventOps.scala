@@ -87,6 +87,35 @@ object EventOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** UNPIVOT (melt) — the inverse of [[eventTypePivot]], and proved so
+    * in place: this query pivots the per-user event-type counts WIDE
+    * and immediately unpivots them back to long form, so a green oracle
+    * row (the oracle is the plain two-key GROUP BY) is a machine-checked
+    * proof that `unpivot ∘ pivot = identity` on this data. Pivot leaves
+    * NULL in cells with no events; the melt drops them, restoring
+    * exactly the present (user, type) combinations.
+    *
+    * Scale: pivot is a single hash aggregate over a FIXED, declared
+    * column list (5 types — never a data-driven `.pivot(col)` scan to
+    * discover values); unpivot is a per-row generator (5 rows out per
+    * input row), shuffle-free. */
+  def eventTypeUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "cnt")
+      .filter(col("cnt").isNotNull)
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  def eventTypeUnpivotSql: String =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      |FROM events
+      |GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   /** Correlated subqueries through the SQL surface (IN + correlated
     * scalar): Catalyst decorrelates both into joins — semantically the
     * semi-join / as-of surface, exercised as SQL text. */

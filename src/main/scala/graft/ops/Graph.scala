@@ -69,10 +69,12 @@ object Graph {
     } finally withDeg.unpersist()
   }
 
-  /** Two unrolled fixed-point iterations over the same pair SQL the
-    * LSH queries use. */
-  def nearDupPagerankSql: String =
-    s"""WITH sigs AS (
+  /** The symmetrized near-dup edge-list CTE chain shared by both graph
+    * oracles (same pair SQL the LSH queries use) — ends in an
+    * `edges(src, dst)` CTE. One definition so the BFS oracle's graph
+    * can never drift from the PageRank oracle's. */
+  private[ops] def nearDupEdgesCteSql: String =
+    s"""sigs AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
        |    ${Dedup.bandSqlDuck(0, 1)} AS band1,
        |    ${Dedup.bandSqlDuck(2, 3)} AS band2
@@ -86,7 +88,12 @@ object Graph {
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs)""".stripMargin
+
+  /** Two unrolled fixed-point iterations over the same pair SQL the
+    * LSH queries use. */
+  def nearDupPagerankSql: String =
+    s"""WITH $nearDupEdgesCteSql,
        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
        |r1 AS (
        |  SELECT e.dst AS id,
@@ -101,4 +108,60 @@ object Graph {
        |FROM r2 JOIN deg d ON d.src = r2.id
        |ORDER BY rank_e6 DESC, doc_id
        |LIMIT 20""".stripMargin
+
+  /** Breadth-first hop distance from a deterministic seed (the lowest
+    * doc_id that has any near-dup edge) over the same graph — "how far
+    * does contamination spread from this document through near-dup
+    * links". Emits `(doc_id, hop)` for every document within `maxHops`.
+    *
+    * Engine parity: a BFS LEVEL SET is order-independent (hop h = the
+    * nodes first reachable in exactly h steps), so frontier expansion
+    * and DuckDB's recursive CTE + `min(hop)` agree exactly with no
+    * arithmetic at all.
+    *
+    * Scale: classic distributed BFS — each level is ONE equi-join of
+    * the (persisted) edge list against the current frontier plus an
+    * anti-join against the visited set; no level ever materializes
+    * more than the frontier. The visited set is localCheckpointed per
+    * level so lineage stays O(1) in depth instead of doubling per
+    * iteration — the same cap-the-lineage rule the PageRank scaladoc
+    * documents for its iterations. */
+  def nearDupBfs(spark: SparkSession, sfDir: String, maxHops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val pairs = Dedup.nearDupPairsUnsorted(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seedRow = edges.agg(min(col("src"))).collect()(0)
+      if (seedRow.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("doc_id", "hop")
+      val seed = seedRow.getLong(0)
+      var visited = Seq((seed, 0L)).toDF("doc_id", "hop").localCheckpoint(true)
+      var frontier = visited.select(col("doc_id"))
+      (1 to maxHops).foreach { h =>
+        frontier = edges.join(frontier.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id")).distinct()
+          .join(visited, Seq("doc_id"), "left_anti")
+        visited = visited
+          .union(frontier.select(col("doc_id"), lit(h.toLong).as("hop")))
+          .localCheckpoint(true)
+      }
+      visited.orderBy(col("hop"), col("doc_id"))
+    } finally edges.unpersist()
+  }
+
+  def nearDupBfsSql: String =
+    s"""WITH RECURSIVE $nearDupEdgesCteSql,
+       |bfs AS (
+       |  SELECT (SELECT min(src) FROM edges) AS doc_id, 0 AS hop
+       |  UNION
+       |  SELECT e.dst AS doc_id, bfs.hop + 1 AS hop
+       |  FROM bfs JOIN edges e ON e.src = bfs.doc_id
+       |  WHERE bfs.hop < 3)
+       |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
+       |FROM bfs
+       |WHERE doc_id IS NOT NULL
+       |GROUP BY doc_id
+       |ORDER BY hop, doc_id""".stripMargin
 }

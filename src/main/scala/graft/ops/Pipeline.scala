@@ -278,4 +278,50 @@ object Pipeline {
       |  CAST(sum(emails) AS BIGINT) AS emails, CAST(sum(ips) AS BIGINT) AS ips,
       |  CAST(sum(len(dirty) - len(clean)) AS BIGINT) AS chars_removed
       |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin
+
+  /** Length-bucketed batching analysis — the measurement that motivates
+    * length-grouped batching over naive fixed-length padding: bucket
+    * every document by its token count into power-of-two capacity
+    * classes (≤16, ≤32, ≤64, ≤128, else 256 — the corpus tops out at
+    * ~100 whitespace tokens) and report, per bucket, how many PAD
+    * tokens a batcher that pads to the bucket capacity would emit,
+    * as basis points of the padded stream. A pipeline reads this to
+    * choose bucket boundaries before packing GPU batches.
+    *
+    * Everything is integer (token counts, capacities, basis points via
+    * truncating division), so the oracle comparison is exact.
+    *
+    * Scale: one scan, per-row arithmetic, then a 5-group hash agg —
+    * map-side partials collapse to one row per bucket per partition. */
+  def packEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = wsTokens
+    val cap = when(tok <= 16, 16L).when(tok <= 32, 32L)
+      .when(tok <= 64, 64L).when(tok <= 128, 128L).otherwise(256L)
+    Tables.documents(spark, sfDir)
+      .select(cap.as("bucket_cap"), tok.as("n_tokens"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("bucket_cap") - col("n_tokens")).as("pad_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"), col("pad_tokens"),
+        expr("(pad_tokens * 10000) DIV (bucket_cap * n_docs)").as("waste_bp"))
+      .orderBy(col("bucket_cap"))
+  }
+
+  def packEfficiencySql: String =
+    """WITH sized AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(CASE WHEN len(string_split(text, ' ')) <= 16 THEN 16
+      |              WHEN len(string_split(text, ' ')) <= 32 THEN 32
+      |              WHEN len(string_split(text, ' ')) <= 64 THEN 64
+      |              WHEN len(string_split(text, ' ')) <= 128 THEN 128
+      |              ELSE 256 END AS BIGINT) AS bucket_cap
+      |  FROM documents)
+      |SELECT bucket_cap, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(bucket_cap - n_tokens) AS BIGINT) AS pad_tokens,
+      |  CAST(sum(bucket_cap - n_tokens) * 10000 // (bucket_cap * count(*)) AS BIGINT) AS waste_bp
+      |FROM sized
+      |GROUP BY bucket_cap
+      |ORDER BY bucket_cap""".stripMargin
 }

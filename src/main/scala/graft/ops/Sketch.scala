@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frequency-sketch surface: Count-Min heavy hitters (Cormode &
+  * Muthukrishnan 2005). The reference has no sketches at all; this is
+  * engine-surface depth for the 100 TB regime, where "how often does
+  * each key occur" must be answerable in O(d·w) memory instead of one
+  * counter per distinct key.
+  *
+  * The sketch here is DETERMINISTIC and engine-portable: row `i`'s hash
+  * is the first 32 md5 bits of `"i:key"` taken modulo the width — the
+  * same md5-prefix arithmetic the MinHash scheme pins across Spark,
+  * DuckDB and the JVM ([[graft.functions.MinHashScheme]]), so the
+  * oracle can rebuild the identical sketch cell-for-cell in SQL and the
+  * gate hash-compares ESTIMATES, not just exact counts.
+  */
+object Sketch {
+
+  /** Depth (independent hash rows) and width (buckets per row). */
+  val Depth = 3
+  val Width = 1024
+
+  /** CMS bucket of `key` under hash row `i`: first 32 md5 bits of
+    * `"i:key"`, mod width. Non-negative, so `%` agrees across engines. */
+  private def bucket(i: Int, key: Column): Column =
+    (conv(substring(md5(concat_ws(":", lit(i), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % Width).as(s"b$i")
+
+  /** Top-10 heaviest lineitem part keys with their EXACT count and the
+    * count-min ESTIMATE read back from the sketch, plus the estimate's
+    * overcount (≥ 0 by construction — CMS never undercounts).
+    *
+    * Build: one scan of lineitem explodes each row into `Depth`
+    * `(row_no, bucket)` cells and hash-aggregates into the d×w = 3×1024
+    * cell table — fixed size regardless of input rows, with map-side
+    * partial aggregation collapsing the fan-out before the shuffle (the
+    * entire point of a mergeable sketch: partition sketches add).
+    * Probe: only the 10 candidate keys re-hash and equi-join the cell
+    * table (model-sized, broadcast), then take min over rows.
+    *
+    * At 100 TB the exact-count side of this query is itself a fine
+    * two-phase agg; it is kept because the gate then verifies the
+    * sketch's overcount row-by-row instead of trusting it. */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    // d×w cell table: one generator pass, then a fixed-size hash agg
+    val cells = li
+      .select(explode(array((0 until Depth).map(i =>
+        struct(lit(i).as("row_no"), bucket(i, col("l_partkey")).as("bucket"))): _*)).as("c"))
+      .groupBy(col("c.row_no").as("row_no"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("l_partkey"))
+      .limit(10)
+    val probes = top
+      .select(col("l_partkey"), col("exact"),
+        explode(array((0 until Depth).map(i =>
+          struct(lit(i).as("row_no"), bucket(i, col("l_partkey")).as("bucket"))): _*)).as("p"))
+      .select(col("l_partkey"), col("exact"),
+        col("p.row_no").as("row_no"), col("p.bucket").as("bucket"))
+    probes.join(cells, Seq("row_no", "bucket"))
+      .groupBy(col("l_partkey"), col("exact"))
+      .agg(min(col("cnt")).as("est"))
+      .select(col("l_partkey"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("exact").desc, col("l_partkey"))
+  }
+
+  def cmsHeavyHittersSql: String = {
+    def bucketSql(i: String, key: String): String =
+      s"(('0x' || substr(md5($i::VARCHAR || ':' || $key::VARCHAR), 1, 8))::BIGINT % 1024)"
+    s"""WITH rows_cte AS (SELECT unnest([0, 1, 2]) AS row_no),
+       |cells AS (
+       |  SELECT r.row_no, ${bucketSql("r.row_no", "l_partkey")} AS bucket,
+       |    count(*) AS cnt
+       |  FROM lineitem CROSS JOIN rows_cte r
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT l_partkey, count(*) AS exact
+       |  FROM lineitem GROUP BY l_partkey
+       |  ORDER BY exact DESC, l_partkey LIMIT 10),
+       |est AS (
+       |  SELECT t.l_partkey, min(c.cnt) AS est
+       |  FROM top t CROSS JOIN rows_cte r
+       |  JOIN cells c ON c.row_no = r.row_no
+       |   AND c.bucket = ${bucketSql("r.row_no", "t.l_partkey")}
+       |  GROUP BY t.l_partkey)
+       |SELECT t.l_partkey, CAST(t.exact AS BIGINT) AS exact,
+       |  CAST(e.est AS BIGINT) AS est,
+       |  CAST(e.est - t.exact AS BIGINT) AS overcount
+       |FROM top t JOIN est e ON e.l_partkey = t.l_partkey
+       |ORDER BY exact DESC, t.l_partkey""".stripMargin
+  }
+}

@@ -179,4 +179,49 @@ object Windows {
       |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
       |WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Value-based RANGE frame — the one window-frame kind the rest of
+    * the surface doesn't exercise (running totals use ROWS, top-k uses
+    * ranks). Per customer: revenue and order count inside a sliding
+    * 28-day window ending at each order's date, i.e. `RANGE BETWEEN 27
+    * PRECEDING AND CURRENT ROW` over the epoch-day of the order. RANGE
+    * frames aggregate over every peer row whose ORDER BY *value* falls
+    * in the interval, so same-day orders contribute to each other's
+    * window regardless of physical order — the semantics no ROWS frame
+    * can express, and deterministic without a tiebreaker in the frame.
+    *
+    * Engine parity: revenue is summed in integer cents (prices carry
+    * exactly 2 decimals), so the sliding sums are exact and engine-
+    * order-independent; the frame bound is an integer day count.
+    *
+    * Scale: one hash shuffle on o_custkey, then a per-partition sort +
+    * sliding two-pointer frame — Spark's WindowExec keeps only the
+    * active frame buffered, so window width bounds memory, not
+    * partition size. */
+  def rollingRangeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long").as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-27, Window.currentRow)
+    ord.select(
+        col("o_custkey"), col("o_orderkey"), col("day"),
+        sum(col("cents")).over(w).as("win_cents"),
+        count(lit(1)).over(w).as("win_orders"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  def rollingRangeRevenueSql: String =
+    """SELECT o_custkey, o_orderkey, day,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS win_cents,
+      |  CAST(count(*) OVER w AS BIGINT) AS win_orders
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |             RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
 }

@@ -190,4 +190,20 @@ class PipelineSpec extends SparkTestBase {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("kept_docs")).toMap
     assert(got == expected)
   }
+
+  test("packEfficiency buckets partition the corpus and account every pad token") {
+    val rows = Pipeline.packEfficiency(spark, sfDir).collect()
+    val caps = rows.map(_.getAs[Long]("bucket_cap"))
+    assert(caps.toSet.subsetOf(Set(16L, 32L, 64L, 128L, 256L)))
+    assert(caps.sorted.sameElements(caps), "buckets must come out ordered")
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      val cap = r.getAs[Long]("bucket_cap"); val n = r.getAs[Long]("n_docs")
+      val tok = r.getAs[Long]("sum_tokens"); val pad = r.getAs[Long]("pad_tokens")
+      assert(tok + pad == cap * n, s"bucket $cap: padded stream must be cap*n")
+      assert(r.getAs[Long]("waste_bp") == pad * 10000 / (cap * n))
+      assert(pad >= 0 && tok >= n, s"bucket $cap: token bounds")
+    }
+  }
 }

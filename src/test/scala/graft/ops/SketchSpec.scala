@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.security.MessageDigest
+
+class SketchSpec extends SparkTestBase {
+
+  /** First 32 md5 bits of "i:key" mod width — the JVM reference for the
+    * engine-portable CMS hash (same arithmetic as MinHashScheme.hash32,
+    * over the row-salted key string). */
+  private def bucket(i: Int, key: Long): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s"$i:$key".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    h % Sketch.Width
+  }
+
+  test("cmsHeavyHitters matches an exact JVM sketch replay") {
+    val keys = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey").collect().map(_.getLong(0))
+    // build the d×w sketch and the exact counts the same way the query does
+    val cells = keys.flatMap(k => (0 until Sketch.Depth).map(i => (i, bucket(i, k))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = exact.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+      .map { case (k, n) =>
+        val est = (0 until Sketch.Depth).map(i => cells((i, bucket(i, k)))).min
+        (k, n, est, est - n)
+      }
+    val got = Sketch.cmsHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("exact"),
+        r.getAs[Long]("est"), r.getAs[Long]("overcount"))).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
+  test("count-min never undercounts: est >= exact on every probed key") {
+    Sketch.cmsHeavyHitters(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"key ${r.getAs[Long]("l_partkey")} undercounted")
+      assert(r.getAs[Long]("overcount") == r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+  }
+}
