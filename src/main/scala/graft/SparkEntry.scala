@@ -136,6 +136,10 @@ object SparkEntry {
     "q_graph_bfs" -> ((s, d) => Graph.nearDupBfs(s, d)),
     "q_pack_efficiency" -> ((s, d) => Pipeline.packEfficiency(s, d)),
     "q_anomaly_zscore" -> ((s, d) => Aggregates.anomalyZscore(s, d)),
+    // CDC upsert (MERGE / full outer), SCD2 history, sparse cosine
+    "q_merge_upsert" -> ((s, d) => Joins.mergeUpsert(s, d)),
+    "q_scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(s, d)),
+    "q_sparse_cosine" -> ((s, d) => Dedup.sparseCosinePairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -239,5 +243,8 @@ object SparkEntry {
     "q_graph_bfs" -> Graph.nearDupBfsSql,
     "q_pack_efficiency" -> Pipeline.packEfficiencySql,
     "q_anomaly_zscore" -> Aggregates.anomalyZscoreSql,
+    "q_merge_upsert" -> Joins.mergeUpsertSql,
+    "q_scd2_intervals" -> EventOps.scd2IntervalsSql,
+    "q_sparse_cosine" -> Dedup.sparseCosinePairsSql,
   )
 }

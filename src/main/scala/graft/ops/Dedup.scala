@@ -789,4 +789,93 @@ object Dedup {
       |  max(len) + 11 AS max_run_tokens, count(*) AS n_runs
       |FROM runs GROUP BY da, db HAVING max(len) + 11 >= 20
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Sparse TF-IDF cosine over LSH candidates — the sparse-vector twin
+    * of the dense embedding cosine in [[Similarity]]: documents as
+    * bag-of-words vectors weighted tf·ln(N/df), candidate pairs from
+    * the SAME MinHash band index the Jaccard queries use (rare-term
+    * blocking is useless on this corpus: the vocabulary is 31 tokens,
+    * so no term is rare), scored by exact sparse dot product.
+    *
+    * Engine parity: weights are INTEGER (tf × idf rounded to 1e-4,
+    * ≤ ~10⁷), so dot products and squared norms are exact BIGINT sums —
+    * order-free where double summation would be partition-order-
+    * dependent. Only the final cosine divides, in one letter-identical
+    * double expression. Zero-norm docs (every token at df = N) are
+    * filtered before the division on both sides.
+    *
+    * Scale: candidates never materialize payloads (band equi-join on
+    * ids); the dot product joins the (doc, token, w) table — sharded by
+    * its natural keys — only for candidate rows. The df table is
+    * token-keyed and joined WITHOUT a broadcast hint: vocabulary grows
+    * with real corpora, and AQE may still runtime-broadcast it when
+    * small. */
+  def sparseCosinePairs(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val banded = bandIndexOf(docs)
+    val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val toks = docs.select(col("doc_id"), explode(tokens).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        (col("tf") * round(log(col("n_docs") / col("df")) * 10000).cast("long")).as("w"))
+    val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
+    val dot = candidates
+      .join(w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa")), Seq("doc_a"))
+      .join(w.select(col("doc_id").as("doc_b"), col("token"), col("w").as("wb")),
+        Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), Seq("doc_b"))
+      .filter(col("n2a") > 0 && col("n2b") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (round(col("dot").cast("double") /
+          (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 4) + lit(0.0))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  def sparseCosinePairsSql: String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
+       |  FROM documents),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS (
+       |  SELECT doc_id, token,
+       |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS w
+       |  FROM tf JOIN df USING (token) CROSS JOIN n),
+       |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+       |dot AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(sum(wa.w * wb.w) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN w wa ON wa.doc_id = c.doc_a
+       |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.token = wa.token
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT d.doc_a, d.doc_b,
+       |  round(CAST(d.dot AS DOUBLE) /
+       |    (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 4) + 0.0 AS cosine
+       |FROM dot d
+       |JOIN norms na ON na.doc_id = d.doc_a
+       |JOIN norms nb ON nb.doc_id = d.doc_b
+       |WHERE na.n2 > 0 AND nb.n2 > 0
+       |ORDER BY cosine DESC, doc_a, doc_b
+       |LIMIT 20""".stripMargin
 }

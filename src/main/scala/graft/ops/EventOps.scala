@@ -87,6 +87,78 @@ object EventOps {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** SCD2 history build — the change-data-capture transform that turns
+    * an event log into a slowly-changing-dimension table: per user,
+    * collapse consecutive same-type events into runs (gaps-and-islands
+    * on the difference of two row_numbers) and emit one VALIDITY
+    * INTERVAL per run: `[valid_from_ms, valid_to_ms)` where valid_to is
+    * the next run's start and NULL marks the currently-open state. An
+    * as-of join against this table answers "what state was user U in at
+    * time T" — the other half of the temporal surface (the as-of query
+    * itself is [[asofLastOrder]]).
+    *
+    * Timestamps are integer epoch-millis end-to-end; run numbering
+    * carries a unique (ts, event_id) tiebreaker — nothing floats.
+    *
+    * Scale: both row_numbers and the lead share ONE user_id hash
+    * partitioning (Catalyst plans a single exchange; the final
+    * user_id%50 sample filter sits on the partition key, so it pushes
+    * below the windows and prunes before the shuffle). */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val wAll = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val wState = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val runs = ev
+      .select(col("user_id"), col("event_type"), col("ts_ms"),
+        row_number().over(wAll).cast("long").as("rn"),
+        (row_number().over(wAll) - row_number().over(wState)).cast("long").as("island"))
+      .groupBy(col("user_id"), col("event_type"), col("island"))
+      .agg(min(col("ts_ms")).as("valid_from_ms"),
+        min(col("rn")).as("run_no"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy(col("user_id")).orderBy(col("run_no"))
+    runs
+      .select(col("user_id"),
+        row_number().over(wRun).cast("long").as("run_seq"),
+        col("event_type").as("state"), col("valid_from_ms"),
+        lead(col("valid_from_ms"), 1).over(wRun).as("valid_to_ms"),
+        col("n_events"))
+      .filter(col("user_id") % 50 === 0)
+      .orderBy(col("user_id"), col("run_seq"))
+  }
+
+  def scd2IntervalsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms
+      |  FROM events),
+      |numbered AS (
+      |  SELECT user_id, event_type, ts_ms,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |         ORDER BY ts_ms, event_id) AS BIGINT) AS rn,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |           ORDER BY ts_ms, event_id)
+      |       - row_number() OVER (PARTITION BY user_id, event_type
+      |           ORDER BY ts_ms, event_id) AS BIGINT) AS island
+      |  FROM ev),
+      |runs AS (
+      |  SELECT user_id, event_type, island,
+      |    min(ts_ms) AS valid_from_ms, min(rn) AS run_no,
+      |    count(*) AS n_events
+      |  FROM numbered GROUP BY user_id, event_type, island)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS run_seq,
+      |  event_type AS state, valid_from_ms,
+      |  lead(valid_from_ms, 1) OVER w AS valid_to_ms,
+      |  CAST(n_events AS BIGINT) AS n_events
+      |FROM runs
+      |WHERE user_id % 50 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY run_no)
+      |ORDER BY user_id, run_seq""".stripMargin
+
   /** UNPIVOT (melt) — the inverse of [[eventTypePivot]], and proved so
     * in place: this query pivots the per-user event-type counts WIDE
     * and immediately unpivots them back to long form, so a green oracle

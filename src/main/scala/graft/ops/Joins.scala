@@ -132,4 +132,57 @@ object Joins {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
+
+  /** CDC upsert (MERGE INTO semantics) expressed relationally — the
+    * lakehouse write path as a query, and the surface's one FULL OUTER
+    * join. Target: customers whose key is not ≡0 mod 3 (simulating a
+    * dimension table that predates some customers). Changes: each
+    * customer's order spend. MERGE rules: matched rows ADD the spend to
+    * the balance (update), change-only keys INSERT with the spend as
+    * opening balance, target-only keys KEEP unchanged — every row is
+    * labeled with the op that produced it, so the oracle re-proves the
+    * merge routing row-by-row, not just the final numbers.
+    *
+    * Money is integer cents end-to-end (both inputs carry exactly 2
+    * decimals), so update arithmetic is exact on both engines.
+    *
+    * Scale: FULL OUTER preserves both sides, so no broadcast is legal —
+    * this is the one join kind that MUST hash-shuffle both inputs on
+    * the key; AQE can still pick the partition count. A real MERGE
+    * additionally rewrites only the files whose keys changed — that
+    * file-pruning layer lives with the table format, not the join. */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val target = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey").as("key"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val changes = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("key"))
+      .agg(round(sum(round(col("o_totalprice") * 100))).cast("long").as("spend_cents"))
+    target.join(changes, Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("bal_cents"), lit(0L)) + coalesce(col("spend_cents"), lit(0L)))
+          .as("new_bal_cents"),
+        when(col("bal_cents").isNull, "insert")
+          .when(col("spend_cents").isNull, "keep")
+          .otherwise("update").as("op"))
+      .orderBy(col("key"))
+  }
+
+  def mergeUpsertSql: String =
+    """WITH target AS (
+      |  SELECT c_custkey AS key,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      |  FROM customer WHERE c_custkey % 3 <> 0),
+      |changes AS (
+      |  SELECT o_custkey AS key,
+      |    CAST(round(sum(round(o_totalprice * 100))) AS BIGINT) AS spend_cents
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT COALESCE(t.key, c.key) AS key,
+      |  COALESCE(t.bal_cents, 0) + COALESCE(c.spend_cents, 0) AS new_bal_cents,
+      |  CASE WHEN t.key IS NULL THEN 'insert'
+      |       WHEN c.key IS NULL THEN 'keep'
+      |       ELSE 'update' END AS op
+      |FROM target t FULL OUTER JOIN changes c ON t.key = c.key
+      |ORDER BY key""".stripMargin
 }

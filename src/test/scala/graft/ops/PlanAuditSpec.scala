@@ -228,4 +228,52 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!afterJoin.split("Join")(0).contains("Exchange"),
       "window must reuse the join output partitioning")
   }
+
+  test("rollingRangeRevenue: one custkey shuffle feeding a specified-frame window") {
+    val p = plan(Windows.rollingRangeRevenue(spark, sfDir))
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected exactly 1 hash exchange, got $hash in:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      s"window must run a RANGE frame, not ROWS:\n$p")
+  }
+
+  test("mergeUpsert: FULL OUTER must sort-merge — a broadcast would drop unmatched rows") {
+    val p = plan(Joins.mergeUpsert(spark, sfDir))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastHashJoin"), s"no side of a full outer may broadcast:\n$p")
+  }
+
+  test("cmsHeavyHitters: generator explode + partial aggs, no nested-loop probe") {
+    val df = Sketch.cmsHeavyHitters(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Generate explode"), s"sketch cells must come from one generator pass:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"probe must equi-join the cell table:\n$p")
+  }
+
+  test("sparseCosinePairs: candidate + dot joins are all equi-joins (1-row count is the only BNLJ)") {
+    val df = Dedup.sparseCosinePairs(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the only nested-loop joins allowed are the broadcast of the
+    // SINGLE-ROW corpus count, replicated once per recomputed weight
+    // branch (wa, wb, two norm sides) — constant-size builds, never a
+    // data-sized side; every data join must be an equi hash/merge join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 8, s"unexpected nested-loop fan-out:\n$p")
+    assert("BroadcastHashJoin|SortMergeJoin".r.findAllIn(p).nonEmpty)
+  }
+
+  test("scd2Intervals: the user sample filter prunes before the window shuffles") {
+    val p = plan(EventOps.scd2Intervals(spark, sfDir))
+    // filter on the partition key must sit below every Window (pushed
+    // through), i.e. in the subtree printed after the last Window node
+    val belowWindows = p.substring(p.lastIndexOf("Window"))
+    assert(belowWindows.contains("% 50") || belowWindows.contains("Filter"),
+      s"user_id%50 filter must push below the windows:\n$p")
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 3, s"expected <=3 hash exchanges, got $hash in:\n$p")
+  }
 }
