@@ -140,6 +140,9 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, d) => Joins.mergeUpsert(s, d)),
     "q_scd2_intervals" -> ((s, d) => EventOps.scd2Intervals(s, d)),
     "q_sparse_cosine" -> ((s, d) => Dedup.sparseCosinePairs(s, d)),
+    // Markov transitions + sliding distinct window
+    "q_markov_transitions" -> ((s, d) => Behavior.markovTransitions(s, d)),
+    "q_sliding_dau" -> ((s, d) => Behavior.slidingDau(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,5 +249,7 @@ object SparkEntry {
     "q_merge_upsert" -> Joins.mergeUpsertSql,
     "q_scd2_intervals" -> EventOps.scd2IntervalsSql,
     "q_sparse_cosine" -> Dedup.sparseCosinePairsSql,
+    "q_markov_transitions" -> Behavior.markovTransitionsSql,
+    "q_sliding_dau" -> Behavior.slidingDauSql,
   )
 }

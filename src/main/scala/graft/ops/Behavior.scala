@@ -178,4 +178,90 @@ object Behavior {
        |FROM pairs
        |GROUP BY hour_bucket
        |ORDER BY hour_bucket""".stripMargin
+
+  /** First-order Markov transition matrix over the event stream: how
+    * often does a user's event of type A get followed by type B, and
+    * with what conditional probability. The output is the row-
+    * stochastic matrix every next-event model and anomaly detector
+    * starts from. Probabilities are integer parts-per-million via
+    * truncating division, so the matrix is engine-exact.
+    *
+    * Scale: one user_id-partitioned window pass for the lag, then a
+    * 25-cell hash agg (states² is model-sized); the ppm normalization
+    * is a window over the 25-row result — negligible at any sf. */
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .select(col("event_type").as("to_state"),
+        lag(col("event_type"), 1).over(w).as("from_state"))
+      .filter(col("from_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_state"))))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("(n * 1000000) DIV row_total").as("p_ppm"))
+      .orderBy(col("from_state"), col("to_state"))
+  }
+
+  def markovTransitionsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms
+      |  FROM events),
+      |tr AS (
+      |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+      |           ORDER BY ts_ms, event_id) AS from_state,
+      |    event_type AS to_state
+      |  FROM ev),
+      |cnt AS (
+      |  SELECT from_state, to_state, count(*) AS n
+      |  FROM tr WHERE from_state IS NOT NULL
+      |  GROUP BY from_state, to_state)
+      |SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_state) AS BIGINT) AS p_ppm
+      |FROM cnt
+      |ORDER BY from_state, to_state""".stripMargin
+
+  /** 7-day sliding distinct-user count per day ("rolling DAU") — the
+    * sliding-window DISTINCT aggregation that no window frame can
+    * express (COUNT(DISTINCT) OVER RANGE is unsupported in both
+    * engines): each (user, active-day) pair is exploded into the ≤7
+    * report days whose trailing window it falls in, then exact
+    * distinct-count per report day.
+    *
+    * Scale: the (user, day) DISTINCT collapses raw event volume FIRST
+    * (the dominant reduction — events per user-day never leave their
+    * partial agg), the ×7 explode is a constant factor on the
+    * collapsed frame, and the final count-distinct is the standard
+    * two-shuffle exact plan. Report days past the observed maximum are
+    * clipped against a broadcast single-row max. */
+  def slidingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(expr("unix_millis(ts) DIV 86400000").as("day"), col("user_id"))
+    val maxDay = ev.agg(max(col("day")).as("max_day"))
+    ev.distinct()
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("report_day") <= col("max_day"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("dau7"))
+      .orderBy(col("report_day"))
+  }
+
+  def slidingDauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, user_id
+      |  FROM events),
+      |mx AS (SELECT max(epoch_ms(ts::TIMESTAMP) // 86400000) AS max_day FROM events),
+      |ex AS (
+      |  SELECT user_id, day + d.d AS report_day
+      |  FROM ud CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS d) d)
+      |SELECT report_day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau7
+      |FROM ex CROSS JOIN mx
+      |WHERE report_day <= max_day
+      |GROUP BY report_day
+      |ORDER BY report_day""".stripMargin
 }

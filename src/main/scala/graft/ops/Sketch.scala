@@ -25,6 +25,8 @@ object Sketch {
 
   /** CMS bucket of `key` under hash row `i`: first 32 md5 bits of
     * `"i:key"`, mod width. Non-negative, so `%` agrees across engines. */
+  private[graft] def bucketOf(i: Int, key: Column): Column = bucket(i, key)
+
   private def bucket(i: Int, key: Column): Column =
     (conv(substring(md5(concat_ws(":", lit(i), key.cast("string"))), 1, 8), 16, 10)
       .cast("long") % Width).as(s"b$i")
@@ -44,14 +46,22 @@ object Sketch {
     * At 100 TB the exact-count side of this query is itself a fine
     * two-phase agg; it is kept because the gate then verifies the
     * sketch's overcount row-by-row instead of trusting it. */
-  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
-    // d×w cell table: one generator pass, then a fixed-size hash agg
-    val cells = li
+  /** The d×w cell table of a key frame: one generator pass exploding
+    * each key into its `Depth` (row, bucket) cells, then a fixed-size
+    * hash agg. Cell tables are a MONOID (cell-wise sum merges two
+    * sketches), which is what makes the sketch shard across partitions,
+    * batches, and streams — [[graft.streaming.StreamSketch]] merges
+    * per-micro-batch cell tables produced by this same function. */
+  def cellsOf(keys: DataFrame, key: Column): DataFrame =
+    keys
       .select(explode(array((0 until Depth).map(i =>
-        struct(lit(i).as("row_no"), bucket(i, col("l_partkey")).as("bucket"))): _*)).as("c"))
+        struct(lit(i).as("row_no"), bucket(i, key).as("bucket"))): _*)).as("c"))
       .groupBy(col("c.row_no").as("row_no"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val cells = cellsOf(li, col("l_partkey"))
     val top = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("l_partkey"))

@@ -60,4 +60,41 @@ class BehaviorSpec extends SparkTestBase {
     }
     assert(naive.values.sum > 50, "fixture must actually exercise overlaps")
   }
+
+  test("markovTransitions matches a JVM per-user lag replay and rows are stochastic") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) AS ts_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.toSeq.flatMap { es =>
+      es.sortBy(e => (e._4, e._2)).toSeq.sliding(2).collect {
+        case Seq((_, _, a, _), (_, _, b, _)) => (a, b)
+      }
+    }
+    val expected = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Behavior.markovTransitions(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("from_state"), r.getAs[String]("to_state"),
+        r.getAs[Long]("n"), r.getAs[Long]("p_ppm")))
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == expected)
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val total = rows.map(_._3).sum
+      rows.foreach { case (_, to, n, ppm) =>
+        assert(ppm == n * 1000000L / total, s"$from->$to ppm")
+      }
+      // truncating division can only lose: row sums to 1e6 minus dust
+      val ppmSum = rows.map(_._4).sum
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - rows.length, s"$from row sum $ppmSum")
+    }
+  }
+
+  test("slidingDau counts exactly the users active in each trailing 7-day window") {
+    val ud = graft.Tables.events(spark, sfDir)
+      .selectExpr("unix_millis(ts) DIV 86400000 AS day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val maxDay = ud.map(_._1).max
+    val expected = ud.flatMap { case (d, u) => (d to math.min(d + 6, maxDay)).map(_ -> u) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Behavior.slidingDau(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("report_day") -> r.getAs[Long]("dau7")).toMap
+    assert(got == expected)
+  }
 }
