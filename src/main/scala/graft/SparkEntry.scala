@@ -143,6 +143,9 @@ object SparkEntry {
     // Markov transitions + sliding distinct window
     "q_markov_transitions" -> ((s, d) => Behavior.markovTransitions(s, d)),
     "q_sliding_dau" -> ((s, d) => Behavior.slidingDau(s, d)),
+    // bloom-filtered semi-join + fuzzy dictionary join
+    "q_bloom_semi_join" -> ((s, d) => Sketch.bloomSemiJoin(s, d)),
+    "q_fuzzy_name_pairs" -> ((s, d) => SetAndScalar.fuzzyNamePairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -251,5 +254,7 @@ object SparkEntry {
     "q_sparse_cosine" -> Dedup.sparseCosinePairsSql,
     "q_markov_transitions" -> Behavior.markovTransitionsSql,
     "q_sliding_dau" -> Behavior.slidingDauSql,
+    "q_bloom_semi_join" -> Sketch.bloomSemiJoinSql,
+    "q_fuzzy_name_pairs" -> SetAndScalar.fuzzyNamePairsSql,
   )
 }

@@ -218,4 +218,60 @@ object SetAndScalar {
       |  WHERE l_orderkey % 500 = 0
       |  GROUP BY l_orderkey)
       |ORDER BY l_orderkey""".stripMargin
+
+  /** Fuzzy string JOIN (edit distance ≤ 2) over the part-name
+    * dictionary — entity-resolution's core primitive, built the way it
+    * scales: (1) dedupe the corpus to its DISTINCT strings first (the
+    * dictionary is orders of magnitude smaller than the fact table —
+    * 64 names under 20k parts here), (2) block candidates by length
+    * band so the verify never goes n²: one side registers at band
+    * `len DIV 3`, the other explodes into its ±1 neighbor bands, and an
+    * EQUI join on band meets every pair with |len diff| ≤ 2 — a
+    * necessary condition for distance ≤ 2 (each edit changes length by
+    * at most 1) — while same-band duplicates are impossible because
+    * each pair shares exactly one (band_a, offset) combination, (3)
+    * levenshtein-verify only the blocked candidates.
+    *
+    * Per-name part counts ride along so the result ranks pairs by how
+    * much data a dictionary merge would coalesce. */
+  def fuzzyNamePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val band = expr("CAST(length(p_name) AS BIGINT) DIV 3")
+    val a = names
+      .select(col("p_name").as("name_a"), col("n_parts").as("parts_a"),
+        band.as("band"))
+    val b = names
+      .select(col("p_name").as("name_b"), col("n_parts").as("parts_b"),
+        explode(sequence(band - 1, band + 1)).as("band"))
+    a.join(b, Seq("band"))
+      .filter(col("name_a") < col("name_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long").as("edit_dist"),
+        (col("parts_a") + col("parts_b")).as("n_parts"))
+      .filter(col("edit_dist") <= 2 && col("edit_dist") > 0)
+      .distinct()
+      .orderBy(col("edit_dist"), col("name_a"), col("name_b"))
+  }
+
+  def fuzzyNamePairsSql: String =
+    """WITH names AS (
+      |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+      |a AS (
+      |  SELECT p_name AS name_a, n_parts AS parts_a,
+      |    CAST(len(p_name) AS BIGINT) // 3 AS band
+      |  FROM names),
+      |b AS (
+      |  SELECT p_name AS name_b, n_parts AS parts_b,
+      |    CAST(len(p_name) AS BIGINT) // 3 + d.d AS band
+      |  FROM names CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d)
+      |SELECT DISTINCT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist,
+      |  parts_a + parts_b AS n_parts
+      |FROM a JOIN b USING (band)
+      |WHERE name_a < name_b
+      |  AND abs(len(name_a) - len(name_b)) <= 2
+      |  AND levenshtein(name_a, name_b) BETWEEN 1 AND 2
+      |ORDER BY edit_dist, name_a, name_b""".stripMargin
 }

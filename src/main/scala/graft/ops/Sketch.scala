@@ -80,6 +80,89 @@ object Sketch {
       .orderBy(col("exact").desc, col("l_partkey"))
   }
 
+  /** Bloom filter bit size and hash count for [[bloomSemiJoin]]. */
+  val BloomBits = 65536
+  val BloomK = 3
+
+  /** Bloom bit position of `key` under hash `i` — same md5-prefix
+    * arithmetic as the CMS rows, different modulus. */
+  private def bloomPos(i: Int, key: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(i), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** Bloom-filter pre-join: audit of the build-side filter every
+    * distributed engine pushes into big probe scans (Spark's own
+    * runtime bloom pushdown included). The "hot set" is the orders
+    * with a lineitem shipped in March 1995; its Bloom filter — modeled
+    * RELATIONALLY as the distinct table of set bit positions, so the
+    * oracle rebuilds the identical filter — is probed by every order
+    * (`all k positions present` ⇔ `hits = k`), and the exact semi-join
+    * then splits passers into members vs false positives, per order
+    * priority. A green row certifies both bloom properties on this
+    * data: no member is missed, and the false-positive count is
+    * exactly what these hash bits produce.
+    *
+    * Scale: the bit table is bounded by BloomBits REGARDLESS of input
+    * size — the broadcast hint is safe at any sf (the entire point of
+    * blooming a join); the probe side never shuffles for the filter,
+    * only for its final fixed-cardinality agg. */
+  def bloomSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val hot = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-03-01") && col("l_shipdate") < lit("1995-04-01"))
+      .select(col("l_orderkey")).distinct()
+    val bits = hot
+      .select(explode(array((0 until BloomK).map(i =>
+        bloomPos(i, col("l_orderkey"))): _*)).as("pos"))
+      .distinct()
+    val orders = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderpriority"))
+    val hits = orders
+      .select(col("o_orderkey"),
+        explode(array((0 until BloomK).map(i =>
+          bloomPos(i, col("o_orderkey"))): _*)).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("hits"))
+    orders
+      .join(hits, Seq("o_orderkey"), "left")
+      .join(hot.select(col("l_orderkey").as("o_orderkey"), lit(1L).as("member")),
+        Seq("o_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("hits") === BloomK, 1L).otherwise(0L)).as("pass_bloom"),
+        sum(coalesce(col("member"), lit(0L))).as("members"),
+        sum(when(col("hits") === BloomK && col("member").isNull, 1L).otherwise(0L))
+          .as("false_pos"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def bloomSemiJoinSql: String = {
+    def posSql(i: String, key: String): String =
+      s"(('0x' || substr(md5($i::VARCHAR || ':' || $key::VARCHAR), 1, 8))::BIGINT % 65536)"
+    s"""WITH ks_cte AS (SELECT unnest([0, 1, 2]) AS i),
+       |hot AS (
+       |  SELECT DISTINCT l_orderkey FROM lineitem
+       |  WHERE l_shipdate >= '1995-03-01' AND l_shipdate < '1995-04-01'),
+       |bits AS (
+       |  SELECT DISTINCT ${posSql("k.i", "hot.l_orderkey")} AS pos
+       |  FROM hot CROSS JOIN ks_cte k),
+       |hits AS (
+       |  SELECT o_orderkey, count(*) AS hits
+       |  FROM (SELECT o.o_orderkey, ${posSql("k.i", "o.o_orderkey")} AS pos
+       |        FROM orders o CROSS JOIN ks_cte k) p
+       |  JOIN bits USING (pos)
+       |  GROUP BY o_orderkey)
+       |SELECT o.o_orderpriority, count(*) AS n_orders,
+       |  CAST(sum(CASE WHEN h.hits = 3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_bloom,
+       |  CAST(sum(CASE WHEN m.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS members,
+       |  CAST(sum(CASE WHEN h.hits = 3 AND m.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS false_pos
+       |FROM orders o
+       |LEFT JOIN hits h ON h.o_orderkey = o.o_orderkey
+       |LEFT JOIN hot m ON m.l_orderkey = o.o_orderkey
+       |GROUP BY o.o_orderpriority
+       |ORDER BY o.o_orderpriority""".stripMargin
+  }
+
   def cmsHeavyHittersSql: String = {
     def bucketSql(i: String, key: String): String =
       s"(('0x' || substr(md5($i::VARCHAR || ':' || $key::VARCHAR), 1, 8))::BIGINT % 1024)"

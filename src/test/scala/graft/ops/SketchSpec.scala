@@ -40,4 +40,42 @@ class SketchSpec extends SparkTestBase {
       assert(r.getAs[Long]("overcount") == r.getAs[Long]("est") - r.getAs[Long]("exact"))
     }
   }
+
+  private def bloomPos(i: Int, key: Long): Long = {
+    val d = MessageDigest.getInstance("MD5").digest(s"$i:$key".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    h % Sketch.BloomBits
+  }
+
+  test("bloomSemiJoin matches a JVM bloom replay; members NEVER fail the filter") {
+    import org.apache.spark.sql.functions._
+    val hot = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1995-03-01") && col("l_shipdate") < lit("1995-04-01"))
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val bits = hot.flatMap(k => (0 until Sketch.BloomK).map(i => bloomPos(i, k)))
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = orders.groupBy(_._2).view.mapValues { os =>
+      val pass = os.count { case (k, _) =>
+        (0 until Sketch.BloomK).forall(i => bits.contains(bloomPos(i, k)))
+      }
+      val members = os.count(o => hot.contains(o._1))
+      val fp = os.count { case (k, _) =>
+        !hot.contains(k) &&
+          (0 until Sketch.BloomK).forall(i => bits.contains(bloomPos(i, k)))
+      }
+      (os.length.toLong, pass.toLong, members.toLong, fp.toLong)
+    }.toMap
+    val got = Sketch.bloomSemiJoin(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("pass_bloom"),
+          r.getAs[Long]("members"), r.getAs[Long]("false_pos"))).toMap
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    // the defining bloom guarantee: pass ⊇ members (zero false negatives)
+    got.values.foreach { case (_, pass, members, fp) =>
+      assert(pass == members + fp && pass >= members)
+    }
+  }
 }
