@@ -40,6 +40,21 @@ object ScaleProbe {
     time("decontaminate 50k docs")(println("  contaminated=" + ops.Dedup.decontaminate(spark, d).count()))
     time("doc_repetition 50k docs")(ops.Text.docRepetition(spark, d).count())
     time("weighted_sample 50k docs")(println("  kept=" + ops.Text.weightedSample(spark, d).count()))
+    // round-4 session-3 operators
+    time("range_frame 1.5M orders")(ops.Windows.rollingRangeRevenue(spark, d).count())
+    time("unpivot 1M events")(ops.EventOps.eventTypeUnpivot(spark, d).count())
+    time("cms_heavy_hitters 6M lineitem")(ops.Sketch.cmsHeavyHitters(spark, d).count())
+    time("bloom_semi_join 6M lineitem")(ops.Sketch.bloomSemiJoin(spark, d).count())
+    time("graph_bfs 50k docs")(println("  reached=" + ops.Graph.nearDupBfs(spark, d).count()))
+    time("neardup_pagerank 50k docs")(ops.Graph.nearDupPagerank(spark, d).count())
+    time("pack_efficiency 50k docs")(ops.Pipeline.packEfficiency(spark, d).count())
+    time("anomaly_zscore 1M events")(println("  outliers=" + ops.Aggregates.anomalyZscore(spark, d).count()))
+    time("merge_upsert 150k x 1.5M")(ops.Joins.mergeUpsert(spark, d).count())
+    time("scd2_intervals 1M events")(ops.EventOps.scd2Intervals(spark, d).count())
+    time("sparse_cosine 50k docs")(ops.Dedup.sparseCosinePairs(spark, d).count())
+    time("markov_transitions 1M events")(ops.Behavior.markovTransitions(spark, d).count())
+    time("sliding_dau 1M events")(ops.Behavior.slidingDau(spark, d).count())
+    time("fuzzy_name_pairs 200k parts")(println("  pairs=" + ops.SetAndScalar.fuzzyNamePairs(spark, d).count()))
     spark.stop()
   }
 }
