@@ -160,4 +160,41 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(fs.getFileStatus(success).getModificationTime == stamp,
       "second construction must reuse the committed export, not retrain")
   }
+
+  test("session-3 doc/graph operators survive empty/NULL/whitespace docs") {
+    assert(Graph.nearDupBfs(spark, degenerateDocs).count() >= 0)
+    assert(Dedup.sparseCosinePairs(spark, degenerateDocs).count() >= 0)
+    assert(Pipeline.packEfficiency(spark, degenerateDocs).count() >= 1)
+  }
+
+  test("nearDupBfs on an edgeless corpus returns an empty frame with the right schema") {
+    val tmp = tmpDir("noedges")
+    val s = spark; import s.implicits._
+    // two totally dissimilar docs: no LSH candidates, no edges, no seed
+    Seq((1L, "alpha beta gamma", "en", "s1"), (2L, "delta epsilon zeta", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Graph.nearDupBfs(spark, tmp)
+    assert(out.columns.toSeq == Seq("doc_id", "hop"))
+    assert(out.count() == 0)
+  }
+
+  test("fuzzy/sketch operators survive a single-row and a skewed key table") {
+    val tmp = tmpDir("degparts")
+    val s = spark; import s.implicits._
+    Seq((1L, "widget"), (2L, "widget"), (3L, "widgit"), (4L, "x"))
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val fuzzy = SetAndScalar.fuzzyNamePairs(spark, tmp).collect()
+    assert(fuzzy.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("widget", "widgit")), "only the true distance-1 pair")
+    // CMS over one hot key + empty-ish table shapes
+    Seq.fill(100)(7L).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val cms = Sketch.cmsHeavyHitters(spark, tmp).collect()
+    assert(cms.length == 1 && cms.head.getAs[Long]("exact") == 100L
+      && cms.head.getAs[Long]("est") == 100L,
+      "a single key cannot collide with anything — estimate must be exact")
+  }
 }
