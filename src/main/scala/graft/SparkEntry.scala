@@ -146,6 +146,8 @@ object SparkEntry {
     // bloom-filtered semi-join + fuzzy dictionary join
     "q_bloom_semi_join" -> ((s, d) => Sketch.bloomSemiJoin(s, d)),
     "q_fuzzy_name_pairs" -> ((s, d) => SetAndScalar.fuzzyNamePairs(s, d)),
+    // agg-based argmax (top-1 per group without a window)
+    "q_argmax_order" -> ((s, d) => Relational.argmaxOrder(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -256,5 +258,6 @@ object SparkEntry {
     "q_sliding_dau" -> Behavior.slidingDauSql,
     "q_bloom_semi_join" -> Sketch.bloomSemiJoinSql,
     "q_fuzzy_name_pairs" -> SetAndScalar.fuzzyNamePairsSql,
+    "q_argmax_order" -> Relational.argmaxOrderSql,
   )
 }

@@ -119,14 +119,60 @@ object Graph {
     * and DuckDB's recursive CTE + `min(hop)` agree exactly with no
     * arithmetic at all.
     *
-    * Scale: classic distributed BFS — each level is ONE equi-join of
-    * the (persisted) edge list against the current frontier plus an
-    * anti-join against the visited set; no level ever materializes
-    * more than the frontier. The visited set is localCheckpointed per
-    * level so lineage stays O(1) in depth instead of doubling per
-    * iteration — the same cap-the-lineage rule the PageRank scaladoc
-    * documents for its iterations. */
+    * Two execution paths, identical results (the same small-side
+    * escape hatch as [[Dedup.nearDupClusters]], sharing its
+    * [[Dedup.maxCollectedEdges]] threshold): below it the edge ids
+    * collect to the driver for an in-memory BFS — one job instead of
+    * one per level; above it, classic distributed BFS — each level is
+    * ONE equi-join of the (persisted) edge list against the current
+    * frontier plus an anti-join against the visited set; no level ever
+    * materializes more than the frontier, and the visited set is
+    * localCheckpointed per level so lineage stays O(1) in depth. */
   def nearDupBfs(spark: SparkSession, sfDir: String, maxHops: Int = 3): DataFrame = {
+    import spark.implicits._
+    val pairsDf = Dedup.nearDupPairsUnsorted(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nEdges = pairsDf.count()
+    if (nEdges == 0) { pairsDf.unpersist(); return Seq.empty[(Long, Long)].toDF("doc_id", "hop") }
+    if (nEdges <= Dedup.maxCollectedEdges) {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      pairsDf.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
+      }
+      pairsDf.unpersist()
+      val dist = scala.collection.mutable.Map(adj.keys.min -> 0L)
+      var frontier = Set(adj.keys.min)
+      (1 to maxHops).foreach { h =>
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        frontier.foreach(dist(_) = h.toLong)
+      }
+      return spark.createDataset(dist.toSeq).toDF("doc_id", "hop")
+        .orderBy(col("hop"), col("doc_id"))
+    }
+    val edges = pairsDf.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsDf.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed = edges.agg(min(col("src"))).collect()(0).getLong(0)
+      var visited = Seq((seed, 0L)).toDF("doc_id", "hop").localCheckpoint(true)
+      var frontier = visited.select(col("doc_id"))
+      (1 to maxHops).foreach { h =>
+        frontier = edges.join(frontier.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id")).distinct()
+          .join(visited, Seq("doc_id"), "left_anti")
+        visited = visited
+          .union(frontier.select(col("doc_id"), lit(h.toLong).as("hop")))
+          .localCheckpoint(true)
+      }
+      visited.orderBy(col("hop"), col("doc_id"))
+    } finally { edges.unpersist(); pairsDf.unpersist() }
+  }
+
+  /** The distributed frontier-join path of [[nearDupBfs]], forced —
+    * exists so tests can pin path equivalence above/below the guard. */
+  private[ops] def nearDupBfsDistributed(spark: SparkSession, sfDir: String,
+      maxHops: Int = 3): DataFrame = {
     import spark.implicits._
     val pairs = Dedup.nearDupPairsUnsorted(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))

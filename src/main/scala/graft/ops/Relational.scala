@@ -128,4 +128,37 @@ object Relational {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
+
+  /** Top-1 per group WITHOUT a window: `max(struct(ordering, payload))`
+    * aggregates the argmax in ONE partial-combining shuffle — at scale
+    * this beats the ranked-window formulation, which must shuffle AND
+    * sort every group's full row set just to keep one row. The
+    * ordering struct carries the unique orderkey tiebreaker, so the
+    * argmax is total and engine-deterministic.
+    *
+    * The ORACLE deliberately states the semantics through the window
+    * formulation (`row_number = 1`) — two independent implementations
+    * that must land on the same rows, re-proved green every run. */
+  def argmaxOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("cents"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"),
+        col("m.o_orderkey").as("top_orderkey"),
+        col("m.cents").as("top_cents"))
+      .orderBy(col("o_custkey"))
+  }
+
+  def argmaxOrderSql: String =
+    """SELECT o_custkey, o_orderkey AS top_orderkey, cents AS top_cents
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
 }

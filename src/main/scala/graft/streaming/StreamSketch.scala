@@ -44,6 +44,34 @@ object StreamSketch {
       .groupBy(col("row_no"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Rewrite the store as ONE pre-merged cell partition and drop every
+    * per-batch partition — run when batch count dwarfs d·w. The merged
+    * sketch is BOUNDED at d·w cells (the whole point of the structure),
+    * so it is collected, the store is cleared, and the snapshot is
+    * rewritten — never reading and overwriting the same files in one
+    * job. Readers are unaffected (merge-by-sum over {snapshot} ≡ over
+    * {batches}) and the store keeps absorbing new batch partitions
+    * afterwards; repeated compactions fold prior snapshots in.
+    *
+    * Run only while the stream is stopped with its last batch
+    * committed: compacting an UNCOMMITTED batch's partition and then
+    * replaying that batch after recovery would fold its counts twice
+    * (the per-batch overwrite idempotence protects exactly the
+    * partitions compaction removes). */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    import spark.implicits._
+    val cells = mergedCells(spark, storeDir).collect()
+      .map(r => (r.getAs[Int]("row_no"), r.getAs[Long]("bucket"), r.getAs[Long]("cnt")))
+      .toSeq
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(storeDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach(s => fs.delete(s.getPath, true))
+    cells.toDF("row_no", "bucket", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=compacted")
+  }
+
   /** Point estimate for each key in `keys` from the merged store:
     * min over the d cells the key hashes to — never an undercount. */
   def estimate(spark: SparkSession, storeDir: String, keys: DataFrame,

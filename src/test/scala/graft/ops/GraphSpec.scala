@@ -54,6 +54,14 @@ class GraphSpec extends SparkTestBase {
     assert(seeds.toSeq == Seq(minEdge))
   }
 
+  test("nearDupBfs driver-guard path equals the forced distributed path") {
+    val guarded = Graph.nearDupBfs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val distributed = Graph.nearDupBfsDistributed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(guarded == distributed)
+  }
+
   test("nearDupPagerank degrees are the symmetrized pair counts") {
     val got = Graph.nearDupPagerank(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("degree")).toMap

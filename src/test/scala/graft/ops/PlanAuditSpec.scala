@@ -266,6 +266,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert("BroadcastHashJoin|SortMergeJoin".r.findAllIn(p).nonEmpty)
   }
 
+  test("argmaxOrder: top-1 per group is ONE partial agg, no Window, no full sort") {
+    val p = plan(Relational.argmaxOrder(spark, sfDir))
+    assert(!p.contains("Window"), s"argmax must not rank with a window:\n$p")
+    assert("partial_max".r.findAllIn(p).nonEmpty,
+      s"map-side partial max must combine before the shuffle:\n$p")
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected exactly 1 shuffle, got $hash in:\n$p")
+  }
+
   test("scd2Intervals: the user sample filter prunes before the window shuffles") {
     val p = plan(EventOps.scd2Intervals(spark, sfDir))
     // filter on the partition key must sit below every Window (pushed

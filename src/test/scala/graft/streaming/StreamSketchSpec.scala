@@ -50,5 +50,15 @@ class StreamSketchSpec extends SparkTestBase {
     truth.foreach { case (k, n) =>
       assert(est(k) >= n, s"key $k undercounted: ${est(k)} < $n")
     }
+    // compaction folds the store to one snapshot partition without
+    // changing a single estimate, and keeps absorbing batches after
+    StreamSketch.compact(spark, store)
+    val after = StreamSketch.estimate(spark, store, data.toDF("value"), col("value"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
+    assert(after == est, "compaction must not change any estimate")
+    StreamSketch.compact(spark, store)
+    val again = StreamSketch.estimate(spark, store, data.toDF("value"), col("value"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
+    assert(again == est, "repeated compaction must fold prior snapshots, not double them")
   }
 }
