@@ -148,6 +148,9 @@ object SparkEntry {
     "q_fuzzy_name_pairs" -> ((s, d) => SetAndScalar.fuzzyNamePairs(s, d)),
     // agg-based argmax (top-1 per group without a window)
     "q_argmax_order" -> ((s, d) => Relational.argmaxOrder(s, d)),
+    // time-weighted average + chi-square contingency audit
+    "q_time_weighted_avg" -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
+    "q_chi_square" -> ((s, d) => Behavior.chiSquare(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +262,7 @@ object SparkEntry {
     "q_bloom_semi_join" -> Sketch.bloomSemiJoinSql,
     "q_fuzzy_name_pairs" -> SetAndScalar.fuzzyNamePairsSql,
     "q_argmax_order" -> Relational.argmaxOrderSql,
+    "q_time_weighted_avg" -> EventOps.timeWeightedAvgSql,
+    "q_chi_square" -> Behavior.chiSquareSql,
   )
 }

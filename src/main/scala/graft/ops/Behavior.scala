@@ -225,6 +225,56 @@ object Behavior {
       |FROM cnt
       |ORDER BY from_state, to_state""".stripMargin
 
+  /** Chi-square independence audit of the event_type × weekday
+    * contingency table — the categorical-drift check a pipeline runs
+    * to ask "does behavior depend on the day of week?". Emits the full
+    * 5×7 table: observed count, row/column margins, and each cell's
+    * chi-square contribution ((O·N − R·C)² / (N·R·C), the margin form
+    * that never forms a fractional expectation). Margins and counts
+    * are exact integers; the contribution is one letter-identical
+    * double expression rounded at 4 dp.
+    *
+    * Scale: one 35-cell hash agg, margins by windows over the
+    * model-sized cell table — nothing after the first agg depends on
+    * input volume. */
+  def chiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, sfDir)
+      .select(col("event_type"), dayofweek(col("ts")).cast("long").as("weekday"))
+      .groupBy(col("event_type"), col("weekday"))
+      .agg(count(lit(1)).as("o"))
+    val withMargins = cells
+      .withColumn("r", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy(col("weekday"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val od = col("o").cast("double"); val rd = col("r").cast("double")
+    val cd = col("c").cast("double"); val nd = col("n").cast("double")
+    withMargins
+      .select(col("event_type"), col("weekday"), col("o"), col("r"), col("c"),
+        (round((od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd), 4) + lit(0.0))
+          .as("contrib"))
+      .orderBy(col("event_type"), col("weekday"))
+  }
+
+  def chiSquareSql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(dayofweek(ts::TIMESTAMP) + 1 AS BIGINT) AS weekday,
+      |    count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, weekday, o,
+      |    sum(o) OVER (PARTITION BY event_type) AS r,
+      |    sum(o) OVER (PARTITION BY weekday) AS c,
+      |    sum(o) OVER () AS n
+      |  FROM cells)
+      |SELECT event_type, weekday, CAST(o AS BIGINT) AS o,
+      |  CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+      |  round((CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 4) + 0.0 AS contrib
+      |FROM m
+      |ORDER BY event_type, weekday""".stripMargin
+
   /** 7-day sliding distinct-user count per day ("rolling DAU") — the
     * sliding-window DISTINCT aggregation that no window frame can
     * express (COUNT(DISTINCT) OVER RANGE is unsupported in both

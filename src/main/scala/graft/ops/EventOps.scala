@@ -159,6 +159,59 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY run_no)
       |ORDER BY user_id, run_seq""".stripMargin
 
+  /** Time-WEIGHTED average of `value` per user — the aggregation
+    * time-series stores make first-class and plain AVG gets wrong: a
+    * reading "counts" for as long as it remains current, so each
+    * event's value is weighted by the milliseconds until the user's
+    * next event (the final, open-ended reading carries no weight).
+    *
+    * Engine parity: weights and values are integers (centi-scaled
+    * value × duration-ms products stay under 2⁶³; the SUMS are decimal
+    * so a 1000× event count cannot overflow), and only the final
+    * average divides, in one letter-identical double expression.
+    *
+    * Scale: one user-partitioned window pass (lead) feeding a
+    * same-keyed agg — Catalyst reuses the window's clustering, so one
+    * shuffle total. */
+  def timeWeightedAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        round(col("value") * 100).cast("long").as("v_e2"))
+      .withColumn("dur_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+      .filter(col("dur_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_ms")).as("total_ms"),
+        sum((col("v_e2") * col("dur_ms")).cast("decimal(30,0)")).as("svd"),
+        sum(col("dur_ms").cast("decimal(20,0)")).as("sd"))
+      .select(col("user_id"), col("n_intervals"), col("total_ms"),
+        (round(col("svd").cast("double") / col("sd").cast("double") / 100.0, 4) + lit(0.0))
+          .as("twa"))
+      .orderBy(col("user_id"))
+  }
+
+  def timeWeightedAvgSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+      |    CAST(round(value * 100) AS BIGINT) AS v_e2
+      |  FROM events),
+      |spans AS (
+      |  SELECT user_id, v_e2,
+      |    lead(ts_ms, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms
+      |      AS dur_ms
+      |  FROM ev)
+      |SELECT user_id, count(*) AS n_intervals,
+      |  CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+      |  round(CAST(sum(CAST(v_e2 * dur_ms AS DECIMAL(30,0))) AS DOUBLE)
+      |        / CAST(sum(CAST(dur_ms AS DECIMAL(20,0))) AS DOUBLE) / 100.0, 4) + 0.0 AS twa
+      |FROM spans
+      |WHERE dur_ms IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** UNPIVOT (melt) — the inverse of [[eventTypePivot]], and proved so
     * in place: this query pivots the per-user event-type counts WIDE
     * and immediately unpivots them back to long form, so a green oracle

@@ -86,6 +86,50 @@ class BehaviorSpec extends SparkTestBase {
     }
   }
 
+  test("timeWeightedAvg matches a JVM interval replay (plain AVG would differ)") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_id", "unix_millis(ts) AS ts_ms",
+        "CAST(round(value * 100) AS BIGINT) AS v_e2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).view.mapValues { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val spans = sorted.zip(sorted.tail).map { case (a, b) => (a._4, b._3 - a._3) }
+      val svd = spans.map { case (v, d) => BigInt(v) * BigInt(d) }.sum
+      val sd = spans.map(s => BigInt(s._2)).sum
+      val twa = BigDecimal(svd.toDouble / sd.toDouble / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (spans.length.toLong, spans.map(_._2).sum, twa)
+    }.toMap
+    val got = EventOps.timeWeightedAvg(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("total_ms"), r.getAs[Double]("twa")))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (n, t, twa)) =>
+      val (en, et, etwa) = expected(u)
+      assert(n == en && t == et, s"user $u spans")
+      assert(math.abs(twa - etwa) < 1e-9, s"user $u twa $twa vs $etwa")
+    }
+  }
+
+  test("chiSquare margins are consistent and contributions are the margin form") {
+    val rows = Behavior.chiSquare(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("weekday"),
+        r.getAs[Long]("o"), r.getAs[Long]("r"), r.getAs[Long]("c"),
+        r.getAs[Double]("contrib")))
+    val n = rows.map(_._3).sum
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"row margin for $t") }
+    rows.groupBy(_._2).foreach { case (d, rs) =>
+      assert(rs.map(_._3).sum == rs.head._5, s"col margin for $d") }
+    rows.foreach { case (_, _, o, r, c, contrib) =>
+      val od = o.toDouble; val rd = r.toDouble; val cd = c.toDouble; val nd = n.toDouble
+      val e = BigDecimal((od * nd - rd * cd) * (od * nd - rd * cd) / (nd * rd * cd))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(contrib - e) < 1e-9)
+    }
+  }
+
   test("slidingDau counts exactly the users active in each trailing 7-day window") {
     val ud = graft.Tables.events(spark, sfDir)
       .selectExpr("unix_millis(ts) DIV 86400000 AS day", "user_id")
