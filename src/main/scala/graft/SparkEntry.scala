@@ -151,6 +151,9 @@ object SparkEntry {
     // time-weighted average + chi-square contingency audit
     "q_time_weighted_avg" -> ((s, d) => EventOps.timeWeightedAvg(s, d)),
     "q_chi_square" -> ((s, d) => Behavior.chiSquare(s, d)),
+    // cohort retention matrix + positional phrase search
+    "q_cohort_matrix" -> ((s, d) => Behavior.cohortMatrix(s, d)),
+    "q_phrase_search" -> ((s, d) => Text.phraseSearch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -264,5 +267,7 @@ object SparkEntry {
     "q_argmax_order" -> Relational.argmaxOrderSql,
     "q_time_weighted_avg" -> EventOps.timeWeightedAvgSql,
     "q_chi_square" -> Behavior.chiSquareSql,
+    "q_cohort_matrix" -> Behavior.cohortMatrixSql,
+    "q_phrase_search" -> Text.phraseSearchSql,
   )
 }

@@ -225,6 +225,56 @@ object Behavior {
       |FROM cnt
       |ORDER BY from_state, to_state""".stripMargin
 
+  /** Cohort retention MATRIX — the full (cohort week × weeks since
+    * first seen) table behind every retention chart, extending
+    * [[weeklyRetention]] (which reports only week→week+1 survival).
+    * Cell = distinct users from cohort `c` active `k` weeks later;
+    * `retained_ppm` normalizes by the cohort's size (its own
+    * weeks_since = 0 cell, where every member is active by
+    * definition). All integer: counts and truncating-ppm shares.
+    *
+    * Scale: the (user, week) DISTINCT collapses event volume first;
+    * cohort assignment is a per-user min; the matrix itself is
+    * model-sized (weeks²), so the ppm window costs nothing. */
+  def cohortMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weeks = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        floor(unix_millis(col("ts")) / lit(604800000L)).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+    weeks.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), (col("week") - col("cohort")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("weeks_since") === 0, col("n_active")))
+          .over(Window.partitionBy(col("cohort"))))
+      .select(col("cohort"), col("weeks_since"), col("n_active"),
+        expr("(n_active * 1000000) DIV cohort_size").as("retained_ppm"))
+      .orderBy(col("cohort"), col("weeks_since"))
+  }
+
+  def cohortMatrixSql: String =
+    """WITH weeks AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch_ms(ts::TIMESTAMP) / 604800000) AS BIGINT) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort FROM weeks GROUP BY user_id),
+      |cells AS (
+      |  SELECT c.cohort, w.week - c.cohort AS weeks_since,
+      |    count(DISTINCT w.user_id) AS n_active
+      |  FROM weeks w JOIN cohorts c ON c.user_id = w.user_id
+      |  GROUP BY 1, 2),
+      |sized AS (
+      |  SELECT cohort, weeks_since, n_active,
+      |    max(CASE WHEN weeks_since = 0 THEN n_active END)
+      |      OVER (PARTITION BY cohort) AS cohort_size
+      |  FROM cells)
+      |SELECT cohort, weeks_since, CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(n_active * 1000000 // cohort_size AS BIGINT) AS retained_ppm
+      |FROM sized
+      |ORDER BY cohort, weeks_since""".stripMargin
+
   /** Chi-square independence audit of the event_type × weekday
     * contingency table — the categorical-drift check a pipeline runs
     * to ask "does behavior depend on the day of week?". Emits the full

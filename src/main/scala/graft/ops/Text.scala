@@ -469,4 +469,43 @@ object Text {
       |WHERE (('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000) * mx
       |      < n_chars * 1000000
       |ORDER BY doc_id""".stripMargin
+
+  /** Positional phrase search — the inverted-index probe: find every
+    * document containing the exact two-token phrase, with occurrence
+    * count and first position. The shape is posting-list intersection:
+    * each term's (doc, position) list is filtered out of one
+    * positional explode, then an EQUI join on (doc, pos-offset) aligns
+    * adjacent occurrences — n-token phrases chain n−1 such joins.
+    *
+    * Scale: a search system materializes the positional index ONCE,
+    * partitioned by term (the same stored-index pattern as the IVF-PQ
+    * code table); the probe then reads only the phrase's terms'
+    * partitions and never rescans text. Here the posting lists are
+    * built inline so the query is self-contained; the join shape is
+    * identical either way. */
+  def phraseSearch(spark: SparkSession, sfDir: String,
+      first: String = "sort", second: String = "merge"): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+    val a = pos.filter(col("token") === first).select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("token") === second)
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def phraseSearchSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
+      |  FROM toks),
+      |a AS (SELECT doc_id, p - 1 AS pos FROM pos WHERE t[p] = 'sort'),
+      |b AS (SELECT doc_id, p - 2 AS pos FROM pos WHERE t[p] = 'merge')
+      |SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
+      |FROM a JOIN b USING (doc_id, pos)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

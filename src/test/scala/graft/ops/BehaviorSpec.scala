@@ -130,6 +130,39 @@ class BehaviorSpec extends SparkTestBase {
     }
   }
 
+  test("cohortMatrix: week-0 cells are the cohort sizes and cells never exceed them") {
+    val rows = Behavior.cohortMatrix(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("weeks_since"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("retained_ppm")))
+    assert(rows.nonEmpty)
+    val sizes = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    rows.foreach { case (c, k, n, ppm) =>
+      assert(n <= sizes(c), s"cohort $c week $k exceeds its size")
+      assert(ppm == n * 1000000L / sizes(c))
+      if (k == 0) assert(ppm == 1000000L, "everyone is active in their first week")
+    }
+    // matrix covers every (user, week) exactly once
+    val total = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(floor(unix_millis(ts) / 604800000) AS BIGINT) AS week")
+      .distinct().count()
+    assert(rows.map(_._3).sum == total)
+  }
+
+  test("phraseSearch matches a JVM token-scan replay") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      val hits = (0 until t.length - 1).filter(i => t(i) == "sort" && t(i + 1) == "merge")
+      if (hits.nonEmpty) Some((id, hits.length.toLong, hits.head.toLong)) else None
+    }.sortBy(_._1).toSeq
+    val got = graft.ops.Text.phraseSearch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("first_pos"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must contain the phrase")
+  }
+
   test("slidingDau counts exactly the users active in each trailing 7-day window") {
     val ud = graft.Tables.events(spark, sfDir)
       .selectExpr("unix_millis(ts) DIV 86400000 AS day", "user_id")
