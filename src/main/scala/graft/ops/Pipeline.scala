@@ -36,21 +36,59 @@ object Pipeline {
     * may overshoot by at most one document — the standard trade against
     * splitting documents mid-sequence.
     *
-    * Scale: one window per source partition (no global sort). At 100 TB
-    * a single source can exceed one task's sort budget; the production
-    * path sub-shards by `pmod(hash(doc_id), k)` first (packing is
-    * embarrassingly parallel across shards — each shard just becomes its
-    * own stream of packs), exactly like `Behavior.sessionOverlap` bands.
+    * Scale: the prefix sum is computed as a two-level distributed scan,
+    * NOT one window per source (which would sort a source's entire
+    * multi-TB corpus in a single task at 100 TB). Each source's doc_id
+    * value range is split into `shards` contiguous buckets; the heavy
+    * window runs per (source, bucket) — `shards`× the parallelism — and
+    * the exclusive cross-bucket carry comes from a window over the tiny
+    * per-bucket totals table (sources × shards rows, broadcast back).
+    * Because buckets are CONTIGUOUS doc_id ranges, local_offset +
+    * bucket_carry is bit-identical to the single global window — which
+    * is exactly what the oracle checks: the DuckDB side is the PLAIN
+    * per-source window, so a green run proves sharded ≡ unsharded
+    * (the `q_skew_agg` pattern). `shards = 1` degenerates to the plain
+    * formulation (used by the equivalence spec).
+    *
     * The prefix sums are longs; overflow needs a single source over
     * 2^63 tokens.
     */
-  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 512): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
+  /** The sharding step of [[seqPack]], exposed so the plan audit can
+    * count shard groups: contiguous value-range buckets over each
+    * source's doc_id span. doc_ids are dense, so ranges shard evenly.
+    * bounds is one row per source — broadcast, and an Aggregate subtree
+    * (bounded at any SF). */
+  private[graft] def packBuckets(spark: SparkSession, sfDir: String,
+      shards: Int): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), wsTokens.as("n_tokens"))
-      .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    val bounds = toks.groupBy(col("source"))
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+    toks.join(broadcast(bounds), "source")
+      .withColumn("__bucket", least(lit(shards - 1L),
+        expr(s"((doc_id - __lo) * $shards) DIV (__hi - __lo + 1)")))
+      .drop("__lo", "__hi")
+  }
+
+  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 512,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val bucketed = packBuckets(spark, sfDir, shards)
+    // level 1: exclusive prefix sum WITHIN each (source, bucket) shard
+    val wLocal = Window.partitionBy(col("source"), col("__bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__local_off",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // level 2: exclusive carry across buckets — sources × shards rows
+    val wCarry = Window.partitionBy(col("source")).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy(col("source"), col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__carry", coalesce(sum(col("__btot")).over(wCarry), lit(0L)))
+      .select(col("source"), col("__bucket"), col("__carry"))
+    local.join(broadcast(carry), Seq("source", "__bucket"))
+      .withColumn("offset", col("__local_off") + col("__carry"))
       .withColumn("pack_id", expr(s"offset DIV $budget"))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -70,8 +108,8 @@ object Pipeline {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
       |  FROM toks
       |)
-      |SELECT source, "offset" // 512 AS pack_id,
-      |  count(*) AS n_docs, sum(n_tokens) AS pack_tokens,
+      |SELECT source, CAST("offset" // 512 AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM offs GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
@@ -131,7 +169,7 @@ object Pipeline {
       |)
       |SELECT source, count(DISTINCT doc_id) AS n_docs,
       |  count(*) AS total_chunks,
-      |  sum(least(128, n_tokens - chunk_no * 96)) AS sum_chunk_tokens,
+      |  CAST(sum(least(128, n_tokens - chunk_no * 96)) AS BIGINT) AS sum_chunk_tokens,
       |  max(n_chunks) AS max_chunks_per_doc
       |FROM chunks GROUP BY source ORDER BY source""".stripMargin
 
@@ -192,10 +230,11 @@ object Pipeline {
       |), tot AS (
       |  SELECT sum(src_tokens) // count(*) AS budget FROM by_src
       |)
-      |SELECT t.source, max(b.n_docs) AS n_docs, max(b.src_tokens) AS src_tokens,
-      |  max(tot.budget) AS budget,
-      |  sum(CASE WHEN t.u_ppm * b.src_tokens < tot.budget * 1000000 THEN 1 ELSE 0 END) AS kept_docs,
-      |  sum(CASE WHEN t.u_ppm * b.src_tokens < tot.budget * 1000000 THEN t.n_tokens ELSE 0 END) AS kept_tokens
+      |SELECT t.source, max(b.n_docs) AS n_docs,
+      |  CAST(max(b.src_tokens) AS BIGINT) AS src_tokens,
+      |  CAST(max(tot.budget) AS BIGINT) AS budget,
+      |  CAST(sum(CASE WHEN t.u_ppm * b.src_tokens < tot.budget * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |  CAST(sum(CASE WHEN t.u_ppm * b.src_tokens < tot.budget * 1000000 THEN t.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
       |FROM toks t JOIN by_src b ON t.source = b.source CROSS JOIN tot
       |GROUP BY t.source ORDER BY t.source""".stripMargin
 

@@ -196,10 +196,23 @@ class PlanAuditSpec extends SparkTestBase {
       schemaLine.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
   }
 
-  test("seqPack shuffles once: the per-source window feeds the same-keyed aggregation") {
-    val p = plan(Pipeline.seqPack(spark, sfDir))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges in:\n$p")
+  test("seqPack: heavy window shards per (source, bucket) — never one task per source") {
+    val df = Pipeline.seqPack(spark, sfDir, shards = 8)
+    val p = plan(df)
+    // the data-sized prefix-sum window must partition by (source, __bucket);
+    // a window keyed on source alone funnels each source through ONE task
+    assert("windowspecdefinition\\(source#\\d+, __bucket".r.findFirstIn(p).isDefined,
+      s"prefix-sum window not sharded by __bucket:\n$p")
+    // and the shards are real: >= 8 distinct (source, bucket) groups feed it
+    val groups = Pipeline.packBuckets(spark, sfDir, 8)
+      .select("source", "__bucket").distinct().count()
+    assert(groups >= 8, s"expected >= 8 shard groups, got $groups")
+  }
+
+  test("seqPack: sharded two-level prefix sum equals the plain per-source window") {
+    val sharded = Pipeline.seqPack(spark, sfDir, shards = 8).collect()
+    val plain = Pipeline.seqPack(spark, sfDir, shards = 1).collect()
+    assert(sharded.toSeq == plain.toSeq)
   }
 
   test("saltedEventStats keeps both phases map-side combinable (4 HashAggregates)") {

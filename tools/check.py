@@ -49,16 +49,32 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         try:
-            scols = [d[0] for d in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+            sdesc = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+            scols = [d[0] for d in sdesc]
             srows = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
-            ocols = [d[0] for d in con.execute(f"DESCRIBE {sql}").fetchall()]
+            odesc = con.execute(f"DESCRIBE {sql}").fetchall()
+            ocols = [d[0] for d in odesc]
             orows = con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         problems = []
+        # The driver canonicalizes by DuckDB-declared type, so an oracle
+        # column that lands as HUGEINT/DECIMAL hash-mismatches a Spark
+        # BIGINT/DOUBLE even when every Python-level value is identical
+        # (the r4 q_seq_pack class of bug). Catch it locally.
+        bad_types = [f"{d[0]}:{d[1]}" for d in odesc
+                     if "HUGEINT" in d[1] or d[1].startswith("DECIMAL")]
+        if bad_types:
+            problems.append("oracle non-portable column types (CAST them): "
+                            + ", ".join(bad_types))
+        stypes = {d[0]: d[1] for d in sdesc}
+        otypes = {d[0]: d[1] for d in odesc}
+        for c in sorted(set(stypes) & set(otypes)):
+            if stypes[c] != otypes[c]:
+                print(f"WARN {name}: column {c} type spark={stypes[c]} oracle={otypes[c]}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
