@@ -254,7 +254,7 @@ object SparkEntry {
     "q_range_frame" -> Windows.rollingRangeRevenueSql,
     "q_unpivot" -> EventOps.eventTypeUnpivotSql,
     "q_cms_heavy_hitters" -> Sketch.cmsHeavyHittersSql,
-    "q_graph_bfs" -> Graph.nearDupBfsSql,
+    "q_graph_bfs" -> Graph.nearDupBfsSql(),
     "q_pack_efficiency" -> Pipeline.packEfficiencySql,
     "q_anomaly_zscore" -> Aggregates.anomalyZscoreSql,
     "q_merge_upsert" -> Joins.mergeUpsertSql,
@@ -268,6 +268,6 @@ object SparkEntry {
     "q_time_weighted_avg" -> EventOps.timeWeightedAvgSql,
     "q_chi_square" -> Behavior.chiSquareSql,
     "q_cohort_matrix" -> Behavior.cohortMatrixSql,
-    "q_phrase_search" -> Text.phraseSearchSql,
+    "q_phrase_search" -> Text.phraseSearchSql(),
   )
 }

@@ -29,4 +29,12 @@ object Tables {
 
   /** `events.parquet` stores TIMESTAMP(NANOS); see [[Events.events]]. */
   def events(s: SparkSession, d: String): DataFrame = Events.events(s, d)
+
+  /** The closed event-type vocabulary of `events.parquet` — the ONE
+    * declared list every static pivot/unpivot/salt-map over
+    * `event_type` must use, so schema growth is a single edit (and a
+    * single failing pin test, `EventOpsSpec`) instead of a silently
+    * dropped category in one of several hardcoded copies. */
+  val eventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
 }

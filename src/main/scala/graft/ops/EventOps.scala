@@ -67,7 +67,7 @@ object EventOps {
     * for determinism AND the 100 TB rule: an unlisted pivot needs a
     * distinct-values pre-pass over the fact table). */
   def eventTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = Tables.eventTypes
     Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .pivot("event_type", types)
@@ -76,16 +76,18 @@ object EventOps {
       .orderBy(col("user_id"))
   }
 
-  def eventTypePivotSql: String =
-    """SELECT user_id,
-      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-      |FROM events
-      |GROUP BY user_id
-      |ORDER BY user_id""".stripMargin
+  /** Generated from [[Tables.eventTypes]] so the oracle's column list
+    * can never drift from the pivot's. */
+  def eventTypePivotSql: String = {
+    val cases = Tables.eventTypes.map(t =>
+      s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n")
+    s"""SELECT user_id,
+       |$cases
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
 
   /** SCD2 history build — the change-data-capture transform that turns
     * an event log into a slowly-changing-dimension table: per user,
@@ -225,7 +227,7 @@ object EventOps {
     * discover values); unpivot is a per-row generator (5 rows out per
     * input row), shuffle-free. */
   def eventTypeUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
-    val types = Seq("click", "error", "purchase", "signup", "view")
+    val types = Tables.eventTypes
     val wide = Tables.events(spark, sfDir)
       .groupBy(col("user_id"))
       .pivot("event_type", types)

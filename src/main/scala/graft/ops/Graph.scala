@@ -197,14 +197,16 @@ object Graph {
     } finally edges.unpersist()
   }
 
-  def nearDupBfsSql: String =
+  /** Oracle twin of [[nearDupBfs]] — `maxHops` is interpolated so a
+    * non-default call cannot silently break Spark/oracle parity. */
+  def nearDupBfsSql(maxHops: Int = 3): String =
     s"""WITH RECURSIVE $nearDupEdgesCteSql,
        |bfs AS (
        |  SELECT (SELECT min(src) FROM edges) AS doc_id, 0 AS hop
        |  UNION
        |  SELECT e.dst AS doc_id, bfs.hop + 1 AS hop
        |  FROM bfs JOIN edges e ON e.src = bfs.doc_id
-       |  WHERE bfs.hop < 3)
+       |  WHERE bfs.hop < $maxHops)
        |SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
        |FROM bfs
        |WHERE doc_id IS NOT NULL

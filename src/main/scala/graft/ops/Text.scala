@@ -497,13 +497,16 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  def phraseSearchSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Oracle twin of [[phraseSearch]] — the phrase tokens are
+    * interpolated with the same defaults so a non-default call cannot
+    * silently break Spark/oracle parity. */
+  def phraseSearchSql(first: String = "sort", second: String = "merge"): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |pos AS (
       |  SELECT doc_id, unnest(generate_series(1, len(t))) AS p, t
       |  FROM toks),
-      |a AS (SELECT doc_id, p - 1 AS pos FROM pos WHERE t[p] = 'sort'),
-      |b AS (SELECT doc_id, p - 2 AS pos FROM pos WHERE t[p] = 'merge')
+      |a AS (SELECT doc_id, p - 1 AS pos FROM pos WHERE t[p] = '$first'),
+      |b AS (SELECT doc_id, p - 2 AS pos FROM pos WHERE t[p] = '$second')
       |SELECT doc_id, count(*) AS n_hits, CAST(min(pos) AS BIGINT) AS first_pos
       |FROM a JOIN b USING (doc_id, pos)
       |GROUP BY doc_id

@@ -61,4 +61,61 @@ class StreamSketchSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
     assert(again == est, "repeated compaction must fold prior snapshots, not double them")
   }
+
+  test("a never-seen key estimates 0, not absent (left-join probe semantics)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = tmpDir("sketch-store3")
+    val ckpt = tmpDir("sketch-ckpt3")
+    val mem = MemoryStream[Long]
+    mem.addData((1L to 100L).map(_ % 7): _*)
+    StreamSketch.start(mem.toDF.select(col("value")), col("value"), store, ckpt)
+      .awaitTermination()
+    // 9999 was never streamed; with only 7 distinct keys in a d x w = 3 x 1024
+    // sketch no cell collision can lift it off zero either way
+    val est = StreamSketch.estimate(spark, store, Seq(3L, 9999L).toDF("value"), col("value"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
+    assert(est.contains(9999L), "absent key must still appear in the output")
+    assert(est(9999L) == 0L, s"absent key must estimate 0, got ${est(9999L)}")
+    assert(est(3L) >= (1L to 100L).count(_ % 7 == 3))
+  }
+
+  test("recover finishes a compaction that crashed between snapshot commit and input delete") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = tmpDir("sketch-store4")
+    val ckpt = tmpDir("sketch-ckpt4")
+    val data = (1L to 300L).map(_ % 13)
+    val mem = MemoryStream[Long]
+    mem.addData(data: _*)
+    StreamSketch.start(mem.toDF.select(col("value")), col("value"), store, ckpt)
+      .awaitTermination()
+    val before = StreamSketch.estimate(spark, store, data.toDF("value"), col("value"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
+
+    // simulate the crash window: snapshot + manifest durably in place,
+    // folded inputs NOT yet deleted (store double counts right now)
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+    val snap = new org.apache.hadoop.fs.Path(root, "batch=compacted_g1")
+    StreamSketch.mergedCells(spark, store)
+      .coalesce(1).write.mode("overwrite").parquet(snap.toString)
+    val mf = fs.create(new org.apache.hadoop.fs.Path(snap, "_folded"), true)
+    mf.write(inputs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    mf.close()
+    // stray temp dir from an even earlier crash must be garbage-collected too
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_compact_tmp_g0"))
+
+    StreamSketch.recover(fs, root)
+    val names = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(names == Set("batch=compacted_g1"), s"unexpected store contents: $names")
+    val after = StreamSketch.estimate(spark, store, data.toDF("value"), col("value"))
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("est")).toMap
+    assert(after == before, "recovery must restore exactly the pre-compaction estimates")
+  }
 }
