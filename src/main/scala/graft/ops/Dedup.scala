@@ -28,6 +28,39 @@ object Dedup {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Per-(band_no, band_val) bucket-size cap for every LSH candidate
+    * join. A bucket of size s yields s² candidate pairs — work that is
+    * quadratic in the BUCKET no matter how it is partitioned, because
+    * the pairs themselves exist (salting only spreads them; it cannot
+    * shrink them). Past the cap the join fails LOUDLY naming the hot
+    * bucket instead of burying a multi-hour straggler in one task
+    * (observed: a 23-minute straggler from one degenerate band on a
+    * 10× synthesis — BASELINE.md). The usual culprit is verbatim
+    * duplicate text, which belongs to EXACT dedup upstream; genuinely
+    * wanting s² pairs means raising the cap deliberately. */
+  val maxLshBucket: Int = 10000
+
+  /** Drops un-joinable NULL-band rows and enforces [[maxLshBucket]]
+    * on an LSH band index: rows in an over-cap (band_no, band_val)
+    * bucket raise a descriptive error AT SCAN TIME of the candidate
+    * join (the count-over-band window shuffles on the same key the
+    * join does, so the guard adds no extra exchange on the guarded
+    * side). Apply to ONE side of a self-join — every hot bucket is
+    * seen there. */
+  private[ops] def guardHotBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_no"), col("band_val"))
+    banded.filter(col("band_val").isNotNull)
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(
+        when(col("bucket_n") <= maxBucket, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"LSH bucket over cap ($maxBucket): band_no="), col("band_no"),
+            lit(" band_val="), col("band_val"), lit(" size="), col("bucket_n"),
+            lit(" — exact-dedup the corpus first, or raise maxBucket deliberately")))))
+      .drop("bucket_n")
+  }
+
   /** Exact-dup summary: corpus size vs distinct fingerprints, number
     * of duplicate groups, redundant rows to drop. */
   def exactSummary(spark: SparkSession, sfDir: String): DataFrame = {
@@ -192,13 +225,13 @@ object Dedup {
     * bucket join: cost ∝ Σ bucket² per band, never n². Pairs found by
     * both bands are deduped with a groupBy before paying the Jaccard. */
   def lshNearDupPairs(spark: SparkSession, sfDir: String): DataFrame =
-    nearDupPairsUnsorted(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
+    nearDupPairTable(spark, sfDir).orderBy(col("doc_a"), col("doc_b"))
 
-  /** Confirmed near-dup pairs, unsorted — consumers that don't need
-    * the query-surface ordering (clustering, keep lists) skip the
-    * global range-shuffle sort. */
-  private[ops] def nearDupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame = {
-    val banded = bandIndexOf(Tables.documents(spark, sfDir))
+  /** Confirmed near-dup pairs of ANY (doc_id, text) frame, unsorted,
+    * with the [[guardHotBuckets]] cap on the candidate join. */
+  private[ops] def nearDupPairsOf(docs: DataFrame,
+      maxBucket: Int = maxLshBucket): DataFrame = {
+    val banded = guardHotBuckets(bandIndexOf(docs), maxBucket)
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val")) // equi join: hash shuffle on band key
@@ -208,7 +241,7 @@ object Dedup {
     // Only the (few) candidates pay for token arrays: join the docs
     // back by id — at scale this is the "fetch text for candidates"
     // hash join, keeping heavyweight payloads out of the LSH shuffle.
-    val docToks = Tables.documents(spark, sfDir)
+    val docToks = docs
       .select(col("doc_id"), array_distinct(tokens).as("toks"))
     candidates
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
@@ -219,6 +252,35 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
+
+  /** Confirmed near-dup pairs, unsorted — consumers that don't need
+    * the query-surface ordering (clustering, keep lists) skip the
+    * global range-shuffle sort. Prefer [[nearDupPairTable]], which
+    * caches this result per corpus. */
+  private[ops] def nearDupPairsUnsorted(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairsOf(Tables.documents(spark, sfDir))
+
+  private val pairTableCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The confirmed near-dup pair table, built ONCE per (JVM, corpus
+    * dir) and kept persisted — "build candidates once, probe many":
+    * the pair listing, keep-list summary, transitive clusters,
+    * PageRank and BFS all read this one cached table instead of each
+    * re-deriving the shingle → MinHash → band-join → Jaccard pipeline
+    * (~4× of the family's cost at sf0.1). At 100 TB the same artifact
+    * is a parquet table keyed by corpus fingerprint (the
+    * [[Similarity.buildTrainedCentroids]] precedent); within one JVM a
+    * persisted frame gives identical reuse semantics. The table is a
+    * confirmed-pair list — tiny relative to the corpus — so pinning it
+    * for the JVM lifetime is free. */
+  private[ops] def nearDupPairTable(spark: SparkSession, sfDir: String): DataFrame =
+    pairTableCache.getOrElseUpdate(sfDir, {
+      val t = nearDupPairsUnsorted(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count() // materialize eagerly so every consumer shares one build
+      t
+    })
 
   def lshNearDupPairsSql: String =
     s"""WITH sigs AS (
@@ -240,7 +302,7 @@ object Dedup {
     * full dedup pipeline's output surface: shingle → MinHash → LSH →
     * Jaccard → drop). Anti-join keeps the corpus scan single-pass. */
   def nearDedupSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val drop = nearDupPairsUnsorted(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
+    val drop = nearDupPairTable(spark, sfDir).select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, sfDir)
       .join(drop, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
@@ -286,14 +348,13 @@ object Dedup {
     * if the iteration cap is hit rather than returning silently-split
     * components. */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairsDf = nearDupPairsUnsorted(spark, sfDir).persist()
+    val pairsDf = nearDupPairTable(spark, sfDir) // already persisted, shared
     val nEdges = pairsDf.count()
     if (nEdges <= maxCollectedEdges) {
       // small graph: collect ids only, union-find locally, return a
       // distributed frame (deterministic min-id representatives)
       import spark.implicits._
       val es = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
-      pairsDf.unpersist()
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -317,8 +378,7 @@ object Dedup {
     val edges = pairsDf
       .union(pairsDf.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    edges.count() // materialize so the pairs cache below can be dropped
-    pairsDf.unpersist()
+    edges.count() // materialize before iterating (the pair table stays shared)
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .persist()
@@ -382,7 +442,7 @@ object Dedup {
     * sets cannot see). Shingle arrays are fetched per candidate only,
     * like the token arrays. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val banded = bandIndexOf(Tables.documents(spark, sfDir))
+    val banded = guardHotBuckets(bandIndexOf(Tables.documents(spark, sfDir)), maxLshBucket)
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))
@@ -427,7 +487,11 @@ object Dedup {
     * Returns (new_doc, corpus_doc, jaccard) at ≥ threshold. */
   def incrementalNearDups(spark: SparkSession, corpusIndex: DataFrame, corpus: DataFrame,
       batch: DataFrame, threshold: Double): DataFrame = {
-    val corpusBands = corpusIndex.withColumnRenamed("doc_id", "corpus_doc")
+    // guard the corpus side — it is the unbounded one; a hot corpus
+    // bucket multiplies EVERY batch forever, so failing loudly at
+    // index-probe time is the right place
+    val corpusBands = guardHotBuckets(corpusIndex, maxLshBucket)
+      .withColumnRenamed("doc_id", "corpus_doc")
     val batchBands = bandIndexOf(batch).withColumnRenamed("doc_id", "new_doc")
     val candidates = batchBands.join(corpusBands, Seq("band_no", "band_val"))
       .select(col("new_doc"), col("corpus_doc")).distinct()
@@ -580,9 +644,11 @@ object Dedup {
       nBands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= nBands - 1, "banding is only exact for hamming <= nBands-1")
     val f = simhashFieldsOf(Tables.documents(spark, sfDir), nBands)
-    val bands = f.select(col("doc_id"), explode(array(
-        (0 until nBands).map(m => struct(lit(m).as("band_no"), col(s"f$m").as("band_val"))): _*)).as("b"))
-      .select(col("doc_id"), col("b.band_no"), col("b.band_val"))
+    val bands = guardHotBuckets(
+      f.select(col("doc_id"), explode(array(
+          (0 until nBands).map(m => struct(lit(m).as("band_no"), col(s"f$m").as("band_val"))): _*)).as("b"))
+        .select(col("doc_id"), col("b.band_no"), col("b.band_val")),
+      maxLshBucket)
     val a = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))

@@ -40,7 +40,7 @@ object Graph {
   def nearDupPagerank(spark: SparkSession, sfDir: String,
       iters: Int = 2, topK: Int = 20): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.nearDupPairsUnsorted(spark, sfDir)
+    val pairs = Dedup.nearDupPairTable(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
     // undirected: symmetrize; pairs are distinct with doc_a < doc_b,
     // so the union introduces no duplicate edges
@@ -130,17 +130,16 @@ object Graph {
     * localCheckpointed per level so lineage stays O(1) in depth. */
   def nearDupBfs(spark: SparkSession, sfDir: String, maxHops: Int = 3): DataFrame = {
     import spark.implicits._
-    val pairsDf = Dedup.nearDupPairsUnsorted(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).persist()
+    val pairsDf = Dedup.nearDupPairTable(spark, sfDir) // already persisted, shared
+      .select(col("doc_a"), col("doc_b"))
     val nEdges = pairsDf.count()
-    if (nEdges == 0) { pairsDf.unpersist(); return Seq.empty[(Long, Long)].toDF("doc_id", "hop") }
+    if (nEdges == 0) return Seq.empty[(Long, Long)].toDF("doc_id", "hop")
     if (nEdges <= Dedup.maxCollectedEdges) {
       val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
       pairsDf.collect().foreach { r =>
         val (a, b) = (r.getLong(0), r.getLong(1))
         adj(a) = b :: adj.getOrElse(a, Nil); adj(b) = a :: adj.getOrElse(b, Nil)
       }
-      pairsDf.unpersist()
       val dist = scala.collection.mutable.Map(adj.keys.min -> 0L)
       var frontier = Set(adj.keys.min)
       (1 to maxHops).foreach { h =>
@@ -166,7 +165,7 @@ object Graph {
           .localCheckpoint(true)
       }
       visited.orderBy(col("hop"), col("doc_id"))
-    } finally { edges.unpersist(); pairsDf.unpersist() }
+    } finally edges.unpersist() // pairsDf is the shared table: leave it cached
   }
 
   /** The distributed frontier-join path of [[nearDupBfs]], forced —
@@ -174,7 +173,7 @@ object Graph {
   private[ops] def nearDupBfsDistributed(spark: SparkSession, sfDir: String,
       maxHops: Int = 3): DataFrame = {
     import spark.implicits._
-    val pairs = Dedup.nearDupPairsUnsorted(spark, sfDir)
+    val pairs = Dedup.nearDupPairTable(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -197,4 +197,28 @@ class DegenerateInputSpec extends SparkTestBase {
       && cms.head.getAs[Long]("est") == 100L,
       "a single key cannot collide with anything — estimate must be exact")
   }
+
+  test("a deliberately hot LSH band bucket fails loudly at the cap, in bounded time") {
+    val s = spark; import s.implicits._
+    // 60 verbatim-duplicate docs: every one lands in the SAME two band
+    // buckets, so the candidate join would do 60² work — over a cap of
+    // 50 the guard must raise BEFORE any Jaccard verify runs, naming
+    // the bucket, instead of grinding through the quadratic join
+    // (observed at 10×: one degenerate band = a 23-minute straggler)
+    val hot = (1L to 60L).map(i => (i, "the same exact document text every time", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val e = intercept[Exception] {
+      Dedup.nearDupPairsOf(hot, maxBucket = 50).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("LSH bucket over cap")),
+      s"expected the hot-bucket guard, got: ${messages(e).mkString(" | ")}")
+
+    // same corpus below the cap: the guard is invisible — all C(60,2)
+    // exact-duplicate pairs come through at jaccard 1.0
+    val ok = Dedup.nearDupPairsOf(hot, maxBucket = 60).collect()
+    assert(ok.length == 60 * 59 / 2)
+    assert(ok.forall(_.getDouble(2) == 1.0))
+  }
 }
