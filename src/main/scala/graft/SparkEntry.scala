@@ -46,6 +46,7 @@ object SparkEntry {
     "q_window_rank_stats" -> ((s, d) => Windows.rankStats(s, d)),
     // events: range scan (O11), json, as-of, range join
     "q_event_time_range" -> ((s, d) => EventOps.eventTimeRange(s, d)),
+    "q_rate_limit" -> ((s, d) => EventOps.rateLimit(s, d)),
     "q_json_props" -> ((s, d) => EventOps.jsonProps(s, d)),
     "q_asof_last_order" -> ((s, d) => EventOps.asofLastOrder(s, d)),
     "q_event_pairs_60s" -> ((s, d) => EventOps.eventPairs60s(s, d)),
@@ -184,6 +185,7 @@ object SparkEntry {
     "q_sessionize" -> Windows.sessionizeSql,
     "q_window_rank_stats" -> Windows.rankStatsSql,
     "q_event_time_range" -> EventOps.eventTimeRangeSql,
+    "q_rate_limit" -> EventOps.rateLimitSql(),
     "q_json_props" -> EventOps.jsonPropsSql,
     "q_asof_last_order" -> EventOps.asofLastOrderSql,
     "q_event_pairs_60s" -> EventOps.eventPairs60sSql,

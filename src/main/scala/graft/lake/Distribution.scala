@@ -93,4 +93,36 @@ object Distribution {
     throw new java.io.IOException(
       s"subscribeConsistent($source): no consistent read within ${maxWaitMs} ms", lastFailure)
   }
+
+  /** PUSH-based subscriber delivery — the SNS→Lambda push analogue
+    * (`/root/reference/serverless_datalake/serverless_datalake_stack.py:233-265`,
+    * handler `src/test_subscriber/lambda_function.py:8-9`), closing
+    * the latency gap of the polling [[subscribe]] view: a streaming
+    * file source watches the source's topic partition and the handler
+    * is INVOKED per micro-batch of newly published records, with
+    * checkpointed offsets so each record is delivered exactly once
+    * per subscription (stronger than SNS's at-least-once; a redelivery
+    * after a handler crash re-invokes with the same batch, which is
+    * exactly SNS retry semantics).
+    *
+    * Scale: discovery cost is the file listing per trigger — the same
+    * contract as the ingest stream; handler work is whatever the
+    * subscriber's frame plan does, fully distributed. */
+  def pushSubscribe(spark: SparkSession, layout: Layout, source: String,
+      subscriberName: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))(
+      handler: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema("key string, json string")
+      .format("json")
+      .load(topicPath(layout, source))
+      .writeStream
+      .option("checkpointLocation",
+        s"${layout.checkpointDir}/subscriber-$subscriberName-$source")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) handler(batch)
+      }
+      .start()
 }

@@ -403,6 +403,54 @@ object EventOps {
       .orderBy(col("user_id"), col("minute_ms"))
   }
 
+  /** Relational rate limiter — the usage-plan quota shape
+    * ([[graft.lake.Access]]'s gate) expressed as an oracle-checked
+    * query: per (user, UTC day), the first `perDay` events by
+    * (ts, event_id) are accepted, the rest throttled; output is the
+    * per-day admission summary. The default cap of 2 is deliberately
+    * low so the test corpus (~2.2 events/user-day) actually throttles.
+    *
+    * Scale: ONE hash shuffle on (user_id, day) for the ranking window
+    * — the partition key every quota system shards by — then a
+    * map-side-combined per-day agg. No state beyond the window sort;
+    * at 100 TB the same plan shards across executors by user. */
+  def rateLimit(spark: SparkSession, sfDir: String, perDay: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("day", expr("ts_ms DIV 86400000"))
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev.withColumn("rk", row_number().over(w))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("rk") <= perDay, 1L).otherwise(0L)).as("n_accepted"),
+        sum(when(col("rk") > perDay, 1L).otherwise(0L)).as("n_throttled"),
+        countDistinct(when(col("rk") > perDay, col("user_id"))).as("n_users_throttled"))
+      .orderBy(col("day"))
+  }
+
+  /** Oracle twin of [[rateLimit]] — `perDay` interpolated, same default. */
+  def rateLimitSql(perDay: Int = 2): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+       |    epoch_ms(ts::TIMESTAMP) // 86400000 AS day
+       |  FROM events),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |                               ORDER BY ts_ms, event_id) AS rk
+       |  FROM ev)
+       |SELECT CAST(day AS BIGINT) AS day,
+       |  CAST(count(*) AS BIGINT) AS n_total,
+       |  CAST(sum(CASE WHEN rk <= $perDay THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       |  CAST(sum(CASE WHEN rk > $perDay THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
+       |  CAST(count(DISTINCT CASE WHEN rk > $perDay THEN user_id END) AS BIGINT)
+       |    AS n_users_throttled
+       |FROM rk
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   def gapFillSql: String =
     """WITH sel AS (
       |  SELECT user_id, event_id, ts::TIMESTAMP AS ts, value

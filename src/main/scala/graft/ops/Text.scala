@@ -18,6 +18,12 @@ object Text {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** Chars of document head used to TRAIN bigram language profiles —
+    * bounds [[langIdNgram]]'s per-doc explode regardless of bigram
+    * diversity. Interpolated into the oracle SQL so the two sides
+    * cannot drift. */
+  val LangIdTrainPrefixChars: Int = 4096
+
   /** Per-doc token/char statistics + quality ratios: length, token
     * count, distinct-token ratio (lexical diversity), mean token
     * length. */
@@ -159,7 +165,18 @@ object Text {
     // apply-to-corpus split every 100 TB pipeline uses.
     val trainDocs = docs.filter(
       pmod(conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long"), lit(5)) < 1)
-    val counts = bigramsOf(trainDocs).groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
+    // the explode is bounded per doc by training on a PREFIX: profile
+    // frequencies need an estimate, not every byte, and unbounded
+    // per-doc bigram diversity is the measured cost driver (265 s on
+    // an adversarial high-diversity 10× corpus vs 4.3 s friendly —
+    // the explode row count scales with diversity, not doc count).
+    // A 4 KiB prefix caps the explode at ~4095 rows/doc and is the
+    // standard language-ID practice (identify from the head); at the
+    // test SFs every doc is shorter than the cap, so trained profiles
+    // are bit-identical to full-text training (oracle mirrors the cap).
+    val trainPrefixed = trainDocs.withColumn("text",
+      substring(col("text"), 1, LangIdTrainPrefixChars))
+    val counts = bigramsOf(trainPrefixed).groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("df"))
     val wTop = Window.partitionBy(col("lang")).orderBy(col("df").desc, col("bigram"))
     val profileRows = counts.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 20)
@@ -191,15 +208,16 @@ object Text {
   }
 
   def langIdNgramSql: String =
-    """WITH doc_bigrams AS (
+    s"""WITH doc_bigrams AS (
       |  SELECT doc_id, lang,
       |    unnest(list_distinct(list_transform(range(1, greatest(length(text), 2)),
       |      i -> substr(text, i, 2)))) AS bigram
       |  FROM documents),
       |train_bigrams AS (
       |  SELECT lang,
-      |    unnest(list_distinct(list_transform(range(1, greatest(length(text), 2)),
-      |      i -> substr(text, i, 2)))) AS bigram
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(length(substr(text, 1, $LangIdTrainPrefixChars)), 2)),
+      |      i -> substr(substr(text, 1, $LangIdTrainPrefixChars), i, 2)))) AS bigram
       |  FROM documents
       |  WHERE ('0x' || substr(md5(text), 1, 4))::BIGINT % 5 < 1),
       |counts AS (SELECT lang, bigram, count(*) AS df FROM train_bigrams GROUP BY lang, bigram),
