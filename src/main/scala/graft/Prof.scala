@@ -13,7 +13,7 @@ object Prof {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     time("warmup")(spark.range(1000000).selectExpr("sum(id)").collect())
     val docs = spark.read.parquet(s"$d/documents.parquet")
     time("docs scan")(docs.count())

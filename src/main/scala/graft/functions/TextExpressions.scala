@@ -40,21 +40,45 @@ case class DistinctCharBigrams(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String]
-    val chars = s.numChars()
-    // mirrors sequence(1, greatest(chars-1, 1)): degenerate inputs
-    // still yield one (short) element, like the HOF formulation
-    val n = math.max(chars - 1, 1)
     val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 1
-    while (i <= n) {
-      seen.add(s.substringSQL(i, 2)) // 1-based, char-correct, clamped
-      i += 1
-    }
+    BigramWalk.foreach(s) { bg => seen.add(bg); () }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** One-pass character-bigram enumeration over a UTF8String's BYTES.
+  *
+  * Yields exactly the elements of the HOF formulation
+  * `sequence(1, greatest(numChars-1, 1)).map(i => substringSQL(i, 2))`
+  * — including the degenerate cases (empty input → one "" element,
+  * 1-char input → that char) — but in O(bytes) total: `substringSQL(i,
+  * 2)` re-scans from byte 0 to locate the i-th char boundary, so a
+  * per-position loop over it is O(chars²) per document. That quadratic
+  * was invisible on 300-char test docs and cost 261 s on a 50k-doc
+  * corpus of ~2 KiB docs (ScaleProbe, round 5) — the walk below took
+  * the same probe to single-digit seconds with byte-identical output.
+  */
+private[functions] object BigramWalk {
+  def foreach(s: UTF8String)(f: UTF8String => Unit): Unit = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) { f(UTF8String.EMPTY_UTF8); return }
+    var o = 0
+    var l1 = UTF8String.numBytesForFirstByte(bytes(0))
+    if (l1 >= bytes.length) { f(s); return } // single-char input
+    while (o + l1 < bytes.length) {
+      // clamp guards malformed UTF-8 claiming bytes past the end —
+      // substringSQL clamps the same way
+      val l2 = math.min(
+        UTF8String.numBytesForFirstByte(bytes(o + l1)).toLong,
+        (bytes.length - o - l1).toLong).toInt
+      f(UTF8String.fromBytes(bytes, o, l1 + l2))
+      o += l1
+      l1 = l2
+    }
+  }
 }
 
 /** Best-matching bigram profile of a string: the index (into
@@ -108,13 +132,9 @@ case class BigramProfileBest(child: Expression, profiles: Seq[Seq[String]])
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String]
-    val chars = s.numChars()
-    val n = math.max(chars - 1, 1)
     val seen = new java.util.HashSet[UTF8String]()
     val counts = new Array[Int](profiles.length)
-    var i = 1
-    while (i <= n) {
-      val bg = s.substringSQL(i, 2)
+    BigramWalk.foreach(s) { bg =>
       if (seen.add(bg)) {
         val mask = masks.get(bg)
         if (mask != null) {
@@ -126,7 +146,6 @@ case class BigramProfileBest(child: Expression, profiles: Seq[Seq[String]])
           }
         }
       }
-      i += 1
     }
     var best = -1; var bestScore = 0; var j = 0
     while (j < counts.length) {
