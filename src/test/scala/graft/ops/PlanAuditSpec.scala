@@ -288,6 +288,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hash == 1, s"expected exactly 1 shuffle, got $hash in:\n$p")
   }
 
+  test("rateLimit: one ranking shuffle + one day agg, partial-combined") {
+    val p = plan(EventOps.rateLimit(spark, sfDir))
+    // admission ranks on hash(user_id, day) — the key a quota system
+    // shards by; the day rollup adds two more exchanges (the standard
+    // two-phase distinct-agg shape for n_users_throttled), all
+    // map-side combined
+    assert("hashpartitioning\\(user_id#\\d+L?, day".r.findFirstIn(p).isDefined,
+      s"ranking window must partition by (user_id, day):\n$p")
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash <= 3, s"expected <=3 hash exchanges, got $hash in:\n$p")
+    assert("merge_count|merge_sum".r.findFirstIn(p).isDefined,
+      s"day rollup must combine map-side before its shuffle:\n$p")
+  }
+
   test("scd2Intervals: the user sample filter prunes before the window shuffles") {
     val p = plan(EventOps.scd2Intervals(spark, sfDir))
     // filter on the partition key must sit below every Window (pushed
