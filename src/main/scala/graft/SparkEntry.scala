@@ -144,6 +144,8 @@ object SparkEntry {
     // Markov transitions + sliding distinct window
     "q_markov_transitions" -> ((s, d) => Behavior.markovTransitions(s, d)),
     "q_sliding_dau" -> ((s, d) => Behavior.slidingDau(s, d)),
+    "q_time_to_convert" -> ((s, d) => Behavior.timeToConvert(s, d)),
+    "q_oov_rate" -> ((s, d) => Text.oovRate(s, d)),
     // bloom-filtered semi-join + fuzzy dictionary join
     "q_bloom_semi_join" -> ((s, d) => Sketch.bloomSemiJoin(s, d)),
     "q_fuzzy_name_pairs" -> ((s, d) => SetAndScalar.fuzzyNamePairs(s, d)),
@@ -264,6 +266,8 @@ object SparkEntry {
     "q_sparse_cosine" -> Dedup.sparseCosinePairsSql,
     "q_markov_transitions" -> Behavior.markovTransitionsSql,
     "q_sliding_dau" -> Behavior.slidingDauSql,
+    "q_time_to_convert" -> Behavior.timeToConvertSql,
+    "q_oov_rate" -> Text.oovRateSql(),
     "q_bloom_semi_join" -> Sketch.bloomSemiJoinSql,
     "q_fuzzy_name_pairs" -> SetAndScalar.fuzzyNamePairsSql,
     "q_argmax_order" -> Relational.argmaxOrderSql,

@@ -93,7 +93,13 @@ object Access {
     (accepted, rejected)
   }
 
-  /** Bill accepted requests to the usage ledger (key_hash, day, n). */
+  /** Bill accepted requests to the usage ledger (key_hash, day, n).
+    * Append-only — one tiny parquet file per batch, so a long-lived
+    * edge should fold the ledger periodically (read → sum per
+    * (key_hash, day) → rewrite), the same small-files contract
+    * [[graft.streaming.StreamSketch.compact]] and [[Compaction]]
+    * implement; totals are merge-by-sum, so folding never changes a
+    * gate decision. */
   def recordUsage(spark: SparkSession, layout: Layout, accepted: DataFrame,
       nowMs: Long): Unit =
     accepted.groupBy(col("key_hash"))

@@ -351,6 +351,60 @@ object Behavior {
       .orderBy(col("report_day"))
   }
 
+  /** Time-to-convert — the forward-looking temporal probe the as-of
+    * join family lacked: for every `click`, the same user's NEXT
+    * `purchase` at-or-after it, via a running conditional min over the
+    * DESC event order (no self-join: the "next matching event" is a
+    * cumulative window, one shuffle on the user key). "At-or-after"
+    * is defined on the total order (ts, event_id) so ties are
+    * deterministic in both engines. Output per user: click count,
+    * converted count, total wait (ms) — all integers.
+    *
+    * Scale: one hash shuffle on user_id + per-partition sort, then a
+    * map-side-combined agg — the same shape at any corpus size; no
+    * window state beyond the running min. */
+  def timeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withNext = ev.withColumn("next_purchase_ms",
+      min(when(col("event_type") === "purchase", col("ts_ms"))).over(w))
+    withNext.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(when(col("next_purchase_ms").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("next_purchase_ms").isNotNull,
+          col("next_purchase_ms") - col("ts_ms")).otherwise(0L)).as("total_wait_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  def timeToConvertSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms
+      |  FROM events),
+      |nx AS (
+      |  SELECT user_id, event_type, ts_ms,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts_ms END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_purchase_ms
+      |  FROM ev)
+      |SELECT user_id,
+      |  CAST(count(*) AS BIGINT) AS n_clicks,
+      |  CAST(sum(CASE WHEN next_purchase_ms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  CAST(sum(CASE WHEN next_purchase_ms IS NOT NULL
+      |                THEN next_purchase_ms - ts_ms ELSE 0 END) AS BIGINT)
+      |    AS total_wait_ms
+      |FROM nx
+      |WHERE event_type = 'click'
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def slidingDauSql: String =
     """WITH ud AS (
       |  SELECT DISTINCT epoch_ms(ts::TIMESTAMP) // 86400000 AS day, user_id

@@ -66,6 +66,52 @@ object Text {
       |ORDER BY tf DESC, token
       |LIMIT 20""".stripMargin
 
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage check
+    * a training pipeline runs before committing to a vocab: the
+    * corpus-global top-`vocabSize` tokens (ties broken by token, so
+    * the vocab is deterministic) are the vocabulary; every token
+    * outside it is OOV, reported per source in integer ppm.
+    *
+    * Scale: one explode + map-side-combined count builds the vocab
+    * (top-K collect-free via TakeOrdered semantics of LIMIT); the
+    * vocab is model-sized, so the membership join is a BROADCAST —
+    * the corpus-sized side never shuffles for it. */
+  def oovRate(spark: SparkSession, sfDir: String, vocabSize: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(tokens).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      // n_tokens >= 1 by construction: explode drops NULL-text docs, so
+      // a token-free source is ABSENT from the output (same as the
+      // oracle's unnest) — the ppm division cannot see zero
+      .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[oovRate]] — `vocabSize` interpolated. */
+  def oovRateSql(vocabSize: Int = 20): String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+       |vocab AS (
+       |  SELECT token FROM (
+       |    SELECT token, count(*) AS tf FROM toks
+       |    GROUP BY token ORDER BY tf DESC, token LIMIT $vocabSize)),
+       |agg AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM toks LEFT JOIN vocab v USING (token)
+       |  GROUP BY source)
+       |SELECT source, n_tokens, n_oov,
+       |  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+       |FROM agg
+       |ORDER BY source""".stripMargin
+
   /** BPE-ish token counting: whitespace tokens plus regex subword
     * units (letter runs / digit runs / single other chars) — the
     * pre-tokenizer shape of BPE vocabularies, counted per language. */

@@ -48,6 +48,21 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(Dedup.simhashNearDup(spark, degenerateDocs).count() >= 0)
     assert(Dedup.lshNearDupPairs(spark, degenerateDocs).count() >= 0)
     assert(Text.langId(spark, degenerateDocs).count() >= 1)
+    assert(Text.oovRate(spark, degenerateDocs).count() == 3,
+      "oovRate must survive empty/NULL/whitespace docs (one row per source)")
+  }
+
+  test("oovRate drops a token-free source (explode semantics), never divides by zero") {
+    val s = spark; import s.implicits._
+    val tmp = tmpDir("oovnull")
+    Seq((1L, null.asInstanceOf[String], "en", "dead"), (2L, "a b c", "en", "live"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Text.oovRate(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(!rows.contains("dead"),
+      "an all-NULL-text source has no token rows and must be absent, like the oracle's unnest")
+    assert(rows("live")._1 == 3L)
   }
 
   test("NULL text yields NULL minhash signatures (not a crash, not a fake bucket)") {
