@@ -212,7 +212,7 @@ object SparkEntry {
     "q_lsh_near_dup_pairs" -> Dedup.lshNearDupPairsSql,
     "q_ngram_jaccard_pairs" -> Dedup.ngramJaccardPairsSql,
     "q_simhash_buckets" -> Dedup.simhashBucketsSql,
-    "q_simhash_near_dup" -> Dedup.simhashNearDupSql,
+    "q_simhash_near_dup" -> Dedup.simhashNearDupSql(),
     "q_incremental_near_dup" -> Dedup.incrementalNearDupQuerySql,
     "q_knn_brute_force" -> Similarity.knnBruteForceSql,
     "q_grid_near_dup" -> Similarity.gridNearDupPairsSql,
@@ -224,11 +224,11 @@ object SparkEntry {
     "q_promo_revenue" -> Analytics.promoRevenueShareSql,
     "q_grouping_sets" -> Analytics.groupingSetsSql,
     "q_ivf_assign" -> Similarity.ivfAssignSql,
-    "q_ivf_topk" -> Similarity.ivfTopKSql,
-    "q_ivf_trained_topk" -> Similarity.ivfTrainedTopKSql,
-    "q_pq_topk" -> Pq.pqTopKSql,
-    "q_ivfpq_topk" -> Pq.ivfPqTopKSql,
-    "q_sq_topk" -> Pq.sqTopKSql,
+    "q_ivf_topk" -> Similarity.ivfTopKSql(),
+    "q_ivf_trained_topk" -> Similarity.ivfTrainedTopKSql(),
+    "q_pq_topk" -> Pq.pqTopKSql(),
+    "q_ivfpq_topk" -> Pq.ivfPqTopKSql(),
+    "q_sq_topk" -> Pq.sqTopKSql(),
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,
@@ -241,18 +241,18 @@ object SparkEntry {
     "q_tfidf" -> Text.tfidfSql,
     "q_stratified_sample" -> Text.stratifiedSampleSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,
-    "q_semantic_dedup" -> Similarity.semanticDedupSql,
+    "q_semantic_dedup" -> Similarity.semanticDedupSql(),
     "q_profile_orders" -> SetAndScalar.profileOrdersSql,
     "q_decontaminate" -> Dedup.decontaminateSql,
-    "q_substring_overlap" -> Dedup.substringOverlapSql,
+    "q_substring_overlap" -> Dedup.substringOverlapSql(),
     "q_neardup_pagerank" -> Graph.nearDupPagerankSql,
     "q_doc_repetition" -> Text.docRepetitionSql,
     "q_weighted_sample" -> Text.weightedSampleSql,
     "q_session_overlap" -> Behavior.sessionOverlapSql,
-    "q_seq_pack" -> Pipeline.seqPackSql,
+    "q_seq_pack" -> Pipeline.seqPackSql(),
     "q_source_mix" -> Pipeline.sourceMixSql,
     "q_pii_redact" -> Pipeline.piiRedactSql,
-    "q_chunk_windows" -> Pipeline.chunkWindowsSql,
+    "q_chunk_windows" -> Pipeline.chunkWindowsSql(),
     "q_gap_fill" -> EventOps.gapFillSql,
     "q_skew_agg" -> Skew.saltedEventStatsSql,
     "q_range_frame" -> Windows.rollingRangeRevenueSql,
@@ -263,7 +263,7 @@ object SparkEntry {
     "q_anomaly_zscore" -> Aggregates.anomalyZscoreSql,
     "q_merge_upsert" -> Joins.mergeUpsertSql,
     "q_scd2_intervals" -> EventOps.scd2IntervalsSql,
-    "q_sparse_cosine" -> Dedup.sparseCosinePairsSql,
+    "q_sparse_cosine" -> Dedup.sparseCosinePairsSql(),
     "q_markov_transitions" -> Behavior.markovTransitionsSql,
     "q_sliding_dau" -> Behavior.slidingDauSql,
     "q_time_to_convert" -> Behavior.timeToConvertSql,

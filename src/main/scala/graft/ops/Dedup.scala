@@ -668,15 +668,21 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def simhashNearDupSql: String = {
+  /** Oracle twin of the default-banded [[simhashNearDup]] — band
+    * count and hamming threshold are GENERATED from the same
+    * parameters (defaults (4, 3)) so a non-default pairing cannot
+    * silently drift. */
+  def simhashNearDupSql(nBands: Int = 4, maxHamming: Int = 3): String = {
+    require(maxHamming <= nBands - 1, "banding is only exact for hamming <= nBands-1")
     def h(m: Int) = s"(('0x' || substr(md5(token), ${1 + 4 * m}, 4))::BIGINT)"
-    val bitSums = (for { m <- 0 until 4; j <- 0 until 16 } yield
+    val bitSums = (for { m <- 0 until nBands; j <- 0 until 16 } yield
       s"sum(((${h(m)} >> $j) & 1) * 2 - 1) AS s${m}_$j").mkString(", ")
     def field(m: Int) = (0 until 16)
       .map(j => s"CASE WHEN s${m}_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    val fields = (0 until 4).map(m => s"CAST(${field(m)} AS BIGINT) AS f$m").mkString(", ")
-    val hamming = (0 until 4)
+    val fields = (0 until nBands).map(m => s"CAST(${field(m)} AS BIGINT) AS f$m").mkString(", ")
+    val hamming = (0 until nBands)
       .map(m => s"bit_count(xor(a.f$m, b.f$m))").mkString(" + ")
+    val bandEq = (0 until nBands).map(m => s"a.f$m = b.f$m").mkString(" OR ")
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
        |sums AS (
@@ -686,9 +692,8 @@ object Dedup {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST($hamming AS BIGINT) AS hamming
        |FROM f a JOIN f b
-       |  ON a.doc_id < b.doc_id AND
-       |     (a.f0 = b.f0 OR a.f1 = b.f1 OR a.f2 = b.f2 OR a.f3 = b.f3)
-       |WHERE $hamming <= 3
+       |  ON a.doc_id < b.doc_id AND ($bandEq)
+       |WHERE $hamming <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -829,17 +834,21 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def substringOverlapSql: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Oracle twin of [[substringOverlap]] — `winTokens`/`maxDf`/`minRun`
+    * interpolated with the same defaults so non-default calls keep
+    * parity. */
+  def substringOverlapSql(winTokens: Int = 12, maxDf: Int = 50,
+      minRun: Int = 20): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |wins0 AS (
-      |  SELECT doc_id, t, unnest(generate_series(0, len(t) - 12)) AS pos
-      |  FROM toks WHERE len(t) >= 12),
+      |  SELECT doc_id, t, unnest(generate_series(0, len(t) - $winTokens)) AS pos
+      |  FROM toks WHERE len(t) >= $winTokens),
       |wins AS (
-      |  SELECT doc_id, pos, md5(array_to_string(t[pos+1 : pos+12], ' ')) AS w
+      |  SELECT doc_id, pos, md5(array_to_string(t[pos+1 : pos+$winTokens], ' ')) AS w
       |  FROM wins0),
       |freq AS (
       |  SELECT w FROM wins GROUP BY w
-      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $maxDf),
       |rare AS (SELECT wins.* FROM wins SEMI JOIN freq USING (w)),
       |m AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
@@ -852,8 +861,8 @@ object Dedup {
       |  SELECT da, db, count(*) AS len
       |  FROM isl GROUP BY da, db, diag, pa - rn)
       |SELECT da AS doc_a, db AS doc_b,
-      |  max(len) + 11 AS max_run_tokens, count(*) AS n_runs
-      |FROM runs GROUP BY da, db HAVING max(len) + 11 >= 20
+      |  max(len) + ${winTokens - 1} AS max_run_tokens, count(*) AS n_runs
+      |FROM runs GROUP BY da, db HAVING max(len) + ${winTokens - 1} >= $minRun
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Sparse TF-IDF cosine over LSH candidates — the sparse-vector twin
@@ -910,7 +919,9 @@ object Dedup {
       .limit(topK)
   }
 
-  def sparseCosinePairsSql: String =
+  /** Oracle twin of [[sparseCosinePairs]] — `topK` interpolated with
+    * the same default so non-default calls keep parity. */
+  def sparseCosinePairsSql(topK: Int = 20): String =
     s"""WITH sigs AS (
        |  SELECT doc_id,
        |    ${bandSqlDuck(0, 1)} AS band1,
@@ -943,5 +954,5 @@ object Dedup {
        |JOIN norms nb ON nb.doc_id = d.doc_b
        |WHERE na.n2 > 0 AND nb.n2 > 0
        |ORDER BY cosine DESC, doc_a, doc_b
-       |LIMIT 20""".stripMargin
+       |LIMIT $topK""".stripMargin
 }

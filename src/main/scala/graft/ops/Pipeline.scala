@@ -98,8 +98,11 @@ object Pipeline {
       .orderBy(col("source"), col("pack_id"))
   }
 
-  def seqPackSql: String =
-    """WITH toks AS (
+  /** Oracle twin of [[seqPack]] — the PLAIN per-source window (the
+    * sharded engine path must be bit-identical); `budget` interpolated
+    * with the same default so non-default calls keep parity. */
+  def seqPackSql(budget: Int = 512): String =
+    s"""WITH toks AS (
       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents
       |), offs AS (
@@ -108,7 +111,7 @@ object Pipeline {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
       |  FROM toks
       |)
-      |SELECT source, CAST("offset" // 512 AS BIGINT) AS pack_id,
+      |SELECT source, CAST("offset" // $budget AS BIGINT) AS pack_id,
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM offs GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
@@ -153,14 +156,16 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
-  def chunkWindowsSql: String =
-    """WITH toks AS (
+  /** Oracle twin of [[chunkWindows]] — `win`/`stride` interpolated
+    * with the same defaults so non-default calls keep parity. */
+  def chunkWindowsSql(win: Int = 128, stride: Int = 96): String =
+    s"""WITH toks AS (
       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |  FROM documents
       |), nch AS (
       |  SELECT source, doc_id, n_tokens,
-      |    CASE WHEN n_tokens <= 128 THEN 1
-      |         ELSE (n_tokens - 128 + 95) // 96 + 1 END AS n_chunks
+      |    CASE WHEN n_tokens <= $win THEN 1
+      |         ELSE (n_tokens - $win + ${stride - 1}) // $stride + 1 END AS n_chunks
       |  FROM toks
       |), chunks AS (
       |  SELECT source, doc_id, n_tokens, n_chunks,
@@ -169,7 +174,7 @@ object Pipeline {
       |)
       |SELECT source, count(DISTINCT doc_id) AS n_docs,
       |  count(*) AS total_chunks,
-      |  CAST(sum(least(128, n_tokens - chunk_no * 96)) AS BIGINT) AS sum_chunk_tokens,
+      |  CAST(sum(least($win, n_tokens - chunk_no * $stride)) AS BIGINT) AS sum_chunk_tokens,
       |  max(n_chunks) AS max_chunks_per_doc
       |FROM chunks GROUP BY source ORDER BY source""".stripMargin
 

@@ -373,7 +373,9 @@ object Pq {
     * codebooks: coarse assignment (rank-1), probe list, double-minus-
     * then-float residuals, residual encode, coarse dot + ADC
     * shortlist, exact re-rank. */
-  def ivfPqTopKSql: String = {
+  /** Oracle twin — tunables interpolated with the same defaults so
+    * non-default calls keep parity. */
+  def ivfPqTopKSql(queryVecId: Long = 0L, nprobe: Int = 3, shortlist: Int = 50, k: Int = 10): String = {
     val subDim = 16 // oracle corpus is 64-dim (see pqTopKSql note)
     s"""WITH cb AS (
        |  SELECT sub_no, centroid_id, c_sub
@@ -393,12 +395,12 @@ object Pq {
        |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 4) DESC,
        |                 c.centroid_id) AS rk
        |    FROM embeddings e CROSS JOIN centroids c) WHERE rk = 1),
-       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
        |probed AS (
        |  SELECT centroid_id
        |  FROM centroids CROSS JOIN q
        |  ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]), 4) + 0.0 DESC, centroid_id
-       |  LIMIT 3),
+       |  LIMIT $nprobe),
        |qc AS (
        |  SELECT CAST((t.range - 1) // $subDim AS INT) AS sub_no,
        |    (t.range - 1) % $subDim + 1 AS spos,
@@ -423,7 +425,7 @@ object Pq {
        |  JOIN embeddings e ON a.vec_id = e.vec_id
        |  JOIN centroids c ON a.centroid_id = c.centroid_id,
        |  range(1, ${M * subDim + 1}) t
-       |  WHERE a.vec_id <> 0),
+       |  WHERE a.vec_id <> $queryVecId),
        |dists AS (
        |  SELECT res.vec_id, res.sub_no, cbc.centroid_id,
        |    sum((v - c) * (v - c)) AS dist
@@ -448,7 +450,7 @@ object Pq {
        |  JOIN coarse ON asg.centroid_id = coarse.centroid_id
        |  GROUP BY codes.vec_id
        |  ORDER BY sum(qdot) + max(coarse_dot) DESC, codes.vec_id
-       |  LIMIT 50)
+       |  LIMIT $shortlist)
        |SELECT s.vec_id,
        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
        |FROM shortlist s
@@ -456,13 +458,15 @@ object Pq {
        |CROSS JOIN q
        |WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
        |ORDER BY cos_sim DESC, vec_id
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
   }
 
   /** DuckDB replay of the full PQ probe from the committed codebooks:
     * encode (scaled-int L2, rank-1 window), ADC (scaled-int dot table
     * join + sum), integer shortlist, exact-cosine re-rank. */
-  def pqTopKSql: String = {
+  /** Oracle twin — tunables interpolated with the same defaults so
+    * non-default calls keep parity. */
+  def pqTopKSql(queryVecId: Long = 0L, shortlist: Int = 50, k: Int = 10): String = {
     val subDim = 16 // oracle corpus is 64-dim; Spark side derives it,
                     // the SQL states it (a dim change breaks the hash
                     // loudly, which is the contract working)
@@ -490,7 +494,7 @@ object Pq {
        |      row_number() OVER (PARTITION BY vec_id, sub_no
        |        ORDER BY dist, centroid_id) AS rk
        |    FROM dists) WHERE rk = 1),
-       |qc AS (SELECT sub_no, spos, v AS qv FROM comps WHERE vec_id = 0),
+       |qc AS (SELECT sub_no, spos, v AS qv FROM comps WHERE vec_id = $queryVecId),
        |dot_table AS (
        |  SELECT cbc.sub_no, cbc.centroid_id, sum(qv * c) AS qdot
        |  FROM cbc JOIN qc USING (sub_no, spos)
@@ -499,11 +503,11 @@ object Pq {
        |  SELECT vec_id
        |  FROM codes JOIN dot_table
        |    ON codes.sub_no = dot_table.sub_no AND codes.code = dot_table.centroid_id
-       |  WHERE vec_id <> 0
+       |  WHERE vec_id <> $queryVecId
        |  GROUP BY vec_id
        |  ORDER BY sum(qdot) DESC, vec_id
-       |  LIMIT 50),
-       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |  LIMIT $shortlist),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId)
        |SELECT s.vec_id,
        |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
        |FROM shortlist s
@@ -511,7 +515,7 @@ object Pq {
        |CROSS JOIN q
        |WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
        |ORDER BY cos_sim DESC, vec_id
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -571,8 +575,10 @@ object Pq {
       .limit(k)
   }
 
-  def sqTopKSql: String =
-    """WITH comp AS (
+  /** Oracle twin — tunables interpolated with the same defaults so
+    * non-default calls keep parity. */
+  def sqTopKSql(queryVecId: Long = 0L, shortlist: Int = 50, k: Int = 10): String =
+    s"""WITH comp AS (
       |  SELECT vec_id, t.range AS spos,
       |    CAST(floor(embedding[t.range]::DOUBLE * 10000) AS BIGINT) AS v
       |  FROM embeddings, range(1, 65) t),
@@ -583,14 +589,14 @@ object Pq {
       |deq AS (
       |  SELECT vec_id, c.spos,
       |    smin + ((((v - smin) * 255) // rng) * rng) // 255 AS dv
-      |  FROM comp c JOIN stats USING (spos) WHERE vec_id <> 0),
-      |qc AS (SELECT spos, v AS qv FROM comp WHERE vec_id = 0),
+      |  FROM comp c JOIN stats USING (spos) WHERE vec_id <> $queryVecId),
+      |qc AS (SELECT spos, v AS qv FROM comp WHERE vec_id = $queryVecId),
       |shortlist AS (
       |  SELECT vec_id FROM deq JOIN qc USING (spos)
       |  GROUP BY vec_id
       |  ORDER BY sum(qv * dv) DESC, vec_id
-      |  LIMIT 50),
-      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      |  LIMIT $shortlist),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId)
       |SELECT s.vec_id,
       |  round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM shortlist s
@@ -598,5 +604,5 @@ object Pq {
       |CROSS JOIN q
       |WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
       |ORDER BY cos_sim DESC, vec_id
-      |LIMIT 10""".stripMargin
+      |LIMIT $k""".stripMargin
 }

@@ -206,11 +206,13 @@ object Similarity {
       .limit(k)
   }
 
-  def ivfTopKSql: String =
-    """WITH centroids AS (
+  /** Oracle twin — tunables interpolated with the same defaults so
+    * non-default calls keep parity. */
+  def ivfTopKSql(queryVecId: Long = 0L, nprobe: Int = 3, k: Int = 10): String =
+    s"""WITH centroids AS (
       |  SELECT vec_id AS centroid_id, embedding AS c_emb
       |  FROM embeddings WHERE vec_id % 50 = 0),
-      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
       |assigned AS (
       |  SELECT vec_id, embedding, centroid_id,
       |    row_number() OVER (PARTITION BY vec_id
@@ -221,15 +223,15 @@ object Similarity {
       |  SELECT centroid_id
       |  FROM centroids CROSS JOIN q
       |  ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]), 4) + 0.0 DESC, centroid_id
-      |  LIMIT 3)
+      |  LIMIT $nprobe)
       |SELECT vec_id,
       |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
       |FROM assigned a
       |JOIN probed USING (centroid_id)
       |CROSS JOIN q
-      |WHERE a.rk = 1 AND a.vec_id <> 0
+      |WHERE a.rk = 1 AND a.vec_id <> $queryVecId
       |ORDER BY cos_sim DESC, vec_id
-      |LIMIT 10""".stripMargin
+      |LIMIT $k""".stripMargin
 
   /** Per-label centroid vectors (element-wise mean), emitted in the
     * exploded form `(label, pos, m)` — one row per vector component.
@@ -295,8 +297,10 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
-  def semanticDedupSql: String =
-    """WITH centroids AS (
+  /** Oracle twin of [[semanticDedup]] — `tau` interpolated with the
+    * same default so non-default calls keep parity. */
+  def semanticDedupSql(tau: Double = 0.35): String =
+    s"""WITH centroids AS (
       |  SELECT vec_id AS centroid_id, embedding AS c_emb
       |  FROM embeddings WHERE vec_id % 50 = 0),
       |asg AS (
@@ -317,7 +321,7 @@ object Similarity {
       |SELECT vec_id, min(vec_a) AS kept_by, max(cos_sim) AS max_sim,
       |  count(*) AS n_dups
       |FROM pairs
-      |WHERE cos_sim >= 0.35 AND NOT isnan(cos_sim)
+      |WHERE cos_sim >= $tau AND NOT isnan(cos_sim)
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
 
@@ -443,14 +447,16 @@ object Similarity {
       .limit(k)
   }
 
-  def ivfTrainedTopKSql: String =
+  /** Oracle twin — tunables interpolated with the same defaults so
+    * non-default calls keep parity. */
+  def ivfTrainedTopKSql(queryVecId: Long = 0L, nprobe: Int = 3, k: Int = 10): String =
     s"""WITH centroids AS (
        |  SELECT centroid_id, c_emb
        |  FROM read_parquet('$TrainedCentroidsPath/*/*.parquet')
        |  WHERE corpus_key = (SELECT CAST(sum(
        |    CAST(floor(embedding[1]::DOUBLE * 10000) AS BIGINT) * (vec_id + 1) % 1000003
        |  ) AS BIGINT) FROM embeddings)),
-       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
        |assigned AS (
        |  SELECT vec_id, embedding, centroid_id,
        |    row_number() OVER (PARTITION BY vec_id
@@ -461,16 +467,16 @@ object Similarity {
        |  SELECT centroid_id
        |  FROM centroids CROSS JOIN q
        |  ORDER BY list_cosine_similarity(c_emb::DOUBLE[], q_emb::DOUBLE[]) DESC, centroid_id
-       |  LIMIT 3)
+       |  LIMIT $nprobe)
        |SELECT vec_id,
        |  round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
        |FROM assigned a
        |JOIN probed USING (centroid_id)
        |CROSS JOIN q
-       |WHERE a.rk = 1 AND a.vec_id <> 0
+       |WHERE a.rk = 1 AND a.vec_id <> $queryVecId
        |  AND NOT isnan(round(list_cosine_similarity(a.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4))
        |ORDER BY cos_sim DESC, vec_id
-       |LIMIT 10""".stripMargin
+       |LIMIT $k""".stripMargin
 
   /** Hyperplane-LSH (random-projection / sign-hash) near-dup pairs —
     * the high-dimensional ANN candidate generator ([[gridNearDupPairs]]
