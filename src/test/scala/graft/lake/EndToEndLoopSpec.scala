@@ -91,4 +91,43 @@ class EndToEndLoopSpec extends SparkTestBase {
     assert(Distribution.subscribeConsistent(spark, layout, "clicks").count() == 6)
     assert(Distribution.subscribeConsistent(spark, layout, "tweets").count() == 2)
   }
+
+  test("gated loop: API-keyed requests -> quota gate -> ingest -> push delivery") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("e2e-gated"))
+    val t0 = 1704067200000L
+    Access.register(spark, layout, "clicks", "ck-key", quota = 3L, registeredMs = t0)
+
+    // the POST edge with api_key_required: 4 requests against quota 3,
+    // plus one with a bad key — the gated flush admits exactly 3
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def reqLine(key: String, body: String): String = {
+      val env = Seq(("clicks", body)).toDF("source", "body")
+        .select(Envelope.wrap(col("body"), col("source")).as("env"))
+        .collect().head.getString(0)
+      s"""{"api_key": ${om.writeValueAsString(key)}, "env": ${om.writeValueAsString(env)}}"""
+    }
+    val lines = (1 to 4).map(i => reqLine("ck-key", s"""{"click_id":$i}""")) :+
+      reqLine("intruder", """{"click_id":99}""")
+    graft.streaming.SocketIngest.gatedFlush(
+      spark, layout, lines.toDF("value"), batchId = 1L, nowMs = t0)
+
+    // the unchanged ingest loop picks up only the admitted records
+    StreamIngest.start(spark, layout,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()).awaitTermination()
+
+    // push delivery: the handler receives exactly the admitted bodies
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Distribution.pushSubscribe(spark, layout, "clicks", "gated-sub",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow()) { batch =>
+      batch.select("json").collect().foreach(r => delivered.add(r.getString(0)))
+    }.awaitTermination()
+    assert(delivered.size == 3,
+      s"quota 3 must admit exactly 3 of 5 requests end-to-end, got ${delivered.size}")
+    val rej = spark.read.parquet(s"${layout.root}/_access/rejections")
+      .groupBy("reason").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(rej == Map("over_quota" -> 1L, "missing_key" -> 1L))
+  }
 }
