@@ -93,29 +93,68 @@ object Access {
     (accepted, rejected)
   }
 
-  /** Bill accepted requests to the usage ledger (key_hash, day, n).
-    * Append-only — one tiny parquet file per batch, so a long-lived
-    * edge should fold the ledger periodically (read → sum per
-    * (key_hash, day) → rewrite), the same small-files contract
-    * [[graft.streaming.StreamSketch.compact]] and [[Compaction]]
-    * implement; totals are merge-by-sum, so folding never changes a
-    * gate decision. */
+  /** Bill accepted requests to the usage ledger, partitioned by UTC
+    * day (`usage/day=YYYY-MM-DD/`) — the gate then reads exactly ONE
+    * day partition, never the full history. Append-only: one tiny
+    * parquet file per batch, so a long-lived edge runs
+    * [[compactUsage]] periodically; totals are merge-by-sum, so
+    * folding never changes a gate decision. */
   def recordUsage(spark: SparkSession, layout: Layout, accepted: DataFrame,
       nowMs: Long): Unit =
     accepted.groupBy(col("key_hash"))
       .agg(count(lit(1)).as("n"))
       .withColumn("day", windowOf(lit(nowMs)))
-      .write.mode("append").parquet(usagePath(layout))
+      .write.mode("append").partitionBy("day").parquet(usagePath(layout))
 
-  /** Per-key accepted count for `nowMs`'s UTC day. */
+  private def dayDirOf(layout: Layout, nowMs: Long): String = {
+    val day = java.time.Instant.ofEpochMilli(nowMs)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    s"${usagePath(layout)}/day=$day"
+  }
+
+  /** Per-key accepted count for `nowMs`'s UTC day — a scan of that
+    * day's partition only. */
   def usedToday(spark: SparkSession, layout: Layout, nowMs: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(usagePath(layout))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    val dir = new org.apache.hadoop.fs.Path(dayDirOf(layout, nowMs))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir))
       return spark.range(0).select(lit("").as("key_hash"), lit(0L).as("n_used"))
-    spark.read.parquet(usagePath(layout))
-      .filter(col("day") === windowOf(lit(nowMs)))
+    spark.read.parquet(dir.toString)
       .groupBy(col("key_hash"))
       .agg(sum(col("n")).as("n_used"))
+  }
+
+  /** Fold one UTC day's usage appends into a single file — the
+    * small-files maintenance of the edge ledger, with the SAME
+    * checked two-rename swap [[Compaction.compactSource]] uses: the
+    * folded partition is written to a `_`-prefixed sibling (invisible
+    * to readers), the live dir is moved aside, the fold swapped in,
+    * and only then is the backup deleted; every rename failure
+    * restores or preserves the original. Totals are merge-by-sum, so
+    * a gate running before, during (it sees either the old files or
+    * the fold, never both), or after compaction decides identically.
+    * Run from the maintenance cadence, not the hot path. */
+  def compactUsage(spark: SparkSession, layout: Layout, nowMs: Long): Unit = {
+    val dirStr = dayDirOf(layout, nowMs)
+    val dir = new org.apache.hadoop.fs.Path(dirStr)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val day = dirStr.substring(dirStr.lastIndexOf('=') + 1)
+    val tmp = new org.apache.hadoop.fs.Path(s"${usagePath(layout)}/_compacting_day=$day")
+    val bak = new org.apache.hadoop.fs.Path(s"${usagePath(layout)}/_old_day=$day")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    spark.read.parquet(dirStr)
+      .groupBy(col("key_hash")).agg(sum(col("n")).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(dir, bak))
+      throw new java.io.IOException(s"compactUsage: cannot move $dirStr aside")
+    if (!fs.rename(tmp, dir)) {
+      if (!fs.rename(bak, dir))
+        throw new java.io.IOException(
+          s"compactUsage: swap AND restore failed — ledger preserved at $bak, manual rename required")
+      throw new java.io.IOException(s"compactUsage: cannot swap in folded $dirStr (restored original)")
+    }
+    fs.delete(bak, true)
   }
 }

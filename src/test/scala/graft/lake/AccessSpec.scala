@@ -70,6 +70,35 @@ class AccessSpec extends SparkTestBase {
     assert(a4.count() == 10 && r4.count() == 0)
   }
 
+  test("compactUsage folds a day's appends without changing any gate decision") {
+    val layout = Layout(tmpDir("access4"))
+    Access.register(spark, layout, "clicks", "k", quota = 10L, registeredMs = T0)
+    // five separate billed batches -> five append files in day=...
+    (0 until 5).foreach { i =>
+      val (a, _) = Access.gate(spark, layout,
+        requests(("k", "clicks", s"e$i")), nowMs = T0 + i)
+      Access.recordUsage(spark, layout, a, nowMs = T0 + i)
+    }
+    def dayFiles: Array[java.io.File] = {
+      val d = new java.io.File(s"${layout.root}/_access/usage")
+        .listFiles().filter(_.getName.startsWith("day=")).head
+      d.listFiles().filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
+    assert(dayFiles.length >= 5, s"expected >=5 append files, got ${dayFiles.length}")
+    val before = Access.usedToday(spark, layout, T0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    Access.compactUsage(spark, layout, T0)
+    assert(dayFiles.length == 1, "the fold must leave ONE data file")
+    val after = Access.usedToday(spark, layout, T0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == before, "folding must not change any usage total")
+    // 5 of 10 consumed: the next batch of 6 admits exactly 5, same as unfolded
+    val (a6, r6) = Access.gate(spark, layout,
+      requests((1 to 6).map(i => ("k", "clicks", s"x$i")): _*), nowMs = T0 + 99)
+    assert(a6.count() == 5 && r6.count() == 1)
+  }
+
   test("the registry stores digests, never plaintext keys") {
     val layout = Layout(tmpDir("access3"))
     Access.register(spark, layout, "clicks", "super-secret-key", 5L, T0)
