@@ -302,6 +302,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"day rollup must combine map-side before its shuffle:\n$p")
   }
 
+  test("oovRate: vocab membership is a broadcast join — the corpus never shuffles for it") {
+    val p = plan(Text.oovRate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"model-sized vocab must broadcast:\n$p")
+  }
+
+  test("timeToConvert: window and rollup share ONE user_id shuffle") {
+    val p = plan(Behavior.timeToConvert(spark, sfDir))
+    // the running-min window partitions by user_id; the per-user agg is
+    // co-partitioned, so only the window's exchange (plus the final
+    // presentation sort) may appear
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected exactly 1 hash exchange, got $hash in:\n$p")
+  }
+
   test("scd2Intervals: the user sample filter prunes before the window shuffles") {
     val p = plan(EventOps.scd2Intervals(spark, sfDir))
     // filter on the partition key must sit below every Window (pushed
