@@ -126,6 +126,7 @@ object SparkEntry {
     "q_source_mix" -> ((s, d) => Pipeline.sourceMix(s, d)),
     "q_pii_redact" -> ((s, d) => Pipeline.piiRedact(s, d)),
     "q_chunk_windows" -> ((s, d) => Pipeline.chunkWindows(s, d)),
+    "q_curation_funnel" -> ((s, d) => Pipeline.curationFunnel(s, d)),
     // time-series resample + skew-safe aggregation
     "q_gap_fill" -> ((s, d) => EventOps.gapFill(s, d)),
     "q_skew_agg" -> ((s, d) => Skew.saltedEventStats(s, d)),
@@ -253,6 +254,7 @@ object SparkEntry {
     "q_source_mix" -> Pipeline.sourceMixSql,
     "q_pii_redact" -> Pipeline.piiRedactSql,
     "q_chunk_windows" -> Pipeline.chunkWindowsSql(),
+    "q_curation_funnel" -> Pipeline.curationFunnelSql(),
     "q_gap_fill" -> EventOps.gapFillSql,
     "q_skew_agg" -> Skew.saltedEventStatsSql,
     "q_range_frame" -> Windows.rollingRangeRevenueSql,

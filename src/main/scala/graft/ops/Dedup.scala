@@ -115,7 +115,7 @@ object Dedup {
     slice(trips, lit(1), greatest(n - 2, lit(1)))
   }
 
-  private val ShinglesSqlDuck: String =
+  private[ops] val ShinglesSqlDuck: String =
     """list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 2)),
       | i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"""
       .stripMargin.replace("\n", "")
@@ -748,6 +748,23 @@ object Dedup {
         (round(col("n_shared") / col("n_shingles"), 4) + lit(0.0)).as("shared_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** CTE chain ending in `contaminated(doc_id)` — train docs sharing
+    * any shingle with the eval split; the core of [[decontaminateSql]],
+    * also composed by [[Pipeline.curationFunnelSql]]. */
+  private[ops] def contaminatedCteSql: String =
+    s"""ctr AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest($ShinglesSqlDuck) AS sh
+       |    FROM documents WHERE doc_id % 20 <> 0)
+       |  WHERE sh IS NOT NULL),
+       |cev AS (
+       |  SELECT DISTINCT sh FROM (
+       |    SELECT unnest($ShinglesSqlDuck) AS sh
+       |    FROM documents WHERE doc_id % 20 = 0)
+       |  WHERE sh IS NOT NULL),
+       |contaminated AS (
+       |  SELECT DISTINCT doc_id FROM ctr JOIN cev USING (sh))""".stripMargin
 
   def decontaminateSql: String =
     s"""WITH tr AS (

@@ -352,6 +352,96 @@ object Pipeline {
       .orderBy(col("bucket_cap"))
   }
 
+  /** The CURATION FUNNEL — the whole training-data pipeline's
+    * admission accounting in one oracle-checked query: every document
+    * gets a per-stage verdict computed ON THE FULL CORPUS (quality
+    * decile, exact-duplicate, LSH near-duplicate, benchmark
+    * contamination — each reusing the exact formulation its own
+    * oracle-green query proves), verdicts apply in fixed order, and
+    * the output is one row per stage with surviving docs + tokens.
+    * This is the report every large-scale curation run publishes
+    * ("started with N docs / M tokens, quality cut X%, dedup cut
+    * Y%, ...").
+    *
+    * Scale: four verdict columns = the union of the component
+    * pipelines' shapes (no new joins beyond two id-keyed left joins of
+    * model-sized drop lists — the near-dup pair table is the shared
+    * persisted artifact); the funnel itself is ONE pass with a
+    * conditional-sum agg. */
+  def curationFunnel(spark: SparkSession, sfDir: String,
+      minDecile: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val nearDrop = Dedup.nearDupPairTable(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct().withColumn("near_dup", lit(1))
+    val contam = Dedup.decontaminate(spark, sfDir)
+      .select(col("doc_id")).distinct().withColumn("contaminated", lit(1))
+    val flagged = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("decile", Text.qualityDecile)
+      // min-id survivor per fingerprint; window PARTITION BY groups
+      // NULL fingerprints together in both engines (unlike an equi
+      // join, which would drop them)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("first_fail",
+        when(col("decile") < minDecile, 1)
+          .when(col("doc_id") =!= col("keep_id"), 2)
+          .when(col("near_dup") === 1, 3)
+          .when(col("contaminated") === 1, 4)
+          .otherwise(99))
+    val sums = (0 to 4).flatMap(i => Seq(
+      sum(when(col("first_fail") > i, 1L).otherwise(0L)).as(s"d$i"),
+      sum(when(col("first_fail") > i, col("n_tokens")).otherwise(0L)).as(s"t$i")))
+    val agg = flagged.agg(sums.head, sums.tail: _*)
+    val stages = Seq("raw", "quality", "exact_dedup", "near_dedup", "decontaminated")
+    agg.select(explode(array((0 to 4).map(i =>
+        struct(lit(i).as("stage_no"), lit(stages(i)).as("stage"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))): _*)).as("s"))
+      .select(col("s.stage_no"), col("s.stage"), col("s.n_docs"), col("s.n_tokens"))
+      .orderBy(col("stage_no"))
+  }
+
+  /** Oracle twin of [[curationFunnel]] — composed from the SAME SQL
+    * fragments the component queries' green oracles use
+    * ([[Text.qualityDecileSqlExpr]], [[Graph.nearDupEdgesCteSql]],
+    * [[Dedup.contaminatedCteSql]]), `minDecile` interpolated. */
+  def curationFunnelSql(minDecile: Int = 2): String = {
+    val unions = Seq("raw", "quality", "exact_dedup", "near_dedup", "decontaminated")
+      .zipWithIndex.map { case (name, i) =>
+        s"SELECT $i AS stage_no, '$name' AS stage, CAST(d$i AS BIGINT) AS n_docs, CAST(t$i AS BIGINT) AS n_tokens FROM agg"
+      }.mkString("\n  UNION ALL ")
+    val sums = (0 to 4).map(i =>
+      s"sum(CASE WHEN first_fail > $i THEN 1 ELSE 0 END) AS d$i, " +
+        s"sum(CASE WHEN first_fail > $i THEN n_tokens ELSE 0 END) AS t$i").mkString(",\n    ")
+    s"""WITH ${Graph.nearDupEdgesCteSql},
+       |${Dedup.contaminatedCteSql},
+       |ndrop AS (SELECT DISTINCT dst AS doc_id FROM edges WHERE src < dst),
+       |keepers AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |  FROM documents),
+       |flags AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    CASE WHEN (${Text.qualityDecileSqlExpr}) < $minDecile THEN 1
+       |         WHEN d.doc_id <> k.keep_id THEN 2
+       |         WHEN nd.doc_id IS NOT NULL THEN 3
+       |         WHEN c.doc_id IS NOT NULL THEN 4
+       |         ELSE 99 END AS first_fail
+       |  FROM documents d
+       |  JOIN keepers k USING (doc_id)
+       |  LEFT JOIN ndrop nd USING (doc_id)
+       |  LEFT JOIN contaminated c USING (doc_id)),
+       |agg AS (
+       |  SELECT
+       |    $sums
+       |  FROM flags)
+       |SELECT * FROM (
+       |  $unions)
+       |ORDER BY stage_no""".stripMargin
+  }
+
   def packEfficiencySql: String =
     """WITH sized AS (
       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

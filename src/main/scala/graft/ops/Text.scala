@@ -330,7 +330,11 @@ object Text {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("decile"))
 
-  def qualityScoreSql: String = {
+  /** The quality-decile CASE expression over a bare `text` column —
+    * ONE definition shared by [[qualityScoreSql]] and
+    * [[Pipeline.curationFunnelSql]] so the funnel's quality gate can
+    * never drift from the oracle-proven decile. */
+  private[ops] def qualityDecileSqlExpr: String = {
     val n = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
       .map(w => s"t = '$w'").mkString(" OR ")
@@ -342,14 +346,17 @@ object Text {
       s"least($stopRatio * 5, 1.0) * 0.3 + (1.0 - $punctRatio) * 0.2 + " +
         s"least($distinctRatio * 1.25, 1.0) * 0.3 + " +
         s"(1.0 - least(abs($avgTokLen - 5.0) / 5.0, 1.0)) * 0.2"
+    s"""CASE WHEN text IS NULL THEN 0
+       |       ELSE least(CAST(floor(($score) * 10) AS BIGINT), 9) END""".stripMargin
+  }
+
+  def qualityScoreSql: String =
     s"""SELECT lang,
-       |  CASE WHEN text IS NULL THEN 0
-       |       ELSE least(CAST(floor(($score) * 10) AS BIGINT), 9) END AS decile,
+       |  $qualityDecileSqlExpr AS decile,
        |  count(*) AS n_docs
        |FROM documents
        |GROUP BY lang, decile
        |ORDER BY lang, decile""".stripMargin
-  }
 
   /** Content fingerprinting: md5 of the normalized text (the rolling-
     * hash fingerprint role; md5 chosen for engine parity) + per-source

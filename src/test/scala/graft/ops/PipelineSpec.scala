@@ -206,4 +206,23 @@ class PipelineSpec extends SparkTestBase {
       assert(pad >= 0 && tok >= n, s"bucket $cap: token bounds")
     }
   }
+
+  test("curationFunnel: stage accounting is monotone and consistent with its components") {
+    val rows = Pipeline.curationFunnel(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("raw", "quality", "exact_dedup", "near_dedup", "decontaminated"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"doc counts must be non-increasing: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"token counts must be non-increasing: ${toks.toSeq}")
+    // stage 0 is the raw corpus
+    assert(docs(0) == graft.Tables.documents(spark, sfDir).count())
+    // the quality cut equals the number of docs under the decile bar
+    val lowQ = graft.Tables.documents(spark, sfDir)
+      .select(Text.qualityDecile.as("d")).filter(col("d") < 2).count()
+    assert(docs(0) - docs(1) == lowQ)
+    assert(docs.last > 0, "a functional pipeline must keep SOMETHING")
+  }
 }
