@@ -92,6 +92,8 @@ object SocketIngest {
     try {
       flushBatch(acc.select(col("env").as("value")), layout, batchId)
       graft.lake.Access.recordUsage(spark, layout, acc, nowMs)
+      // append-only like the usage ledger — fold periodically with the
+      // same Access.compactUsage-style maintenance if the edge runs hot
       rejected.groupBy(col("source"), col("reason")).agg(count(lit(1)).as("n"))
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"${layout.root}/_access/rejections")
@@ -104,6 +106,11 @@ object SocketIngest {
   def flushBatch(envelopes: DataFrame, layout: Layout, batchId: Long): Unit = {
     if (envelopes.isEmpty) return
     val bronzeDir = layout.bronzeDir
+    // ship the SESSION's Hadoop conf to executors — a blank
+    // Configuration would silently lose S3A/HDFS credentials and
+    // committer settings on a real cluster
+    val hconf = org.apache.spark.graft.ConfBridge.serializable(
+      envelopes.sparkSession.sparkContext.hadoopConfiguration)
     Envelope.unwrapAll(envelopes, "value")
       .filter(col("source").isNotNull && col("json").isNotNull)
       .repartition(col("source"))
@@ -112,7 +119,7 @@ object SocketIngest {
         rows.toSeq.groupBy(_.getString(0)).foreach { case (source, recs) =>
           val path = new org.apache.hadoop.fs.Path(
             s"$bronzeDir/$source/socket-b$batchId-p$part.gz")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(hconf.value)
           val out = new java.util.zip.GZIPOutputStream(fs.create(path, true))
           try recs.foreach(r => out.write(r.getString(1).getBytes("UTF-8")))
           finally out.close()

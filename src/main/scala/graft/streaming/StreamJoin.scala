@@ -31,6 +31,8 @@ object StreamJoin {
     * `events` must carry (user_id, event_id, ts: TimestampType). */
   def eventPairs(events: DataFrame, windowMs: Long = 60000L,
       lateness: String = "2 minutes"): DataFrame = {
+    require(windowMs % 1000 == 0,
+      s"windowMs must be whole seconds (interval literal), got $windowMs")
     val a = events
       .select(col("user_id").as("user_a"), col("event_id").as("id_a"),
         col("ts").as("ts_a"))
