@@ -99,6 +99,7 @@ object SparkEntry {
     "q_rolling_fingerprint" -> ((s, d) => Text.rollingFingerprints(s, d)),
     "q_near_dedup_summary" -> ((s, d) => Dedup.nearDedupSummary(s, d)),
     "q_near_dup_clusters" -> ((s, d) => Dedup.nearDupClusters(s, d)),
+    "q_dup_cluster_hist" -> ((s, d) => Dedup.dupClusterHist(s, d)),
     // behavioral analytics
     "q_funnel" -> ((s, d) => Behavior.funnel(s, d)),
     "q_weekly_retention" -> ((s, d) => Behavior.weeklyRetention(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "q_lateral_topk" -> ((s, d) => EventOps.lateralTopOrders(s, d)),
     // tf-idf, label centroids, column profiling
     "q_tfidf" -> ((s, d) => Text.tfidf(s, d)),
+    "q_lm_score" -> ((s, d) => Text.lmScore(s, d)),
     "q_stratified_sample" -> ((s, d) => Text.stratifiedSample(s, d)),
     "q_label_centroids" -> ((s, d) => Similarity.labelCentroids(s, d)),
     "q_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
@@ -233,6 +235,7 @@ object SparkEntry {
     "q_rolling_fingerprint" -> Text.rollingFingerprintsSql,
     "q_near_dedup_summary" -> Dedup.nearDedupSummarySql,
     "q_near_dup_clusters" -> Dedup.nearDupClustersSql,
+    "q_dup_cluster_hist" -> Dedup.dupClusterHistSql,
     "q_funnel" -> Behavior.funnelSql,
     "q_weekly_retention" -> Behavior.weeklyRetentionSql,
     "q_value_histogram" -> Behavior.valueHistogramSql,
@@ -240,6 +243,7 @@ object SparkEntry {
     "q_sql_subqueries" -> EventOps.sqlSubqueriesSql,
     "q_lateral_topk" -> EventOps.lateralTopOrdersSql,
     "q_tfidf" -> Text.tfidfSql,
+    "q_lm_score" -> Text.lmScoreSql,
     "q_stratified_sample" -> Text.stratifiedSampleSql,
     "q_label_centroids" -> Similarity.labelCentroidsSql,
     "q_semantic_dedup" -> Similarity.semanticDedupSql(),

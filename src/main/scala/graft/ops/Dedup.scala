@@ -411,6 +411,37 @@ object Dedup {
     labels.select(col("doc_id"), col("label").as("cluster_rep")).orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster-size histogram — the corpus-health report on
+    * top of [[nearDupClusters]]: how many clusters of each size exist,
+    * and how many redundant docs they hold. Reads the SHARED pair
+    * table (probe-many artifact); the histogram itself is two
+    * model-sized aggs. */
+  def dupClusterHist(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupClusters(spark, sfDir)
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1).as("n_redundant"))
+      .orderBy(col("cluster_size"))
+
+  /** Oracle twin of [[dupClusterHist]] — the recursive-CTE cluster
+    * oracle with the histogram rollup on top. */
+  def dupClusterHistSql: String =
+    // the cluster oracle is reused VERBATIM as a nested-WITH subquery,
+    // so the histogram's graph can never drift from q_near_dup_clusters
+    s"""WITH clusters AS (
+       |$nearDupClustersSql
+       |)
+       |SELECT cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(cluster_size - 1) AS BIGINT) AS n_redundant
+       |FROM (
+       |  SELECT cluster_rep, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM clusters GROUP BY cluster_rep)
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
+
   def nearDupClustersSql: String =
     s"""WITH RECURSIVE sigs AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,

@@ -431,6 +431,69 @@ object Text {
       |ORDER BY tfidf DESC, doc_id, token
       |LIMIT 30""".stripMargin
 
+  /** Corpus bigram language-model score per document — the
+    * KenLM-style fluency filter every large-scale curation pipeline
+    * runs: train MLE token-bigram probabilities ON THE CORPUS ITSELF
+    * (P(w2|w1) = c(w1 w2) / c(w1)) and score each document by its
+    * average bigram negative log-likelihood (NLL cost, in
+    * tenth-milli-nats). HIGH costs mark disfluent / boilerplate text
+    * whose token transitions the corpus finds improbable.
+    *
+    * Engine parity: each bigram's cost is rounded to an INTEGER in
+    * tenth-milli-nats (`round(ln(c1/c12) * 10000)` — the q_tfidf ln
+    * discipline at the same 1e-4 precision), so per-doc sums are exact
+    * BIGINT arithmetic (double summation across rows would be
+    * partition-order-dependent) and the per-doc mean is truncating
+    * integer division. Docs with < 2 tokens have no bigrams and drop
+    * out (inner joins on both sides).
+    *
+    * Scale: one explode for counts (map-side combined), one explode
+    * for scoring joined against the count tables on their natural
+    * keys — the same linear shapes as tf-idf; no all-pairs anything. */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens
+    val bigrams = docs.select(col("doc_id"),
+        explode(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("bg")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val uni = docs.select(explode(t).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    // scores are NEGATIVE-log-likelihood costs (>= 0): c12 <= c1 by
+    // construction, and non-negative integers keep Spark DIV = DuckDB //
+    // (they differ on negatives: truncate vs floor)
+    bigrams
+      .join(bi, Seq("bg"))
+      .join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        round(log(col("c1").cast("double") / col("c12")) * 10000).cast("long").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll")).as("sum_nll"))
+      .withColumn("avg_nll", expr("sum_nll DIV n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  def lmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bigrams AS (
+      |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+      |uni AS (
+      |  SELECT unnest(t) AS w1 FROM toks),
+      |cu AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+      |cb AS (SELECT bg, count(*) AS c12 FROM bigrams GROUP BY bg)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 10000) AS BIGINT)) AS BIGINT) AS sum_nll,
+      |  CAST(CAST(sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 10000) AS BIGINT)) AS BIGINT)
+      |       // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_nll
+      |FROM bigrams JOIN cb USING (bg) JOIN cu USING (w1)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Polynomial rolling-hash document fingerprint (Rabin–Karp shape):
     * fold token hashes h(t) through acc = (acc·B + h) mod M. Token
     * hash = first 32 md5 bits (engine-portable); B/M chosen so
