@@ -149,6 +149,13 @@ class DegenerateInputSpec extends SparkTestBase {
     // no near-dup pairs among the degenerates -> an EMPTY graph: the
     // pagerank must return an empty frame, not divide by zero
     assert(Graph.nearDupPagerank(spark, degenerateDocs).count() >= 0)
+    // round-5 composites: the funnel must account every doc (raw row =
+    // corpus size) and the LM scorer must drop sub-2-token docs
+    val funnel = Pipeline.curationFunnel(spark, degenerateDocs).collect()
+    assert(funnel.length == 5 && funnel.head.getAs[Long]("n_docs") == 5)
+    val lm = Text.lmScore(spark, degenerateDocs).collect()
+    assert(lm.forall(_.getAs[Long]("n_bigrams") >= 1))
+    assert(Dedup.dupClusterHist(spark, degenerateDocs).count() >= 0)
   }
 
   test("SQ8 probe survives the all-zero vector and an empty corpus") {
