@@ -211,4 +211,60 @@ object Graph {
        |WHERE doc_id IS NOT NULL
        |GROUP BY doc_id
        |ORDER BY hop, doc_id""".stripMargin
+
+  /** Triangle census of the near-dup graph: triangle count, wedge
+    * (open 2-path) count, and the global clustering coefficient
+    * 3·triangles/wedges in ppm. High clustering says near-dups come in
+    * tight cliques (replica cohorts — dedup by cluster representative
+    * is safe); low clustering with high degree says chains of
+    * borderline pairs (transitive dedup would over-delete).
+    *
+    * The enumeration is the standard oriented two-join: the pair table
+    * already stores each edge once as (a < b), so joining
+    * e1(a,b) ⋈ e2(b,c) builds each directed wedge a<b<c exactly once
+    * and probing e3(a,c) closes it — every triangle counted exactly
+    * once, no distinct pass. Wedges come from the symmetrized degree
+    * table (Σ deg·(deg−1)/2), integer-exact.
+    *
+    * Scale: two equi-joins on node keys over the (tiny relative to
+    * corpus) confirmed-pair table; at larger graphs the orientation
+    * is by DEGREE rather than id (low-degree endpoint first), which
+    * bounds the join fan-out per node by sqrt(edges) — the id
+    * orientation here keeps the oracle SQL trivially identical. */
+  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame =
+    triangleCensusOf(Dedup.nearDupPairTable(spark, sfDir))
+
+  /** Census of ANY oriented pair frame (doc_a < doc_b, each edge once). */
+  private[ops] def triangleCensusOf(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val tri = p.as("e1")
+      .join(p.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(p.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = p.select(col("doc_a").as("v")).union(p.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wed = deg.agg(coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L)).as("n_wedges"))
+    tri.crossJoin(broadcast(wed))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+            expr("(3 * n_triangles * 1000000) DIV n_wedges"))
+          .otherwise(lit(0L)).as("global_cc_ppm"))
+  }
+
+  /** Oracle twin of [[triangleCensus]] over the shared edge CTE. */
+  def triangleCensusSql: String =
+    s"""WITH $nearDupEdgesCteSql,
+       |tri AS (
+       |  SELECT count(*) AS c
+       |  FROM pairs e1
+       |  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+       |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |deg AS (SELECT src AS v, count(*) AS deg FROM edges GROUP BY src),
+       |wed AS (SELECT COALESCE(sum((deg * (deg - 1)) // 2), 0) AS w FROM deg)
+       |SELECT CAST(c AS BIGINT) AS n_triangles,
+       |  CAST(w AS BIGINT) AS n_wedges,
+       |  CAST(CASE WHEN w > 0 THEN (3 * c * 1000000) // w ELSE 0 END AS BIGINT)
+       |    AS global_cc_ppm
+       |FROM tri CROSS JOIN wed""".stripMargin
 }

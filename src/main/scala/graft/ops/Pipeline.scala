@@ -458,4 +458,110 @@ object Pipeline {
       |FROM sized
       |GROUP BY bucket_cap
       |ORDER BY bucket_cap""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Train/val/test split
+  // --------------------------------------------------------------------
+
+  /** Deterministic train/val/test split with per-(split, source)
+    * admission accounting — the last gate before a corpus ships to a
+    * trainer. The split decision is a pure function of the document id
+    * (md5-prefix of `"split:" <> doc_id` mapped to a centile), so it is
+    * reproducible across engines, runs and cluster sizes, and docs
+    * added later cannot move earlier docs between splits (the property
+    * that keeps eval sets stable as a corpus grows — hashing CONTENT
+    * would reshuffle splits whenever a doc is edited).
+    *
+    * Split bounds: centile < 80 → train, < 90 → val, else test.
+    *
+    * Scale: a stateless per-row classification followed by one partial-
+    * aggregated groupBy on (split, source) — one shuffle of a
+    * #splits × #sources-row frame; nothing here is corpus-sized. */
+  def dataSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val centile = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % lit(100L)
+    Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("n_tokens"),
+        when(centile < 80, lit("train"))
+          .when(centile < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  def dataSplitSql: String =
+    """WITH tagged AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 80
+      |           THEN 'train'
+      |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 90
+      |           THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents)
+      |SELECT split, source, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM tagged
+      |GROUP BY split, source
+      |ORDER BY split, source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Epoch shuffle (deterministic corpus permutation -> shards)
+  // --------------------------------------------------------------------
+
+  /** Deterministic epoch shuffle: a seeded pseudo-random permutation of
+    * the corpus materialized as `shards` training shards — how a
+    * distributed loader randomizes example order without ever holding a
+    * global sort. Each doc hashes to a shard (`h % shards`) and takes a
+    * position within its shard by ranking on the same hash — i.e. the
+    * permutation IS the distributed shuffle: hash-bucket, then sort
+    * within bucket only. Changing `seed` yields an unrelated
+    * permutation for the next epoch.
+    *
+    * Output is the per-shard manifest a loader would consume: example
+    * and token counts plus `perm_check`, an order-sensitive checksum
+    * (Σ position·(doc_id mod 1000003)) that pins the exact within-shard
+    * ordering — a green oracle run proves both engines derived the SAME
+    * permutation, not merely the same shard sizes.
+    *
+    * Scale: one hash shuffle into `shards` groups and a per-shard sort
+    * (the window is PARTITIONED — no global single-task sort anywhere);
+    * at 100 TB each shard sorts ~corpus/shards, and `shards` is chosen
+    * to make that a comfortable per-task unit. */
+  def epochShuffle(spark: SparkSession, sfDir: String,
+      seed: Int = 1, shards: Int = 8): DataFrame = {
+    val h = conv(substring(md5(concat(lit(s"epoch$seed:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), wsTokens.as("n_tokens"), h.as("h"))
+      .withColumn("shard", col("h") % lit(shards.toLong))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("pos") * (col("doc_id") % lit(1000003L))).as("perm_check"))
+      .orderBy(col("shard"))
+  }
+
+  /** Oracle twin of [[epochShuffle]] — seed/shards interpolated so a
+    * non-default call cannot silently break parity. */
+  def epochShuffleSql(seed: Int = 1, shards: Int = 8): String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5('epoch$seed:' || doc_id), 1, 8))::BIGINT AS h
+       |  FROM documents),
+       |placed AS (
+       |  SELECT doc_id, n_tokens, h % $shards AS shard,
+       |    CAST(row_number() OVER (PARTITION BY h % $shards ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM hashed)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(pos * (doc_id % 1000003)) AS BIGINT) AS perm_check
+       |FROM placed
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
 }

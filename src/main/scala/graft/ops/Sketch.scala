@@ -188,4 +188,85 @@ object Sketch {
        |FROM top t JOIN est e ON e.l_partkey = t.l_partkey
        |ORDER BY exact DESC, t.l_partkey""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct-count sketch
+  // --------------------------------------------------------------------
+
+  /** Sketch size for [[kmvDistinct]]: the k smallest hash values are
+    * retained per group; relative error ~ 1/sqrt(k-2) ≈ 13%. */
+  val KmvK = 64
+
+  /** KMV distinct-count sketch per orders priority class, verified
+    * against the exact distinct count it estimates. A group's sketch is
+    * its `k` SMALLEST 32-bit key hashes; the estimator is the classic
+    * `(k-1) · 2³² / h₍ₖ₎` (k−1 uniform points below the k-th order
+    * statistic), with the standard exact fallback when a group holds
+    * fewer than `k` distinct hashes. Everything is integer arithmetic
+    * on non-negative operands (hashes are BIGINT in [0, 2³²); one
+    * integer division), so the estimate — not just the machinery — is
+    * bit-identical across engines, which is what the oracle pins.
+    *
+    * Why KMV next to the CMS/bloom/HLL surface: it is the MERGEABLE
+    * distinct sketch whose merge is trivially expressible relationally
+    * — union two sketches, keep the k smallest — so partition sketches
+    * combine associatively exactly like the CMS cell monoid. At 100 TB
+    * the per-partition top-k runs map-side (k rows per partition cross
+    * the wire, not the key set); here the same math is expressed as
+    * distinct-hash + ranked window per group, whose shuffle carries
+    * only (group, hash) pairs. The exact count alongside is itself a
+    * sound two-phase distinct agg, kept so every green run certifies
+    * the estimator's error instead of trusting it. */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = KmvK
+    val h = conv(substring(md5(col("o_custkey").cast("string")), 1, 8), 16, 10).cast("long")
+    val hashes = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("grp"), h.as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("h"))
+    val sketch = hashes
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_hashes"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    sketch.join(exact, Seq("grp"))
+      .select(col("grp"), col("n_exact"),
+        when(col("n_hashes") < k, col("n_hashes"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) DIV kth")).as("kmv_est"))
+      .withColumn("err_bp",
+        expr("(abs(kmv_est - n_exact) * 10000) DIV n_exact"))
+      .orderBy(col("grp"))
+  }
+
+  def kmvDistinctSql: String = {
+    val k = KmvK
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT o_orderpriority AS grp,
+       |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM orders),
+       |ranked AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM hashes),
+       |sk AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_hashes,
+       |    max(CASE WHEN rn = $k THEN h END) AS kth
+       |  FROM ranked GROUP BY grp),
+       |ex AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+       |  FROM orders GROUP BY o_orderpriority),
+       |est AS (
+       |  SELECT grp, n_exact,
+       |    CAST(CASE WHEN n_hashes < $k THEN n_hashes
+       |              ELSE (${k - 1} * 4294967296) // kth END AS BIGINT) AS kmv_est
+       |  FROM sk JOIN ex USING (grp))
+       |SELECT grp, n_exact, kmv_est,
+       |  CAST((abs(kmv_est - n_exact) * 10000) // n_exact AS BIGINT) AS err_bp
+       |FROM est
+       |ORDER BY grp""".stripMargin
+  }
 }

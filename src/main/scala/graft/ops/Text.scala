@@ -645,4 +645,108 @@ object Text {
       |FROM a JOIN b USING (doc_id, pos)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate span profile — the CCNet-style "remove lines that
+    * repeat across the corpus" filter, expressed over token 5-grams
+    * (this corpus has no line structure; a 5-gram is the span unit).
+    * A 5-gram with document frequency ≥ `boilerDf` is boilerplate
+    * (headers, footers, license blurbs — text shared by many unrelated
+    * documents); each doc reports how much of it is boilerplate
+    * (`boiler_ppm`, truncating integer division), the signal a cleaner
+    * thresholds on before dropping or trimming the doc.
+    *
+    * Scale: one positional explode feeding two hash aggregations — the
+    * ngram DF table (map-side combined; key space is bounded by
+    * distinct ngrams, not rows) and the per-doc rollup after an
+    * equi-join of the doc's grams against the DF table on the ngram
+    * key. Linear; the same shape as tf-idf, never doc×doc. Docs
+    * shorter than 5 tokens have no spans and drop out. */
+  def boilerplateNgrams(spark: SparkSession, sfDir: String,
+      boilerDf: Int = 10): DataFrame = {
+    val t = tokens
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(when(size(t) >= 5,
+            transform(sequence(lit(1), size(t) - 4),
+              i => array_join(slice(t, i, lit(5)), " ")))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    val df = grams.groupBy(col("ng"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(df, Seq("ng"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("df") >= boilerDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ppm", expr("(n_boiler * 1000000) DIV n_ngrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[boilerplateNgrams]] — `boilerDf` interpolated. */
+  def boilerplateNgramsSql(boilerDf: Int = 10): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM toks)),
+       |dfreq AS (SELECT ng, count(DISTINCT doc_id) AS df FROM grams GROUP BY ng)
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_ngrams,
+       |  CAST(sum(CASE WHEN df >= $boilerDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(CAST(sum(CASE WHEN df >= $boilerDf THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |       // CAST(count(*) AS BIGINT) AS BIGINT) AS boiler_ppm
+       |FROM grams JOIN dfreq USING (ng)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** PMI collocations — which token pairs co-occur far more than
+    * chance (multi-word expressions, named entities, set phrases).
+    * PMI = ln(c₁₂·N / (c₁·c₂)) over the corpus bigram table, with the
+    * marginals c₁ (bigrams starting with w1) and c₂ (bigrams ending
+    * with w2) derived from the SAME table so the distribution is
+    * self-consistent. Scores are integer tenth-milli-nats (the
+    * [[lmScore]] ln discipline); pairs below `minCount` are dropped —
+    * PMI is unstable on rare counts.
+    *
+    * Scale: the bigram table is one explode + hash agg (map-side
+    * combined, key space = distinct bigrams ≤ vocab²); both marginals
+    * are re-aggregations OF THAT TABLE (not the corpus), and N is a
+    * 1-row broadcast. Nothing downstream of the first agg touches
+    * corpus-sized data. */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+      minCount: Int = 10): DataFrame = {
+    val t = tokens
+    val bg = Tables.documents(spark, sfDir)
+      .select(explode(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // zip_with pads the shorter slice with null: drop the phantom
+      // (last_token, null) pair or the c1/N marginals overcount by one
+      // per document vs the oracle's exact n-1 bigrams
+      .filter(col("w2").isNotNull)
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = cb.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = cb.agg(sum(col("c12")).as("n"))
+    cb.filter(col("c12") >= minCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n") / (col("c1") * col("c2"))) * 10000)
+          .cast("long").as("pmi_tmn"))
+      .orderBy(col("pmi_tmn").desc, col("w1"), col("w2"))
+  }
+
+  /** Oracle twin of [[pmiCollocations]] — `minCount` interpolated. */
+  def pmiCollocationsSql(minCount: Int = 10): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+       |cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+       |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+       |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+       |nt AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cb)
+       |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       |  CAST(round(ln(CAST(c12 AS DOUBLE) * n / (c1 * c2)) * 10000) AS BIGINT) AS pmi_tmn
+       |FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt
+       |WHERE c12 >= $minCount
+       |ORDER BY pmi_tmn DESC, w1, w2""".stripMargin
 }
