@@ -442,6 +442,55 @@ object Dedup {
        |GROUP BY cluster_size
        |ORDER BY cluster_size""".stripMargin
 
+  /** Keep-best dedup policy: for every near-dup cluster, keep the
+    * LONGEST member (ties to the lowest doc_id) and drop the rest —
+    * the content-aware survivor rule real pipelines use instead of
+    * min-id (a truncated copy should lose to its full original even
+    * when its id is smaller). One row per cluster with the kept doc
+    * and the drop count; the corpus-wide keep list is this plus every
+    * unclustered doc.
+    *
+    * Scale: the cluster labels join the (tiny) member metadata by id,
+    * then ONE cluster_rep-partitioned window ranks members — clusters
+    * are near-dup families, so partitions are small by construction
+    * (a pathological mega-cluster is already capped upstream by
+    * [[maxLshBucket]] and the [[maxCollectedEdges]] guard). */
+  def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+    nearDupClusters(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("rn",
+        row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+        col("n_chars").as("kept_chars"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** Oracle twin of [[dedupKeepBest]] — nests the cluster oracle
+    * verbatim (the [[dupClusterHistSql]] precedent), so the keep
+    * policy's graph can never drift from `q_near_dup_clusters`. */
+  def dedupKeepBestSql: String =
+    s"""WITH clusters AS (
+       |$nearDupClustersSql
+       |),
+       |ranked AS (
+       |  SELECT c.cluster_rep, d.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY c.cluster_rep
+       |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_rep) AS nm
+       |  FROM clusters c JOIN documents d USING (doc_id))
+       |SELECT cluster_rep, doc_id AS kept_doc,
+       |  CAST(n_chars AS BIGINT) AS kept_chars,
+       |  CAST(nm AS BIGINT) AS n_members,
+       |  CAST(nm - 1 AS BIGINT) AS n_dropped
+       |FROM ranked
+       |WHERE rn = 1
+       |ORDER BY cluster_rep""".stripMargin
+
   def nearDupClustersSql: String =
     s"""WITH RECURSIVE sigs AS (
        |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,

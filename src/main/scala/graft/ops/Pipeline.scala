@@ -506,6 +506,66 @@ object Pipeline {
       |GROUP BY split, source
       |ORDER BY split, source""".stripMargin
 
+  /** Split-leakage audit: after [[dataSplit]] carves the corpus, how
+    * much TEST content is still reachable from TRAIN verbatim? Each
+    * test doc counts the distinct shingles it shares with the train
+    * side's shingle set (the [[Dedup.decontaminate]] machinery pointed
+    * at the split instead of an external eval suite — id-hash splits
+    * do NOT decontaminate: near-identical docs land in different
+    * splits unless near-dedup ran first); a doc sharing ≥ `minShared`
+    * is leaky, rolled up per source in ppm. This is the audit that
+    * says whether a held-out perplexity number can be trusted.
+    *
+    * Scale: the train side collapses to its distinct shingle set and
+    * the test is an equi-join into it — the decontamination shape,
+    * never doc×doc; the split tags are stateless row functions. */
+  def splitLeakage(spark: SparkSession, sfDir: String,
+      minShared: Long = 3): DataFrame = {
+    val centile = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % lit(100L)
+    val docs = Tables.documents(spark, sfDir).withColumn("c", centile)
+    val trainSh = Dedup.shingleSetOf(docs.filter(col("c") < 80))
+      .select(col("sh")).distinct()
+    val testSh = Dedup.shingleSetOf(docs.filter(col("c") >= 90))
+    val shared = testSh.join(trainSh, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs.filter(col("c") >= 90).select(col("doc_id"), col("source"))
+      .join(shared, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test_docs"),
+        sum(when(coalesce(col("n_shared"), lit(0L)) >= minShared, 1L).otherwise(0L))
+          .as("n_leaky"))
+      .withColumn("leaky_ppm", expr("(n_leaky * 1000000) DIV n_test_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[splitLeakage]] — `minShared` interpolated; the
+    * shingle expression is the shared [[Dedup.ShinglesSqlDuck]]. */
+  def splitLeakageSql(minShared: Long = 3): String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, source, text,
+       |    ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 AS c
+       |  FROM documents),
+       |tr AS (
+       |  SELECT DISTINCT sh FROM (
+       |    SELECT unnest(${Dedup.ShinglesSqlDuck}) AS sh FROM sp WHERE c < 80)
+       |  WHERE sh IS NOT NULL),
+       |te AS (
+       |  SELECT DISTINCT doc_id, sh FROM (
+       |    SELECT doc_id, unnest(${Dedup.ShinglesSqlDuck}) AS sh FROM sp WHERE c >= 90)
+       |  WHERE sh IS NOT NULL),
+       |shared AS (
+       |  SELECT doc_id, count(*) AS n_shared FROM te JOIN tr USING (sh) GROUP BY doc_id)
+       |SELECT source, count(*) AS n_test_docs,
+       |  CAST(sum(CASE WHEN coalesce(n_shared, 0) >= $minShared THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_leaky,
+       |  CAST(CAST(sum(CASE WHEN coalesce(n_shared, 0) >= $minShared THEN 1 ELSE 0 END)
+       |            AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS BIGINT) AS leaky_ppm
+       |FROM sp LEFT JOIN shared USING (doc_id)
+       |WHERE c >= 90
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------------
   // Epoch shuffle (deterministic corpus permutation -> shards)
   // --------------------------------------------------------------------

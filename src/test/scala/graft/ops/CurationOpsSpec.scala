@@ -131,6 +131,49 @@ class CurationOpsSpec extends SparkTestBase {
       && e.getAs[Long]("global_cc_ppm") == 0L)
   }
 
+  // ---------------- dedupKeepBest ----------------
+
+  test("dedupKeepBest keeps exactly one longest member per cluster") {
+    val kept = Dedup.dedupKeepBest(spark, sfDir).collect()
+    val clusters = Dedup.nearDupClusters(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("cluster_rep"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val chars = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.length == clusters.size) // one survivor per cluster
+    kept.foreach { r =>
+      val rep = r.getAs[Long]("cluster_rep")
+      val members = clusters(rep)
+      val doc = r.getAs[Long]("kept_doc")
+      assert(members.contains(doc))
+      assert(r.getAs[Long]("n_members") == members.size.toLong)
+      assert(r.getAs[Long]("n_dropped") == members.size.toLong - 1)
+      // the survivor is the longest member, ties to the lowest id
+      val best = members.toSeq.map(d => (chars(d), d)).sortBy(t => (-t._1, t._2)).head._2
+      assert(doc == best, s"cluster $rep kept $doc, expected $best")
+    }
+    // accounting agrees with the histogram query's redundancy totals
+    val hist = Dedup.dupClusterHist(spark, sfDir).collect()
+    assert(kept.map(_.getAs[Long]("n_dropped")).sum ==
+      hist.map(_.getAs[Long]("n_redundant")).sum)
+  }
+
+  // ---------------- splitLeakage ----------------
+
+  test("splitLeakage audits every test doc once with bounded rates") {
+    val rows = Pipeline.splitLeakage(spark, sfDir).collect()
+    val testDocs = Pipeline.dataSplit(spark, sfDir).collect()
+      .filter(_.getAs[String]("split") == "test")
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_test_docs")).toMap
+      == testDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_leaky") <= r.getAs[Long]("n_test_docs"))
+      assert(r.getAs[Long]("leaky_ppm") <= 1000000L)
+    }
+  }
+
   test("triangleCensus on the corpus obeys the wedge bound") {
     val r = Graph.triangleCensus(spark, sfDir).head()
     // every triangle contributes exactly 3 wedges: 3*tri <= wedges

@@ -327,4 +327,63 @@ class PlanAuditSpec extends SparkTestBase {
     val hash = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hash <= 3, s"expected <=3 hash exchanges, got $hash in:\n$p")
   }
+
+  test("dataSplit: stateless classify + ONE partial-combined shuffle") {
+    val p = plan(Pipeline.dataSplit(spark, sfDir))
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected exactly 1 hash exchange, got $hash in:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"split rollup must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no ranking needed to split:\n$p")
+  }
+
+  test("epochShuffle: the permutation window is PARTITIONED (no global sort task)") {
+    val p = plan(Pipeline.epochShuffle(spark, sfDir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a single-partition window would serialize the whole corpus through one task:\n$p")
+    assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined,
+      s"window must shard by the shard key:\n$p")
+  }
+
+  test("kmvDistinct: ranking window shards by group; both aggs partial-combined") {
+    val p = plan(Sketch.kmvDistinct(spark, sfDir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"per-group sketch must never serialize through one task:\n$p")
+    assert("hashpartitioning\\(grp".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sketch joins exact counts on the group key only:\n$p")
+  }
+
+  test("boilerplateNgrams: one generator pass, DF join is an equi-join") {
+    val df = Text.boilerplateNgrams(spark, sfDir)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("Generate explode"), s"spans must come from one explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram-to-DF lookup must be an equi-join on the ngram key:\n$p")
+  }
+
+  test("pmiCollocations: marginals re-aggregate the bigram table; only the 1-row N broadcasts") {
+    val df = Text.pmiCollocations(spark, sfDir)
+    df.collect()
+    // count in the FINAL plan only — AQE's printout repeats every node
+    // in its "Initial Plan" section
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the single-row corpus-total frame is the only nested-loop build
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row N join may nest-loop:\n$p")
+  }
+
+  test("triangleCensus: oriented two-join closure is equi-join only") {
+    val df = Graph.triangleCensus(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the closure:\n$p")
+    // wedge-total × triangle-total is the one allowed 1-row nest loop
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row census join may nest-loop:\n$p")
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      s"edge joins must be equi-joins:\n$p")
+  }
 }
