@@ -846,6 +846,43 @@ object Dedup {
        |contaminated AS (
        |  SELECT DISTINCT doc_id FROM ctr JOIN cev USING (sh))""".stripMargin
 
+  /** Inter-source novelty: what fraction of each source's distinct
+    * shingles appears in NO other source? A mixing diagnostic — a
+    * source whose content is mostly reachable from the others adds
+    * volume, not diversity, and its mixing weight ([[Pipeline
+    * .sourceMix]]) buys less than its token count suggests.
+    *
+    * Scale: distinct (source, sh) rows → per-shingle source count →
+    * per-source rollup; two hash aggs and an equi-join on the shingle
+    * key, the decontamination shape applied source-against-all. */
+  def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ssh = shingleSetOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("sh")).distinct()
+    val sc = ssh.groupBy(col("sh")).agg(countDistinct(col("source")).as("ns"))
+    ssh.join(sc, Seq("sh"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("unique_ppm", expr("(n_unique * 1000000) DIV n_shingles"))
+      .orderBy(col("source"))
+  }
+
+  def sourceNoveltySql: String =
+    s"""WITH ssh AS (
+       |  SELECT DISTINCT source, sh FROM (
+       |    SELECT source, unnest($ShinglesSqlDuck) AS sh FROM documents)
+       |  WHERE sh IS NOT NULL),
+       |sc AS (SELECT sh, count(DISTINCT source) AS ns FROM ssh GROUP BY sh)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       |  CAST(CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |       // CAST(count(*) AS BIGINT) AS BIGINT) AS unique_ppm
+       |FROM ssh JOIN sc USING (sh)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def decontaminateSql: String =
     s"""WITH tr AS (
        |  SELECT DISTINCT doc_id, sh FROM (

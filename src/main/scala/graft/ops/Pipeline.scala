@@ -606,6 +606,31 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** Materializes the [[epochShuffle]] permutation as the training
+    * artifact itself: shard-partitioned parquet, each row carrying its
+    * within-shard position, written in one pass with
+    * `repartition(shard)` + within-partition sort so every shard file
+    * is position-ordered on disk — a loader streams shard k
+    * sequentially with zero further shuffling. The manifest query
+    * ([[epochShuffle]]) and this writer derive the permutation from
+    * the same hash, so the manifest IS the written layout's index. */
+  def writeEpochShards(spark: SparkSession, sfDir: String, outDir: String,
+      seed: Int = 1, shards: Int = 8): Unit = {
+    val h = conv(substring(md5(concat(lit(s"epoch$seed:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("h", h)
+      .withColumn("shard", col("h") % lit(shards.toLong))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .select(col("shard"), col("pos"), col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   /** Oracle twin of [[epochShuffle]] — seed/shards interpolated so a
     * non-default call cannot silently break parity. */
   def epochShuffleSql(seed: Int = 1, shards: Int = 8): String =

@@ -50,6 +50,32 @@ class CurationOpsSpec extends SparkTestBase {
       e2.map(_.getAs[Long]("perm_check")).toSeq)
   }
 
+  test("writeEpochShards materializes the manifest's exact layout") {
+    val out = tmpDir("epoch_shards")
+    locally {
+      Pipeline.writeEpochShards(spark, sfDir, out)
+      val written = spark.read.parquet(out)
+      val manifest = Pipeline.epochShuffle(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs")).toMap
+      // hive-partitioned by shard, one partition per manifest row
+      val byShard = written.groupBy(col("shard")).count().collect()
+        .map(r => r.getAs[Int]("shard").toLong -> r.getAs[Long]("count")).toMap
+      assert(byShard == manifest)
+      // every shard's positions are exactly 1..n — a loader can stream
+      // a shard sequentially and see the full permutation slice
+      written.select(col("shard"), col("pos")).collect()
+        .groupBy(_.getAs[Int]("shard"))
+        .foreach { case (_, rows) =>
+          val ps = rows.map(_.getAs[Long]("pos")).sorted
+          assert(ps.head == 1L && ps.last == ps.length.toLong
+            && ps.distinct.length == ps.length)
+        }
+      // no doc lost or duplicated
+      assert(written.select(col("doc_id")).distinct().count() ==
+        graft.Tables.documents(spark, sfDir).count())
+    }
+  }
+
   // ---------------- kmvDistinct ----------------
 
   test("kmvDistinct estimates every priority class within sketch error") {
@@ -109,6 +135,22 @@ class CurationOpsSpec extends SparkTestBase {
       val want = math.round(math.log(c12.toDouble * n / (c1(w1) * c2(w2))) * 10000)
       assert(r.getAs[Long]("pmi_tmn") == want, s"($w1,$w2)")
     }
+  }
+
+  // ---------------- sourceNovelty ----------------
+
+  test("sourceNovelty: unique shingles partition across sources") {
+    val rows = Dedup.sourceNovelty(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("unique_ppm") <= 1000000L)
+    }
+    // a shingle unique to one source is counted by exactly that source:
+    // the unique totals can never exceed the global distinct pool
+    val globalDistinct = Dedup.shingleSetOf(graft.Tables.documents(spark, sfDir))
+      .select(col("sh")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_unique")).sum <= globalDistinct)
   }
 
   // ---------------- triangleCensus ----------------
