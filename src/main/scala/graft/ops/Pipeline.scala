@@ -608,14 +608,27 @@ object Pipeline {
 
   /** Materializes the [[epochShuffle]] permutation as the training
     * artifact itself: shard-partitioned parquet, each row carrying its
-    * within-shard position, written in one pass with
-    * `repartition(shard)` + within-partition sort so every shard file
-    * is position-ordered on disk — a loader streams shard k
-    * sequentially with zero further shuffling. The manifest query
-    * ([[epochShuffle]]) and this writer derive the permutation from
-    * the same hash, so the manifest IS the written layout's index. */
+    * within-shard position, position-ordered on disk — a loader
+    * streams shard k sequentially with zero further shuffling. The
+    * manifest query ([[epochShuffle]]) and this writer derive the
+    * permutation from the same hash, so the manifest IS the written
+    * layout's index.
+    *
+    * ONE shuffle: the position window's required distribution (hash by
+    * shard) and ordering (shard, h, doc_id) are exactly the layout the
+    * writer needs — (h, doc_id) order IS pos order, and the write's
+    * required partition-column ordering is a satisfied prefix — so no
+    * repartition/sort is added after the window ([[epochShardFrame]]
+    * plan pinned to one exchange by PlanAuditSpec). Parallelism scales
+    * with the shard count, which a loader sets >= cluster cores. */
   def writeEpochShards(spark: SparkSession, sfDir: String, outDir: String,
-      seed: Int = 1, shards: Int = 8): Unit = {
+      seed: Int = 1, shards: Int = 8): Unit =
+    epochShardFrame(spark, sfDir, seed, shards)
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+
+  /** The frame [[writeEpochShards]] writes, exposed for plan audit. */
+  def epochShardFrame(spark: SparkSession, sfDir: String,
+      seed: Int = 1, shards: Int = 8): DataFrame = {
     val h = conv(substring(md5(concat(lit(s"epoch$seed:"), col("doc_id"))), 1, 8), 16, 10)
       .cast("long")
     val w = org.apache.spark.sql.expressions.Window
@@ -624,11 +637,8 @@ object Pipeline {
       .withColumn("h", h)
       .withColumn("shard", col("h") % lit(shards.toLong))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
       .select(col("shard"), col("pos"), col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
-      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
 
   /** Oracle twin of [[epochShuffle]] — seed/shards interpolated so a

@@ -328,6 +328,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hash <= 3, s"expected <=3 hash exchanges, got $hash in:\n$p")
   }
 
+  test("epochShardFrame: the position window's shuffle is the ONLY exchange") {
+    val p = plan(Pipeline.epochShardFrame(spark, sfDir))
+    // the writer needs hash-by-shard, (shard, pos)-ordered rows — which
+    // is exactly what the window's required distribution+ordering
+    // produce; any repartition/sort after it would be a second pass
+    // over the full corpus for nothing
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"expected exactly 1 hash exchange, got $hash in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"permutation must never serialize to one partition:\n$p")
+  }
+
   test("dataSplit: stateless classify + ONE partial-combined shuffle") {
     val p = plan(Pipeline.dataSplit(spark, sfDir))
     val hash = "Exchange hashpartitioning".r.findAllIn(p).length
