@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation surface (SURVEY.md §2.2 "Aggregations"): multi-function
@@ -313,4 +313,93 @@ object Aggregates {
       |FROM joined
       |WHERE (nd * vd - sd) * (nd * vd - sd) > 9.0 * (nd * qd - sd * sd)
       |ORDER BY event_type, event_id""".stripMargin
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM rollup: per customer, days since last order, order
+    * count, and lifetime spend in integer cents; each dimension scored
+    * into quartiles 1 (best) … 4 and the population counted per
+    * (r, f, m) cell.
+    *
+    * Quartile assignment is THRESHOLD-based, not ntile: the three
+    * quartile boundaries per dimension come from one model-sized
+    * (1-row) exact-quantile aggregate broadcast back over the
+    * per-customer frame, so equal values always land in the same
+    * segment and NO global-rank window (single-partition sort of every
+    * customer) exists in the plan — ntile's per-row global rank is the
+    * scale-killer shape PlanAuditSpec bans. Spark `percentile` ≡ DuckDB
+    * `quantile_cont` (shared linear-interpolation definition, the
+    * q_agg_quantiles precedent); thresholds interpolate BIGINTs so the
+    * halves are dyadic — exact as doubles — and the strict `>`
+    * comparisons cannot diverge. At 100 TB swap the exact quantile for
+    * `approx_percentile` (mergeable sketch) and re-pin thresholds.
+    *
+    * Scale: one custkey shuffle (map-side combined), a 1-row broadcast
+    * threshold join, one (r, f, m) rollup — no per-row window. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("last_ms"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_cents"))
+      .crossJoin(broadcast(o.agg(max(unix_millis(col("o_orderdate").cast("timestamp"))).as("max_ms"))))
+      .select(col("o_custkey"),
+        expr("(max_ms - last_ms) DIV 86400000").as("recency_days"),
+        col("freq"), col("monetary_cents"))
+    val thr = per.agg(
+      percentile(col("recency_days"), array(lit(0.25), lit(0.5), lit(0.75))).as("rq"),
+      percentile(col("freq"), array(lit(0.25), lit(0.5), lit(0.75))).as("fq"),
+      percentile(col("monetary_cents"), array(lit(0.25), lit(0.5), lit(0.75))).as("mq"))
+    def passed(v: Column, q: Column, i: Int): Column =
+      when(v.cast("double") > q(i), 1).otherwise(0)
+    per.crossJoin(broadcast(thr))
+      .select(col("o_custkey"), col("monetary_cents"),
+        (lit(1) + passed(col("recency_days"), col("rq"), 0)
+          + passed(col("recency_days"), col("rq"), 1)
+          + passed(col("recency_days"), col("rq"), 2)).as("r"),
+        (lit(4) - passed(col("freq"), col("fq"), 0)
+          - passed(col("freq"), col("fq"), 1)
+          - passed(col("freq"), col("fq"), 2)).as("f"),
+        (lit(4) - passed(col("monetary_cents"), col("mq"), 0)
+          - passed(col("monetary_cents"), col("mq"), 1)
+          - passed(col("monetary_cents"), col("mq"), 2)).as("m"))
+      .groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary_cents")).as("sum_monetary_cents"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  def rfmSegmentsSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    (epoch_ms((SELECT max(o_orderdate) FROM orders)::TIMESTAMP)
+      |     - epoch_ms(max(o_orderdate)::TIMESTAMP)) // 86400000 AS recency_days,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |thr AS (
+      |  SELECT
+      |    quantile_cont(recency_days, 0.25) AS r25, quantile_cont(recency_days, 0.5) AS r50,
+      |    quantile_cont(recency_days, 0.75) AS r75,
+      |    quantile_cont(freq, 0.25) AS f25, quantile_cont(freq, 0.5) AS f50,
+      |    quantile_cont(freq, 0.75) AS f75,
+      |    quantile_cont(monetary_cents, 0.25) AS m25, quantile_cont(monetary_cents, 0.5) AS m50,
+      |    quantile_cont(monetary_cents, 0.75) AS m75
+      |  FROM per),
+      |scored AS (
+      |  SELECT o_custkey, monetary_cents,
+      |    1 + (CASE WHEN CAST(recency_days AS DOUBLE) > r25 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(recency_days AS DOUBLE) > r50 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN CAST(recency_days AS DOUBLE) > r75 THEN 1 ELSE 0 END) AS r,
+      |    4 - (CASE WHEN CAST(freq AS DOUBLE) > f25 THEN 1 ELSE 0 END)
+      |      - (CASE WHEN CAST(freq AS DOUBLE) > f50 THEN 1 ELSE 0 END)
+      |      - (CASE WHEN CAST(freq AS DOUBLE) > f75 THEN 1 ELSE 0 END) AS f,
+      |    4 - (CASE WHEN CAST(monetary_cents AS DOUBLE) > m25 THEN 1 ELSE 0 END)
+      |      - (CASE WHEN CAST(monetary_cents AS DOUBLE) > m50 THEN 1 ELSE 0 END)
+      |      - (CASE WHEN CAST(monetary_cents AS DOUBLE) > m75 THEN 1 ELSE 0 END) AS m
+      |  FROM per CROSS JOIN thr)
+      |SELECT r, f, m, count(*) AS n_customers,
+      |  CAST(sum(monetary_cents) AS BIGINT) AS sum_monetary_cents
+      |FROM scored
+      |GROUP BY r, f, m
+      |ORDER BY r, f, m""".stripMargin
 }

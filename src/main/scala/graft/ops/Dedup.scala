@@ -556,6 +556,64 @@ object Dedup {
        |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric shingle containment |A∩B| / |A| over the LSH candidate
+    * pairs — the subset/quote detector symmetric Jaccard misses: a
+    * short document quoted verbatim inside a long one has LOW Jaccard
+    * (the union is dominated by the long doc) but containment ≈ 1 on
+    * the short side, so it still gets caught. Both directions reported
+    * in integer ppm (truncating DIV over non-negative operands —
+    * engine-identical); a pair is kept when EITHER direction clears
+    * `minPpm`.
+    *
+    * Scale: identical shape to [[ngramJaccardPairs]] — banded
+    * candidates (hot-bucket-guarded), shingle arrays fetched per
+    * candidate by id-join, never doc×doc. */
+  def shingleContainment(spark: SparkSession, sfDir: String,
+      minPpm: Long = 600000L): DataFrame = {
+    val banded = guardHotBuckets(bandIndexOf(Tables.documents(spark, sfDir)), maxLshBucket)
+    val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
+    val candidates = a.join(b, Seq("band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val docShingles = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    candidates
+      .join(docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("long") * lit(1000000L))
+          .as("inter6"),
+        size(col("sh_a")).cast("long").as("na"),
+        size(col("sh_b")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("inter6 DIV na").as("cont_a_in_b_ppm"),
+        expr("inter6 DIV nb").as("cont_b_in_a_ppm"))
+      .filter(greatest(col("cont_a_in_b_ppm"), col("cont_b_in_a_ppm")) >= lit(minPpm))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle twin of [[shingleContainment]] — threshold interpolated so
+    * a non-default call cannot silently break parity. */
+  def shingleContainmentSql(minPpm: Long = 600000L): String =
+    s"""WITH sigs AS (
+       |  SELECT doc_id, list_distinct($ShinglesSqlDuck) AS sh,
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
+       |  FROM documents),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000 AS inter6,
+       |    CAST(len(a.sh) AS BIGINT) AS na, CAST(len(b.sh) AS BIGINT) AS nb
+       |  FROM sigs a JOIN sigs b
+       |    ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2))
+       |SELECT doc_a, doc_b,
+       |  CAST(inter6 // na AS BIGINT) AS cont_a_in_b_ppm,
+       |  CAST(inter6 // nb AS BIGINT) AS cont_b_in_a_ppm
+       |FROM p
+       |WHERE greatest(inter6 // na, inter6 // nb) >= $minPpm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Incremental near-dup against a PRECOMPUTED corpus index — the
     * streaming-dedup building block. The caller materializes
     * `corpusIndex = bandIndexOf(corpus)` and `corpus` tokens once

@@ -185,4 +185,73 @@ object Joins {
       |       ELSE 'update' END AS op
       |FROM target t FULL OUTER JOIN changes c ON t.key = c.key
       |ORDER BY key""".stripMargin
+
+  /** TPC-H Q8-shaped national market share: inside one region's
+    * customer market, each supplier nation's share of yearly revenue.
+    * The 6-table join tree is the benchmark's canonical star-chain —
+    * lineitem⋈orders drives, customer⋈nation⋈region restricts the
+    * market, supplier⋈nation labels the seller.
+    *
+    * Revenue is integer cents (per-row round of the discounted price —
+    * letter-identical in both engines — then exact BIGINT sums); share
+    * is integer ppm via truncating DIV against a per-year total from a
+    * window over the GROUPED (year × nation, bounded-cardinality)
+    * frame — never over row-level data.
+    *
+    * Scale: fixed-cardinality dims (nation, region) carry explicit
+    * broadcast hints; supplier and customer SCALE with sf, so their
+    * joins get no hint (a hint is a mandate — OOM at 100×; the
+    * repo-wide PlanAuditSpec hint audit enforces this) and AQE picks
+    * broadcast at runtime when a side happens to be small. The grouped
+    * frame is years × nations ≈ hundreds of rows; its window is cheap
+    * everywhere. */
+  def marketShare(spark: SparkSession, sfDir: String,
+      regionName: String = "ASIA"): DataFrame = {
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+      .cast("long")
+    val mktCust = Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val supNation = Tables.supplier(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val grouped = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .join(mktCust, col("o_custkey") === col("c_custkey"))
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("supp_nation"))
+      .agg(sum(cents).as("nation_cents"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_year"))
+    grouped
+      .withColumn("year_cents", sum(col("nation_cents")).over(w))
+      .withColumn("share_ppm", expr("(nation_cents * 1000000) DIV year_cents"))
+      .orderBy(col("o_year"), col("supp_nation"))
+  }
+
+  /** Oracle twin of [[marketShare]] — region interpolated so a
+    * non-default call cannot silently break parity. */
+  def marketShareSql(regionName: String = "ASIA"): String =
+    s"""WITH grouped AS (
+       |  SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+       |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+       |      AS nation_cents
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = '$regionName'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT o_year, supp_nation, nation_cents,
+       |  CAST(sum(nation_cents) OVER (PARTITION BY o_year) AS BIGINT) AS year_cents,
+       |  CAST((nation_cents * 1000000)
+       |       // CAST(sum(nation_cents) OVER (PARTITION BY o_year) AS BIGINT) AS BIGINT)
+       |    AS share_ppm
+       |FROM grouped
+       |ORDER BY o_year, supp_nation""".stripMargin
 }

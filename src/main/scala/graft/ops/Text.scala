@@ -749,4 +749,67 @@ object Text {
        |FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN nt
        |WHERE c12 >= $minCount
        |ORDER BY pmi_tmn DESC, w1, w2""".stripMargin
+
+  /** Zipf's-law fit over the corpus term-frequency table: least-squares
+    * slope/intercept of ln(freq) on ln(rank). Natural corpora slope
+    * ≈ −1; a corpus that deviates hard (synthetic, boilerplate-heavy,
+    * truncated vocab) shows up immediately, making this a one-row
+    * corpus-health check.
+    *
+    * Engine parity: both logs are rounded to INTEGER tenth-milli-nats
+    * (the q_lm_score ln discipline), so Σx, Σy, Σxy, Σx² are exact
+    * BIGINT sums; only the final slope/intercept drop to doubles,
+    * computed by the letter-identical closed form on both engines.
+    * Scale factors cancel in the slope (both axes carry ×10⁴); the
+    * intercept divides one factor back out.
+    *
+    * Scale: the term table is vocab-sized (model-sized, bounded by the
+    * tokenizer, not the corpus), so the rank window's single partition
+    * holds |vocab| rows — the one place a global window is legitimate.
+    * The corpus-sized work is the one explode+count shuffle feeding
+    * it. */
+  def zipfSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    val pts = Tables.documents(spark, sfDir)
+      .select(explode(tokens).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w))
+      .select(round(log(col("rank").cast("double")) * 10000).cast("long").as("x"),
+        round(log(col("tf").cast("double")) * 10000).cast("long").as("y"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        (round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) + lit(0.0)).as("slope"),
+        (round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 10000.0, 4)
+          + lit(0.0)).as("intercept"))
+  }
+
+  def zipfSlopeSql: String =
+    """WITH tf AS (
+      |  SELECT token, count(*) AS tf
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY token),
+      |ranked AS (
+      |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM tf),
+      |pts AS (
+      |  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 10000) AS BIGINT) AS x,
+      |    CAST(round(ln(CAST(tf AS DOUBLE)) * 10000) AS BIGINT) AS y
+      |  FROM ranked),
+      |sums AS (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts),
+      |d AS (
+      |  SELECT n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+      |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd
+      |  FROM sums)
+      |SELECT n,
+      |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4) + 0.0 AS slope,
+      |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd / 10000.0, 4)
+      |    + 0.0 AS intercept
+      |FROM d""".stripMargin
 }

@@ -328,6 +328,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hash <= 3, s"expected <=3 hash exchanges, got $hash in:\n$p")
   }
 
+  test("rfmSegments: no global-rank window; thresholds broadcast") {
+    val p = plan(Aggregates.rfmSegments(spark, sfDir))
+    // threshold-based quartiles exist precisely to avoid ntile's
+    // all-customers-in-one-partition sort
+    assert(!p.contains("Window"), s"RFM must not globally rank customers:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row threshold/max-date frames must broadcast:\n$p")
+  }
+
+  test("marketShare: dims broadcast, fact tables never BNLJ") {
+    val p = plan(Joins.marketShare(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region/supplier chain must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no unconditioned join may appear:\n$p")
+  }
+
   test("epochShardFrame: the position window's shuffle is the ONLY exchange") {
     val p = plan(Pipeline.epochShardFrame(spark, sfDir))
     // the writer needs hash-by-shard, (shard, pos)-ordered rows — which
