@@ -1,0 +1,369 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-selection and corpus-report operators: the measurements a
+  * curation run uses to DECIDE what to keep, after the filters
+  * (`Text`, `Dedup`) have said what is keepable — importance weighting
+  * against a target domain, exact budget apportionment, weighted
+  * medians for length policy, and diversity/entropy health metrics.
+  *
+  * The reference (`fernandogoncalves-me/serverless-datalake`) has no
+  * analytics surface (SURVEY.md §2.2); this file is part of the
+  * mandated north-star extension set.
+  *
+  * Every query keeps the repo's oracle discipline: integer-exact
+  * arithmetic wherever a fold could be order-dependent, `ln` only via
+  * the round-to-tenth-milli-nats pattern proven by `q_tfidf` /
+  * `q_lm_score`, identical column aliases on both sides, and a total
+  * output order with a unique tiebreaker.
+  */
+object Selection {
+
+  private def wsTokens: Column = size(split(col("text"), " ")).cast("long")
+
+  /** md5-derived bucket in [0, buckets) — the engine half of the
+    * cross-engine hash trick (`('0x'||substr(md5(x),1,8))::BIGINT` in
+    * DuckDB). 32 bits of md5 so the value fits a long exactly. */
+  private def md5Bucket(c: Column, buckets: Int): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % lit(buckets.toLong)
+
+  // --------------------------------------------------------------------
+  // DSIR-style importance weights (target-domain selection)
+  // --------------------------------------------------------------------
+
+  /** Importance weight of every document against a TARGET domain, the
+    * hashed-n-gram importance-resampling scheme (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * unigram features hash into `buckets` counts, target and raw
+    * (everything else) bucket distributions are Laplace-smoothed, and a
+    * document's weight is the sum over its token occurrences of the
+    * per-bucket log-likelihood ratio ln p_target(b) − ln p_raw(b). A
+    * positive weight reads "more target-like than background"; sampling
+    * proportional to exp(weight) recovers the target distribution from
+    * the raw pool.
+    *
+    * The per-bucket ratio is rounded ONCE to integer tenth-milli-nats
+    * (the `q_lm_score` discipline), so every downstream sum is an exact
+    * BIGINT fold — no FP accumulation can diverge between engines.
+    *
+    * Output is the per-source selection report: doc counts, total /
+    * min / max weight, and how many docs score target-like (> 0).
+    * The target source tops the PER-TOKEN mean weight (its own tokens
+    * trained the numerator) — pinned by SelectionSpec alongside a full
+    * JVM replay of the integer-nats arithmetic.
+    *
+    * Scale: one token explode feeding (a) a `buckets`-row count table
+    * (map-side combine, broadcast back) and (b) a doc_id-keyed weight
+    * sum — one corpus-wide shuffle on doc_id plus a #sources-row agg.
+    * The model (the llr table) is buckets-sized at ANY corpus size.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+      target: String = "src0", buckets: Int = 512): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("source"), md5Bucket(col("tok"), buckets).as("b"))
+    val counts = tok.groupBy(col("b"))
+      .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("source") =!= target, 1L).otherwise(0L)).as("c_r"))
+    val tots = counts.agg(sum(col("c_t")).as("tt"), sum(col("c_r")).as("tr"))
+    val llr = counts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round((log((col("c_t") + lit(1.0)) / (col("tt") + lit(buckets))) -
+          log((col("c_r") + lit(1.0)) / (col("tr") + lit(buckets)))) * 10000)
+          .cast("long").as("llr_tmn"))
+    tok.join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("llr_tmn")).as("w_tmn"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_tmn")).as("sum_w_tmn"),
+        min(col("w_tmn")).as("min_w_tmn"),
+        max(col("w_tmn")).as("max_w_tmn"),
+        sum(when(col("w_tmn") > 0, 1L).otherwise(0L)).as("n_target_like"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[dsirWeights]] — `target`/`buckets` interpolated
+    * so a non-default call cannot silently break parity. */
+  def dsirWeightsSql(target: String = "src0", buckets: Int = 512): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % $buckets AS b
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |), counts AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN source = '$target' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |    CAST(sum(CASE WHEN source <> '$target' THEN 1 ELSE 0 END) AS BIGINT) AS c_r
+       |  FROM tok GROUP BY b
+       |), tots AS (
+       |  SELECT CAST(sum(c_t) AS BIGINT) AS tt, CAST(sum(c_r) AS BIGINT) AS tr
+       |  FROM counts
+       |), llr AS (
+       |  SELECT b,
+       |    CAST(round((ln((c_t + 1.0) / (tt + $buckets)) -
+       |                ln((c_r + 1.0) / (tr + $buckets))) * 10000) AS BIGINT) AS llr_tmn
+       |  FROM counts CROSS JOIN tots
+       |), docw AS (
+       |  SELECT doc_id, source, CAST(sum(llr_tmn) AS BIGINT) AS w_tmn
+       |  FROM tok JOIN llr USING (b)
+       |  GROUP BY doc_id, source
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(w_tmn) AS BIGINT) AS sum_w_tmn,
+       |  min(w_tmn) AS min_w_tmn,
+       |  max(w_tmn) AS max_w_tmn,
+       |  CAST(sum(CASE WHEN w_tmn > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_like
+       |FROM docw
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Largest-remainder budget apportionment
+  // --------------------------------------------------------------------
+
+  /** Apportions a fixed sample budget across sources proportionally to
+    * token mass with the largest-remainder (Hamilton) method: each
+    * source gets `floor(budget·src/total)` base slots, and the slots
+    * truncation left over go to the largest fractional remainders (ties
+    * to source asc). Unlike per-source rounding, Σ quota == budget
+    * EXACTLY — the property a fixed fine-tuning budget or eval-suite
+    * size needs (pinned by SelectionSpec). The remainder comparison is
+    * `budget·src % total` — pure integer, no FP rate anywhere.
+    *
+    * Scale: the doc scan collapses to a #sources-row frame before any
+    * window runs; the unpartitioned windows see only that model-sized
+    * frame (single-task by design, #sources rows at ANY corpus size).
+    */
+  def proportionalAlloc(spark: SparkSession, sfDir: String,
+      budget: Long = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    val tot = bySrc.agg(sum(col("src_tokens")).as("total"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(col("rem").desc, col("source"))
+    bySrc.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"($budget * src_tokens) DIV total"))
+      .withColumn("rem", expr(s"($budget * src_tokens) % total"))
+      .withColumn("leftover", lit(budget) - sum(col("base_quota")).over(wAll))
+      .withColumn("extra",
+        when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("src_tokens"), col("base_quota"),
+        col("extra"), (col("base_quota") + col("extra")).as("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[proportionalAlloc]] — `budget` interpolated. */
+  def proportionalAllocSql(budget: Long = 1000): String =
+    s"""WITH by_src AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total FROM by_src
+       |), alloc AS (
+       |  SELECT source, src_tokens,
+       |    CAST($budget * src_tokens // total AS BIGINT) AS base_quota,
+       |    CAST($budget * src_tokens % total AS BIGINT) AS rem,
+       |    CAST($budget - sum($budget * src_tokens // total) OVER () AS BIGINT) AS leftover
+       |  FROM by_src CROSS JOIN tot
+       |)
+       |SELECT source, src_tokens, base_quota,
+       |  CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
+       |       THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(base_quota + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
+       |       THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Weighted median document length (histogram formulation)
+  // --------------------------------------------------------------------
+
+  /** Per-source document-length medians, both doc-weighted (the length
+    * of the middle DOCUMENT) and token-weighted (the length at which
+    * half the corpus TOKENS sit in shorter docs) — the two numbers a
+    * truncation/packing policy is set from, and they differ a lot on
+    * heavy-tailed corpora. Median m = the smallest length whose
+    * cumulative mass reaches half the total (`2·cum ≥ tot` — integer,
+    * no midpoint interpolation, so both engines pick the identical
+    * order statistic).
+    *
+    * Scale: the corpus collapses to a (source, n_tokens) HISTOGRAM
+    * first — the windows scan per-source histogram rows (≤ distinct
+    * lengths, ~100 here), never documents, so there is no per-source
+    * corpus-sized sort anywhere (the formulation a naive
+    * `percentile(…) OVER (PARTITION BY source)` would hide).
+    */
+  def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("n_tokens"))
+      .groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_tokens", col("n_tokens") * col("n_docs"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val wTot = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(wCum))
+      .withColumn("tot_docs", sum(col("n_docs")).over(wTot))
+      .withColumn("tot_tokens", sum(col("bucket_tokens")).over(wTot))
+      .groupBy(col("source"))
+      .agg(max(col("tot_docs")).as("n_docs"),
+        max(col("tot_tokens")).as("total_tokens"),
+        min(when(col("cum_docs") * 2 >= col("tot_docs"), col("n_tokens")))
+          .as("median_len"),
+        min(when(col("cum_tokens") * 2 >= col("tot_tokens"), col("n_tokens")))
+          .as("token_weighted_median_len"))
+      .orderBy(col("source"))
+  }
+
+  def weightedMedianSql: String =
+    """WITH hist AS (
+      |  SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT source, n_tokens, n_docs, n_tokens * n_docs AS bucket_tokens,
+      |    CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY n_tokens) AS BIGINT) AS cum_docs,
+      |    CAST(sum(n_tokens * n_docs) OVER (PARTITION BY source ORDER BY n_tokens) AS BIGINT) AS cum_tokens,
+      |    CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS tot_docs,
+      |    CAST(sum(n_tokens * n_docs) OVER (PARTITION BY source) AS BIGINT) AS tot_tokens
+      |  FROM hist
+      |)
+      |SELECT source, max(tot_docs) AS n_docs, max(tot_tokens) AS total_tokens,
+      |  min(CASE WHEN cum_docs * 2 >= tot_docs THEN n_tokens END) AS median_len,
+      |  min(CASE WHEN cum_tokens * 2 >= tot_tokens THEN n_tokens END)
+      |    AS token_weighted_median_len
+      |FROM cum
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // N-gram diversity (type-token ratios)
+  // --------------------------------------------------------------------
+
+  /** Per-source lexical-diversity report: distinct/total ratios (ppm)
+    * for unigrams and word 3-grams. A source whose 3-gram TTR collapses
+    * is template/boilerplate-heavy even when its unigram TTR looks
+    * healthy — the corpus-card diversity metric that complements the
+    * per-doc repetition filter (`q_doc_repetition`). Docs under 3
+    * tokens contribute zero 3-grams (same guard as
+    * `q_boilerplate_ngrams`). All-integer, ppm via truncating DIV.
+    *
+    * Scale: one explode per n; distinct counts are per-source
+    * `countDistinct` over (source, gram) — two-level partial agg, the
+    * same shuffle budget as `q_term_freq` at any corpus size.
+    */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val docs = Tables.documents(spark, sfDir)
+    val uni = docs.select(col("source"), explode(t).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("g")).as("distinct_tokens"))
+    val tri = docs.select(col("source"),
+        explode(when(size(t) >= 3,
+            transform(sequence(lit(1), size(t) - 2),
+              i => array_join(slice(t, i, lit(3)), " ")))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_3grams"),
+        countDistinct(col("g")).as("distinct_3grams"))
+    uni.join(tri, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("distinct_tokens"),
+        expr("(distinct_tokens * 1000000) DIV n_tokens").as("uni_ttr_ppm"),
+        col("n_3grams"), col("distinct_3grams"),
+        expr("(distinct_3grams * 1000000) DIV n_3grams").as("tri_ttr_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def ngramDiversitySql: String =
+    """WITH uni AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_tokens
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS g FROM documents)
+      |  GROUP BY source
+      |), tri AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_3grams,
+      |    CAST(count(DISTINCT g) AS BIGINT) AS distinct_3grams
+      |  FROM (
+      |    SELECT source, array_to_string(t[i:i+2], ' ') AS g
+      |    FROM (SELECT source, string_split(text, ' ') AS t,
+      |            unnest(generate_series(1, len(string_split(text, ' ')) - 2)) AS i
+      |          FROM documents))
+      |  GROUP BY source
+      |)
+      |SELECT source, n_tokens, distinct_tokens,
+      |  CAST(distinct_tokens * 1000000 // n_tokens AS BIGINT) AS uni_ttr_ppm,
+      |  n_3grams, distinct_3grams,
+      |  CAST(distinct_3grams * 1000000 // n_3grams AS BIGINT) AS tri_ttr_ppm
+      |FROM uni JOIN tri USING (source)
+      |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Character entropy (per-doc quality signal)
+  // --------------------------------------------------------------------
+
+  /** Per-document character-level Shannon entropy in tenth-milli-nats:
+    * H = Σ_c (c/n)·ln(n/c) over the doc's character counts. Encoding
+    * junk, base64 blobs and repeated-char padding sit at the extremes
+    * of this signal, which is why it's a standard pre-training quality
+    * gate alongside length/punctuation ratios (`q_quality_score`).
+    * Per-class cost rounds ONCE to integer tenth-milli-nats; the doc
+    * value is the exact integer Σ c·cost DIV n. Empty docs have no
+    * characters and drop out of the output (both engines derive rows
+    * from character positions only).
+    *
+    * Scale: explode over character positions, two doc_id-keyed partial
+    * aggs — per-row work linear in bytes, no join wider than the doc.
+    */
+  def charEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's
+    // generate_series(1, 0) is empty — empty docs must yield no rows
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) > 0,
+            sequence(lit(1), length(col("text"))))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        col("text").substr(col("i"), lit(1)).as("ch"))
+    chars.groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"),
+        (col("c") * round(log(col("n").cast("double") / col("c")) * 10000)
+          .cast("long")).as("cost"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars_counted"),
+        sum(col("cost")).as("ent_sum_tmn"))
+      .withColumn("ent_tmn", expr("ent_sum_tmn DIV n_chars_counted"))
+      .select(col("doc_id"), col("n_chars_counted"), col("ent_tmn"))
+      .orderBy(col("doc_id"))
+  }
+
+  def charEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n, substr(text, i, 1) AS ch
+      |  FROM (SELECT doc_id, text, unnest(generate_series(1, len(text))) AS i
+      |        FROM documents)
+      |), classes AS (
+      |  SELECT doc_id, n,
+      |    CAST(count(*) AS BIGINT)
+      |      * CAST(round(ln(CAST(n AS DOUBLE) / count(*)) * 10000) AS BIGINT) AS cost
+      |  FROM chars GROUP BY doc_id, n, ch
+      |)
+      |SELECT doc_id, max(n) AS n_chars_counted,
+      |  CAST(CAST(sum(cost) AS BIGINT) // max(n) AS BIGINT) AS ent_tmn
+      |FROM classes
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+}

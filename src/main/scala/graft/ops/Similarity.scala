@@ -649,4 +649,74 @@ object Similarity {
       |FROM embeddings
       |GROUP BY label
       |ORDER BY label""".stripMargin
+
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * for each of the first `nQueries` vectors, the `k` most-similar
+    * vectors carrying a DIFFERENT label — the near-misses a trainer
+    * wants in the batch precisely because cosine alone cannot separate
+    * them. Same-label vectors (including the query itself) are excluded
+    * by the join condition, junk all-zero vectors by the NaN guard.
+    *
+    * Scale: the query side is model-sized (broadcast); the top-k is
+    * TWO-PHASE — a per-(query, salt) local rank prunes the corpus-wide
+    * candidate stream down to `k` rows per salt before the final
+    * per-query rank, so no single task ever sorts a whole query's
+    * candidate set (the per-query window alone would put the full
+    * corpus through `nQueries` tasks at 100 TB). The oracle is the
+    * PLAIN single-window formulation, so a green run proves the
+    * two-phase rewrite identical (the `q_skew_agg` pattern). Exactness:
+    * the rank order (cos DESC, vec_id ASC) is total, and any global
+    * top-k row is necessarily in its own salt's local top-k.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String,
+      nQueries: Int = 5, k: Int = 3, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    // limit() after the pk-range filter is a no-op on rows (the filter
+    // already yields exactly nQueries ids) but DECLARES the bound, so
+    // the broadcast provably cannot scale with the corpus
+    val q = emb.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val cand = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+    val wLocal = Window.partitionBy(col("q_id"), pmod(col("vec_id"), lit(salts.toLong)))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val wGlobal = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= k)
+      .withColumn("rnk", row_number().over(wGlobal)).filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cos_sim"), col("rnk").cast("long").as("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Oracle twin of [[hardNegatives]] — the PLAIN one-window top-k
+    * (the sharded engine path must be identical); parameters
+    * interpolated. */
+  def hardNegativesSql(nQueries: Int = 5, k: Int = 3): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), cand AS (
+       |  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_emb::DOUBLE[]), 4) + 0.0
+       |      AS cos_sim
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.label <> q.q_label
+       |    AND NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      q.q_emb::DOUBLE[]), 4) + 0.0)
+       |), ranked AS (
+       |  SELECT q_id, q_label, vec_id, label, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rnk
+       |  FROM cand
+       |)
+       |SELECT q_id, q_label, vec_id, label, cos_sim, rnk
+       |FROM ranked WHERE rnk <= $k
+       |ORDER BY q_id, rnk""".stripMargin
 }

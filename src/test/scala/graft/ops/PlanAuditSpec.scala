@@ -404,6 +404,48 @@ class PlanAuditSpec extends SparkTestBase {
     assert(bnlj <= 1, s"only the 1-row N join may nest-loop:\n$p")
   }
 
+  test("dsirWeights: llr model broadcasts; doc lookup is an equi-join on the bucket") {
+    val df = Selection.dsirWeights(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    // the 1-row totals frame is the only permitted nest-loop build;
+    // the buckets-row llr table must hash-broadcast onto the token stream
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row totals join may nest-loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"llr lookup must broadcast the model-sized table:\n$p")
+  }
+
+  test("weightedMedian: windows scan the histogram, not documents") {
+    val df = Selection.weightedMedian(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the corpus must collapse to (source, n_tokens) BEFORE any window:
+    // a HashAggregate sits below the first Window in the plan text
+    val iAgg = p.lastIndexOf("HashAggregate")
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && iAgg > iWin,
+      s"histogram aggregate must feed the window (agg below window in plan):\n$p")
+    assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined,
+      s"window must partition by source:\n$p")
+  }
+
+  test("hardNegatives: two-phase top-k — local salt rank feeds the per-query rank") {
+    val df = Similarity.hardNegatives(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 2, s"expected local+global rank windows, got $windows:\n$p")
+    // the query side is model-sized and must broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vectors must broadcast:\n$p")
+    // the local rank partitions by (q_id, salt) — the salt projects as
+    // a _wN internal column; the global rank then re-shuffles by q_id
+    assert("hashpartitioning\\(q_id#\\d+L?, _w\\d+".r.findFirstIn(p).isDefined,
+      s"local rank must partition by (q_id, salt):\n$p")
+  }
+
   test("triangleCensus: oriented two-join closure is equi-join only") {
     val df = Graph.triangleCensus(spark, sfDir)
     df.collect()

@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Invariant + JVM-replay tests for the data-selection surface
+  * (`ops/Selection.scala`, `Similarity.hardNegatives`). Engine-vs-
+  * oracle parity is the driver gate's job; these pin the semantics a
+  * green hash can't express: exact-budget apportionment, driver-side
+  * replays of the integer-nats arithmetic, and the two-phase top-k
+  * rewrite against brute force.
+  */
+class SelectionSpec extends SparkTestBase {
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Spark round() semantics: HALF_UP away from zero. */
+  private def roundTmn(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 10000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  // ---------------- dsirWeights ----------------
+
+  test("dsirWeights matches a driver-side replay and favors the target source") {
+    val buckets = 512
+    val bucketOf = (tok: String) =>
+      java.lang.Long.parseLong(md5Hex(tok).take(8), 16) % buckets
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.split(" ", -1).map(t => (id, src, bucketOf(t))) }
+    val cT = toks.filter(_._2 == "src0").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cR = toks.filter(_._2 != "src0").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (cT.values.sum, cR.values.sum)
+    val llr = (0L until buckets).map { b =>
+      b -> roundTmn(math.log((cT.getOrElse(b, 0L) + 1.0) / (tt + buckets)) -
+        math.log((cR.getOrElse(b, 0L) + 1.0) / (tr + buckets)))
+    }.toMap
+    val docW = toks.groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(t => llr(t._3)).sum).toMap
+    val expect = docW.groupBy(_._1._2).map { case (src, m) =>
+      val ws = m.values.toSeq
+      (src, (m.size.toLong, ws.sum, ws.min, ws.max, ws.count(_ > 0).toLong))
+    }
+    val got = Selection.dsirWeights(spark, sfDir).collect().map { r =>
+      (r.getAs[String]("source"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_w_tmn"),
+          r.getAs[Long]("min_w_tmn"), r.getAs[Long]("max_w_tmn"),
+          r.getAs[Long]("n_target_like")))
+    }.toMap
+    assert(got == expect)
+    // the LLR is trained ON src0: its PER-TOKEN mean weight must top
+    // every other source (per-doc means are confounded by doc length)
+    val tokCount = toks.groupBy(_._2).view.mapValues(_.size.toLong)
+    val perTok = got.map { case (src, (_, sum, _, _, _)) =>
+      src -> sum.toDouble / tokCount(src) }
+    assert(perTok.maxBy(_._2)._1 == "src0")
+  }
+
+  // ---------------- proportionalAlloc ----------------
+
+  test("proportionalAlloc hits the budget exactly with quota in {base, base+1}") {
+    val rows = Selection.proportionalAlloc(spark, sfDir, budget = 1000).collect()
+    assert(rows.map(_.getAs[Long]("quota")).sum == 1000L)
+    rows.foreach { r =>
+      val extra = r.getAs[Long]("extra")
+      assert(extra == 0L || extra == 1L)
+      assert(r.getAs[Long]("quota") == r.getAs[Long]("base_quota") + extra)
+    }
+    // proportionality: base quotas ordered with token mass
+    val byTok = rows.sortBy(_.getAs[Long]("src_tokens"))
+    assert(byTok.map(_.getAs[Long]("base_quota")).toSeq ==
+      byTok.map(_.getAs[Long]("base_quota")).sortBy(identity).toSeq)
+    // a budget no source can fill fractionally still sums exactly
+    assert(Selection.proportionalAlloc(spark, sfDir, budget = 7).collect()
+      .map(_.getAs[Long]("quota")).sum == 7L)
+  }
+
+  // ---------------- weightedMedian ----------------
+
+  test("weightedMedian matches brute force on both weightings") {
+    val lens = docs.map { case (_, src, text) => (src, text.split(" ", -1).length.toLong) }
+    def medianBy(vals: Seq[(Long, Long)]): Long = { // (len, weight), sorted
+      val tot = vals.map(_._2).sum
+      var cum = 0L
+      vals.sortBy(_._1).collectFirst {
+        case (len, w) if { cum += w; cum * 2 >= tot } => len
+      }.get
+    }
+    val expect = lens.groupBy(_._1).view.mapValues { g =>
+      val ls = g.map(_._2)
+      (medianBy(ls.groupBy(identity).view.mapValues(_.size.toLong).toSeq),
+        medianBy(ls.groupBy(identity).view.mapValues(v => v.head * v.size).toSeq))
+    }.toMap
+    val got = Selection.weightedMedian(spark, sfDir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("median_len"), r.getAs[Long]("token_weighted_median_len"))
+    }.toMap
+    assert(got == expect)
+  }
+
+  // ---------------- ngramDiversity ----------------
+
+  test("ngramDiversity counts distinct/total grams like a driver replay") {
+    val expect = docs.groupBy(_._2).view.mapValues { g =>
+      val tokss = g.map(_._3.split(" ", -1).toSeq)
+      val unis = tokss.flatten
+      val tris = tokss.flatMap(t => t.sliding(3).filter(_.size == 3).map(_.mkString(" ")))
+      (unis.size.toLong, unis.distinct.size.toLong,
+        tris.size.toLong, tris.distinct.size.toLong)
+    }.toMap
+    val got = Selection.ngramDiversity(spark, sfDir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("distinct_tokens"),
+          r.getAs[Long]("n_3grams"), r.getAs[Long]("distinct_3grams"))
+    }.toMap
+    assert(got == expect)
+    Selection.ngramDiversity(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("distinct_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("tri_ttr_ppm") <= 1000000L)
+    }
+  }
+
+  // ---------------- charEntropy ----------------
+
+  test("charEntropy matches the per-doc integer-nats replay") {
+    val expect = docs.filter(_._3.nonEmpty).map { case (id, _, text) =>
+      val n = text.length.toLong
+      val ent = text.groupBy(identity).values.map { g =>
+        val c = g.length.toLong
+        c * roundTmn(math.log(n.toDouble / c))
+      }.sum / n
+      id -> (n, ent)
+    }.toMap
+    val got = Selection.charEntropy(spark, sfDir).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_counted"), r.getAs[Long]("ent_tmn"))
+    }.toMap
+    assert(got == expect)
+    // entropy of n distinct chars is ln(n): bounded by ln of doc length
+    got.foreach { case (_, (n, ent)) =>
+      assert(ent >= 0 && ent <= roundTmn(math.log(n.toDouble)))
+    }
+  }
+
+  // ---------------- hardNegatives ----------------
+
+  test("hardNegatives two-phase top-k equals brute force, labels always differ") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue() + 0.0
+    val expect = emb.filter(_._1 < 5).flatMap { case (qid, qlab, qv) =>
+      emb.filter(_._2 != qlab)
+        .map { case (vid, lab, v) => (vid, lab, round4(cos(v, qv))) }
+        .filter(!_._3.isNaN)
+        .sortBy { case (vid, _, c) => (-c, vid) }
+        .take(3).zipWithIndex
+        .map { case ((vid, lab, c), i) => (qid, vid, lab, c, i + 1L) }
+    }.toSeq
+    val got = Similarity.hardNegatives(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("cos_sim"), r.getAs[Long]("rnk"))
+    }.toSeq
+    assert(got.sortBy(r => (r._1, r._5)) == expect.sortBy(r => (r._1, r._5)))
+    val labels = emb.map(e => e._1 -> e._2).toMap
+    got.foreach { case (qid, vid, lab, _, _) =>
+      assert(lab != labels(qid) && vid != qid)
+    }
+  }
+}
