@@ -566,6 +566,64 @@ object Pipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Near-dup pairs that CROSS the train/val/test split — the sibling
+    * audit to [[splitLeakage]]: that one catches VERBATIM train→test
+    * shingle overlap, this one catches near-duplicate cohorts that the
+    * id-hash split scattered across splits (two 0.5-jaccard variants
+    * of one page, one in train and one in test, quietly turn held-out
+    * perplexity into memorization credit). Output is the split×split
+    * pair matrix in canonical order (train ≤ val ≤ test): the
+    * off-diagonal cells are the contamination; (train, test) is the
+    * cell that must be ~0 before an eval number is quotable.
+    *
+    * Scale: probes the shared persisted pair table
+    * ([[Dedup.nearDupPairTable]] — built once per corpus) with two
+    * doc_id equi-joins of the stateless split tags; the matrix agg is
+    * ≤ 9 rows at any corpus size.
+    */
+  def crossSplitDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val centile = conv(substring(md5(concat(lit("split:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long") % lit(100L)
+    // 0 = train, 1 = val, 2 = test: rank order makes the pair label
+    // canonical with least/greatest
+    val rank = when(centile < 80, lit(0L)).when(centile < 90, lit(1L)).otherwise(lit(2L))
+    val tags = Tables.documents(spark, sfDir).select(col("doc_id"), rank.as("r"))
+    val name = (c: Column) => when(c === 0L, lit("train"))
+      .when(c === 1L, lit("val")).otherwise(lit("test"))
+    Dedup.nearDupPairTable(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+      .join(tags.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("r", "ra"), Seq("doc_a"))
+      .join(tags.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("r", "rb"), Seq("doc_b"))
+      .select(name(least(col("ra"), col("rb"))).as("split_a"),
+        name(greatest(col("ra"), col("rb"))).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** Oracle twin of [[crossSplitDups]] — the pair CTE is the SAME SQL
+    * fragment every LSH oracle uses ([[Graph.nearDupEdgesCteSql]]
+    * defines `pairs`), the split hash the same as [[dataSplitSql]]. */
+  def crossSplitDupsSql: String =
+    s"""WITH ${Graph.nearDupEdgesCteSql},
+       |tags AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 80 THEN 0
+       |         WHEN ('0x' || substr(md5('split:' || doc_id), 1, 8))::BIGINT % 100 < 90 THEN 1
+       |         ELSE 2 END AS r
+       |  FROM documents),
+       |labeled AS (
+       |  SELECT
+       |    CASE least(ta.r, tb.r) WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_a,
+       |    CASE greatest(ta.r, tb.r) WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_b
+       |  FROM pairs p
+       |  JOIN tags ta ON p.doc_a = ta.doc_id
+       |  JOIN tags tb ON p.doc_b = tb.doc_id)
+       |SELECT split_a, split_b, count(*) AS n_pairs
+       |FROM labeled
+       |GROUP BY split_a, split_b
+       |ORDER BY split_a, split_b""".stripMargin
+
   // --------------------------------------------------------------------
   // Epoch shuffle (deterministic corpus permutation -> shards)
   // --------------------------------------------------------------------

@@ -350,6 +350,98 @@ object Selection {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------------
+  // Head-prefix duplicate cohorts
+  // --------------------------------------------------------------------
+
+  /** Documents sharing an identical head (first `prefixTokens` tokens)
+    * with at least one other document — the template-intro detector:
+    * scraped corpora are full of pages whose BODIES differ but whose
+    * boilerplate openings are byte-identical, which full-document
+    * exact dedup misses and shingle near-dup under-weights (the head
+    * is a small fraction of a long doc). Cohorts are computed
+    * CORPUS-WIDE (a cross-source shared head still counts), then
+    * attributed per source as a ppm rate.
+    *
+    * Scale: the head collapses to one md5 per doc; cohort sizing is an
+    * equi-join on that digest (never text×text), the `q_dedup_exact`
+    * shuffle budget.
+    */
+  def prefixDup(spark: SparkSession, sfDir: String,
+      prefixTokens: Int = 8): DataFrame = {
+    val t = split(col("text"), " ")
+    val heads = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(array_join(slice(t, 1, prefixTokens), " ")).as("h"))
+    val cohorts = heads.groupBy(col("h")).agg(count(lit(1)).as("cohort_n"))
+    heads.join(cohorts, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cohort_n") > 1, 1L).otherwise(0L)).as("dup_head_docs"),
+        countDistinct(when(col("cohort_n") > 1, col("h"))).as("dup_head_groups"))
+      .withColumn("dup_head_ppm", expr("(dup_head_docs * 1000000) DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[prefixDup]] — `prefixTokens` interpolated. */
+  def prefixDupSql(prefixTokens: Int = 8): String =
+    s"""WITH heads AS (
+       |  SELECT source, doc_id,
+       |    md5(array_to_string(string_split(text, ' ')[1:$prefixTokens], ' ')) AS h
+       |  FROM documents
+       |), cohorts AS (
+       |  SELECT h, CAST(count(*) AS BIGINT) AS cohort_n FROM heads GROUP BY h
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cohort_n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_head_docs,
+       |  CAST(count(DISTINCT CASE WHEN cohort_n > 1 THEN h END) AS BIGINT) AS dup_head_groups,
+       |  CAST(CAST(sum(CASE WHEN cohort_n > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |       // CAST(count(*) AS BIGINT) AS BIGINT) AS dup_head_ppm
+       |FROM heads JOIN cohorts USING (h)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Length × quality curriculum grid
+  // --------------------------------------------------------------------
+
+  /** The packing/curriculum planning table: documents cross-tabbed by
+    * length band (16-token steps, capped at band 7) × quality decile
+    * ([[Text.qualityDecile]] — the SAME predicate the filter stage
+    * runs), with doc and token mass per cell. A curriculum scheduler
+    * reads this to decide what a "short high-quality warmup epoch"
+    * actually costs in tokens; a batcher reads the marginals to size
+    * its length buckets ([[Pipeline.packEfficiency]] gives the padding
+    * consequence).
+    *
+    * Scale: stateless per-row banding + one grid-sized hash agg (≤ 80
+    * cells at any corpus size) — map-side combine does all the work.
+    */
+  def lengthQualityGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      // Spark's Column./ is FRACTIONAL division even on longs — band
+      // with integer DIV so both engines truncate identically
+      .select(wsTokens.as("n_tokens"), Text.qualityDecile.as("decile"))
+      .select(least(expr("n_tokens DIV 16"), lit(7L)).as("len_band"),
+        col("decile"), col("n_tokens"))
+      .groupBy(col("len_band"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("len_band"), col("decile"))
+  }
+
+  def lengthQualityGridSql: String =
+    s"""WITH graded AS (
+       |  SELECT least(CAST(len(string_split(text, ' ')) AS BIGINT) // 16, 7) AS len_band,
+       |    (${Text.qualityDecileSqlExpr}) AS decile,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT len_band, decile, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM graded
+       |GROUP BY len_band, decile
+       |ORDER BY len_band, decile""".stripMargin
+
   def charEntropySql: String =
     """WITH chars AS (
       |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n, substr(text, i, 1) AS ch

@@ -117,12 +117,24 @@ object SocketIngest {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         rows.toSeq.groupBy(_.getString(0)).foreach { case (source, recs) =>
+          // write-then-rename: the reference's S3 PUT is atomic (an
+          // object is visible only complete), but a filesystem create
+          // is NOT — the discovery stream would read a half-written
+          // gzip (EOFException). Dot-prefixed temp names are invisible
+          // to Spark's file source until the rename commits them.
           val path = new org.apache.hadoop.fs.Path(
             s"$bronzeDir/$source/socket-b$batchId-p$part.gz")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$bronzeDir/$source/.socket-b$batchId-p$part.gz.tmp")
           val fs = path.getFileSystem(hconf.value)
-          val out = new java.util.zip.GZIPOutputStream(fs.create(path, true))
+          val out = new java.util.zip.GZIPOutputStream(fs.create(tmp, true))
           try recs.foreach(r => out.write(r.getString(1).getBytes("UTF-8")))
           finally out.close()
+          if (!fs.rename(tmp, path)) {
+            fs.delete(path, false) // replayed batch left a complete object
+            if (!fs.rename(tmp, path))
+              throw new java.io.IOException(s"bronze commit failed: $tmp -> $path")
+          }
         }
       }
   }

@@ -150,6 +150,60 @@ class SelectionSpec extends SparkTestBase {
     }
   }
 
+  // ---------------- prefixDup ----------------
+
+  test("prefixDup matches a driver replay of corpus-wide head cohorts") {
+    val heads = docs.map { case (id, src, text) =>
+      (id, src, md5Hex(text.split(" ", -1).take(8).mkString(" "))) }
+    val cohort = heads.groupBy(_._3).view.mapValues(_.size).toMap
+    val expect = heads.groupBy(_._2).view.mapValues { g =>
+      val dup = g.count(h => cohort(h._3) > 1).toLong
+      (g.size.toLong, dup,
+        g.filter(h => cohort(h._3) > 1).map(_._3).distinct.size.toLong,
+        dup * 1000000L / g.size)
+    }.toMap
+    val got = Selection.prefixDup(spark, sfDir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("dup_head_docs"),
+          r.getAs[Long]("dup_head_groups"), r.getAs[Long]("dup_head_ppm"))
+    }.toMap
+    assert(got == expect)
+  }
+
+  // ---------------- lengthQualityGrid ----------------
+
+  test("lengthQualityGrid is a partition of the corpus consistent with qualityScore") {
+    val grid = Selection.lengthQualityGrid(spark, sfDir).collect()
+    val nDocs = docs.size.toLong
+    val nToks = docs.map(_._3.split(" ", -1).length.toLong).sum
+    assert(grid.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(grid.map(_.getAs[Long]("sum_tokens")).sum == nToks)
+    grid.foreach { r =>
+      val b = r.getAs[Long]("len_band"); val d = r.getAs[Long]("decile")
+      assert(b >= 0 && b <= 7 && d >= 0 && d <= 9)
+    }
+    // marginal over len_band must equal the qualityScore histogram
+    // (same decile predicate, different grouping)
+    val byDecile = grid.groupBy(_.getAs[Long]("decile"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val hist = Text.qualityScore(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("decile"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byDecile == hist)
+  }
+
+  // ---------------- crossSplitDups ----------------
+
+  test("crossSplitDups partitions the shared pair table with canonical labels") {
+    val m = Pipeline.crossSplitDups(spark, sfDir).collect()
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    m.foreach { r =>
+      assert(rank(r.getAs[String]("split_a")) <= rank(r.getAs[String]("split_b")))
+    }
+    val totalPairs = Dedup.nearDupPairTable(spark, sfDir).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum == totalPairs)
+  }
+
   // ---------------- hardNegatives ----------------
 
   test("hardNegatives two-phase top-k equals brute force, labels always differ") {
