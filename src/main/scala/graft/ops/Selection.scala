@@ -203,8 +203,12 @@ object Selection {
     */
   def weightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL-text docs have NULL length and are excluded: a NULL sort key
+    // orders FIRST in Spark but LAST in DuckDB, so keeping them would
+    // silently break cross-engine parity the moment a corpus has one
     val hist = Tables.documents(spark, sfDir)
       .select(col("source"), wsTokens.as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
       .groupBy(col("source"), col("n_tokens"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("bucket_tokens", col("n_tokens") * col("n_docs"))
@@ -231,7 +235,9 @@ object Selection {
       |  SELECT source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |    CAST(count(*) AS BIGINT) AS n_docs
-      |  FROM documents GROUP BY 1, 2
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) IS NOT NULL
+      |  GROUP BY 1, 2
       |), cum AS (
       |  SELECT source, n_tokens, n_docs, n_tokens * n_docs AS bucket_tokens,
       |    CAST(sum(n_docs) OVER (PARTITION BY source ORDER BY n_tokens) AS BIGINT) AS cum_docs,
@@ -279,11 +285,17 @@ object Selection {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_3grams"),
         countDistinct(col("g")).as("distinct_3grams"))
-    uni.join(tri, Seq("source"))
+    // LEFT join: a source whose docs are all under 3 tokens has zero
+    // 3-grams but must still appear in the report (ratio NULL — both
+    // engines would THROW on DIV 0 under ANSI semantics, and 0 would
+    // read as "no diversity", the opposite of "no data")
+    uni.join(tri, Seq("source"), "left")
       .select(col("source"), col("n_tokens"), col("distinct_tokens"),
         expr("(distinct_tokens * 1000000) DIV n_tokens").as("uni_ttr_ppm"),
-        col("n_3grams"), col("distinct_3grams"),
-        expr("(distinct_3grams * 1000000) DIV n_3grams").as("tri_ttr_ppm"))
+        coalesce(col("n_3grams"), lit(0L)).as("n_3grams"),
+        coalesce(col("distinct_3grams"), lit(0L)).as("distinct_3grams"))
+      .withColumn("tri_ttr_ppm",
+        when(col("n_3grams") > 0, expr("(distinct_3grams * 1000000) DIV n_3grams")))
       .orderBy(col("source"))
   }
 
@@ -305,9 +317,11 @@ object Selection {
       |)
       |SELECT source, n_tokens, distinct_tokens,
       |  CAST(distinct_tokens * 1000000 // n_tokens AS BIGINT) AS uni_ttr_ppm,
-      |  n_3grams, distinct_3grams,
-      |  CAST(distinct_3grams * 1000000 // n_3grams AS BIGINT) AS tri_ttr_ppm
-      |FROM uni JOIN tri USING (source)
+      |  coalesce(n_3grams, 0) AS n_3grams,
+      |  coalesce(distinct_3grams, 0) AS distinct_3grams,
+      |  CAST(CASE WHEN coalesce(n_3grams, 0) > 0
+      |       THEN distinct_3grams * 1000000 // n_3grams END AS BIGINT) AS tri_ttr_ppm
+      |FROM uni LEFT JOIN tri USING (source)
       |ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------

@@ -243,4 +243,61 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(ok.length == 60 * 59 / 2)
     assert(ok.forall(_.getDouble(2) == 1.0))
   }
+
+  test("data-selection operators survive empty, NULL, and whitespace docs") {
+    // dsir: the target source doesn't exist in this corpus — every
+    // bucket's target count is 0, weights are pure smoothing; NULL-text
+    // docs have no tokens and drop out of the report entirely
+    val dsir = Selection.dsirWeights(spark, degenerateDocs).collect()
+    assert(dsir.map(_.getAs[Long]("n_docs")).sum == 4) // doc 2 (NULL) absent
+    // apportionment: a budget smaller than the source count still sums
+    // exactly (some sources get zero)
+    val alloc = Selection.proportionalAlloc(spark, degenerateDocs, budget = 2).collect()
+    assert(alloc.map(_.getAs[Long]("quota")).sum == 2L)
+    assert(alloc.forall(r => r.getAs[Long]("quota") >= 0))
+    // weighted median: NULL-text doc excluded BY CONTRACT (NULL sort
+    // keys order differently across engines); all other docs counted
+    val wm = Selection.weightedMedian(spark, degenerateDocs).collect()
+    assert(wm.map(_.getAs[Long]("n_docs")).sum == 4)
+    // "" splits to [""] = one token; "   " to four empty tokens
+    assert(wm.find(_.getAs[String]("source") == "s3")
+      .get.getAs[Long]("median_len") == 4L)
+    // diversity: sources keep their token counts; a source with zero
+    // 3-grams (s1: one 1-token doc) still appears, ratio NULL not 0
+    val nd = Selection.ngramDiversity(spark, degenerateDocs).collect()
+    assert(nd.map(_.getAs[Long]("n_tokens")).sum == 1 + 1 + 6 + 4)
+    nd.foreach(r => assert(r.getAs[Long]("uni_ttr_ppm") <= 1000000L))
+    val s1 = nd.find(_.getAs[String]("source") == "s1").get
+    assert(s1.getAs[Long]("n_3grams") == 0L && s1.isNullAt(s1.fieldIndex("tri_ttr_ppm")))
+    // entropy: empty and NULL docs produce no character rows; the
+    // single-char doc has entropy exactly 0
+    val ce = Selection.charEntropy(spark, degenerateDocs).collect()
+    val byId = ce.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ent_tmn")).toMap
+    assert(!byId.contains(1L) && !byId.contains(2L))
+    assert(byId(3L) == 0L)           // "x": one char class, ln(1/1) = 0
+    assert(byId(5L) == 0L)           // "   ": all-space, one class
+    // head-prefix cohorts: no two docs share a head here -> zero dups;
+    // the NULL-text doc has a NULL digest and is excluded by the join
+    val pd = Selection.prefixDup(spark, degenerateDocs).collect()
+    assert(pd.map(_.getAs[Long]("dup_head_docs")).sum == 0L)
+    assert(pd.map(_.getAs[Long]("n_docs")).sum == 4)
+    // curriculum grid still partitions whatever has a computable length
+    val grid = Selection.lengthQualityGrid(spark, degenerateDocs).collect()
+    assert(grid.map(_.getAs[Long]("n_docs")).sum >= 4)
+  }
+
+  test("hardNegatives survives all-zero vectors and fewer candidates than k") {
+    // 4 vectors, every one a query (vec_id < 5); vec 3 is all-zero so
+    // its cosine is NaN everywhere — it yields no rows as a query and
+    // is excluded as a candidate
+    val rows = Similarity.hardNegatives(spark, degenerateVecs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("vec_id"))
+      assert(!r.getAs[Double]("cos_sim").isNaN)
+      assert(r.getAs[Long]("rnk") <= 3L)
+    }
+    assert(!rows.exists(_.getAs[Long]("q_id") == 3L))
+    assert(!rows.exists(_.getAs[Long]("vec_id") == 3L))
+  }
 }
