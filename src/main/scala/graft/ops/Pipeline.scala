@@ -70,8 +70,12 @@ object Pipeline {
       .drop("__lo", "__hi")
   }
 
-  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 512,
-      shards: Int = 8): DataFrame = {
+  /** The distributed exclusive prefix sum both packers share: yields
+    * (source, doc_id, n_tokens, offset) with `offset` = total tokens
+    * of all earlier docs (doc_id order) in the same source, computed
+    * via the two-level sharded scan documented at [[seqPack]]. */
+  private[graft] def packOffsets(spark: SparkSession, sfDir: String,
+      shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val bucketed = packBuckets(spark, sfDir, shards)
@@ -89,6 +93,12 @@ object Pipeline {
       .select(col("source"), col("__bucket"), col("__carry"))
     local.join(broadcast(carry), Seq("source", "__bucket"))
       .withColumn("offset", col("__local_off") + col("__carry"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("offset"))
+  }
+
+  def seqPack(spark: SparkSession, sfDir: String, budget: Int = 512,
+      shards: Int = 8): DataFrame = {
+    packOffsets(spark, sfDir, shards)
       .withColumn("pack_id", expr(s"offset DIV $budget"))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -115,6 +125,68 @@ object Pipeline {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM offs GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  /** The OTHER packing policy: split documents at window boundaries so
+    * every context window carries EXACTLY `budget` tokens (the last
+    * window of a source may run short) — the GPT-style dense layout,
+    * where [[seqPack]] is the greedy keep-docs-whole layout that
+    * overshoots. A document occupies the half-open token range
+    * [offset, offset+n) of its source's global concatenation and
+    * contributes one FRAGMENT to every window that range intersects:
+    * fragment length in window w = min((w+1)·B, offset+n) − max(w·B,
+    * offset). The report per (source, window): fragment count, docs
+    * kept whole, and the window's token fill (the exactly-B invariant
+    * is pinned in PipelineSpec; the oracle hash pins the layout).
+    *
+    * Scale: the offsets come from the SAME two-level sharded prefix
+    * sum as [[seqPack]] ([[packOffsets]]); the fan-out is a generator
+    * explode (≤ n/B + 1 windows per doc, corpus-token-linear) and one
+    * partial-combined agg on (source, pack) — no new shuffle shape.
+    */
+  def seqPackSplit(spark: SparkSession, sfDir: String, budget: Int = 512,
+      shards: Int = 8): DataFrame = {
+    val b = budget.toLong
+    packOffsets(spark, sfDir, shards)
+      .withColumn("pack_id", explode(sequence(
+        expr(s"offset DIV $b"), expr(s"(offset + n_tokens - 1) DIV $b"))))
+      .withColumn("frag_tokens",
+        least(lit(b) * (col("pack_id") + 1), col("offset") + col("n_tokens"))
+          - greatest(lit(b) * col("pack_id"), col("offset")))
+      .withColumn("whole", (col("frag_tokens") === col("n_tokens")).cast("long"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_fragments"),
+        sum(col("whole")).as("n_whole_docs"),
+        sum(col("frag_tokens")).as("pack_tokens"))
+      .orderBy(col("source"), col("pack_id"))
+  }
+
+  /** Oracle twin of [[seqPackSplit]] — plain per-source window offsets
+    * (the sharded path must be bit-identical), `budget` interpolated. */
+  def seqPackSplitSql(budget: Int = 512): String =
+    s"""WITH toks AS (
+      |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), offs AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+      |  FROM toks
+      |), frags AS (
+      |  SELECT source, doc_id, n_tokens, "offset",
+      |    unnest(generate_series(CAST("offset" // $budget AS BIGINT),
+      |      CAST(("offset" + n_tokens - 1) // $budget AS BIGINT))) AS pack_id
+      |  FROM offs
+      |)
+      |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+      |  count(*) AS n_fragments,
+      |  CAST(sum(CASE WHEN least($budget * (pack_id + 1), "offset" + n_tokens)
+      |                   - greatest($budget * pack_id, "offset") = n_tokens
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_docs,
+      |  CAST(sum(least($budget * (pack_id + 1), "offset" + n_tokens)
+      |           - greatest($budget * pack_id, "offset")) AS BIGINT) AS pack_tokens
+      |FROM frags
+      |GROUP BY source, pack_id
+      |ORDER BY source, pack_id""".stripMargin
 
   // --------------------------------------------------------------------
   // Overlapping-window chunking

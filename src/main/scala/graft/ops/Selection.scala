@@ -183,6 +183,90 @@ object Selection {
        |ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
+  // Exact-quota sample execution (distributed order statistic)
+  // --------------------------------------------------------------------
+
+  /** EXECUTES the [[proportionalAlloc]] plan: per source, keep exactly
+    * `quota` documents — the quota-th order statistic of a
+    * deterministic id-hash, so the selection is reproducible and
+    * unbiased by content. This is the distributed-selection algorithm,
+    * not a sort: doc hashes histogram into `buckets` contiguous ranges,
+    * the per-(source, bucket) counts (a model-sized table: sources ×
+    * buckets rows at ANY corpus size) locate each source's boundary
+    * bucket by cumulative count, every doc in a bucket strictly below
+    * the boundary is kept outright, and ONLY the boundary bucket's
+    * ~n/buckets docs pay a rank. No per-source corpus sort exists
+    * anywhere.
+    *
+    * The oracle is the PLAIN formulation — one rank over each source's
+    * full doc list — so a green run proves the histogram path selects
+    * the identical set (the `q_skew_agg` pattern). `id_check` pins the
+    * exact membership, not just the counts.
+    */
+  def exactSample(spark: SparkSession, sfDir: String,
+      budget: Long = 1000, buckets: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 8), 16, 10)
+      .cast("long")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), wsTokens.as("n_tokens"), h.as("h"))
+      .withColumn("b", expr(s"h DIV ${(1L << 32) / buckets}")) // contiguous hash ranges
+    val quotas = proportionalAlloc(spark, sfDir, budget)
+      .select(col("source"), col("quota"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
+    val hist = docs.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("cum_below", col("cum") - col("cnt"))
+      .join(broadcast(quotas), Seq("source"))
+    val tagged = docs
+      .join(broadcast(hist.select(col("source"), col("b"),
+        col("cum"), col("cum_below"), col("quota"))), Seq("source", "b"))
+    val keptFull = tagged.filter(col("cum") <= col("quota"))
+    // only the boundary bucket (cum_below < quota < cum) pays a rank,
+    // over ~corpus/buckets rows per source
+    val wEdge = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val keptEdge = tagged
+      .filter(col("cum_below") < col("quota") && col("quota") < col("cum"))
+      .withColumn("r", row_number().over(wEdge))
+      .filter(col("r") <= col("quota") - col("cum_below"))
+      .drop("r")
+    keptFull.unionByName(keptEdge)
+      .groupBy(col("source"))
+      .agg(max(col("quota")).as("quota"),
+        count(lit(1)).as("kept_docs"),
+        sum(col("n_tokens")).as("kept_tokens"),
+        sum(col("doc_id") % lit(1000003L)).as("id_check"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[exactSample]] — the PLAIN one-rank-per-source
+    * selection (the histogram engine path must choose the identical
+    * set); `budget` interpolated, quota CTE = [[proportionalAllocSql]]
+    * verbatim. */
+  def exactSampleSql(budget: Long = 1000): String =
+    s"""WITH alloc AS (
+       |${proportionalAllocSql(budget)}
+       |), hashed AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5('sample:' || doc_id), 1, 8))::BIGINT AS h
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS r
+       |  FROM hashed
+       |)
+       |SELECT r.source, CAST(max(a.quota) AS BIGINT) AS quota,
+       |  count(*) AS kept_docs,
+       |  CAST(sum(r.n_tokens) AS BIGINT) AS kept_tokens,
+       |  CAST(sum(r.doc_id % 1000003) AS BIGINT) AS id_check
+       |FROM ranked r JOIN alloc a ON r.source = a.source
+       |WHERE r.r <= a.quota
+       |GROUP BY r.source
+       |ORDER BY r.source""".stripMargin
+
+  // --------------------------------------------------------------------
   // Weighted median document length (histogram formulation)
   // --------------------------------------------------------------------
 

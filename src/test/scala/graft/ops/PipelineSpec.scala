@@ -66,6 +66,28 @@ class PipelineSpec extends SparkTestBase {
 
   // ---------------- substringOverlap ----------------
 
+  test("seqPackSplit fills every non-tail window to exactly the budget") {
+    val B = 512L
+    val packs = Pipeline.seqPackSplit(spark, sfDir, budget = B.toInt).collect()
+    val bySrc = packs.groupBy(_.getAs[String]("source"))
+    bySrc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pack_id"))
+      // contiguous window ids from 0
+      assert(sorted.map(_.getAs[Long]("pack_id")).toSeq ==
+        (0L until sorted.length).toSeq)
+      // the dense-layout invariant: every window but the last is FULL
+      sorted.init.foreach(r => assert(r.getAs[Long]("pack_tokens") == B))
+      assert(sorted.last.getAs[Long]("pack_tokens") <= B)
+      rows.foreach(r =>
+        assert(r.getAs[Long]("n_whole_docs") <= r.getAs[Long]("n_fragments")))
+    }
+    // fragment accounting: token mass is conserved exactly (both
+    // policies lay out the identical concatenation)
+    val greedy = Pipeline.seqPack(spark, sfDir, budget = 512).collect()
+    assert(packs.map(_.getAs[Long]("pack_tokens")).sum ==
+      greedy.map(_.getAs[Long]("pack_tokens")).sum)
+  }
+
   test("substringOverlap pairs genuinely share a verbatim run of the reported length") {
     val rows = Dedup.substringOverlap(spark, sfDir).collect()
     assert(rows.nonEmpty, "synthetic near-dup clusters must surface shared runs")

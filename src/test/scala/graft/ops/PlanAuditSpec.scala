@@ -215,6 +215,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(sharded.toSeq == plain.toSeq)
   }
 
+  test("seqPackSplit: sharded offsets, generator fan-out, sharded ≡ plain") {
+    val df = Pipeline.seqPackSplit(spark, sfDir, shards = 8)
+    val p = plan(df)
+    // same sharded prefix-sum contract as seqPack
+    assert("windowspecdefinition\\(source#\\d+, __bucket".r.findFirstIn(p).isDefined,
+      s"prefix-sum window not sharded by __bucket:\n$p")
+    // fragments come from a generator, not a join
+    assert(p.contains("Generate explode"), s"fragment fan-out must be an explode:\n$p")
+    assert(Pipeline.seqPackSplit(spark, sfDir, shards = 8).collect().toSeq ==
+      Pipeline.seqPackSplit(spark, sfDir, shards = 1).collect().toSeq)
+  }
+
+  test("exactSample: model-sized histogram broadcasts; only windows over hist/boundary") {
+    val df = Selection.exactSample(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the (source, bucket) count table and the quota table broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"histogram + quota lookups must broadcast:\n$p")
+    // the cum window sees the AGGREGATED hist (agg below it in plan
+    // text), never raw documents — the weightedMedian discipline
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && p.lastIndexOf("HashAggregate") > iWin,
+      s"cum window must scan the histogram aggregate:\n$p")
+  }
+
   test("saltedEventStats keeps both phases map-side combinable (4 HashAggregates)") {
     val p = plan(Skew.saltedEventStats(spark, sfDir))
     val aggs = "HashAggregate".r.findAllIn(p).length

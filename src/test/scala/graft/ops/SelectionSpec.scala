@@ -83,6 +83,27 @@ class SelectionSpec extends SparkTestBase {
       .map(_.getAs[Long]("quota")).sum == 7L)
   }
 
+  // ---------------- exactSample ----------------
+
+  test("exactSample keeps exactly the quota-smallest hashes per source") {
+    val alloc = Selection.proportionalAlloc(spark, sfDir, budget = 1000).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+    val expect = docs.groupBy(_._2).map { case (src, g) =>
+      val ranked = g.map { case (id, _, text) =>
+        (java.lang.Long.parseLong(md5Hex(s"sample:$id").take(8), 16), id,
+          text.split(" ", -1).length.toLong)
+      }.sortBy(t => (t._1, t._2)).take(alloc(src).toInt)
+      src -> (math.min(alloc(src), g.size.toLong), ranked.map(_._3).sum,
+        ranked.map(_._2 % 1000003L).sum)
+    }.filter(_._2._1 > 0)
+    val got = Selection.exactSample(spark, sfDir).collect().map { r =>
+      r.getAs[String]("source") ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("id_check"))
+    }.toMap
+    assert(got == expect)
+  }
+
   // ---------------- weightedMedian ----------------
 
   test("weightedMedian matches brute force on both weightings") {
