@@ -139,23 +139,33 @@ object Selection {
     * window runs; the unpartitioned windows see only that model-sized
     * frame (single-task by design, #sources rows at ANY corpus size).
     */
-  def proportionalAlloc(spark: SparkSession, sfDir: String,
-      budget: Long = 1000): DataFrame = {
+  /** Largest-remainder (Hamilton) apportionment of `budget` slots over
+    * a model-sized (source, w) weight frame: base = floor share, the
+    * truncation leftover goes to the largest integer remainders (ties
+    * to source asc). Shared by [[proportionalAlloc]] (w = token mass)
+    * and [[temperatureMix]] (w = token mass^α). */
+  private def hamilton(weights: DataFrame, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bySrc = Tables.documents(spark, sfDir)
-      .select(col("source"), wsTokens.as("n_tokens"))
-      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
-    val tot = bySrc.agg(sum(col("src_tokens")).as("total"))
+    val tot = weights.agg(sum(col("w")).as("total"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wRem = Window.orderBy(col("rem").desc, col("source"))
-    bySrc.crossJoin(broadcast(tot))
-      .withColumn("base_quota", expr(s"($budget * src_tokens) DIV total"))
-      .withColumn("rem", expr(s"($budget * src_tokens) % total"))
+    weights.crossJoin(broadcast(tot))
+      .withColumn("base_quota", expr(s"($budget * w) DIV total"))
+      .withColumn("rem", expr(s"($budget * w) % total"))
       .withColumn("leftover", lit(budget) - sum(col("base_quota")).over(wAll))
       .withColumn("extra",
         when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("quota", col("base_quota") + col("extra"))
+  }
+
+  def proportionalAlloc(spark: SparkSession, sfDir: String,
+      budget: Long = 1000): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    hamilton(bySrc.withColumn("w", col("src_tokens")), budget)
       .select(col("source"), col("src_tokens"), col("base_quota"),
-        col("extra"), (col("base_quota") + col("extra")).as("quota"))
+        col("extra"), col("quota"))
       .orderBy(col("source"))
   }
 
@@ -177,6 +187,57 @@ object Selection {
        |SELECT source, src_tokens, base_quota,
        |  CAST(CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
        |       THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       |  CAST(base_quota + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
+       |       THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
+  /** Temperature-flattened mixture allocation: slots ∝ (token mass)^α
+    * with α < 1 — the standard multilingual/multi-domain rebalance
+    * (α ≈ 0.7 in the mT5/XLM-R lineage): big sources are damped, small
+    * sources boosted, without the hard uniform cap of [[sourceMix]].
+    * Weights are `pow` doubles rounded ONCE to 1e4-scaled integers
+    * (the `q_lm_score` discipline — the only FP step, absorbed by
+    * rounding); the apportionment itself is the exact-integer Hamilton
+    * scheme, so Σ quota == budget still holds exactly.
+    *
+    * Scale: identical to [[proportionalAlloc]] — one partial-agg scan
+    * to the #sources frame; everything after is model-sized.
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String,
+      budget: Long = 1000, alpha: Double = 0.7): DataFrame = {
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("src_tokens"))
+    hamilton(bySrc.withColumn("w",
+        round(pow(col("src_tokens").cast("double"), alpha) * 10000).cast("long")),
+      budget)
+      .select(col("source"), col("src_tokens"), col("w").as("weight_tmn"),
+        col("quota"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[temperatureMix]] — `budget`/`alpha`
+    * interpolated. */
+  def temperatureMixSql(budget: Long = 1000, alpha: Double = 0.7): String =
+    s"""WITH by_src AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+       |  FROM documents GROUP BY source
+       |), weighted AS (
+       |  SELECT source, src_tokens,
+       |    CAST(round(pow(CAST(src_tokens AS DOUBLE), $alpha) * 10000) AS BIGINT) AS w
+       |  FROM by_src
+       |), tot AS (
+       |  SELECT CAST(sum(w) AS BIGINT) AS total FROM weighted
+       |), alloc AS (
+       |  SELECT source, src_tokens, w,
+       |    CAST($budget * w // total AS BIGINT) AS base_quota,
+       |    CAST($budget * w % total AS BIGINT) AS rem,
+       |    CAST($budget - sum($budget * w // total) OVER () AS BIGINT) AS leftover
+       |  FROM weighted CROSS JOIN tot
+       |)
+       |SELECT source, src_tokens, w AS weight_tmn,
        |  CAST(base_quota + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= leftover
        |       THEN 1 ELSE 0 END AS BIGINT) AS quota
        |FROM alloc

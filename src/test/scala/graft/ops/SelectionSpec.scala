@@ -83,6 +83,23 @@ class SelectionSpec extends SparkTestBase {
       .map(_.getAs[Long]("quota")).sum == 7L)
   }
 
+  // ---------------- temperatureMix ----------------
+
+  test("temperatureMix hits the budget exactly and flattens the proportional plan") {
+    val temp = Selection.temperatureMix(spark, sfDir, budget = 1000, alpha = 0.7)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+    assert(temp.values.sum == 1000L)
+    val prop = Selection.proportionalAlloc(spark, sfDir, budget = 1000)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+    // α < 1 damps the spread: the temperature plan's range is no wider
+    assert(temp.values.max - temp.values.min <= prop.values.max - prop.values.min)
+    // α = 1 degenerates to (within rounding of the 1e4-scaled weight)
+    // the proportional plan
+    val flat = Selection.temperatureMix(spark, sfDir, budget = 1000, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("quota")).toMap
+    flat.foreach { case (s, q) => assert(math.abs(q - prop(s)) <= 1L) }
+  }
+
   // ---------------- exactSample ----------------
 
   test("exactSample keeps exactly the quota-smallest hashes per source") {
