@@ -134,6 +134,10 @@ object Selection {
     * EXACTLY — the property a fixed fine-tuning budget or eval-suite
     * size needs (pinned by SelectionSpec). The remainder comparison is
     * `budget·src % total` — pure integer, no FP rate anywhere.
+    * Product bound: `budget · src_tokens` must fit a long — fine to
+    * ~9e18/budget tokens per source (a 100 TB corpus is ~2.5e13);
+    * past that Spark's ANSI overflow throws LOUDLY rather than
+    * silently diverging from DuckDB's HUGEINT promotion.
     *
     * Scale: the doc scan collapses to a #sources-row frame before any
     * window runs; the unpartitioned windows see only that model-sized
@@ -199,7 +203,10 @@ object Selection {
     * Weights are `pow` doubles rounded ONCE to 1e4-scaled integers
     * (the `q_lm_score` discipline — the only FP step, absorbed by
     * rounding); the apportionment itself is the exact-integer Hamilton
-    * scheme, so Σ quota == budget still holds exactly.
+    * scheme, so Σ quota == budget still holds exactly. Product bound:
+    * `budget · w` with w ≈ tokens^α·1e4 — a 100 TB source (w ≈ 2.4e13)
+    * overflows a long only past budget ≈ 4e5; Spark ANSI throws loudly
+    * there, it cannot silently diverge.
     *
     * Scale: identical to [[proportionalAlloc]] — one partial-agg scan
     * to the #sources frame; everything after is model-sized.

@@ -650,6 +650,57 @@ object Similarity {
       |GROUP BY label
       |ORDER BY label""".stripMargin
 
+  /** Pairwise cosine between label centroids — the class-geometry
+    * report (which semantic clusters sit close, where hard negatives
+    * will come from, whether a label split is worth it), computed
+    * RELATIONALLY from the long-format centroid table: self-join on
+    * the dimension, one agg per label pair. The rounded centroid
+    * components scale to exact 1e4 integers BEFORE the dot product
+    * (the `q_sparse_cosine` discipline), so the Σ-folds are
+    * order-independent BIGINTs and only the final single-value
+    * cos/√ divides in FP.
+    *
+    * Scale: the centroid table is #labels × dim rows at any corpus
+    * size — everything here is model-sized after the one
+    * [[labelCentroids]] scan.
+    */
+  def centroidSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = labelCentroids(spark, sfDir)
+      .select(col("label"), col("pos"),
+        round(col("m") * 10000).cast("long").as("im"))
+    val a = c.select(col("label").as("label_a"), col("pos"), col("im").as("ia"))
+    val b = c.select(col("label").as("label_b"), col("pos"), col("im").as("ib"))
+    a.join(b, Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ia") * col("ib")).as("dot"),
+        sum(col("ia") * col("ia")).as("na"),
+        sum(col("ib") * col("ib")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        (round(col("dot") / sqrt(col("na").cast("double") * col("nb")), 4) + lit(0.0))
+          .as("cos_sim"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  /** Oracle twin of [[centroidSim]] — centroid CTE shared with
+    * [[labelCentroidsSql]]'s formulation. */
+  def centroidSimSql: String =
+    """WITH cent AS (
+      |  SELECT label, pos,
+      |    CAST(round((round(avg(v), 4) + 0.0) * 10000) AS BIGINT) AS im
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          unnest(range(0, len(embedding))) AS pos
+      |        FROM embeddings)
+      |  GROUP BY label, pos
+      |)
+      |SELECT a.label AS label_a, b.label AS label_b,
+      |  round(CAST(sum(a.im * b.im) AS DOUBLE) /
+      |    sqrt(CAST(sum(a.im * a.im) AS BIGINT) * CAST(sum(b.im * b.im) AS DOUBLE)), 4) + 0.0
+      |    AS cos_sim
+      |FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      |GROUP BY a.label, b.label
+      |ORDER BY label_a, label_b""".stripMargin
+
   /** Hard-negative mining for contrastive / embedding-model training:
     * for each of the first `nQueries` vectors, the `k` most-similar
     * vectors carrying a DIFFERENT label — the near-misses a trainer

@@ -242,6 +242,31 @@ class SelectionSpec extends SparkTestBase {
     assert(m.map(_.getAs[Long]("n_pairs")).sum == totalPairs)
   }
 
+  // ---------------- centroidSim ----------------
+
+  test("centroidSim matches a replay from the rounded centroid table") {
+    val cent = Similarity.labelCentroids(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("pos"),
+        math.round(r.getAs[Double]("m") * 10000)))
+    val byLabel = cent.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3)).toMap
+    def round4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val labels = byLabel.keys.toSeq.sorted
+    val expect = (for {
+      a <- labels; b <- labels if a < b
+      va = byLabel(a); vb = byLabel(b)
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = va.map(x => x * x).sum; nb = vb.map(x => x * x).sum
+    } yield (a, b) -> round4(dot / math.sqrt(na.toDouble * nb))).toMap
+    val got = Similarity.centroidSim(spark, sfDir).collect().map { r =>
+      (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) -> r.getAs[Double]("cos_sim")
+    }.toMap
+    assert(got.size == labels.size * (labels.size - 1) / 2)
+    assert(got == expect)
+    got.values.foreach(c => assert(c >= -1.0001 && c <= 1.0001))
+  }
+
   // ---------------- hardNegatives ----------------
 
   test("hardNegatives two-phase top-k equals brute force, labels always differ") {
