@@ -57,6 +57,14 @@ object Scale50 {
     time("source_mix 250k")(ops.Pipeline.sourceMix(spark, d).count())
     time("pii_redact 250k")(ops.Pipeline.piiRedact(spark, d).count())
     time("substring_overlap 250k")(println("  pairs=" + ops.Dedup.substringOverlap(spark, d).count()))
+    time("dsir_weights 250k")(ops.Selection.dsirWeights(spark, d).count())
+    time("ngram_diversity 250k")(ops.Selection.ngramDiversity(spark, d).count())
+    time("char_entropy 250k")(ops.Selection.charEntropy(spark, d).count())
+    time("prefix_dup 250k")(ops.Selection.prefixDup(spark, d).count())
+    time("weighted_median 250k")(ops.Selection.weightedMedian(spark, d).count())
+    time("exact_sample 250k")(ops.Selection.exactSample(spark, d).count())
+    time("seq_pack_split 250k")(ops.Pipeline.seqPackSplit(spark, d).count())
+    time("length_quality_grid 250k")(ops.Selection.lengthQualityGrid(spark, d).count())
 
     // 50× embeddings (100k vectors): replicas get a per-replica
     // component bump on dimension (rep mod dim) — large enough to

@@ -440,7 +440,12 @@ object Pipeline {
     * model-sized drop lists — the near-dup pair table is the shared
     * persisted artifact); the funnel itself is ONE pass with a
     * conditional-sum agg. */
-  def curationFunnel(spark: SparkSession, sfDir: String,
+  /** The per-doc verdict frame [[curationFunnel]] aggregates: every
+    * document with its `first_fail` stage (99 = survivor). Exposed so
+    * the keep SET is materializable — [[curationKeepSet]] filters it,
+    * and the E2E curation spec chains the survivors into the
+    * split/alloc/sample/pack stages. */
+  private[graft] def curationFlags(spark: SparkSession, sfDir: String,
       minDecile: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
@@ -448,7 +453,7 @@ object Pipeline {
       .select(col("doc_b").as("doc_id")).distinct().withColumn("near_dup", lit(1))
     val contam = Dedup.decontaminate(spark, sfDir)
       .select(col("doc_id")).distinct().withColumn("contaminated", lit(1))
-    val flagged = docs
+    docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("decile", Text.qualityDecile)
       // min-id survivor per fingerprint; window PARTITION BY groups
@@ -463,6 +468,21 @@ object Pipeline {
           .when(col("near_dup") === 1, 3)
           .when(col("contaminated") === 1, 4)
           .otherwise(99))
+  }
+
+  /** The funnel's survivor set as corpus rows — what actually ships
+    * to the mixing/splitting/packing stages. Same verdicts as
+    * [[curationFunnel]] (shared [[curationFlags]]), so the report's
+    * last stage counts THIS frame exactly. */
+  def curationKeepSet(spark: SparkSession, sfDir: String,
+      minDecile: Int = 2): DataFrame =
+    curationFlags(spark, sfDir, minDecile)
+      .filter(col("first_fail") === 99)
+      .select(Tables.documents(spark, sfDir).columns.map(col): _*)
+
+  def curationFunnel(spark: SparkSession, sfDir: String,
+      minDecile: Int = 2): DataFrame = {
+    val flagged = curationFlags(spark, sfDir, minDecile)
     val sums = (0 to 4).flatMap(i => Seq(
       sum(when(col("first_fail") > i, 1L).otherwise(0L)).as(s"d$i"),
       sum(when(col("first_fail") > i, col("n_tokens")).otherwise(0L)).as(s"t$i")))
