@@ -60,24 +60,44 @@ object Selection {
     * sum — one corpus-wide shuffle on doc_id plus a #sources-row agg.
     * The model (the llr table) is buckets-sized at ANY corpus size.
     */
-  def dsirWeights(spark: SparkSession, sfDir: String,
-      target: String = "src0", buckets: Int = 512): DataFrame = {
-    val tok = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("source"), md5Bucket(col("tok"), buckets).as("b"))
+  /** TRAIN half of the DSIR scheme: the buckets-row log-likelihood-
+    * ratio model from a labeled corpus — build once (batch), apply
+    * anywhere ([[dsirDocWeights]]), including inside a streaming
+    * intake gate (model broadcast per micro-batch; see
+    * StreamIntakeSpec's gate test). */
+  def dsirLlrTable(docs: DataFrame, target: String,
+      buckets: Int = 512): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("source"), md5Bucket(col("tok"), buckets).as("b"))
     val counts = tok.groupBy(col("b"))
       .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("c_t"),
         sum(when(col("source") =!= target, 1L).otherwise(0L)).as("c_r"))
     val tots = counts.agg(sum(col("c_t")).as("tt"), sum(col("c_r")).as("tr"))
-    val llr = counts.crossJoin(broadcast(tots))
+    counts.crossJoin(broadcast(tots))
       .select(col("b"),
         round((log((col("c_t") + lit(1.0)) / (col("tt") + lit(buckets))) -
           log((col("c_r") + lit(1.0)) / (col("tr") + lit(buckets)))) * 10000)
           .cast("long").as("llr_tmn"))
-    tok.join(broadcast(llr), Seq("b"))
-      .groupBy(col("doc_id"), col("source"))
+  }
+
+  /** APPLY half: per-doc weight of any (doc_id, text) frame under a
+    * trained llr model — exact integer sum of the model's rounded
+    * per-bucket scores. Docs with no tokens (NULL text) yield no rows. */
+  def dsirDocWeights(docs: DataFrame, llr: DataFrame,
+      buckets: Int = 512): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5Bucket(col("tok"), buckets).as("b"))
+      .join(broadcast(llr), Seq("b"))
+      .groupBy(col("doc_id"))
       .agg(sum(col("llr_tmn")).as("w_tmn"))
+
+  def dsirWeights(spark: SparkSession, sfDir: String,
+      target: String = "src0", buckets: Int = 512): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val llr = dsirLlrTable(docs, target, buckets)
+    dsirDocWeights(docs, llr, buckets)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w_tmn")).as("sum_w_tmn"),

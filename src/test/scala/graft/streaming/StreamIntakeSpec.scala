@@ -177,4 +177,52 @@ class StreamIntakeSpec extends SparkTestBase {
     assert(passed.synchronized(passed.toSet) == Set(31L, 32L),
       "a single brushed token must not reject a doc at minShared=3")
   }
+
+  test("batch-trained DSIR model gates the stream identically to batch scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    // TRAIN once, batch-side, on the full corpus; the model is the
+    // buckets-row llr table — materialized to parquet like any other
+    // shipped model artifact
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val modelPath = tmpDir("dsir_model") + "/llr.parquet"
+    graft.ops.Selection.dsirLlrTable(corpus, "src0").write.parquet(modelPath)
+
+    // batch truth: every doc's weight under the model
+    val batchW = graft.ops.Selection
+      .dsirDocWeights(corpus, spark.read.parquet(modelPath))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold at the overall mean so both sides of the gate are hit
+    val thr = batchW.values.sum / batchW.size
+
+    val streamed = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          // APPLY per micro-batch: O(batch) explode + broadcast join
+          // into the model — the same integers as the batch path
+          val ids = graft.ops.Selection
+            .dsirDocWeights(batch, s.read.parquet(modelPath))
+            .filter(col("w_tmn") > thr)
+            .collect().map(_.getLong(0))
+          kept.synchronized { kept ++= ids }
+          ()
+        }
+      }
+      .start()
+    // three micro-batches: the gate must not depend on batch framing
+    streamed.grouped(math.max(1, streamed.length / 3)).foreach { g =>
+      mem.addData(g.toSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val expect = batchW.filter(_._2 > thr).keySet
+    assert(kept.synchronized(kept.toSet) == expect,
+      "stream gate must keep exactly the batch-scored set")
+    assert(expect.nonEmpty && expect.size < batchW.size,
+      "threshold must split the corpus for the test to mean anything")
+  }
 }
