@@ -70,9 +70,20 @@ object Selection {
     val tok = docs
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .select(col("source"), md5Bucket(col("tok"), buckets).as("b"))
-    val counts = tok.groupBy(col("b"))
+    val seen = tok.groupBy(col("b"))
       .agg(sum(when(col("source") === target, 1L).otherwise(0L)).as("c_t"),
         sum(when(col("source") =!= target, 1L).otherwise(0L)).as("c_r"))
+    // DENSE model: a bucket no training token hashed to still carries
+    // its Laplace-smoothed score (counts 0) — an applied frame whose
+    // tokens land in unseen buckets must get the smoothed background
+    // ratio, not silently drop out of the sum (the streaming-gate
+    // apply path scores out-of-vocabulary content wrong otherwise;
+    // in-corpus weights are unchanged because a training doc's own
+    // buckets are by definition seen)
+    val counts = docs.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(seen, Seq("b"), "left")
+      .select(col("b"), coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_r"), lit(0L)).as("c_r"))
     val tots = counts.agg(sum(col("c_t")).as("tt"), sum(col("c_r")).as("tr"))
     counts.crossJoin(broadcast(tots))
       .select(col("b"),
@@ -83,21 +94,26 @@ object Selection {
 
   /** APPLY half: per-doc weight of any (doc_id, text) frame under a
     * trained llr model — exact integer sum of the model's rounded
-    * per-bucket scores. Docs with no tokens (NULL text) yield no rows. */
+    * per-bucket scores (the model is DENSE, so every token scores).
+    * Docs with no tokens (NULL text) yield no rows. `carryCols` ride
+    * along through the aggregate (grouping keys — doc_id is unique,
+    * so e.g. `source` adds no groups and saves the caller a
+    * corpus-wide join-back). */
   def dsirDocWeights(docs: DataFrame, llr: DataFrame,
-      buckets: Int = 512): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), md5Bucket(col("tok"), buckets).as("b"))
+      buckets: Int = 512, carryCols: Seq[String] = Nil): DataFrame = {
+    val keys = ("doc_id" +: carryCols).map(col)
+    docs.select(keys :+ explode(split(col("text"), " ")).as("tok"): _*)
+      .select(keys :+ md5Bucket(col("tok"), buckets).as("b"): _*)
       .join(broadcast(llr), Seq("b"))
-      .groupBy(col("doc_id"))
+      .groupBy(keys: _*)
       .agg(sum(col("llr_tmn")).as("w_tmn"))
+  }
 
   def dsirWeights(spark: SparkSession, sfDir: String,
       target: String = "src0", buckets: Int = 512): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val llr = dsirLlrTable(docs, target, buckets)
-    dsirDocWeights(docs, llr, buckets)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    dsirDocWeights(docs, llr, buckets, carryCols = Seq("source"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("w_tmn")).as("sum_w_tmn"),

@@ -676,6 +676,10 @@ object Similarity {
       .agg(sum(col("ia") * col("ib")).as("dot"),
         sum(col("ia") * col("ia")).as("na"),
         sum(col("ib") * col("ib")).as("nb"))
+      // a zero-norm (all-components-round-to-0) centroid has no cosine
+      // to anything: 0/0 is NaN in Spark but engine-dependent in SQL
+      // dialects, so the pair is EXCLUDED rather than emitted as junk
+      .filter(col("na") > 0 && col("nb") > 0)
       .select(col("label_a"), col("label_b"),
         (round(col("dot") / sqrt(col("na").cast("double") * col("nb")), 4) + lit(0.0))
           .as("cos_sim"))
@@ -699,6 +703,7 @@ object Similarity {
       |    AS cos_sim
       |FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
       |GROUP BY a.label, b.label
+      |HAVING sum(a.im * a.im) > 0 AND sum(b.im * b.im) > 0
       |ORDER BY label_a, label_b""".stripMargin
 
   /** Hard-negative mining for contrastive / embedding-model training:

@@ -235,11 +235,15 @@ class PlanAuditSpec extends SparkTestBase {
     // the (source, bucket) count table and the quota table broadcast
     assert(p.contains("BroadcastHashJoin"),
       s"histogram + quota lookups must broadcast:\n$p")
-    // the cum window sees the AGGREGATED hist (agg below it in plan
-    // text), never raw documents — the weightedMedian discipline
-    val iWin = p.indexOf("Window")
-    assert(iWin >= 0 && p.lastIndexOf("HashAggregate") > iWin,
-      s"cum window must scan the histogram aggregate:\n$p")
+    // anchored assertions (AQE stages hide subtrees from collect):
+    // the cum window is the one partitioned by source, ORDERED BY the
+    // bucket column b — and the (source, b) histogram aggregate it
+    // scans must exist in the plan; a regression that windows over raw
+    // documents loses the (source, b)-keyed aggregate
+    assert("windowspecdefinition\\(source#\\d+, b#\\d+L? ASC".r.findFirstIn(p).isDefined,
+      s"expected the cum-over-buckets window (partition source, order b):\n$p")
+    assert("HashAggregate\\(keys=\\[source#\\d+, b#\\d+L?\\]".r.findFirstIn(p).isDefined,
+      s"expected the (source, b) histogram aggregate feeding the cum window:\n$p")
   }
 
   test("saltedEventStats keeps both phases map-side combinable (4 HashAggregates)") {

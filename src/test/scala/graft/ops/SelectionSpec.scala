@@ -64,6 +64,24 @@ class SelectionSpec extends SparkTestBase {
     assert(perTok.maxBy(_._2)._1 == "src0")
   }
 
+  test("dsir model is dense: unseen-bucket tokens score the smoothed ratio, not zero") {
+    import spark.implicits._
+    val corpus = graft.Tables.documents(spark, sfDir)
+    val llr = Selection.dsirLlrTable(corpus, "src0")
+    val model = llr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every one of the 512 buckets carries a score — including those
+    // no training token hashed to
+    assert(model.size == 512)
+    // an out-of-vocabulary doc still gets the exact model sum
+    val oov = Seq((999L, "zzqx9 wvvk7 zzqx9")).toDF("doc_id", "text")
+    val got = Selection.dsirDocWeights(oov, llr).collect()
+    assert(got.length == 1)
+    val bucketOf = (tok: String) =>
+      java.lang.Long.parseLong(md5Hex(tok).take(8), 16) % 512
+    val expect = Seq("zzqx9", "wvvk7", "zzqx9").map(t => model(bucketOf(t))).sum
+    assert(got.head.getAs[Long]("w_tmn") == expect)
+  }
+
   // ---------------- proportionalAlloc ----------------
 
   test("proportionalAlloc hits the budget exactly with quota in {base, base+1}") {
