@@ -131,4 +131,36 @@ class SocketIngestSpec extends SparkTestBase {
       "the pathological body survives the socket edge end-to-end")
     assert(Distribution.subscribeConsistent(spark, layout, "tweets").count() == 1)
   }
+
+  test("relay fans many frontends into the one socket-source connection") {
+    val layout = Layout(tmpDir("socket-relay"))
+    val relay = new SocketRelay(clientPort = 0, servePort = 0)
+    // ServerSocket(0) binds an ephemeral port; read the real ones back
+    val (cPort, sPort) = (relay.clientPortBound, relay.servePortBound)
+    val q = SocketIngest.start(spark, layout, "localhost", sPort,
+      Trigger.ProcessingTime("200 milliseconds"))
+    try {
+      // three concurrent frontends, one envelope each — the reference's
+      // many-API-nodes-one-stream shape
+      val lines = envelopeLines
+      val writers = lines.map { line =>
+        new Thread(() => {
+          val sock = new java.net.Socket("localhost", cPort)
+          val w = new PrintWriter(sock.getOutputStream, true)
+          w.println(line); w.flush()
+          Thread.sleep(30000) // hold like a keep-alive frontend
+        })
+      }
+      writers.foreach { t => t.setDaemon(true); t.start() }
+      val deadline = System.currentTimeMillis() + 60000
+      while (bronzeRecordCount(layout) < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      writers.foreach(_.interrupt())
+    } finally {
+      q.stop()
+      relay.close()
+    }
+    assert(bronzeRecordCount(layout) == 3,
+      "lines from every concurrent frontend must reach bronze")
+  }
 }
