@@ -78,4 +78,25 @@ class SketchSpec extends SparkTestBase {
       assert(pass == members + fp && pass >= members)
     }
   }
+
+  test("minhashAccuracy estimates true jaccard within MinHash theory bounds") {
+    val rows = Sketch.minhashAccuracy(spark, sfDir).collect()
+    // audits exactly the confirmed pair table, nothing else
+    assert(rows.length == Dedup.lshNearDupPairs(spark, sfDir).count())
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("matches")
+      assert(m >= 0 && m <= 64)
+      assert(r.getAs[Long]("est_ppm") == m * 1000000L / 64)
+      // pairs enter the table at J >= 0.5: a k=64 estimate more than
+      // ~5 sigma out (sigma <= 0.0625) means broken hashing, not noise
+      assert(r.getAs[Long]("abs_err_ppm") <= 320000L,
+        s"estimator off by ${r.getAs[Long]("abs_err_ppm")} ppm on " +
+          s"(${r.getAs[Long]("doc_a")}, ${r.getAs[Long]("doc_b")})")
+    }
+    // and in aggregate the estimator is unbiased-ish: mean abs error
+    // well under one sigma
+    val meanErr = rows.map(_.getAs[Long]("abs_err_ppm")).sum / rows.length
+    assert(meanErr <= 60000L, s"mean abs err $meanErr ppm")
+  }
 }
