@@ -58,8 +58,10 @@ class SocketRelay(val clientPort: Int, val servePort: Int,
               queue.putLast(line) // blocks when full = producer backpressure
               line = in.readLine()
             }
-          } catch { case _: java.io.IOException => () } // client went away
-          finally s.close()
+          } catch {
+            case _: java.io.IOException => ()    // client went away
+            case _: InterruptedException => ()   // close() while queue full
+          } finally s.close()
         }
       } catch { case _: java.io.IOException => () } // closed during accept
     }
