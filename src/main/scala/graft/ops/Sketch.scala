@@ -301,7 +301,14 @@ object Sketch {
     */
   def minhashAccuracy(spark: SparkSession, sfDir: String,
       k: Int = 64): DataFrame = {
+    val pairs = Dedup.nearDupPairTable(spark, sfDir)
+    // only pair PARTICIPANTS need signatures — the pair table is tiny
+    // relative to the corpus, so the semi-join prunes the heavy
+    // explode+agg to the audited docs (output identical)
+    val participants = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val toks = Tables.documents(spark, sfDir)
+      .join(broadcast(participants), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
       .select(col("doc_id"),
@@ -319,7 +326,7 @@ object Sketch {
       .select(col("doc_id"), col("s.k"), col("s.mv"))
     val sa = sigs.select(col("doc_id").as("doc_a"), col("k"), col("mv").as("va"))
     val sb = sigs.select(col("doc_id").as("doc_b"), col("k"), col("mv").as("vb"))
-    Dedup.nearDupPairTable(spark, sfDir)
+    pairs
       .join(sa, Seq("doc_a"))
       .join(sb, Seq("doc_b", "k"))
       .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))

@@ -34,9 +34,12 @@ class SocketRelay(val clientPort: Int, val servePort: Int,
   private val clientServer = new ServerSocket(clientPort)
   private val serveServer = new ServerSocket(servePort)
   private val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[Thread]()
+  private val clientSockets =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
 
   private def daemon(name: String)(body: => Unit): Thread = {
-    val t = new Thread(() => body, name)
+    val t = new Thread(() => try body finally threads.remove(Thread.currentThread()),
+      name)
     t.setDaemon(true)
     threads.add(t)
     t.start()
@@ -44,11 +47,14 @@ class SocketRelay(val clientPort: Int, val servePort: Int,
   }
 
   // accept loop: every frontend gets a reader thread; a dropped
-  // client never affects the others or the downstream
+  // client never affects the others or the downstream. Sockets are
+  // TRACKED so close() can unblock their readers — Thread.interrupt
+  // does NOT wake a blocking socket read; closing the socket does.
   daemon("relay-accept-clients") {
     while (running.get()) {
       try {
         val s = clientServer.accept()
+        clientSockets.add(s)
         daemon(s"relay-client-${s.getPort}") {
           val in = new BufferedReader(
             new InputStreamReader(s.getInputStream, StandardCharsets.UTF_8))
@@ -61,33 +67,34 @@ class SocketRelay(val clientPort: Int, val servePort: Int,
           } catch {
             case _: java.io.IOException => ()    // client went away
             case _: InterruptedException => ()   // close() while queue full
-          } finally s.close()
+          } finally { clientSockets.remove(s); s.close() }
         }
       } catch { case _: java.io.IOException => () } // closed during accept
     }
   }
 
   // downstream loop: one consumer at a time (the Spark socket source);
-  // if the consumer restarts, the next accept resumes the drain
+  // if the consumer restarts, the next accept resumes the drain.
+  // `carry` is the serve thread's private head slot: a line taken but
+  // not yet flushed stays here across consumer restarts — it is NEVER
+  // pushed back into the bounded deque, where a refilled queue would
+  // silently reject (and so drop) it.
   daemon("relay-serve") {
+    var carry: String = null
     while (running.get()) {
       var out: Writer = null
-      var inFlight: String = null
       try {
         val s = serveServer.accept()
         out = new OutputStreamWriter(s.getOutputStream, StandardCharsets.UTF_8)
         while (running.get()) {
-          inFlight = queue.takeFirst()
-          out.write(inFlight); out.write('\n'); out.flush()
-          inFlight = null // flushed — next consumer never re-sees it
+          if (carry == null) carry = queue.takeFirst()
+          out.write(carry); out.write('\n'); out.flush()
+          carry = null // flushed — next consumer never re-sees it
         }
       } catch {
         case _: java.io.IOException => ()          // consumer went away
         case _: InterruptedException => ()         // close()
       } finally {
-        // a line taken but not flushed goes BACK to the head so a
-        // consumer restart cannot drop it
-        if (inFlight != null) queue.offerFirst(inFlight)
         if (out != null) { try out.close() catch { case _: Exception => () } }
       }
     }
@@ -105,6 +112,9 @@ class SocketRelay(val clientPort: Int, val servePort: Int,
     running.set(false)
     try clientServer.close() catch { case _: Exception => () }
     try serveServer.close() catch { case _: Exception => () }
+    // closing each accepted socket unblocks its reader (interrupt
+    // alone cannot); interrupt covers readers parked on a full queue
+    clientSockets.forEach(s => try s.close() catch { case _: Exception => () })
     threads.forEach(_.interrupt())
   }
 }
