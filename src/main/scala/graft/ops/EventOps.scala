@@ -477,4 +477,71 @@ object EventOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
       |FROM grid g LEFT JOIN per_min p ON g.user_id = p.user_id AND g.m = p.m
       |ORDER BY g.user_id, minute_ms""".stripMargin
+
+  /** OHLC downsample — the canonical time-series resample: per
+    * (event_type, `bucketMin`-minute bucket), the open/high/low/close
+    * of `value` in integer cents plus count and sum. Open/close come
+    * from ONE aggregation pass via lexicographic struct min/max over
+    * (ts, event_id, cents) — no window, so the agg partial-combines
+    * map-side and the shuffle carries one row per (type, bucket) per
+    * partition, the shape that survives any event rate. The ORACLE is
+    * the ranked-window formulation (first/last by (ts, event_id)), so
+    * every green run re-proves the struct-extremum rewrite identical
+    * (the `q_argmax_order` pattern). Ties at the same millisecond
+    * break on event_id in both formulations.
+    *
+    * Complements [[gapFill]]: that one upsamples onto a dense grid,
+    * this one downsamples to bars.
+    */
+  def resampleOhlc(spark: SparkSession, sfDir: String,
+      bucketMin: Int = 15): DataFrame = {
+    val ms = bucketMin * 60000L
+    val e = graft.Events.events(spark, sfDir)
+      .select(col("event_type"),
+        expr(s"unix_millis(ts) DIV $ms").as("bucket"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    e.groupBy(col("event_type"), col("bucket"))
+      .agg(
+        min(struct(col("ts_ms"), col("event_id"), col("cents"))).as("o"),
+        max(struct(col("ts_ms"), col("event_id"), col("cents"))).as("c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        count(lit(1)).as("n_events"),
+        sum(col("cents")).as("sum_c"))
+      .select(col("event_type"), col("bucket"),
+        col("o.cents").as("open_c"), col("high_c"), col("low_c"),
+        col("c.cents").as("close_c"), col("n_events"), col("sum_c"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  /** Oracle twin of [[resampleOhlc]] — the ranked-window first/last
+    * formulation; `bucketMin` interpolated. */
+  def resampleOhlcSql(bucketMin: Int = 15): String = {
+    val ms = bucketMin * 60000L
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    epoch_ms(ts::TIMESTAMP) // $ms AS bucket,
+       |    epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |), r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, bucket
+       |      ORDER BY ts_ms, event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY event_type, bucket
+       |      ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+       |  FROM e
+       |)
+       |SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+       |  max(cents) AS high_c,
+       |  min(cents) AS low_c,
+       |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+       |  count(*) AS n_events,
+       |  CAST(sum(cents) AS BIGINT) AS sum_c
+       |FROM r
+       |GROUP BY event_type, bucket
+       |ORDER BY event_type, bucket""".stripMargin
+  }
 }
