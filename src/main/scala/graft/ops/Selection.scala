@@ -443,6 +443,89 @@ object Selection {
       |ORDER BY source""".stripMargin
 
   // --------------------------------------------------------------------
+  // Distribution drift (two-sample Kolmogorov–Smirnov)
+  // --------------------------------------------------------------------
+
+  /** Pairwise distribution-shift audit: the two-sample Kolmogorov–
+    * Smirnov statistic D = max |CDF_a − CDF_b| over every pair of
+    * sources' document-LENGTH distributions, in scaled-integer ppm
+    * (each CDF value truncates once via `cum·10⁶ DIV N`; the max-of-
+    * abs-differences is then exact). This is the drift detector a
+    * curation run points at source-vs-source, epoch-vs-epoch, or
+    * raw-vs-kept to answer "did the filter change the shape of the
+    * corpus?" — a large D on a pair that should match is the alarm.
+    *
+    * Scale: the corpus collapses to the (source, n_tokens) HISTOGRAM
+    * immediately (the [[weightedMedian]] discipline); everything after
+    * — merged support, CDF fill via ignoreNulls window, the pair max —
+    * runs on #sources × #distinct-lengths rows, model-sized at any
+    * corpus scale. NULL-length docs are excluded by the same contract
+    * as [[weightedMedian]].
+    */
+  def lengthDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("len"))
+      .filter(col("len").isNotNull)
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("len"))
+    val wTot = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val points = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wTot))
+      .select(col("source"), col("len"),
+        expr("(cum * 1000000) DIV total").as("cdf_ppm"))
+    // merged support × sources, step-filled so every source has a CDF
+    // value at every corpus-wide length (0 before its first point)
+    val support = hist.select(col("len")).distinct()
+    val sources = hist.select(col("source")).distinct()
+    val wFill = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grid = support.crossJoin(sources)
+      .join(points, Seq("source", "len"), "left")
+      .withColumn("cdf", coalesce(
+        last(col("cdf_ppm"), ignoreNulls = true).over(wFill), lit(0L)))
+      .select(col("source"), col("len"), col("cdf"))
+    val a = grid.select(col("source").as("source_a"), col("len"), col("cdf").as("cdf_a"))
+    val b = grid.select(col("source").as("source_b"), col("len"), col("cdf").as("cdf_b"))
+    a.join(b, Seq("len"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(abs(col("cdf_a") - col("cdf_b"))).as("ks_d_ppm"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  def lengthDriftSql: String =
+    """WITH hist AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) IS NOT NULL
+      |  GROUP BY 1, 2
+      |), points AS (
+      |  SELECT source, len,
+      |    CAST(CAST(sum(n) OVER (PARTITION BY source ORDER BY len) AS BIGINT)
+      |         * 1000000 // CAST(sum(n) OVER (PARTITION BY source) AS BIGINT)
+      |         AS BIGINT) AS cdf_ppm
+      |  FROM hist
+      |), grid AS (
+      |  SELECT s.source, l.len,
+      |    COALESCE(last_value(p.cdf_ppm IGNORE NULLS) OVER (
+      |      PARTITION BY s.source ORDER BY l.len
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cdf
+      |  FROM (SELECT DISTINCT len FROM hist) l
+      |  CROSS JOIN (SELECT DISTINCT source FROM hist) s
+      |  LEFT JOIN points p ON p.source = s.source AND p.len = l.len
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  CAST(max(abs(a.cdf - b.cdf)) AS BIGINT) AS ks_d_ppm
+      |FROM grid a JOIN grid b ON a.len = b.len AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY source_a, source_b""".stripMargin
+
+  // --------------------------------------------------------------------
   // N-gram diversity (type-token ratios)
   // --------------------------------------------------------------------
 

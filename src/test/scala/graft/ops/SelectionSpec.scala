@@ -162,6 +162,32 @@ class SelectionSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  // ---------------- lengthDrift ----------------
+
+  test("lengthDrift matches a brute-force scaled-integer KS replay") {
+    val lens = docs.map { case (_, src, text) => (src, text.split(" ", -1).length.toLong) }
+    val bySrc = lens.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val support = lens.map(_._2).distinct.sorted
+    def cdfPpm(src: String): Map[Long, Long] = {
+      val vals = bySrc(src).sorted
+      val n = vals.size.toLong
+      support.map(x => x -> vals.count(_ <= x).toLong * 1000000L / n).toMap
+    }
+    val cdfs = bySrc.keys.map(s => s -> cdfPpm(s)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expect = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b) -> support.map(x => math.abs(cdfs(a)(x) - cdfs(b)(x))).max).toMap
+    val got = Selection.lengthDrift(spark, sfDir).collect().map { r =>
+      (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        r.getAs[Long]("ks_d_ppm")
+    }.toMap
+    assert(got == expect)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+    // D is a ppm-scaled statistic in [0, 1e6]
+    got.values.foreach(d => assert(d >= 0 && d <= 1000000L))
+  }
+
   // ---------------- ngramDiversity ----------------
 
   test("ngramDiversity counts distinct/total grams like a driver replay") {
