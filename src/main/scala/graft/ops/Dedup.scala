@@ -1147,4 +1147,208 @@ object Dedup {
        |WHERE na.n2 > 0 AND nb.n2 > 0
        |ORDER BY cosine DESC, doc_a, doc_b
        |LIMIT $topK""".stripMargin
+
+  // --------------------------------------------------------------------
+  // LSH (bands × rows) tuning table — the s-curve, measured
+  // --------------------------------------------------------------------
+
+  /** The engineering table an LSH deployment is tuned from: every
+    * (bands b, rows-per-band r) layout of the 4 shared MinHash
+    * signatures, with measured candidate volume, confirmed near-dups
+    * (exact Jaccard ≥ 0.5 on candidates), precision and recall. The
+    * collision probability 1−(1−s^r)^b says more rows per band sharpen
+    * precision and more bands buy recall — this query turns that
+    * s-curve into observed ppm on the actual corpus, which is how a
+    * pipeline picks its layout before a 100 TB run (the sketch-WIDTH
+    * sibling is [[graft.ops.Sketch.minhashAccuracy]]).
+    *
+    * Ground truth is the b=4,r=1 layout's confirmed pairs — every
+    * other layout's candidate set is PROVABLY a subset (sharing a
+    * concatenated band implies sharing each component band), so recall
+    * is exact relative to the most permissive layout measured, the
+    * standard corpus-scale practice (all-pairs truth is n² by
+    * definition — the thing LSH exists to avoid).
+    *
+    * Scale: one signature build (shared scheme), 6 layouts × ≤ 4 band
+    * rows per doc, candidates from one equi self-join on
+    * (cfg, band_no, band_val) with the [[guardHotBuckets]] cap logic
+    * per layout; only the most-permissive layout's candidates pay the
+    * exact-Jaccard verify, every other layout joins that verified
+    * table by pair key. */
+  def lshBandTune(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = signaturesOf(docs)
+    def sv(i: Int): Column = col(s"sig$i").cast("string")
+    def cat(is: Int*): Column =
+      concat(is.map(sv).flatMap(c => Seq(c, lit("|"))).dropRight(1): _*)
+    def layout(name: String, b: Int, r: Int, bands: Seq[Column]): DataFrame =
+      sigs.select(lit(name).as("cfg"), lit(b.toLong).as("n_bands"), lit(r.toLong).as("n_rows"),
+        col("doc_id"),
+        explode(array(bands.zipWithIndex.map { case (bv, i) =>
+          struct(lit(i + 1).as("band_no"), bv.as("band_val")) }: _*)).as("x"))
+        .select(col("cfg"), col("n_bands"), col("n_rows"), col("doc_id"),
+          col("x.band_no"), col("x.band_val"))
+    val banded = Seq(
+        layout("b1r1", 1, 1, Seq(cat(0))),
+        layout("b2r1", 2, 1, Seq(cat(0), cat(1))),
+        layout("b4r1", 4, 1, Seq(cat(0), cat(1), cat(2), cat(3))),
+        layout("b1r2", 1, 2, Seq(cat(0, 1))),
+        layout("b2r2", 2, 2, Seq(cat(0, 1), cat(2, 3))),
+        layout("b1r4", 1, 4, Seq(cat(0, 1, 2, 3))))
+      .reduce(_.unionByName(_))
+      .filter(col("band_val").isNotNull)
+    // hot-bucket cap per (cfg, band_no, band_val) — same failure mode,
+    // same loud error as guardHotBuckets, with the layout in the key
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cfg"), col("band_no"), col("band_val"))
+    val guarded = banded.withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(when(col("bucket_n") <= maxLshBucket, lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"LSH bucket over cap ($maxLshBucket): cfg="), col("cfg"),
+          lit(" band_no="), col("band_no"), lit(" band_val="), col("band_val"),
+          lit(" size="), col("bucket_n")))))
+      .drop("bucket_n")
+    val a = guarded.select(col("cfg"), col("n_bands"), col("n_rows"),
+      col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
+    val b = guarded.select(col("cfg"), col("band_no"), col("band_val"),
+      col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("cfg", "band_no", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("cfg"), col("n_bands"), col("n_rows"), col("doc_a"), col("doc_b"))
+      .distinct()
+    val docToks = docs.select(col("doc_id"), array_distinct(tokens).as("toks"))
+    val confirmed = cand.filter(col("cfg") === "b4r1")
+      .select(col("doc_a"), col("doc_b"))
+      .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
+      .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
+      .filter(round(size(array_intersect(col("toks_a"), col("toks_b"))) /
+        size(array_distinct(concat(col("toks_a"), col("toks_b")))).cast("double"), 4)
+        >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_dup"))
+    val truth = confirmed.agg(count(lit(1)).as("n_truth"))
+    cand.join(confirmed, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("cfg"))
+      .agg(max(col("n_bands")).as("n_bands"), max(col("n_rows")).as("n_rows"),
+        count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_confirmed"))
+      .crossJoin(broadcast(truth)) // 1-row bound frame
+      .withColumn("precision_ppm", expr("(n_confirmed * 1000000) DIV n_candidates"))
+      .withColumn("recall_ppm", expr("(n_confirmed * 1000000) DIV n_truth"))
+      .select(col("cfg"), col("n_bands"), col("n_rows"), col("n_candidates"),
+        col("n_confirmed"), col("precision_ppm"), col("recall_ppm"))
+      .orderBy(col("cfg"))
+  }
+
+  /** Oracle twin of [[lshBandTune]] — signature arithmetic from the
+    * shared scheme ([[minhashSqlDuck]]), layouts enumerated by
+    * UNION ALL. */
+  def lshBandTuneSql: String = {
+    def b(cfg: String, nb: Int, nr: Int, no: Int, expr: String): String =
+      s"SELECT '$cfg' AS cfg, $nb AS n_bands, $nr AS n_rows, doc_id, $no AS band_no, $expr AS band_val FROM sigs"
+    def cat(is: Int*): String = is.map(i => s"sig$i::VARCHAR").mkString(" || '|' || ")
+    val layouts = Seq(
+      b("b1r1", 1, 1, 1, cat(0)),
+      b("b2r1", 2, 1, 1, cat(0)), b("b2r1", 2, 1, 2, cat(1)),
+      b("b4r1", 4, 1, 1, cat(0)), b("b4r1", 4, 1, 2, cat(1)),
+      b("b4r1", 4, 1, 3, cat(2)), b("b4r1", 4, 1, 4, cat(3)),
+      b("b1r2", 1, 2, 1, cat(0, 1)),
+      b("b2r2", 2, 2, 1, cat(0, 1)), b("b2r2", 2, 2, 2, cat(2, 3)),
+      b("b1r4", 1, 4, 1, cat(0, 1, 2, 3))).mkString("\n  UNION ALL ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id,
+       |    ${minhashSqlDuck(0)} AS sig0, ${minhashSqlDuck(1)} AS sig1,
+       |    ${minhashSqlDuck(2)} AS sig2, ${minhashSqlDuck(3)} AS sig3
+       |  FROM documents),
+       |banded AS (
+       |  $layouts),
+       |cand AS (
+       |  SELECT DISTINCT x.cfg, x.n_bands, x.n_rows,
+       |    x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM banded x JOIN banded y
+       |    ON x.cfg = y.cfg AND x.band_no = y.band_no AND x.band_val = y.band_val
+       |   AND x.doc_id < y.doc_id),
+       |toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       |confirmed AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand WHERE cfg = 'b4r1') c
+       |  JOIN toks ta ON ta.doc_id = c.doc_a
+       |  JOIN toks tb ON tb.doc_id = c.doc_b
+       |  WHERE round(len(list_intersect(ta.toks, tb.toks)) /
+       |        CAST(len(list_distinct(list_concat(ta.toks, tb.toks))) AS DOUBLE), 4) >= 0.5),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM confirmed),
+       |per AS (
+       |  SELECT cfg, CAST(max(n_bands) AS BIGINT) AS n_bands,
+       |    CAST(max(n_rows) AS BIGINT) AS n_rows,
+       |    count(*) AS n_candidates,
+       |    CAST(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed
+       |  FROM cand c
+       |  LEFT JOIN confirmed f ON c.doc_a = f.doc_a AND c.doc_b = f.doc_b
+       |  GROUP BY cfg)
+       |SELECT cfg, n_bands, n_rows, n_candidates, n_confirmed,
+       |  CAST(n_confirmed * 1000000 // n_candidates AS BIGINT) AS precision_ppm,
+       |  CAST(n_confirmed * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       |FROM per CROSS JOIN tot
+       |ORDER BY cfg""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Normalization-tier dedup (the CCNet/RefinedWeb pre-dedup step)
+  // --------------------------------------------------------------------
+
+  /** Canonical text normalization shared by engine and oracle:
+    * lowercase, strip non-alphanumerics, collapse runs of spaces, trim.
+    * Restricted to the java.util.regex ∩ DuckDB-RE2 common subset (the
+    * [[graft.ops.Pipeline.redactPii]] discipline); the corpus is ASCII
+    * so `lower` is engine-identical. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Dup mass that only NORMALIZATION exposes — the tier between exact
+    * dedup (byte-identical) and MinHash (set-similar): pages differing
+    * only in case, punctuation or whitespace are byte-distinct yet
+    * certainly redundant, and every production web pipeline (CCNet,
+    * RefinedWeb, FineWeb) exact-dedups on a normalized digest for this
+    * reason. Per source: docs in a raw-digest cohort > 1, docs in a
+    * normalized-digest cohort > 1, and `norm_only_docs` — the mass the
+    * normalized tier catches that the raw tier misses (with its ppm).
+    * Cohorts are corpus-wide (cross-source dups count), attribution is
+    * per source, the [[Selection.prefixDup]] shape.
+    *
+    * Scale: normalization is stateless per row; each cohort sizing is
+    * one equi-join on a 32-byte digest — two `q_dedup_exact`-budget
+    * shuffles, never text×text. */
+  def normDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        md5(col("text")).as("raw_fp"), md5(normText(col("text"))).as("norm_fp"))
+    val rawC = fps.groupBy(col("raw_fp")).agg(count(lit(1)).as("n_raw"))
+    val normC = fps.groupBy(col("norm_fp")).agg(count(lit(1)).as("n_norm"))
+    fps.join(rawC, Seq("raw_fp")).join(normC, Seq("norm_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_raw") > 1, 1L).otherwise(0L)).as("raw_dup_docs"),
+        sum(when(col("n_norm") > 1, 1L).otherwise(0L)).as("norm_dup_docs"),
+        sum(when(col("n_norm") > 1 && col("n_raw") === 1, 1L).otherwise(0L))
+          .as("norm_only_docs"))
+      .withColumn("norm_only_ppm", expr("(norm_only_docs * 1000000) DIV n_docs"))
+      .orderBy(col("source"))
+  }
+
+  def normDedupSql: String =
+    """WITH fps AS (
+      |  SELECT source, doc_id, md5(text) AS raw_fp,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                            ' +', ' ', 'g'))) AS norm_fp
+      |  FROM documents
+      |), rawc AS (SELECT raw_fp, CAST(count(*) AS BIGINT) AS n_raw FROM fps GROUP BY raw_fp),
+      |normc AS (SELECT norm_fp, CAST(count(*) AS BIGINT) AS n_norm FROM fps GROUP BY norm_fp)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_raw > 1 THEN 1 ELSE 0 END) AS BIGINT) AS raw_dup_docs,
+      |  CAST(sum(CASE WHEN n_norm > 1 THEN 1 ELSE 0 END) AS BIGINT) AS norm_dup_docs,
+      |  CAST(sum(CASE WHEN n_norm > 1 AND n_raw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS norm_only_docs,
+      |  CAST(CAST(sum(CASE WHEN n_norm > 1 AND n_raw = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |       // CAST(count(*) AS BIGINT) AS BIGINT) AS norm_only_ppm
+      |FROM fps JOIN rawc USING (raw_fp) JOIN normc USING (norm_fp)
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 }

@@ -544,4 +544,62 @@ object EventOps {
        |GROUP BY event_type, bucket
        |ORDER BY event_type, bucket""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Zone-map / data-skipping index
+  // --------------------------------------------------------------------
+
+  /** The min/max zone map plus its skip audit — the file-level
+    * data-skipping structure (parquet row-group stats, Delta/Iceberg
+    * file stats) made relational: events collapse to write-order zones
+    * of `zoneRows` rows (`event_id DIV zoneRows` — the row-group
+    * analog for an append-ordered table), each zone carrying min/max
+    * event-time and user-id bounds, and `can_skip` says whether the
+    * [[eventTimeRange]] week predicate can prove the zone empty from
+    * BOUNDS ALONE. `n_match` (the true qualifying count) is in the
+    * same row, so the output itself certifies soundness: every
+    * `can_skip` zone must show `n_match = 0` — and the skipped-zone
+    * fraction is the scan I/O a stats-pruned reader saves.
+    *
+    * At 100 TB this is the planning table for layout decisions: a low
+    * skip fraction on a hot predicate column says the table needs
+    * re-sorting ([[graft.lake.ZOrder]]) or partitioning on that column
+    * ([[graft.lake.Catalog]] prunes directories the same way).
+    *
+    * Scale: one hash agg on the zone key (map-side combined, ~rows/
+    * zoneRows output rows), no joins, no windows. */
+  def zoneMap(spark: SparkSession, sfDir: String, zoneRows: Long = 1000): DataFrame = {
+    val lo = to_timestamp(lit("2024-01-08 00:00:00"))
+    val hi = to_timestamp(lit("2024-01-15 00:00:00"))
+    Tables.events(spark, sfDir)
+      .select(expr(s"event_id DIV $zoneRows").as("zone"), col("ts"), col("user_id"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        unix_millis(min(col("ts"))).as("min_ts_ms"),
+        unix_millis(max(col("ts"))).as("max_ts_ms"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
+        sum(when(col("ts") >= lo && col("ts") < hi, 1L).otherwise(0L)).as("n_match"))
+      .withColumn("can_skip",
+        (unix_millis(hi) <= col("min_ts_ms")) || (col("max_ts_ms") < unix_millis(lo)))
+      .orderBy(col("zone"))
+  }
+
+  /** Oracle twin of [[zoneMap]] — `zoneRows` interpolated, the same
+    * literal week as [[eventTimeRangeSql]]. */
+  def zoneMapSql(zoneRows: Long = 1000): String =
+    s"""SELECT event_id // $zoneRows AS zone,
+       |  count(*) AS n_rows,
+       |  epoch_ms(min(ts::TIMESTAMP)) AS min_ts_ms,
+       |  epoch_ms(max(ts::TIMESTAMP)) AS max_ts_ms,
+       |  CAST(min(user_id) AS BIGINT) AS min_user,
+       |  CAST(max(user_id) AS BIGINT) AS max_user,
+       |  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+       |                 AND ts < TIMESTAMP '2024-01-15 00:00:00'
+       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  (epoch_ms(TIMESTAMP '2024-01-15 00:00:00') <= epoch_ms(min(ts::TIMESTAMP))
+       |   OR epoch_ms(max(ts::TIMESTAMP)) < epoch_ms(TIMESTAMP '2024-01-08 00:00:00')) AS can_skip
+       |FROM events
+       |GROUP BY event_id // $zoneRows
+       |ORDER BY zone""".stripMargin
 }

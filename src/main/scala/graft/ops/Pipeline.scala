@@ -809,4 +809,62 @@ object Pipeline {
        |FROM placed
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
+
+  // --------------------------------------------------------------------
+  // k-anonymity audit (the privacy sibling of the PII scrub)
+  // --------------------------------------------------------------------
+
+  /** k-anonymity audit over the customer dimension: group rows by
+    * their quasi-identifier tuple (nation, market segment, account
+    * balance in 1000-unit bands — the attributes an adversary can
+    * LINK, as opposed to the direct identifiers [[piiRedact]] scrubs)
+    * and report, per segment: the attained k (the smallest group a
+    * segment member hides in), groups under the k=5 policy threshold,
+    * and the row mass that would need suppression or coarser banding
+    * before release. Sweeney's k-anonymity measure as a relational
+    * audit — the release gate a training-data pipeline runs on any
+    * structured side table it ships with a corpus.
+    *
+    * Engine parity: the balance band uses `floor(bal / 1000)` — PLAIN
+    * floor on doubles, identical in both engines even for the negative
+    * TPC-H balances (integer DIV would truncate toward zero in Spark
+    * and floor in DuckDB, disagreeing on negatives).
+    *
+    * Scale: one hash agg on the QI tuple (map-side combined), then a
+    * segment-sized rollup — no joins, no windows. */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .groupBy(col("segment"), col("nation"), col("bal_band"))
+      .agg(count(lit(1)).as("n"))
+    groups.groupBy(col("segment"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("n")).as("k_anonymity"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("small_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("suppressed_rows"))
+      .withColumn("suppressed_ppm", expr("(suppressed_rows * 1000000) DIV n_rows"))
+      .orderBy(col("segment"))
+  }
+
+  /** Oracle twin of [[kAnonymity]] — `k` interpolated. */
+  def kAnonymitySql(k: Int = 5): String =
+    s"""WITH groups AS (
+       |  SELECT c_mktsegment AS segment, c_nationkey AS nation,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM customer
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT segment, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  count(*) AS n_groups,
+       |  CAST(min(n) AS BIGINT) AS k_anonymity,
+       |  CAST(sum(CASE WHEN n < $k THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+       |  CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) AS suppressed_rows,
+       |  CAST(CAST(sum(CASE WHEN n < $k THEN n ELSE 0 END) AS BIGINT) * 1000000
+       |       // CAST(sum(n) AS BIGINT) AS BIGINT) AS suppressed_ppm
+       |FROM groups
+       |GROUP BY segment
+       |ORDER BY segment""".stripMargin
 }

@@ -775,4 +775,254 @@ object Similarity {
        |SELECT q_id, q_label, vec_id, label, cos_sim, rnk
        |FROM ranked WHERE rnk <= $k
        |ORDER BY q_id, rnk""".stripMargin
+
+  /** The ANN acceptance table: recall@k of the IVF probe vs the exact
+    * scan, per query and per `nprobe` — the "measure, don't guess"
+    * number an ANN deployment is signed off on (the ScalaTest recall
+    * curve pinned this per-build; here it is a first-class
+    * oracle-checked query over the same corpus). For each of the
+    * first `nQueries` vectors: the exact top-`k` neighbor set, the
+    * IVF top-`k` under each probe width, and their overlap —
+    * `recall_ppm = hits·10⁶ DIV |exact|`.
+    *
+    * Scale: queries and centroids are model-sized (broadcast); the
+    * exact side's corpus-wide rank and the IVF side's per-(query,
+    * nprobe) rank both go through the TWO-PHASE salted top-k
+    * ([[hardNegatives]]' shape), so no task ever sorts a whole
+    * query's candidate stream; IVF candidates are fetched by id from
+    * probed lists only, exactly like [[ivfTopK]]. The oracle is the
+    * PLAIN windowed formulation — green re-proves both rewrites. */
+  def ivfRecall(spark: SparkSession, sfDir: String, nQueries: Int = 5,
+      k: Int = 10, probes: Seq[Int] = Seq(1, 2, 4), salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def topK(cand: DataFrame, parts: Seq[Column]): DataFrame = {
+      val wLocal = Window
+        .partitionBy(parts :+ pmod(col("vec_id"), lit(salts.toLong)): _*)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val wGlobal = Window.partitionBy(parts: _*)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      cand.withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= k)
+        .withColumn("__gr", row_number().over(wGlobal)).filter(col("__gr") <= k)
+        .drop("__lr", "__gr")
+    }
+    val exact = topK(
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+        .filter(!isnan(col("cos_sim"))),
+      Seq(col("q_id")))
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val exactN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wqc = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+    // centroid ranking per query: model-sized frame, plain window fine
+    val crank = centroids.crossJoin(broadcast(q))
+      .select(col("q_id"), col("centroid_id"),
+        (round(cosine(col("c_emb"), col("q_emb")), 4) + lit(0.0)).as("q_sim"))
+      .withColumn("crk", row_number().over(wqc))
+    val probed = probes.map(p => crank.filter(col("crk") <= p)
+        .select(lit(p.toLong).as("nprobe"), col("q_id"), col("centroid_id")))
+      .reduce(_.unionByName(_))
+    val ivfCand = assignments(spark, sfDir).select(col("vec_id"), col("centroid_id"))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("nprobe"), col("q_id"), col("vec_id"),
+        (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+    topK(ivfCand, Seq(col("nprobe"), col("q_id")))
+      .join(exact.select(col("q_id"), col("vec_id"), col("hit")), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("nprobe"), col("q_id"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .join(broadcast(exactN), Seq("q_id"))
+      .withColumn("recall_ppm", expr("(n_hits * 1000000) DIV n_exact"))
+      .select(col("nprobe"), col("q_id"), col("n_exact"), col("n_ret"),
+        col("n_hits"), col("recall_ppm"))
+      .orderBy(col("nprobe"), col("q_id"))
+  }
+
+  /** Oracle twin of [[ivfRecall]] — plain windows, parameters
+    * interpolated. */
+  def ivfRecallSql(nQueries: Int = 5, k: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): String = {
+    val probeUnion = probes
+      .map(p => s"SELECT CAST($p AS BIGINT) AS nprobe").mkString(" UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, e.vec_id) AS rk
+       |    FROM embeddings e CROSS JOIN q
+       |    WHERE e.vec_id <> q.q_id
+       |      AND NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |        q.q_emb::DOUBLE[]), 4) + 0.0))
+       |  WHERE rk <= $k),
+       |exn AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |crank AS (
+       |  SELECT q_id, centroid_id,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(list_cosine_similarity(c_emb::DOUBLE[],
+       |        q_emb::DOUBLE[]), 4) DESC, centroid_id) AS crk
+       |  FROM centroids CROSS JOIN q),
+       |probes AS ($probeUnion),
+       |probed AS (
+       |  SELECT p.nprobe, c.q_id, c.centroid_id
+       |  FROM crank c JOIN probes p ON c.crk <= p.nprobe),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          c.c_emb::DOUBLE[]), 4) DESC, c.centroid_id) AS rk
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE rk = 1),
+       |ivfs AS (
+       |  SELECT pr.nprobe, pr.q_id, a.vec_id,
+       |    round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      q.q_emb::DOUBLE[]), 4) + 0.0 AS cos_sim
+       |  FROM assigned a
+       |  JOIN probed pr USING (centroid_id)
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.q_id = pr.q_id
+       |  WHERE a.vec_id <> pr.q_id
+       |    AND NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      q.q_emb::DOUBLE[]), 4) + 0.0)),
+       |ivftop AS (
+       |  SELECT nprobe, q_id, vec_id FROM (
+       |    SELECT nprobe, q_id, vec_id,
+       |      row_number() OVER (PARTITION BY nprobe, q_id
+       |        ORDER BY cos_sim DESC, vec_id) AS rk
+       |    FROM ivfs)
+       |  WHERE rk <= $k)
+       |SELECT t.nprobe, t.q_id, x.n_exact,
+       |  count(*) AS n_ret,
+       |  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |       * 1000000 // x.n_exact AS BIGINT) AS recall_ppm
+       |FROM ivftop t
+       |LEFT JOIN exact ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+       |JOIN exn x ON x.q_id = t.q_id
+       |GROUP BY t.nprobe, t.q_id, x.n_exact
+       |ORDER BY t.nprobe, t.q_id""".stripMargin
+  }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998)
+    * — the diversified top-k a RAG retriever runs on its ANN
+    * shortlist so the k passages aren't five copies of the same
+    * near-dup: greedily pick argmax of
+    * `λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`, λ = 0.7.
+    *
+    * Shape: retrieval narrows the corpus to a `shortlist`-sized frame
+    * (TakeOrdered — model-sized BY CONSTRUCTION, the re-rank never
+    * sees the corpus); the `k` greedy steps are UNROLLED as dataframe
+    * ops over that frame (anti-join out the selected, max-over-
+    * selected via the pair table, argmax via one max-struct agg) — no
+    * driver loop touches data, and at 100 TB the only corpus-sized
+    * work is the initial top-`shortlist` scan, identical to
+    * [[knnBruteForce]]. All scores are e4/e5 scaled integers
+    * (λ = 7/10, 1−λ = 3/10), so the greedy argmax is total-ordered
+    * and engine-exact; the oracle replays the same greedy as chained
+    * CTEs.
+    */
+  def mmrRerank(spark: SparkSession, sfDir: String, queryVecId: Long = 0L,
+      shortlist: Int = 20, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("q_emb"))
+    val qsim = (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0))
+    val short = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"), qsim.as("qs"))
+      .filter(!isnan(col("qs")))
+      .select(col("vec_id"), col("embedding"),
+        round(col("qs") * 10000).cast("long").as("qsim_e4"))
+      .orderBy(col("qsim_e4").desc, col("vec_id"))
+      .limit(shortlist)
+    val pairs = short.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        short.select(col("vec_id").as("vb"), col("embedding").as("eb"))))
+      .filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        round((round(cosine(col("ea"), col("eb")), 4) + lit(0.0)) * 10000)
+          .cast("long").as("p_e4"))
+    val base = short.select(col("vec_id"), col("qsim_e4"))
+    def pick(scored: DataFrame, rank: Int): DataFrame =
+      scored.agg(max(struct(col("score_e5"), (-col("vec_id")).as("nv"),
+          col("qsim_e4"))).as("b"))
+        .select(lit(rank.toLong).as("rnk"), (-col("b.nv")).as("vec_id"),
+          col("b.qsim_e4").as("qsim_e4"), col("b.score_e5").as("score_e5"))
+    val first = pick(base.withColumn("score_e5", expr("7 * qsim_e4")), 1)
+    val steps = (2 to k).foldLeft(Seq(first)) { (acc, i) =>
+      val selIds = acc.map(_.select(col("vec_id"))).reduce(_.unionByName(_))
+      val maxp = pairs.join(selIds.withColumnRenamed("vec_id", "vb"), Seq("vb"))
+        .groupBy(col("va")).agg(max(col("p_e4")).as("max_p_e4"))
+      val scored = base.join(selIds, Seq("vec_id"), "left_anti")
+        .join(maxp.withColumnRenamed("va", "vec_id"), Seq("vec_id"))
+        .withColumn("score_e5", expr("7 * qsim_e4 - 3 * max_p_e4"))
+      acc :+ pick(scored, i)
+    }
+    steps.reduce(_.unionByName(_)).orderBy(col("rnk"))
+  }
+
+  /** Oracle twin of [[mmrRerank]] — the same greedy unrolled as
+    * chained CTEs, parameters interpolated. */
+  def mmrRerankSql(queryVecId: Long = 0L, shortlist: Int = 20, k: Int = 5): String = {
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rnk, b.vec_id, b.qsim_e4,
+         |    CAST(7 * b.qsim_e4 - 3 * max(p.p_e4) AS BIGINT) AS score_e5
+         |  FROM base b
+         |  JOIN pairs p ON p.va = b.vec_id
+         |  JOIN sel${i - 1} s ON p.vb = s.vec_id
+         |  WHERE b.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  GROUP BY b.vec_id, b.qsim_e4
+         |  ORDER BY score_e5 DESC, b.vec_id
+         |  LIMIT 1),
+         |sel$i AS (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k)
+      .map(i => s"SELECT rnk, vec_id, qsim_e4, score_e5 FROM s$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryVecId),
+       |scanned AS (
+       |  SELECT vec_id, embedding,
+       |    round(list_cosine_similarity(embedding::DOUBLE[], q_emb::DOUBLE[]), 4) + 0.0 AS qs
+       |  FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> $queryVecId),
+       |short AS (
+       |  SELECT vec_id, embedding, CAST(round(qs * 10000) AS BIGINT) AS qsim_e4
+       |  FROM scanned WHERE NOT isnan(qs)
+       |  ORDER BY CAST(round(qs * 10000) AS BIGINT) DESC, vec_id
+       |  LIMIT $shortlist),
+       |base AS (SELECT vec_id, qsim_e4 FROM short),
+       |pairs AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |    CAST(round((round(list_cosine_similarity(a.embedding::DOUBLE[],
+       |      b.embedding::DOUBLE[]), 4) + 0.0) * 10000) AS BIGINT) AS p_e4
+       |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS rnk, vec_id, qsim_e4,
+       |    CAST(7 * qsim_e4 AS BIGINT) AS score_e5
+       |  FROM base ORDER BY qsim_e4 DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$steps
+       |$unions
+       |ORDER BY rnk""".stripMargin
+  }
 }

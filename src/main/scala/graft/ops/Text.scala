@@ -450,7 +450,13 @@ object Text {
     * Scale: one explode for counts (map-side combined), one explode
     * for scoring joined against the count tables on their natural
     * keys — the same linear shapes as tf-idf; no all-pairs anything. */
-  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    lmDocNll(spark, sfDir).orderBy(col("doc_id"))
+
+  /** Per-doc bigram-NLL frame shared by [[lmScore]] (the per-doc
+    * report) and [[ccnetBuckets]] (the tercile partition) — ONE
+    * definition so the two queries cannot drift. */
+  private[ops] def lmDocNll(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val t = tokens
     val bigrams = docs.select(col("doc_id"),
@@ -472,11 +478,13 @@ object Text {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll")).as("sum_nll"))
       .withColumn("avg_nll", expr("sum_nll DIV n_bigrams"))
-      .orderBy(col("doc_id"))
   }
 
-  def lmScoreSql: String =
-    """WITH toks AS (
+  /** Shared WITH-body for the per-doc NLL table (CTE name `nll`) —
+    * interpolated verbatim into [[lmScoreSql]] and
+    * [[ccnetBucketsSql]]. */
+  private[ops] val lmNllCteSql: String =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |bigrams AS (
       |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
@@ -484,15 +492,101 @@ object Text {
       |uni AS (
       |  SELECT unnest(t) AS w1 FROM toks),
       |cu AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
-      |cb AS (SELECT bg, count(*) AS c12 FROM bigrams GROUP BY bg)
-      |SELECT doc_id,
-      |  CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  CAST(sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 10000) AS BIGINT)) AS BIGINT) AS sum_nll,
-      |  CAST(CAST(sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 10000) AS BIGINT)) AS BIGINT)
-      |       // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_nll
-      |FROM bigrams JOIN cb USING (bg) JOIN cu USING (w1)
-      |GROUP BY doc_id
-      |ORDER BY doc_id""".stripMargin
+      |cb AS (SELECT bg, count(*) AS c12 FROM bigrams GROUP BY bg),
+      |nll AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 10000) AS BIGINT)) AS BIGINT) AS sum_nll,
+      |    CAST(CAST(sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c12) * 10000) AS BIGINT)) AS BIGINT)
+      |         // CAST(count(*) AS BIGINT) AS BIGINT) AS avg_nll
+      |  FROM bigrams JOIN cb USING (bg) JOIN cu USING (w1)
+      |  GROUP BY doc_id)""".stripMargin
+
+  def lmScoreSql: String =
+    s"""WITH $lmNllCteSql
+       |SELECT doc_id, n_bigrams, sum_nll, avg_nll
+       |FROM nll
+       |ORDER BY doc_id""".stripMargin
+
+  /** CCNet's head/middle/tail partition: per source, documents split
+    * into perplexity TERCILES by the corpus-LM score ([[lmScore]]'s
+    * avg bigram NLL — low = fluent "head", high = junk "tail"), with
+    * doc and token mass per bucket. CCNet keeps head+middle and drops
+    * or down-weights tail; this table is that decision's input, and
+    * its `min_nll`/`max_nll` columns are the published per-bucket
+    * perplexity cutoffs.
+    *
+    * Rank semantics: r over (avg_nll asc, doc_id asc) within source,
+    * bucket = ((r−1)·3) DIV n — the largest-remainder-free integer
+    * tercile. The ENGINE never ranks the corpus: docs collapse to a
+    * (source, avg_nll) histogram, cumulative counts over histogram
+    * rows locate each cell's bucket span, and only docs in a cell a
+    * tercile boundary CUTS pay a within-cell rank (≤ 2 cells per
+    * source, the [[Selection.exactSample]] order-statistic trick).
+    * The oracle IS the plain ranked-window formulation, so a green row
+    * re-proves the histogram rewrite per run.
+    *
+    * Scale: score derivation is [[lmDocNll]]'s linear joins; the
+    * histogram is ≤ distinct integer NLL values per source (value
+    * range ~1e5, corpus-size-independent); windows scan histogram
+    * rows only. */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens).cast("long").as("n_tokens"))
+    val scored = lmDocNll(spark, sfDir).select(col("doc_id"), col("avg_nll"))
+      .join(docs, Seq("doc_id"))
+    val wCum = Window.partitionBy(col("source")).orderBy(col("avg_nll"))
+    val wTot = Window.partitionBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = scored.groupBy(col("source"), col("avg_nll"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("cum_below", col("cum") - col("cnt"))
+      .withColumn("tot", sum(col("cnt")).over(wTot))
+      // bucket of the cell's first and last rank; equal ⇒ whole cell
+      // lands in one tercile and no doc needs a rank
+      .withColumn("b_first", expr("(cum_below * 3) DIV tot"))
+      .withColumn("b_last", expr("((cum - 1) * 3) DIV tot"))
+    val tagged = scored.join(hist, Seq("source", "avg_nll"))
+    val whole = tagged.filter(col("b_first") === col("b_last"))
+      .withColumn("bucket", col("b_first"))
+    val wCell = Window.partitionBy(col("source"), col("avg_nll"))
+      .orderBy(col("doc_id"))
+    val edge = tagged.filter(col("b_first") =!= col("b_last"))
+      .withColumn("r", col("cum_below") + row_number().over(wCell))
+      .withColumn("bucket", expr("((r - 1) * 3) DIV tot"))
+      .drop("r")
+    whole.unionByName(edge)
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("avg_nll")).as("min_nll"), max(col("avg_nll")).as("max_nll"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Oracle twin of [[ccnetBuckets]] — the PLAIN per-source ranked
+    * window (the histogram engine path must bucket identically);
+    * score CTE = [[lmNllCteSql]] verbatim. */
+  def ccnetBucketsSql: String =
+    s"""WITH $lmNllCteSql,
+       |scored AS (
+       |  SELECT n.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    n.avg_nll
+       |  FROM nll n JOIN documents d ON n.doc_id = d.doc_id),
+       |ranked AS (
+       |  SELECT source, n_tokens, avg_nll,
+       |    row_number() OVER (PARTITION BY source ORDER BY avg_nll, doc_id) AS r,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+       |  FROM scored)
+       |SELECT source, CAST((r - 1) * 3 // n AS BIGINT) AS bucket,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(min(avg_nll) AS BIGINT) AS min_nll,
+       |  CAST(max(avg_nll) AS BIGINT) AS max_nll
+       |FROM ranked
+       |GROUP BY source, CAST((r - 1) * 3 // n AS BIGINT)
+       |ORDER BY source, bucket""".stripMargin
 
   /** Polynomial rolling-hash document fingerprint (Rabin–Karp shape):
     * fold token hashes h(t) through acc = (acc·B + h) mod M. Token
@@ -812,4 +906,96 @@ object Text {
       |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd / 10000.0, 4)
       |    + 0.0 AS intercept
       |FROM d""".stripMargin
+
+  // --------------------------------------------------------------------
+  // BM25 ranked retrieval
+  // --------------------------------------------------------------------
+
+  /** The default BM25 query — terms at moderate corpus df, the
+    * [[phraseSearch]] vocabulary. */
+  val Bm25Terms: Seq[String] = Seq("sort", "merge", "window")
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, the Lucene
+    * practical scoring function): top-20 documents for a fixed
+    * multi-term query, k1 = 1.2, b = 0.75, with Lucene's always-
+    * positive idf = ln(1 + (N − df + 0.5)/(df + 0.5)). This is the
+    * lexical retrieval baseline next to the dense stack
+    * ([[graft.ops.Similarity]]) and the corpus-mining probes
+    * ([[phraseSearch]], [[tfidf]]) — the ranker a RAG pipeline runs
+    * when it says "BM25".
+    *
+    * Engine parity: every model input (tf, df, N, doc length, Σ
+    * lengths) is an exact integer; each per-term score is ONE double
+    * expression over those integers — identical IEEE tree in both
+    * engines — rounded ONCE to an e4 integer, so the per-doc sum is
+    * exact BIGINT arithmetic and the final order is total
+    * (score desc, doc_id).
+    *
+    * Scale: term rows are filtered to the query's terms AT THE SCAN
+    * (df and tf aggregate only matching rows — the posting-list
+    * discipline); doc lengths are a stateless projection; the length
+    * sum is a 1-row broadcast; top-20 is TakeOrdered. Nothing scans
+    * more than (matching term rows + one length pass). */
+  def bm25(spark: SparkSession, sfDir: String,
+      terms: Seq[String] = Bm25Terms, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val lens = docs.select(col("doc_id"), size(tokens).cast("long").as("dl"))
+    val totals = lens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val hits = docs.select(col("doc_id"), explode(tokens).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score =
+      // Lucene BM25: idf * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+      // avgdl folded in as dl·N/Σdl — one double tree over integers
+      round(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") * col("n_docs")) / col("sum_dl"))) * 10000)
+      .cast("long")
+    hits
+      .join(broadcast(dfs), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("dl"), score.as("s_e4"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_hit_terms"),
+        sum(col("s_e4")).cast("long").as("bm25_e4"))
+      .orderBy(col("bm25_e4").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[bm25]] — terms/k interpolated, the identical
+    * double expression tree. */
+  def bm25Sql(terms: Seq[String] = Bm25Terms, k: Int = 20): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |totals AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+       |hits AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($inList)
+       |  GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+       |scored AS (
+       |  SELECT h.doc_id, l.dl,
+       |    CAST(round(
+       |      ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      (h.tf * 2.2) /
+       |      (h.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) * t.n_docs) / t.sum_dl))
+       |      * 10000) AS BIGINT) AS s_e4
+       |  FROM hits h
+       |  JOIN dfs d USING (term)
+       |  JOIN lens l USING (doc_id)
+       |  CROSS JOIN totals t)
+       |SELECT doc_id, max(dl) AS dl, count(*) AS n_hit_terms,
+       |  CAST(sum(s_e4) AS BIGINT) AS bm25_e4
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY bm25_e4 DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
 }

@@ -488,4 +488,82 @@ class PlanAuditSpec extends SparkTestBase {
     assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
       s"edge joins must be equi-joins:\n$p")
   }
+
+  test("zoneMap: ONE partial-combined hash agg, no joins, no windows") {
+    val p = plan(EventOps.zoneMap(spark, sfDir))
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"zone map is one agg shuffle, got $hash:\n$p")
+    assert("partial_count|partial_min|partial_sum".r.findFirstIn(p).isDefined,
+      s"zone stats must combine map-side:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"scan+agg only:\n$p")
+  }
+
+  test("kAnonymity: two stacked partial-combined aggs, nothing else") {
+    val p = plan(Pipeline.kAnonymity(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Window"), s"agg-only plan:\n$p")
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      s"QI grouping must combine map-side:\n$p")
+  }
+
+  test("bm25: posting rows filtered before the tf agg; top-k streams (TakeOrdered)") {
+    val df = Text.bm25(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must stream, not globally sort:\n$p")
+    // term filter sits under the explode output, above the scan — the
+    // posting list never shuffles unmatched tokens
+    val iFilter = p.lastIndexOf("Filter")
+    val iExch = p.lastIndexOf("Exchange")
+    assert(iFilter > iExch,
+      s"term filter must apply before the first shuffle (deepest in plan):\n$p")
+  }
+
+  test("mmrRerank: corpus appears only under TakeOrdered shortlists; greedy is model-sized") {
+    val df = Similarity.mmrRerank(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // every corpus-sized pass is a TakeOrdered shortlist derivation;
+    // a SortMergeJoin would mean two corpus-sized sides met somewhere
+    assert(p.contains("TakeOrderedAndProject"), s"shortlist must stream:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"greedy steps must only join model-sized frames:\n$p")
+  }
+
+  test("ccnetBuckets: scored docs collapse to a histogram before any per-source window") {
+    val df = Text.ccnetBuckets(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no global single-task window:\n$p")
+    // the cumulative window partitions by source over HISTOGRAM rows:
+    // a HashAggregate (the histogram build) must sit below the first
+    // Window in the plan text (the weightedMedian idiom)
+    val iAgg = p.lastIndexOf("HashAggregate")
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && iAgg > iWin,
+      s"histogram aggregate must feed the window:\n$p")
+  }
+
+  test("lshBandTune: candidates from equi self-join on (cfg, band); verify joins by pair key") {
+    val df = Dedup.lshBandTune(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the only nest-loop allowed is the 1-row truth-total bound frame
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row truth join may nest-loop:\n$p")
+    assert("hashpartitioning\\(cfg".r.findFirstIn(p).isDefined,
+      s"bucket join must shuffle on the (cfg, band) key:\n$p")
+  }
+
+  test("ivfRecall: probed-list fetch and recall joins are equi-joins; ranks are two-phase") {
+    val df = Similarity.ivfRecall(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // two topK calls × (local salt rank + global rank)
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows >= 4, s"expected 2×(local+global) rank windows, got $windows:\n$p")
+  }
 }
