@@ -88,6 +88,38 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** 64-bit average hash (aHash) — the standard cheap perceptual
+      * image fingerprint: decode, resample to 8×8 luminance, set bit j
+      * when pixel j is brighter than the mean. Robust to re-encoding,
+      * resizing and small pixel edits (they barely move 8×8 block
+      * means), which is exactly what byte-level dedup
+      * ([[binaryMeta]]'s md5) cannot see: the same photo saved twice
+      * at different sizes has different bytes but the same aHash. */
+    def aHash(bytes: Array[Byte]): Long = {
+      val src = read(bytes)
+      val dst = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try g.drawImage(src, 0, 0, 8, 8, null) finally g.dispose()
+      val lum = new Array[Int](64)
+      var j = 0
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val rgb = dst.getRGB(x, y)
+          lum(j) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          j += 1; x += 1
+        }
+        y += 1
+      }
+      val mean = lum.sum / 64
+      var h = 0L
+      var i = 0
+      while (i < 64) { if (lum(i) > mean) h |= (1L << i); i += 1 }
+      h
+    }
+
     /** Normalized 32-bin LUMINANCE histogram over decoded pixels — the
       * pixel-space analogue of [[FakeCodec.features]]'s byte histogram,
       * same output contract (32 floats, sums to 1). */
@@ -390,6 +422,49 @@ object Multimodal {
   /** Persist assets partitioned by modality (heavy-row layout rule). */
   def writeAssets(assets: Dataset[MediaAsset], path: String): Unit =
     assets.write.mode("overwrite").partitionBy("modality").parquet(path)
+
+  /** Perceptual image near-dup pairs — the multimodal twin of the
+    * text MinHash/SimHash stack: each decodable image collapses to
+    * its 64-bit [[ImageCodec.aHash]], the hash splits into 4×16-bit
+    * BANDS, candidates come from an equi self-join per band
+    * (pigeonhole: hamming ≤ 3 ⇒ some band is bit-identical, the
+    * [[Dedup.simhashNearDup]] guarantee), and only candidates pay the
+    * exact popcount verify. Undecodable bytes are skipped — a
+    * perceptual hash of garbage is noise, and exact dedup
+    * ([[binaryMeta]] md5) already covers byte-identical blobs.
+    *
+    * Scale: one decode pass (heavy, embarrassingly parallel) reduces
+    * every image to 16 bytes of hash state; everything after is the
+    * LSH bucket-join shape — never image×image, and the verify is
+    * integer popcount on (id, id, hash) rows, no pixel data in any
+    * shuffle. */
+  def imageNearDups(assets: Dataset[MediaAsset], maxHamming: Int = 3): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    val hashes = assets
+      .mapPartitions(_.flatMap { a =>
+        if (!ImageCodec.isImage(a.content)) None
+        else try Some((a.assetId, ImageCodec.aHash(a.content)))
+        catch { case _: Exception => None }
+      })
+      .toDF("asset_id", "h")
+    val banded = hashes.select(col("asset_id"), col("h"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_no"),
+            expr(s"(h >> ${b * 16}) & 65535").as("band_val"))): _*)).as("b"))
+      .select(col("asset_id"), col("h"), col("b.band_no"), col("b.band_val"))
+    val a = banded.select(col("band_no"), col("band_val"),
+      col("asset_id").as("asset_a"), col("h").as("h_a"))
+    val b = banded.select(col("band_no"), col("band_val"),
+      col("asset_id").as("asset_b"), col("h").as("h_b"))
+    a.join(b, Seq("band_no", "band_val"))
+      .filter(col("asset_a") < col("asset_b"))
+      .select(col("asset_a"), col("asset_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
 
   /** Oracle-checked BINARY-column query over the testdata: documents'
     * text treated as opaque bytes — octet length, first byte, and

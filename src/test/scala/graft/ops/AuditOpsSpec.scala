@@ -169,6 +169,23 @@ class AuditOpsSpec extends SparkTestBase {
     assert(scores.head == 7 * rows.head.getAs[Long]("qsim_e4"))
   }
 
+  // ---------------- maxSim ----------------
+
+  test("maxSim: score is the exact sum of per-query-token maxima over every label") {
+    val rows = Similarity.maxSim(spark, sfDir).collect()
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 3).select(col("label")).distinct().count()
+    assert(rows.length == labels)
+    rows.foreach { r =>
+      val ms = (0 until 3).map(i => r.getAs[Long](s"m$i"))
+      assert(r.getAs[Long]("maxsim_e4") == ms.sum, s"$r")
+      ms.foreach(m => assert(m <= 10000L && m >= -10000L))
+    }
+    // ranking order is total: descending score, label tiebreak
+    val scores = rows.map(r => (r.getAs[Long]("maxsim_e4"), r.getAs[Long]("label")))
+    assert(scores.sortBy { case (s2, l) => (-s2, l) }.toSeq == scores.toSeq)
+  }
+
   // ---------------- ivfRecall ----------------
 
   test("ivfRecall: recall is bounded and non-decreasing in nprobe") {

@@ -223,4 +223,71 @@ class MultimodalSpec extends SparkTestBase {
     val img1 = back.filter(col("assetId") === 1).select("content").collect()(0).getAs[Array[Byte]](0)
     assert(img1.sameElements(assets(0).content))
   }
+
+  // ---------------- perceptual hash near-dup ----------------
+
+  /** A structured gradient image with an optional small perturbation
+    * — near-dup variants differ in a handful of pixels. */
+  private def gradientImage(w: Int, h: Int, perturb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 255 / w + y * 255 / h) / 2
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    for (i <- 0 until perturb) img.setRGB(i % w, (i * 13) % h, 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("aHash is deterministic, resize-robust, and separates distinct content") {
+    val base = gradientImage(64, 64, 0)
+    val h1 = Multimodal.ImageCodec.aHash(base)
+    assert(h1 == Multimodal.ImageCodec.aHash(gradientImage(64, 64, 0)))
+    // the same content re-encoded at half size hashes nearby
+    val resized = Multimodal.ImageCodec.resize(base, 2)
+    val h2 = Multimodal.ImageCodec.aHash(resized)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 3,
+      s"resize moved the hash ${java.lang.Long.bitCount(h1 ^ h2)} bits")
+    // inverted content is far away
+    val inv = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = 255 - (x * 255 / 64 + y * 255 / 64) / 2
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    assert(java.lang.Long.bitCount(h1 ^ Multimodal.ImageCodec.aHash(inv)) > 20)
+  }
+
+  test("imageNearDups finds perturbed/rescaled variants, not distinct images or junk") {
+    val base = gradientImage(64, 64, 0)
+    val variants = Seq(
+      MediaAsset(1, "image", base, MediaMeta(0, 0, 0, "?")),
+      MediaAsset(2, "image", gradientImage(64, 64, 4), MediaMeta(0, 0, 0, "?")),
+      MediaAsset(3, "image", Multimodal.ImageCodec.resize(base, 2), MediaMeta(0, 0, 0, "?")),
+      // different real content: vertical bars
+      MediaAsset(4, "image", {
+        val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 64; x <- 0 until 64)
+          img.setRGB(x, y, if ((x / 8) % 2 == 0) 0xffffff else 0)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        out.toByteArray
+      }, MediaMeta(0, 0, 0, "?")),
+      // undecodable bytes must be skipped, not crash the join
+      MediaAsset(5, "image", Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3),
+        MediaMeta(0, 0, 0, "?")))
+    val pairs = imageNearDups(variants.toDS()).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"perturbed copy not found: $pairs")
+    assert(pairs.contains((1L, 3L)), s"rescaled copy not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"distinct image matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
+      s"undecodable bytes leaked into the join: $pairs")
+  }
 }

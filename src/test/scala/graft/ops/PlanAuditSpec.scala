@@ -519,13 +519,17 @@ class PlanAuditSpec extends SparkTestBase {
       s"term filter must apply before the first shuffle (deepest in plan):\n$p")
   }
 
-  test("mmrRerank: corpus appears only under TakeOrdered shortlists; greedy is model-sized") {
+  test("mmrRerank: final frame is model-sized — no corpus scan survives the greedy") {
     val df = Similarity.mmrRerank(spark, sfDir)
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
-    // every corpus-sized pass is a TakeOrdered shortlist derivation;
-    // a SortMergeJoin would mean two corpus-sized sides met somewhere
-    assert(p.contains("TakeOrderedAndProject"), s"shortlist must stream:\n$p")
+    // the greedy's 1-row picks are localCheckpointed (lineage of an
+    // unrolled greedy is otherwise exponential in k), so the emitted
+    // plan must be a union of checkpointed rows — if a parquet scan or
+    // SortMergeJoin appears here, corpus-sized work leaked past the
+    // shortlist boundary into the per-result lineage
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"corpus scan leaked into the greedy result lineage:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"greedy steps must only join model-sized frames:\n$p")
   }
