@@ -402,4 +402,103 @@ object Aggregates {
       |FROM scored
       |GROUP BY r, f, m
       |ORDER BY r, f, m""".stripMargin
+
+  // --------------------------------------------------------------------
+  // MAD robust outlier gate
+  // --------------------------------------------------------------------
+
+  /** Robust outlier gate per event type on the median absolute
+    * deviation — the companion [[anomalyZscore]] needs on heavy-tailed
+    * data, where outliers inflate the stddev they are tested against
+    * until nothing is 3σ out (masking). Median and MAD don't move for
+    * up to 50% contamination: m = median(value_cents),
+    * MAD = median(|v − m|), and the Iglewicz–Hobbs modified z-score
+    * flags `0.6745·|v − m| / MAD > 3.5`, applied here as the EXACT
+    * integer cross-multiplication `6745·|v − m| > 35000·MAD` — no
+    * division, no float, no rounding to diverge on.
+    *
+    * Both medians use the [[Selection.weightedMedian]] histogram
+    * formulation (`2·cum ≥ tot` on a (type, value) histogram): windows
+    * only ever scan histogram rows, so no per-type corpus sort exists
+    * — and the deviation histogram derives from the value histogram
+    * (distinct values, not rows), so the second pass is
+    * histogram-sized end to end.
+    *
+    * Scale: two histogram aggs + histogram windows + one broadcast of
+    * the #types-row stats table back over the rows. A degenerate type
+    * with MAD = 0 (>50% identical values) flags every non-median
+    * value — correct for the statistic. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+    val hist = ev.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("c"))
+    val wTot = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("c"))).as("m"))
+    // deviation histogram from the VALUE histogram (re-binned |c − m|)
+    val devHist = hist.join(med, Seq("event_type"))
+      .select(col("event_type"), abs(col("c") - col("m")).as("d"), col("n"))
+      .groupBy(col("event_type"), col("d")).agg(sum(col("n")).as("n"))
+    val wCumD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val mad = devHist
+      .withColumn("cum", sum(col("n")).over(wCumD))
+      .withColumn("tot", sum(col("n")).over(wTot))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("d"))).as("mad"))
+    val stats = med.join(mad, Seq("event_type"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("m")).as("median_c"), max(col("mad")).as("mad_c"),
+        sum(when(abs(col("c") - col("m")) * 6745 > col("mad") * 35000, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_ppm", expr("(n_outliers * 1000000) DIV n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  def madOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |hist AS (
+      |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS n
+      |  FROM ev GROUP BY event_type, c),
+      |med AS (
+      |  SELECT event_type, min(CASE WHEN cum * 2 >= tot THEN c END) AS m
+      |  FROM (
+      |    SELECT event_type, c,
+      |      CAST(sum(n) OVER (PARTITION BY event_type ORDER BY c) AS BIGINT) AS cum,
+      |      CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |    FROM hist)
+      |  GROUP BY event_type),
+      |devhist AS (
+      |  SELECT h.event_type, abs(h.c - m.m) AS d, CAST(sum(h.n) AS BIGINT) AS n
+      |  FROM hist h JOIN med m USING (event_type)
+      |  GROUP BY h.event_type, abs(h.c - m.m)),
+      |mad AS (
+      |  SELECT event_type, min(CASE WHEN cum * 2 >= tot THEN d END) AS mad
+      |  FROM (
+      |    SELECT event_type, d,
+      |      CAST(sum(n) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cum,
+      |      CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |    FROM devhist)
+      |  GROUP BY event_type)
+      |SELECT ev.event_type, count(*) AS n_events,
+      |  CAST(max(m.m) AS BIGINT) AS median_c,
+      |  CAST(max(d.mad) AS BIGINT) AS mad_c,
+      |  CAST(sum(CASE WHEN abs(ev.c - m.m) * 6745 > d.mad * 35000
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(CAST(sum(CASE WHEN abs(ev.c - m.m) * 6745 > d.mad * 35000
+      |           THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |       // count(*) AS BIGINT) AS outlier_ppm
+      |FROM ev
+      |JOIN med m USING (event_type)
+      |JOIN mad d USING (event_type)
+      |GROUP BY ev.event_type
+      |ORDER BY ev.event_type""".stripMargin
 }

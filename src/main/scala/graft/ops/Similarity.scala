@@ -921,6 +921,119 @@ object Similarity {
        |ORDER BY t.nprobe, t.q_id""".stripMargin
   }
 
+  /** kNN classification accuracy audit — the label-quality eval a
+    * pipeline runs on an embedding table before trusting its labels
+    * (or its embeddings): every 20th vector is held out, classified by
+    * majority vote of its `k` nearest TRAIN vectors, and scored
+    * against its true label, reported per class. Low accuracy for one
+    * class = mislabeled or badly-embedded stratum.
+    *
+    * Scale: the holdout is corpus-sized, so no broadcast exists —
+    * candidates come from the IVF coarse assignment instead: holdout
+    * and train rows equi-join on their shared `centroid_id`
+    * ([[assignments]]), so each holdout vector is scored only against
+    * its own list (Σ |eval_l|·|train_l| ≈ n²/K, never n²), vectors are
+    * fetched by id AFTER the candidate join, and the per-holdout
+    * top-`k` goes through the two-phase salted rank. The oracle is
+    * the plain-window formulation of the same list-restricted kNN —
+    * green re-proves both rewrites. Holdout vectors alone in their
+    * list have no candidates and drop out (both engines). Majority
+    * ties break to the smallest label. */
+  def knnClassify(spark: SparkSession, sfDir: String, k: Int = 5,
+      salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val asg = assignments(spark, sfDir).select(col("vec_id"), col("centroid_id"))
+    val ev = asg.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("h_id"), col("centroid_id"))
+    val tr = asg.filter(col("vec_id") % 20 =!= 0)
+      .select(col("vec_id").as("t_id"), col("centroid_id"))
+    val cand = ev.join(tr, Seq("centroid_id"))
+      .select(col("h_id"), col("t_id"))
+      .join(emb.select(col("vec_id").as("h_id"), col("embedding").as("h_emb"),
+        col("label").cast("long").as("true_label")), Seq("h_id"))
+      .join(emb.select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        col("label").cast("long").as("t_label")), Seq("t_id"))
+      .select(col("h_id"), col("true_label"), col("t_id"), col("t_label"),
+        (round(cosine(col("h_emb"), col("t_emb")), 4) + lit(0.0)).as("cs"))
+      .filter(!isnan(col("cs")))
+      .select(col("h_id"), col("true_label"), col("t_id"), col("t_label"),
+        round(col("cs") * 10000).cast("long").as("sim_e4"))
+    val wLocal = Window.partitionBy(col("h_id"), pmod(col("t_id"), lit(salts.toLong)))
+      .orderBy(col("sim_e4").desc, col("t_id"))
+    val wGlobal = Window.partitionBy(col("h_id"))
+      .orderBy(col("sim_e4").desc, col("t_id"))
+    val topk = cand
+      .withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= k)
+      .withColumn("__gr", row_number().over(wGlobal)).filter(col("__gr") <= k)
+    val pred = topk.groupBy(col("h_id"), col("true_label"), col("t_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("h_id"), col("true_label"))
+      .agg(max(struct(col("votes"), (-col("t_label")).as("nl"))).as("b"))
+      .select(col("h_id"), col("true_label"), (-col("b.nl")).as("pred_label"))
+    pred.groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) DIV n_eval"))
+      .orderBy(col("true_label"))
+  }
+
+  /** Oracle twin of [[knnClassify]] — plain windows, `k`
+    * interpolated. */
+  def knnClassifySql(k: Int = 5): String =
+    s"""WITH centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          c.c_emb::DOUBLE[]), 4) DESC, c.centroid_id) AS rk
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE rk = 1),
+       |cand AS (
+       |  SELECT ev.vec_id AS h_id, he.label AS true_label,
+       |    tr.vec_id AS t_id, te.label AS t_label,
+       |    round(list_cosine_similarity(he.embedding::DOUBLE[],
+       |      te.embedding::DOUBLE[]), 4) + 0.0 AS cs
+       |  FROM assigned ev
+       |  JOIN assigned tr ON ev.centroid_id = tr.centroid_id
+       |  JOIN embeddings he ON he.vec_id = ev.vec_id
+       |  JOIN embeddings te ON te.vec_id = tr.vec_id
+       |  WHERE ev.vec_id % 20 = 0 AND tr.vec_id % 20 <> 0),
+       |scored AS (
+       |  SELECT h_id, CAST(true_label AS BIGINT) AS true_label, t_id,
+       |    CAST(t_label AS BIGINT) AS t_label,
+       |    CAST(round(cs * 10000) AS BIGINT) AS sim_e4
+       |  FROM cand WHERE NOT isnan(cs)),
+       |topk AS (
+       |  SELECT h_id, true_label, t_label FROM (
+       |    SELECT h_id, true_label, t_label,
+       |      row_number() OVER (PARTITION BY h_id
+       |        ORDER BY sim_e4 DESC, t_id) AS rk
+       |    FROM scored)
+       |  WHERE rk <= $k),
+       |votes AS (
+       |  SELECT h_id, true_label, t_label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM topk GROUP BY h_id, true_label, t_label),
+       |pred AS (
+       |  SELECT h_id, true_label, t_label AS pred_label FROM (
+       |    SELECT h_id, true_label, t_label,
+       |      row_number() OVER (PARTITION BY h_id
+       |        ORDER BY votes DESC, t_label) AS rk
+       |    FROM votes)
+       |  WHERE rk = 1)
+       |SELECT true_label, count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+       |       * 1000000 // count(*) AS BIGINT) AS acc_ppm
+       |FROM pred
+       |GROUP BY true_label
+       |ORDER BY true_label""".stripMargin
+
   /** ColBERT-style late-interaction scoring (Khattab & Zaharia 2020,
     * MaxSim): a multi-vector query scores a multi-vector document as
     * `Σ_q max_{v∈doc} cos(q, v)` — each query token finds its best

@@ -186,6 +186,50 @@ class AuditOpsSpec extends SparkTestBase {
     assert(scores.sortBy { case (s2, l) => (-s2, l) }.toSeq == scores.toSeq)
   }
 
+  // ---------------- madOutliers ----------------
+
+  test("madOutliers: exact JVM replay of median, MAD and the modified z flag") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medianOf(xs: Seq[Long]): Long = {
+      // smallest value whose cumulative count reaches half the total —
+      // the 2·cum ≥ tot order statistic, NOT midpoint interpolation
+      val sorted = xs.sorted; val tot = sorted.size
+      sorted.zipWithIndex.collectFirst { case (v, i) if (i + 1) * 2 >= tot => v }.get
+    }
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).toSeq
+      val m = medianOf(vs)
+      val mad = medianOf(vs.map(v => math.abs(v - m)))
+      val out = vs.count(v => math.abs(v - m) * 6745 > mad * 35000)
+      t -> (vs.size.toLong, m, mad, out.toLong)
+    }
+    val got = Aggregates.madOutliers(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, m, mad, out) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("median_c") == m, s"median mismatch: $r")
+      assert(r.getAs[Long]("mad_c") == mad, s"MAD mismatch: $r")
+      assert(r.getAs[Long]("n_outliers") == out, s"outlier count mismatch: $r")
+    }
+  }
+
+  // ---------------- knnClassify ----------------
+
+  test("knnClassify: eval partition accounting and accuracy bounds hold") {
+    val rows = Similarity.knnClassify(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val holdout = graft.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 20 === 0).count()
+    assert(rows.map(_.getAs[Long]("n_eval")).sum <= holdout)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Long]("acc_ppm") <= 1000000L)
+    }
+  }
+
   // ---------------- ivfRecall ----------------
 
   test("ivfRecall: recall is bounded and non-decreasing in nprobe") {
