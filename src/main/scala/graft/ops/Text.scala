@@ -908,6 +908,139 @@ object Text {
       |FROM d""".stripMargin
 
   // --------------------------------------------------------------------
+  // Stupid Backoff trigram language model (train/eval split)
+  // --------------------------------------------------------------------
+
+  /** Trigram language-model scoring with Stupid Backoff (Brants et
+    * al., "Large Language Models in Machine Translation", EMNLP 2007 —
+    * THE web-scale LM recipe: no discounting, no normalization, just
+    * relative frequencies with a fixed 0.4 backoff penalty per level).
+    * Counts are trained on the 95% split (`doc_id % 20 ≠ 0`, the
+    * decontamination split) and every HELD-OUT doc is scored — unlike
+    * [[lmScore]]'s self-trained bigram MLE, held-out trigrams can be
+    * unseen, so the backoff path actually fires and is part of what
+    * the oracle pins:
+    * S(w₃|w₁w₂) = c₁₂₃/c₁₂  — else 0.4·c₂₃/c₂  — else 0.16·c₃/N
+    * (unseen unigram: count 1). Per doc: positions scored, how many
+    * backed off one resp. two levels, and the total/mean NLL in
+    * integer tenth-milli-nats (each position's cost is ONE double
+    * expression over integer counts, rounded once — BIGINT sums).
+    *
+    * Scale: count tables are corpus-global aggs on natural keys
+    * (map-side combined); scoring is the eval positions LEFT-joined
+    * against them on trigram/bigram/unigram strings — the tf-idf
+    * join shape, never doc×doc. The 1-row N frame is the only
+    * broadcast product. */
+  def backoffLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens
+    val n = size(t)
+    // positions with their trigram context, built from shifted slices
+    // (the shingles idiom — never element_at in a lambda)
+    def grams(d: DataFrame) = {
+      val s2 = slice(t, lit(2), greatest(n - 1, lit(0)))
+      val s3 = slice(t, lit(3), greatest(n - 2, lit(0)))
+      val w123 = zip_with(zip_with(t, s2, (a, b) => concat(a, lit(" "), b)), s3,
+        (ab, c) => concat(ab, lit(" "), c))
+      d.select(col("doc_id"), explode(slice(w123, lit(1), greatest(n - 2, lit(1)))).as("t123"))
+        .filter(col("t123").isNotNull)
+        .withColumn("parts", split(col("t123"), " "))
+        .select(col("doc_id"), col("t123"),
+          concat_ws(" ", element_at(col("parts"), 1), element_at(col("parts"), 2)).as("b12"),
+          concat_ws(" ", element_at(col("parts"), 2), element_at(col("parts"), 3)).as("b23"),
+          element_at(col("parts"), 2).as("w2"), element_at(col("parts"), 3).as("w3"))
+    }
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 20 === 0)
+    val tri = grams(train).groupBy(col("t123")).agg(count(lit(1)).as("c123"))
+    val trainTok = train.select(explode(t).as("w"))
+    val uni = trainTok.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTot = trainTok.agg(count(lit(1)).as("n_train"))
+    val bi = train.select(explode(zip_with(t, slice(t, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("b")).agg(count(lit(1)).as("c12"))
+    val s = when(col("c123").isNotNull,
+        col("c123").cast("double") / col("cb12"))
+      .when(col("cb23").isNotNull,
+        lit(0.4) * col("cb23") / col("c2"))
+      .otherwise(lit(0.16) * coalesce(col("c3"), lit(1L)) / col("n_train"))
+    grams(eval_)
+      .join(tri, Seq("t123"), "left")
+      .join(bi.select(col("b").as("b12"), col("c12").as("cb12")), Seq("b12"), "left")
+      .join(bi.select(col("b").as("b23"), col("c12").as("cb23")), Seq("b23"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull, 0L)
+          .when(col("cb23").isNotNull, 1L).otherwise(2L).as("level"),
+        round(-log(s) * 10000).cast("long").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("level") === 1, 1L).otherwise(0L)).as("n_bo1"),
+        sum(when(col("level") === 2, 1L).otherwise(0L)).as("n_bo2"),
+        sum(col("nll")).as("sum_nll"))
+      .withColumn("avg_nll", expr("sum_nll DIV n_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def backoffLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tris AS (
+      |  SELECT doc_id,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS t123,
+      |    t[i] || ' ' || t[i+1] AS b12,
+      |    t[i+1] || ' ' || t[i+2] AS b23,
+      |    t[i+1] AS w2, t[i+2] AS w3
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)),
+      |bis AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+      |tri AS (
+      |  SELECT t123, CAST(count(*) AS BIGINT) AS c123 FROM tris
+      |  WHERE doc_id % 20 <> 0 GROUP BY t123),
+      |bi AS (
+      |  SELECT b, CAST(count(*) AS BIGINT) AS c12 FROM bis
+      |  WHERE doc_id % 20 <> 0 GROUP BY b),
+      |uni AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM (
+      |    SELECT doc_id, unnest(t) AS w FROM toks) u
+      |  WHERE doc_id % 20 <> 0 GROUP BY w),
+      |ntot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_train FROM (
+      |    SELECT doc_id, unnest(t) AS w FROM toks) u
+      |  WHERE doc_id % 20 <> 0),
+      |scored AS (
+      |  SELECT e.doc_id,
+      |    CASE WHEN tri.c123 IS NOT NULL THEN 0
+      |         WHEN b23.c12 IS NOT NULL THEN 1 ELSE 2 END AS level,
+      |    CAST(round(-ln(
+      |      CASE WHEN tri.c123 IS NOT NULL
+      |             THEN CAST(tri.c123 AS DOUBLE) / b12.c12
+      |           WHEN b23.c12 IS NOT NULL
+      |             THEN 0.4 * b23.c12 / u2.c1
+      |           ELSE 0.16 * coalesce(u3.c1, 1) / t.n_train
+      |      END) * 10000) AS BIGINT) AS nll
+      |  FROM tris e
+      |  LEFT JOIN tri ON tri.t123 = e.t123
+      |  LEFT JOIN bi b12 ON b12.b = e.b12
+      |  LEFT JOIN bi b23 ON b23.b = e.b23
+      |  LEFT JOIN uni u2 ON u2.w = e.w2
+      |  LEFT JOIN uni u3 ON u3.w = e.w3
+      |  CROSS JOIN ntot t
+      |  WHERE e.doc_id % 20 = 0)
+      |SELECT doc_id, count(*) AS n_pos,
+      |  CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+      |  CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+      |  CAST(sum(nll) AS BIGINT) AS sum_nll,
+      |  CAST(CAST(sum(nll) AS BIGINT) // count(*) AS BIGINT) AS avg_nll
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
   // BM25 ranked retrieval
   // --------------------------------------------------------------------
 

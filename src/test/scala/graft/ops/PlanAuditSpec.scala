@@ -561,6 +561,44 @@ class PlanAuditSpec extends SparkTestBase {
       s"bucket join must shuffle on the (cfg, band) key:\n$p")
   }
 
+  test("knnClassify: list-restricted candidates are equi-joins; no cartesian anywhere") {
+    val df = Similarity.knnClassify(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the only nested-loop products are the bounded corpus×centroids
+    // assignment broadcasts (the IVF shape); the holdout×train
+    // candidate join itself must be an equi-join on centroid_id
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findFirstIn(p).isDefined,
+      s"candidate join must be an equi-join:\n$p")
+    // two-phase top-k: local salt rank + global rank
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows >= 2, s"expected local+global rank windows:\n$p")
+  }
+
+  test("madOutliers: histograms feed the median windows; stats broadcast back") {
+    val df = Aggregates.madOutliers(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"medians must come from per-type histogram windows:\n$p")
+    val iAgg = p.lastIndexOf("HashAggregate")
+    val iWin = p.indexOf("Window")
+    assert(iWin >= 0 && iAgg > iWin,
+      s"histogram aggregate must sit below the first window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the #types-row stats table must broadcast:\n$p")
+  }
+
+  test("backoffLm: count-table joins are equi-joins; only the 1-row N broadcasts") {
+    val df = Text.backoffLm(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row n_train join may nest-loop:\n$p")
+  }
+
   test("ivfRecall: probed-list fetch and recall joins are equi-joins; ranks are two-phase") {
     val df = Similarity.ivfRecall(spark, sfDir)
     df.collect()
