@@ -94,6 +94,15 @@ object Scale50 {
     time("hyperplane 32x16 100k vecs")(println("  pairs=" +
       ops.Similarity.hyperplaneLshPairs(spark, d, nPlanes = 32, bandBits = 16).count()))
     time("ivf_trained_topk 100k vecs")(ops.Similarity.ivfTrainedTopK(spark, d).count())
+    // round-5 session-3 surface on the natural-length 50×/5× corpus
+    time("norm_dedup 250k")(ops.Dedup.normDedup(spark, d).count())
+    time("lsh_band_tune 250k")(ops.Dedup.lshBandTune(spark, d).count())
+    time("ccnet_buckets 250k")(ops.Text.ccnetBuckets(spark, d).count())
+    time("backoff_lm 250k")(ops.Text.backoffLm(spark, d).count())
+    time("bm25 250k")(ops.Text.bm25(spark, d).count())
+    time("knn_classify 100k vecs")(ops.Similarity.knnClassify(spark, d).count())
+    time("maxsim 100k vecs")(ops.Similarity.maxSim(spark, d).count())
+    time("mmr_rerank 100k vecs")(ops.Similarity.mmrRerank(spark, d).count())
     spark.stop()
   }
 }
