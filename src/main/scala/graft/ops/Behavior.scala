@@ -418,4 +418,78 @@ object Behavior {
       |WHERE report_day <= max_day
       |GROUP BY report_day
       |ORDER BY report_day""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Survival analysis: Kaplan–Meier hazard table
+  // --------------------------------------------------------------------
+
+  /** The discrete Kaplan–Meier life table over user lifetimes — the
+    * survival-analysis input the retention queries
+    * ([[weeklyRetention]], [[cohortMatrix]]) summarize away: per
+    * lifetime-day `d`, how many users were still AT RISK, how many
+    * CHURNED at exactly `d` (last activity `d` days after their
+    * first), and the discrete hazard in ppm. Users whose last
+    * activity falls within `censorDays` of the observation-window end
+    * are right-CENSORED — they are still at risk through their
+    * observed lifetime but never counted as churned (the estimator's
+    * defining correction; ignoring it biases churn up for recent
+    * signups). The window end is the corpus max event time.
+    *
+    * Engine parity: lifetimes are integer DAYS (epoch-ms DIV), the
+    * hazard is truncating integer ppm, and at-risk counts come from a
+    * REVERSE cumulative sum over the (lifetime, censored) histogram —
+    * windows scan histogram rows (≤ distinct lifetime days), never
+    * users, the [[graft.ops.Selection.weightedMedian]] discipline.
+    *
+    * Scale: one user_id-keyed agg (map-side combined), a 1-row
+    * window-end broadcast, histogram windows. Output is
+    * max-lifetime-days rows — model-sized at any corpus size. */
+  def survivalHazard(spark: SparkSession, sfDir: String,
+      censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_millis(ts) DIV 86400000").as("day"))
+    val wEnd = ev.agg(max(col("day")).as("w_end"))
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .crossJoin(broadcast(wEnd))
+      .select((col("last_day") - col("first_day")).as("lifetime"),
+        (col("w_end") - col("last_day") < censorDays).as("censored"))
+    val hist = users.groupBy(col("lifetime"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churned"))
+    // at_risk(d) = users with lifetime >= d: reverse running sum over
+    // the lifetime histogram
+    val wRev = Window.orderBy(col("lifetime").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("at_risk", sum(col("n_ending")).over(wRev))
+      .select(col("lifetime"), col("at_risk"), col("n_churned"))
+      .withColumn("hazard_ppm", expr("(n_churned * 1000000) DIV at_risk"))
+      .orderBy(col("lifetime"))
+  }
+
+  /** Oracle twin of [[survivalHazard]] — `censorDays` interpolated. */
+  def survivalHazardSql(censorDays: Int = 7): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events),
+       |wend AS (SELECT max(day) AS w_end FROM ev),
+       |users AS (
+       |  SELECT last_day - first_day AS lifetime,
+       |    w_end - last_day < $censorDays AS censored
+       |  FROM (SELECT user_id, min(day) AS first_day, max(day) AS last_day
+       |        FROM ev GROUP BY user_id)
+       |  CROSS JOIN wend),
+       |hist AS (
+       |  SELECT lifetime, CAST(count(*) AS BIGINT) AS n_ending,
+       |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+       |  FROM users GROUP BY lifetime)
+       |SELECT lifetime,
+       |  CAST(sum(n_ending) OVER (ORDER BY lifetime DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk,
+       |  n_churned,
+       |  CAST(n_churned * 1000000 // CAST(sum(n_ending) OVER (ORDER BY lifetime DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS BIGINT)
+       |    AS hazard_ppm
+       |FROM hist
+       |ORDER BY lifetime""".stripMargin
 }

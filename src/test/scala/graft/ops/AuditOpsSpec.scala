@@ -230,6 +230,30 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---------------- survivalHazard ----------------
+
+  test("survivalHazard: life-table identities hold (at-risk telescopes, censoring caps churn)") {
+    val rows = Behavior.survivalHazard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val users = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    // at_risk at lifetime 0 is the whole population; it telescopes:
+    // at_risk(d) − ending(d) = at_risk(next d)
+    val byLt = rows.sortBy(_.getAs[Long]("lifetime"))
+    // the shortest observed lifetime's at-risk set is the whole
+    // population (reverse cumsum over the complete histogram)
+    assert(byLt.head.getAs[Long]("at_risk") == users)
+    byLt.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("at_risk") > b.getAs[Long]("at_risk"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("at_risk"))
+      assert(r.getAs[Long]("hazard_ppm") <= 1000000L)
+    }
+  }
+
   // ---------------- ivfRecall ----------------
 
   test("ivfRecall: recall is bounded and non-decreasing in nprobe") {
