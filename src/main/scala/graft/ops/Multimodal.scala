@@ -211,6 +211,55 @@ object Multimodal {
       } finally in.close()
     }
 
+    /** 64-bit audio envelope hash — the audio analogue of
+      * [[ImageCodec.aHash]]: decode PCM, split the sample sequence
+      * into 65 equal buckets, take each bucket's mean ABSOLUTE
+      * amplitude, set bit i when bucket i+1 is strictly louder than
+      * bucket i. Means are compared by exact integer
+      * cross-multiplication (sum·count vs sum·count — no division),
+      * so the hash is bit-deterministic; sign-of-delta is invariant
+      * under volume scaling and survives frame decimation (bucket
+      * means barely move). An envelope hash fingerprints
+      * amplitude-STRUCTURED audio (speech, music dynamics); for
+      * constant-envelope tones adjacent buckets tie toward 0 bits —
+      * still deterministic, just low-information. */
+    def aHash(bytes: Array[Byte]): Long = {
+      val in = stream(bytes)
+      try {
+        val fmt = in.getFormat
+        val pcm = in.readAllBytes()
+        val sums = new Array[Long](65)
+        val cnts = new Array[Long](65)
+        if (fmt.getSampleSizeInBits <= 8) {
+          val n = pcm.length
+          var i = 0
+          while (i < n) {
+            val b = math.min((i.toLong * 65 / math.max(n, 1)).toInt, 64)
+            sums(b) += math.abs((pcm(i) & 0xff) - 128); cnts(b) += 1; i += 1
+          }
+        } else {
+          val big = fmt.isBigEndian
+          val n = pcm.length / 2
+          var i = 0
+          while (i < n) {
+            val lo = pcm(2 * i + (if (big) 1 else 0)) & 0xff
+            val hi = pcm(2 * i + (if (big) 0 else 1))
+            val s = (hi << 8) | lo
+            val b = math.min((i.toLong * 65 / math.max(n, 1)).toInt, 64)
+            sums(b) += math.abs(s); cnts(b) += 1; i += 1
+          }
+        }
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (cnts(i) > 0 && cnts(i + 1) > 0 &&
+              sums(i + 1) * cnts(i) > sums(i) * cnts(i + 1)) h |= (1L << i)
+          i += 1
+        }
+        h
+      } finally in.close()
+    }
+
     /** Real frame decimation: keep every `factor`-th PCM frame and
       * re-encode as WAV at sampleRate/factor (the time axis is
       * preserved — the audio analogue of pixel resampling). */
@@ -441,13 +490,39 @@ object Multimodal {
   def imageNearDups(assets: Dataset[MediaAsset], maxHamming: Int = 3): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    val hashes = assets
+    hammingNearDups(assets
       .mapPartitions(_.flatMap { a =>
         if (!ImageCodec.isImage(a.content)) None
         else try Some((a.assetId, ImageCodec.aHash(a.content)))
         catch { case _: Exception => None }
       })
-      .toDF("asset_id", "h")
+      .toDF("asset_id", "h"), maxHamming)
+  }
+
+  /** Perceptual AUDIO near-dup pairs — the same banded-hamming
+    * machinery over [[AudioCodec.aHash]] envelope fingerprints:
+    * re-encoded, volume-scaled or decimated copies of a recording
+    * collide; undecodable bytes are skipped exactly like the image
+    * path. */
+  def audioNearDups(assets: Dataset[MediaAsset], maxHamming: Int = 3): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    hammingNearDups(assets
+      .mapPartitions(_.flatMap { a =>
+        if (!AudioCodec.isAudio(a.content)) None
+        else try Some((a.assetId, AudioCodec.aHash(a.content)))
+        catch { case _: Exception => None }
+      })
+      .toDF("asset_id", "h"), maxHamming)
+  }
+
+  /** Banded-hamming near-dup join over any (asset_id, h) 64-bit
+    * fingerprint frame: 4×16-bit bands, equi self-join per band
+    * (pigeonhole: hamming ≤ 3 ⇒ some band bit-identical), exact
+    * popcount verify on candidates only. For `maxHamming` > 3 the
+    * candidate stage is best-effort (a pair is found iff SOME band is
+    * clean — the standard LSH recall trade); exactness holds at ≤ 3. */
+  private def hammingNearDups(hashes: DataFrame, maxHamming: Int): DataFrame = {
     val banded = hashes.select(col("asset_id"), col("h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_no"),

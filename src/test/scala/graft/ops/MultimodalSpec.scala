@@ -263,6 +263,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(java.lang.Long.bitCount(h1 ^ Multimodal.ImageCodec.aHash(inv)) > 20)
   }
 
+  /** Amplitude-modulated WAV: 440 Hz carrier, per-millisecond envelope
+    * from `env` — the amplitude STRUCTURE the audio hash fingerprints. */
+  private def amWav(ms: Int, env: Int => Double): Array[Byte] = {
+    val rate = 8000f
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val t = (i * 1000.0 / rate).toInt
+      val s = (math.sin(2 * math.Pi * 440.0 * i / rate) * 12000 * env(t)).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio aHash: volume-invariant, decimation-robust, envelope-sensitive") {
+    // carrier-phase sampling adds a few % of noise per ~6 ms bucket, so
+    // near-tie delta bits can flip between re-quantized variants — the
+    // thresholds below allow that noise band while still separating
+    // envelopes (the near-dup join's contract is hamming distance, not
+    // bit-exactness)
+    val ramp = amWav(400, t => t / 400.0)
+    val h = Multimodal.AudioCodec.aHash(ramp)
+    // rising envelope: the vast majority of delta bits point up
+    assert(java.lang.Long.bitCount(h) >= 44, f"rising ramp too flat: $h%016x")
+    // re-quantized volume scaling flips only near-tie bits
+    val quiet = amWav(400, t => t / 400.0 * 0.25)
+    assert(java.lang.Long.bitCount(h ^ Multimodal.AudioCodec.aHash(quiet)) <= 10)
+    // frame decimation preserves the envelope buckets
+    val deci = Multimodal.AudioCodec.resample(ramp, 2)
+    assert(java.lang.Long.bitCount(h ^ Multimodal.AudioCodec.aHash(deci)) <= 10)
+    // the reversed envelope is far
+    val fall = amWav(400, t => 1.0 - t / 400.0)
+    assert(java.lang.Long.bitCount(h ^ Multimodal.AudioCodec.aHash(fall)) > 25)
+  }
+
+  test("audioNearDups pairs decimated/volume-scaled copies, skips distinct envelopes") {
+    val ramp = amWav(400, t => t / 400.0)
+    val assets = Seq(
+      MediaAsset(1, "audio", ramp, MediaMeta(0, 0, 0, "?")),
+      MediaAsset(2, "audio", Multimodal.AudioCodec.resample(ramp, 2), MediaMeta(0, 0, 0, "?")),
+      MediaAsset(3, "audio", amWav(400, t => t / 400.0 * 0.5), MediaMeta(0, 0, 0, "?")),
+      MediaAsset(4, "audio", amWav(400, t => 1.0 - t / 400.0), MediaMeta(0, 0, 0, "?")),
+      MediaAsset(5, "audio", Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E'),
+        MediaMeta(0, 0, 0, "?")))
+    // threshold sized to the re-quantization noise band (see aHash test)
+    val pairs = audioNearDups(assets.toDS(), maxHamming = 10).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"decimated copy not found: $pairs")
+    assert(pairs.contains((1L, 3L)), s"volume-scaled copy not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"reversed envelope matched: $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), s"corrupt wav leaked: $pairs")
+  }
+
   test("imageNearDups finds perturbed/rescaled variants, not distinct images or junk") {
     val base = gradientImage(64, 64, 0)
     val variants = Seq(
