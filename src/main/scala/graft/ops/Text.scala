@@ -460,23 +460,40 @@ object Text {
     val docs = Tables.documents(spark, sfDir)
     val t = tokens
     val bigrams = docs.select(col("doc_id"),
-        explode(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-          (x, y) => struct(x.as("w1"), concat(x, lit(" "), y).as("bg")))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+      explode(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))).as("bg"))
+    // Probe side collapses to DISTINCT bigrams per doc BEFORE any join
+    // (map-side combined), so a repeated boilerplate transition rides
+    // the join shuffles once with a weight k instead of once per
+    // position — per-doc sums become sum(k·nll) / sum(k).
+    val docBg = bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("k"))
     val uni = docs.select(explode(t).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    // Join keys are (w1, xxhash64(bg)) — first token (short; the
+    // unigram join needs it anyway) plus a 64-bit hash of the full
+    // bigram, so the wide two-token string never rides a join shuffle.
+    // A false merge needs two bigrams SHARING w1 to collide in
+    // xxhash64 (~2^-64 per continuation set); keeping w1 in the key
+    // makes cross-w1 collisions harmless. w1 is recoverable from bg
+    // because tokens are space-split (no token contains ' ').
+    val probe = docBg.select(col("doc_id"),
+      substring_index(col("bg"), " ", 1).as("w1"),
+      xxhash64(col("bg")).as("bh"), col("k"))
+    val biH = bi.select(substring_index(col("bg"), " ", 1).as("w1"),
+      xxhash64(col("bg")).as("bh"), col("c12"))
     // scores are NEGATIVE-log-likelihood costs (>= 0): c12 <= c1 by
     // construction, and non-negative integers keep Spark DIV = DuckDB //
     // (they differ on negatives: truncate vs floor)
-    bigrams
-      .join(bi, Seq("bg"))
+    probe
+      .join(biH, Seq("w1", "bh"))
       .join(uni, Seq("w1"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("k"),
         round(log(col("c1").cast("double") / col("c12")) * 10000).cast("long").as("nll"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("nll")).as("sum_nll"))
+      .agg(sum(col("k")).as("n_bigrams"),
+        sum(col("k") * col("nll")).as("sum_nll"))
       .withColumn("avg_nll", expr("sum_nll DIV n_bigrams"))
   }
 
