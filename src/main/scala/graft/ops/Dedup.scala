@@ -1233,7 +1233,11 @@ object Dedup {
         sum(coalesce(col("is_dup"), lit(0L))).cast("long").as("n_confirmed"))
       .crossJoin(broadcast(truth)) // 1-row bound frame
       .withColumn("precision_ppm", expr("(n_confirmed * 1000000) DIV n_candidates"))
-      .withColumn("recall_ppm", expr("(n_confirmed * 1000000) DIV n_truth"))
+      // dup-free corpus: n_truth = 0 and Spark DIV-by-zero vs DuckDB //
+      // are not guaranteed to agree — pin the degenerate case to NULL
+      // explicitly on BOTH sides
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_truth = 0 THEN NULL ELSE (n_confirmed * 1000000) DIV n_truth END"))
       .select(col("cfg"), col("n_bands"), col("n_rows"), col("n_candidates"),
         col("n_confirmed"), col("precision_ppm"), col("recall_ppm"))
       .orderBy(col("cfg"))
@@ -1286,7 +1290,8 @@ object Dedup {
        |  GROUP BY cfg)
        |SELECT cfg, n_bands, n_rows, n_candidates, n_confirmed,
        |  CAST(n_confirmed * 1000000 // n_candidates AS BIGINT) AS precision_ppm,
-       |  CAST(n_confirmed * 1000000 // n_truth AS BIGINT) AS recall_ppm
+       |  CAST(CASE WHEN n_truth = 0 THEN NULL
+       |       ELSE n_confirmed * 1000000 // n_truth END AS BIGINT) AS recall_ppm
        |FROM per CROSS JOIN tot
        |ORDER BY cfg""".stripMargin
   }

@@ -1164,7 +1164,14 @@ object Similarity {
         .withColumn("score_e5", expr("7 * qsim_e4 - 3 * max_p_e4"))
       acc :+ pick(scored, i)
     }
-    steps.reduce(_.unionByName(_)).orderBy(col("rnk"))
+    // degenerate corpus guard: with fewer than k survivors in the
+    // shortlist, exhausted greedy steps aggregate an EMPTY frame and
+    // max() emits a NULL-vec_id row; the oracle's LIMIT-1 CTE emits no
+    // row. A null pick is a no-op for later steps (null never equi-
+    // joins), so dropping them here is exactly "stop when exhausted".
+    steps.reduce(_.unionByName(_))
+      .filter(col("vec_id").isNotNull)
+      .orderBy(col("rnk"))
   }
 
   /** Oracle twin of [[mmrRerank]] — the same greedy unrolled as

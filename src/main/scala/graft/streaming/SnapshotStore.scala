@@ -14,13 +14,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * merged snapshot to a hidden `_compact_tmp_g<N>` dir (invisible to
   * parquet readers of the root), stamp it with a `_folded` manifest
   * naming exactly the input partitions it merged, rename into place as
-  * `batch=compacted_g<N>`, and ONLY THEN delete the inputs. A crash
-  * before the rename loses nothing (temp dirs are garbage-collected by
-  * the next [[recover]]); a crash after the rename is finished by
-  * [[recover]] — the manifest says which inputs are safe to delete.
-  * Until recovery runs after a mid-delete crash, the snapshot and its
-  * not-yet-deleted inputs double count — run `compact`/`recover`
-  * before reading.
+  * `batch=compacted_g<N>`, stamp a `_committed` marker, and ONLY THEN
+  * delete the inputs. The marker — not the rename — is the commit
+  * point: on filesystems with atomic rename (HDFS, local) the rename
+  * alone would suffice, but on object stores (S3A) "rename" is a
+  * non-atomic copy+delete and a crash mid-copy leaves a PARTIAL
+  * snapshot dir in place; [[recover]] therefore deletes any snapshot
+  * without the marker (its inputs are untouched — input deletion is
+  * gated on the marker — so nothing is lost, the next compact redoes
+  * the fold). A crash before the marker loses nothing; a crash after
+  * it is finished by [[recover]] — the manifest says which inputs are
+  * safe to delete. Until recovery runs after a mid-delete crash, the
+  * snapshot and its not-yet-deleted inputs double count — run
+  * `compact`/`recover` before reading.
   *
   * Run only while the stream is stopped with its last batch committed:
   * compacting an UNCOMMITTED batch and then replaying it after
@@ -58,12 +64,18 @@ private[streaming] object SnapshotStore {
     val snapshot = new Path(root, s"batch=compacted_g$gen")
     if (!fs.rename(tmp, snapshot))
       sys.error(s"SnapshotStore.compact: rename $tmp -> $snapshot failed")
+    // commit point: the marker, not the rename (see class doc — on
+    // object stores the "rename" is a copy and can be left partial)
+    fs.create(new Path(snapshot, "_committed"), true).close()
     inputs.foreach(p => fs.delete(p, true))
   }
 
-  /** Finish any interrupted compaction: drop uncommitted temp dirs and
-    * delete input partitions that a committed snapshot's `_folded`
-    * manifest records as already merged. Idempotent. */
+  /** Finish any interrupted compaction: drop uncommitted temp dirs,
+    * drop snapshot dirs missing the `_committed` marker (a non-atomic
+    * object-store rename can be left partial — their inputs still
+    * exist, so deletion is the safe direction), and delete input
+    * partitions that a COMMITTED snapshot's `_folded` manifest records
+    * as already merged. Idempotent. */
   def recover(fs: FileSystem, root: Path): Unit = {
     if (!fs.exists(root)) return
     val entries = fs.listStatus(root)
@@ -72,7 +84,9 @@ private[streaming] object SnapshotStore {
     entries.filter(s => s.isDirectory && s.getPath.getName.startsWith("batch=compacted_g"))
       .foreach { snap =>
         val manifest = new Path(snap.getPath, "_folded")
-        if (fs.exists(manifest)) {
+        if (!fs.exists(new Path(snap.getPath, "_committed"))) {
+          fs.delete(snap.getPath, true)
+        } else if (fs.exists(manifest)) {
           val in = fs.open(manifest)
           val folded = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
           finally in.close()

@@ -42,7 +42,11 @@ object StreamCusum {
   /** Reference model per key, integer micro-units. */
   final case class Ref(key: String, muMicro: Long, kappaMicro: Long, hMicro: Long)
 
-  final case class CusumState(sPos: Long, sNeg: Long, nSeen: Long, nAlarms: Long)
+  /** `lastSeq` is the highest seq already folded; `nLate` counts
+    * observations DROPPED for arriving at or below it (the late-data
+    * policy — see [[onKey]]). */
+  final case class CusumState(sPos: Long, sNeg: Long, nSeen: Long, nAlarms: Long,
+      lastSeq: Long = Long.MinValue, nLate: Long = 0L)
 
   /** An alarm: the side that crossed, at which observation, with the
     * crossing statistic. */
@@ -68,7 +72,14 @@ object StreamCusum {
   }
 
   /** Pure per-key fold — unit-testable without a stream. Observations
-    * are sorted by `seq` so the result is framing-independent. */
+    * are sorted by `seq` so the result is framing-independent WITHIN a
+    * batch; ACROSS batches the state's `lastSeq` high-water mark makes
+    * it explicit: an observation whose seq is at or below what was
+    * already folded in an earlier micro-batch cannot be folded in order
+    * any more, so it is DROPPED (counted in `nLate`) rather than folded
+    * out of order — silently changing already-emitted alarm positions
+    * is the one thing a drift monitor must not do. This also dedupes
+    * at-least-once redelivery of an already-folded seq. */
   def onKey(refs: Map[String, Ref])(key: String, rows: Iterator[Obs],
       state: GroupState[CusumState]): Iterator[Alarm] = {
     // unmonitored key: no reference, no state, no alarms
@@ -77,20 +88,25 @@ object StreamCusum {
     var s = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
     val alarms = List.newBuilder[Alarm]
     rows.toSeq.sortBy(_.seq).foreach { o =>
-      val dev = o.xMicro - ref.muMicro
-      var sPos = math.max(0L, s.sPos + dev - ref.kappaMicro)
-      var sNeg = math.max(0L, s.sNeg - dev - ref.kappaMicro)
-      val n = s.nSeen + 1
-      var nAlarms = s.nAlarms
-      if (sPos > ref.hMicro) {
-        alarms += Alarm(key, o.seq, "high", sPos, n)
-        sPos = 0L; nAlarms += 1
+      if (o.seq <= s.lastSeq) {
+        // late or redelivered: already folded past this seq
+        s = s.copy(nLate = s.nLate + 1)
+      } else {
+        val dev = o.xMicro - ref.muMicro
+        var sPos = math.max(0L, s.sPos + dev - ref.kappaMicro)
+        var sNeg = math.max(0L, s.sNeg - dev - ref.kappaMicro)
+        val n = s.nSeen + 1
+        var nAlarms = s.nAlarms
+        if (sPos > ref.hMicro) {
+          alarms += Alarm(key, o.seq, "high", sPos, n)
+          sPos = 0L; nAlarms += 1
+        }
+        if (sNeg > ref.hMicro) {
+          alarms += Alarm(key, o.seq, "low", sNeg, n)
+          sNeg = 0L; nAlarms += 1
+        }
+        s = CusumState(sPos, sNeg, n, nAlarms, o.seq, s.nLate)
       }
-      if (sNeg > ref.hMicro) {
-        alarms += Alarm(key, o.seq, "low", sNeg, n)
-        sNeg = 0L; nAlarms += 1
-      }
-      s = CusumState(sPos, sNeg, n, nAlarms)
     }
     state.update(s)
     alarms.result().iterator

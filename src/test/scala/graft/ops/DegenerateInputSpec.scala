@@ -286,6 +286,32 @@ class DegenerateInputSpec extends SparkTestBase {
     assert(grid.map(_.getAs[Long]("n_docs")).sum >= 4)
   }
 
+  test("mmrRerank stops when the shortlist is exhausted (no NULL filler rows)") {
+    // corpus: query vec 0 + survivors {1, 2} (vec 3 is all-zero, NaN
+    // cosine, filtered) — only 2 candidates for k = 5; the greedy must
+    // emit exactly 2 ranked rows, matching the oracle's LIMIT-1 CTEs
+    // which emit nothing for exhausted steps
+    val rows = Similarity.mmrRerank(spark, degenerateVecs, k = 5).collect()
+    assert(rows.length == 2, s"expected 2 picks, got ${rows.length}")
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == Seq(1L, 2L))
+    assert(rows.forall(!_.isNullAt(1)), "no NULL vec_id filler")
+  }
+
+  test("lshBandTune on a dup-free corpus pins recall to NULL, not a div-by-zero") {
+    val tmp = tmpDir("dupfree")
+    val s = spark; import s.implicits._
+    Seq((1L, "alpha beta gamma", "en", "s1"), (2L, "delta epsilon zeta", "en", "s1"),
+        (3L, "eta theta iota", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.lshBandTune(spark, tmp).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_confirmed") == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall_ppm")),
+        "n_truth = 0 must yield NULL recall on both engine and oracle")
+    }
+  }
+
   test("hardNegatives survives all-zero vectors and fewer candidates than k") {
     // 4 vectors, every one a query (vec_id < 5); vec 3 is all-zero so
     // its cosine is NaN everywhere — it yields no rows as a query and

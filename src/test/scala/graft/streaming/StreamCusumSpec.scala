@@ -75,6 +75,30 @@ class StreamCusumSpec extends SparkTestBase {
     assert(framed == expectedAlarms, s"3-batch framing: $framed")
   }
 
+  test("a late observation (seq <= last folded) is dropped, not folded out of order") {
+    def freshState = org.apache.spark.sql.streaming.TestGroupState.create[CusumState](
+      org.apache.spark.api.java.Optional.empty[CusumState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      0L, org.apache.spark.api.java.Optional.empty[Long](), false)
+    // clean two-batch fold as the yardstick
+    val clean = freshState
+    val a1 = onKey(trainedRef)("s", obsAll.take(30).iterator, clean).toSet
+    val a2 = onKey(trainedRef)("s", obsAll.drop(30).iterator, clean).toSet
+    // same framing, but batch 2 smuggles in a redelivery of seq 15 and
+    // a genuinely late seq 3 carrying a wild value that would reshape
+    // every subsequent alarm if it were folded
+    val dirty = freshState
+    val b1 = onKey(trainedRef)("s", obsAll.take(30).iterator, dirty).toSet
+    val late = Seq(Obs("s", 15L, 110L), Obs("s", 3L, 1000000L))
+    val b2 = onKey(trainedRef)("s", (late ++ obsAll.drop(30)).iterator, dirty).toSet
+    assert(b1.map(a => (a.seq, a.side)) == a1.map(a => (a.seq, a.side)))
+    assert(b2.map(a => (a.seq, a.side)) == a2.map(a => (a.seq, a.side)),
+      "late rows must not change alarm positions")
+    assert(dirty.get.nLate == 2L, "both late rows counted")
+    assert(dirty.get.nSeen == clean.get.nSeen, "late rows not folded")
+    assert(dirty.get.lastSeq == 60L)
+  }
+
   test("unmonitored keys pass through silently") {
     val alarms = runStream(Seq(Seq(Obs("unknown", 1, 1000000L), Obs("s", 1, 100L))))
     assert(alarms.isEmpty)

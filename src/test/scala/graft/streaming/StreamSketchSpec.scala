@@ -108,6 +108,10 @@ class StreamSketchSpec extends SparkTestBase {
     val mf = fs.create(new org.apache.hadoop.fs.Path(snap, "_folded"), true)
     mf.write(inputs.map(_.getName).mkString("\n").getBytes("UTF-8"))
     mf.close()
+    // the commit point is the marker (not the rename — see
+    // SnapshotStore doc); this crash window is post-commit, pre-delete.
+    // The markerless (pre-commit) window is pinned in SnapshotStoreSpec.
+    fs.create(new org.apache.hadoop.fs.Path(snap, "_committed"), true).close()
     // stray temp dir from an even earlier crash must be garbage-collected too
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_compact_tmp_g0"))
 
