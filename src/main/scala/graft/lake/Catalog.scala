@@ -23,15 +23,147 @@ final case class CatalogEntry(source: String, ts: java.sql.Timestamp, tsRaw: Str
 object Catalog {
 
   /** O6+O7: project (source, ts, key) and append to the catalog table.
-    * Parquet append partitioned by source — the write is distributed,
-    * uncapped (the reference's DynamoDB 25-item batch cap and its
-    * silent drop of unprocessed items have no equivalent here), and
-    * the layout gives replay partition pruning on source. */
-  def append(spark: SparkSession, layout: Layout, entries: Dataset[CatalogEntry]): Unit =
+    * The write is distributed and uncapped (the reference's DynamoDB
+    * 25-item batch cap and its silent drop of unprocessed items have
+    * no equivalent here), and the layout gives replay partition
+    * pruning on source.
+    *
+    * CONCURRENT-WRITER SAFE via a manifest-log commit (the reference
+    * gets per-item atomicity from DynamoDB; a naive
+    * `mode("append")` does not — two Spark jobs appending to one
+    * directory share the `_temporary` committer staging dir, and
+    * either job's cleanup can delete the other's in-flight files):
+    *
+    *  1. STAGE — the batch is written with the normal committer into a
+    *     private `_staged/<uuid>/` dir (underscore-prefixed: invisible
+    *     to every parquet reader of the catalog root), so concurrent
+    *     appends never share committer state.
+    *  2. CLAIM — the writer claims the next commit id by atomically
+    *     creating `_log/<seq>.commit` (create-no-overwrite; atomic on
+    *     HDFS, the standard claim primitive) and records the staged
+    *     uuid + the file list inside it.
+    *  3. PUBLISH — each staged file is renamed into its live
+    *     `source=X/` partition dir under the collision-free name
+    *     `c<seq>-<origname>`. File renames are atomic, so a reader
+    *     sees only whole files; rows of one batch are independent
+    *     catalog facts, so batch-level atomicity is not required —
+    *     a concurrent reader sees a prefix of the commit, never a
+    *     torn file.
+    *  4. DONE — `_log/<seq>.done` marks the publish complete; only
+    *     then is the staging dir deleted. A crash between CLAIM and
+    *     DONE is finished (never re-done) by [[recoverAppends]] from
+    *     the commit record. A crash before CLAIM leaves an orphan
+    *     staging dir that readers can never see; recoverAppends sweeps
+    *     staging dirs not named by any commit record. */
+  def append(spark: SparkSession, layout: Layout, entries: Dataset[CatalogEntry]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/$uuid")
     entries.toDF()
-      .write.mode("append")
+      .write.mode("overwrite")
       .partitionBy("source")
-      .parquet(layout.catalogDir)
+      .parquet(stage.toString)
+    // relative staged data-file paths, e.g. source=clicks/part-0000….parquet
+    val staged = stagedFiles(fs, stage)
+    if (staged.isEmpty) { fs.delete(stage, true); return }
+    val seq = claimCommit(fs, layout, uuid, staged)
+    publish(fs, layout, uuid, seq, staged)
+  }
+
+  private[lake] def stagedFiles(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(stage)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .flatMap(d => fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"${d.getPath.getName}/${f.getPath.getName}"))
+      .toSeq.sorted
+
+  private def logDir(layout: Layout) = s"${layout.catalogDir}/_log"
+
+  /** Atomically claim the next commit sequence number by creating its
+    * `.commit` record with overwrite=false; on contention, re-list and
+    * retry at the next number. The record body names the staged uuid
+    * and every file the commit publishes — enough for recovery to
+    * finish the publish exactly. */
+  private[lake] def claimCommit(fs: org.apache.hadoop.fs.FileSystem, layout: Layout,
+      uuid: String, staged: Seq[String]): Long = {
+    val dir = new org.apache.hadoop.fs.Path(logDir(layout))
+    fs.mkdirs(dir)
+    var attempts = 0
+    while (attempts < 10000) {
+      val next = 1L + fs.listStatus(dir)
+        .map(_.getPath.getName).filter(_.endsWith(".commit"))
+        .map(_.stripSuffix(".commit").toLong)
+        .foldLeft(0L)(math.max)
+      val rec = new org.apache.hadoop.fs.Path(dir, f"$next%020d.commit")
+      try {
+        val out = fs.create(rec, false) // claim: atomic create-no-overwrite
+        try out.write((uuid +: staged).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        return next
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; renumber
+      }
+    }
+    sys.error("Catalog.append: could not claim a commit id after 10000 attempts")
+  }
+
+  /** Rename staged files into the live partition dirs under their
+    * commit-prefixed names, then mark the commit done and drop the
+    * staging dir. Idempotent: skips files already published (so
+    * recovery can re-drive it). */
+  private[lake] def publish(fs: org.apache.hadoop.fs.FileSystem, layout: Layout,
+      uuid: String, seq: Long, staged: Seq[String]): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/$uuid")
+    staged.foreach { rel =>
+      val slash = rel.indexOf('/')
+      val (part, name) = (rel.substring(0, slash), rel.substring(slash + 1))
+      val src = new org.apache.hadoop.fs.Path(stage, rel)
+      val dstDir = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/$part")
+      val dst = new org.apache.hadoop.fs.Path(dstDir, f"c$seq%020d-$name")
+      if (!fs.exists(dst)) {
+        fs.mkdirs(dstDir)
+        if (!fs.rename(src, dst) && !fs.exists(dst))
+          throw new java.io.IOException(s"catalog publish failed: $src -> $dst")
+      }
+    }
+    fs.create(new org.apache.hadoop.fs.Path(logDir(layout), f"$seq%020d.done"), true).close()
+    fs.delete(stage, true)
+  }
+
+  /** Finish or sweep interrupted appends: commits with a `.commit`
+    * record but no `.done` marker are re-driven from the record
+    * (publish is idempotent — already-renamed files are skipped);
+    * staging dirs named by no commit record are orphans from a crash
+    * before CLAIM and are deleted. Idempotent; run from maintenance,
+    * like [[graft.streaming.SnapshotStore.recover]]. */
+  def recoverAppends(spark: SparkSession, layout: Layout): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    var claimed = Set.empty[String]
+    if (fs.exists(log)) {
+      val entries = fs.listStatus(log).map(_.getPath.getName)
+      val done = entries.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+      entries.filter(_.endsWith(".commit")).sorted.foreach { rec =>
+        val seqStr = rec.stripSuffix(".commit")
+        val in = fs.open(new org.apache.hadoop.fs.Path(log, rec))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+        val uuid = lines.head
+        claimed += uuid
+        if (!done.contains(seqStr))
+          publish(fs, layout, uuid, seqStr.toLong, lines.tail)
+      }
+    }
+    val stagedRoot = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged")
+    if (fs.exists(stagedRoot))
+      fs.listStatus(stagedRoot).map(_.getPath)
+        .filterNot(p => claimed.contains(p.getName))
+        .foreach(p => fs.delete(p, true))
+  }
 
   /** Derive catalog entries for a batch of ingested records that carry
     * `source` + `key` (object path) columns; arrival time is stamped

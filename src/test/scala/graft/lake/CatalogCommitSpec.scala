@@ -1,0 +1,99 @@
+package graft.lake
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+
+/** The manifest-log commit behind [[Catalog.append]]: concurrent
+  * appends never lose each other's files (the `_temporary`-sharing
+  * hazard of a naive `mode("append")`), crashes between CLAIM and DONE
+  * are finished exactly by [[Catalog.recoverAppends]], and pre-CLAIM
+  * orphans are swept. */
+class CatalogCommitSpec extends SparkTestBase {
+
+  private def entries(n: Int, offset: Int, sources: Seq[String]) = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      CatalogEntry(sources(i % sources.size),
+        new Timestamp(1704067200000L + i), (1704067200000L + i).toString,
+        s"obj-${offset + i}")
+    }.toDS()
+  }
+
+  test("two concurrent appends both land completely, in claimed commit order") {
+    val layout = Layout(tmpDir("cat-concurrent"))
+    val sources = Seq("clicks", "tweets", "logs")
+    @volatile var err: Throwable = null
+    val threads = Seq(0, 1).map { t =>
+      new Thread(() => {
+        try {
+          // several appends per writer: every one is a separate commit
+          (0 until 3).foreach { r =>
+            Catalog.append(spark, layout, entries(20, t * 1000 + r * 100, sources))
+          }
+        } catch { case e: Throwable => err = e }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(err == null, s"concurrent append failed: $err")
+
+    val cat = Catalog.load(spark, layout)
+    assert(cat.count() == 120, "no commit may lose rows to a concurrent writer")
+    assert(cat.select("key").distinct().count() == 120)
+
+    // the log carries one .commit + one .done per append, densely numbered
+    val log = new java.io.File(s"${layout.catalogDir}/_log")
+    val names = log.listFiles().map(_.getName).sorted.toSeq
+    val commits = names.filter(_.endsWith(".commit"))
+    val dones = names.filter(_.endsWith(".done"))
+    assert(commits.size == 6 && dones.size == 6)
+    assert(commits.map(_.stripSuffix(".commit").toLong).sorted == (1L to 6L),
+      "claimed commit ids must be dense — every writer got its own slot")
+    // no stray staging state survives a clean run
+    assert(!new java.io.File(s"${layout.catalogDir}/_staged").exists() ||
+      new java.io.File(s"${layout.catalogDir}/_staged").listFiles().isEmpty)
+  }
+
+  test("recoverAppends finishes a crash between CLAIM and DONE, exactly once") {
+    val layout = Layout(tmpDir("cat-recover"))
+    Catalog.append(spark, layout, entries(10, 0, Seq("clicks")))
+
+    // simulate the crash: stage + claim a second batch, never publish
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = "crashed-batch"
+    val stage = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/$uuid")
+    entries(5, 500, Seq("clicks", "tweets")).toDF()
+      .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+    val staged = Catalog.stagedFiles(fs, stage)
+    Catalog.claimCommit(fs, layout, uuid, staged)
+
+    // the unfinished commit's rows are invisible (staged under `_`)
+    assert(Catalog.load(spark, layout).count() == 10)
+
+    Catalog.recoverAppends(spark, layout)
+    assert(Catalog.load(spark, layout).count() == 15,
+      "recovery must finish the claimed commit from its record")
+    // idempotent: a second recovery changes nothing
+    Catalog.recoverAppends(spark, layout)
+    assert(Catalog.load(spark, layout).count() == 15)
+    assert(!fs.exists(stage), "the finished commit's staging dir is dropped")
+
+    // and the catalog still appends normally after recovery
+    Catalog.append(spark, layout, entries(3, 900, Seq("logs")))
+    assert(Catalog.load(spark, layout).count() == 18)
+  }
+
+  test("recoverAppends sweeps a pre-CLAIM orphan staging dir") {
+    val layout = Layout(tmpDir("cat-orphan"))
+    Catalog.append(spark, layout, entries(4, 0, Seq("clicks")))
+    val orphan = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/orphan-uuid")
+    entries(2, 700, Seq("clicks")).toDF()
+      .write.mode("overwrite").partitionBy("source").parquet(orphan.toString)
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(orphan))
+    Catalog.recoverAppends(spark, layout)
+    assert(!fs.exists(orphan), "unclaimed staging is a crashed writer — swept")
+    assert(Catalog.load(spark, layout).count() == 4)
+  }
+}
