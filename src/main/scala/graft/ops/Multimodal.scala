@@ -289,15 +289,17 @@ object Multimodal {
     }
   }
 
-  /** Real MP4/MOV CONTAINER parser — the JDK ships no video codec, but
-    * the container metadata is plain big-endian box structure
+  /** Real MP4/MOV CONTAINER parser — plain big-endian box structure
     * ([size:4][type:4], size==1 → 64-bit extended size): `moov/mvhd`
     * carries timescale + duration, `moov/trak/tkhd` the presentation
-    * width/height as 16.16 fixed-point. That is exactly the metadata a
-    * pipeline partitions/filters on; only frame DECODE stays behind
-    * [[FakeCodec]] (features/resize/sampleFrames). ISO/IEC 14496-12
-    * box layout, parsed defensively — any structural surprise throws
-    * and the caller's containment falls back per asset. */
+    * width/height as 16.16 fixed-point, and the `stbl` sample tables
+    * locate every frame's bytes ([[extractSamples]]). Frame PIXEL
+    * decode is real for MJPEG tracks ([[jpegFrames]] — each sample is
+    * a standalone JPEG the JDK decodes); inter-frame codecs
+    * (H.264/H.265/VP9) have no JVM decoder and stay behind
+    * [[FakeCodec]]. ISO/IEC 14496-12 box layout, parsed defensively —
+    * any structural surprise throws and the caller's containment falls
+    * back per asset. */
   object VideoCodec {
 
     def isVideo(bytes: Array[Byte]): Boolean =
@@ -361,15 +363,101 @@ object Multimodal {
       if (timescale <= 0) throw new IllegalArgumentException("mp4: no mvhd timescale")
       MediaMeta(width, height, duration * 1000 / timescale, "mp4")
     }
+
+    /** Sample-table walk (`moov/trak/mdia/minf/stbl`): the codec
+      * fourcc from `stsd` and every sample's byte payload located via
+      * `stsz` (sizes) × `stsc` (samples per chunk) × `stco`/`co64`
+      * (chunk offsets). This is the REAL frame-extraction machinery —
+      * for MJPEG tracks each sample is one complete JPEG image. */
+    def extractSamples(bytes: Array[Byte]): (String, Seq[Array[Byte]]) = {
+      var fourcc: String = null
+      var sizes: Array[Long] = null
+      var chunkOffsets: Array[Long] = null
+      var stscRuns: Array[(Long, Long)] = null // (firstChunk, samplesPerChunk)
+      def parseStbl(s: Long, e: Long): Unit = walk(bytes, s, e) {
+        case ("stsd", ps, pe) if fourcc == null && pe - ps >= 16 =>
+          fourcc = new String(bytes, ps.toInt + 12, 4, "ISO-8859-1")
+        case ("stsz", ps, _) if sizes == null =>
+          val fixed = u32(bytes, ps.toInt + 4)
+          val n = u32(bytes, ps.toInt + 8).toInt
+          sizes =
+            if (fixed != 0) Array.fill(n)(fixed)
+            else Array.tabulate(n)(i => u32(bytes, ps.toInt + 12 + 4 * i))
+        case ("stco", ps, _) if chunkOffsets == null =>
+          val n = u32(bytes, ps.toInt + 4).toInt
+          chunkOffsets = Array.tabulate(n)(i => u32(bytes, ps.toInt + 8 + 4 * i))
+        case ("co64", ps, _) if chunkOffsets == null =>
+          val n = u32(bytes, ps.toInt + 4).toInt
+          chunkOffsets = Array.tabulate(n)(i => u64(bytes, ps.toInt + 8 + 8 * i))
+        case ("stsc", ps, _) if stscRuns == null =>
+          val n = u32(bytes, ps.toInt + 4).toInt
+          stscRuns = Array.tabulate(n)(i =>
+            (u32(bytes, ps.toInt + 8 + 12 * i), u32(bytes, ps.toInt + 12 + 12 * i)))
+        case _ =>
+      }
+      walk(bytes, 0L, bytes.length.toLong) {
+        case ("moov", s, e) => walk(bytes, s, e) {
+          case ("trak", ts, te) if sizes == null => walk(bytes, ts, te) {
+            case ("mdia", ms, me) => walk(bytes, ms, me) {
+              case ("minf", ns, ne) => walk(bytes, ns, ne) {
+                case ("stbl", ss, se) => parseStbl(ss, se)
+                case _ => }
+              case _ => }
+            case _ => }
+          case _ => }
+        case _ =>
+      }
+      if (fourcc == null || sizes == null || chunkOffsets == null || stscRuns == null)
+        throw new IllegalArgumentException("mp4: incomplete sample table")
+      // chunk c (1-based) uses the stsc run with the largest firstChunk <= c
+      def samplesPerChunk(c: Long): Long =
+        stscRuns.filter(_._1 <= c).maxByOption(_._1).map(_._2).getOrElse(0L)
+      val out = Seq.newBuilder[Array[Byte]]
+      var sample = 0
+      var ci = 0
+      while (ci < chunkOffsets.length && sample < sizes.length) {
+        var off = chunkOffsets(ci)
+        var k = 0L
+        val spc = samplesPerChunk(ci + 1L)
+        while (k < spc && sample < sizes.length) {
+          val sz = sizes(sample)
+          if (off < 0 || off + sz > bytes.length)
+            throw new IllegalArgumentException(s"mp4: sample $sample out of range")
+          out += java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+          off += sz; sample += 1; k += 1
+        }
+        ci += 1
+      }
+      (fourcc, out.result())
+    }
+
+    private val jpegFourccs = Set("jpeg", "JPEG", "mjpa", "mjpb")
+
+    /** REAL pixel-frame decode for the one video codec the JVM can
+      * decode without new dependencies: MJPEG-in-MP4, where every
+      * sample is a standalone JPEG ([[ImageCodec]]-decodable). Any
+      * other codec fourcc throws — callers contain per asset and fall
+      * back to the header scheme, so the fake path now covers ONLY
+      * codecs the JVM genuinely cannot decode. */
+    def jpegFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      val (fourcc, samples) = extractSamples(bytes)
+      if (!jpegFourccs.contains(fourcc))
+        throw new IllegalArgumentException(s"mp4: no JVM decoder for codec '$fourcc'")
+      samples.foreach { s =>
+        if (s.length < 2 || (s(0) & 0xff) != 0xff || (s(1) & 0xff) != 0xd8)
+          throw new IllegalArgumentException("mp4: jpeg sample without SOI marker")
+      }
+      samples
+    }
   }
 
   /** Deterministic header codec for synthetic fixtures and for the
-    * paths no JDK codec can serve: video FRAME decode
-    * (features/resize/frame-sampling — container metadata is real via
-    * [[VideoCodec]]) and unrecognized byte payloads. Real images and
-    * real audio never reach this path — [[ImageCodec]] and
-    * [[AudioCodec]] claim them by magic bytes in
-    * [[decodeAll]]/[[extractFeatures]]/[[resizeAll]]. */
+    * paths no JDK codec can serve: inter-frame video codecs
+    * (H.264/H.265/VP9 — container metadata and MJPEG frames are real
+    * via [[VideoCodec]]) and unrecognized byte payloads. Real images,
+    * real audio, and MJPEG video never reach this path — the real
+    * codecs claim them by magic bytes in
+    * [[decodeAll]]/[[extractFeatures]]/[[resizeAll]]/[[sampleFrames]]. */
   object FakeCodec {
     /** "Decode" = parse fake 8-byte header: [w:2][h:2][durMs:4]. */
     def decodeMeta(bytes: Array[Byte], codec: String): MediaMeta = {
@@ -442,9 +530,14 @@ object Multimodal {
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
+      // MJPEG video gets REAL pixel features (first decoded frame);
+      // other video codecs throw inside jpegFrames and contain to the
+      // byte-histogram fallback
       val f = attempt(a, x => ImageCodec.features(x.content),
         x => AudioCodec.features(x.content),
-        () => FakeCodec.features(a.content))
+        () => FakeCodec.features(a.content),
+        realVideo = Some((x: MediaAsset) =>
+          ImageCodec.features(VideoCodec.jpegFrames(x.content).head)))
       MediaFeatures(a.assetId, a.modality, f)
     })
   }
@@ -460,12 +553,23 @@ object Multimodal {
   }
 
   /** Frame sampling fans out one video row to many frame rows —
-    * flatMap inside the partition iterator keeps it pipelined. */
+    * flatMap inside the partition iterator keeps it pipelined.
+    *
+    * MJPEG-in-MP4 assets yield REAL frames: every `stride`-th sample
+    * from the container's sample table, each a standalone decodable
+    * JPEG (`frameSize` does not apply — a real frame carries its own
+    * size). Codecs the JVM cannot decode contain per asset to the
+    * fixed-size byte-block scheme. */
   def sampleFrames(assets: Dataset[MediaAsset], frameSize: Int, stride: Int): Dataset[Frame] = {
     import assets.sparkSession.implicits._
-    assets.filter(_.modality == "video").mapPartitions(_.flatMap(a =>
-      FakeCodec.sampleFrames(a.content, frameSize, stride).zipWithIndex
-        .map { case (f, i) => Frame(a.assetId, i, f) }))
+    assets.filter(_.modality == "video").mapPartitions(_.flatMap { a =>
+      val frames =
+        if (VideoCodec.isVideo(a.content))
+          try VideoCodec.jpegFrames(a.content).grouped(stride).map(_.head).toSeq
+          catch { case _: Exception => FakeCodec.sampleFrames(a.content, frameSize, stride) }
+        else FakeCodec.sampleFrames(a.content, frameSize, stride)
+      frames.zipWithIndex.map { case (f, i) => Frame(a.assetId, i, f) }
+    })
   }
 
   /** Persist assets partitioned by modality (heavy-row layout rule). */

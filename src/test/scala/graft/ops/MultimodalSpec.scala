@@ -350,4 +350,86 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L),
       s"undecodable bytes leaked into the join: $pairs")
   }
+
+  /** MJPEG-in-MP4: ftyp + mdat carrying whole JPEG samples + moov with
+    * the complete stbl sample table (stsd/stsz/stsc/stco) locating
+    * them — the layout QuickTime MJPEG files actually use. */
+  private def mjpegMp4(jpegs: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ u32(512) ++ "isomiso2".getBytes)
+    val mdatPayloadOff = ftyp.length + 8L
+    val mdat = box("mdat", jpegs.flatten.toArray)
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++
+      u32(600L) ++ u32(1800L) ++ u32(0x00010000L) ++ u32(0x01000000L) ++
+      new Array[Byte](8) ++ new Array[Byte](36) ++ new Array[Byte](24) ++ u32(2))
+    val tkhd = box("tkhd", u32(7) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++
+      u32(1800L) ++ new Array[Byte](8) ++ new Array[Byte](8) ++
+      new Array[Byte](36) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    // stsd: 1 entry of 16 bytes — size, fourcc 'jpeg', reserved(6)+dref(2)
+    val stsd = box("stsd", u32(0) ++ u32(1) ++
+      (u32(16) ++ "jpeg".getBytes("ISO-8859-1") ++ new Array[Byte](8)))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(jpegs.size.toLong) ++
+      jpegs.flatMap(j => u32(j.length.toLong)).toArray)
+    val stsc = box("stsc", u32(0) ++ u32(1) ++
+      (u32(1) ++ u32(jpegs.size.toLong) ++ u32(1)))
+    val stco = box("stco", u32(0) ++ u32(1) ++ u32(mdatPayloadOff))
+    val stbl = box("stbl", stsd ++ stsz ++ stsc ++ stco)
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", stbl)))
+    ftyp ++ mdat ++ box("moov", mvhd ++ trak)
+  }
+
+  test("REAL video frames: mjpeg sample table yields byte-exact, pixel-decodable JPEGs") {
+    val jpegs = Seq(realImage(32, 24, "jpg"), realImage(32, 24, "jpg").map(b => b),
+      realImage(48, 36, "jpg"))
+    val mp4 = mjpegMp4(jpegs, 32, 24)
+    assert(VideoCodec.isVideo(mp4))
+
+    // container metadata still parses (mvhd/tkhd path untouched)
+    val meta = VideoCodec.decodeMeta(mp4)
+    assert(meta.width == 32 && meta.height == 24 && meta.durationMs == 3000L)
+
+    // every sample extracted byte-exactly, and each really decodes to
+    // pixels through the JDK image codec
+    val frames = VideoCodec.jpegFrames(mp4)
+    assert(frames.size == 3)
+    frames.zip(jpegs).foreach { case (f, j) => assert(f.sameElements(j)) }
+    assert(ImageCodec.decodeMeta(frames(2)) == MediaMeta(48, 36, 0L, "jpeg"))
+
+    // a non-MJPEG fourcc refuses pixel decode instead of faking it
+    val avc1 = mjpegMp4(jpegs, 32, 24)
+    val idx = avc1.indexOfSlice("jpeg".getBytes("ISO-8859-1"),
+      avc1.indexOfSlice("stsd".getBytes("ISO-8859-1")))
+    "avc1".getBytes("ISO-8859-1").copyToArray(avc1, idx)
+    assertThrows[IllegalArgumentException](VideoCodec.jpegFrames(avc1))
+  }
+
+  test("sampleFrames: mjpeg assets emit real frames at the stride; other codecs fall back") {
+    val jpegs = Seq(realImage(16, 16, "jpg"), realImage(20, 16, "jpg"),
+      realImage(24, 16, "jpg"), realImage(28, 16, "jpg"))
+    val mjpeg = MediaAsset(30, "video", mjpegMp4(jpegs, 16, 16), MediaMeta(0, 0, 0, "mjpeg"))
+    val fake = asset(31, "video", 1280, 720, 1000L, 600)
+    val frames = sampleFrames(Seq(mjpeg, fake).toDS(), frameSize = 64, stride = 2)
+      .collect().groupBy(_.assetId)
+
+    val real = frames(30L).sortBy(_.frameNo)
+    assert(real.length == 2, "stride 2 over 4 samples keeps frames 0 and 2")
+    assert(real(0).content.sameElements(jpegs(0)))
+    assert(real(1).content.sameElements(jpegs(2)))
+    assert(ImageCodec.decodeMeta(real(1).content).width == 24)
+
+    // the fake-codec path still serves fixture bytes (no mp4 magic)
+    assert(frames(31L).forall(_.content.length <= 64))
+  }
+
+  test("extractFeatures: mjpeg video gets pixel features, not a byte histogram") {
+    val jpegs = Seq(realImage(40, 30, "jpg"))
+    val mjpeg = MediaAsset(40, "video", mjpegMp4(jpegs, 40, 30), MediaMeta(0, 0, 0, "mjpeg"))
+    val f = extractFeatures(Seq(mjpeg).toDS()).collect().head
+    assert(f.feature.sameElements(ImageCodec.features(jpegs.head)),
+      "video features must come from the DECODED first frame")
+  }
 }
