@@ -118,13 +118,60 @@ object Behavior {
     * pass is needed — the n² is confined to sessions sharing a band.
     * The `earlier` tie-break (start, then user) is what makes the
     * single-capture argument airtight when starts collide. */
-  def sessionOverlap(spark: SparkSession, sfDir: String): DataFrame =
-    // minute bands, not hour: per-band candidate volume is n² in the
-    // sessions sharing a band, and the 10× probe (1M events) showed
-    // 35.5 s → 4.4 s from shrinking the band 60× while the explode
-    // fan-out only grows by the sessions' band-span — identical output
+  def sessionOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    // band width is CHOSEN from the corpus density (hour → minute →
+    // second ladder): per-band candidate volume is n² in the sessions
+    // sharing a band, and the 10× probe (1M events) showed 35.5 s →
+    // 4.4 s from shrinking the band 60× while the explode fan-out only
+    // grows by the sessions' band-span — identical output at any width
     // (BehaviorSpec pins band-width independence)
-    sessionOverlapOf(Windows.sessions(spark, sfDir), bandMs = 60000L)
+    val sessions = Windows.sessions(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try sessionOverlapOf(sessions, bandMs = chooseBandMs(sessions))
+    finally sessions.unpersist()
+  }
+
+  /** Band-width ladder for the banded interval join. Wider bands mean
+    * fewer explode rows but quadratically hotter bands. */
+  private[graft] val BandLadderMs: Seq[Long] = Seq(3600000L, 60000L, 1000L)
+
+  /** Choose the ladder band minimizing the join's ESTIMATED row
+    * volume, from one cheap stats pass (count, time range, mean
+    * duration — a 1-row scalar agg, the same bounded collect pattern
+    * the centroid trainers use). With n sessions of mean duration D̄
+    * over range R and uniform starts, a band width W costs
+    *
+    *   explode(W)    ≈ n·(D̄/W + 1)        (earlier side covers its bands)
+    *   candidates(W) ≈ n²·(D̄ + W)/R       (later side registers only at
+    *                                        its START band: per band,
+    *                                        n(D̄+W)/R coverers × nW/R
+    *                                        starters, × R/W bands)
+    *
+    * so shrinking W always shrinks candidates (floor n²D̄/R — the true
+    * overlap mass) but inflates the explode. The minute rung wins the
+    * 1M-event corpus (measured 35.5 s hour → 4.4 s minute, candidates
+    * est 1.9e7 → 6.4e6); a flash-dense corpus (tens of thousands of
+    * short sessions in minutes of range) pushes minute-band candidate
+    * volume past the explode cost of second bands and falls through to
+    * the 1 s rung — the density probe in BehaviorSpec pins both
+    * choices. Output is band-width independent (also pinned), so the
+    * chooser can never change results, only cost. Degenerate corpora
+    * (≤1 session or zero range) keep the widest band. */
+  private[graft] def chooseBandMs(sessionsDf: DataFrame): Long = {
+    val row = sessionsDf
+      .agg(count(lit(1)).as("n"),
+        min(col("session_start_ms")).as("t0"),
+        max(col("session_end_ms")).as("t1"),
+        avg(col("session_end_ms") - col("session_start_ms")).as("dbar"))
+      .collect()(0)
+    val n = row.getLong(0)
+    if (n <= 1 || row.isNullAt(1)) return BandLadderMs.head
+    val range = math.max(1L, row.getLong(2) - row.getLong(1)).toDouble
+    val dbar = math.max(0.0, row.getDouble(3))
+    def cost(w: Long): Double =
+      n.toDouble * (dbar / w + 1.0) + n.toDouble * n.toDouble * (dbar + w) / range
+    BandLadderMs.minBy(cost)
+  }
 
   /** The banded interval-overlap core over any
     * (user_id, session_start_ms, session_end_ms) frame — separated so

@@ -61,6 +61,43 @@ class BehaviorSpec extends SparkTestBase {
     assert(naive.values.sum > 50, "fixture must actually exercise overlaps")
   }
 
+  test("band-width chooser: density forces the ladder down; choice never changes results") {
+    // sparse corpus (day-scale range, few sessions): widest rung
+    val sparse = (0 until 50).map { i =>
+      (i.toLong % 10, i * 30L * 60000L, i * 30L * 60000L + 10L * 60000L)
+    }.toDF("user_id", "session_start_ms", "session_end_ms")
+    assert(Behavior.chooseBandMs(sparse) == 3600000L)
+
+    // the 1M-event regime in miniature: minute-scale sessions, enough
+    // of them that hour bands go quadratic → minute rung
+    val rnd = new scala.util.Random(7)
+    val mid = (0 until 20000).map { i =>
+      val start = rnd.nextLong(10L * 24 * HourMs)
+      (i.toLong % 500, start, start + 10 * 60000L + rnd.nextLong(50L * 60000L))
+    }.toDF("user_id", "session_start_ms", "session_end_ms")
+    assert(Behavior.chooseBandMs(mid) == 60000L)
+
+    // flash-dense corpus: 30k short sessions inside 10 minutes — the
+    // per-minute density that forces the SECOND-band fallback
+    val dense = (0 until 30000).map { i =>
+      val start = rnd.nextLong(10L * 60000L)
+      (i.toLong, start, start + 5000L + rnd.nextLong(25000L))
+    }.toDF("user_id", "session_start_ms", "session_end_ms")
+    assert(Behavior.chooseBandMs(dense) == 1000L)
+
+    // degenerate corpora never crash the chooser
+    assert(Behavior.chooseBandMs(sparse.limit(0)) == 3600000L)
+    assert(Behavior.chooseBandMs(sparse.limit(1)) == 3600000L)
+
+    // the chosen band is an optimization only — results identical to
+    // the naive join on a dense slice
+    val slice = dense.limit(400)
+    val naive = naiveOverlap(slice)
+    val chosen = Behavior.sessionOverlapOf(slice, Behavior.chooseBandMs(slice))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chosen == naive)
+  }
+
   test("markovTransitions matches a JVM per-user lag replay and rows are stochastic") {
     val ev = graft.Tables.events(spark, sfDir)
       .selectExpr("user_id", "event_id", "event_type", "unix_millis(ts) AS ts_ms")
