@@ -211,6 +211,66 @@ object Behavior {
       .orderBy(col("hour_bucket"))
   }
 
+  /** The band-width chooser AS AN ORACLE-CHECKED QUERY (the
+    * [[graft.ops.Dedup]] `lshBandTune` pattern: expose the tuning
+    * decision itself to the correctness gate): corpus stats, the
+    * integer-exact cost of every ladder rung, and the chosen band.
+    * The cost model is [[chooseBandMs]]'s in BIGINT arithmetic
+    * (S = Σ durations, so n·D̄ = S needs no division):
+    *
+    *   explode(W)    = n + S DIV W
+    *   candidates(W) = (n·S + n²·W) DIV R
+    *
+    * Ties choose the wider band. Magnitudes here stay ≲5·10¹⁶ at
+    * sf0.1 (n≈10⁵) — BIGINT-safe; the production [[chooseBandMs]]
+    * keeps doubles for the 10⁹-session regime where n²·W would
+    * overflow. One scalar-agg row — model-sized at any SF. */
+  def bandChoice(spark: SparkSession, sfDir: String): DataFrame =
+    bandChoiceOf(Windows.sessions(spark, sfDir))
+
+  private[graft] def bandChoiceOf(sessionsDf: DataFrame): DataFrame = {
+    val stats = sessionsDf.agg(
+      count(lit(1)).as("n_sessions"),
+      greatest(coalesce(max(col("session_end_ms")) - min(col("session_start_ms")),
+        lit(0L)), lit(1L)).as("range_ms"),
+      coalesce(sum(col("session_end_ms") - col("session_start_ms")), lit(0L))
+        .as("sum_dur_ms"))
+    def cost(w: Long): org.apache.spark.sql.Column =
+      (col("n_sessions") + expr(s"sum_dur_ms DIV ${w}L")) +
+        expr(s"(n_sessions * sum_dur_ms + n_sessions * n_sessions * ${w}L) DIV range_ms")
+    stats
+      .withColumn("cost_hour", cost(3600000L))
+      .withColumn("cost_minute", cost(60000L))
+      .withColumn("cost_second", cost(1000L))
+      .withColumn("chosen_band_ms",
+        when(col("cost_hour") <= col("cost_minute") &&
+          col("cost_hour") <= col("cost_second"), lit(3600000L))
+          .when(col("cost_minute") <= col("cost_second"), lit(60000L))
+          .otherwise(lit(1000L)))
+  }
+
+  def bandChoiceSql: String = {
+    def cost(w: Long): String =
+      s"CAST((n_sessions + sum_dur_ms // $w) + " +
+        s"(n_sessions * sum_dur_ms + n_sessions * n_sessions * $w) // range_ms AS BIGINT)"
+    s"""WITH ${Windows.SessionsCteSql},
+       |stats AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       |    CAST(greatest(coalesce(max(session_end_ms) - min(session_start_ms), 0), 1) AS BIGINT) AS range_ms,
+       |    CAST(coalesce(sum(session_end_ms - session_start_ms), 0) AS BIGINT) AS sum_dur_ms
+       |  FROM sessions),
+       |costs AS (
+       |  SELECT n_sessions, range_ms, sum_dur_ms,
+       |    ${cost(3600000L)} AS cost_hour,
+       |    ${cost(60000L)} AS cost_minute,
+       |    ${cost(1000L)} AS cost_second
+       |  FROM stats)
+       |SELECT n_sessions, range_ms, sum_dur_ms, cost_hour, cost_minute, cost_second,
+       |  CAST(CASE WHEN cost_hour <= cost_minute AND cost_hour <= cost_second THEN 3600000
+       |       WHEN cost_minute <= cost_second THEN 60000 ELSE 1000 END AS BIGINT) AS chosen_band_ms
+       |FROM costs""".stripMargin
+  }
+
   def sessionOverlapSql: String =
     s"""WITH ${Windows.SessionsCteSql},
        |pairs AS (

@@ -96,6 +96,14 @@ class BehaviorSpec extends SparkTestBase {
     val chosen = Behavior.sessionOverlapOf(slice, Behavior.chooseBandMs(slice))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chosen == naive)
+
+    // the oracle-checked integer formulation (q_band_choice) agrees
+    // with the production double chooser wherever margins are real
+    Seq(sparse, mid, dense).foreach { s =>
+      val q = Behavior.bandChoiceOf(s).collect()(0)
+      assert(q.getAs[Long]("chosen_band_ms") == Behavior.chooseBandMs(s),
+        s"integer query and double chooser disagree on ${q.mkString(",")}")
+    }
   }
 
   test("markovTransitions matches a JVM per-user lag replay and rows are stochastic") {
