@@ -620,6 +620,29 @@ object Multimodal {
       .toDF("asset_id", "h"), maxHamming)
   }
 
+  /** Perceptual VIDEO near-dup pairs — the trio-completing twin of
+    * [[imageNearDups]]/[[audioNearDups]]: each MJPEG video collapses
+    * to the [[ImageCodec.aHash]] of its first DECODED frame (via the
+    * real [[VideoCodec.jpegFrames]] sample-table walk), so re-muxed,
+    * frame-resampled, or re-encoded copies of the same footage collide
+    * on their shared opening frame. Containers the JVM cannot
+    * pixel-decode are skipped exactly like undecodable images —
+    * byte-identical blobs are already [[binaryMeta]] md5 territory. */
+  def videoNearDups(assets: Dataset[MediaAsset], maxHamming: Int = 3): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    hammingNearDups(assets
+      .mapPartitions(_.flatMap { a =>
+        if (!VideoCodec.isVideo(a.content)) None
+        else try {
+          val frames = VideoCodec.jpegFrames(a.content)
+          if (frames.isEmpty) None
+          else Some((a.assetId, ImageCodec.aHash(frames.head)))
+        } catch { case _: Exception => None }
+      })
+      .toDF("asset_id", "h"), maxHamming)
+  }
+
   /** Banded-hamming near-dup join over any (asset_id, h) 64-bit
     * fingerprint frame: 4×16-bit bands, equi self-join per band
     * (pigeonhole: hamming ≤ 3 ⇒ some band bit-identical), exact

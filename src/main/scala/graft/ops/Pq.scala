@@ -369,6 +369,233 @@ object Pq {
       .limit(k)
   }
 
+  /** IVF-PQ recall@k acceptance table — the quantization-loss audit
+    * completing the ANN acceptance set ([[Similarity.ivfRecall]]
+    * measures LIST loss; this measures list + CODE loss through the
+    * whole stored-index probe): for each of `nQueries` queries, the
+    * full IVF-PQ pipeline (probe lists → ADC over stored codes →
+    * integer shortlist → exact re-rank) against the exact top-`k`,
+    * reported as (q_id, n_exact, n_ret, n_hits, recall_ppm).
+    *
+    * Scale shape identical to the single-query probe — stored codes
+    * partition-pruned to probed lists, all per-query model tables
+    * broadcast, both rank stages through the two-phase salted top-k —
+    * so recall here certifies the EXACT plan a production probe runs.
+    * The oracle replays encode from the committed codebooks, so green
+    * also re-proves stored codes ≡ recomputed codes per query set. */
+  def ivfPqRecall(spark: SparkSession, sfDir: String, nQueries: Int = 3,
+      nprobe: Int = 3, shortlist: Int = 50, k: Int = 10, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val (cbDir, cdDir) = buildIvfPqIndex(spark, sfDir)
+    val codebooks = spark.read.parquet(cbDir).drop("corpus_key")
+    val codes = spark.read.parquet(cdDir)
+      .select(col("vec_id"), col("sub_no"), col("code"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val dim = Similarity.fixedEmbeddingWidth(emb, "Pq.ivfPqRecall")
+      .getOrElse(return emb.select(col("vec_id").as("q_id"), lit(0L).as("n_exact"),
+        lit(0L).as("n_ret"), lit(0L).as("n_hits"), lit(0L).as("recall_ppm")).limit(0))
+    val subDim = dim / M
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    def topK(cand: DataFrame, orderCol: String, n: Int): DataFrame = {
+      val wL = Window
+        .partitionBy(col("q_id"), pmod(col("vec_id"), lit(salts.toLong)))
+        .orderBy(col(orderCol).desc, col("vec_id"))
+      val wG = Window.partitionBy(col("q_id"))
+        .orderBy(col(orderCol).desc, col("vec_id"))
+      cand.withColumn("__lr", row_number().over(wL)).filter(col("__lr") <= n)
+        .withColumn("__gr", row_number().over(wG)).filter(col("__gr") <= n)
+        .drop("__lr", "__gr")
+    }
+    val exact = topK(
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (round(Similarity.cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+        .filter(!isnan(col("cos_sim"))), "cos_sim", k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val exactN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wqc = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("q_id"), col("centroid_id"),
+        (round(Similarity.cosine(col("c_emb"), col("q_emb")), 4) + lit(0.0)).as("q_sim"))
+      .withColumn("crk", row_number().over(wqc)).filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("centroid_id"))
+    val qComps = components(
+        q.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")), subDim)
+      .select(col("vec_id").as("q_id"), col("sub_no"), col("spos"), col("v").as("qv"))
+    val coarseDot = components(
+        centroids.select(col("centroid_id").as("vec_id"), col("c_emb").as("embedding")), subDim)
+      .select(col("vec_id").as("centroid_id"), col("sub_no"), col("spos"), col("v").as("cv"))
+      .join(broadcast(probed), Seq("centroid_id"))
+      .join(broadcast(qComps), Seq("q_id", "sub_no", "spos"))
+      .groupBy(col("q_id"), col("centroid_id"))
+      .agg(sum(col("qv") * col("cv")).as("coarse_dot"))
+    val dt = codebookComponents(codebooks)
+      .join(broadcast(qComps), Seq("sub_no", "spos"))
+      .groupBy(col("q_id"), col("sub_no"), col("centroid_id"))
+      .agg(sum(col("qv") * col("c")).as("qdot"))
+      .select(col("q_id").as("dt_qid"), col("sub_no").as("dt_sub"),
+        col("centroid_id").as("dt_cid"), col("qdot"))
+
+    val approx = codes
+      .join(broadcast(probed), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(dt), col("q_id") === col("dt_qid") &&
+        col("sub_no") === col("dt_sub") && col("code") === col("dt_cid"))
+      .groupBy(col("q_id"), col("vec_id"), col("centroid_id"))
+      .agg(sum(col("qdot")).as("res_dot"))
+      .join(broadcast(coarseDot), Seq("q_id", "centroid_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("res_dot") + col("coarse_dot")).as("approx_dot"))
+    val short = topK(approx, "approx_dot", shortlist).select(col("q_id"), col("vec_id"))
+    val reranked = topK(
+      short.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (round(Similarity.cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+        .filter(!isnan(col("cos_sim"))), "cos_sim", k)
+
+    reranked.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hits"))
+      .join(broadcast(exactN), Seq("q_id"))
+      .withColumn("recall_ppm",
+        expr("CASE WHEN n_exact = 0 THEN NULL ELSE (n_hits * 1000000) DIV n_exact END"))
+      .select(col("q_id"), col("n_exact"), col("n_ret"), col("n_hits"), col("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle twin of [[ivfPqRecall]]: the multi-query generalization of
+    * [[ivfPqTopKSql]]'s replay (q_id threaded through probe, ADC, and
+    * shortlist; encode replayed from the committed codebooks) joined
+    * against the plain-window exact top-k. */
+  def ivfPqRecallSql(nQueries: Int = 3, nprobe: Int = 3,
+      shortlist: Int = 50, k: Int = 10): String = {
+    val subDim = 16 // oracle corpus is 64-dim (see pqTopKSql note)
+    s"""WITH cb AS (
+       |  SELECT sub_no, centroid_id, c_sub
+       |  FROM read_parquet('$IvfPqCodebooksPath/*/*.parquet')
+       |  WHERE corpus_key = ${Similarity.corpusKeySqlDuck}),
+       |cbc AS (
+       |  SELECT sub_no, centroid_id, t.range AS spos,
+       |    CAST(floor(c_sub[t.range]::DOUBLE * 10000) AS BIGINT) AS c
+       |  FROM cb, range(1, ${subDim + 1}) t),
+       |q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |exact AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, e.vec_id) AS rk
+       |    FROM embeddings e CROSS JOIN q
+       |    WHERE e.vec_id <> q.q_id
+       |      AND NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |        q.q_emb::DOUBLE[]), 4) + 0.0))
+       |  WHERE rk <= $k),
+       |exn AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |asg AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]), 4) DESC,
+       |                 c.centroid_id) AS rk
+       |    FROM embeddings e CROSS JOIN centroids c) WHERE rk = 1),
+       |probed AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(c.c_emb::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, c.centroid_id) AS crk
+       |    FROM centroids c CROSS JOIN q)
+       |  WHERE crk <= $nprobe),
+       |qc AS (
+       |  SELECT q_id, CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(q_emb[t.range]::DOUBLE * 10000) AS BIGINT) AS qv
+       |  FROM q, range(1, ${M * subDim + 1}) t),
+       |cc AS (
+       |  SELECT p.q_id, c.centroid_id, CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(c.c_emb[t.range]::DOUBLE * 10000) AS BIGINT) AS cv
+       |  FROM centroids c JOIN probed p USING (centroid_id), range(1, ${M * subDim + 1}) t),
+       |coarse AS (
+       |  SELECT cc.q_id, cc.centroid_id, sum(qv * cv) AS coarse_dot
+       |  FROM cc JOIN qc ON cc.q_id = qc.q_id AND cc.sub_no = qc.sub_no AND cc.spos = qc.spos
+       |  GROUP BY cc.q_id, cc.centroid_id),
+       |res AS (
+       |  SELECT p.q_id, a.vec_id, a.centroid_id,
+       |    CAST((t.range - 1) // $subDim AS INT) AS sub_no,
+       |    (t.range - 1) % $subDim + 1 AS spos,
+       |    CAST(floor(CAST(e.embedding[t.range]::DOUBLE - c.c_emb[t.range]::DOUBLE AS FLOAT)::DOUBLE * 10000) AS BIGINT) AS v
+       |  FROM asg a
+       |  JOIN probed p USING (centroid_id)
+       |  JOIN embeddings e ON a.vec_id = e.vec_id
+       |  JOIN centroids c ON a.centroid_id = c.centroid_id,
+       |  range(1, ${M * subDim + 1}) t
+       |  WHERE a.vec_id <> p.q_id),
+       |dists AS (
+       |  SELECT res.q_id, res.vec_id, res.sub_no, cbc.centroid_id,
+       |    sum((v - c) * (v - c)) AS dist
+       |  FROM res JOIN cbc USING (sub_no, spos)
+       |  GROUP BY res.q_id, res.vec_id, res.sub_no, cbc.centroid_id),
+       |codes AS (
+       |  SELECT q_id, vec_id, sub_no, centroid_id AS code FROM (
+       |    SELECT q_id, vec_id, sub_no, centroid_id,
+       |      row_number() OVER (PARTITION BY q_id, vec_id, sub_no
+       |        ORDER BY dist, centroid_id) AS rk
+       |    FROM dists) WHERE rk = 1),
+       |dot_table AS (
+       |  SELECT qc.q_id, cbc.sub_no, cbc.centroid_id, sum(qv * c) AS qdot
+       |  FROM cbc JOIN qc USING (sub_no, spos)
+       |  GROUP BY qc.q_id, cbc.sub_no, cbc.centroid_id),
+       |short AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT codes.q_id, codes.vec_id,
+       |      row_number() OVER (PARTITION BY codes.q_id
+       |        ORDER BY sum(qdot) + max(coarse_dot) DESC, codes.vec_id) AS srk
+       |    FROM codes
+       |    JOIN dot_table ON codes.q_id = dot_table.q_id
+       |      AND codes.sub_no = dot_table.sub_no AND codes.code = dot_table.centroid_id
+       |    JOIN asg ON codes.vec_id = asg.vec_id
+       |    JOIN coarse ON coarse.q_id = codes.q_id AND coarse.centroid_id = asg.centroid_id
+       |    GROUP BY codes.q_id, codes.vec_id)
+       |  WHERE srk <= $shortlist),
+       |rtop AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT s.q_id, s.vec_id,
+       |      row_number() OVER (PARTITION BY s.q_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, s.vec_id) AS rk
+       |    FROM short s
+       |    JOIN embeddings e USING (vec_id)
+       |    JOIN q ON q.q_id = s.q_id
+       |    WHERE NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |      q.q_emb::DOUBLE[]), 4) + 0.0))
+       |  WHERE rk <= $k)
+       |SELECT t.q_id, x.n_exact, count(*) AS n_ret,
+       |  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(CASE WHEN x.n_exact = 0 THEN NULL
+       |    ELSE CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // x.n_exact END AS BIGINT) AS recall_ppm
+       |FROM rtop t
+       |LEFT JOIN exact ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+       |JOIN exn x ON x.q_id = t.q_id
+       |GROUP BY t.q_id, x.n_exact
+       |ORDER BY t.q_id""".stripMargin
+  }
+
   /** DuckDB replay of the IVF-PQ probe from the committed residual
     * codebooks: coarse assignment (rank-1), probe list, double-minus-
     * then-float residuals, residual encode, coarse dot + ADC

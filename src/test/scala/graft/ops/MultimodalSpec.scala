@@ -425,6 +425,31 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames(31L).forall(_.content.length <= 64))
   }
 
+  test("videoNearDups pairs re-muxed/resampled footage, skips distinct or undecodable videos") {
+    val a = realImage(64, 64, "jpg")
+    val b = realImage(64, 48, "jpg")
+    val bars = { // visually distinct footage: vertical bars
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if ((x / 8) % 2 == 0) 0xffffff else 0)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val assets = Seq(
+      MediaAsset(1, "video", mjpegMp4(Seq(a, b, a), 64, 64), MediaMeta(0, 0, 0, "mjpeg")),
+      // stride-2 remux of the same footage: shares the opening frame
+      MediaAsset(2, "video", mjpegMp4(Seq(a, a), 64, 64), MediaMeta(0, 0, 0, "mjpeg")),
+      MediaAsset(3, "video", mjpegMp4(Seq(bars, a), 64, 64), MediaMeta(0, 0, 0, "mjpeg")),
+      // undecodable codec and junk bytes must be skipped, not crash
+      MediaAsset(4, "video", realMp4(640, 360, 600, 3000), MediaMeta(0, 0, 0, "h264")),
+      MediaAsset(5, "video", Array[Byte](0, 0, 0, 8, 'f', 't', 'y', 'p'), MediaMeta(0, 0, 0, "?")))
+    val pairs = videoNearDups(assets.toDS()).collect()
+      .map(r => (r.getAs[Long]("asset_a"), r.getAs[Long]("asset_b"))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the shared-opening-frame remux may pair: $pairs")
+  }
+
   test("extractFeatures: mjpeg video gets pixel features, not a byte histogram") {
     val jpegs = Seq(realImage(40, 30, "jpg"))
     val mjpeg = MediaAsset(40, "video", mjpegMp4(jpegs, 40, 30), MediaMeta(0, 0, 0, "mjpeg"))
