@@ -396,7 +396,9 @@ object Pq {
       .getOrElse(return emb.select(col("vec_id").as("q_id"), lit(0L).as("n_exact"),
         lit(0L).as("n_ret"), lit(0L).as("n_hits"), lit(0L).as("recall_ppm")).limit(0))
     val subDim = dim / M
-    val q = emb.filter(col("vec_id") < nQueries)
+    // the limit marks the subtree BOUNDED for the broadcast-hint audit
+    // (same shape as Similarity.ivfRecall's query frame)
+    val q = emb.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     def topK(cand: DataFrame, orderCol: String, n: Int): DataFrame = {

@@ -25,6 +25,10 @@ object StreamIngest {
   def start(spark: SparkSession, layout: Layout,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
     import spark.implicits._
+    // finish any catalog append a crashed previous driver left between
+    // CLAIM and DONE (idempotent; see Catalog.recoverAppends) before
+    // new micro-batches append behind it
+    Catalog.recoverAppends(spark, layout)
     val lines = spark.readStream
       .option("wholetext", "true")
       .text(s"${layout.bronzeDir}/*/*")

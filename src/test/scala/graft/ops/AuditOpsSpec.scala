@@ -272,4 +272,22 @@ class AuditOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("ivfPqRecall: defaults bounded; probe-everything limit is EXACT (recall 1e6)") {
+    val rows = Pq.ivfPqRecall(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ret") == 10 && r.getAs[Long]("n_exact") == 10)
+      val ppm = r.getAs[Long]("recall_ppm")
+      assert(ppm >= 0 && ppm <= 1000000, s"recall out of range: $r")
+    }
+    // nprobe >= all 10 lists and shortlist >= corpus: ADC ordering is
+    // irrelevant (everything survives to the exact re-rank), so the PQ
+    // probe MUST return the exact top-k — quantization loss only ever
+    // comes from the list prune and the shortlist cut
+    val exhaustive = Pq.ivfPqRecall(spark, sfDir, nQueries = 3,
+      nprobe = 10, shortlist = 500).collect()
+    exhaustive.foreach(r =>
+      assert(r.getAs[Long]("recall_ppm") == 1000000L, s"limit not exact: $r"))
+  }
 }

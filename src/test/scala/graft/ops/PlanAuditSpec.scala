@@ -608,4 +608,31 @@ class PlanAuditSpec extends SparkTestBase {
     val windows = "Window ".r.findAllIn(p).length
     assert(windows >= 4, s"expected 2×(local+global) rank windows, got $windows:\n$p")
   }
+
+  test("ivfPqRecall: stored-code scan keeps dynamic pruning under the multi-query probe") {
+    val df = Pq.ivfPqRecall(spark, sfDir)
+    val codeScans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("ivfpq_codes")) => s
+    }
+    assert(codeScans.nonEmpty, "no parquet scan of the stored code table found")
+    codeScans.foreach { s =>
+      val pf = s.partitionFilters.mkString(", ")
+      assert(pf.contains("dynamicpruning"),
+        s"codes scan lost dynamic pruning in the recall probe: [$pf]")
+    }
+    df.collect()
+    assert(!plan(df).split("== Initial Plan ==")(0).contains("CartesianProduct"))
+  }
+
+  test("bandChoice: one scalar agg over sessions — no joins, no extra shuffles") {
+    val df = Behavior.bandChoice(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"the chooser must be join-free:\n$p")
+    // sessions: one user_id shuffle (window + session agg), then the
+    // 1-row stats agg — nothing else may shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected ≤1 hash exchange (sessions), got $exchanges:\n$p")
+  }
 }
