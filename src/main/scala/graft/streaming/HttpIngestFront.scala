@@ -35,7 +35,8 @@ class HttpIngestFront(
     forwardHost: String,
     forwardPort: Int,
     registry: Map[String, HttpIngestFront.KeyInfo],
-    usedToday: Map[String, Long] = Map.empty) {
+    usedToday: Map[String, Long] = Map.empty,
+    replayHandler: Option[(String, Long, Long) => Unit] = None) {
 
   import HttpIngestFront._
 
@@ -84,6 +85,7 @@ class HttpIngestFront(
       respond(ex, 405, """{"message":"Method Not Allowed"}"""); return
     }
     val segments = ex.getRequestURI.getPath.split("/").filter(_.nonEmpty)
+    if (segments.length == 2 && segments(1) == "replay") { handleReplay(ex); return }
     if (segments.length != 1) {
       respond(ex, 404, """{"message":"Not Found"}"""); return
     }
@@ -114,8 +116,41 @@ class HttpIngestFront(
       catch { case _: Exception => () }
   }
 
+  // replay runs async off the handler thread — the reference's replay
+  // POST answers 202 and does the work via SQS; ours answers 202 and
+  // does it on this executor
+  private val replayExec = java.util.concurrent.Executors.newSingleThreadExecutor()
+
+  /** `POST /{source}/replay` with `{"Source":…, "IntervalStart":…,
+    * "IntervalEnd":…}` (13-digit epoch-millis strings — the
+    * reference's catalog sort-key format,
+    * `src/event_replayer/lambda_function.py:59-61`): 202 accepted,
+    * 400 on malformed input, 404 when no replay handler is wired. The
+    * reference does not key-gate replay; neither do we. */
+  private def handleReplay(ex: HttpExchange): Unit = {
+    if (replayHandler.isEmpty) { respond(ex, 404, """{"message":"Not Found"}"""); return }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val parsed =
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = om.readTree(body)
+        val src = n.get("Source"); val lo = n.get("IntervalStart"); val hi = n.get("IntervalEnd")
+        if (src == null || lo == null || hi == null) None
+        else Some((src.asText(), lo.asText().toLong, hi.asText().toLong))
+      } catch { case _: Exception => None }
+    parsed match {
+      case None => respond(ex, 400, """{"message":"Bad Request"}""")
+      case Some((src, lo, hi)) =>
+        val h = replayHandler.get
+        replayExec.submit(new Runnable { def run(): Unit =
+          try h(src, lo, hi) catch { case _: Exception => () } })
+        respond(ex, 202, """{"accepted":true}""")
+    }
+  }
+
   def close(): Unit = {
     server.stop(0)
+    replayExec.shutdown()
     synchronized { if (out != null) { try out.close() catch { case _: Exception => () } } }
   }
 }

@@ -79,6 +79,9 @@ class HttpIngestSpec extends SparkTestBase {
       assert(post(p, "/clicks", """{"click_id":9}""", Some("intruder"))._1 == 401)
       assert(post(p, "/tweets", """{"x":1}""", Some("ck-key"))._1 == 403)
       assert(post(p, "/a/b", "{}", Some("ck-key"))._1 == 404)
+      // replay endpoint is 404 until a handler is wired (this front
+      // is ingest-only, like a stage deployed without the replayer)
+      assert(post(p, "/clicks/replay", "{}", None)._1 == 404)
       val conn = new URL(s"http://localhost:$p/clicks")
         .openConnection().asInstanceOf[HttpURLConnection]
       conn.setRequestMethod("GET")
@@ -115,6 +118,27 @@ class HttpIngestSpec extends SparkTestBase {
     assert(clicks.select("json").collect().map(_.getString(0)).toSet
       .contains("""{"click_id":2,"page":"}{"}"""),
       "the pathological body survives the HTTP edge end-to-end")
+
+    // the reference's second endpoint: POST /{source}/replay (202
+    // async, 400 on bad input, no api key — matching the stack)
+    val rf = new HttpIngestFront(0, "localhost", 1, reg, Map.empty,
+      replayHandler = Some((src, lo, hi) => graft.lake.Replay.replay(
+        spark, layout, src, new java.sql.Timestamp(lo), new java.sql.Timestamp(hi))))
+    try {
+      val catalogBefore = Catalog.load(spark, layout).count()
+      val now = System.currentTimeMillis()
+      val body = s"""{"Source":"clicks","IntervalStart":"${now - 3600000L}","IntervalEnd":"${now + 3600000L}"}"""
+      assert(post(rf.portBound, "/clicks/replay", body, None)._1 == 202)
+      val deadline2 = System.currentTimeMillis() + 60000
+      while (Distribution.subscribeConsistent(spark, layout, "clicks").count() < 6 &&
+        System.currentTimeMillis() < deadline2) Thread.sleep(200)
+      assert(Distribution.subscribeConsistent(spark, layout, "clicks").count() == 6,
+        "replayed objects re-publish every record to the subscriber")
+      assert(Catalog.load(spark, layout).count() == catalogBefore,
+        "replay must not re-append to the catalog")
+      assert(post(rf.portBound, "/clicks/replay", """{"Source":"clicks"}""", None)._1 == 400)
+      assert(post(rf.portBound, "/clicks/replay", "not json", None)._1 == 400)
+    } finally rf.close()
   }
 
   test("a front restarted with a stale snapshot over-admits, but the batch gate does not over-bill") {
