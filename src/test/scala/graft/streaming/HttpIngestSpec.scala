@@ -176,6 +176,30 @@ class HttpIngestSpec extends SparkTestBase {
     assert(rejectionCount(layout) == 2)
   }
 
+  test("concurrent burst settles at exactly quota admissions (reserve/rollback counter)") {
+    val relay = new SocketRelay(clientPort = 0, servePort = 0)
+    val reg = Map(HttpIngestFront.sha256Hex("k") -> HttpIngestFront.KeyInfo("clicks", 5L))
+    val front = new HttpIngestFront(0, "localhost", relay.clientPortBound, reg)
+    try {
+      val codes = new Array[Int](20)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 20).map { i =>
+        new Thread(() => {
+          gate.await()
+          codes(i) = post(front.portBound, "/clicks", s"""{"i":$i}""", Some("k"))._1
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      val byCode = codes.groupBy(identity).view.mapValues(_.length).toMap
+      assert(byCode == Map(200 -> 5, 429 -> 15),
+        s"burst must settle at exactly quota=5 admissions: $byCode")
+      // exactly the admitted five lines reached the relay
+      val deadline = System.currentTimeMillis() + 10000
+      while (relay.pending < 5 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(relay.pending == 5)
+    } finally { front.close(); relay.close() }
+  }
+
   private def billedTo(layout: Layout, nowMs: Long, key: String): Long =
     Access.usedToday(spark, layout, nowMs).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
