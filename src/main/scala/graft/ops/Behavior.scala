@@ -599,4 +599,71 @@ object Behavior {
        |    AS hazard_ppm
        |FROM hist
        |ORDER BY lifetime""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Sequential pattern matching (MATCH_RECOGNIZE / CEP shape)
+  // --------------------------------------------------------------------
+
+  /** MATCH_RECOGNIZE-style sequential pattern detection — the CEP
+    * primitive (Flink CEP, Oracle/Trino MATCH_RECOGNIZE) a pure
+    * groupBy cannot express: find, per user, every occurrence of
+    * `view → click → purchase` as CONSECUTIVE rows of the user's
+    * event sequence restricted to those three types (ordered by ts
+    * then event_id), with the whole triple inside `spanMs` (48 h default — this corpus's
+    * per-user event cadence is hours, so tighter spans never fire). Unlike
+    * [[funnel]] (first-touch conversion, order-only), this matches
+    * the *pattern automaton* semantics: intervening view/click/
+    * purchase events break a match, other event types are invisible
+    * to the pattern (the standard `PATTERN (A B C)` over a filtered
+    * stream).
+    *
+    * Implementation: the filtered stream is sequenced per user and
+    * each row looks ahead two steps (two `lead`s over ONE window —
+    * one shuffle, one sort); a row starts a match iff (type, next,
+    * next²) = (view, click, purchase) and the span bound holds. All
+    * columns are exact integers.
+    *
+    * Scale: one hash-partitioned window by user (per-user sequences
+    * are short and skew-free), then a per-user agg — linear in
+    * events, no joins. A 100 TB run shuffles each event once. */
+  def seqPattern(spark: SparkSession, sfDir: String, spanMs: Long = 172800000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts_ms"), 2).over(w))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase" && col("ts2") - col("ts_ms") <= spanMs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("ts2") - col("ts_ms")).as("min_span_ms"),
+        max(col("ts2") - col("ts_ms")).as("max_span_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Oracle twin of [[seqPattern]] — `spanMs` interpolated. */
+  def seqPatternSql(spanMs: Long = 172800000L): String =
+    s"""WITH f AS (
+       |  SELECT user_id, event_type, epoch_ms(ts::TIMESTAMP) AS ts_ms, event_id
+       |  FROM events
+       |  WHERE event_type IN ('view', 'click', 'purchase')),
+       |seq AS (
+       |  SELECT user_id, event_type, ts_ms,
+       |    lead(event_type, 1) OVER w AS t1,
+       |    lead(event_type, 2) OVER w AS t2,
+       |    lead(ts_ms, 2) OVER w AS ts2
+       |  FROM f
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+       |SELECT user_id, count(*) AS n_matches,
+       |  CAST(min(ts2 - ts_ms) AS BIGINT) AS min_span_ms,
+       |  CAST(max(ts2 - ts_ms) AS BIGINT) AS max_span_ms
+       |FROM seq
+       |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+       |  AND ts2 - ts_ms <= $spanMs
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
 }

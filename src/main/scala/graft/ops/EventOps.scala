@@ -602,4 +602,147 @@ object EventOps {
        |FROM events
        |GROUP BY event_id // $zoneRows
        |ORDER BY zone""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Small-file compaction planner (bin packing by cumulative size)
+  // --------------------------------------------------------------------
+
+  /** The small-files compaction plan — what Delta `OPTIMIZE` /
+    * Iceberg `rewrite_data_files` computes before they move a byte:
+    * the lake's objects (simulated here as one object per
+    * (event_type, hour) with its payload byte count, the
+    * [[graft.lake.StreamIngest]] buffering grain) are bin-packed
+    * into target-sized compaction groups by a running prefix sum —
+    * group = ⌊bytes-before / target⌋ within each event_type's
+    * hour-ordered object sequence. First-fit-by-write-order keeps
+    * every group a CONTIGUOUS hour range (the property that lets the
+    * rewritten file carry a tight min/max zone, see [[zoneMap]]).
+    *
+    * At 100 TB this query IS the compaction scheduler's input: a
+    * 60 s streaming sink writes ~1.4 M objects/day/source, and scan
+    * throughput dies by file-open overhead unless something plans
+    * exactly this rewrite (the reference has the same disease — one
+    * gzip object per Firehose buffer flush).
+    *
+    * Scale: one agg to object granularity (map-side combined), a
+    * window partitioned by event_type over object-count rows (not
+    * event rows), one more agg. All integers. */
+  def compactionPlan(spark: SparkSession, sfDir: String,
+      targetBytes: Long = 131072L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_millis(ts) DIV 3600000").as("hour"),
+        (coalesce(length(col("props")), lit(0)) + lit(64)).cast("long").as("bytes"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("bytes")).as("obj_bytes"))
+      .withColumn("cum_before", coalesce(sum(col("obj_bytes")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before DIV $targetBytes"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("n_objects"),
+        sum(col("obj_bytes")).as("bytes_total"),
+        sum(col("n_events")).as("n_events"),
+        min(col("hour")).as("hour_min"),
+        max(col("hour")).as("hour_max"))
+      .orderBy(col("event_type"), col("grp"))
+  }
+
+  /** Oracle twin of [[compactionPlan]] — `targetBytes` interpolated. */
+  def compactionPlanSql(targetBytes: Long = 131072L): String =
+    s"""WITH objs AS (
+       |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 3600000 AS hour,
+       |    count(*) AS n_events,
+       |    CAST(sum(coalesce(length(props), 0) + 64) AS BIGINT) AS obj_bytes
+       |  FROM events
+       |  GROUP BY event_type, epoch_ms(ts::TIMESTAMP) // 3600000),
+       |packed AS (
+       |  SELECT *,
+       |    coalesce(sum(obj_bytes) OVER (PARTITION BY event_type ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM objs)
+       |SELECT event_type, CAST(cum_before // $targetBytes AS BIGINT) AS grp,
+       |  count(*) AS n_objects,
+       |  CAST(sum(obj_bytes) AS BIGINT) AS bytes_total,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  CAST(min(hour) AS BIGINT) AS hour_min,
+       |  CAST(max(hour) AS BIGINT) AS hour_max
+       |FROM packed
+       |GROUP BY event_type, cum_before // $targetBytes
+       |ORDER BY event_type, grp""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Z-order locality audit (multi-dimensional data skipping)
+  // --------------------------------------------------------------------
+
+  /** Bits per interleaved dimension; zones tile 8×8 cells. */
+  private val ZBits = 8
+
+  /** Z-address arithmetic — bit i of x lands at position 2i+1, bit i
+    * of y at 2i, written as pure integer div/mod/multiply so the SAME
+    * formula runs in Spark (`DIV`) and DuckDB (`//`). */
+  private def zExpr(x: String, y: String, div: String): String =
+    (0 until ZBits).map { i =>
+      val b = 1L << i
+      s"(($x $div $b) % 2) * ${1L << (2 * i + 1)} + (($y $div $b) % 2) * ${1L << (2 * i)}"
+    }.mkString(" + ")
+
+  /** The multi-dimensional data-skipping audit [[zoneMap]] can't do:
+    * rows carry a 2-D key (user bucket x = user_id mod 256, hour
+    * bucket y = hour-of-epoch mod 256) interleaved into a Z-address
+    * (Morton order — the Delta/Iceberg `ZORDER BY` curve), and zones
+    * are Z-RANGES of 64 cells, i.e. aligned 8×8 tiles in (x, y).
+    * Each zone reports its x/y bounds plus the true match count for
+    * a rectangle predicate (an x band × y band), and `can_skip` says
+    * the bounds alone prove the zone empty. Because Z-range zones
+    * are spatially tight in BOTH dimensions, the skipped fraction
+    * stays high for 2-D predicates — where write-order zones
+    * ([[zoneMap]]) only ever bound the time axis. The output row set
+    * certifies soundness (every can_skip zone shows n_match = 0) and
+    * measures the curve's benefit as data.
+    *
+    * Scale: one hash agg on the computed zone key — map-side
+    * combined, ≤1024 output rows at any corpus size, no joins, no
+    * sort (the Z-curve is ARITHMETIC on each row; laying files out
+    * in this order is [[graft.lake.ZOrder]]'s job). */
+  def zorderSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = zExpr("(user_id % 256)", "((unix_millis(ts) DIV 3600000) % 256)", "DIV")
+    // predicate rectangle: x ∈ [96, 160), y ∈ [8, 16)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"),
+        (col("user_id") % 256).as("x"),
+        expr("(unix_millis(ts) DIV 3600000) % 256").as("y"),
+        expr(s"($z) DIV 64").as("zone"))
+      .groupBy(col("zone"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        sum(when(col("x") >= 96 && col("x") < 160 &&
+          col("y") >= 8 && col("y") < 16, 1L).otherwise(0L)).as("n_match"))
+      .withColumn("can_skip",
+        col("max_x") < 96 || col("min_x") >= 160 ||
+        col("max_y") < 8 || col("min_y") >= 16)
+      .orderBy(col("zone"))
+  }
+
+  /** Oracle twin of [[zorderSkip]] — the identical Z-address
+    * arithmetic in DuckDB's `//` dialect. */
+  def zorderSkipSql: String = {
+    val z = zExpr("(user_id % 256)", "((epoch_ms(ts::TIMESTAMP) // 3600000) % 256)", "//")
+    s"""WITH cells AS (
+       |  SELECT user_id % 256 AS x,
+       |    (epoch_ms(ts::TIMESTAMP) // 3600000) % 256 AS y,
+       |    ($z) // 64 AS zone
+       |  FROM events)
+       |SELECT zone, count(*) AS n_rows,
+       |  CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+       |  CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+       |  CAST(sum(CASE WHEN x >= 96 AND x < 160 AND y >= 8 AND y < 16
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  (max(x) < 96 OR min(x) >= 160 OR max(y) < 8 OR min(y) >= 16) AS can_skip
+       |FROM cells
+       |GROUP BY zone
+       |ORDER BY zone""".stripMargin
+  }
 }

@@ -743,4 +743,73 @@ object Selection {
       |FROM classes
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Quality-decile × near-dup cross audit (filter-correlation lift)
+  // --------------------------------------------------------------------
+
+  /** Does the quality filter's victim set overlap the dedup filter's?
+    * Per quality decile ([[Text.qualityDecile]], the oracle-proven
+    * gate), the fraction of docs participating in ≥1 confirmed
+    * near-dup pair (the shared [[Dedup]] pair table), plus the LIFT
+    * vs the corpus base rate in per-mille. Curation pipelines need
+    * this table to order their gates: if low deciles carry most dup
+    * mass (lift ≫ 1000), quality-first saves the dedup pass most of
+    * its candidate volume; if lift ≈ 1000 the filters are
+    * independent and order is a pure cost choice.
+    *
+    * Engine parity: rates and lift are truncating integer division
+    * over exact counts; a dup-free corpus makes lift NULL on both
+    * sides (the [[Dedup.lshBandTune]] degenerate-input rule).
+    *
+    * Scale: the pair table is the amortized banded-LSH build; the
+    * dup-id set is pair-bounded; one broadcast-able distinct join
+    * against the corpus scan and a 10-row agg. */
+  def qualityDupLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairTable(spark, sfDir)
+    val dup = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct().withColumn("is_dup", lit(1L))
+    val flagged = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.qualityDecile.as("decile"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("decile"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    val totals = flagged.agg(count(lit(1)).as("n_total"),
+      sum(col("is_dup")).as("n_dup_total"))
+    flagged.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dup"))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 1000000 DIV n_docs").as("dup_ppm"),
+        when(col("n_dup_total") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_dup * n_total * 1000 DIV (n_docs * n_dup_total)"))
+          .as("lift_pm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Oracle twin of [[qualityDupLift]] — the graph oracles' pair CTE
+    * chain plus the shared decile expression. */
+  def qualityDupLiftSql: String =
+    s"""WITH ${Graph.nearDupEdgesCteSql},
+       |dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM pairs
+       |    UNION ALL SELECT doc_b AS doc_id FROM pairs)),
+       |flagged AS (
+       |  SELECT (${Text.qualityDecileSqlExpr}) AS decile,
+       |    CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |  FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id),
+       |totals AS (
+       |  SELECT count(*) AS n_total, CAST(sum(is_dup) AS BIGINT) AS n_dup_total
+       |  FROM flagged)
+       |SELECT decile, count(*) AS n_docs,
+       |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+       |  CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_ppm,
+       |  CASE WHEN max(t.n_dup_total) = 0 THEN NULL
+       |       ELSE CAST(sum(is_dup) * max(t.n_total) * 1000 //
+       |            (count(*) * max(t.n_dup_total)) AS BIGINT)
+       |  END AS lift_pm
+       |FROM flagged CROSS JOIN totals t
+       |GROUP BY decile
+       |ORDER BY decile""".stripMargin
 }

@@ -1220,4 +1220,109 @@ object Similarity {
        |$unions
        |ORDER BY rnk""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Johnson–Lindenstrauss sign-projection audit
+  // --------------------------------------------------------------------
+
+  /** Random-sign (Achlioptas 2003) Johnson–Lindenstrauss projection
+    * with its distortion audit: each of `kDims` output coordinates is
+    * a ±1-signed sum over the input dimensions (signs derived from
+    * md5, the [[hyperplaneLshPairs]] plane recipe with weights
+    * collapsed to {−1, +1}), and the audit compares pairwise cosine
+    * in the projected space against the exact cosine for every pair
+    * of the first `nVecs` vectors. This is the dimensionality-
+    * reduction step a 10⁹-vector pipeline runs BEFORE clustering/ANN
+    * when 64→8 dims cuts the dot-product bill 8× — the query output
+    * is the evidence table for choosing `kDims` (err_e4 quantifies
+    * the distortion the JL lemma bounds in expectation).
+    *
+    * Engine parity: inputs quantize to e4 integers, projections are
+    * exact BIGINT signed sums, and each cosine is ONE double
+    * expression over exact integers rounded once to e4. Zero-norm
+    * projections yield NULL (CASE-pinned on both sides).
+    *
+    * Scale: projecting is linear — explode × broadcast(dim·kDims
+    * sign rows) × map-side-combined sum; the pair audit is bounded
+    * to an `nVecs`-sized frame by construction. Nothing is corpus². */
+  def jlProjection(spark: SparkSession, sfDir: String,
+      kDims: Int = 8, nVecs: Int = 40): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir).filter(col("vec_id") < nVecs)
+    val comps = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    val dim = cachedFixedWidth(spark, sfDir) match {
+      case Some(d) => d
+      case None =>
+        return comps.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b"),
+          lit(0L).as("cos_e4"), lit(0L).as("jl_e4"), lit(0L).as("err_e4")).limit(0)
+    }
+    val planes = spark.range(dim).select(col("id").cast("int").as("pos"))
+      .select(col("pos"), explode(sequence(lit(0L), lit(kDims - 1L))).as("b"))
+      .select(col("b"), col("pos"),
+        ((conv(substring(md5(concat(col("b"), lit("_"), col("pos"))), 1, 8), 16, 10)
+          .cast("long") % 2) * 2 - 1).as("s"))
+    val proj = comps.join(broadcast(planes), Seq("pos"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum(floor(col("v").cast("double") * 10000).cast("long") * col("s")).as("p"))
+    val pa = proj.select(col("vec_id").as("vec_a"), col("b"), col("p").as("pa"))
+    val pb = proj.select(col("vec_id").as("vec_b"), col("b"), col("p").as("pb"))
+    val pc = pa.join(pb, Seq("b")).filter(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(sum(col("pa") * col("pb")).as("dot"),
+        sum(col("pa") * col("pa")).as("na2"),
+        sum(col("pb") * col("pb")).as("nb2"))
+      .select(col("vec_a"), col("vec_b"),
+        when(col("na2") === 0 || col("nb2") === 0, lit(null).cast("long"))
+          .otherwise(round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))) * 10000)
+            .cast("long")).as("jl_e4"))
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    ea.join(eb, ea("vec_a") < eb("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (round(cosine(col("emb_a"), col("emb_b")), 4) + lit(0.0)).as("cs"))
+      .filter(!isnan(col("cs")))
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cs") * 10000).cast("long").as("cos_e4"))
+      .join(pc, Seq("vec_a", "vec_b"))
+      .withColumn("err_e4", abs(col("cos_e4") - col("jl_e4")))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Oracle twin of [[jlProjection]] — `kDims`/`nVecs` interpolated,
+    * identical sign recipe and double trees. */
+  def jlProjectionSql(kDims: Int = 8, nVecs: Int = 40): String =
+    s"""WITH sub AS (SELECT * FROM embeddings WHERE vec_id < $nVecs),
+       |comps AS (
+       |  SELECT vec_id, unnest(embedding) AS v,
+       |         unnest(range(0, len(embedding))) AS pos
+       |  FROM sub),
+       |planes AS (
+       |  SELECT t.b, p.pos,
+       |    ((('0x' || substr(md5(t.b || '_' || p.pos), 1, 8))::BIGINT % 2) * 2 - 1) AS s
+       |  FROM range($kDims) t(b), (SELECT DISTINCT pos FROM comps) p),
+       |proj AS (
+       |  SELECT c.vec_id, pl.b,
+       |    CAST(sum(CAST(floor(c.v::DOUBLE * 10000) AS BIGINT) * pl.s) AS BIGINT) AS p
+       |  FROM comps c JOIN planes pl USING (pos)
+       |  GROUP BY c.vec_id, pl.b),
+       |pc AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    CASE WHEN sum(a.p * a.p) = 0 OR sum(b.p * b.p) = 0 THEN NULL
+       |         ELSE CAST(round(CAST(sum(a.p * b.p) AS BIGINT) /
+       |           (sqrt(CAST(sum(a.p * a.p) AS BIGINT)) *
+       |            sqrt(CAST(sum(b.p * b.p) AS BIGINT))) * 10000) AS BIGINT)
+       |    END AS jl_e4
+       |  FROM proj a JOIN proj b ON a.b = b.b AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |exact AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+       |      + 0.0 AS cs
+       |  FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos_e4, jl_e4, abs(cos_e4 - jl_e4) AS err_e4
+       |FROM (
+       |  SELECT e.vec_a, e.vec_b,
+       |    CAST(round(cs * 10000) AS BIGINT) AS cos_e4, pc.jl_e4
+       |  FROM exact e JOIN pc ON e.vec_a = pc.vec_a AND e.vec_b = pc.vec_b
+       |  WHERE NOT isnan(cs))
+       |ORDER BY vec_a, vec_b""".stripMargin
 }

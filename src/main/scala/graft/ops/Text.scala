@@ -1148,4 +1148,122 @@ object Text {
        |ORDER BY bm25_e4 DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Interpolated Kneser–Ney bigram language model (train/eval split)
+  // --------------------------------------------------------------------
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen
+    * & Goodman 1999's interpolated form — THE standard n-gram
+    * smoothing, completing the LM ladder next to [[lmScore]]'s MLE
+    * and [[backoffLm]]'s Stupid Backoff):
+    *
+    * `p(w₂|w₁) = max(c₁₂ − D, 0)/c₁· + (D·N₁₊(w₁·)/c₁·) · p_cont(w₂)`
+    * `p_cont(w₂) = N₁₊(·w₂) / |bigram types|`, D = 0.75.
+    *
+    * Trained on the 5% SEED split (`doc_id % 20 = 0`) and scored on
+    * the other 95% — the CCNet direction: a small in-domain seed LM
+    * scores the big crawl, so unseen continuations are a fact of
+    * life, not an edge case. Context count `c₁·` and fan-out `N₁₊(w₁·)` come
+    * from the bigram table itself (exact KN, not the token-count
+    * approximation); an eval bigram whose context was never seen
+    * falls to the continuation distribution alone, and an unseen
+    * CONTINUATION takes count 1 (the [[backoffLm]] floor rule) so
+    * the cost stays finite — the unseen-bigram branch carries ~20%
+    * of eval positions at sf0.001 and the unseen-context branch
+    * fires at sf0.01+, all pinned by the oracle hash.
+    *
+    * Engine parity: every model input is an exact integer; each
+    * position's cost is ONE double expression over those integers
+    * rounded once to tenth-milli-nats; per-doc sums are BIGINT.
+    *
+    * Scale: three seed-sized count tables (map-side combined) + the
+    * eval positions LEFT-joined on natural keys — the [[backoffLm]]
+    * join shape, never doc×doc; the type-count frame is the only
+    * 1-row broadcast. */
+  def knLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val t = tokens
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+        explode(zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y))).as("bg"))
+      .filter(col("bg").isNotNull)
+      .select(col("doc_id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val train = grams(docs.filter(col("doc_id") % 20 === 0))
+    val bi = train.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val biSplit = bi.select(col("bg"),
+      substring_index(col("bg"), " ", 1).as("w1"),
+      substring_index(col("bg"), " ", -1).as("w2"), col("c12"))
+    val ctx = biSplit.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("ctx1"), count(lit(1)).as("n1fwd"))
+    val cont = biSplit.groupBy(col("w2")).agg(count(lit(1)).as("n1bwd"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    val pCont = coalesce(col("n1bwd"), lit(1L)).cast("double") / col("n_types")
+    val p = when(col("ctx1").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(0.75), lit(0.0)) / col("ctx1")
+          + (lit(0.75) * col("n1fwd") / col("ctx1")) * pCont)
+      .otherwise(pCont)
+    grams(docs.filter(col("doc_id") % 20 =!= 0))
+      .join(bi, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        when(col("ctx1").isNull, 1L).otherwise(0L).as("u_ctx"),
+        when(col("c12").isNull, 1L).otherwise(0L).as("u_bi"),
+        round(-log(p) * 10000).cast("long").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pos"),
+        sum(col("u_ctx")).as("n_unseen_ctx"),
+        sum(col("u_bi")).as("n_unseen_bi"),
+        sum(col("nll")).as("sum_nll"))
+      .withColumn("avg_nll", expr("sum_nll DIV n_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin of [[knLm]] — the identical double tree per
+    * position. */
+  def knLmSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+      |bi AS (
+      |  SELECT bg, w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM grams
+      |  WHERE doc_id % 20 = 0 GROUP BY bg, w1, w2),
+      |ctx AS (
+      |  SELECT w1, CAST(sum(c12) AS BIGINT) AS ctx1,
+      |    CAST(count(*) AS BIGINT) AS n1fwd
+      |  FROM bi GROUP BY w1),
+      |cont AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd FROM bi GROUP BY w2),
+      |types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM bi),
+      |scored AS (
+      |  SELECT e.doc_id,
+      |    CASE WHEN c.ctx1 IS NULL THEN 1 ELSE 0 END AS u_ctx,
+      |    CASE WHEN b.c12 IS NULL THEN 1 ELSE 0 END AS u_bi,
+      |    CAST(round(-ln(
+      |      CASE WHEN c.ctx1 IS NOT NULL
+      |        THEN greatest(CAST(coalesce(b.c12, 0) AS DOUBLE) - 0.75, 0.0) / c.ctx1
+      |             + (0.75 * c.n1fwd / c.ctx1) *
+      |               (CAST(coalesce(n.n1bwd, 1) AS DOUBLE) / y.n_types)
+      |        ELSE CAST(coalesce(n.n1bwd, 1) AS DOUBLE) / y.n_types
+      |      END) * 10000) AS BIGINT) AS nll
+      |  FROM grams e
+      |  LEFT JOIN bi b ON b.bg = e.bg
+      |  LEFT JOIN ctx c ON c.w1 = e.w1
+      |  LEFT JOIN cont n ON n.w2 = e.w2
+      |  CROSS JOIN types y
+      |  WHERE e.doc_id % 20 <> 0)
+      |SELECT doc_id, count(*) AS n_pos,
+      |  CAST(sum(u_ctx) AS BIGINT) AS n_unseen_ctx,
+      |  CAST(sum(u_bi) AS BIGINT) AS n_unseen_bi,
+      |  CAST(sum(nll) AS BIGINT) AS sum_nll,
+      |  CAST(CAST(sum(nll) AS BIGINT) // count(*) AS BIGINT) AS avg_nll
+      |FROM scored
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

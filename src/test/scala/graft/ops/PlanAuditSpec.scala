@@ -635,4 +635,76 @@ class PlanAuditSpec extends SparkTestBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"expected ≤1 hash exchange (sessions), got $exchanges:\n$p")
   }
+
+  test("seqPattern: type filter pushed to the scan; ONE user shuffle feeds window+agg") {
+    val df = Behavior.seqPattern(spark, sfDir)
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("In(event_type"),
+      s"pattern alphabet must prune at the scan: $pushed")
+    val p = plan(df)
+    assert(!p.contains("Join"), s"CEP over one stream is join-free:\n$p")
+    // lead-window and groupBy(user) share the user_id clustering: the
+    // agg must reuse the window's exchange, not add its own
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"one user_id shuffle serves window AND agg, got $hash:\n$p")
+  }
+
+  test("compactionPlan: object rollup -> window -> group rollup, no joins, no global sort") {
+    val p = plan(EventOps.compactionPlan(spark, sfDir))
+    assert(!p.contains("Join"), s"packing is join-free:\n$p")
+    assert(!p.contains("Exchange SinglePartition") || !p.contains("Sort [hour"),
+      s"prefix sums must shard by event_type, not globally sort:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"object rollup must combine map-side:\n$p")
+  }
+
+  test("zorderSkip: ONE partial-combined hash agg on the computed zone key") {
+    val p = plan(EventOps.zorderSkip(spark, sfDir))
+    val hash = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hash == 1, s"Z-zone audit is one agg shuffle, got $hash:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), s"scan+agg only:\n$p")
+    assert("partial_min|partial_max".r.findFirstIn(p).isDefined,
+      s"zone bounds must combine map-side:\n$p")
+  }
+
+  test("jlProjection: sign table broadcasts; audit pair product bounded by the vec_id filter") {
+    val df = Similarity.jlProjection(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"planes/pair sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n$p")
+    // the exact-cosine pair join is the only nested loop, and both its
+    // inputs carry the vec_id < nVecs range filter
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the bounded audit-pair join may nest-loop:\n$p")
+    val pushed = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+    }.mkString
+    assert(pushed.contains("LessThan(vec_id"),
+      s"audit subset must prune at the scan: $pushed")
+  }
+
+  test("qualityDupLift: dup flag joins by doc_id; only the 1-row totals broadcast nest-loops") {
+    val df = Selection.qualityDupLift(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row totals join may nest-loop:\n$p")
+  }
+
+  test("knLm: count-table joins are equi-joins; only the 1-row type count broadcasts") {
+    val df = Text.knLm(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row n_types join may nest-loop:\n$p")
+    assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
+      s"count lookups must be equi-joins:\n$p")
+  }
 }
