@@ -1150,6 +1150,87 @@ object Text {
   }
 
   // --------------------------------------------------------------------
+  // Heaps-law vocabulary growth
+  // --------------------------------------------------------------------
+
+  /** Heaps'-law vocabulary growth — the corpus-card curve next to
+    * [[zipfSlope]]'s frequency law: how many DISTINCT tokens have
+    * appeared after the first n tokens of the corpus (docs in doc_id
+    * order, tokens in position order). Output is one row per
+    * doubling cohort c — tokens whose FIRST occurrence position p
+    * satisfies ⌊log₂(p+1)⌋ = c — with the cumulative vocabulary
+    * `vocab_cum` = V(2^(c+1) − 1). A flattening curve says the
+    * tokenizer's OOV tail is closing; a persistently steep one says
+    * more data keeps buying vocabulary (the scaling-law input for
+    * vocab-size choice).
+    *
+    * Engine shape: global token positions come from the
+    * [[Pipeline.seqPack]] two-level SHARDED exclusive prefix sum
+    * (bucket-local window + a shards-row broadcast carry — no global
+    * sort at any corpus size; the oracle uses the plain global
+    * window, so green re-proves the rewrite); first occurrences are
+    * one min-agg on the token (map-side combined); cohorts use
+    * `length(bin(p+1))−1` — pure integer log₂, identical in both
+    * engines. The cohort histogram is ≤ log₂(corpus) rows, so the
+    * cumulative window is free. */
+  def vocabGrowth(spark: SparkSession, sfDir: String, shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), size(tokens).cast("long").as("n_tokens"))
+    val bounds = docs.agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("__bucket", least(lit(shards - 1L),
+        expr(s"((doc_id - __lo) * $shards) DIV (__hi - __lo + 1)")))
+      .drop("__lo", "__hi")
+    val wLocal = Window.partitionBy(col("__bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__local_off",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    val wCarry = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .withColumn("__carry", coalesce(sum(col("__btot")).over(wCarry), lit(0L)))
+      .select(col("__bucket"), col("__carry"))
+    val offs = local.join(broadcast(carry), Seq("__bucket"))
+      .select(col("doc_id"), col("text"), (col("__local_off") + col("__carry")).as("off"))
+    val fo = offs
+      .select(col("off"), posexplode(tokens).as(Seq("pos", "token")))
+      .groupBy(col("token")).agg(min(col("off") + col("pos")).as("p"))
+    val wCum = Window.orderBy(col("cohort"))
+    fo.select((length(bin(col("p") + 1)) - 1).cast("long").as("cohort"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_new"))
+      .withColumn("vocab_cum", sum(col("n_new")).over(wCum))
+      .withColumn("corpus_prefix", expr("CAST(pow(2, cohort + 1) AS BIGINT) - 1"))
+      .orderBy(col("cohort"))
+  }
+
+  /** Oracle twin of [[vocabGrowth]] — the PLAIN global-window prefix
+    * sum (the sharded engine path must be bit-identical). */
+  def vocabGrowthSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |offs AS (
+      |  SELECT doc_id,
+      |    COALESCE(sum(len(t)) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM toks),
+      |pos AS (
+      |  SELECT o.off + x.i - 1 AS gpos, x.t[x.i] AS token
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks) x
+      |  JOIN offs o USING (doc_id)),
+      |fo AS (SELECT token, CAST(min(gpos) AS BIGINT) AS p FROM pos GROUP BY token),
+      |coh AS (
+      |  SELECT CAST(length(bin(p + 1)) - 1 AS BIGINT) AS cohort, count(*) AS n_new
+      |  FROM fo GROUP BY 1)
+      |SELECT cohort, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY cohort
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum,
+      |  CAST(pow(2, cohort + 1) AS BIGINT) - 1 AS corpus_prefix
+      |FROM coh
+      |ORDER BY cohort""".stripMargin
+
+  // --------------------------------------------------------------------
   // Interpolated Kneser–Ney bigram language model (train/eval split)
   // --------------------------------------------------------------------
 

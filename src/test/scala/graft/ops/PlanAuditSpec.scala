@@ -697,6 +697,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(bnlj <= 1, s"only the 1-row totals join may nest-loop:\n$p")
   }
 
+  test("vocabGrowth: prefix sum shards by bucket — the only single-partition windows are model-sized") {
+    val df = Text.vocabGrowth(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the doc-offset window must be partitioned by __bucket; the two
+    // allowed unpartitioned windows (shard carry, cohort cumsum) run
+    // over shards-count resp. log2(corpus) rows
+    assert(p.contains("hashpartitioning(__bucket"),
+      s"doc offsets must shard by bucket:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("knLm: count-table joins are equi-joins; only the 1-row type count broadcasts") {
     val df = Text.knLm(spark, sfDir)
     df.collect()

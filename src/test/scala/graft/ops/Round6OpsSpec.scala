@@ -130,6 +130,35 @@ class Round6OpsSpec extends SparkTestBase {
     assert(nDupTotal > 0, "sf0.001 corpus has confirmed near-dups")
   }
 
+  test("vocabGrowth == plain-Scala first-occurrence cohorts; curve is monotone") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .sortBy(_._1)
+    val firstPos = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    var gpos = 0L
+    docs.foreach { case (_, text) =>
+      text.split(" ", -1).foreach { tok =>
+        if (!firstPos.contains(tok)) firstPos(tok) = gpos
+        gpos += 1
+      }
+    }
+    val expected = firstPos.values
+      .groupBy(p => 63 - java.lang.Long.numberOfLeadingZeros(p + 1))
+      .map { case (c, ps) => c.toLong -> ps.size.toLong }
+    val got = Text.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(r => r._1 -> r._2).toMap == expected)
+    // cumulative column telescopes and the curve is strictly monotone
+    var cum = 0L
+    got.foreach { case (c, n, v, prefix) =>
+      cum += n
+      assert(v == cum)
+      assert(prefix == (1L << (c + 1)) - 1)
+    }
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted)
+  }
+
   test("knLm == plain-Scala interpolated Kneser-Ney replay") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
