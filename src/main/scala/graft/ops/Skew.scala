@@ -65,4 +65,44 @@ object Skew {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
+
+  /** The skew PROFILE — the decision table the salting tools above
+    * consume: per join/agg key, its row count, corpus share in ppm,
+    * whether it is HOT for a `parallelism`-way shuffle (share above
+    * one reducer's fair slice), and the salt factor that splits it
+    * back under the fair slice (`⌈share · parallelism⌉`, min 1 —
+    * [[saltedEventStats]]'s `n` read off the data instead of
+    * guessed). On a 100 TB run this query is the cheap first pass
+    * that decides which keys get salted joins and which ride the
+    * plain hash partition; the share arithmetic is pure integer so
+    * the verdict is engine-exact.
+    *
+    * Scale: ONE map-side-combined agg to key granularity (output =
+    * key cardinality), a 1-row total broadcast back. */
+  def skewProfile(spark: SparkSession, sfDir: String,
+      parallelism: Int = 32): DataFrame = {
+    val keyed = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = keyed.agg(sum(col("n")).as("n_total"))
+    keyed.crossJoin(broadcast(total))
+      .select(col("event_type"), col("n"),
+        expr("n * 1000000 DIV n_total").as("share_ppm"))
+      .withColumn("is_hot", col("share_ppm") * parallelism > lit(1000000L))
+      .withColumn("salt",
+        greatest(lit(1L), expr(s"(share_ppm * $parallelism + 999999) DIV 1000000")))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[skewProfile]] — `parallelism` interpolated. */
+  def skewProfileSql(parallelism: Int = 32): String =
+    s"""WITH keyed AS (
+       |  SELECT event_type, count(*) AS n FROM events GROUP BY event_type),
+       |total AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM keyed)
+       |SELECT event_type, n,
+       |  CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+       |  (CAST(n * 1000000 // n_total AS BIGINT) * $parallelism > 1000000) AS is_hot,
+       |  greatest(1, CAST((CAST(n * 1000000 // n_total AS BIGINT) * $parallelism
+       |    + 999999) // 1000000 AS BIGINT)) AS salt
+       |FROM keyed CROSS JOIN total
+       |ORDER BY event_type""".stripMargin
 }

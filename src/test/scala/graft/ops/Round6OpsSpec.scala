@@ -130,6 +130,22 @@ class Round6OpsSpec extends SparkTestBase {
     assert(nDupTotal > 0, "sf0.001 corpus has confirmed near-dups")
   }
 
+  test("skewProfile: exact share/salt replay; salting the hot keys restores fair slices") {
+    val rows = Skew.skewProfile(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    rows.foreach { case (_, n, share, hot, salt) =>
+      assert(share == n * 1000000L / total)
+      assert(hot == (share * 32 > 1000000L))
+      assert(salt == math.max(1L, (share * 32 + 999999L) / 1000000L))
+      // the recommendation's point: each salted sub-key is at or under
+      // a fair 1/parallelism slice (integer slack of one rounding step)
+      assert(share / salt <= 1000000L / 32 + 1)
+    }
+    // 5 event types at ~20% each: all hot for a 32-way shuffle
+    assert(rows.forall(_._4), "every 5-way key is hot at parallelism 32")
+  }
+
   test("vocabGrowth == plain-Scala first-occurrence cohorts; curve is monotone") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
