@@ -867,4 +867,53 @@ object Pipeline {
        |FROM groups
        |GROUP BY segment
        |ORDER BY segment""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Context-length planning (truncation-waste table)
+  // --------------------------------------------------------------------
+
+  /** Default context budgets for [[contextLenPlanner]]. */
+  val ContextBudgets: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)
+
+  /** The context-length decision table: for each candidate budget,
+    * how many documents a truncate-at-budget policy cuts, the token
+    * mass kept vs lost, and the loss in ppm — the complement of
+    * [[packEfficiency]] (which prices PADDING for short docs, while
+    * this prices TRUNCATION for long ones; together they bracket the
+    * context-length choice). One row per budget.
+    *
+    * Scale: doc lengths are a stateless projection; the budget
+    * explode multiplies rows by |budgets| (4), and the agg combines
+    * map-side into |budgets| cells. Pure integers throughout. */
+  def contextLenPlanner(spark: SparkSession, sfDir: String,
+      budgets: Seq[Long] = ContextBudgets): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(wsTokens.as("len"))
+      .select(col("len"), explode(array(budgets.map(lit): _*)).as("budget"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("len") > col("budget"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(least(col("len"), col("budget"))).as("tokens_kept"),
+        sum(greatest(col("len") - col("budget"), lit(0L))).as("tokens_lost"))
+      .withColumn("loss_ppm",
+        expr("tokens_lost * 1000000 DIV (tokens_kept + tokens_lost)"))
+      .orderBy(col("budget"))
+
+  /** Oracle twin of [[contextLenPlanner]] — budgets interpolated. */
+  def contextLenPlannerSql(budgets: Seq[Long] = ContextBudgets): String =
+    s"""WITH lens AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+       |x AS (
+       |  SELECT len, unnest([${budgets.mkString("::BIGINT, ")}::BIGINT]) AS budget
+       |  FROM lens)
+       |SELECT budget, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN len > budget THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |  CAST(sum(least(len, budget)) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(greatest(len - budget, 0)) AS BIGINT) AS tokens_lost,
+       |  CAST(CAST(sum(greatest(len - budget, 0)) AS BIGINT) * 1000000 //
+       |    (CAST(sum(least(len, budget)) AS BIGINT) +
+       |     CAST(sum(greatest(len - budget, 0)) AS BIGINT)) AS BIGINT) AS loss_ppm
+       |FROM x
+       |GROUP BY budget
+       |ORDER BY budget""".stripMargin
 }

@@ -1222,6 +1222,47 @@ object Similarity {
   }
 
   // --------------------------------------------------------------------
+  // Label-balance report (dataset-card class distribution)
+  // --------------------------------------------------------------------
+
+  /** The class-balance line of a dataset card: per label, its vector
+    * count and corpus share in ppm, with the global max/min imbalance
+    * ratio (per-mille) alongside — the number that says whether a
+    * classifier trained on this labeling needs reweighting/resampling
+    * ([[graft.ops.Selection.temperatureMix]] is the fix this table
+    * motivates). Pure integer shares; the ratio is NULL only if some
+    * label's count were 0, which a GROUP BY cannot produce.
+    *
+    * Scale: one map-side-combined agg to label granularity + a 1-row
+    * broadcast back. */
+  def labelBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLabel = Tables.embeddings(spark, sfDir)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val totals = byLabel.agg(sum(col("n")).as("n_total"),
+      max(col("n")).as("n_max"), min(col("n")).as("n_min"))
+    byLabel.crossJoin(broadcast(totals))
+      .select(col("label"), col("n"),
+        expr("n * 1000000 DIV n_total").as("share_ppm"),
+        expr("n_max * 1000 DIV n_min").as("imbalance_pm"))
+      .orderBy(col("label"))
+  }
+
+  def labelBalanceSql: String =
+    """WITH by_label AS (
+      |  SELECT CAST(label AS BIGINT) AS label, count(*) AS n
+      |  FROM embeddings GROUP BY label),
+      |totals AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+      |    CAST(max(n) AS BIGINT) AS n_max, CAST(min(n) AS BIGINT) AS n_min
+      |  FROM by_label)
+      |SELECT label, n,
+      |  CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm,
+      |  CAST(n_max * 1000 // n_min AS BIGINT) AS imbalance_pm
+      |FROM by_label CROSS JOIN totals
+      |ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------------
   // Johnson–Lindenstrauss sign-projection audit
   // --------------------------------------------------------------------
 

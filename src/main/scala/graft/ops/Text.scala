@@ -1150,6 +1150,72 @@ object Text {
   }
 
   // --------------------------------------------------------------------
+  // Windowed co-occurrence PMI (the word2vec/GloVe count table)
+  // --------------------------------------------------------------------
+
+  /** Skip-gram window co-occurrence with PMI ranking — the count
+    * table word2vec/GloVe-style embedding training consumes, and the
+    * wider-window sibling of [[pmiCollocations]] (adjacency only):
+    * ordered token pairs (w₁ before w₂) within `window` positions in
+    * the same document, top-`k` by PMI among pairs with `minCount`+
+    * support.
+    *
+    * Scale: the pair generator is the BANDED join, not a range join —
+    * each center position emits its `window` target positions
+    * (`explode(sequence(pos+1, pos+window))`) and pairs come from an
+    * EQUI-join on (doc_id, position), so per-doc cost is
+    * tokens × window, never tokens² (the [[graft.ops.Behavior]]
+    * session-overlap lesson applied to text). Marginals re-aggregate
+    * the pair table (one corpus-sized shuffle total); top-k streams
+    * through TakeOrdered. The oracle keeps DuckDB's native range
+    * join, so green also re-proves the banding loss-free. */
+  def cooccurWindow(spark: SparkSession, sfDir: String, window: Int = 4,
+      minCount: Int = 10, k: Int = 100): DataFrame = {
+    val pos = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w")))
+    val centers = pos.select(col("doc_id"), col("w").as("w1"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("tpos"))
+    val contexts = pos.select(col("doc_id"), col("pos").as("tpos"), col("w").as("w2"))
+    val cb = centers.join(contexts, Seq("doc_id", "tpos"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val m1 = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val m2 = cb.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = cb.agg(sum(col("c12")).as("n"))
+    cb.filter(col("c12") >= minCount)
+      .join(m1, Seq("w1")).join(m2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n") / (col("c1") * col("c2"))) * 10000)
+          .cast("long").as("pmi_tmn"))
+      .orderBy(col("pmi_tmn").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[cooccurWindow]] — DuckDB keeps the plain range
+    * join the banding replaces. */
+  def cooccurWindowSql(window: Int = 4, minCount: Int = 10, k: Int = 100): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pos AS (
+       |  SELECT doc_id, t[i] AS w, i
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)),
+       |cb AS (
+       |  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c12
+       |  FROM pos a JOIN pos b
+       |    ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + $window
+       |  GROUP BY a.w, b.w),
+       |m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+       |m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM cb GROUP BY w2),
+       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM cb)
+       |SELECT cb.w1, cb.w2, cb.c12,
+       |  CAST(round(ln(CAST(cb.c12 AS DOUBLE) * n.n / (m1.c1 * m2.c2)) * 10000) AS BIGINT)
+       |    AS pmi_tmn
+       |FROM cb JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+       |WHERE cb.c12 >= $minCount
+       |ORDER BY pmi_tmn DESC, w1, w2
+       |LIMIT $k""".stripMargin
+
+  // --------------------------------------------------------------------
   // Heaps-law vocabulary growth
   // --------------------------------------------------------------------
 

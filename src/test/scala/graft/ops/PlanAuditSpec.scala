@@ -709,6 +709,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("cooccurWindow: pair generation is a banded EQUI-join; top-k streams") {
+    val df = Text.cooccurWindow(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the (doc_id, position) pair join must be a hash/merge equi-join,
+    // never a nested loop evaluating the range predicate per pair
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"only the 1-row N join may nest-loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must stream:\n$p")
+  }
+
+  test("contextLenPlanner: generator explode + one partial-combined agg, nothing else") {
+    val p = plan(Pipeline.contextLenPlanner(spark, sfDir))
+    assert(!p.contains("Join") && !p.contains("Window"), s"agg-only plan:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"budget cells must combine map-side:\n$p")
+  }
+
+  test("labelBalance: label agg + 1-row broadcast back, no corpus-sized join side") {
+    val df = Similarity.labelBalance(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1 && !p.contains("CartesianProduct"),
+      s"only the 1-row totals join may nest-loop:\n$p")
+  }
+
   test("knLm: count-table joins are equi-joins; only the 1-row type count broadcasts") {
     val df = Text.knLm(spark, sfDir)
     df.collect()

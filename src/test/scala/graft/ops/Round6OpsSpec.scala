@@ -175,6 +175,57 @@ class Round6OpsSpec extends SparkTestBase {
     assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted)
   }
 
+  test("cooccurWindow == brute-force windowed pair count + PMI replay") {
+    val window = 4
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => Option(r.getString(1)).getOrElse(""))
+    val pairs = docs.flatMap { text =>
+      val t = text.split(" ", -1)
+      for { i <- t.indices; j <- (i + 1) to math.min(i + window, t.length - 1) }
+        yield (t(i), t(j))
+    }
+    val cb = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cb.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val c2 = cb.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val n = cb.values.sum
+    val expected = cb.filter(_._2 >= 10).map { case ((w1, w2), c12) =>
+      (w1, w2, c12, math.round(math.log(c12.toDouble * n / (c1(w1) * c2(w2))) * 10000))
+    }.toSeq.sortBy(r => (-r._4, r._1, r._2)).take(100)
+    val got = Text.cooccurWindow(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.size == 100)
+  }
+
+  test("contextLenPlanner: kept+lost conserves tokens; losses shrink as budgets grow") {
+    val rows = Pipeline.contextLenPlanner(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum
+    rows.foreach { case (_, _, _, kept, lost, ppm) =>
+      assert(kept + lost == totalTokens, "truncation must conserve token mass")
+      assert(ppm == lost * 1000000L / (kept + lost))
+    }
+    // monotone: a bigger budget never truncates more docs or tokens
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 && b._5 <= a._5)
+    }
+    assert(rows.map(_._1).toSeq == Pipeline.ContextBudgets)
+  }
+
+  test("labelBalance: shares partition the corpus; imbalance replays exactly") {
+    val rows = Similarity.labelBalance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._2).sum
+    assert(total == Tables.embeddings(spark, sfDir).count())
+    val ratio = rows.map(_._2).max * 1000L / rows.map(_._2).min
+    rows.foreach { case (_, n, share, imb) =>
+      assert(share == n * 1000000L / total)
+      assert(imb == ratio)
+    }
+  }
+
   test("knLm == plain-Scala interpolated Kneser-Ney replay") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
