@@ -181,6 +181,56 @@ object Catalog {
   def load(spark: SparkSession, layout: Layout): DataFrame =
     spark.read.parquet(layout.catalogDir)
 
+  /** Committed (fully published) catalog versions, ascending — the
+    * manifest log's `.commit` records that carry a `.done` marker.
+    * A crashed commit (claimed, not done) is invisible here until
+    * [[recoverAppends]] finishes it, so snapshot readers never see a
+    * torn commit. */
+  def versions(spark: SparkSession, layout: Layout): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    if (!fs.exists(log)) Seq.empty
+    else {
+      val entries = fs.listStatus(log).map(_.getPath.getName)
+      val done = entries.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+      entries.filter(e => e.endsWith(".commit") && done.contains(e.stripSuffix(".commit")))
+        .map(_.stripSuffix(".commit").toLong).sorted.toSeq
+    }
+  }
+
+  /** Time travel: the catalog exactly as of commit `version` — the
+    * Delta/Iceberg `VERSION AS OF` read, reconstructed from the
+    * manifest log rather than a directory listing (so a concurrent
+    * writer's in-flight files are invisible regardless of rename
+    * timing). Each qualifying `.commit` record names its published
+    * files; the snapshot is the union of those file lists for
+    * committed versions ≤ `version`, read with the catalog root as
+    * basePath so `source` partition pruning still applies.
+    *
+    * Scale: the log is one tiny record per commit (driver-side list,
+    * O(commits) — the same order as Delta's log replay); the data
+    * read is a normal pruned parquet scan. */
+  def loadAsOf(spark: SparkSession, layout: Layout, version: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    val paths = versions(spark, layout).filter(_ <= version).flatMap { seq =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(log, f"$seq%020d.commit"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.tail.map { rel =>
+        val slash = rel.indexOf('/')
+        val (part, name) = (rel.substring(0, slash), rel.substring(slash + 1))
+        f"${layout.catalogDir}/$part/c$seq%020d-$name"
+      }
+    }
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.option("basePath", layout.catalogDir).parquet(paths: _*)
+  }
+
   /** O11: `Source = s AND ts BETWEEN t0 AND t1`. Equality on the
     * partition column prunes directories (DynamoDB partition-key
     * equality); the range predicate pushes into parquet row-group

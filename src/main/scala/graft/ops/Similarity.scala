@@ -1366,4 +1366,368 @@ object Similarity {
        |  FROM exact e JOIN pc ON e.vec_a = pc.vec_a AND e.vec_b = pc.vec_b
        |  WHERE NOT isnan(cs))
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Cluster-validity audit: centroid silhouette
+  // --------------------------------------------------------------------
+
+  /** Centroid (simplified) silhouette per label — the cluster-quality
+    * dataset-card number for a labeled embedding set (Rousseeuw 1987's
+    * silhouette with the medoid replaced by the label centroid, the
+    * standard large-n variant: O(n·L) instead of O(n²)). Distance is
+    * cosine distance 1 − cos; per vector `a` = distance to its OWN
+    * label centroid, `b` = distance to the NEAREST OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. Output per label: member
+    * count, Σs and mean s (e4 ints), and the count of negative-s
+    * members (vectors sitting closer to a foreign centroid — the
+    * mislabel/boundary mass a curation pass would re-examine).
+    *
+    * Exactness (the [[centroidSim]] discipline): vector AND centroid
+    * components are e4-integer-scaled before any product, so every
+    * Σ-fold is order-independent BIGINT arithmetic; each cosine then
+    * pays ONE double divide rounded to 4 dp, and s is one double
+    * expression over two rounded cosines, rounded once to an e4 int —
+    * identical IEEE trees in both engines. Mean s divides ONCE in
+    * double (never integer-divides: Σs can be negative and floor vs
+    * trunc would diverge).
+    *
+    * Scale: cost is corpus × labels (the centroid table is model-sized
+    * and broadcast on `pos`); the n² medoid silhouette is exactly what
+    * this variant exists to avoid. Zero-norm junk vectors drop at the
+    * `nv > 0` guard, all-zero centroids at `nc > 0` (a label whose
+    * centroid rounds to zero contributes no `b` candidates — its own
+    * members then drop at the cos_own null guard rather than compare
+    * against a junk centroid). */
+  def silhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val vecs = emb
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("v").cast("double") * 10000).cast("long").as("iv"))
+    val cent = labelCentroids(spark, sfDir)
+      .select(col("label").as("label_c"), col("pos"),
+        round(col("m") * 10000).cast("long").as("im"))
+    val cos = vecs.join(broadcast(cent), Seq("pos"))
+      .groupBy(col("vec_id"), col("label"), col("label_c"))
+      .agg(sum(col("iv") * col("im")).as("dot"),
+        sum(col("iv") * col("iv")).as("nv"),
+        sum(col("im") * col("im")).as("nc"))
+      .filter(col("nv") > 0 && col("nc") > 0)
+      .select(col("vec_id"), col("label"), col("label_c"),
+        (round(col("dot") / sqrt(col("nv").cast("double") * col("nc")), 4) + lit(0.0))
+          .as("c"))
+    val per = cos.groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("label") === col("label_c"), col("c"))).as("cos_own"),
+        max(when(col("label") =!= col("label_c"), col("c"))).as("cos_oth"))
+      .filter(col("cos_own").isNotNull && col("cos_oth").isNotNull)
+      .select(col("label"),
+        round(when(greatest(lit(1.0) - col("cos_own"), lit(1.0) - col("cos_oth")) === 0.0,
+            lit(0.0))
+          .otherwise((col("cos_own") - col("cos_oth")) /
+            greatest(lit(1.0) - col("cos_own"), lit(1.0) - col("cos_oth"))) * 10000)
+          .cast("long").as("s_e4"))
+    per.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("s_e4")).cast("long").as("sum_s_e4"),
+        round(sum(col("s_e4")).cast("double") / count(lit(1))).cast("long").as("mean_s_e4"),
+        sum(when(col("s_e4") < 0, 1L).otherwise(0L)).cast("long").as("n_neg"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle twin of [[silhouette]] — shared centroid CTE, identical
+    * e4-integer fold and single-divide trees. */
+  def silhouetteSql: String =
+    """WITH vecs AS (
+      |  SELECT vec_id, label, pos, CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS iv
+      |  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+      |          unnest(range(0, len(embedding))) AS pos FROM embeddings)),
+      |cent AS (
+      |  SELECT label AS label_c, pos,
+      |    CAST(round((round(avg(v), 4) + 0.0) * 10000) AS BIGINT) AS im
+      |  FROM (SELECT label, unnest(embedding) AS v,
+      |          unnest(range(0, len(embedding))) AS pos FROM embeddings)
+      |  GROUP BY label, pos),
+      |cosines AS (
+      |  SELECT vec_id, label, label_c,
+      |    round(CAST(sum(iv * im) AS DOUBLE) /
+      |      sqrt(CAST(sum(iv * iv) AS BIGINT) * CAST(sum(im * im) AS DOUBLE)), 4) + 0.0 AS c
+      |  FROM vecs JOIN cent USING (pos)
+      |  GROUP BY vec_id, label, label_c
+      |  HAVING sum(iv * iv) > 0 AND sum(im * im) > 0),
+      |per AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN label = label_c THEN c END) AS cos_own,
+      |    max(CASE WHEN label <> label_c THEN c END) AS cos_oth
+      |  FROM cosines GROUP BY vec_id, label),
+      |sil AS (
+      |  SELECT label,
+      |    CAST(round(CASE
+      |      WHEN greatest(1.0 - cos_own, 1.0 - cos_oth) = 0 THEN 0.0
+      |      ELSE (cos_own - cos_oth) / greatest(1.0 - cos_own, 1.0 - cos_oth)
+      |    END * 10000) AS BIGINT) AS s_e4
+      |  FROM per WHERE cos_own IS NOT NULL AND cos_oth IS NOT NULL)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(sum(s_e4) AS BIGINT) AS sum_s_e4,
+      |  CAST(round(CAST(sum(s_e4) AS DOUBLE) / count(*)) AS BIGINT) AS mean_s_e4,
+      |  CAST(sum(CASE WHEN s_e4 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      |FROM sil GROUP BY label ORDER BY label""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of BM25 + dense
+  // --------------------------------------------------------------------
+
+  /** Hybrid search — reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009) of the lexical BM25 ranking
+    * ([[graft.ops.Text.bm25]], query = the fixed term list) and the
+    * dense cosine ranking (query = vec 0's embedding standing in for
+    * the encoded query): each list is cut to a `shortlist`, ranked,
+    * and fused as RRF(d) = Σ 1/(kRrf + rank_list(d)) — the standard
+    * score-free fusion every hybrid RAG stack runs because BM25 and
+    * cosine scores are not commensurable. Output: fused top-`k` with
+    * both ranks (NULL where a doc appears in only one list).
+    *
+    * Exactness: ranks are integers from total orders (score desc,
+    * id asc); the fused score is ONE fixed-shape double expression
+    * over two small-integer ranks (each term exact-repesentable
+    * reciprocal sum), rounded once to an e6 int.
+    *
+    * Scale: both shortlists are TakeOrdered top-N prunes of linear
+    * scans (the BM25 side never scans non-matching terms — posting
+    * discipline; the dense side is scan → project → TakeOrdered).
+    * The rank windows and the full-outer fusion join run on
+    * model-sized (≤ shortlist-row) frames, so the single-partition
+    * windows cost nothing at any corpus size. */
+  def hybridRrf(spark: SparkSession, sfDir: String,
+      kRrf: Int = 60, shortlist: Int = 50, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rLex = Text.bm25(spark, sfDir, Text.Bm25Terms, shortlist)
+      .select(col("doc_id"), col("bm25_e4"))
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm25_e4").desc, col("doc_id"))).cast("long"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val rDense = emb
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").cast("long").as("doc_id"),
+        (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+      .limit(shortlist)
+      .withColumn("r_dense",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id"))).cast("long"))
+    rLex.select(col("doc_id"), col("r_lex"))
+      .join(rDense.select(col("doc_id"), col("r_dense")), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_dense"),
+        round((coalesce(lit(1.0) / (lit(kRrf) + col("r_lex")), lit(0.0)) +
+               coalesce(lit(1.0) / (lit(kRrf) + col("r_dense")), lit(0.0))) * 1000000)
+          .cast("long").as("rrf_e6"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle twin of [[hybridRrf]] — the BM25 CTE chain is
+    * [[graft.ops.Text.bm25Sql]]'s, the dense side
+    * [[knnBruteForceSql]]'s, fused with the identical RRF tree. */
+  def hybridRrfSql(kRrf: Int = 60, shortlist: Int = 50, k: Int = 20): String = {
+    val inList = graft.ops.Text.Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |totals AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+       |hits AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN ($inList)
+       |  GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+       |scored AS (
+       |  SELECT h.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (t.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      (h.tf * 2.2) /
+       |      (h.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE) * t.n_docs) / t.sum_dl))
+       |      * 10000) AS BIGINT) AS s_e4
+       |  FROM hits h
+       |  JOIN dfs d USING (term)
+       |  JOIN lens l USING (doc_id)
+       |  CROSS JOIN totals t),
+       |lexr AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25_e4 DESC, doc_id) AS r_lex
+       |  FROM (SELECT doc_id, CAST(sum(s_e4) AS BIGINT) AS bm25_e4 FROM scored
+       |        GROUP BY doc_id ORDER BY bm25_e4 DESC, doc_id LIMIT $shortlist)),
+       |denser AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+       |  FROM (SELECT CAST(vec_id AS BIGINT) AS doc_id,
+       |          round(list_cosine_similarity(embedding::DOUBLE[],
+       |            (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) + 0.0
+       |            AS cos_sim
+       |        FROM embeddings
+       |        WHERE NOT isnan(round(list_cosine_similarity(embedding::DOUBLE[],
+       |          (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]), 4) + 0.0)
+       |        ORDER BY cos_sim DESC, doc_id LIMIT $shortlist))
+       |SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+       |  CAST(round((coalesce(1.0 / ($kRrf + l.r_lex), 0.0) +
+       |              coalesce(1.0 / ($kRrf + d.r_dense), 0.0)) * 1000000) AS BIGINT) AS rrf_e6
+       |FROM lexr l FULL OUTER JOIN denser d ON l.doc_id = d.doc_id
+       |ORDER BY rrf_e6 DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  // --------------------------------------------------------------------
+  // Graded retrieval eval: nDCG@k of the IVF probe vs the exact ranking
+  // --------------------------------------------------------------------
+
+  /** nDCG@`k` of the IVF probe ranking against the exact ranking —
+    * the GRADED retrieval metric next to [[ivfRecall]]'s set-overlap
+    * recall (recall says how many of the true top-k came back; nDCG
+    * says whether they came back in the right ORDER, discounting
+    * misplacements logarithmically — Järvelin & Kekäläinen 2002).
+    * Relevance grades are derived from the exact ranking itself
+    * (rel = k+1 − exact_rank; docs outside the exact top-k grade 0),
+    * the standard construction when the "truth" is an exact scan
+    * rather than human labels. Output per query: returned count,
+    * graded hits, DCG/IDCG as exact e6 integers, and nDCG ppm —
+    * nprobe is fixed mid-curve (2) where ordering errors actually
+    * occur ([[ivfRecall]] showed recall 0.90@1 → 1.00@2).
+    *
+    * Exactness: each DCG term is ONE double expression over two small
+    * integers (rel·10⁶ / log2(rank+1)) rounded to a BIGINT, so the
+    * Σ-folds are order-independent; nDCG pays one final double divide.
+    *
+    * Scale: both rankings go through the two-phase salted top-k (the
+    * oracle is the plain-window formulation — green re-proves the
+    * rewrite); candidates come from the probed IVF lists via the
+    * equi-join, never an all-pairs scan. */
+  def ndcg(spark: SparkSession, sfDir: String, nQueries: Int = 5,
+      k: Int = 10, nprobe: Int = 2, salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def rankK(cand: DataFrame, rankCol: String): DataFrame = {
+      val wLocal = Window
+        .partitionBy(col("q_id"), pmod(col("vec_id"), lit(salts.toLong)))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val wGlobal = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      cand.withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= k)
+        .withColumn(rankCol, row_number().over(wGlobal).cast("long"))
+        .filter(col(rankCol) <= k)
+        .drop("__lr")
+    }
+    val exact = rankK(
+      emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+        .filter(!isnan(col("cos_sim"))),
+      "rk")
+      .select(col("q_id"), col("vec_id"), (lit(k + 1) - col("rk")).as("rel"), col("rk"))
+    val idcg = exact
+      .select(col("q_id"),
+        round(col("rel") * lit(1000000) / log2(col("rk") + lit(1.0)))
+          .cast("long").as("t_e6"))
+      .groupBy(col("q_id")).agg(sum(col("t_e6")).cast("long").as("idcg_e6"))
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wqc = Window.partitionBy(col("q_id"))
+      .orderBy(col("q_sim").desc, col("centroid_id"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("q_id"), col("centroid_id"),
+        (round(cosine(col("c_emb"), col("q_emb")), 4) + lit(0.0)).as("q_sim"))
+      .withColumn("crk", row_number().over(wqc))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("centroid_id"))
+    val sys = rankK(
+      assignments(spark, sfDir).select(col("vec_id"), col("centroid_id"))
+        .join(broadcast(probed), Seq("centroid_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (round(cosine(col("embedding"), col("q_emb")), 4) + lit(0.0)).as("cos_sim"))
+        .filter(!isnan(col("cos_sim"))),
+      "srk")
+    val dcg = sys
+      .join(exact.select(col("q_id"), col("vec_id"), col("rel")),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).cast("long").as("n_hits"),
+        sum(coalesce(
+          round(col("rel") * lit(1000000) / log2(col("srk") + lit(1.0))).cast("long"),
+          lit(0L))).cast("long").as("dcg_e6"))
+    dcg.join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("n_ret"), col("n_hits"), col("dcg_e6"), col("idcg_e6"),
+        round(col("dcg_e6").cast("double") * 1000000 / col("idcg_e6"))
+          .cast("long").as("ndcg_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Oracle twin of [[ndcg]] — plain windows, identical per-term
+    * rounding trees. */
+  def ndcgSql(nQueries: Int = 5, k: Int = 10, nprobe: Int = 2): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |exact AS (
+       |  SELECT q_id, vec_id, ${k + 1} - rk AS rel, rk FROM (
+       |    SELECT q.q_id, e.vec_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, e.vec_id) AS rk
+       |    FROM embeddings e CROSS JOIN q
+       |    WHERE e.vec_id <> q.q_id
+       |      AND NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |        q.q_emb::DOUBLE[]), 4) + 0.0))
+       |  WHERE rk <= $k),
+       |idcg AS (
+       |  SELECT q_id, CAST(sum(CAST(round(rel * 1000000 / log2(rk + 1.0)) AS BIGINT))
+       |    AS BIGINT) AS idcg_e6
+       |  FROM exact GROUP BY q_id),
+       |centroids AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |probed AS (
+       |  SELECT q_id, centroid_id FROM (
+       |    SELECT q.q_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(c.c_emb::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, c.centroid_id) AS crk
+       |    FROM centroids c CROSS JOIN q)
+       |  WHERE crk <= $nprobe),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          c.c_emb::DOUBLE[]), 4) DESC, c.centroid_id) AS rk
+       |    FROM embeddings e CROSS JOIN centroids c)
+       |  WHERE rk = 1),
+       |sys AS (
+       |  SELECT q_id, vec_id, srk FROM (
+       |    SELECT pr.q_id, a.vec_id,
+       |      row_number() OVER (PARTITION BY pr.q_id
+       |        ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |          q.q_emb::DOUBLE[]), 4) DESC, a.vec_id) AS srk
+       |    FROM assigned a
+       |    JOIN probed pr USING (centroid_id)
+       |    JOIN embeddings e ON e.vec_id = a.vec_id
+       |    JOIN q ON q.q_id = pr.q_id
+       |    WHERE a.vec_id <> pr.q_id
+       |      AND NOT isnan(round(list_cosine_similarity(e.embedding::DOUBLE[],
+       |        q.q_emb::DOUBLE[]), 4) + 0.0))
+       |  WHERE srk <= $k),
+       |dcg AS (
+       |  SELECT s.q_id, count(*) AS n_ret,
+       |    CAST(sum(CASE WHEN ex.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |    CAST(sum(coalesce(
+       |      CAST(round(ex.rel * 1000000 / log2(s.srk + 1.0)) AS BIGINT), 0))
+       |      AS BIGINT) AS dcg_e6
+       |  FROM sys s
+       |  LEFT JOIN exact ex ON ex.q_id = s.q_id AND ex.vec_id = s.vec_id
+       |  GROUP BY s.q_id)
+       |SELECT d.q_id, d.n_ret, d.n_hits, d.dcg_e6, i.idcg_e6,
+       |  CAST(round(CAST(d.dcg_e6 AS DOUBLE) * 1000000 / i.idcg_e6) AS BIGINT) AS ndcg_ppm
+       |FROM dcg d JOIN idcg i USING (q_id)
+       |ORDER BY q_id""".stripMargin
 }

@@ -96,4 +96,49 @@ class CatalogCommitSpec extends SparkTestBase {
     assert(!fs.exists(orphan), "unclaimed staging is a crashed writer — swept")
     assert(Catalog.load(spark, layout).count() == 4)
   }
+
+  test("loadAsOf reconstructs each committed snapshot exactly from the log") {
+    val layout = Layout(tmpDir("cat-asof"))
+    Catalog.append(spark, layout, entries(4, 0, Seq("clicks")))
+    Catalog.append(spark, layout, entries(3, 100, Seq("tweets", "clicks")))
+    Catalog.append(spark, layout, entries(5, 200, Seq("logs")))
+    assert(Catalog.versions(spark, layout) == Seq(1L, 2L, 3L))
+
+    assert(Catalog.loadAsOf(spark, layout, 1).count() == 4)
+    assert(Catalog.loadAsOf(spark, layout, 2).count() == 7)
+    assert(Catalog.loadAsOf(spark, layout, 3).count() == 12)
+    // version beyond head = head; version 0 = empty table
+    assert(Catalog.loadAsOf(spark, layout, 99).count() == 12)
+    assert(Catalog.loadAsOf(spark, layout, 0).count() == 0)
+    // the snapshot keeps the partition column (basePath read)
+    val v2 = Catalog.loadAsOf(spark, layout, 2)
+    assert(v2.columns.contains("source"))
+    assert(v2.filter(org.apache.spark.sql.functions.col("source") === "clicks").count() == 5)
+    // snapshot at head == the live directory read, row for row
+    val head = Catalog.load(spark, layout).select("source", "key")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val asOf = Catalog.loadAsOf(spark, layout, 3).select("source", "key")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(head == asOf)
+  }
+
+  test("loadAsOf never sees a claimed-but-unfinished commit; recovery promotes it") {
+    val layout = Layout(tmpDir("cat-asof-crash"))
+    Catalog.append(spark, layout, entries(6, 0, Seq("clicks")))
+    // simulate a crash between CLAIM and DONE: stage + claim, no publish
+    val df = entries(2, 500, Seq("tweets")).toDF()
+    val stage = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/crash-uuid")
+    df.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = Catalog.stagedFiles(fs, stage)
+    Catalog.claimCommit(fs, layout, "crash-uuid", staged)
+
+    assert(Catalog.versions(spark, layout) == Seq(1L),
+      "a torn commit must not be a readable version")
+    assert(Catalog.loadAsOf(spark, layout, 99).count() == 6)
+
+    Catalog.recoverAppends(spark, layout)
+    assert(Catalog.versions(spark, layout) == Seq(1L, 2L))
+    assert(Catalog.loadAsOf(spark, layout, 2).count() == 8)
+  }
 }

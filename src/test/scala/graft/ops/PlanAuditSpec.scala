@@ -747,4 +747,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert("BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).nonEmpty,
       s"count lookups must be equi-joins:\n$p")
   }
+
+  test("silhouette: centroid table broadcasts on pos; cost stays corpus x labels") {
+    val df = Similarity.silhouette(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the vec x centroid pairing must never shuffle the corpus side on pos:\n$p")
+  }
+
+  test("hybridRrf: both shortlists TakeOrdered-prune BEFORE any window or fusion join") {
+    val df = Similarity.hybridRrf(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"both the BM25 and dense shortlists must be top-N prunes, not global sorts:\n$p")
+    // the only windows run on post-limit model-sized frames; the plan
+    // must never sort a corpus-sized side globally outside TakeOrdered
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

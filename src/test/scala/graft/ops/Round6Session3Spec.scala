@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.{SparkTestBase, Tables}
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+/** Driver-side exact replays for the round-6 session-3 operators:
+  * centroid silhouette and hybrid reciprocal-rank fusion. Each test
+  * re-derives the full answer in plain Scala (HALF_UP rounding to
+  * match Spark's `round`), independent of Spark SQL and DuckDB. */
+class Round6Session3Spec extends SparkTestBase {
+
+  private def r4(x: Double): Double =
+    new JBD(x).setScale(4, RoundingMode.HALF_UP).doubleValue
+  private def rl(x: Double): Long =
+    new JBD(x).setScale(0, RoundingMode.HALF_UP).longValue
+
+  private def embRows = Tables.embeddings(spark, sfDir).collect().map { r =>
+    (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+      r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+  }.sortBy(_._1)
+
+  test("silhouette == plain-Scala centroid-silhouette replay") {
+    val rows = embRows
+    val dim = rows.head._3.length
+    // centroid component means in vec_id order, rounded 4 dp, e4-scaled
+    val cent: Map[Int, Array[Long]] = rows.groupBy(_._2).map { case (label, rs) =>
+      label -> Array.tabulate(dim) { p =>
+        val mean = rs.map(_._3(p).toDouble).sum / rs.size
+        rl(r4(mean) * 10000)
+      }
+    }
+    val sils = rows.flatMap { case (_, label, emb) =>
+      val iv = emb.map(v => rl(v.toDouble * 10000))
+      val nv = iv.map(x => x * x).sum
+      val cosines = cent.flatMap { case (lc, im) =>
+        val nc = im.map(x => x * x).sum
+        if (nv > 0 && nc > 0) {
+          val dot = iv.zip(im).map { case (a, b) => a * b }.sum
+          Some(lc -> r4(dot / math.sqrt(nv.toDouble * nc)))
+        } else None
+      }
+      val own = cosines.get(label)
+      val others = cosines.collect { case (lc, c) if lc != label => c }
+      (own, if (others.isEmpty) None else Some(others.max)) match {
+        case (Some(co), Some(ct)) =>
+          val denom = math.max(1.0 - co, 1.0 - ct)
+          val s = if (denom == 0.0) 0.0 else (co - ct) / denom
+          Some(label -> rl(s * 10000))
+        case _ => None
+      }
+    }
+    val expected = sils.groupBy(_._1).map { case (label, ss) =>
+      val vals = ss.map(_._2)
+      label -> ((vals.length.toLong, vals.sum,
+        rl(vals.sum.toDouble / vals.length), vals.count(_ < 0).toLong))
+    }
+    val got = Similarity.silhouette(spark, sfDir).collect().map { r =>
+      r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_s_e4"),
+          r.getAs[Long]("mean_s_e4"), r.getAs[Long]("n_neg")))
+    }.toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == rows.length.toLong,
+      "every vector with a valid own+other cosine must be counted exactly once")
+  }
+
+  test("hybridRrf == plain-Scala RRF over the two shortlists") {
+    val kRrf = 60; val shortlist = 50; val k = 20
+    // lexical shortlist from the oracle-proven BM25 query
+    val lex = Text.bm25(spark, sfDir, Text.Bm25Terms, shortlist).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bm25_e4")))
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // dense shortlist: sequential-fold cosine (the native expression's
+    // exact loop), 4 dp, top-50 by (cos desc, vec_id)
+    val rows = embRows
+    val q = rows.find(_._1 == 0L).get._3
+    val dense = rows.flatMap { case (id, _, emb) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < emb.length) {
+        val a = emb(i).toDouble; val b = q(i).toDouble
+        dot += a * b; nx += a * a; ny += b * b; i += 1
+      }
+      val c = r4(dot / (math.sqrt(nx) * math.sqrt(ny)))
+      if (c.isNaN) None else Some((id, c))
+    }.sortBy { case (id, c) => (-c, id) }
+      .take(shortlist)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val expected = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0)
+      (id, lex.get(id), dense.get(id), rl(rrf * 1000000))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+    val got = Similarity.hybridRrf(spark, sfDir, kRrf, shortlist, k).collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("r_lex")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("r_dense")).map(_.toLong),
+        r.getAs[Long]("rrf_e6"))
+    }.toSeq
+    assert(got == expected)
+    // a doc present in both lists beats the same ranks in either alone
+    assert(got.exists(g => g._2.isDefined && g._3.isDefined) ||
+      lex.keySet.intersect(dense.keySet).isEmpty)
+  }
+
+  test("ndcg: probe-everything limit is EXACTLY 1.0; pruned probe stays in (0, 1]") {
+    // nprobe >= centroid count => candidates == whole corpus => the
+    // system ranking IS the exact ranking => nDCG must be exactly 1e6
+    val all = Similarity.ndcg(spark, sfDir, nprobe = 1000).collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      assert(r.getAs[Long]("ndcg_ppm") == 1000000L,
+        s"probe-everything must be exact: $r")
+      assert(r.getAs[Long]("n_hits") == r.getAs[Long]("n_ret"))
+      assert(r.getAs[Long]("dcg_e6") == r.getAs[Long]("idcg_e6"))
+    }
+    // the real prune: DCG can only lose vs IDCG, never exceed it
+    val pruned = Similarity.ndcg(spark, sfDir, nprobe = 2).collect()
+    assert(pruned.length == all.length)
+    pruned.foreach { r =>
+      val (d, i, n) = (r.getAs[Long]("dcg_e6"), r.getAs[Long]("idcg_e6"),
+        r.getAs[Long]("ndcg_ppm"))
+      assert(d >= 0 && d <= i, s"DCG must be within [0, IDCG]: $r")
+      assert(n >= 0 && n <= 1000000L, s"nDCG ppm out of range: $r")
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_ret"))
+    }
+  }
+}
