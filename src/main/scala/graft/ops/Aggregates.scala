@@ -501,4 +501,63 @@ object Aggregates {
       |JOIN mad d USING (event_type)
       |GROUP BY ev.event_type
       |ORDER BY ev.event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Incremental aggregate maintenance (materialized-view merge)
+  // --------------------------------------------------------------------
+
+  /** Incremental aggregate maintenance — the materialized-view story at
+    * 100 TB: a daily (event_type × day) rollup maintained as BASE
+    * partials (history before `cutoff`, in production the stored MV)
+    * merged with DELTA partials (the new arrivals) by re-aggregating
+    * the partial states, instead of recomputing over all history.
+    * count/sum/min/max are the classic self-maintainable aggregates:
+    * merge(count)=Σ, merge(sum)=Σ, merge(min)=min, merge(max)=max.
+    *
+    * The ORACLE is the flat one-pass groupBy over the whole table — a
+    * green run PROVES partial-merge ≡ full recompute (the same
+    * oracle-reproves-the-rewrite pattern as the salted aggs). Values
+    * are exact integer cents, so every merge is order-independent.
+    *
+    * Scale: in production the base side is a stored table that never
+    * rescans history (cost = O(delta) + O(mv)) and the event lake is
+    * date-partitioned so the delta scan prunes to post-cutoff
+    * partitions. Here both sides scan the same parquet and the cutoff
+    * is a post-decode filter — the TIMESTAMP(NANOS) escape hatch
+    * ([[graft.Events.events]]) rebuilds `ts` from the raw long, so the
+    * predicate cannot reach the parquet reader; on a natively-typed or
+    * partitioned table it would. The plan property that matters — TWO
+    * partial aggs merged by a final agg, no rescan of either side —
+    * is pinned in PlanAuditSpec. */
+  def incrAggMerge(spark: SparkSession, sfDir: String,
+      cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val base = partials(ev.filter(col("ts") < lit(cutoff).cast("timestamp")))
+    val delta = partials(ev.filter(col("ts") >= lit(cutoff).cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        sum(col("s")).cast("long").as("sum_cents"),
+        min(col("mn")).cast("long").as("min_cents"),
+        max(col("mx")).cast("long").as("max_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Oracle twin of [[incrAggMerge]]: the FLAT full recompute — green
+    * proves the base+delta partial merge equals it exactly. */
+  def incrAggMergeSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+      |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      |FROM events
+      |GROUP BY event_type, CAST(ts AS DATE)
+      |ORDER BY event_type, day""".stripMargin
 }

@@ -666,4 +666,72 @@ object Behavior {
        |  AND ts2 - ts_ms <= $spanMs
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Marketing attribution: last-touch channel per purchase
+  // --------------------------------------------------------------------
+
+  /** Last-touch attribution — every purchase's value is credited to the
+    * LAST non-purchase event type ("channel") the user produced within
+    * the lookback window before it; purchases with no in-window prior
+    * touch are 'direct'. The standard e-commerce attribution report
+    * (first/last/linear-touch family), built the Spark way: ONE
+    * per-user window pass with `last(..., ignoreNulls)` carrying the
+    * most recent touch (type AND its time — both `last` calls share
+    * the frame and the null condition, so they always come from the
+    * same row), then a plain channel rollup. No self-join: the
+    * carry-forward window replaces the per-purchase as-of lookup, so
+    * cost is one user shuffle regardless of purchase density.
+    *
+    * Exactness: the frame order (ts, event_id) is total; values are
+    * integer cents; the window cutoff compares exact µs integers. */
+  def attribution(spark: SparkSession, sfDir: String,
+      lookbackUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchTs = when(col("event_type") =!= "purchase", col("ts"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      // both carry-forwards in ONE projection → one Window node, one
+      // user shuffle (separate withColumns plan as two Window ops)
+      .select(col("user_id"), col("ts"), col("event_type"), col("cents"),
+        last(touch, ignoreNulls = true).over(w).as("ch"),
+        last(touchTs, ignoreNulls = true).over(w).as("ch_ts"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("cents"),
+        when(col("ch").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("ch_ts")) <= lookbackUs,
+          col("ch")).otherwise(lit("direct")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).cast("long").as("n_users"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .orderBy(col("channel"))
+  }
+
+  /** Oracle twin of [[attribution]] — DuckDB's `IGNORE NULLS` window
+    * carry-forward, identical µs-integer cutoff. */
+  def attributionSql(lookbackUs: Long = 7L * 86400 * 1000000): String =
+    s"""WITH tagged AS (
+       |  SELECT user_id, event_type, ts,
+       |    CAST(round(value * 100) AS BIGINT) AS cents,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch_ts
+       |  FROM events),
+       |pur AS (
+       |  SELECT user_id, cents,
+       |    CASE WHEN ch IS NOT NULL AND epoch_us(ts) - epoch_us(ch_ts) <= $lookbackUs
+       |         THEN ch ELSE 'direct' END AS channel
+       |  FROM tagged WHERE event_type = 'purchase')
+       |SELECT channel, count(*) AS n_purchases,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(sum(cents) AS BIGINT) AS sum_cents
+       |FROM pur GROUP BY channel ORDER BY channel""".stripMargin
 }

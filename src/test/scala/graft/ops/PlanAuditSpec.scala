@@ -767,4 +767,22 @@ class PlanAuditSpec extends SparkTestBase {
     // must never sort a corpus-sized side globally outside TakeOrdered
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("attribution: ONE user-window pass feeds the channel rollup — no self-join") {
+    val df = Behavior.attribution(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"), s"the carry-forward window replaces the as-of join:\n$p")
+    assert("Window".r.findAllIn(p).length == 1, s"one window pass only:\n$p")
+  }
+
+  test("incrAggMerge: two partial agg legs merged by a final agg; all aggs map-side combine") {
+    val df = Aggregates.incrAggMerge(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.contains("Union"), s"base and delta legs must union:\n$p")
+    assert(!p.contains("Join"), s"merge is a re-agg, not a join:\n$p")
+    assert("partial_sum|partial_count".r.findFirstIn(p).isDefined,
+      s"partials must combine map-side:\n$p")
+  }
 }

@@ -126,4 +126,65 @@ class Round6Session3Spec extends SparkTestBase {
       assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_ret"))
     }
   }
+
+  test("attribution == plain-Scala carry-forward replay") {
+    val lookbackUs = 7L * 86400 * 1000000
+    val raw = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[String]("event_type"), r.getAs[Long]("cents")))
+    val attributed = raw.groupBy(_._1).toSeq.flatMap { case (user, evs) =>
+      var lastTouch: Option[(String, Long)] = None
+      evs.sortBy(e => (e._3, e._2)).flatMap { case (_, _, us, tpe, cents) =>
+        if (tpe != "purchase") { lastTouch = Some((tpe, us)); None }
+        else {
+          val ch = lastTouch match {
+            case Some((t, tus)) if us - tus <= lookbackUs => t
+            case _ => "direct"
+          }
+          Some((ch, user, cents))
+        }
+      }
+    }
+    val expected = attributed.groupBy(_._1).map { case (ch, rs) =>
+      ch -> ((rs.size.toLong, rs.map(_._2).distinct.size.toLong, rs.map(_._3).sum))
+    }
+    val got = Behavior.attribution(spark, sfDir).collect().map { r =>
+      r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Long]("n_users"),
+          r.getAs[Long]("sum_cents")))
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("incrAggMerge: base+delta partial merge == flat recompute, and cutoff partitions rows") {
+    import org.apache.spark.sql.functions._
+    val merged = Aggregates.incrAggMerge(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_events"), r.getAs[Long]("sum_cents"),
+        r.getAs[Long]("min_cents"), r.getAs[Long]("max_cents"))).toSeq
+    val flat = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("s"),
+        min(round(col("value") * 100).cast("long")).as("mn"),
+        max(round(col("value") * 100).cast("long")).as("mx"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n"), r.getAs[Long]("s"),
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toSeq
+    assert(merged.sorted == flat.sorted)
+    // the cutoff genuinely splits the corpus (both partial legs non-empty)
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.filter(col("ts") < cutoff).count() > 0)
+    assert(ev.filter(col("ts") >= cutoff).count() > 0)
+  }
 }
