@@ -1,0 +1,229 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+
+/** Record-level right-to-erasure (GDPR art. 17) across every copy the
+  * lake holds of a subject's records: the raw BRONZE objects, the
+  * canonical LAKE parquet, and the DISTRIBUTION fan-out area. The
+  * reference has no erasure story at all (S3 objects are immutable
+  * blobs; a delete request would mean manual object surgery) — this is
+  * the operation a production deployment is legally required to run,
+  * so it is first-class here.
+  *
+  * Design constraints honored:
+  *  - **Object keys are stable.** Bronze objects are rewritten IN
+  *    PLACE (same key, matching records removed), so every catalog row
+  *    and replay reference stays valid; an object whose records are
+  *    all erased becomes an EMPTY object, not a deleted key. The
+  *    catalog is metadata (source, ts, key) — it carries no subject
+  *    data and is untouched.
+  *  - **Bounded driver state.** The affected-object search is a
+  *    distributed scan; only the matched KEYS are collected, capped at
+  *    `maxAffectedObjects` with a loud failure (the [[Replay]]
+  *    `maxCollectedKeys` rule).
+  *  - **Atomic per object.** Each bronze rewrite is
+  *    write-temp → original→trash → temp→original → drop trash; file
+  *    renames are atomic, both transient names are `_`-prefixed
+  *    (invisible to readers), and a crash leaves either the intact
+  *    original or a finished rewrite plus sweepable `_` files — never
+  *    a partial object. The lake/distribution partition rewrites reuse
+  *    [[Compaction]]'s documented two-rename swap contract (briefly
+  *    absent, never partial).
+  *  - **Schema-on-read erasure predicate.** Bronze/lake/distribution
+  *    all store the payload as JSON text, and the reference never
+  *    validates payloads — so the predicate is a function over the raw
+  *    record string. [[jsonFieldEquals]] builds the common
+  *    "field == value" predicate with a real JSON parse (Jackson, from
+  *    Spark's own classpath), robust to key order and whitespace.
+  *
+  * Scale: the search is one pruned partition scan; rewrites touch only
+  * matched objects, in parallel (one task per object, objects are
+  * Firehose-buffer bounded ~10 MB); the partition rewrites are one
+  * filter+write each. Nothing is driver-side except the matched key
+  * list and the final counts. */
+object Erase {
+
+  final case class EraseReport(
+      source: String,
+      bronzeObjectsRewritten: Long,
+      bronzeRecordsDropped: Long,
+      lakeRowsDropped: Long,
+      distributionRecordsDropped: Long) {
+    def totalDropped: Long =
+      bronzeRecordsDropped + lakeRowsDropped + distributionRecordsDropped
+  }
+
+  /** Predicate: does this JSON record's top-level `field` equal
+    * `value` (string compare of the JSON value's text form)? Parses
+    * with Jackson — key order, whitespace, and escaping cannot fool
+    * it the way a substring match would. Malformed records never
+    * match (they are not the subject's data provably, and erasure
+    * must not destroy what it cannot attribute). */
+  def jsonFieldEquals(field: String, value: String): String => Boolean =
+    new JsonFieldEquals(field, value)
+
+  /** Serializable predicate with a per-JVM lazy mapper (ObjectMapper
+    * itself is not serializable; rebuilding it per record would
+    * dominate the rewrite cost). */
+  private final class JsonFieldEquals(field: String, value: String)
+      extends (String => Boolean) with Serializable {
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+    override def apply(json: String): Boolean =
+      try {
+        val v = mapper.readTree(json).path(field)
+        !v.isMissingNode && v.asText() == value
+      } catch { case _: Exception => false }
+  }
+
+  /** Distribution-line adapter: a published row carries the original
+    * record as its `json` string field — apply the subject predicate
+    * to that payload; rows without one (foreign schemas) are matched
+    * on the whole line. */
+  private final class DistLineMatches(matches: String => Boolean)
+      extends (String => Boolean) with Serializable {
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+    override def apply(line: String): Boolean =
+      try {
+        val payload = mapper.readTree(line).path("json")
+        if (payload.isTextual) matches(payload.asText()) else matches(line)
+      } catch { case _: Exception => matches(line) }
+  }
+
+  /** Erase every record of `source` matching `matches` from bronze,
+    * lake, and distribution. Idempotent: a second run matches nothing
+    * and rewrites nothing. */
+  def eraseWhere(spark: SparkSession, layout: Layout, source: String,
+      matches: String => Boolean, maxAffectedObjects: Int = 100000): EraseReport = {
+    val bronzeStats = eraseBronze(spark, layout, source, matches, maxAffectedObjects)
+    val lakeDropped = erasePartition(spark, layout, source, matches,
+      s"${layout.lakeDir}", "parquet")
+    val distDropped =
+      if (new Path(s"${layout.distributionDir}/source=$source")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new Path(s"${layout.distributionDir}/source=$source")))
+        erasePartition(spark, layout, source, matches,
+          s"${layout.distributionDir}", "json")
+      else 0L
+    EraseReport(source, bronzeStats._1, bronzeStats._2, lakeDropped, distDropped)
+  }
+
+  /** Bronze leg: distributed search for affected objects, then one
+    * rewrite task per object. Returns (objects rewritten, records
+    * dropped). */
+  private def eraseBronze(spark: SparkSession, layout: Layout, source: String,
+      matches: String => Boolean, maxAffectedObjects: Int): (Long, Long) = {
+    import spark.implicits._
+    val affected = Ingest.readBronzeSource(spark, layout, source)
+      .as[(String, String, String)]
+      .filter(r => matches(r._3))
+      .map(_._2).distinct()
+    val keys = affected.limit(maxAffectedObjects + 1).collect()
+    if (keys.length > maxAffectedObjects)
+      sys.error(s"Erase($source): more than $maxAffectedObjects affected objects — " +
+        "raise the cap or erase in key-range slices")
+    if (keys.isEmpty) return (0L, 0L)
+    val conf = org.apache.spark.graft.ConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    val dropped = spark.sparkContext
+      .parallelize(keys.toSeq, math.min(keys.length, 64))
+      .map { key => rewriteObject(conf.value, key, matches) }
+      .sum().toLong
+    (keys.length.toLong, dropped)
+  }
+
+  /** Rewrite one bronze object in place, removing matching records.
+    * Returns the number of records dropped. Runs inside a task. */
+  private[lake] def rewriteObject(conf: org.apache.hadoop.conf.Configuration,
+      key: String, matches: String => Boolean): Long = {
+    val path = new Path(key)
+    val fs = path.getFileSystem(conf)
+    val gz = key.endsWith(".gz")
+    // read + split
+    val in = fs.open(path)
+    val content = try {
+      val stream = if (gz) new java.util.zip.GZIPInputStream(in) else in
+      new String(stream.readAllBytes(), "UTF-8")
+    } finally in.close()
+    val records = ConcatJson.split(content)
+    val kept = records.filterNot(matches)
+    if (kept.length == records.length) return 0L
+    // write temp (invisible `_` name), then atomic double-rename swap
+    val dir = path.getParent
+    val tmp = new Path(dir, s"_erase-${path.getName}")
+    val trash = new Path(dir, s"_trash-${path.getName}")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    if (fs.exists(trash)) fs.delete(trash, false)
+    val out = fs.create(tmp, true)
+    try {
+      val stream: java.io.OutputStream =
+        if (gz) new java.util.zip.GZIPOutputStream(out) else out
+      stream.write(kept.mkString.getBytes("UTF-8"))
+      stream.close()
+    } catch { case e: Exception => out.close(); throw e }
+    if (!fs.rename(path, trash))
+      throw new java.io.IOException(s"erase: cannot move $key aside")
+    if (!fs.rename(tmp, path)) {
+      if (!fs.rename(trash, path))
+        throw new java.io.IOException(
+          s"erase: swap-in AND restore failed for $key — data preserved at $trash")
+      throw new java.io.IOException(s"erase: cannot swap in rewritten $key (restored)")
+    }
+    fs.delete(trash, false)
+    (records.length - kept.length).toLong
+  }
+
+  /** Lake/distribution leg: filter the partition's `json` payloads and
+    * swap the rewritten partition in via [[Compaction]]'s two-rename
+    * contract. Returns rows dropped. */
+  private def erasePartition(spark: SparkSession, layout: Layout, source: String,
+      matches: String => Boolean, rootDir: String, format: String): Long = {
+    import spark.implicits._
+    val dirStr = s"$rootDir/source=$source"
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val tmp = new Path(s"$rootDir/_erasing_source=$source")
+    val bak = new Path(s"$rootDir/_erased_old_source=$source")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val (kept, droppedCount) = format match {
+      case "parquet" =>
+        val df = spark.read.parquet(dirStr)
+        val total = df.count()
+        val keptDf = df.select("key", "json").as[(String, String)]
+          .filter(r => !matches(r._2)).toDF("key", "json")
+        val keptCount = keptDf.count()
+        if (keptCount == total) return 0L
+        keptDf.write.mode("overwrite").parquet(tmp.toString)
+        (keptCount, total - keptCount)
+      case _ =>
+        // distribution stores JSON records one per line; filter raw
+        // lines so unknown record schemas survive byte-identically.
+        // Published rows wrap the original record as a `json` string
+        // field (Distribution.publish of a bronze frame) — unwrap it
+        // for the predicate so the same subject rule applies here.
+        val lineMatches = new DistLineMatches(matches)
+        val df = spark.read.textFile(dirStr)
+        val total = df.count()
+        val keptDf = df.filter(line => !lineMatches(line))
+        val keptCount = keptDf.count()
+        if (keptCount == total) return 0L
+        keptDf.write.mode("overwrite").text(tmp.toString)
+        (keptCount, total - keptCount)
+    }
+    val _ = kept
+    if (!fs.rename(dir, bak))
+      throw new java.io.IOException(s"erase: cannot move $dirStr aside")
+    if (!fs.rename(tmp, dir)) {
+      if (!fs.rename(bak, dir))
+        throw new java.io.IOException(
+          s"erase: swap-in AND restore failed — data preserved at $bak")
+      throw new java.io.IOException(s"erase: cannot swap in $dirStr (restored)")
+    }
+    fs.delete(bak, true)
+    droppedCount
+  }
+}

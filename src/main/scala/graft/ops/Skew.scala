@@ -105,4 +105,71 @@ object Skew {
        |    + 999999) // 1000000 AS BIGINT)) AS salt
        |FROM keyed CROSS JOIN total
        |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Join-size estimation without running the join
+  // --------------------------------------------------------------------
+
+  /** Join cardinality estimation — the optimizer-style sizing audit a
+    * planner runs BEFORE committing to a join strategy: the size of
+    * the `events ⋈ events ON user_id` self-join is Σ_u c(u)², computed
+    * from the per-key COUNT table (one agg pass) without ever
+    * materializing a single join row; the sampled variants estimate
+    * the same quantity from a deterministic 1-in-m key sample scaled
+    * ×m (the key-sample estimator — Σc² concentrates on heavy keys, so
+    * key-sampling keeps its accuracy where row-sampling loses it).
+    * One row per modulus m ∈ {1, 2, 5, 10}: sampled key count,
+    * estimate, exact, and the signed error ppm. m = 1 IS the exact
+    * computation (err 0 by construction — the self-check row).
+    *
+    * At 100 TB this table is the difference between knowing a join
+    * would explode (Σc² ≫ n) before running it and discovering it as
+    * a dead executor; the same count-table pass also feeds
+    * [[skewProfile]]'s salting decision.
+    *
+    * Exactness: counts and Σc² are BIGINTs; each error pays one double
+    * divide rounded to ppm. Scale: one groupBy(key) over the fact
+    * table; everything after is |keys| × |moduli| rows collapsing to
+    * |moduli|. */
+  def joinCardEst(spark: SparkSession, sfDir: String,
+      moduli: Seq[Int] = Seq(1, 2, 5, 10)): DataFrame = {
+    val c = graft.Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val mods = {
+      import spark.implicits._
+      moduli.toDF("m").select(col("m").cast("long").as("m"))
+    }
+    val per = c.crossJoin(broadcast(mods))
+      .filter(pmod(col("user_id"), col("m")) === lit(1) % col("m"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_keys_sampled"),
+        (sum(col("c") * col("c")) * col("m").cast("long")).as("est_rows"))
+      .select(col("m"), col("n_keys_sampled"), col("est_rows").cast("long").as("est_rows"))
+    val exact = per.filter(col("m") === 1)
+      .select(col("est_rows").as("exact_rows"))
+    per.crossJoin(broadcast(exact))
+      .select(col("m"), col("n_keys_sampled"), col("est_rows"), col("exact_rows"),
+        round((col("est_rows") - col("exact_rows")) * lit(1000000.0) / col("exact_rows"))
+          .cast("long").as("err_ppm"))
+      .orderBy(col("m"))
+  }
+
+  /** Oracle twin of [[joinCardEst]] — moduli interpolated, identical
+    * integer folds and the one ppm divide. */
+  def joinCardEstSql(moduli: Seq[Int] = Seq(1, 2, 5, 10)): String = {
+    val list = moduli.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id),
+       |per AS (
+       |  SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_keys_sampled,
+       |    CAST(sum(c * c) * m AS BIGINT) AS est_rows
+       |  FROM c CROSS JOIN (SELECT unnest([$list]) AS m) mods
+       |  WHERE user_id % m = 1 % m
+       |  GROUP BY m),
+       |ex AS (SELECT est_rows AS exact_rows FROM per WHERE m = 1)
+       |SELECT m, n_keys_sampled, est_rows, exact_rows,
+       |  CAST(round((est_rows - exact_rows) * 1000000.0 / exact_rows) AS BIGINT) AS err_ppm
+       |FROM per CROSS JOIN ex
+       |ORDER BY m""".stripMargin
+  }
 }

@@ -776,6 +776,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Window".r.findAllIn(p).length == 1, s"one window pass only:\n$p")
   }
 
+  test("joinCardEst: sizes the self-join from the count table — the join itself never runs") {
+    val df = Skew.joinCardEst(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    // the only joins are broadcasts of the 4-row moduli frame and the
+    // 1-row exact frame — no events-by-events join exists in the plan
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no fact-by-fact join may appear:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"the key-count table must combine map-side:\n$p")
+  }
+
   test("incrAggMerge: two partial agg legs merged by a final agg; all aggs map-side combine") {
     val df = Aggregates.incrAggMerge(spark, sfDir)
     df.collect()

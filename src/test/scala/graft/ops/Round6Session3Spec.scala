@@ -127,6 +127,27 @@ class Round6Session3Spec extends SparkTestBase {
     }
   }
 
+  test("joinCardEst == plain-Scala key-sample estimator; m=1 row IS the exact size") {
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .count().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("count"))).toMap
+    val exact = counts.values.map(c => c * c).sum
+    val expected = Seq(1, 2, 5, 10).map { m =>
+      val sampled = counts.filter { case (u, _) => u % m == 1 % m }
+      val est = sampled.values.map(c => c * c).sum * m
+      (m.toLong, sampled.size.toLong, est,
+        rl((est - exact) * 1000000.0 / exact))
+    }
+    val got = Skew.joinCardEst(spark, sfDir).collect().map { r =>
+      (r.getAs[Long]("m"), r.getAs[Long]("n_keys_sampled"),
+        r.getAs[Long]("est_rows"), r.getAs[Long]("err_ppm"))
+    }.toSeq
+    assert(got == expected)
+    val m1 = got.find(_._1 == 1L).get
+    assert(m1._3 == exact && m1._4 == 0L, "the m=1 row is the exact self-check")
+  }
+
   test("attribution == plain-Scala carry-forward replay") {
     val lookbackUs = 7L * 86400 * 1000000
     val raw = Tables.events(spark, sfDir)
