@@ -141,4 +141,104 @@ object Analytics {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY returnflag, linestatus""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Distribution-drift monitor: PSI per event type
+  // --------------------------------------------------------------------
+
+  /** Population Stability Index per event type — the standard
+    * ML-monitoring drift metric (PSI = Σ_b (p_b − q_b)·ln(p_b/q_b))
+    * between the first and second half of the corpus window, over a
+    * FIXED 10-bucket integer-cent grid (fixed buckets, not quantiles:
+    * the grid must be identical across runs for drift to be
+    * comparable). Add-one smoothing keeps empty buckets finite and the
+    * smoothed shares summing to 1. `is_drifted` applies the
+    * conventional PSI > 0.1 alert threshold.
+    *
+    * Exactness: bucket counts are exact ints over the CLOSED event-type
+    * vocabulary × bucket grid (absent cells materialized as 0 — a
+    * missing bucket must contribute its smoothing mass, not vanish);
+    * each PSI term is one fixed double tree over four ints, rounded
+    * once to e6; the per-type Σ is then exact BIGINT.
+    *
+    * Scale: two filtered aggs over the fact table (map-side combined),
+    * then everything is |types|×|buckets| rows. The same shape
+    * monitors any feature column at 100 TB — swap the bucket
+    * expression. */
+  def valueDrift(spark: SparkSession, sfDir: String,
+      cutoff: String = "2024-01-16 00:00:00",
+      nBuckets: Int = 10, bucketCents: Int = 5000): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"),
+        least(floor(round(col("value") * 100) / lit(bucketCents)),
+          lit(nBuckets - 1).cast("double")).cast("long").as("bucket"))
+    val cut = lit(cutoff).cast("timestamp")
+    def counts(pred: org.apache.spark.sql.Column, name: String): DataFrame =
+      ev.filter(pred).groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as(name))
+    val grid = Tables.eventTypes.toDF("event_type")
+      .crossJoin((0 until nBuckets).map(_.toLong).toDF("bucket"))
+    val joined = grid
+      .join(counts(col("ts") < cut, "a"), Seq("event_type", "bucket"), "left")
+      .join(counts(col("ts") >= cut, "b"), Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
+    val totals = joined.groupBy(col("event_type"))
+      .agg(sum(col("a")).cast("long").as("n_ref"), sum(col("b")).cast("long").as("n_cur"))
+    val pa = (col("a") + lit(1.0)) / (col("n_ref") + lit(nBuckets))
+    val qb = (col("b") + lit(1.0)) / (col("n_cur") + lit(nBuckets))
+    joined.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round((pa - qb) * log(pa / qb) * 1000000).cast("long").as("t_e6"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("t_e6")).cast("long").as("psi_e6"))
+      .withColumn("is_drifted", col("psi_e6") > 100000L)
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[valueDrift]] — grid via unnest of the closed
+    * vocabulary, identical smoothing and term trees. */
+  def valueDriftSql(cutoff: String = "2024-01-16 00:00:00",
+      nBuckets: Int = 10, bucketCents: Int = 5000): String = {
+    val types = graft.Tables.eventTypes.map(t => s"'$t'").mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT event_type, ts,
+       |    CAST(least(floor(round(value * 100) / $bucketCents),
+       |      CAST(${nBuckets - 1} AS DOUBLE)) AS BIGINT) AS bucket
+       |  FROM events),
+       |grid AS (
+       |  SELECT t.event_type, CAST(b AS BIGINT) AS bucket
+       |  FROM (SELECT unnest([$types]) AS event_type) t
+       |  CROSS JOIN range($nBuckets) r(b)),
+       |ref AS (
+       |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS a FROM ev
+       |  WHERE ts < TIMESTAMP '$cutoff' GROUP BY event_type, bucket),
+       |cur AS (
+       |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS b FROM ev
+       |  WHERE ts >= TIMESTAMP '$cutoff' GROUP BY event_type, bucket),
+       |cells AS (
+       |  SELECT g.event_type, g.bucket,
+       |    coalesce(ref.a, 0) AS a, coalesce(cur.b, 0) AS b
+       |  FROM grid g
+       |  LEFT JOIN ref ON ref.event_type = g.event_type AND ref.bucket = g.bucket
+       |  LEFT JOIN cur ON cur.event_type = g.event_type AND cur.bucket = g.bucket),
+       |totals AS (
+       |  SELECT event_type, CAST(sum(a) AS BIGINT) AS n_ref,
+       |    CAST(sum(b) AS BIGINT) AS n_cur
+       |  FROM cells GROUP BY event_type),
+       |terms AS (
+       |  SELECT c.event_type, t.n_ref, t.n_cur,
+       |    CAST(round(((c.a + 1.0) / (t.n_ref + $nBuckets) - (c.b + 1.0) / (t.n_cur + $nBuckets))
+       |      * ln(((c.a + 1.0) / (t.n_ref + $nBuckets)) / ((c.b + 1.0) / (t.n_cur + $nBuckets)))
+       |      * 1000000) AS BIGINT) AS t_e6
+       |  FROM cells c JOIN totals t USING (event_type))
+       |SELECT event_type, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+       |  CAST(sum(t_e6) AS BIGINT) AS psi_e6,
+       |  (CAST(sum(t_e6) AS BIGINT) > 100000) AS is_drifted
+       |FROM terms
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
 }
