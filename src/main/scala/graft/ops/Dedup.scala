@@ -1356,4 +1356,93 @@ object Dedup {
       |FROM fps JOIN rawc USING (raw_fp) JOIN normc USING (norm_fp)
       |GROUP BY source
       |ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Cross-method agreement audit: MinHash-LSH vs SimHash
+  // --------------------------------------------------------------------
+
+  /** Method-agreement audit — the meta-question a pipeline owner asks
+    * before trusting ONE near-dup detector at 100 TB: how much do the
+    * two independent families (MinHash-LSH on token-set Jaccard ≥ 0.5
+    * vs SimHash 4-band Hamming ≤ 3) agree on THIS corpus? One summary
+    * row: each method's pair count, the intersection, the union, and
+    * the Jaccard agreement in ppm. High agreement = either detector
+    * suffices; low agreement = the corpus has a near-dup structure one
+    * of the models is blind to (set-overlap vs weighted-bit geometry)
+    * and the union is the safe drop set.
+    *
+    * Scale: both pair generators are the banded equi-joins already in
+    * service (the LSH side rides the shared persisted
+    * [[nearDupPairTable]]); the comparison is a full-outer equi-join
+    * of two confirmed-pair tables (tiny next to the corpus) and one
+    * 1-row agg. NULL-guarded agreement on a dup-free corpus (the
+    * [[lshBandTune]] division lesson). */
+  def dedupMethodAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val lsh = nearDupPairTable(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_lsh"))
+    val sim = simhashNearDup(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sim"))
+    lsh.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        count(when(col("in_lsh").isNotNull, 1)).cast("long").as("n_lsh"),
+        count(when(col("in_sim").isNotNull, 1)).cast("long").as("n_simhash"),
+        count(when(col("in_lsh").isNotNull && col("in_sim").isNotNull, 1))
+          .cast("long").as("n_both"),
+        count(lit(1)).cast("long").as("n_union"))
+      .select(col("n_lsh"), col("n_simhash"), col("n_both"), col("n_union"),
+        when(col("n_union") === 0L, lit(null).cast("long"))
+          .otherwise(round(col("n_both") * lit(1000000.0) / col("n_union")).cast("long"))
+          .as("agreement_ppm"))
+  }
+
+  /** Oracle twin of [[dedupMethodAgreement]] — both method CTE chains
+    * regenerated from the same builders as their own oracles. */
+  def dedupMethodAgreementSql: String = {
+    val nBands = 4; val maxHamming = 3
+    def h(m: Int) = s"(('0x' || substr(md5(token), ${1 + 4 * m}, 4))::BIGINT)"
+    val bitSums = (for { m <- 0 until nBands; j <- 0 until 16 } yield
+      s"sum(((${h(m)} >> $j) & 1) * 2 - 1) AS s${m}_$j").mkString(", ")
+    def field(m: Int) = (0 until 16)
+      .map(j => s"CASE WHEN s${m}_$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val fields = (0 until nBands).map(m => s"CAST(${field(m)} AS BIGINT) AS f$m").mkString(", ")
+    val hamming = (0 until nBands)
+      .map(m => s"bit_count(xor(a.f$m, b.f$m))").mkString(" + ")
+    val bandEq = (0 until nBands).map(m => s"a.f$m = b.f$m").mkString(" OR ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+       |    ${bandSqlDuck(0, 1)} AS band1,
+       |    ${bandSqlDuck(2, 3)} AS band2
+       |  FROM documents),
+       |lsh AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a JOIN sigs b
+       |    ON a.doc_id < b.doc_id AND (a.band1 = b.band1 OR a.band2 = b.band2)
+       |  WHERE round(len(list_intersect(a.toks, b.toks)) /
+       |        CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) >= 0.5),
+       |stoks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |ssums AS (
+       |  SELECT doc_id, $bitSums FROM stoks GROUP BY doc_id),
+       |sf AS (
+       |  SELECT doc_id, $fields FROM ssums),
+       |sim AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sf a JOIN sf b
+       |    ON a.doc_id < b.doc_id AND ($bandEq)
+       |  WHERE $hamming <= $maxHamming),
+       |u AS (
+       |  SELECT l.doc_a IS NOT NULL AS in_lsh, s.doc_a IS NOT NULL AS in_sim
+       |  FROM lsh l FULL OUTER JOIN sim s
+       |    ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b)
+       |SELECT
+       |  CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       |  CAST(sum(CASE WHEN in_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash,
+       |  CAST(sum(CASE WHEN in_lsh AND in_sim THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       |  CAST(count(*) AS BIGINT) AS n_union,
+       |  CASE WHEN count(*) = 0 THEN NULL
+       |       ELSE CAST(round(sum(CASE WHEN in_lsh AND in_sim THEN 1 ELSE 0 END)
+       |         * 1000000.0 / count(*)) AS BIGINT)
+       |  END AS agreement_ppm
+       |FROM u""".stripMargin
+  }
 }

@@ -148,6 +148,24 @@ class Round6Session3Spec extends SparkTestBase {
     assert(m1._3 == exact && m1._4 == 0L, "the m=1 row is the exact self-check")
   }
 
+  test("dedupMethodAgreement == set algebra over the two pair queries") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairsOf(Dedup.lshNearDupPairs(spark, sfDir))
+    val sim = pairsOf(Dedup.simhashNearDup(spark, sfDir))
+    val union = lsh ++ sim
+    val r = Dedup.dedupMethodAgreement(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_lsh") == lsh.size.toLong)
+    assert(r.getAs[Long]("n_simhash") == sim.size.toLong)
+    assert(r.getAs[Long]("n_both") == (lsh intersect sim).size.toLong)
+    assert(r.getAs[Long]("n_union") == union.size.toLong)
+    if (union.nonEmpty)
+      assert(r.getAs[Long]("agreement_ppm") ==
+        rl((lsh intersect sim).size * 1000000.0 / union.size))
+    assert(union.nonEmpty, "the corpus must exercise both detectors")
+  }
+
   test("attribution == plain-Scala carry-forward replay") {
     val lookbackUs = 7L * 86400 * 1000000
     val raw = Tables.events(spark, sfDir)
