@@ -549,6 +549,57 @@ object Aggregates {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Approximate-percentile acceptance audit — the [[approxDistinct]]
+    * pattern for order statistics: per event type, the engine's
+    * `approx_percentile` (Greenwald–Khanna sketch, accuracy 1000 ⇒
+    * rank error ≤ n/1000) at p50/p90/p99 is checked against the EXACT
+    * interpolated quantiles at q ± 5ε (the 5× slack precedent of the
+    * HLL audit — the sketch returns an actual data value, so the
+    * interpolated band needs headroom on tiny/tied strata). The hash
+    * gate covers the exact quantiles and counts; the sketch's values
+    * surface only through the `ok_*` booleans, which the oracle states
+    * as literals — the same derived-column discipline as
+    * [[approxDistinctSql]].
+    *
+    * Why it matters at 100 TB: exact percentile is a full sort per
+    * group; the sketch is one mergeable pass. This table is the
+    * evidence that swapping one for the other keeps the promised rank
+    * bound on THIS data. */
+  def approxQuantileAcc(spark: SparkSession, sfDir: String): DataFrame = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    val slack = 0.005
+    val exactProbes = qs.flatMap(q => Seq(q - slack, q, q + slack))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val agg = ev.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), array(exactProbes.map(lit): _*)).as("ex"),
+        approx_percentile(col("cents"), array(qs.map(lit): _*), lit(1000)).as("ap"),
+        count(lit(1)).as("n_events"))
+    val cols = qs.zipWithIndex.flatMap { case (q, i) =>
+      val name = s"p${(q * 100).toInt}"
+      Seq((round(col("ex")(i * 3 + 1), 4) + lit(0.0)).as(name),
+        (col("ap")(i) >= col("ex")(i * 3) && col("ap")(i) <= col("ex")(i * 3 + 2))
+          .as(s"ok_$name"))
+    }
+    agg.select(col("event_type") +: cols :+ col("n_events"): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[approxQuantileAcc]] — exact quantiles hashed,
+    * sketch acceptance as TRUE literals (engine-only estimate). */
+  def approxQuantileAccSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4) + 0.0 AS p50,
+      |  TRUE AS ok_p50,
+      |  round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9), 4) + 0.0 AS p90,
+      |  TRUE AS ok_p90,
+      |  round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.99), 4) + 0.0 AS p99,
+      |  TRUE AS ok_p99,
+      |  count(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Oracle twin of [[incrAggMerge]]: the FLAT full recompute — green
     * proves the base+delta partial merge equals it exactly. */
   def incrAggMergeSql: String =

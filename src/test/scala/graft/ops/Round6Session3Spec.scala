@@ -148,6 +148,18 @@ class Round6Session3Spec extends SparkTestBase {
     assert(m1._3 == exact && m1._4 == 0L, "the m=1 row is the exact self-check")
   }
 
+  test("approxQuantileAcc: sketch stays inside the rank band; quantiles monotone") {
+    val got = Aggregates.approxQuantileAcc(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      Seq("ok_p50", "ok_p90", "ok_p99").foreach(c =>
+        assert(r.getAs[Boolean](c), s"sketch out of band: $r"))
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+        r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99, s"quantiles must be monotone: $r")
+    }
+  }
+
   test("dedupMethodAgreement == set algebra over the two pair queries") {
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect()
