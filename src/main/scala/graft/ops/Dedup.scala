@@ -263,20 +263,55 @@ object Dedup {
   private val pairTableCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  /** Order-independent content fingerprint of a documents corpus —
+    * keys the pair-table artifact so corpora sharing a row count (or a
+    * directory being overwritten between runs) can never serve each
+    * other's pairs. Same per-term-mod discipline as
+    * [[Similarity.corpusKeyOf]]. */
+  private[ops] def docsCorpusKeyOf(docs: DataFrame): Long = {
+    val keyTerm = (pmod(xxhash64(col("text")), lit(1000003L)) * (col("doc_id") + 1L)) %
+      lit(1000003L)
+    docs.agg(sum(keyTerm).cast("long")).collect()(0).getLong(0)
+  }
+
+  /** Where [[buildPairTable]] commits pair-table artifacts (per-run
+    * subdir — same concurrent-session isolation rule as
+    * [[Similarity.TrainedCentroidsPath]]). */
+  val PairTablePath: String =
+    s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/near_dup_pairs"
+
+  /** The explicit index-build step behind the near-dup family: derive
+    * the confirmed pair table once and COMMIT it as a
+    * corpus-fingerprint-keyed parquet artifact; returns the dir.
+    * Idempotent via the `_SUCCESS` marker (the
+    * [[Similarity.buildTrainedCentroids]] contract) — a warm artifact
+    * makes the build free for every later JVM over the same corpus,
+    * which is exactly the 100 TB posture: the pair table is a tiny
+    * derived index that many downstream jobs (keep-lists, clusters,
+    * PageRank, audits) probe without re-running shingle → MinHash →
+    * band-join → Jaccard. */
+  def buildPairTable(spark: SparkSession, sfDir: String): String = {
+    val docs = Tables.documents(spark, sfDir)
+    val exportDir = s"$PairTablePath/k=${docsCorpusKeyOf(docs)}"
+    val fs = new org.apache.hadoop.fs.Path(exportDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")))
+      nearDupPairsOf(docs).write.mode("overwrite").parquet(exportDir)
+    exportDir
+  }
+
   /** The confirmed near-dup pair table, built ONCE per (JVM, corpus
     * dir) and kept persisted — "build candidates once, probe many":
     * the pair listing, keep-list summary, transitive clusters,
     * PageRank and BFS all read this one cached table instead of each
     * re-deriving the shingle → MinHash → band-join → Jaccard pipeline
-    * (~4× of the family's cost at sf0.1). At 100 TB the same artifact
-    * is a parquet table keyed by corpus fingerprint (the
-    * [[Similarity.buildTrainedCentroids]] precedent); within one JVM a
-    * persisted frame gives identical reuse semantics. The table is a
-    * confirmed-pair list — tiny relative to the corpus — so pinning it
-    * for the JVM lifetime is free. */
+    * (~4× of the family's cost at sf0.1). Backed by the COMMITTED
+    * parquet artifact of [[buildPairTable]] (corpus-fingerprint keyed,
+    * `_SUCCESS`-gated), so the build also amortizes across JVMs; the
+    * in-memory persist on top keeps intra-JVM consumers scan-free. */
   private[ops] def nearDupPairTable(spark: SparkSession, sfDir: String): DataFrame =
     pairTableCache.getOrElseUpdate(sfDir, {
-      val t = nearDupPairsUnsorted(spark, sfDir)
+      val t = spark.read.parquet(buildPairTable(spark, sfDir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       t.count() // materialize eagerly so every consumer shares one build
       t

@@ -148,6 +148,25 @@ class Round6Session3Spec extends SparkTestBase {
     assert(m1._3 == exact && m1._4 == 0L, "the m=1 row is the exact self-check")
   }
 
+  test("buildPairTable: committed artifact == direct derivation; idempotent; corpus-keyed") {
+    val dir1 = Dedup.buildPairTable(spark, sfDir)
+    assert(new java.io.File(s"$dir1/_SUCCESS").exists(), "artifact must be committed")
+    val direct = Dedup.lshNearDupPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromArtifact = spark.read.parquet(dir1).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(fromArtifact == direct)
+    // idempotent: second build returns the same committed dir untouched
+    val m1 = new java.io.File(s"$dir1/_SUCCESS").lastModified()
+    assert(Dedup.buildPairTable(spark, sfDir) == dir1)
+    assert(new java.io.File(s"$dir1/_SUCCESS").lastModified() == m1,
+      "a warm artifact must not rebuild")
+    // a different corpus keys a different artifact dir
+    val dir2 = Dedup.buildPairTable(spark, "/root/testdata/sf0.01")
+    assert(dir2 != dir1, "corpus fingerprint must separate corpora")
+  }
+
   test("approxQuantileAcc: sketch stays inside the rank band; quantiles monotone") {
     val got = Aggregates.approxQuantileAcc(spark, sfDir).collect()
     assert(got.nonEmpty)
