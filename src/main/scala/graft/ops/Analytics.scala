@@ -184,6 +184,14 @@ object Analytics {
       .join(counts(col("ts") >= cut, "b"), Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"),
         coalesce(col("a"), lit(0L)).as("a"), coalesce(col("b"), lit(0L)).as("b"))
+    psiFromCounts(joined, nBuckets)
+  }
+
+  /** The PSI fold over a materialized (event_type, bucket, a, b) cell
+    * grid — shared verbatim by the batch query and the streaming store
+    * ([[graft.streaming.StreamDrift]]), so stream ≡ batch is the
+    * identity of ONE code path, not two implementations agreeing. */
+  def psiFromCounts(joined: DataFrame, nBuckets: Int): DataFrame = {
     val totals = joined.groupBy(col("event_type"))
       .agg(sum(col("a")).cast("long").as("n_ref"), sum(col("b")).cast("long").as("n_cur"))
     val pa = (col("a") + lit(1.0)) / (col("n_ref") + lit(nBuckets))
