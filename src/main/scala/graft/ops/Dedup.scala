@@ -1396,6 +1396,97 @@ object Dedup {
   // Cross-method agreement audit: MinHash-LSH vs SimHash
   // --------------------------------------------------------------------
 
+  // --------------------------------------------------------------------
+  // Content-defined chunking (CDC) duplicate-chunk audit
+  // --------------------------------------------------------------------
+
+  /** Content-defined chunking — the storage-dedup mode the shingle
+    * family doesn't cover (rsync/LBFS/FastCDC): chunk boundaries fall
+    * where a per-token hash satisfies `h % 16 == 0`, so an insertion
+    * shifts ONE chunk instead of re-aligning every fixed-width block,
+    * and identical passages chunk identically wherever they appear.
+    * Each chunk gets an order-sensitive polynomial fingerprint (the
+    * [[graft.ops.Text.rollingFingerprints]] fold); the audit reports,
+    * per source: chunk volume, distinct chunks, and the occurrence
+    * mass of chunks appearing in ≥ 2 documents — the cross-document
+    * duplicated-passage rate at chunk granularity (between the doc
+    * granularity of exact dedup and the n-gram granularity of
+    * [[substringOverlap]]).
+    *
+    * Scale: explode → per-doc window (chunk ids are a prefix sum of
+    * boundary flags, one shuffle on doc_id) → per-chunk fold (the
+    * only order-sensitive step, folded over the chunk's own sorted
+    * token list — deterministic) → two count aggs on (source, fp).
+    * Never doc×doc; the fingerprint table is the join surface. */
+  def cdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    cdcSummaryOf(chunkFingerprintsOf(Tables.documents(spark, sfDir)))
+
+  /** (doc_id, source, fp) — one row per content-defined chunk of any
+    * (doc_id, source, text) frame. */
+  private[ops] def chunkFingerprintsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 1000003L
+    val M = 2147483647L
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), col("source"), (col("pos0") + 1).as("pos"),
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id",
+        coalesce(sum((col("h") % 16 === 0).cast("long")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("source"), col("chunk_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("h")))).as("hs"))
+      .select(col("doc_id"), col("source"),
+        aggregate(transform(col("hs"), x => x.getField("h")), lit(0L),
+          (acc, x) => pmod(acc * B + x, lit(M))).as("fp"))
+  }
+
+  private[ops] def cdcSummaryOf(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("nd"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("n_distinct_chunks"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).cast("long").as("n_shared_occ"))
+      .withColumn("shared_ppm", expr("(n_shared_occ * 1000000) DIV n_chunks"))
+      .orderBy(col("source"))
+
+  /** Oracle twin of [[cdcChunks]] — the zip-unnest position idiom and
+    * the identical boundary/fold arithmetic. */
+  def cdcChunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, pos,
+      |    ('0x' || substr(md5(token), 1, 8))::BIGINT AS h
+      |  FROM (SELECT doc_id, source,
+      |          unnest(string_split(text, ' ')) AS token,
+      |          unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |        FROM documents)),
+      |marked AS (
+      |  SELECT doc_id, source, pos, h,
+      |    coalesce(sum(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(h ORDER BY pos)),
+      |      (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+      |  FROM marked GROUP BY doc_id, source, chunk_id),
+      |fps AS (
+      |  SELECT source, fp, CAST(count(*) AS BIGINT) AS occ,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      |  FROM chunks GROUP BY source, fp)
+      |SELECT source,
+      |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+      |  CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_shared_occ,
+      |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) * 1000000
+      |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS shared_ppm
+      |FROM fps GROUP BY source ORDER BY source""".stripMargin
+
   /** Method-agreement audit — the meta-question a pipeline owner asks
     * before trusting ONE near-dup detector at 100 TB: how much do the
     * two independent families (MinHash-LSH on token-set Jaccard ≥ 0.5

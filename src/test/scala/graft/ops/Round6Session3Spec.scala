@@ -148,6 +148,29 @@ class Round6Session3Spec extends SparkTestBase {
     assert(m1._3 == exact && m1._4 == 0L, "the m=1 row is the exact self-check")
   }
 
+  test("cdcChunks: an inserted token disturbs O(1) chunks (the CDC shift property)") {
+    val s = spark
+    import s.implicits._
+    val words = (0 until 400).map(i => s"w${i % 97}")
+    val original = words.mkString(" ")
+    // insert one token near the front — fixed-width blocks would shift
+    // EVERY later block; content-defined boundaries must re-align
+    val edited = (words.take(5) ++ Seq("INSERTED") ++ words.drop(5)).mkString(" ")
+    val docs = Seq((1L, "s", original), (2L, "s", edited))
+      .toDF("doc_id", "source", "text")
+    val fps = Dedup.chunkFingerprintsOf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp")))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val f2 = fps.filter(_._1 == 2L).map(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val shared = (f1.keySet intersect f2.keySet)
+      .toSeq.map(k => math.min(f1(k), f2(k))).sum
+    val total1 = f1.values.sum
+    assert(total1 > 5, s"the doc must chunk into several pieces (got $total1)")
+    assert(total1 - shared <= 2,
+      s"at most the edited chunk (and a merge neighbor) may differ: " +
+        s"$total1 chunks, $shared shared")
+  }
+
   test("buildPairTable: committed artifact == direct derivation; idempotent; corpus-keyed") {
     val dir1 = Dedup.buildPairTable(spark, sfDir)
     assert(new java.io.File(s"$dir1/_SUCCESS").exists(), "artifact must be committed")
