@@ -103,6 +103,11 @@ object Scale50 {
     time("knn_classify 100k vecs")(ops.Similarity.knnClassify(spark, d).count())
     time("maxsim 100k vecs")(ops.Similarity.maxSim(spark, d).count())
     time("mmr_rerank 100k vecs")(ops.Similarity.mmrRerank(spark, d).count())
+    // round-6 session-3 operators
+    time("cdc_chunks 250k")(ops.Dedup.cdcChunks(spark, d).count())
+    time("dedup_agreement 250k")(ops.Dedup.dedupMethodAgreement(spark, d).count())
+    time("silhouette 100k vecs")(ops.Similarity.silhouette(spark, d).count())
+    time("hybrid_rrf 250k docs")(ops.Similarity.hybridRrf(spark, d).count())
     spark.stop()
   }
 }

@@ -274,11 +274,11 @@ object Dedup {
     docs.agg(sum(keyTerm).cast("long")).collect()(0).getLong(0)
   }
 
-  /** Where [[buildPairTable]] commits pair-table artifacts (per-run
-    * subdir — same concurrent-session isolation rule as
-    * [[Similarity.TrainedCentroidsPath]]). */
-  val PairTablePath: String =
-    s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/near_dup_pairs"
+  /** Where [[buildPairTable]] commits pair-table artifacts — SHARED
+    * across JVMs (the [[Artifacts]] rename protocol makes concurrent
+    * builders safe; cross-JVM reuse is the point of committing). */
+  lazy val PairTablePath: String =
+    s"${Similarity.OracleExportRoot}/shared/near_dup_pairs"
 
   /** The explicit index-build step behind the near-dup family: derive
     * the confirmed pair table once and COMMIT it as a
@@ -292,12 +292,9 @@ object Dedup {
     * band-join → Jaccard. */
   def buildPairTable(spark: SparkSession, sfDir: String): String = {
     val docs = Tables.documents(spark, sfDir)
-    val exportDir = s"$PairTablePath/k=${docsCorpusKeyOf(docs)}"
-    val fs = new org.apache.hadoop.fs.Path(exportDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")))
-      nearDupPairsOf(docs).write.mode("overwrite").parquet(exportDir)
-    exportDir
+    Artifacts.commit(spark, s"$PairTablePath/k=${docsCorpusKeyOf(docs)}") { tmp =>
+      nearDupPairsOf(docs).write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** The confirmed near-dup pair table, built ONCE per (JVM, corpus

@@ -127,7 +127,7 @@ object Pq {
 
   /** Where the trained codebooks are committed for the oracle replay
     * (same run/corpus keying as the trained-IVF export). */
-  val PqCodebooksPath: String = s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/pq_codebooks"
+  lazy val PqCodebooksPath: String = s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/pq_codebooks"
 
   /** Train-and-commit, idempotent per (run, corpus) — the PQ analogue
     * of [[Similarity.buildTrainedCentroids]]. Trains on the
@@ -226,12 +226,12 @@ object Pq {
   }
 
   /** Where the trained residual codebooks are committed. */
-  val IvfPqCodebooksPath: String =
+  lazy val IvfPqCodebooksPath: String =
     s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codebooks"
 
   /** Where the encoded corpus (the IVF-PQ *index proper*) is
     * committed, PARTITIONED BY coarse list. */
-  val IvfPqCodesPath: String =
+  lazy val IvfPqCodesPath: String =
     s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codes"
 
   /** Train-and-commit residual codebooks, idempotent per

@@ -131,15 +131,48 @@ object Similarity {
         round(sum(col("sim")) * 10000).cast("long").as("sum_sim_e4"))
       .orderBy(col("centroid_id"))
 
-  /** (vec_id → nearest centroid, sim) — the IVF assignment, shaped for
-    * scale: the corpus×K score rows carry only (id, id, sim) — never
-    * the vectors — and the arg-max is a max-struct AGGREGATE (partial
+  /** (vec_id → nearest centroid, sim) — the IVF assignment, read from
+    * the COMMITTED index artifact of [[buildAssignments]] (built once
+    * per corpus, `_SUCCESS`-gated). */
+  private[ops] def assignments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(buildAssignments(spark, sfDir))
+
+  private val assignmentsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The committed IVF coarse-assignment table — the
+    * [[graft.ops.Dedup.buildPairTable]] pattern applied to the index
+    * build: the corpus × K nearest-centroid pass runs ONCE per corpus
+    * and commits `(vec_id, centroid_id, sim)` as a
+    * corpus-fingerprint-keyed parquet artifact (`_SUCCESS`-gated,
+    * idempotent). Every IVF consumer (topk probes, recall/nDCG evals,
+    * semantic dedup, kNN classify) then probes the stored index — the
+    * production posture, where an ANN index is built once and served
+    * many times, and the fix for the n·K assignment cost otherwise
+    * paid per query. */
+  def buildAssignments(spark: SparkSession, sfDir: String): String =
+    assignmentsCache.getOrElseUpdate(sfDir, {
+      val emb = Tables.embeddings(spark, sfDir)
+      Artifacts.commit(spark, s"$AssignmentsPath/k=${corpusKeyOf(emb)}") { tmp =>
+        assignmentsDerivation(spark, sfDir).write.mode("overwrite").parquet(tmp)
+      }
+    })
+
+  /** Where [[buildAssignments]] commits its artifacts — SHARED across
+    * JVMs (unlike the run-isolated oracle exports): reuse by later
+    * sessions over the same corpus is the point, and the
+    * [[Artifacts]] rename protocol makes concurrent builders safe. */
+  lazy val AssignmentsPath: String = s"$OracleExportRoot/shared/ivf_assignments"
+
+  /** The assignment derivation itself (one corpus × K pass), shaped
+    * for scale: the score rows carry only (id, id, sim) — never the
+    * vectors — and the arg-max is a max-struct AGGREGATE (partial
     * map-side combine, no sort window). Ordering (sim, -centroid_id)
     * reproduces "highest sim, lowest centroid id wins" exactly like
     * the oracle's rank-1 window. Profiled at 10× data: the previous
     * window-over-payload formulation shuffled ~2.4 GB and took 32 s;
     * this shape is payload-free. */
-  private[ops] def assignments(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def assignmentsDerivation(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
@@ -347,7 +380,7 @@ object Similarity {
     * oracle reads the SAME parquet and replays the probe — the whole
     * probe path gets a hash-checked row, and any training
     * nondeterminism would surface as a mismatch on re-run. */
-  val TrainedCentroidsPath: String = s"$OracleExportRoot/run=$RunId/ivf_trained_centroids"
+  lazy val TrainedCentroidsPath: String = s"$OracleExportRoot/run=$RunId/ivf_trained_centroids"
 
   /** Order-independent content fingerprint of an embeddings corpus —
     * keys oracle-shared exports (see the comment inside
