@@ -788,6 +788,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"the key-count table must combine map-side:\n$p")
   }
 
+  test("artifact consumers probe the STORED index — no in-plan re-derivation") {
+    // pair-table consumer: the emitted plan reads the committed pair
+    // parquet; the shingle->minhash->band-join pipeline must be absent
+    val pairPlan = plan(Dedup.lshNearDupPairs(spark, sfDir))
+    assert(pairPlan.contains("near_dup_pairs"),
+      s"pair queries must scan the committed artifact:\n$pairPlan")
+    assert(!pairPlan.toLowerCase.contains("documents.parquet"),
+      s"no corpus re-scan in a pair read:\n$pairPlan")
+    // IVF consumer: the coarse assignment comes from the stored index
+    val ivfPlan = plan(Similarity.ivfAssign(spark, sfDir))
+    assert(ivfPlan.contains("ivf_assignments"),
+      s"IVF consumers must scan the committed assignment:\n$ivfPlan")
+    assert(!ivfPlan.toLowerCase.contains("embeddings.parquet"),
+      s"no corpus re-scan in an assignment read:\n$ivfPlan")
+  }
+
   test("incrAggMerge: two partial agg legs merged by a final agg; all aggs map-side combine") {
     val df = Aggregates.incrAggMerge(spark, sfDir)
     df.collect()
