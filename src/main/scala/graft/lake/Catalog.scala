@@ -93,9 +93,15 @@ object Catalog {
     fs.mkdirs(dir)
     var attempts = 0
     while (attempts < 10000) {
+      // checkpoints count in the numbering scan: after pruneLog drops
+      // folded .commit records, the checkpoint seq is the only trace
+      // of them — ignoring it would re-issue a used commit id
       val next = 1L + fs.listStatus(dir)
-        .map(_.getPath.getName).filter(_.endsWith(".commit"))
-        .map(_.stripSuffix(".commit").toLong)
+        .map(_.getPath.getName)
+        .collect {
+          case n if n.endsWith(".commit") => n.stripSuffix(".commit").toLong
+          case n if n.endsWith(".checkpoint") => n.stripSuffix(".checkpoint").toLong
+        }
         .foldLeft(0L)(math.max)
       val rec = new org.apache.hadoop.fs.Path(dir, f"$next%020d.commit")
       try {
@@ -186,17 +192,104 @@ object Catalog {
     * A crashed commit (claimed, not done) is invisible here until
     * [[recoverAppends]] finishes it, so snapshot readers never see a
     * torn commit. */
-  def versions(spark: SparkSession, layout: Layout): Seq[Long] = {
+  def versions(spark: SparkSession, layout: Layout): Seq[Long] =
+    logEntries(spark, layout).map(_._1).distinct.sorted
+
+  /** Fold the committed log prefix into ONE checkpoint record — the
+    * Delta-style log checkpoint: at thousands of commits,
+    * [[versions]]/[[loadAsOf]] would replay O(commits) tiny records;
+    * after a checkpoint they read one file plus the tail. The record
+    * (`_log/<seq>.checkpoint`) lists every (commit seq, live file)
+    * pair for committed commits ≤ seq, so snapshot reads BELOW the
+    * checkpoint stay exact. Written create-no-overwrite (the
+    * [[claimCommit]] claim primitive), so concurrent checkpointers
+    * collapse to one winner; [[pruneLog]] may then drop the folded
+    * `.commit`/`.done` records. Returns the checkpointed seq (None on
+    * an empty log). */
+  def checkpoint(spark: SparkSession, layout: Layout): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = logEntries(spark, layout)
+    if (entries.isEmpty) return None
+    val upTo = entries.map(_._1).max
+    val rec = new org.apache.hadoop.fs.Path(logDir(layout), f"$upTo%020d.checkpoint")
+    if (fs.exists(rec)) return Some(upTo)
+    val body = entries.sortBy(e => (e._1, e._2))
+      .map { case (seq, live) => s"$seq $live" }.mkString("\n")
+    try {
+      val out = fs.create(rec, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    } catch { case _: java.io.IOException => /* concurrent winner */ }
+    Some(upTo)
+  }
+
+  /** Drop `.commit`/`.done` records already folded into a checkpoint —
+    * the log-growth bound. Only records ≤ the LATEST checkpoint seq
+    * are removable; the checkpoint itself carries their history. */
+  def pruneLog(spark: SparkSession, layout: Layout): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
-    if (!fs.exists(log)) Seq.empty
-    else {
-      val entries = fs.listStatus(log).map(_.getPath.getName)
-      val done = entries.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
-      entries.filter(e => e.endsWith(".commit") && done.contains(e.stripSuffix(".commit")))
-        .map(_.stripSuffix(".commit").toLong).sorted.toSeq
+    if (!fs.exists(log)) return 0L
+    val names = fs.listStatus(log).map(_.getPath.getName)
+    val cps = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+    if (cps.isEmpty) return 0L
+    val upTo = cps.max
+    val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    var dropped = 0L
+    names.foreach { n =>
+      val isCommit = n.endsWith(".commit"); val isDone = n.endsWith(".done")
+      if (isCommit || isDone) {
+        val seq = n.stripSuffix(".commit").stripSuffix(".done").toLong
+        // never prune a claimed-but-unfinished commit: recovery needs it
+        if (seq <= upTo && done.contains(f"$seq%020d")) {
+          fs.delete(new org.apache.hadoop.fs.Path(log, n), false)
+          dropped += 1
+        }
+      }
     }
+    dropped
+  }
+
+  /** Every committed (seq, live-file) pair: the latest checkpoint's
+    * history plus the committed `.commit` tail above it. Live paths
+    * are relative (`source=X/c<seq>-name`). */
+  private def logEntries(spark: SparkSession, layout: Layout): Seq[(Long, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    if (!fs.exists(log)) return Seq.empty
+    val names = fs.listStatus(log).map(_.getPath.getName)
+    val cps = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+    def readLines(p: org.apache.hadoop.fs.Path): List[String] = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val (cpSeq, cpEntries) =
+      if (cps.isEmpty) (0L, Seq.empty[(Long, String)])
+      else {
+        val top = cps.max
+        val lines = readLines(new org.apache.hadoop.fs.Path(log, f"$top%020d.checkpoint"))
+        (top, lines.filter(_.nonEmpty).map { l =>
+          val sp = l.indexOf(' '); (l.substring(0, sp).toLong, l.substring(sp + 1))
+        })
+      }
+    val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    val tail = names
+      .filter(n => n.endsWith(".commit") && done.contains(n.stripSuffix(".commit")))
+      .map(_.stripSuffix(".commit").toLong).filter(_ > cpSeq).sorted
+      .flatMap { seq =>
+        val padded = f"$seq%020d"
+        readLines(new org.apache.hadoop.fs.Path(log, s"$padded.commit")).tail
+          .map { rel =>
+            val slash = rel.indexOf('/')
+            (seq, s"${rel.substring(0, slash)}/c$padded-${rel.substring(slash + 1)}")
+          }
+      }
+    cpEntries ++ tail
   }
 
   /** Time travel: the catalog exactly as of commit `version` — the
@@ -212,19 +305,9 @@ object Catalog {
     * O(commits) — the same order as Delta's log replay); the data
     * read is a normal pruned parquet scan. */
   def loadAsOf(spark: SparkSession, layout: Layout, version: Long): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val log = new org.apache.hadoop.fs.Path(logDir(layout))
-    val paths = versions(spark, layout).filter(_ <= version).flatMap { seq =>
-      val in = fs.open(new org.apache.hadoop.fs.Path(log, f"$seq%020d.commit"))
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
-      lines.tail.map { rel =>
-        val slash = rel.indexOf('/')
-        val (part, name) = (rel.substring(0, slash), rel.substring(slash + 1))
-        f"${layout.catalogDir}/$part/c$seq%020d-$name"
-      }
-    }
+    val paths = logEntries(spark, layout)
+      .filter(_._1 <= version)
+      .map { case (_, live) => s"${layout.catalogDir}/$live" }
     if (paths.isEmpty)
       spark.emptyDataFrame
     else

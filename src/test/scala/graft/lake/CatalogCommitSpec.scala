@@ -122,6 +122,44 @@ class CatalogCommitSpec extends SparkTestBase {
     assert(head == asOf)
   }
 
+  test("checkpoint + prune: history survives in one record; appends continue above it") {
+    val layout = Layout(tmpDir("cat-ckpt"))
+    Catalog.append(spark, layout, entries(4, 0, Seq("clicks")))
+    Catalog.append(spark, layout, entries(3, 100, Seq("tweets")))
+    Catalog.append(spark, layout, entries(2, 200, Seq("clicks", "logs")))
+    val beforeCp = (1L to 3L).map(v => Catalog.loadAsOf(spark, layout, v).count())
+
+    assert(Catalog.checkpoint(spark, layout) == Some(3L))
+    // checkpoint is idempotent
+    assert(Catalog.checkpoint(spark, layout) == Some(3L))
+    val dropped = Catalog.pruneLog(spark, layout)
+    assert(dropped == 6L, s"3 .commit + 3 .done records fold away (got $dropped)")
+    val log = new java.io.File(s"${layout.catalogDir}/_log")
+    assert(log.listFiles().map(_.getName).count(_.endsWith(".commit")) == 0)
+
+    // history below the checkpoint is EXACT from the one record
+    assert(Catalog.versions(spark, layout) == Seq(1L, 2L, 3L))
+    (1L to 3L).zip(beforeCp).foreach { case (v, n) =>
+      assert(Catalog.loadAsOf(spark, layout, v).count() == n,
+        s"version $v must replay identically from the checkpoint")
+    }
+
+    // appends continue ABOVE the checkpoint seq (numbering survives
+    // the pruned .commit records), and mixed checkpoint+tail reads work
+    Catalog.append(spark, layout, entries(5, 300, Seq("logs")))
+    assert(Catalog.versions(spark, layout) == Seq(1L, 2L, 3L, 4L),
+      "the next claimed id must be 4, not a reused 1")
+    assert(Catalog.loadAsOf(spark, layout, 4).count() == 14)
+    assert(Catalog.loadAsOf(spark, layout, 2).count() == beforeCp(1))
+    assert(Catalog.load(spark, layout).count() == 14)
+
+    // a second checkpoint folds the tail too
+    assert(Catalog.checkpoint(spark, layout) == Some(4L))
+    Catalog.pruneLog(spark, layout)
+    assert(Catalog.versions(spark, layout) == Seq(1L, 2L, 3L, 4L))
+    assert(Catalog.loadAsOf(spark, layout, 3).count() == beforeCp(2))
+  }
+
   test("loadAsOf never sees a claimed-but-unfinished commit; recovery promotes it") {
     val layout = Layout(tmpDir("cat-asof-crash"))
     Catalog.append(spark, layout, entries(6, 0, Seq("clicks")))
