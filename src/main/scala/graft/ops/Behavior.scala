@@ -712,6 +712,97 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** Linear multi-touch attribution — every purchase's value splits
+    * EQUALLY across ALL its in-window prior touches (the other end of
+    * the attribution family from [[attribution]]'s last-touch rule);
+    * no-touch purchases credit 'direct' in full. Exact conservation:
+    * credits are integer e6 units — each touch gets
+    * ⌊cents·10⁶ / n⌋ and the REMAINDER goes to the latest touch (a
+    * deterministic rule, so Σ credits ≡ cents·10⁶ per purchase,
+    * asserted by the spec and re-proven by the oracle hash).
+    *
+    * Scale: purchase × touch pairing is the BANDED range join (the
+    * [[graft.ops.EventOps.eventPairs60s]] rule): the purchase side
+    * explodes into its 8 covered day bands, the touch side registers
+    * at its band, and the join is a plain hash join on (user, day)
+    * with the exact window as a residual — never per-user quadratic.
+    * The per-purchase count/rank window partitions by purchase id
+    * (bounded by in-window touch count, never corpus-sized). */
+  def multiTouch(spark: SparkSession, sfDir: String,
+      lookbackUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"), col("us").as("t_us"),
+        col("event_type").as("channel"), floor(col("us") / dayUs).cast("long").as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"),
+        col("cents"),
+        explode(sequence(floor(col("us") / dayUs).cast("long") - lit(7),
+          floor(col("us") / dayUs).cast("long"))).as("day"))
+    val pairs = purchases.join(touches, Seq("user_id", "day"))
+      .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= lookbackUs)
+      .select(col("p_id"), col("cents"), col("channel"), col("t_us"), col("t_id"))
+    val wn = Window.partitionBy(col("p_id"))
+    val wr = Window.partitionBy(col("p_id")).orderBy(col("t_us").desc, col("t_id").desc)
+    val credited = pairs
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("rn", row_number().over(wr))
+      .select(col("p_id"), col("channel"),
+        (expr("(cents * 1000000) DIV n") +
+          when(col("rn") === 1, expr("(cents * 1000000) % n")).otherwise(lit(0L)))
+          .as("credit_e6"))
+    val direct = ev.filter(col("event_type") === "purchase")
+      .join(credited.select(col("p_id")).distinct()
+          .withColumnRenamed("p_id", "event_id"),
+        Seq("event_id"), "left_anti")
+      .select(lit("direct").as("channel"),
+        (col("cents") * lit(1000000L)).as("credit_e6"))
+    credited.select(col("channel"), col("credit_e6"))
+      .unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_credits"),
+        sum(col("credit_e6")).cast("long").as("sum_credit_e6"))
+      .orderBy(col("channel"))
+  }
+
+  /** Oracle twin of [[multiTouch]] — the plain (windowless-band) range
+    * join: green re-proves the banded rewrite, like the event-pairs
+    * family. */
+  def multiTouchSql(lookbackUs: Long = 7L * 86400 * 1000000): String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |pairs AS (
+       |  SELECT p.event_id AS p_id, p.cents, t.event_type AS channel,
+       |    t.us AS t_us, t.event_id AS t_id
+       |  FROM ev p JOIN ev t
+       |    ON t.user_id = p.user_id AND t.event_type <> 'purchase'
+       |   AND t.us < p.us AND p.us - t.us <= $lookbackUs
+       |  WHERE p.event_type = 'purchase'),
+       |credited AS (
+       |  SELECT p_id, channel,
+       |    (cents * 1000000) // count(*) OVER (PARTITION BY p_id) +
+       |    CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id DESC) = 1
+       |         THEN (cents * 1000000) % count(*) OVER (PARTITION BY p_id) ELSE 0 END
+       |      AS credit_e6
+       |  FROM pairs),
+       |direct AS (
+       |  SELECT 'direct' AS channel, cents * 1000000 AS credit_e6
+       |  FROM ev WHERE event_type = 'purchase'
+       |    AND event_id NOT IN (SELECT p_id FROM credited)),
+       |unioned AS (
+       |  SELECT channel, CAST(credit_e6 AS BIGINT) AS credit_e6 FROM credited
+       |  UNION ALL
+       |  SELECT channel, CAST(credit_e6 AS BIGINT) AS credit_e6 FROM direct)
+       |SELECT channel, count(*) AS n_credits,
+       |  CAST(sum(credit_e6) AS BIGINT) AS sum_credit_e6
+       |FROM unioned GROUP BY channel ORDER BY channel""".stripMargin
+
   /** Oracle twin of [[attribution]] — DuckDB's `IGNORE NULLS` window
     * carry-forward, identical µs-integer cutoff. */
   def attributionSql(lookbackUs: Long = 7L * 86400 * 1000000): String =

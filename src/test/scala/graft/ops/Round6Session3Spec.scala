@@ -258,6 +258,47 @@ class Round6Session3Spec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("multiTouch == plain-Scala split replay; credits conserve cents exactly") {
+    val lookbackUs = 7L * 86400 * 1000000
+    val raw = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[String]("event_type"), r.getAs[Long]("cents")))
+    val byUser = raw.groupBy(_._1)
+    val credits = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def add(ch: String, c: Long): Unit = {
+      val (n, s) = credits.getOrElse(ch, (0L, 0L)); credits(ch) = (n + 1, s + c)
+    }
+    raw.filter(_._4 == "purchase").foreach { case (u, _, pus, _, cents) =>
+      val touches = byUser(u)
+        .filter(e => e._4 != "purchase" && e._3 < pus && pus - e._3 <= lookbackUs)
+      if (touches.isEmpty) add("direct", cents * 1000000L)
+      else {
+        val n = touches.length
+        val base = cents * 1000000L / n
+        val rem = cents * 1000000L % n
+        val latest = touches.maxBy(e => (e._3, e._2))
+        touches.foreach { t =>
+          add(t._4, base + (if (t eq latest) rem else 0L))
+        }
+      }
+    }
+    val got = Behavior.multiTouch(spark, sfDir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_credits"), r.getAs[Long]("sum_credit_e6")))).toMap
+    assert(got == credits.toMap)
+    // conservation: every purchase's cents land somewhere, exactly
+    val totalPurchase = raw.filter(_._4 == "purchase").map(_._5).sum * 1000000L
+    assert(got.values.map(_._2).sum == totalPurchase)
+  }
+
   test("incrAggMerge: base+delta partial merge == flat recompute, and cutoff partitions rows") {
     import org.apache.spark.sql.functions._
     val merged = Aggregates.incrAggMerge(spark, sfDir).collect()
