@@ -92,6 +92,60 @@ object Erase {
       } catch { case _: Exception => matches(line) }
   }
 
+  // --------------------------------------------------------------------
+  // Tombstones: standing erasure for FUTURE arrivals
+  // --------------------------------------------------------------------
+
+  /** A standing erasure rule: records of `source` whose top-level
+    * `field` equals `value` are dropped at streaming intake
+    * ([[graft.streaming.StreamIngest.processBatch]] applies the
+    * current set to every micro-batch). [[eraseWhere]] clears the
+    * copies that already exist; a tombstone stops new ones — together
+    * they are complete erasure under continuous ingestion. */
+  final case class Tombstone(source: String, field: String, value: String)
+
+  def tombstonesDir(layout: Layout): String = s"${layout.root}/_tombstones"
+
+  /** Register a tombstone (one tiny json file, atomic create). */
+  def addTombstone(spark: SparkSession, layout: Layout, t: Tombstone): Unit = {
+    val dir = new Path(tombstonesDir(layout))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("source", t.source); node.put("field", t.field); node.put("value", t.value)
+    val p = new Path(dir, s"ts-${java.util.UUID.randomUUID().toString.take(12)}.json")
+    val out = fs.create(p, false)
+    try out.write(m.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** The current tombstone set (driver-side; erasure registries are
+    * human-scale — thousands, not billions). */
+  def tombstones(spark: SparkSession, layout: Layout): Seq[Tombstone] = {
+    val dir = new Path(tombstonesDir(layout))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).toSeq
+      .sortBy(_.getPath.getName)
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val node = try m.readTree(in) finally in.close()
+        Tombstone(node.path("source").asText(), node.path("field").asText(),
+          node.path("value").asText())
+      }
+  }
+
+  /** Serializable (source, json) => drop? matcher over a tombstone
+    * set — predicates are prebuilt once, not per record. */
+  def recordMatcher(ts: Seq[Tombstone]): (String, String) => Boolean = {
+    val bySource: Map[String, Seq[String => Boolean]] =
+      ts.groupBy(_.source).map { case (s, rules) =>
+        s -> rules.map(r => jsonFieldEquals(r.field, r.value))
+      }
+    (source, json) => bySource.get(source).exists(_.exists(_(json)))
+  }
+
   /** Erase every record of `source` matching `matches` from bronze,
     * lake, and distribution. Idempotent: a second run matches nothing
     * and rewrites nothing. */

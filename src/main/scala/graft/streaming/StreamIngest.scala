@@ -64,6 +64,27 @@ object StreamIngest {
   def processBatch(batch: DataFrame, layout: Layout, arrivalMs: Long,
       batchId: Long = -1L): Unit = {
     if (batch.isEmpty) return
+    // the standing-erasure gate: records matching a registered
+    // tombstone never enter the catalog or the distribution area —
+    // with lake/Erase.eraseWhere clearing existing copies, erasure
+    // stays complete while ingestion keeps running. The set is read
+    // per batch (tiny, driver-side) so a tombstone takes effect at
+    // the NEXT micro-batch without a stream restart.
+    val rawBatch = batch
+    val tombs = graft.lake.Erase.tombstones(batch.sparkSession, layout)
+    val gated = if (tombs.isEmpty) rawBatch else {
+      val drop = graft.lake.Erase.recordMatcher(tombs)
+      val s = rawBatch.sparkSession
+      import s.implicits._
+      rawBatch.select("source", "key", "json").as[(String, String, String)]
+        .filter(r => !drop(r._1, r._3))
+        .toDF("source", "key", "json")
+    }
+    processGated(gated, layout, arrivalMs, batchId)
+  }
+
+  private def processGated(batch: DataFrame, layout: Layout, arrivalMs: Long,
+      batchId: Long): Unit = {
     // Hadoop FileSystem API (not java.io.File): the checkpoint dir may
     // be HDFS/S3 on a real cluster, where File.exists() is always
     // false and the idempotency guard would silently disappear

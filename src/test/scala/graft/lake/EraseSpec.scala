@@ -85,6 +85,34 @@ class EraseSpec extends SparkTestBase {
     assert(!p("""not json at all"""), "malformed input cannot be attributed — never erased")
   }
 
+  test("tombstone + eraseWhere = complete erasure under continuing ingestion") {
+    val layout = Layout(tmpDir("erase-tomb"))
+    // history: subject A already in the lake
+    writeGzObject(layout.bronzeSourceDir("clicks"), "h1.gz", rec("A", 1) + rec("B", 2))
+    graft.streaming.StreamIngest.processBatch(
+      Ingest.readBronzeSource(spark, layout, "clicks"), layout, 1704067200000L, 1L)
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 2)
+
+    // the erasure request: clear history AND register the tombstone
+    Erase.addTombstone(spark, layout, Erase.Tombstone("clicks", "user", "A"))
+    Erase.eraseWhere(spark, layout, "clicks", Erase.jsonFieldEquals("user", "A"))
+    assert(Distribution.subscribe(spark, layout, "clicks").count() == 1)
+
+    // future arrivals of the subject are gated at intake — B flows, A never lands
+    writeGzObject(layout.bronzeSourceDir("clicks"), "h2.gz",
+      rec("A", 3) + rec("B", 4) + rec("A", 5))
+    graft.streaming.StreamIngest.processBatch(
+      Ingest.readBronzeSource(spark, layout, "clicks")
+        .filter(org.apache.spark.sql.functions.col("key").contains("h2.gz")),
+      layout, 1704067260000L, 2L)
+    val dist = Distribution.subscribe(spark, layout, "clicks")
+      .select("json").collect().map(_.getString(0)).toSeq
+    assert(dist.sorted == Seq(rec("B", 2), rec("B", 4)).sorted,
+      s"only B's records may exist after the gate: $dist")
+    // the tombstone does not block OTHER sources
+    assert(Erase.recordMatcher(Erase.tombstones(spark, layout))("tweets", rec("A", 9)) == false)
+  }
+
   test("replay after erasure serves the erased view (no resurrecting the subject)") {
     val layout = Layout(tmpDir("erase-replay"))
     writeGzObject(layout.bronzeSourceDir("logs"), "o1.gz", rec("A", 1) + rec("B", 2))
