@@ -136,6 +136,35 @@ object Erase {
       }
   }
 
+  /** Apply every not-yet-applied tombstone to HISTORY — the
+    * maintenance half of erasure automation: the intake gate stops new
+    * arrivals from the moment a tombstone lands; this job clears the
+    * copies that predate it, then marks the tombstone applied (an
+    * `.applied` sibling, so re-runs skip it). Idempotent by both the
+    * marker and [[eraseWhere]]'s own idempotence; a crash between
+    * erase and marker just re-runs a no-op erase. Returns the number
+    * of tombstones applied this run. */
+  def applyTombstones(spark: SparkSession, layout: Layout): Long = {
+    val dir = new Path(tombstonesDir(layout))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val names = fs.listStatus(dir).map(_.getPath.getName).toSet
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    var applied = 0L
+    names.filter(_.endsWith(".json")).toSeq.sorted.foreach { n =>
+      val markerName = n.stripSuffix(".json") + ".applied"
+      if (!names.contains(markerName)) {
+        val in = fs.open(new Path(dir, n))
+        val node = try m.readTree(in) finally in.close()
+        eraseWhere(spark, layout, node.path("source").asText(),
+          jsonFieldEquals(node.path("field").asText(), node.path("value").asText()))
+        fs.create(new Path(dir, markerName), true).close()
+        applied += 1
+      }
+    }
+    applied
+  }
+
   /** Serializable (source, json) => drop? matcher over a tombstone
     * set — predicates are prebuilt once, not per record. */
   def recordMatcher(ts: Seq[Tombstone]): (String, String) => Boolean = {

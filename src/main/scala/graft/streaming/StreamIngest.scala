@@ -101,9 +101,22 @@ object StreamIngest {
         fs.mkdirs(markersDir)
         fs.create(marker, true).close()
         pruneMarkers(fs, markersDir, batchId)
+        // periodic log maintenance: fold the committed catalog-log
+        // prefix into one checkpoint and drop the folded records, so
+        // a long-lived stream's log replay cost stays O(1) + tail
+        // instead of O(total commits). Best-effort — a failed fold
+        // only delays the next one.
+        if (batchId > 0 && batchId % checkpointEvery == 0)
+          try {
+            Catalog.checkpoint(batch.sparkSession, layout)
+            Catalog.pruneLog(batch.sparkSession, layout)
+          } catch { case _: java.io.IOException => () }
       }
     } finally cached.unpersist()
   }
+
+  /** Catalog-log checkpoint cadence (in micro-batches). */
+  val checkpointEvery: Long = 100L
 
   /** Markers strictly older than (committed − keep) can never be
     * replayed again (the source checkpoint has moved past them) —

@@ -160,6 +160,33 @@ class CatalogCommitSpec extends SparkTestBase {
     assert(Catalog.loadAsOf(spark, layout, 3).count() == beforeCp(2))
   }
 
+  test("stream ingest auto-checkpoints the catalog log on its cadence") {
+    val layout = Layout(tmpDir("cat-autockpt"))
+    val s = spark
+    import s.implicits._
+    def batchOf(n: Int, off: Int) = (0 until n)
+      .map(i => ("clicks", s"obj-${off + i}", s"""{"v":${off + i}}"""))
+      .toDF("source", "key", "json")
+    // drive batch ids across one checkpoint boundary
+    (1L to (graft.streaming.StreamIngest.checkpointEvery + 1L)).foreach { id =>
+      // keep it cheap: only the batches near the boundary carry rows
+      if (id >= graft.streaming.StreamIngest.checkpointEvery - 1)
+        graft.streaming.StreamIngest.processBatch(
+          batchOf(2, id.toInt * 10), layout, 1704067200000L + id, id)
+      else if (id <= 2)
+        graft.streaming.StreamIngest.processBatch(
+          batchOf(1, id.toInt * 10), layout, 1704067200000L + id, id)
+    }
+    val log = new java.io.File(s"${layout.catalogDir}/_log")
+    val names = log.listFiles().map(_.getName)
+    assert(names.exists(_.endsWith(".checkpoint")),
+      s"the cadence batch must have folded the log: ${names.toSeq.sorted}")
+    // reads stay correct across the fold
+    val total = Catalog.load(spark, layout).count()
+    assert(Catalog.loadAsOf(spark, layout, Long.MaxValue).count() == total)
+    assert(total > 0)
+  }
+
   test("loadAsOf never sees a claimed-but-unfinished commit; recovery promotes it") {
     val layout = Layout(tmpDir("cat-asof-crash"))
     Catalog.append(spark, layout, entries(6, 0, Seq("clicks")))

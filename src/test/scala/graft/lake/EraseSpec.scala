@@ -113,6 +113,28 @@ class EraseSpec extends SparkTestBase {
     assert(Erase.recordMatcher(Erase.tombstones(spark, layout))("tweets", rec("A", 9)) == false)
   }
 
+  test("applyTombstones clears history for every pending rule, exactly once") {
+    val layout = Layout(tmpDir("erase-apply"))
+    writeGzObject(layout.bronzeSourceDir("clicks"), "a1.gz",
+      rec("A", 1) + rec("B", 2) + rec("C", 3))
+    Ingest.ingestBatch(spark, layout, arrivalMs = 1704067200000L)
+    Erase.addTombstone(spark, layout, Erase.Tombstone("clicks", "user", "A"))
+    Erase.addTombstone(spark, layout, Erase.Tombstone("clicks", "user", "C"))
+
+    assert(Erase.applyTombstones(spark, layout) == 2L)
+    val lake = spark.read.parquet(s"${layout.lakeDir}/source=clicks")
+      .select("json").collect().map(_.getString(0)).toSeq
+    assert(lake == Seq(rec("B", 2)), s"A and C history must be gone: $lake")
+    // second run: markers make it a no-op
+    assert(Erase.applyTombstones(spark, layout) == 0L)
+    // a NEW tombstone is picked up by the next run
+    Erase.addTombstone(spark, layout, Erase.Tombstone("clicks", "user", "B"))
+    assert(Erase.applyTombstones(spark, layout) == 1L)
+    assert(spark.read.parquet(s"${layout.lakeDir}/source=clicks").count() == 0)
+    // the gate still sees all three rules (markers are not tombstones)
+    assert(Erase.tombstones(spark, layout).size == 3)
+  }
+
   test("replay after erasure serves the erased view (no resurrecting the subject)") {
     val layout = Layout(tmpDir("erase-replay"))
     writeGzObject(layout.bronzeSourceDir("logs"), "o1.gz", rec("A", 1) + rec("B", 2))
