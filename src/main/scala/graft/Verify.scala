@@ -20,6 +20,14 @@ object Verify {
     // dev-only subset filter (comma-separated names); driver leaves it
     // unset and gets the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // loud + on-disk trace when the dev-only filter is active, so a
+    // subsetted run can never masquerade as a full correctness gate
+    only.foreach { subset =>
+      val msg = s"[verify] WARNING: SPARK_GRAFT_ONLY active - verifying ONLY " +
+        s"${subset.size} of ${SparkEntry.queries.size} queries: ${subset.toSeq.sorted.mkString(",")}"
+      System.err.println(msg)
+      Files.writeString(Paths.get(s"$outDir/SUBSET_WARNING.txt"), msg)
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -94,6 +94,33 @@ object Distribution {
       s"subscribeConsistent($source): no consistent read within ${maxWaitMs} ms", lastFailure)
   }
 
+  /** SNAPSHOT-ISOLATED subscriber view — the committed-surface read:
+    * instead of listing the partition directory (which can race a
+    * compaction's swap or double-count a not-yet-vacuumed rewrite),
+    * the file set comes from the lake manifest log
+    * ([[Catalog.distLiveFiles]]): every committed add minus every
+    * committed remove, resolved atomically at plan time. A compaction
+    * ([[Compaction.compactSourceCommitted]]) or replay running
+    * CONCURRENTLY with this read cannot change the returned rows —
+    * the reader sees either the pre- or post-compaction file set,
+    * both byte-identical in content; physical deletion is deferred to
+    * [[Catalog.vacuumDist]] so even an in-flight read of the old
+    * snapshot completes.
+    *
+    * Scale: the log read is O(commits-since-checkpoint) tiny driver
+    * records (the Delta replay bound); the data read is a normal
+    * parquet-style pruned scan over exactly the live files. */
+  def subscribeSnapshot(spark: SparkSession, layout: Layout, source: String): DataFrame = {
+    val live = Catalog.distLiveFiles(spark, layout)
+      .filter(_.startsWith(s"source=$source/"))
+    if (live.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(String, String, String)].toDF("key", "json", "source")
+    }
+    spark.read.option("basePath", layout.distributionDir).format("json")
+      .load(live.map(rel => s"${layout.distributionDir}/$rel"): _*)
+  }
+
   /** PUSH-based subscriber delivery — the SNS→Lambda push analogue
     * (`/root/reference/serverless_datalake/serverless_datalake_stack.py:233-265`,
     * handler `src/test_subscriber/lambda_function.py:8-9`), closing

@@ -136,15 +136,27 @@ object Erase {
       }
   }
 
-  /** Apply every not-yet-applied tombstone to HISTORY — the
-    * maintenance half of erasure automation: the intake gate stops new
-    * arrivals from the moment a tombstone lands; this job clears the
-    * copies that predate it, then marks the tombstone applied (an
-    * `.applied` sibling, so re-runs skip it). Idempotent by both the
-    * marker and [[eraseWhere]]'s own idempotence; a crash between
-    * erase and marker just re-runs a no-op erase. Returns the number
-    * of tombstones applied this run. */
-  def applyTombstones(spark: SparkSession, layout: Layout): Long = {
+  /** Apply pending tombstones to HISTORY and RE-apply them to late
+    * bronze arrivals — the maintenance half of erasure automation, run
+    * on a cadence. The intake gate keeps matched records out of the
+    * catalog and distribution from the moment a tombstone lands, but
+    * the raw BRONZE objects are written by the external producer
+    * upstream of the gate — so an object landing AFTER a tombstone's
+    * first application can still carry the subject's raw records.
+    * Hence each application records a WATERMARK (the `.applied`
+    * sibling's content = the scan-start epoch-millis), and every
+    * subsequent run re-applies the tombstone to bronze objects
+    * modified since `watermark − reapplySlackMs` (the slack absorbs
+    * clock skew between the producer and this job), then advances the
+    * watermark. Idempotent at every step ([[eraseWhere]] and
+    * [[rewriteObject]] match nothing on a re-run); a crash between
+    * erase and marker just re-runs a no-op erase.
+    *
+    * Returns the number of tombstones that DID WORK this run: first
+    * applications, plus re-applications that dropped at least one
+    * late-arriving record. A quiescent re-run returns 0. */
+  def applyTombstones(spark: SparkSession, layout: Layout,
+      reapplySlackMs: Long = 60000L): Long = {
     val dir = new Path(tombstonesDir(layout))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
@@ -153,16 +165,55 @@ object Erase {
     var applied = 0L
     names.filter(_.endsWith(".json")).toSeq.sorted.foreach { n =>
       val markerName = n.stripSuffix(".json") + ".applied"
+      val marker = new Path(dir, markerName)
+      val in = fs.open(new Path(dir, n))
+      val node = try m.readTree(in) finally in.close()
+      val source = node.path("source").asText()
+      val pred = jsonFieldEquals(node.path("field").asText(), node.path("value").asText())
+      val startMs = System.currentTimeMillis()
+      def writeMarker(): Unit = {
+        val out = fs.create(marker, true)
+        try out.write(startMs.toString.getBytes("UTF-8")) finally out.close()
+      }
       if (!names.contains(markerName)) {
-        val in = fs.open(new Path(dir, n))
-        val node = try m.readTree(in) finally in.close()
-        eraseWhere(spark, layout, node.path("source").asText(),
-          jsonFieldEquals(node.path("field").asText(), node.path("value").asText()))
-        fs.create(new Path(dir, markerName), true).close()
+        eraseWhere(spark, layout, source, pred)
+        writeMarker()
         applied += 1
+      } else {
+        // re-apply the BRONZE leg to objects newer than the watermark
+        // (catalog/distribution arrivals are already gated at intake)
+        val wmIn = fs.open(marker)
+        val wm = try scala.io.Source.fromInputStream(wmIn, "UTF-8").mkString.trim
+          .toLongOption.getOrElse(0L) finally wmIn.close()
+        val dropped = eraseBronzeModifiedSince(spark, layout, source, pred,
+          wm - reapplySlackMs)
+        writeMarker() // advance the watermark even when nothing matched
+        if (dropped > 0) applied += 1
       }
     }
     applied
+  }
+
+  /** Re-apply an erasure predicate to bronze objects of `source`
+    * modified at or after `cutoffMs` — the bounded re-application leg
+    * of [[applyTombstones]]: only late arrivals are read, one rewrite
+    * task per object. Returns records dropped. */
+  private def eraseBronzeModifiedSince(spark: SparkSession, layout: Layout,
+      source: String, matches: String => Boolean, cutoffMs: Long): Long = {
+    val dir = new Path(layout.bronzeSourceDir(source))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val recent = fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") && st.getModificationTime >= cutoffMs)
+      .map(_.getPath.toString)
+    if (recent.isEmpty) return 0L
+    val conf = org.apache.spark.graft.ConfBridge.serializable(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(recent.toSeq, math.min(recent.length, 64))
+      .map(key => rewriteObject(conf.value, key, matches))
+      .sum().toLong
   }
 
   /** Serializable (source, json) => drop? matcher over a tombstone
@@ -181,14 +232,12 @@ object Erase {
   def eraseWhere(spark: SparkSession, layout: Layout, source: String,
       matches: String => Boolean, maxAffectedObjects: Int = 100000): EraseReport = {
     val bronzeStats = eraseBronze(spark, layout, source, matches, maxAffectedObjects)
-    val lakeDropped = erasePartition(spark, layout, source, matches,
-      s"${layout.lakeDir}", "parquet")
+    val lakeDropped = erasePartition(spark, layout, source, matches, layout.lakeDir)
     val distDropped =
       if (new Path(s"${layout.distributionDir}/source=$source")
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(new Path(s"${layout.distributionDir}/source=$source")))
-        erasePartition(spark, layout, source, matches,
-          s"${layout.distributionDir}", "json")
+        eraseDistribution(spark, layout, source, matches)
       else 0L
     EraseReport(source, bronzeStats._1, bronzeStats._2, lakeDropped, distDropped)
   }
@@ -199,6 +248,9 @@ object Erase {
   private def eraseBronze(spark: SparkSession, layout: Layout, source: String,
       matches: String => Boolean, maxAffectedObjects: Int): (Long, Long) = {
     import spark.implicits._
+    val bronzeDir = new Path(layout.bronzeSourceDir(source))
+    if (!bronzeDir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bronzeDir))
+      return (0L, 0L) // derived-only source: nothing raw to rewrite
     val affected = Ingest.readBronzeSource(spark, layout, source)
       .as[(String, String, String)]
       .filter(r => matches(r._3))
@@ -258,11 +310,69 @@ object Erase {
     (records.length - kept.length).toLong
   }
 
-  /** Lake/distribution leg: filter the partition's `json` payloads and
+  /** Distribution leg, LOG-COMMITTED (round-7): the rewrite lands as
+    * one manifest-log commit — adds = the filtered files, removes =
+    * the pre-rewrite file set — so [[Distribution.subscribeSnapshot]]
+    * readers and concurrent committed publishes/compactions are never
+    * raced (the old dir-swap could delete a file a concurrent replay
+    * appended between the read and the swap). Differences from normal
+    * maintenance ([[Compaction.compactSourceCommitted]]):
+    *  - the content read and the physical deletion are pinned to the
+    *    file list SNAPSHOTTED up front, so files published
+    *    concurrently are neither doubled nor destroyed (their records
+    *    are already gated at intake by the tombstone);
+    *  - old files are deleted IMMEDIATELY after the commit, not
+    *    vacuum-deferred — erasure is a legal deletion, and an
+    *    in-flight reader of the old snapshot failing mid-read is the
+    *    correct trade;
+    *  - raw JSON lines are kept byte-identical (staged as text and
+    *    renamed to `.json`), so unknown record schemas survive.
+    * Returns records dropped. */
+  private def eraseDistribution(spark: SparkSession, layout: Layout, source: String,
+      matches: String => Boolean): Long = {
+    val dirStr = s"${layout.distributionDir}/source=$source"
+    val dir = new Path(dirStr)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // snapshot the physical file list: the content read, the log
+    // removes, and the deletion all operate on exactly this set
+    val oldFiles = fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (oldFiles.isEmpty) return 0L
+    val lineMatches = new DistLineMatches(matches)
+    val df = spark.read.textFile(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*)
+    val total = df.count()
+    val keptDf = df.filter(line => !lineMatches(line))
+    val keptCount = keptDf.count()
+    if (keptCount == total) return 0L
+    // stage kept lines byte-identically as source=X/*.json
+    val uuid = java.util.UUID.randomUUID().toString
+    val stageTmp = new Path(s"${layout.distributionDir}/_staged/$uuid-txt")
+    val stagePart = new Path(s"${layout.distributionDir}/_staged/$uuid/source=$source")
+    keptDf.write.mode("overwrite").text(stageTmp.toString)
+    fs.mkdirs(stagePart)
+    fs.listStatus(stageTmp)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .foreach { st =>
+        val name = st.getPath.getName.replaceAll("\\.txt$", "") + ".json"
+        if (!fs.rename(st.getPath, new Path(stagePart, name)))
+          throw new java.io.IOException(s"erase: cannot stage ${st.getPath}")
+      }
+    fs.delete(stageTmp, true)
+    val removes = oldFiles.map(p => s"source=$source/${p.getName}").toSeq
+    Catalog.commitDistPrestaged(spark, layout, uuid, removes)
+    // erasure deletes NOW (no vacuum grace): the subject's bytes must go
+    oldFiles.foreach(p => fs.delete(p, false))
+    total - keptCount
+  }
+
+  /** Lake leg: filter the partition's `json` payloads and
     * swap the rewritten partition in via [[Compaction]]'s two-rename
     * contract. Returns rows dropped. */
   private def erasePartition(spark: SparkSession, layout: Layout, source: String,
-      matches: String => Boolean, rootDir: String, format: String): Long = {
+      matches: String => Boolean, rootDir: String): Long = {
     import spark.implicits._
     val dirStr = s"$rootDir/source=$source"
     val dir = new Path(dirStr)
@@ -272,30 +382,15 @@ object Erase {
     val bak = new Path(s"$rootDir/_erased_old_source=$source")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     if (fs.exists(bak)) fs.delete(bak, true)
-    val (kept, droppedCount) = format match {
-      case "parquet" =>
-        val df = spark.read.parquet(dirStr)
-        val total = df.count()
-        val keptDf = df.select("key", "json").as[(String, String)]
-          .filter(r => !matches(r._2)).toDF("key", "json")
-        val keptCount = keptDf.count()
-        if (keptCount == total) return 0L
-        keptDf.write.mode("overwrite").parquet(tmp.toString)
-        (keptCount, total - keptCount)
-      case _ =>
-        // distribution stores JSON records one per line; filter raw
-        // lines so unknown record schemas survive byte-identically.
-        // Published rows wrap the original record as a `json` string
-        // field (Distribution.publish of a bronze frame) — unwrap it
-        // for the predicate so the same subject rule applies here.
-        val lineMatches = new DistLineMatches(matches)
-        val df = spark.read.textFile(dirStr)
-        val total = df.count()
-        val keptDf = df.filter(line => !lineMatches(line))
-        val keptCount = keptDf.count()
-        if (keptCount == total) return 0L
-        keptDf.write.mode("overwrite").text(tmp.toString)
-        (keptCount, total - keptCount)
+    val (kept, droppedCount) = {
+      val df = spark.read.parquet(dirStr)
+      val total = df.count()
+      val keptDf = df.select("key", "json").as[(String, String)]
+        .filter(r => !matches(r._2)).toDF("key", "json")
+      val keptCount = keptDf.count()
+      if (keptCount == total) return 0L
+      keptDf.write.mode("overwrite").parquet(tmp.toString)
+      (keptCount, total - keptCount)
     }
     val _ = kept
     if (!fs.rename(dir, bak))

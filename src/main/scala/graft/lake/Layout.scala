@@ -82,6 +82,56 @@ object Compaction {
     fs.exists(dir) || transientPaths(layout, source).exists(fs.exists)
   }
 
+  /** COMMITTED compaction — the manifest-log form of [[compactSource]]
+    * with no reader-visible window at all: the compacted file is
+    * staged and committed in ONE log record that atomically adds it
+    * and removes the inputs ([[Catalog.commitDist]]), so a
+    * [[Distribution.subscribeSnapshot]] reader concurrent with the
+    * compaction (or with a replay publishing new files) sees either
+    * the old file set or the new one — byte-identical content either
+    * way. Old files are only logically removed here; physical space is
+    * reclaimed by [[Catalog.vacuumDist]] after its grace period, so a
+    * reader that already planned against the old snapshot finishes.
+    *
+    * Concurrent COMPACTIONS of the same source are serialized by a
+    * stale-stealable lock file (two compactions reading the same
+    * inputs would otherwise both commit adds for the same content —
+    * doubled records); concurrent PUBLISHES need no lock: a file
+    * committed between this compaction's snapshot read and its commit
+    * is simply not in the remove set and stays live. Returns records
+    * compacted (0 when already at or under `targetFiles`). */
+  def compactSourceCommitted(spark: SparkSession, layout: Layout, source: String,
+      targetFiles: Int = 1, lockTtlMs: Long = 10 * 60 * 1000L): Long = {
+    val lockDir = new Path(s"${layout.catalogDir}/_log")
+    val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lockDir)
+    val lock = new Path(lockDir, s"_compact-$source.lock")
+    def tryLock(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException =>
+        // steal a stale lock from a crashed compactor
+        val st = try Some(fs.getFileStatus(lock)) catch { case _: java.io.IOException => None }
+        if (st.exists(s => System.currentTimeMillis() - s.getModificationTime > lockTtlMs)) {
+          fs.delete(lock, false)
+          try { fs.create(lock, false).close(); true }
+          catch { case _: java.io.IOException => false }
+        } else false
+      }
+    if (!tryLock())
+      throw new java.io.IOException(
+        s"compactSourceCommitted($source): another compaction holds the lock")
+    try {
+      val live = Catalog.distLiveFiles(spark, layout)
+        .filter(_.startsWith(s"source=$source/"))
+      if (live.size <= targetFiles) return 0L
+      val df = spark.read.option("basePath", layout.distributionDir).format("json")
+        .load(live.map(rel => s"${layout.distributionDir}/$rel"): _*)
+      val n = df.count()
+      Catalog.commitDist(spark, layout, df.coalesce(targetFiles), removes = live)
+      n
+    } finally fs.delete(lock, false)
+  }
+
   def compactSource(spark: SparkSession, layout: Layout, source: String,
       targetFiles: Int = 1): Long = {
     val dirStr = s"${layout.distributionDir}/source=$source"

@@ -29,7 +29,23 @@ object Replay {
   /** Replay [t0, t1] of `source` into the distribution area; returns
     * the number of re-published records. */
   def replay(spark: SparkSession, layout: Layout, source: String,
-      t0: java.sql.Timestamp, t1: java.sql.Timestamp): Long = {
+      t0: java.sql.Timestamp, t1: java.sql.Timestamp): Long =
+    replayImpl(spark, layout, source, t0, t1, committed = false)
+
+  /** [[replay]] onto the COMMITTED distribution surface: the
+    * re-published records land as one manifest-log commit
+    * ([[Catalog.commitDist]]), so the replay is atomic to
+    * [[Distribution.subscribeSnapshot]] readers and safe to run
+    * concurrently with [[Compaction.compactSourceCommitted]] — the
+    * log's claim order serializes the two commits, and the
+    * compaction's remove set can never name the replay's file (it was
+    * fixed at the compaction's own snapshot read). */
+  def replayCommitted(spark: SparkSession, layout: Layout, source: String,
+      t0: java.sql.Timestamp, t1: java.sql.Timestamp): Long =
+    replayImpl(spark, layout, source, t0, t1, committed = true)
+
+  private def replayImpl(spark: SparkSession, layout: Layout, source: String,
+      t0: java.sql.Timestamp, t1: java.sql.Timestamp, committed: Boolean): Long = {
     val matched = Catalog.rangeQuery(spark, layout, source, t0, t1)
       .select(col("key")).distinct()
     val nKeys = matched.count()
@@ -48,7 +64,9 @@ object Replay {
             col("key") === col("mkey"), "left_semi")
       }
     val n = records.count()
-    Distribution.publish(records.select(col("source"), col("key"), col("json")), layout)
+    val out = records.select(col("source"), col("key"), col("json"))
+    if (committed) Catalog.commitDist(spark, layout, out)
+    else Distribution.publish(out, layout)
     // NOTE deliberately no Catalog.append here (§2.3 item 2).
     n
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.lake.{Catalog, ConcatJson, Distribution, Ingest, Layout}
+import graft.lake.{Catalog, ConcatJson, Ingest, Layout}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -53,14 +53,18 @@ object StreamIngest {
     * batch tests (and batch [[graft.lake.Ingest.ingestBatch]]) exercise
     * the same code path the stream runs — SURVEY §7.4 risk 3.
     *
-    * Delivery semantics: the SOURCE side is exactly-once (checkpointed
-    * file-stream offsets), but foreachBatch with two appends is
-    * at-least-once on redelivery — like the reference's SQS path. A
-    * completion marker per batchId makes a fully-committed batch
-    * idempotent on redelivery; a crash BETWEEN the two appends can
-    * still duplicate that one batch's catalog rows (window documented
-    * here deliberately — the cure is [[dedupedByEventId]] downstream,
-    * mirroring SURVEY §2.3 item 7). */
+    * Delivery semantics: END-TO-END EXACTLY-ONCE. The source side is
+    * exactly-once (checkpointed file-stream offsets), and the sink
+    * side is ONE [[graft.lake.Catalog.commitIngest]] manifest-log
+    * commit spanning the catalog append, the distribution publish, and
+    * the batch-completion marker — so there is no window between "two
+    * appends" for a crash to land in. A crash before CLAIM leaves only
+    * invisible staging (redelivery re-runs cleanly); a crash after
+    * CLAIM is finished — marker included — by
+    * [[graft.lake.Catalog.recoverAppends]] at the next [[start]], and
+    * the redelivered batch then skips on its marker. Strictly stronger
+    * than the reference's unatomic DynamoDB-put + SNS-publish pair
+    * (`/root/reference/src/event_recorder/lambda_function.py:46-65`). */
   def processBatch(batch: DataFrame, layout: Layout, arrivalMs: Long,
       batchId: Long = -1L): Unit = {
     if (batch.isEmpty) return
@@ -95,22 +99,29 @@ object StreamIngest {
     if (batchId >= 0 && fs.exists(marker)) return // replayed completed batch
     val cached = batch.persist()
     try {
-      Catalog.append(batch.sparkSession, layout, Catalog.entriesFor(cached, arrivalMs))
-      Distribution.publish(cached, layout)
+      // ONE atomic commit: catalog entries + distribution fan-out +
+      // completion marker, all under a single manifest-log record —
+      // see the delivery-semantics contract on processBatch above
+      Catalog.commitIngest(batch.sparkSession, layout,
+        Catalog.entriesFor(cached, arrivalMs),
+        cached.select("source", "key", "json"), batchId,
+        if (batchId >= 0) Some(marker.toString) else None)
       if (batchId >= 0) {
-        fs.mkdirs(markersDir)
-        fs.create(marker, true).close()
         pruneMarkers(fs, markersDir, batchId)
         // periodic log maintenance: fold the committed catalog-log
         // prefix into one checkpoint and drop the folded records, so
         // a long-lived stream's log replay cost stays O(1) + tail
         // instead of O(total commits). Best-effort — a failed fold
-        // only delays the next one.
+        // only delays the next one. NonFatal (not just IOException):
+        // a stray file in _log surfaces as NumberFormatException etc.,
+        // and maintenance must never crash-loop a committed batch.
         if (batchId > 0 && batchId % checkpointEvery == 0)
           try {
             Catalog.checkpoint(batch.sparkSession, layout)
             Catalog.pruneLog(batch.sparkSession, layout)
-          } catch { case _: java.io.IOException => () }
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[StreamIngest] catalog-log maintenance failed (deferred): $e")
+          }
       }
     } finally cached.unpersist()
   }

@@ -414,13 +414,27 @@ class PlanAuditSpec extends SparkTestBase {
       s"sketch joins exact counts on the group key only:\n$p")
   }
 
-  test("boilerplateNgrams: one generator pass, DF join is an equi-join") {
-    val df = Text.boilerplateNgrams(spark, sfDir)
-    df.collect()
-    val p = plan(df)
-    assert(p.contains("Generate explode"), s"spans must come from one explode:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"gram-to-DF lookup must be an equi-join on the ngram key:\n$p")
+  test("boilerplateNgrams: one generator pass via the cached counts table; " +
+      "DF join is an equi-join") {
+    // the production entry persists the per-(doc, ngram) counts table
+    // across its two consumers (without it the tokenize+explode runs
+    // twice — verified: the dfreq branch's rewritten agg defeats
+    // exchange reuse); audit the same persisted shape here
+    val docNg = Text.boilerplateDocNg(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tree = Text.boilerplateFrom(docNg, 10)
+      tree.collect()
+      val p = plan(tree)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"both consumers must read the cached counts table, not re-explode:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"gram-to-DF lookup must be an equi-join on the ngram key:\n$p")
+      // the public entry (persist + eager materialize) agrees row-for-row
+      val pub = Text.boilerplateNgrams(spark, sfDir).collect()
+      assert(pub.map(_.toString).sorted.toSeq ==
+        tree.collect().map(_.toString).sorted.toSeq)
+    } finally docNg.unpersist()
   }
 
   test("pmiCollocations: marginals re-aggregate the bigram table; only the 1-row N broadcasts") {
