@@ -769,6 +769,171 @@ object Behavior {
       .orderBy(col("channel"))
   }
 
+  /** The (purchase × in-window prior touch) pair table shared by the
+    * weighted attribution family — the banded range join from
+    * [[multiTouch]], with the purchase time kept for age-based
+    * weights. */
+  private def touchPairs(spark: SparkSession, sfDir: String,
+      lookbackUs: Long): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("t_id"), col("us").as("t_us"),
+        col("event_type").as("channel"), floor(col("us") / dayUs).cast("long").as("day"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"),
+        col("cents"),
+        explode(sequence(floor(col("us") / dayUs).cast("long") - lit(7),
+          floor(col("us") / dayUs).cast("long"))).as("day"))
+    purchases.join(touches, Seq("user_id", "day"))
+      .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= lookbackUs)
+      .select(col("p_id"), col("cents"), col("channel"), col("t_us"), col("t_id"),
+        col("p_us"))
+  }
+
+  /** Weighted-credit rollup shared by the decay and U-shaped variants:
+    * given pairs carrying an integer weight `w`, each touch gets
+    * ⌊cents·10⁶·w / Σw⌋ and the REMAINDER (cents·10⁶ − Σ bases, an
+    * exact integer) goes to the LATEST touch — so Σ credits ≡
+    * cents·10⁶ per purchase for ANY weight scheme, the same
+    * conservation rule as [[multiTouch]]. No-touch purchases credit
+    * 'direct' in full. All windows share the p_id partitioning (one
+    * purchase-keyed shuffle, bounded by in-window touch count). */
+  private def weightedRollup(spark: SparkSession, sfDir: String,
+      weighted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = Window.partitionBy(col("p_id"))
+    val wr = Window.partitionBy(col("p_id")).orderBy(col("t_us").desc, col("t_id").desc)
+    val credited = weighted
+      .withColumn("totw", sum(col("w")).over(wn))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("base", expr("(cents * 1000000 * w) DIV totw"))
+      .withColumn("sumbase", sum(col("base")).over(wn))
+      .select(col("p_id"), col("channel"),
+        (col("base") + when(col("rn") === 1,
+          col("cents") * lit(1000000L) - col("sumbase")).otherwise(lit(0L)))
+          .as("credit_e6"))
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val direct = ev.filter(col("event_type") === "purchase")
+      .join(credited.select(col("p_id")).distinct()
+          .withColumnRenamed("p_id", "event_id"),
+        Seq("event_id"), "left_anti")
+      .select(lit("direct").as("channel"),
+        (col("cents") * lit(1000000L)).as("credit_e6"))
+    credited.select(col("channel"), col("credit_e6"))
+      .unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_credits"),
+        sum(col("credit_e6")).cast("long").as("sum_credit_e6"))
+      .orderBy(col("channel"))
+  }
+
+  /** Position-DECAY multi-touch — recency-weighted credit: a touch
+    * `a` whole days before the purchase weighs 2^(7−a) (halving per
+    * day across the 7-day window), so yesterday's click outweighs last
+    * week's view 64:1 but both get credit. Weights are exact powers of
+    * two (integer, never floats), so the split arithmetic and its
+    * conservation rule ([[weightedRollup]]) hash-match any engine. */
+  def multiTouchDecay(spark: SparkSession, sfDir: String,
+      lookbackUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    val weighted = touchPairs(spark, sfDir, lookbackUs)
+      .withColumn("age", expr("(p_us - t_us) DIV 86400000000"))
+      .withColumn("w",
+        expr("CAST(shiftleft(1, CAST(greatest(0, 7 - age) AS INT)) AS BIGINT)"))
+    weightedRollup(spark, sfDir, weighted)
+  }
+
+  /** U-SHAPED (position-based) multi-touch — the 40/20/40 industry
+    * rule: first and last touch each take 40%, the middle touches
+    * share the remaining 20%. Exact in integers: for n ≥ 3 the weights
+    * are first = last = 2·(n−2), middle = 1 each (totals 5·(n−2), so
+    * first/total = 40% exactly); n ≤ 2 splits evenly. Credit split +
+    * conservation via [[weightedRollup]]. */
+  def multiTouchUShape(spark: SparkSession, sfDir: String,
+      lookbackUs: Long = 7L * 86400 * 1000000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wn = Window.partitionBy(col("p_id"))
+    val wa = Window.partitionBy(col("p_id")).orderBy(col("t_us").asc, col("t_id").asc)
+    val weighted = touchPairs(spark, sfDir, lookbackUs)
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("w", when(col("n") <= 2, lit(1L))
+        .when(col("ra") === 1 || col("ra") === col("n"), (col("n") - 2) * 2)
+        .otherwise(lit(1L)).cast("long"))
+    weightedRollup(spark, sfDir, weighted)
+  }
+
+  /** Shared oracle CTE prefix: events + the plain range-join pair
+    * table with purchase time (the windowless-band twin that re-proves
+    * the banded rewrite). */
+  private def pairsCteSql(lookbackUs: Long): String =
+    s"""ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+       |    CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |pairs AS (
+       |  SELECT p.event_id AS p_id, p.cents, t.event_type AS channel,
+       |    t.us AS t_us, t.event_id AS t_id, p.us AS p_us
+       |  FROM ev p JOIN ev t
+       |    ON t.user_id = p.user_id AND t.event_type <> 'purchase'
+       |   AND t.us < p.us AND p.us - t.us <= $lookbackUs
+       |  WHERE p.event_type = 'purchase')""".stripMargin
+
+  /** Shared oracle suffix: weighted split + remainder-to-latest +
+    * direct union + channel rollup, over a `wtd(p_id, cents, channel,
+    * t_us, t_id, w)` CTE. */
+  private def weightedRollupSql: String =
+    s"""based AS (
+       |  SELECT p_id, cents, channel, t_us, t_id,
+       |    (cents * 1000000 * w) // sum(w) OVER (PARTITION BY p_id) AS base,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY t_us DESC, t_id DESC) AS rn
+       |  FROM wtd),
+       |based2 AS (
+       |  SELECT *, sum(base) OVER (PARTITION BY p_id) AS sumbase FROM based),
+       |credited AS (
+       |  SELECT p_id, channel,
+       |    base + CASE WHEN rn = 1 THEN cents * 1000000 - sumbase ELSE 0 END AS credit_e6
+       |  FROM based2),
+       |direct AS (
+       |  SELECT 'direct' AS channel, cents * 1000000 AS credit_e6
+       |  FROM ev WHERE event_type = 'purchase'
+       |    AND event_id NOT IN (SELECT p_id FROM credited)),
+       |unioned AS (
+       |  SELECT channel, CAST(credit_e6 AS BIGINT) AS credit_e6 FROM credited
+       |  UNION ALL
+       |  SELECT channel, CAST(credit_e6 AS BIGINT) AS credit_e6 FROM direct)
+       |SELECT channel, count(*) AS n_credits,
+       |  CAST(sum(credit_e6) AS BIGINT) AS sum_credit_e6
+       |FROM unioned GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** Oracle twin of [[multiTouchDecay]]. */
+  def multiTouchDecaySql(lookbackUs: Long = 7L * 86400 * 1000000): String =
+    s"""WITH ${pairsCteSql(lookbackUs)},
+       |wtd AS (
+       |  SELECT p_id, cents, channel, t_us, t_id,
+       |    CAST(1 << CAST(greatest(0, 7 - (p_us - t_us) // 86400000000) AS INT) AS BIGINT) AS w
+       |  FROM pairs),
+       |${weightedRollupSql}""".stripMargin
+
+  /** Oracle twin of [[multiTouchUShape]]. */
+  def multiTouchUShapeSql(lookbackUs: Long = 7L * 86400 * 1000000): String =
+    s"""WITH ${pairsCteSql(lookbackUs)},
+       |pos AS (
+       |  SELECT *, count(*) OVER (PARTITION BY p_id) AS n,
+       |    row_number() OVER (PARTITION BY p_id ORDER BY t_us ASC, t_id ASC) AS ra
+       |  FROM pairs),
+       |wtd AS (
+       |  SELECT p_id, cents, channel, t_us, t_id,
+       |    CAST(CASE WHEN n <= 2 THEN 1
+       |              WHEN ra = 1 OR ra = n THEN (n - 2) * 2
+       |              ELSE 1 END AS BIGINT) AS w
+       |  FROM pos),
+       |${weightedRollupSql}""".stripMargin
+
   /** Oracle twin of [[multiTouch]] — the plain (windowless-band) range
     * join: green re-proves the banded rewrite, like the event-pairs
     * family. */

@@ -1484,6 +1484,173 @@ object Dedup {
       |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS shared_ppm
       |FROM fps GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Byte-level FastCDC (gear hash, normalized min/normal/max chunking)
+  // --------------------------------------------------------------------
+
+  /** The FastCDC gear table: 256 pseudo-random 32-bit values, one per
+    * byte value, derived from md5 of the byte's decimal string — a
+    * published, engine-reproducible construction (any engine with md5
+    * derives the identical table; here it is baked in as literals on
+    * BOTH the Spark and the oracle side, so no runtime hashing). */
+  private[ops] lazy val gearTable: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 256).map { b =>
+      md.reset()
+      val hex = md.digest(b.toString.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }.toArray
+  }
+
+  /** Chunking parameters (bytes): no cut below `minLen`; a STRICT mask
+    * (1/128 odds) up to `normLen`, a LOOSE mask (1/32) above it — the
+    * FastCDC normalized-chunking trick that pulls chunk sizes toward
+    * `normLen` without losing content alignment; a forced cut at
+    * `maxLen` bounds the worst case. */
+  private val cdcMinLen = 16L
+  private val cdcNormLen = 64L
+  private val cdcMaxLen = 256L
+
+  /** Byte-level content-defined chunking — the PRODUCTION storage-dedup
+    * mode ([[cdcChunks]] chunks at token granularity; rsync/LBFS/
+    * FastCDC operate on bytes): a gear rolling hash
+    * `g ← (2g + GEAR[b]) mod 2³¹` over the document's bytes cuts where
+    * the hash satisfies the (length-normalized) mask, so an insertion
+    * shifts ONE chunk and the cut points re-synchronize at the next
+    * boundary — identical passages chunk identically wherever they
+    * appear. Each chunk carries a polynomial fingerprint of its raw
+    * bytes. The audit reports, per source: chunk volume, distinct
+    * chunks, cross-document duplicated-occurrence mass, and the max
+    * chunk length (provably ≤ `cdcMaxLen` — the normalization bound).
+    *
+    * Exactness: the whole fold is integer arithmetic over byte values
+    * (docs are single-byte text; multi-byte codepoints would use the
+    * same fold over a binary cast), sequential per document — the
+    * oracle replays the identical left fold, so results hash-match.
+    *
+    * Scale: ONE stateless pass per document (no explode of the byte
+    * stream — the fold runs inside a codegen'd `aggregate` expression,
+    * then only the CHUNK LIST explodes: ~len/normLen rows per doc),
+    * followed by the same two counts-table aggs as [[cdcChunks]].
+    * Chunking is embarrassingly parallel per document; never doc×doc. */
+  def cdcBytes(spark: SparkSession, sfDir: String): DataFrame =
+    byteChunksOf(Tables.documents(spark, sfDir))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("nd"),
+        max(col("len")).as("mx"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).cast("long").as("n_chunks"),
+        count(lit(1)).cast("long").as("n_distinct_chunks"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).cast("long")
+          .as("n_shared_occ"),
+        max(col("mx")).cast("long").as("max_len"))
+      .withColumn("shared_ppm", expr("(n_shared_occ * 1000000) DIV n_chunks"))
+      .orderBy(col("source"))
+
+  /** (doc_id, source, len, fp) — one row per byte-level chunk of any
+    * (doc_id, source, text) frame. The accumulator is
+    * (gear g, chunk len, chunk fp, finished chunks); a boundary
+    * resets the running triple and appends (len, fp); the finisher
+    * flushes the tail chunk. */
+  private[ops] def byteChunksOf(docs: DataFrame): DataFrame = {
+    val gear = typedlit(gearTable.toSeq)
+    val chunkArr = array().cast("array<struct<len:bigint,fp:bigint>>")
+    def state(g: Column, len: Column, fp: Column, chunks: Column): Column =
+      struct(g.as("g"), len.as("len"), fp.as("fp"), chunks.as("chunks"))
+    val folded = aggregate(
+      // split("") leaves a trailing empty string on some engines — the
+      // length filter makes the byte stream exact either way
+      transform(filter(split(col("text"), ""), c => length(c) === 1),
+        c => ascii(c).cast("long")),
+      state(lit(0L), lit(0L), lit(0L), chunkArr),
+      (a, b) => {
+        val g2 = (a.getField("g") * 2 + element_at(gear, (b + 1).cast("int"))) % lit(2147483648L)
+        val l2 = a.getField("len") + 1
+        val f2 = (a.getField("fp") * 1000003L + b) % lit(2147483647L)
+        val boundary =
+          (l2 >= cdcMinLen && l2 < cdcNormLen && g2 % 128 === 0) ||
+          (l2 >= cdcNormLen && g2 % 32 === 0) ||
+          (l2 >= cdcMaxLen)
+        when(boundary,
+          state(lit(0L), lit(0L), lit(0L),
+            concat(a.getField("chunks"), array(struct(l2.as("len"), f2.as("fp"))))))
+        .otherwise(state(g2, l2, f2, a.getField("chunks")))
+      },
+      a => when(a.getField("len") > 0,
+          concat(a.getField("chunks"),
+            array(struct(a.getField("len").as("len"), a.getField("fp").as("fp")))))
+        .otherwise(a.getField("chunks")))
+    docs.select(col("doc_id"), col("source"), explode(folded).as("ch"))
+      .select(col("doc_id"), col("source"),
+        col("ch.len").as("len"), col("ch.fp").as("fp"))
+  }
+
+  /** Oracle twin of [[cdcBytes]] — the identical sequential fold
+    * replayed as a RECURSIVE CTE, one iteration per byte position
+    * (chunk records accumulate in a string, split back into rows at
+    * the end). Deliberately NOT `list_reduce`: DuckDB 1.0 mis-carries
+    * nested-list accumulator fields across rows in vectorized
+    * execution (verified with a minimal repro — a 10-byte cut-every-3
+    * fold returns one chunk instead of three once more than one row is
+    * in flight), so the step-per-position CTE is the trustworthy
+    * sequential-fold encoding. Gear table interpolated as the same
+    * literals the Spark side bakes in. */
+  def cdcBytesSql: String = {
+    val g2 = "((f.g * 2 + t[CAST(b.b AS INT) + 1]) % 2147483648)"
+    val l2 = "(f.len + 1)"
+    val f2 = "((f.fp * 1000003 + b.b) % 2147483647)"
+    val boundary = s"(($l2 >= $cdcMinLen AND $l2 < $cdcNormLen AND $g2 % 128 = 0) " +
+      s"OR ($l2 >= $cdcNormLen AND $g2 % 32 = 0) OR $l2 >= $cdcMaxLen)"
+    s"""WITH RECURSIVE gear AS (SELECT ${gearTable.mkString("[", ", ", "]")} AS t),
+       |bytes AS (
+       |  SELECT doc_id, pos, CAST(ord(c) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c,
+       |          unnest(range(1, len(text) + 1)) AS pos
+       |        FROM documents)),
+       |lens AS (SELECT doc_id, source, len(text) AS n FROM documents),
+       |fold AS (
+       |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS g, CAST(0 AS BIGINT) AS len,
+       |    CAST(0 AS BIGINT) AS fp, '' AS chunks
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT f.doc_id, f.i + 1,
+       |    CASE WHEN $boundary THEN CAST(0 AS BIGINT) ELSE $g2 END,
+       |    CASE WHEN $boundary THEN CAST(0 AS BIGINT) ELSE $l2 END,
+       |    CASE WHEN $boundary THEN CAST(0 AS BIGINT) ELSE $f2 END,
+       |    CASE WHEN $boundary
+       |      THEN f.chunks || CAST($l2 AS VARCHAR) || ',' || CAST($f2 AS VARCHAR) || ';'
+       |      ELSE f.chunks END
+       |  FROM fold f JOIN bytes b ON b.doc_id = f.doc_id AND b.pos = f.i + 1
+       |  CROSS JOIN gear),
+       |final AS (
+       |  SELECT f.doc_id, l.source,
+       |    f.chunks || CASE WHEN f.len > 0
+       |      THEN CAST(f.len AS VARCHAR) || ',' || CAST(f.fp AS VARCHAR) || ';'
+       |      ELSE '' END AS cs
+       |  FROM fold f JOIN lens l ON l.doc_id = f.doc_id AND f.i = l.n),
+       |chunks AS (
+       |  SELECT doc_id, source,
+       |    CAST(string_split(ch, ',')[1] AS BIGINT) AS len,
+       |    CAST(string_split(ch, ',')[2] AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, source,
+       |          unnest(list_filter(string_split(cs, ';'), x -> x <> '')) AS ch
+       |        FROM final)),
+       |fps AS (
+       |  SELECT source, fp, CAST(count(*) AS BIGINT) AS occ,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+       |    CAST(max(len) AS BIGINT) AS mx
+       |  FROM chunks GROUP BY source, fp)
+       |SELECT source,
+       |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_shared_occ,
+       |  CAST(max(mx) AS BIGINT) AS max_len,
+       |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS shared_ppm
+       |FROM fps GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Method-agreement audit — the meta-question a pipeline owner asks
     * before trusting ONE near-dup detector at 100 TB: how much do the
     * two independent families (MinHash-LSH on token-set Jaccard ≥ 0.5

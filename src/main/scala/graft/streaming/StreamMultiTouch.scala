@@ -3,13 +3,17 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-/** Streaming linear multi-touch attribution: the batch `q_multi_touch`
-  * split rule ([[graft.ops.Behavior.multiTouch]]) run incrementally —
-  * per user, each purchase splits its value equally across ALL
-  * in-window prior touches at arrival (integer e6 credits, remainder
-  * to the latest touch — the batch query's exact conservation rule),
-  * 'direct' when none. Completes the attribution pair next to
-  * [[StreamAttribution]]'s O(1)-state last-touch store.
+/** Streaming multi-touch attribution — the batch family
+  * ([[graft.ops.Behavior.multiTouch]] /
+  * [[graft.ops.Behavior.multiTouchDecay]] /
+  * [[graft.ops.Behavior.multiTouchUShape]]) run incrementally: per
+  * user, each purchase splits its value across ALL in-window prior
+  * touches at arrival under a pluggable WEIGHT RULE (equal, 2^(7−age)
+  * position-decay, or 40/20/40 U-shaped), integer e6 credits with the
+  * remainder to the latest touch — the batch queries' exact
+  * conservation rule — and 'direct' when none. Completes the
+  * attribution pair next to [[StreamAttribution]]'s O(1)-state
+  * last-touch store.
   *
   * State: the touches inside the lookback window per active user —
   * bounded by per-user activity rate × window, NOT by stream length:
@@ -34,8 +38,35 @@ object StreamMultiTouch {
   /** One credit of a purchase to a channel. */
   final case class Credit(user: Long, pSeq: Long, channel: String, creditE6: Long)
 
+  /** The weight rule applied to a purchase's eligible touches. */
+  sealed trait Rule extends Serializable
+  /** Equal split (the original linear rule). */
+  case object Linear extends Rule
+  /** 2^(7−ageDays) recency decay, clamped at weight 1 beyond 7 days —
+    * the [[graft.ops.Behavior.multiTouchDecay]] arithmetic. */
+  case object Decay extends Rule
+  /** 40/20/40 position rule: first = last = 2·(n−2), middle = 1 for
+    * n ≥ 3; even split below — [[graft.ops.Behavior.multiTouchUShape]]. */
+  case object UShaped extends Rule
+
+  /** Integer weights for touches sorted ascending by (tsUs, seq),
+    * identical to the batch queries' window arithmetic. */
+  private[graft] def weightsFor(rule: Rule,
+      sorted: List[(String, Long, Long)], pUs: Long): List[Long] = rule match {
+    case Linear => List.fill(sorted.length)(1L)
+    case Decay => sorted.map { case (_, tus, _) =>
+      val shift = 7L - (pUs - tus) / 86400000000L
+      if (shift <= 0L) 1L else 1L << shift.toInt
+    }
+    case UShaped =>
+      val n = sorted.length
+      if (n <= 2) List.fill(n)(1L)
+      else sorted.indices.map(i =>
+        if (i == 0 || i == n - 1) 2L * (n - 2) else 1L).toList
+  }
+
   /** Pure per-user fold — unit-testable without a stream. */
-  def onKey(lookbackUs: Long)(user: Long, rows: Iterator[Ev],
+  def onKey(lookbackUs: Long, rule: Rule = Linear)(user: Long, rows: Iterator[Ev],
       state: GroupState[TouchWindow]): Iterator[Credit] = {
     var s = state.getOption.getOrElse(TouchWindow(Nil))
     val out = List.newBuilder[Credit]
@@ -51,12 +82,15 @@ object StreamMultiTouch {
           if (eligible.isEmpty) {
             out += Credit(user, e.seq, "direct", e.cents * 1000000L)
           } else {
-            val n = eligible.length
-            val base = e.cents * 1000000L / n
-            val rem = e.cents * 1000000L % n
-            val latest = eligible.maxBy { case (_, tus, tid) => (tus, tid) }
-            eligible.foreach { t =>
-              out += Credit(user, e.seq, t._1, base + (if (t == latest) rem else 0L))
+            val sorted = eligible.sortBy { case (_, tus, tid) => (tus, tid) }
+            val ws = weightsFor(rule, sorted, e.tsUs)
+            val totW = ws.sum
+            val total = e.cents * 1000000L
+            val bases = ws.map(w => total * w / totW)
+            val rem = total - bases.sum // exact: the latest touch absorbs it
+            sorted.zip(bases).zipWithIndex.foreach { case (((ch, _, _), b), i) =>
+              out += Credit(user, e.seq, ch,
+                b + (if (i == sorted.length - 1) rem else 0L))
             }
           }
           s = TouchWindow(live, e.seq, s.nLate)
@@ -71,10 +105,11 @@ object StreamMultiTouch {
 
   /** Wire the attributor over a streaming event frame. */
   def credits(spark: SparkSession, events: Dataset[Ev],
-      lookbackUs: Long = 7L * 86400 * 1000000): Dataset[Credit] = {
+      lookbackUs: Long = 7L * 86400 * 1000000,
+      rule: Rule = Linear): Dataset[Credit] = {
     import spark.implicits._
     events.groupByKey(_.user)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(onKey(lookbackUs))
+        GroupStateTimeout.NoTimeout())(onKey(lookbackUs, rule))
   }
 }

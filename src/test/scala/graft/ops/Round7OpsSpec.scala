@@ -1,0 +1,129 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators: byte-level FastCDC (gear hash, normalized
+  * min/normal/max chunking) and the weighted multi-touch attribution
+  * family (position-decay, U-shaped). */
+class Round7OpsSpec extends SparkTestBase {
+
+  private def synthText(words: Int): String = {
+    val vocab = Array("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash")
+    val rnd = new scala.util.Random(7)
+    Array.fill(words)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  test("cdcBytes: chunk lengths obey the min/normal/max normalization bounds") {
+    val out = Dedup.cdcBytes(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("max_len") <= 256L,
+        s"forced cut at maxLen must bound every chunk: $r")
+      assert(r.getAs[Long]("n_chunks") >= r.getAs[Long]("n_distinct_chunks"))
+      val ppm = r.getAs[Long]("shared_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+    // chunk lengths reconstruct the byte count exactly (nothing dropped)
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "src", synthText(150))).toDF("doc_id", "source", "text")
+    val chunks = Dedup.byteChunksOf(docs).collect()
+    assert(chunks.map(_.getAs[Long]("len")).sum ==
+      docs.head.getString(2).length.toLong)
+  }
+
+  test("cdcBytes: content-defined re-synchronization — a one-byte insert " +
+      "shifts a bounded prefix of chunks, never the whole stream") {
+    val s = spark
+    import s.implicits._
+    val t = synthText(200)
+    val docs = Seq((1L, "src", t), (2L, "src", "Z" + t))
+      .toDF("doc_id", "source", "text")
+    val byDoc = Dedup.byteChunksOf(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("len"), r.getAs[Long]("fp"))).toSeq)
+      .toMap
+    val (a, b) = (byDoc(1L), byDoc(2L))
+    // (fixed-width chunking would shift EVERY block after the insert)
+    var k = 0
+    while (k < math.min(a.length, b.length) && a(a.length - 1 - k) == b(b.length - 1 - k))
+      k += 1
+    assert(a.length >= 5, s"need several chunks to prove the property: ${a.length}")
+    assert(k >= a.length - 3,
+      s"cut points must re-synchronize after the edit: ${a.length} chunks, only $k shared")
+    // determinism: identical text chunks identically
+    val again = Dedup.byteChunksOf(Seq((3L, "src", t)).toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getAs[Long]("len"), r.getAs[Long]("fp"))).toSeq
+    assert(again == a)
+  }
+
+  test("weighted multi-touch: decay halves per day, U-shape is exactly 40/20/40, " +
+      "and conservation holds for every rule") {
+    import graft.streaming.StreamMultiTouch._
+    val day = 86400000000L
+    // touches at ages 3, 1, 0 days before a purchase at t = 3 days
+    val touches = List(("view", 0L, 1L), ("click", 2L * day, 2L), ("cart", 3L * day - 1, 3L))
+    assert(weightsFor(Decay, touches, 3L * day) == List(16L, 64L, 128L),
+      "2^(7-age): age 3 -> 16, age 1 -> 64, age 0 -> 128")
+    assert(weightsFor(Linear, touches, 3L * day) == List(1L, 1L, 1L))
+    assert(weightsFor(UShaped, touches, 3L * day) == List(2L, 1L, 2L),
+      "n=3: first/last 2*(n-2)=2, middle 1 -> 40/20/40")
+    val five = List(("a", 1L, 1L), ("b", 2L, 2L), ("c", 3L, 3L), ("d", 4L, 4L),
+      ("e", 5L, 5L))
+    val w5 = weightsFor(UShaped, five, 10L)
+    assert(w5 == List(6L, 1L, 1L, 1L, 6L))
+    assert(w5.head.toDouble / w5.sum == 0.4, "first touch takes exactly 40%")
+    // conservation through the fold for each rule (odd cents, odd weights)
+    Seq(Linear, Decay, UShaped).foreach { rule =>
+      val st = org.apache.spark.sql.streaming.TestGroupState.create[TouchWindow](
+        org.apache.spark.api.java.Optional.empty[TouchWindow](),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+        0L, org.apache.spark.api.java.Optional.empty[Long](), false)
+      val credits = onKey(7L * day, rule)(1L, Iterator(
+        Ev(1L, 1L, "view", 0L, 0L), Ev(1L, 2L, "click", 2L * day, 0L),
+        Ev(1L, 3L, "cart", 3L * day - 1, 0L),
+        Ev(1L, 4L, "purchase", 3L * day, 101L)), st).toSeq
+      assert(credits.map(_.creditE6).sum == 101000000L,
+        s"$rule must conserve cents*1e6 exactly")
+    }
+  }
+
+  test("SQL text surface: corpus and lake views answer spark.sql verbatim") {
+    // the oracle-gated text itself
+    val df = graft.Views.nationOrders(spark, sfDir)
+    assert(df.columns.toSeq == Seq("nation", "n_orders", "sum_cents"))
+    assert(df.count() == 25)
+    // ad-hoc follow-up text over the registered views
+    val n = spark.sql("SELECT count(*) AS n FROM documents WHERE n_chars > 100")
+      .collect().head.getLong(0)
+    assert(n > 0)
+    // lake surfaces: ingest a batch, query catalog + committed
+    // distribution through SQL
+    val layout = graft.lake.Layout(tmpDir("views-lake"))
+    val s = spark
+    import s.implicits._
+    val batch = Seq(("clicks", "k1", """{"v":1}"""), ("clicks", "k1", """{"v":2}"""))
+      .toDF("source", "key", "json")
+    graft.streaming.StreamIngest.processBatch(batch, layout, 1704067200000L, 1L)
+    graft.Views.registerLake(spark, layout, Seq("clicks"))
+    assert(spark.sql("SELECT count(*) AS n FROM dist_clicks").collect().head.getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT source, count(*) AS n FROM lake_catalog GROUP BY source ORDER BY source")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("clicks", 1L)))
+  }
+
+  test("batch decay/U-shape credit totals conserve the full purchase volume") {
+    val totalPurchaseE6 = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value") * 100).cast("long") * 1000000L))
+      .collect().head.getLong(0)
+    Seq(Behavior.multiTouchDecay(spark, sfDir), Behavior.multiTouchUShape(spark, sfDir),
+        Behavior.multiTouch(spark, sfDir)).foreach { df =>
+      val total = df.agg(sum(col("sum_credit_e6"))).collect().head.getLong(0)
+      assert(total == totalPurchaseE6,
+        "every purchase's value must be fully attributed, never created or lost")
+    }
+  }
+}

@@ -27,7 +27,7 @@ class StreamMultiTouchSpec extends SparkTestBase {
           r.getString(3), r.getLong(2), r.getLong(4))
       }.toSeq
 
-  private def runStream(batches: Seq[Seq[Ev]]): Seq[Credit] = {
+  private def runStream(batches: Seq[Seq[Ev]], rule: Rule = Linear): Seq[Credit] = {
     val s = spark
     import s.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -36,7 +36,7 @@ class StreamMultiTouchSpec extends SparkTestBase {
     val mem = MemoryStream[Ev]
     batches.foreach { b =>
       mem.addData(b: _*)
-      val q = credits(spark, mem.toDS(), LookbackUs)
+      val q = credits(spark, mem.toDS(), LookbackUs, rule)
         .writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
@@ -77,6 +77,38 @@ class StreamMultiTouchSpec extends SparkTestBase {
     assert(rollup(framed) == batch)
     assert(framed.toSet == one.toSet,
       "per-credit output must be framing-invariant, not just the rollup")
+  }
+
+  test("streamed DECAY and U-SHAPED credits roll up to their batch queries exactly, " +
+      "under shuffled framings") {
+    val evs = corpusEvents
+    def rollup(cs: Seq[Credit]): Map[String, (Long, Long)] =
+      cs.groupBy(_.channel).map { case (ch, s) =>
+        ch -> ((s.size.toLong, s.map(_.creditE6).sum))
+      }
+    def batchMap(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_credits"), r.getAs[Long]("sum_credit_e6")))).toMap
+
+    val rnd = new scala.util.Random(29)
+    val ordered = evs.sortBy(_.seq)
+    val third = ordered.size / 3
+    val framing = Seq(
+      rnd.shuffle(ordered.take(third)),
+      rnd.shuffle(ordered.slice(third, 2 * third)),
+      rnd.shuffle(ordered.drop(2 * third)))
+    val totalPurchase = evs.filter(_.eventType == "purchase").map(_.cents).sum * 1000000L
+
+    Seq[(Rule, org.apache.spark.sql.DataFrame)](
+      (Decay, graft.ops.Behavior.multiTouchDecay(spark, sfDir)),
+      (UShaped, graft.ops.Behavior.multiTouchUShape(spark, sfDir))
+    ).foreach { case (rule, batchDf) =>
+      val streamed = runStream(framing, rule)
+      assert(rollup(streamed) == batchMap(batchDf),
+        s"$rule: stream must equal the batch rollup under shuffled framing")
+      assert(streamed.map(_.creditE6).sum == totalPurchase,
+        s"$rule: conservation must survive streaming")
+    }
   }
 
   test("pure fold: window eviction, split + remainder, redelivery exactly-once") {
