@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Dev harness source set: profiling/probe mains (QProf, ScaleProbe, …)
+// live OUTSIDE src/main so the shipped tree is exactly the library +
+// driver contract; they stay compiled and runnable via sbt runMain.
+Compile / unmanagedSourceDirectories += baseDirectory.value / "src" / "dev" / "scala"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

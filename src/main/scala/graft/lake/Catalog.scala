@@ -563,10 +563,23 @@ object Catalog {
     * committed add minus every committed remove. Snapshot-consistent —
     * a claimed-but-unfinished commit contributes nothing, and a
     * compaction's removes take effect atomically with its add. */
-  def distLiveFiles(spark: SparkSession, layout: Layout): Seq[String] = {
+  def distLiveFiles(spark: SparkSession, layout: Layout): Seq[String] =
+    distFilesAsOf(spark, layout, Long.MaxValue)
+
+  /** Distribution TIME TRAVEL: the committed file set exactly as of
+    * commit `version` — adds ≤ version minus removes ≤ version. A
+    * compaction rewrites files but never content, so a snapshot read
+    * at any version between ingest commits is byte-equivalent; reads
+    * BELOW a compaction's version return the pre-compaction files,
+    * which is why [[vacuumDist]]'s grace period (not the compaction
+    * itself) bounds how far back physical time travel reaches —
+    * the Delta VACUUM retention trade, stated rather than hidden. */
+  def distFilesAsOf(spark: SparkSession, layout: Layout, version: Long): Seq[String] = {
     val state = readLog(spark, layout)
-    val removed = state.removes.map(_._3).toSet
-    state.dist.collect { case (_, p) if !removed.contains(p) => p }.sorted
+    val removed = state.removes.collect { case (seq, _, p) if seq <= version => p }.toSet
+    state.dist.collect {
+      case (seq, p) if seq <= version && !removed.contains(p) => p
+    }.sorted
   }
 
   /** Physically delete distribution files removed from the committed

@@ -110,8 +110,15 @@ object Distribution {
     * Scale: the log read is O(commits-since-checkpoint) tiny driver
     * records (the Delta replay bound); the data read is a normal
     * parquet-style pruned scan over exactly the live files. */
-  def subscribeSnapshot(spark: SparkSession, layout: Layout, source: String): DataFrame = {
-    val live = Catalog.distLiveFiles(spark, layout)
+  def subscribeSnapshot(spark: SparkSession, layout: Layout, source: String): DataFrame =
+    subscribeAsOf(spark, layout, source, Long.MaxValue)
+
+  /** [[subscribeSnapshot]] at an historical commit version — the
+    * distribution-side `VERSION AS OF` ([[Catalog.distFilesAsOf]]).
+    * Physical reach is bounded by [[Catalog.vacuumDist]]'s grace. */
+  def subscribeAsOf(spark: SparkSession, layout: Layout, source: String,
+      version: Long): DataFrame = {
+    val live = Catalog.distFilesAsOf(spark, layout, version)
       .filter(_.startsWith(s"source=$source/"))
     if (live.isEmpty) {
       import spark.implicits._

@@ -209,6 +209,27 @@ class ExactlyOnceSpec extends SparkTestBase {
     assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 16L)
   }
 
+  test("distribution time travel: subscribeAsOf replays each committed version; " +
+      "compaction preserves historical content until vacuum") {
+    val layout = Layout(tmpDir("xo-disttravel"))
+    StreamIngest.processBatch(batchOf(Seq(("clicks", "k1", """{"v":1}"""))),
+      layout, 1704067200000L, 1L) // version 1
+    StreamIngest.processBatch(batchOf(Seq(("clicks", "k2", """{"v":2}"""),
+      ("clicks", "k2", """{"v":3}"""))), layout, 1704067260000L, 2L) // version 2
+    val v2 = Compaction.compactSourceCommitted(spark, layout, "clicks")
+    assert(v2 == 3L)
+
+    assert(Distribution.subscribeAsOf(spark, layout, "clicks", 1L).count() == 1)
+    assert(Distribution.subscribeAsOf(spark, layout, "clicks", 2L).count() == 3)
+    // the compaction version is byte-equivalent to the one before it
+    def rows(v: Long) = Distribution.subscribeAsOf(spark, layout, "clicks", v)
+      .select("key", "json").collect().map(_.toString).sorted.toSeq
+    assert(rows(3L) == rows(2L), "compaction must never change content")
+    // vacuum bounds PHYSICAL time travel, not the head snapshot
+    Catalog.vacuumDist(spark, layout, graceMs = 0L)
+    assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 3)
+  }
+
   test("tombstones re-apply to bronze objects that land after the first application") {
     val layout = Layout(tmpDir("xo-reapply"))
     def writeBronze(name: String, content: String): Unit = {

@@ -414,27 +414,24 @@ class PlanAuditSpec extends SparkTestBase {
       s"sketch joins exact counts on the group key only:\n$p")
   }
 
-  test("boilerplateNgrams: one generator pass via the cached counts table; " +
-      "DF join is an equi-join") {
-    // the production entry persists the per-(doc, ngram) counts table
-    // across its two consumers (without it the tokenize+explode runs
-    // twice — verified: the dfreq branch's rewritten agg defeats
-    // exchange reuse); audit the same persisted shape here
-    val docNg = Text.boilerplateDocNg(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val tree = Text.boilerplateFrom(docNg, 10)
-      tree.collect()
-      val p = plan(tree)
-      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
-        s"both consumers must read the cached counts table, not re-explode:\n$p")
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"gram-to-DF lookup must be an equi-join on the ngram key:\n$p")
-      // the public entry (persist + eager materialize) agrees row-for-row
-      val pub = Text.boilerplateNgrams(spark, sfDir).collect()
-      assert(pub.map(_.toString).sorted.toSeq ==
-        tree.collect().map(_.toString).sorted.toSeq)
-    } finally docNg.unpersist()
+  test("boilerplateNgrams: gram stream shuffles only into the DF agg; the boiler " +
+      "join is an equi-join with map-side per-doc combine") {
+    // boilerDf=2: the default threshold leaves the boiler set EMPTY on
+    // the tiny spec corpus, and AQE then rightly deletes the whole join
+    // branch (PropagateEmptyRelation) — audit the non-degenerate plan
+    val df = Text.boilerplateFrom(spark, sfDir, Text.boilerplateGrams(spark, sfDir), 2)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gram-to-boiler-set lookup must be an equi-join on the ngram key:\n$p")
+    // pass B must partial-aggregate by doc BEFORE its exchange: the
+    // plan carries a partial_count keyed by doc_id below the shuffle
+    assert("HashAggregate\\(keys=\\[doc_id[^\\]]*\\], functions=\\[partial_count"
+      .r.findFirstIn(p).isDefined,
+      s"per-doc rollup must map-side combine the gram stream:\n$p")
+    // the per-doc TOTAL comes from the scan (size(tokens)-4), not from
+    // aggregating the gram stream: no sum over a 'c' counts column
+    assert(!p.contains("partial_sum(c"), s"totals must not re-aggregate grams:\n$p")
   }
 
   test("pmiCollocations: marginals re-aggregate the bigram table; only the 1-row N broadcasts") {
