@@ -66,8 +66,20 @@ object GraftExtensions {
         }
     })
 
+  /** `fastcdc_chunks(text)` — the byte-level CDC chunker as a SQL
+    * function (→ ARRAY<STRUCT<len, fp>>), so the SQL-text surface can
+    * run storage-dedup audits directly. */
+  val fastCdcChunksDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("fastcdc_chunks"),
+    new ExpressionInfo(classOf[FastCdcChunks].getName, "fastcdc_chunks"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "fastcdc_chunks takes exactly 1 argument")
+      FastCdcChunks(children.head)
+    })
+
   val descriptors: Seq[FunctionDescriptor] =
-    Seq(cosineSimDescriptor, distinctCharBigramsDescriptor, redactPiiDescriptor)
+    Seq(cosineSimDescriptor, distinctCharBigramsDescriptor, redactPiiDescriptor,
+      fastCdcChunksDescriptor)
 
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -1488,29 +1488,13 @@ object Dedup {
   // Byte-level FastCDC (gear hash, normalized min/normal/max chunking)
   // --------------------------------------------------------------------
 
-  /** The FastCDC gear table: 256 pseudo-random 32-bit values, one per
-    * byte value, derived from md5 of the byte's decimal string — a
-    * published, engine-reproducible construction (any engine with md5
-    * derives the identical table; here it is baked in as literals on
-    * BOTH the Spark and the oracle side, so no runtime hashing). */
-  private[ops] lazy val gearTable: Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until 256).map { b =>
-      md.reset()
-      val hex = md.digest(b.toString.getBytes("UTF-8"))
-        .map(x => f"$x%02x").mkString
-      java.lang.Long.parseLong(hex.take(8), 16)
-    }.toArray
-  }
-
-  /** Chunking parameters (bytes): no cut below `minLen`; a STRICT mask
-    * (1/128 odds) up to `normLen`, a LOOSE mask (1/32) above it — the
-    * FastCDC normalized-chunking trick that pulls chunk sizes toward
-    * `normLen` without losing content alignment; a forced cut at
-    * `maxLen` bounds the worst case. */
-  private val cdcMinLen = 16L
-  private val cdcNormLen = 64L
-  private val cdcMaxLen = 256L
+  /** Canonical FastCDC constants + gear table live with the native
+    * expression ([[graft.functions.FastCdc]]); aliased here for the
+    * oracle-SQL interpolation below. */
+  private def gearTable = graft.functions.FastCdc.gear
+  private def cdcMinLen = graft.functions.FastCdc.minLen
+  private def cdcNormLen = graft.functions.FastCdc.normLen
+  private def cdcMaxLen = graft.functions.FastCdc.maxLen
 
   /** Byte-level content-defined chunking — the PRODUCTION storage-dedup
     * mode ([[cdcChunks]] chunks at token granularity; rsync/LBFS/
@@ -1549,11 +1533,25 @@ object Dedup {
       .orderBy(col("source"))
 
   /** (doc_id, source, len, fp) — one row per byte-level chunk of any
-    * (doc_id, source, text) frame. The accumulator is
+    * (doc_id, source, text) frame, via the NATIVE
+    * [[graft.functions.FastCdcChunks]] expression (one tight JVM loop
+    * per document; the higher-order `aggregate` twin below dispatches
+    * interpreted lambdas per BYTE and measured ~8× slower —
+    * equivalence on single-byte text pinned in Round7OpsSpec). */
+  private[ops] def byteChunksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(graft.functions.FastCdc.chunks(col("text"))).as("ch"))
+      .select(col("doc_id"), col("source"),
+        col("ch.len").as("len"), col("ch.fp").as("fp"))
+
+  /** The declarative twin of [[byteChunksOf]]: the identical fold as a
+    * Catalyst higher-order `aggregate` over `ascii()` codes — kept as
+    * the cross-representation witness (native expression ≡ HOF fold ≡
+    * recursive-CTE oracle on single-byte text). The accumulator is
     * (gear g, chunk len, chunk fp, finished chunks); a boundary
     * resets the running triple and appends (len, fp); the finisher
     * flushes the tail chunk. */
-  private[ops] def byteChunksOf(docs: DataFrame): DataFrame = {
+  private[ops] def byteChunksDeclarative(docs: DataFrame): DataFrame = {
     val gear = typedlit(gearTable.toSeq)
     val chunkArr = array().cast("array<struct<len:bigint,fp:bigint>>")
     def state(g: Column, len: Column, fp: Column, chunks: Column): Column =

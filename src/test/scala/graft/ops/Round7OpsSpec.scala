@@ -15,6 +15,34 @@ class Round7OpsSpec extends SparkTestBase {
     Array.fill(words)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
   }
 
+  test("cdcBytes: native expression == declarative HOF fold == JVM reference " +
+      "on single-byte text; native is byte-defined on multibyte input") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq((1L, "src", synthText(120)), (2L, "src", synthText(40)),
+      (3L, "src", "tiny"), (4L, "src", synthText(300)))
+    val docs = texts.toDF("doc_id", "source", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("len"), r.getAs[Long]("fp")))
+      .sorted.toSeq
+    assert(rows(Dedup.byteChunksOf(docs)) == rows(Dedup.byteChunksDeclarative(docs)),
+      "the native expression and the aggregate-lambda fold must chunk identically")
+    // JVM reference fold agrees too (three representations, one definition)
+    val ref = texts.flatMap { case (id, _, t) =>
+      graft.functions.FastCdc.chunkBytes(t.getBytes("UTF-8")).map(c => (id, c._1, c._2))
+    }.sorted
+    assert(rows(Dedup.byteChunksOf(docs)) == ref)
+    // multibyte input: native chunks the UTF-8 BYTES (total len = byte count)
+    val multi = Seq((9L, "src", "héllo wörld " * 30)).toDF("doc_id", "source", "text")
+    val total = Dedup.byteChunksOf(multi).agg(sum(col("len"))).collect().head.getLong(0)
+    assert(total == ("héllo wörld " * 30).getBytes("UTF-8").length.toLong)
+    // and the SQL registry exposes it
+    graft.functions.GraftExtensions.register(spark)
+    multi.createOrReplaceTempView("cdc_multi")
+    assert(spark.sql("SELECT size(fastcdc_chunks(text)) FROM cdc_multi")
+      .collect().head.getInt(0) > 0)
+  }
+
   test("cdcBytes: chunk lengths obey the min/normal/max normalization bounds") {
     val out = Dedup.cdcBytes(spark, sfDir).collect()
     assert(out.nonEmpty)
