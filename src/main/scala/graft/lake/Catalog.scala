@@ -92,11 +92,24 @@ object Catalog {
     claimBody(fs, layout, (uuid +: staged).mkString("\n"))
 
   /** The claim primitive shared by v1 catalog appends and v2 unified
-    * ingest commits: create-no-overwrite on the next dense commit id. */
+    * ingest commits: atomic create-no-overwrite on the next dense
+    * commit id.
+    *
+    * On HDFS, `create(path, overwrite = false)` IS the atomic claim.
+    * On the LOCAL filesystem it is check-then-act (exists() + open),
+    * so two concurrent claimers can both "win" the same id and one
+    * body silently overwrites the other — observed as a rare lost
+    * commit under thread-concurrent ingests. There the claim is a
+    * HARD LINK instead: the body is written to a private `_claim-*`
+    * temp and `link(2)`-ed to the record name — link fails with
+    * EEXIST atomically, and the record only ever appears with its
+    * full body (no torn-read window for recovery either). */
   private[lake] def claimBody(fs: org.apache.hadoop.fs.FileSystem, layout: Layout,
       body: String): Long = {
     val dir = new org.apache.hadoop.fs.Path(logDir(layout))
     fs.mkdirs(dir)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     var attempts = 0
     while (attempts < 10000) {
       // checkpoints count in the numbering scan: after pruneLog drops
@@ -110,14 +123,29 @@ object Catalog {
         }
         .foldLeft(0L)(math.max)
       val rec = new org.apache.hadoop.fs.Path(dir, f"$next%020d.commit")
-      try {
-        val out = fs.create(rec, false) // claim: atomic create-no-overwrite
-        try out.write(body.getBytes("UTF-8"))
-        finally out.close()
-        return next
-      } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race; renumber
-      }
+      val won =
+        if (isLocal) {
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s"_claim-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(rec.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          } finally fs.delete(tmp, false)
+        } else {
+          try {
+            val out = fs.create(rec, false) // claim: atomic on HDFS
+            try out.write(body.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        }
+      if (won) return next
+      attempts += 1 // lost the race; renumber
     }
     sys.error("Catalog.append: could not claim a commit id after 10000 attempts")
   }
@@ -173,7 +201,9 @@ object Catalog {
       marker: Option[String],
       catUuid: Option[String], cat: Seq[String],
       distUuid: Option[String], dist: Seq[String],
-      removes: Seq[String])
+      removes: Seq[String],
+      lakeUuid: Option[String] = None, lake: Seq[String] = Seq.empty,
+      lakeRemoves: Seq[String] = Seq.empty)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -182,6 +212,8 @@ object Catalog {
     r.catUuid.foreach { u => b ++= s"\ncat $u"; r.cat.foreach(f => b ++= s"\n$f") }
     r.distUuid.foreach { u => b ++= s"\ndist $u"; r.dist.foreach(f => b ++= s"\n$f") }
     if (r.removes.nonEmpty) { b ++= "\nrm"; r.removes.foreach(f => b ++= s"\n$f") }
+    r.lakeUuid.foreach { u => b ++= s"\nlake $u"; r.lake.foreach(f => b ++= s"\n$f") }
+    if (r.lakeRemoves.nonEmpty) { b ++= "\nlakerm"; r.lakeRemoves.foreach(f => b ++= s"\n$f") }
     b.result()
   }
 
@@ -190,22 +222,29 @@ object Catalog {
     var marker: Option[String] = None
     var catUuid: Option[String] = None; val cat = Seq.newBuilder[String]
     var distUuid: Option[String] = None; val dist = Seq.newBuilder[String]
+    var lakeUuid: Option[String] = None; val lake = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
+    val lakeRemoves = Seq.newBuilder[String]
     var section = ""
     lines.tail.foreach { l =>
       if (l.startsWith("marker ")) marker = Some(l.stripPrefix("marker "))
       else if (l.startsWith("cat ")) { section = "cat"; catUuid = Some(l.stripPrefix("cat ")) }
       else if (l.startsWith("dist ")) { section = "dist"; distUuid = Some(l.stripPrefix("dist ")) }
+      else if (l.startsWith("lake ")) { section = "lake"; lakeUuid = Some(l.stripPrefix("lake ")) }
       else if (l == "rm") section = "rm"
+      else if (l == "lakerm") section = "lakerm"
       else if (l.nonEmpty) section match {
         case "cat" => cat += l
         case "dist" => dist += l
+        case "lake" => lake += l
         case "rm" => removes += l
+        case "lakerm" => lakeRemoves += l
         case _ => ()
       }
     }
     V2Record(head(1).toLong, head(2).toLong, marker,
-      catUuid, cat.result(), distUuid, dist.result(), removes.result())
+      catUuid, cat.result(), distUuid, dist.result(), removes.result(),
+      lakeUuid, lake.result(), lakeRemoves.result())
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -215,6 +254,7 @@ object Catalog {
       seq: Long, r: V2Record): Unit = {
     r.catUuid.foreach(u => renameStaged(fs, layout.catalogDir, u, seq, r.cat))
     r.distUuid.foreach(u => renameStaged(fs, layout.distributionDir, u, seq, r.dist))
+    r.lakeUuid.foreach(u => renameStaged(fs, layout.lakeDir, u, seq, r.lake))
     r.marker.foreach { m =>
       val p = new org.apache.hadoop.fs.Path(m)
       fs.mkdirs(p.getParent)
@@ -225,6 +265,8 @@ object Catalog {
       fs.delete(new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/$u"), true))
     r.distUuid.foreach(u =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${layout.distributionDir}/_staged/$u"), true))
+    r.lakeUuid.foreach(u =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$u"), true))
   }
 
   /** EXACTLY-ONCE ingest commit: stage the catalog entries AND the
@@ -290,6 +332,103 @@ object Catalog {
     seq
   }
 
+  /** ATOMIC batch ingest: the canonical LAKE parquet and the catalog
+    * entries land as ONE commit record — the batch-side sibling of
+    * [[commitIngest]] (which covers catalog + distribution for the
+    * stream). Closes two hazards of the previous
+    * `mode("append")` + `Catalog.append` pair: concurrent batch
+    * ingests shared the lake dir's `_temporary` committer staging
+    * (either job's cleanup could delete the other's in-flight files),
+    * and a crash between the lake write and the catalog append left
+    * an uncataloged partial batch. Now a reader of
+    * [[loadLakeSnapshot]] sees a batch's lake rows iff its catalog
+    * rows are visible too. */
+  def commitLakeIngest(spark: SparkSession, layout: Layout,
+      lakeBatch: DataFrame, entries: Dataset[CatalogEntry]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lakeUuid = java.util.UUID.randomUUID().toString
+    val lakeStage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$lakeUuid")
+    lakeBatch.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
+    val lakeFiles = stagedFiles(fs, lakeStage)
+    val catUuid = java.util.UUID.randomUUID().toString
+    val catStage = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/$catUuid")
+    entries.toDF().write.mode("overwrite").partitionBy("source").parquet(catStage.toString)
+    val catFiles = stagedFiles(fs, catStage)
+    if (lakeFiles.isEmpty && catFiles.isEmpty) {
+      fs.delete(lakeStage, true); fs.delete(catStage, true); return
+    }
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      if (catFiles.nonEmpty) Some(catUuid) else None, catFiles,
+      None, Seq.empty, Seq.empty,
+      if (lakeFiles.nonEmpty) Some(lakeUuid) else None, lakeFiles)
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    if (catFiles.isEmpty) fs.delete(catStage, true)
+    if (lakeFiles.isEmpty) fs.delete(lakeStage, true)
+  }
+
+  /** Lake-area sibling of [[commitDist]]: publish `batch` into the
+    * lake parquet area and atomically mark `removes` dropped from the
+    * committed set (lake compaction/rewrite). Physical removal via
+    * [[vacuumLake]]. */
+  def commitLake(spark: SparkSession, layout: Layout, batch: DataFrame,
+      removes: Seq[String] = Seq.empty): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
+    batch.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+    val staged = stagedFiles(fs, stage)
+    if (staged.isEmpty && removes.isEmpty) { fs.delete(stage, true); return -1L }
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      if (staged.nonEmpty) Some(uuid) else None, staged, removes)
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    if (staged.isEmpty) fs.delete(stage, true)
+    seq
+  }
+
+  /** Committed lake file set (relative paths), optionally as of a
+    * version — the lake-area [[distFilesAsOf]]. */
+  def lakeFilesAsOf(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Seq[String] = {
+    val state = readLog(spark, layout)
+    val removed = state.lakeRemoves.collect { case (seq, _, p) if seq <= version => p }.toSet
+    state.lake.collect {
+      case (seq, p) if seq <= version && !removed.contains(p) => p
+    }.sorted
+  }
+
+  /** Snapshot-isolated read of the committed lake parquet (basePath
+    * read, so `source` partition pruning still applies). Empty frame
+    * when nothing is committed. */
+  def loadLakeSnapshot(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): DataFrame = {
+    val live = lakeFilesAsOf(spark, layout, version)
+    if (live.isEmpty) spark.emptyDataFrame
+    else spark.read.option("basePath", layout.lakeDir)
+      .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+  }
+
+  /** Lake-area vacuum: physically delete lake files removed from the
+    * committed set at least `graceMs` ago. */
+  def vacuumLake(spark: SparkSession, layout: Layout,
+      graceMs: Long = 24L * 3600 * 1000): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - graceMs
+    var n = 0L
+    readLog(spark, layout).lakeRemoves.foreach { case (_, claimMs, rel) =>
+      if (claimMs <= cutoff) {
+        val p = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")
+        if (fs.exists(p) && fs.delete(p, false)) n += 1
+      }
+    }
+    n
+  }
+
   /** Commit an ALREADY-STAGED distribution payload: raw files placed
     * by the caller under `distributionDir/_staged/<uuid>/source=X/`
     * (`.json` suffix), plus `removes` — live relative paths dropped
@@ -323,6 +462,7 @@ object Catalog {
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
     var claimedCat = Set.empty[String]
     var claimedDist = Set.empty[String]
+    var claimedLake = Set.empty[String]
     if (fs.exists(log)) {
       val entries = fs.listStatus(log).map(_.getPath.getName)
       val done = entries.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
@@ -335,6 +475,7 @@ object Catalog {
           val r = parseV2(lines)
           claimedCat ++= r.catUuid
           claimedDist ++= r.distUuid
+          claimedLake ++= r.lakeUuid
           if (!done.contains(seqStr)) finishV2(fs, layout, seqStr.toLong, r)
         } else {
           val uuid = lines.head
@@ -353,6 +494,7 @@ object Catalog {
     }
     sweep(layout.catalogDir, claimedCat)
     sweep(layout.distributionDir, claimedDist)
+    sweep(layout.lakeDir, claimedLake)
   }
 
   /** Derive catalog entries for a batch of ingested records that carry
@@ -416,7 +558,10 @@ object Catalog {
     val catF = state.cat.filter(_._1 <= cap)
     val distF = state.dist.filter(_._1 <= cap)
     val rmF = state.removes.filter(_._1 <= cap)
-    val seqs = (catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1))
+    val lakeF = state.lake.filter(_._1 <= cap)
+    val lrmF = state.lakeRemoves.filter(_._1 <= cap)
+    val seqs = catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1) ++
+      lakeF.map(_._1) ++ lrmF.map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
     val rec = new org.apache.hadoop.fs.Path(logDir(layout), f"$upTo%020d.checkpoint")
@@ -424,13 +569,17 @@ object Catalog {
       if (readCheckpointLines(fs, rec).isDefined) return Some(upTo)
       fs.delete(rec, false) // torn leftover: nobody trusts it; rewrite
     }
-    // net out removed dist files; keep R lines so vacuum survives folds
+    // net out removed files; keep R/LR lines so vacuum survives folds
     val removedPaths = rmF.map(_._3).toSet
+    val lakeRemovedPaths = lrmF.map(_._3).toSet
     val lines =
       catF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"$s $p" } ++
       distF.filterNot(d => removedPaths.contains(d._2))
         .sortBy(e => (e._1, e._2)).map { case (s, p) => s"D $s $p" } ++
-      rmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"R $s $ms $p" }
+      rmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"R $s $ms $p" } ++
+      lakeF.filterNot(d => lakeRemovedPaths.contains(d._2))
+        .sortBy(e => (e._1, e._2)).map { case (s, p) => s"L $s $p" } ++
+      lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),
       s"_cp-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
@@ -473,11 +622,14 @@ object Catalog {
 
   /** Parsed committed log state: catalog (seq, live path), distribution
     * adds (seq, live path), distribution removes (seq, claimMs, live
-    * path). Live paths are relative to their area root. */
+    * path), and the lake-area equivalents. Live paths are relative to
+    * their area root. */
   private final case class LogState(
       cat: Seq[(Long, String)],
       dist: Seq[(Long, String)],
-      removes: Seq[(Long, Long, String)])
+      removes: Seq[(Long, Long, String)],
+      lake: Seq[(Long, String)] = Seq.empty,
+      lakeRemoves: Seq[(Long, Long, String)] = Seq.empty)
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -527,11 +679,17 @@ object Catalog {
     val cat = Seq.newBuilder[(Long, String)]
     val dist = Seq.newBuilder[(Long, String)]
     val removes = Seq.newBuilder[(Long, Long, String)]
+    val lake = Seq.newBuilder[(Long, String)]
+    val lakeRemoves = Seq.newBuilder[(Long, Long, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("D ")) {
         val a = l.split(' '); dist += ((a(1).toLong, a(2)))
       } else if (l.startsWith("R ")) {
         val a = l.split(' '); removes += ((a(1).toLong, a(2).toLong, a(3)))
+      } else if (l.startsWith("L ")) {
+        val a = l.split(' '); lake += ((a(1).toLong, a(2)))
+      } else if (l.startsWith("LR ")) {
+        val a = l.split(' '); lakeRemoves += ((a(1).toLong, a(2).toLong, a(3)))
       } else {
         val sp = l.indexOf(' '); cat += ((l.substring(0, sp).toLong, l.substring(sp + 1)))
       }
@@ -552,11 +710,14 @@ object Catalog {
           r.cat.foreach(rel => cat += ((seq, live(rel))))
           r.dist.foreach(rel => dist += ((seq, live(rel))))
           r.removes.foreach(p => removes += ((seq, r.claimMs, p)))
+          r.lake.foreach(rel => lake += ((seq, live(rel))))
+          r.lakeRemoves.foreach(p => lakeRemoves += ((seq, r.claimMs, p)))
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
       }
-    LogState(cat.result(), dist.result(), removes.result())
+    LogState(cat.result(), dist.result(), removes.result(),
+      lake.result(), lakeRemoves.result())
   }
 
   /** The committed distribution file set (relative paths): every

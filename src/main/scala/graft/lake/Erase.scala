@@ -232,7 +232,7 @@ object Erase {
   def eraseWhere(spark: SparkSession, layout: Layout, source: String,
       matches: String => Boolean, maxAffectedObjects: Int = 100000): EraseReport = {
     val bronzeStats = eraseBronze(spark, layout, source, matches, maxAffectedObjects)
-    val lakeDropped = erasePartition(spark, layout, source, matches, layout.lakeDir)
+    val lakeDropped = eraseLake(spark, layout, source, matches)
     val distDropped =
       if (new Path(s"${layout.distributionDir}/source=$source")
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -368,40 +368,47 @@ object Erase {
     total - keptCount
   }
 
-  /** Lake leg: filter the partition's `json` payloads and
-    * swap the rewritten partition in via [[Compaction]]'s two-rename
-    * contract. Returns rows dropped. */
-  private def erasePartition(spark: SparkSession, layout: Layout, source: String,
-      matches: String => Boolean, rootDir: String): Long = {
+  /** Lake leg, LOG-COMMITTED (mirrors [[eraseDistribution]]): the
+    * rewrite is one manifest-log commit — adds = the filtered parquet,
+    * removes = the snapshotted pre-rewrite file set — with immediate
+    * physical deletion of the old files (erasure is legal deletion,
+    * not maintenance). Files committed concurrently are neither read,
+    * doubled, nor destroyed; directory readers of `lake/source=X`
+    * stay correct because the rewrite lands under the same partition
+    * dir. Returns rows dropped. */
+  private def eraseLake(spark: SparkSession, layout: Layout, source: String,
+      matches: String => Boolean): Long = {
     import spark.implicits._
-    val dirStr = s"$rootDir/source=$source"
+    val dirStr = s"${layout.lakeDir}/source=$source"
     val dir = new Path(dirStr)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
-    val tmp = new Path(s"$rootDir/_erasing_source=$source")
-    val bak = new Path(s"$rootDir/_erased_old_source=$source")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(bak)) fs.delete(bak, true)
-    val (kept, droppedCount) = {
-      val df = spark.read.parquet(dirStr)
-      val total = df.count()
-      val keptDf = df.select("key", "json").as[(String, String)]
-        .filter(r => !matches(r._2)).toDF("key", "json")
-      val keptCount = keptDf.count()
-      if (keptCount == total) return 0L
-      keptDf.write.mode("overwrite").parquet(tmp.toString)
-      (keptCount, total - keptCount)
+    val oldFiles = fs.listStatus(dir)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (oldFiles.isEmpty) return 0L
+    val df = spark.read.parquet(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*)
+    val total = df.count()
+    val keptDf = df.select("key", "json").as[(String, String)]
+      .filter(r => !matches(r._2)).toDF("key", "json")
+    val keptCount = keptDf.count()
+    if (keptCount == total) return 0L
+    val removes = oldFiles.map(p => s"source=$source/${p.getName}").toSeq
+    Catalog.commitLake(spark, layout,
+      keptDf.withColumn("source", org.apache.spark.sql.functions.lit(source)),
+      removes)
+    // erasure deletes NOW (no vacuum grace): the subject's bytes must go
+    oldFiles.foreach(p => fs.delete(p, false))
+    if (keptCount == 0) {
+      // full erasure: keep the partition dir READABLE for directory
+      // consumers (a schema-bearing empty parquet; 0 rows, so the
+      // committed-snapshot surface is unaffected)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          keptDf.schema)
+        .coalesce(1).write.mode("append").parquet(dirStr)
     }
-    val _ = kept
-    if (!fs.rename(dir, bak))
-      throw new java.io.IOException(s"erase: cannot move $dirStr aside")
-    if (!fs.rename(tmp, dir)) {
-      if (!fs.rename(bak, dir))
-        throw new java.io.IOException(
-          s"erase: swap-in AND restore failed — data preserved at $bak")
-      throw new java.io.IOException(s"erase: cannot swap in $dirStr (restored)")
-    }
-    fs.delete(bak, true)
-    droppedCount
+    total - keptCount
   }
 }

@@ -68,18 +68,21 @@ object Ingest {
     bronze.withColumn("event", from_json(col("json"), schema))
 
   /** Batch ingest: bronze → canonical parquet lake partitioned by
-    * source (the reference's per-source prefix layout), appending
-    * catalog entries for each ingested object. The bronze scan is
-    * persisted for the three consumers (lake write, catalog, count) —
-    * otherwise each would re-read and re-split every object, and a
-    * file arriving mid-ingest could be cataloged without being
-    * written. */
+    * source (the reference's per-source prefix layout), plus catalog
+    * entries for each ingested object — committed ATOMICALLY as one
+    * manifest-log record ([[Catalog.commitLakeIngest]]): concurrent
+    * batch ingests can't clobber each other's committer staging, a
+    * crash mid-ingest leaves no uncataloged lake rows, and
+    * [[Catalog.loadLakeSnapshot]] readers see the batch all-or-
+    * nothing. The bronze scan is persisted for the three consumers
+    * (lake stage, catalog, count) — otherwise each would re-read and
+    * re-split every object, and a file arriving mid-ingest could be
+    * cataloged without being written. */
   def ingestBatch(spark: SparkSession, layout: Layout, arrivalMs: Long): Long = {
     val bronze = readBronze(spark, layout).persist()
     try {
-      bronze.write.mode("append").partitionBy("source").parquet(layout.lakeDir)
-      val entries = Catalog.entriesFor(bronze, arrivalMs)
-      Catalog.append(spark, layout, entries)
+      Catalog.commitLakeIngest(spark, layout, bronze,
+        Catalog.entriesFor(bronze, arrivalMs))
       bronze.count()
     } finally bronze.unpersist()
   }

@@ -209,6 +209,67 @@ class ExactlyOnceSpec extends SparkTestBase {
     assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 16L)
   }
 
+  test("atomic batch ingest: lake parquet + catalog entries are one commit; " +
+      "concurrent ingests never clobber each other") {
+    val layout = Layout(tmpDir("xo-lakeingest"))
+    def writeBronze(src: String, name: String, content: String): Unit = {
+      val d = new java.io.File(layout.bronzeSourceDir(src)); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, name).toPath, content)
+    }
+    writeBronze("clicks", "a.json", """{"v":1}{"v":2}""")
+    writeBronze("tweets", "b.json", """{"v":3}""")
+    val n = Ingest.ingestBatch(spark, layout, 1704067200000L)
+    assert(n == 3L)
+    // directory surface and committed snapshot agree
+    assert(spark.read.parquet(layout.lakeDir).count() == 3)
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 3)
+    assert(Catalog.load(spark, layout).count() == 2, "one catalog row per object")
+    // the lake rows and catalog rows share ONE version
+    assert(Catalog.versions(spark, layout) == Seq(1L))
+
+    // two concurrent batch ingests (fresh objects) both land completely —
+    // the shared-_temporary hazard of mode("append") is gone
+    writeBronze("clicks", "c.json", """{"v":4}""")
+    @volatile var err: Throwable = null
+    val threads = Seq(0, 1).map { _ =>
+      new Thread(() => {
+        try Ingest.ingestBatch(spark, layout, 1704067260000L)
+        catch { case e: Throwable => err = e }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(err == null, s"concurrent ingest failed: $err")
+    // both ingests re-read all bronze (4 records each); both commits land
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 3 + 4 + 4)
+    assert(spark.read.parquet(layout.lakeDir).count() == 11)
+  }
+
+  test("a torn lake ingest is invisible until recovery promotes it atomically") {
+    val layout = Layout(tmpDir("xo-lakecrash"))
+    val fs = new Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batch = batchOf(Seq(("clicks", "k1", """{"v":1}""")))
+    // stage both legs + claim by hand (the commitLakeIngest protocol),
+    // crash before publish
+    val lakeStage = new Path(s"${layout.lakeDir}/_staged/u-lake")
+    batch.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
+    val lakeFiles = Catalog.stagedFiles(fs, lakeStage)
+    val catStage = new Path(s"${layout.catalogDir}/_staged/u-cat2")
+    Catalog.entriesFor(batch, 1704067200000L).toDF()
+      .write.mode("overwrite").partitionBy("source").parquet(catStage.toString)
+    val catFiles = Catalog.stagedFiles(fs, catStage)
+    val body = (Seq("v2 -1 1704067200000", "cat u-cat2") ++ catFiles ++
+      Seq("lake u-lake") ++ lakeFiles).mkString("\n")
+    Catalog.claimBody(fs, layout, body)
+
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 0)
+    assert(Catalog.versions(spark, layout).isEmpty)
+    Catalog.recoverAppends(spark, layout)
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 1)
+    assert(Catalog.load(spark, layout).count() == 1)
+    assert(!fs.exists(lakeStage) && !fs.exists(catStage))
+  }
+
   test("distribution time travel: subscribeAsOf replays each committed version; " +
       "compaction preserves historical content until vacuum") {
     val layout = Layout(tmpDir("xo-disttravel"))
