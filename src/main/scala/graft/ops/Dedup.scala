@@ -724,16 +724,11 @@ object Dedup {
     * is [[simhashNearDup]]; this query exists for the bucket-size
     * distribution (LSH load-balance diagnostics). */
   def simhashBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("long")
-    val bitSums = (0 until 16).map(j =>
-      sum(shiftright(h, j).bitwiseAND(1) * 2 - 1).as(s"s$j"))
-    val simhash = (0 until 16).map(j =>
-      when(col(s"s$j") > 0, 1L << j).otherwise(0L)).reduce((a, b) => a + b)
+    // band 0 of the native fingerprint (= the old explode + 16 signed
+    // bit sums, field-for-field — see simhashFieldsOf)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens).as("token"))
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"),
+        element_at(graft.functions.SimHashFields.of(tokens, 1), 1).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
       .filter(col("n_docs") > 1)
@@ -778,6 +773,21 @@ object Dedup {
     * bands), the same trade [[Similarity.hyperplaneLshPairs]] measured
     * (16-bit bands: 11.7 s → 4.9 s). */
   private[ops] def simhashFieldsOf(docs: DataFrame, nBands: Int): DataFrame = {
+    require(nBands >= 1 && nBands <= 8, "md5 yields at most 8 16-bit slices")
+    // native one-loop-per-doc fingerprinting (round 7): the fields are
+    // computed AT THE SCAN — no token explode, no 16·nBands-column
+    // agg, no pre-join shuffle. Declarative twin kept below for the
+    // equivalence pin.
+    val f = graft.functions.SimHashFields.of(tokens, nBands)
+    docs.select(col("doc_id") +: (0 until nBands).map(m =>
+      element_at(f, m + 1).as(s"f$m")): _*)
+  }
+
+  /** The pre-round-7 declarative formulation of [[simhashFieldsOf]] —
+    * explode + per-token md5 slices + 16·nBands signed bit sums —
+    * kept as the equivalence witness for the native expression
+    * (Round7OpsSpec pins field-for-field equality). */
+  private[ops] def simhashFieldsDeclarative(docs: DataFrame, nBands: Int): DataFrame = {
     require(nBands >= 1 && nBands <= 8, "md5 yields at most 8 16-bit slices")
     val withH = docs
       .select(col("doc_id"), explode(tokens).as("token"))

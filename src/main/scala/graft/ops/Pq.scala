@@ -125,9 +125,16 @@ object Pq {
     cbDf(cb)
   }
 
-  /** Where the trained codebooks are committed for the oracle replay
-    * (same run/corpus keying as the trained-IVF export). */
-  lazy val PqCodebooksPath: String = s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/pq_codebooks"
+  /** Where the trained codebooks are committed for the oracle replay —
+    * SHARED across JVMs (round 7): the codebooks are deterministic per
+    * corpus (fixed sample, fixed init/tie-breaks) and corpus-keyed, so
+    * run-scoping only forced every new JVM to retrain (~1 s) — the
+    * committed-artifact posture (`Artifacts.commit`, the near-dup
+    * pair-table pattern) makes concurrent builders safe. The `v1`
+    * segment is the ALGORITHM version: bump it when the training
+    * recipe changes, or stale shared artifacts would survive a code
+    * change. */
+  lazy val PqCodebooksPath: String = s"${Similarity.OracleExportRoot}/shared/pq_codebooks/v1"
 
   /** Train-and-commit, idempotent per (run, corpus) — the PQ analogue
     * of [[Similarity.buildTrainedCentroids]]. Trains on the
@@ -135,16 +142,11 @@ object Pq {
   def buildCodebooks(spark: SparkSession, sfDir: String): String = {
     val emb = Tables.embeddings(spark, sfDir)
     val corpusKey = Similarity.corpusKeyOf(emb)
-    val exportDir = s"$PqCodebooksPath/k=$corpusKey"
-    val fs = new org.apache.hadoop.fs.Path(exportDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
-    if (!fs.exists(committed)) {
+    Artifacts.commit(spark, s"$PqCodebooksPath/k=$corpusKey") { tmp =>
       trainCodebooks(spark, emb.filter(col("vec_id") % 4 === 0), iters = 2)
         .withColumn("corpus_key", lit(corpusKey))
-        .coalesce(1).write.mode("overwrite").parquet(exportDir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    exportDir
   }
 
   /** PQ top-k: ADC over the codes builds an integer approximate-dot
@@ -225,14 +227,17 @@ object Pq {
           (x, y) => (x.cast("double") - y.cast("double")).cast("float")).as("embedding"))
   }
 
-  /** Where the trained residual codebooks are committed. */
+  /** Where the trained residual codebooks are committed — shared
+    * across JVMs, corpus-keyed (see [[PqCodebooksPath]]'s contract). */
   lazy val IvfPqCodebooksPath: String =
-    s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codebooks"
+    s"${Similarity.OracleExportRoot}/shared/ivfpq_codebooks/v1"
 
   /** Where the encoded corpus (the IVF-PQ *index proper*) is
-    * committed, PARTITIONED BY coarse list. */
+    * committed, PARTITIONED BY coarse list — shared across JVMs: this
+    * is the artifact whose per-run rebuild cost ~5 s of EVERY bench
+    * run for a deterministic, corpus-keyed output. */
   lazy val IvfPqCodesPath: String =
-    s"${Similarity.OracleExportRoot}/run=${Similarity.RunId}/ivfpq_codes"
+    s"${Similarity.OracleExportRoot}/shared/ivfpq_codes/v1"
 
   /** Train-and-commit residual codebooks, idempotent per
     * (run, corpus); trains on the deterministic 1-in-4 sample of the
@@ -246,18 +251,13 @@ object Pq {
   private def buildIvfPqCodebooks(spark: SparkSession, sfDir: String,
       res: DataFrame): String = {
     val corpusKey = Similarity.corpusKeyOf(Tables.embeddings(spark, sfDir))
-    val exportDir = s"$IvfPqCodebooksPath/k=$corpusKey"
-    val fs = new org.apache.hadoop.fs.Path(exportDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
-    if (!fs.exists(committed)) {
+    Artifacts.commit(spark, s"$IvfPqCodebooksPath/k=$corpusKey") { tmp =>
       val sample = res.filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding"))
       trainCodebooks(spark, sample, iters = 2)
         .withColumn("corpus_key", lit(corpusKey))
-        .coalesce(1).write.mode("overwrite").parquet(exportDir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    exportDir
   }
 
   /** Build the full IVF-PQ index: codebooks + the encoded corpus
@@ -285,10 +285,12 @@ object Pq {
       val codebooks = spark.read.parquet(cbDir).drop("corpus_key")
       val dim = Similarity.fixedEmbeddingWidth(res, "Pq.buildIvfPqIndex")
         .getOrElse(throw new IllegalArgumentException("Pq: empty corpus"))
-      encode(res.select(col("vec_id"), col("embedding")), codebooks, dim / M)
-        .join(res.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
-        .repartition(col("centroid_id"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(cdDir)
+      Artifacts.commit(spark, cdDir) { tmp =>
+        encode(res.select(col("vec_id"), col("embedding")), codebooks, dim / M)
+          .join(res.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+          .repartition(col("centroid_id"))
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      }
       (cbDir, cdDir)
     } finally res.unpersist()
   }

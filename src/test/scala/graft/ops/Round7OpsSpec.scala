@@ -43,6 +43,19 @@ class Round7OpsSpec extends SparkTestBase {
       .collect().head.getInt(0) > 0)
   }
 
+  test("simhash: native one-loop fingerprint == declarative explode+agg, " +
+      "field for field, on the real corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    Seq(1, 4, 6).foreach { nBands =>
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (0 until df.columns.length).map(r.getLong).toSeq).sortBy(_.head).toSeq
+      assert(rows(Dedup.simhashFieldsOf(docs, nBands)) ==
+        rows(Dedup.simhashFieldsDeclarative(docs, nBands)),
+        s"nBands=$nBands: the native expression must reproduce the md5-slice " +
+          "signed-bit-sum fingerprint exactly")
+    }
+  }
+
   test("cdcBytes: chunk lengths obey the min/normal/max normalization bounds") {
     val out = Dedup.cdcBytes(spark, sfDir).collect()
     assert(out.nonEmpty)
