@@ -1219,7 +1219,10 @@ object Dedup {
     * table by pair key. */
   def lshBandTune(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val sigs = signaturesOf(docs)
+    // one signature row per doc (tiny), consumed by SIX layout
+    // branches: materialize once — without this every branch re-runs
+    // the full shingle→md5→min pass (the query's dominant cost)
+    val sigs = signaturesOf(docs).localCheckpoint(true)
     def sv(i: Int): Column = col(s"sig$i").cast("string")
     def cat(is: Int*): Column =
       concat(is.map(sv).flatMap(c => Seq(c, lit("|"))).dropRight(1): _*)

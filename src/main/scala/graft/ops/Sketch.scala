@@ -61,9 +61,20 @@ object Sketch {
 
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
-    val cells = cellsOf(li, col("l_partkey"))
-    val top = li.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("exact"))
+    // build the sketch from the per-KEY counts, not the raw rows: a
+    // CMS cell is Σ count over keys hashing into it, so regrouping the
+    // (key, count) table is algebraically identical while the md5 work
+    // drops from rows×depth (18M at sf0.1) to distinctKeys×depth —
+    // and the key-counts exchange is shared with the exact-top branch
+    // (ReuseExchange), so lineitem is scanned once
+    val keyCounts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+    val cells = keyCounts
+      .select(col("exact"),
+        explode(array((0 until Depth).map(i =>
+          struct(lit(i).as("row_no"), bucket(i, col("l_partkey")).as("bucket"))): _*)).as("p"))
+      .groupBy(col("p.row_no").as("row_no"), col("p.bucket").as("bucket"))
+      .agg(sum(col("exact")).as("cnt"))
+    val top = keyCounts
       .orderBy(col("exact").desc, col("l_partkey"))
       .limit(10)
     val probes = top
