@@ -85,6 +85,77 @@ object FastCdc {
   * input); the declarative twin's `ascii()` path only matches on
   * single-byte text — the equivalence is pinned on ASCII corpora in
   * Round7OpsSpec, where the oracle comparison lives too. */
+/** Native winnowing selector: md5-hash every token `k`-gram and slide
+  * a `w`-window minimum in ONE loop per row, returning the DISTINCT
+  * selected keys `h·2²⁰ + pos` (smallest hash wins, ties to the
+  * earliest position — the deterministic rule the declarative
+  * window-min in [[graft.ops.Text.winnowing]] uses; equality pinned
+  * in Round7OpsSpec). Replaces a 2.5M-row explode + per-doc ordered
+  * window sort with one pass over the doc's own grams. */
+case class WinnowKeys(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1)
+
+  override def prettyName: String = "winnow_keys"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"winnow_keys requires ARRAY<STRING> input, got ${t.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val nGrams = n - (k - 1)
+    if (nGrams < w) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val keys = new Array[Long](nGrams) // key at gram position i (1-based pos = i+1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(if (arr.isNullAt(i + j)) "" else arr.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      keys(i) = h * 1048576L + (i + 1)
+      i += 1
+    }
+    val selected = new java.util.LinkedHashSet[java.lang.Long]()
+    var p = w - 1 // first FULL window ends at gram index w-1 (pos = w)
+    while (p < nGrams) {
+      var min = keys(p)
+      var q = p - 1
+      while (q > p - w) { if (keys(q) < min) min = keys(q); q -= 1 }
+      selected.add(min)
+      p += 1
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowKeys {
+  def of(tokens: Column, k: Int, w: Int): Column =
+    Bridge.column(WinnowKeys(Bridge.expression(tokens), k, w))
+}
+
 case class FastCdcChunks(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

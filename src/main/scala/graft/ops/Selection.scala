@@ -812,4 +812,81 @@ object Selection {
        |FROM flagged CROSS JOIN totals t
        |GROUP BY decile
        |ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Unigram KL divergence: source vs corpus distribution shift
+  // --------------------------------------------------------------------
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the information-theoretic drift measure next to
+    * [[lengthDrift]]'s KS statistic: KL(pₛ ‖ p_c) over add-1-smoothed
+    * token unigrams says how many nats a code built for the CORPUS
+    * mix wastes on THIS source. The number a data-mixing pipeline
+    * thresholds when deciding which sources need their own sampling
+    * temperature, and the contamination signal when a "new" crawl
+    * slice turns out to be an old one (KL ≈ 0).
+    *
+    * Exactness (the LM-ladder rule): smoothing keeps every
+    * probability strictly positive over the shared corpus vocab, each
+    * word's term is ONE double tree over exact integer counts —
+    * (c_s+1)·ln( (c_s+1)·(N_c+V) / ((c_c+1)·(N_s+V)) ) — rounded ONCE
+    * to tenth-milli-nats; the per-source sum of those integers is
+    * exact, and the reported value is the sum scaled by the
+    * (integer) smoothed source mass via truncating DIV:
+    * kl_tmn ≈ KL · 10⁴. Unseen-in-source words enter with c_s = 0
+    * (the LEFT join), so the sum runs over the FULL vocab like the
+    * definition demands.
+    *
+    * Scale: one tokenize+explode into per-(source, word) counts
+    * (map-side combined), corpus marginals derived from that SAME
+    * counts table, one |V|×|sources| left join — the tf-idf shape;
+    * never doc×doc. */
+  def klUnigram(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val sw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_s"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("c_s")).as("c_c"))
+    val totals = sw.groupBy(col("source")).agg(sum(col("c_s")).as("n_s"))
+    val nc = cw.agg(sum(col("c_c")).as("n_c"), count(lit(1)).as("v"))
+    val terms = cw.crossJoin(broadcast(nc))
+      .crossJoin(broadcast(totals)) // |V| x |sources| grid
+      .join(sw, Seq("source", "w"), "left")
+      .withColumn("cs", coalesce(col("c_s"), lit(0L)))
+      .withColumn("term_tmn",
+        round((col("cs") + 1).cast("double") *
+          log(((col("cs") + 1) * (col("n_c") + col("v"))).cast("double") /
+            ((col("c_c") + 1) * (col("n_s") + col("v"))).cast("double")) * 10000)
+          .cast("long"))
+    terms.groupBy(col("source"))
+      .agg(max(col("n_s")).cast("long").as("n_tokens"),
+        max(col("v")).cast("long").as("n_vocab"),
+        sum(col("term_tmn")).cast("long").as("sum_term_tmn"))
+      .withColumn("kl_tmn", expr("sum_term_tmn DIV (n_tokens + n_vocab)"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[klUnigram]] — identical smoothing, identical
+    * one-rounding-per-term rule. */
+  def klUnigramSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c_s FROM toks GROUP BY source, w),
+      |cw AS (SELECT w, CAST(sum(c_s) AS BIGINT) AS c_c FROM sw GROUP BY w),
+      |totals AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM sw GROUP BY source),
+      |nc AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_c, CAST(count(*) AS BIGINT) AS v FROM cw),
+      |terms AS (
+      |  SELECT t.source, cw.w, coalesce(sw.c_s, 0) AS cs, cw.c_c, t.n_s, nc.n_c, nc.v
+      |  FROM cw CROSS JOIN nc CROSS JOIN totals t
+      |  LEFT JOIN sw ON sw.source = t.source AND sw.w = cw.w),
+      |scored AS (
+      |  SELECT source, n_s, v,
+      |    CAST(round((cs + 1) * ln(CAST((cs + 1) * (n_c + v) AS DOUBLE) /
+      |      CAST((c_c + 1) * (n_s + v) AS DOUBLE)) * 10000) AS BIGINT) AS term_tmn
+      |  FROM terms)
+      |SELECT source,
+      |  CAST(max(n_s) AS BIGINT) AS n_tokens,
+      |  CAST(max(v) AS BIGINT) AS n_vocab,
+      |  CAST(sum(term_tmn) AS BIGINT) AS sum_term_tmn,
+      |  CAST(CAST(sum(term_tmn) AS BIGINT) // (max(n_s) + max(v)) AS BIGINT) AS kl_tmn
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
 }

@@ -633,6 +633,96 @@ object Text {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** WINNOWING fingerprint audit — the Schleimer–Wilkerson–Aiken
+    * (MOSS) selection rule: hash every token `k`-gram, slide a window
+    * of `w` consecutive hashes, keep each window's MINIMUM — the
+    * guarantee is that any shared run of ≥ w+k−1 tokens shares at
+    * least one selected fingerprint, at ~1/w the storage of the full
+    * k-gram set. The per-source report mirrors the CDC audit: selected
+    * print volume, distinct hashes, and the occurrence mass of prints
+    * appearing in ≥ 2 documents (the winnowed duplicated-passage
+    * rate). Selection density ≈ 2/(w+1) is the famous bound — readable
+    * off `n_prints / n_grams`.
+    *
+    * Determinism (ties): the window minimum is over the combined key
+    * `h·2²⁰ + pos` — the smallest hash wins, ties to the EARLIEST
+    * position — pure integer compare on both engines (positions are
+    * corpus-bounded ≪ 2²⁰; h < 2³² keeps the key < 2⁵²).
+    *
+    * Scale: one positional explode → one per-doc ordered window (the
+    * only shuffle keyed by doc) → distinct + two counts-table aggs;
+    * never doc×doc. */
+  def winnowing(spark: SparkSession, sfDir: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    // native one-loop selection per document (no gram explode, no
+    // per-doc ordered window sort) — declarative twin below pinned
+    val sel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.WinnowKeys.of(tokens, k, w)).as("key"))
+      .withColumn("h", expr("key DIV 1048576"))
+    sel.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("nd"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).cast("long").as("n_prints"),
+        count(lit(1)).cast("long").as("n_distinct_h"),
+        sum(when(col("nd") >= 2, col("occ")).otherwise(0L)).cast("long")
+          .as("n_shared_occ"))
+      .withColumn("shared_ppm", expr("(n_shared_occ * 1000000) DIV n_prints"))
+      .orderBy(col("source"))
+  }
+
+  /** The declarative twin of the native selection: positional explode
+    * + per-doc ordered window minimum — the equivalence witness
+    * (Round7OpsSpec pins key-set equality per doc). */
+  private[ops] def winnowKeysDeclarative(docs: DataFrame,
+      k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = tokens
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(when(size(t) >= k,
+            transform(sequence(lit(1), size(t) - (k - 1)),
+              i => conv(substring(md5(array_join(slice(t, i, lit(k)), " ")), 1, 8), 16, 10)
+                .cast("long")))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("key", min(col("h") * lit(1048576L) + col("pos")).over(win))
+      .filter(col("pos") >= w) // full windows only
+      .select(col("doc_id"), col("key")).distinct()
+  }
+
+  /** Oracle twin of [[winnowing]] — same hash, same combined-key
+    * window minimum, same full-window filter. */
+  def winnowingSql(k: Int = 4, w: Int = 4): String =
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, source, i AS pos,
+       |    ('0x' || substr(md5(array_to_string(t[i:i+${k - 1}], ' ')), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, source, t,
+       |          unnest(generate_series(1, len(t) - ${k - 1})) AS i
+       |        FROM toks WHERE len(t) >= $k)),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    min(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS key
+       |  FROM grams
+       |  QUALIFY pos >= $w),
+       |prints AS (SELECT doc_id, source, key // 1048576 AS h FROM sel),
+       |hs AS (
+       |  SELECT source, h, CAST(count(*) AS BIGINT) AS occ,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+       |  FROM prints GROUP BY source, h)
+       |SELECT source,
+       |  CAST(sum(occ) AS BIGINT) AS n_prints,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_h,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_shared_occ,
+       |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS shared_ppm
+       |FROM hs GROUP BY source ORDER BY source""".stripMargin
+
   /** Intra-document repetition profile (the Gopher/RefinedWeb
     * repetitious-text filters): per doc, of its word 2-grams, the
     * fraction that are repeats (1 − distinct/total) and the share of

@@ -56,6 +56,25 @@ class Round7OpsSpec extends SparkTestBase {
     }
   }
 
+  test("winnowing: native one-loop selection == declarative window minimum, " +
+      "key set for key set; density respects the 2/(w+1) regime") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val native = docs
+      .select(col("doc_id"), explode(graft.functions.WinnowKeys.of(
+        split(col("text"), " "), 4, 4)).as("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val decl = Text.winnowKeysDeclarative(docs, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(native == decl,
+      "the native selector must reproduce the window-min selection exactly")
+    // selection density: winnowing guarantees >= 1/w and ~2/(w+1)
+    val nGrams = docs.select(sum(greatest(size(split(col("text"), " ")) - 3, lit(0))))
+      .collect().head.getLong(0)
+    val density = native.size.toDouble / nGrams
+    assert(density >= 1.0 / 4 - 0.05 && density <= 0.75,
+      s"selected ${native.size} of $nGrams grams (density $density)")
+  }
+
   test("cdcBytes: chunk lengths obey the min/normal/max normalization bounds") {
     val out = Dedup.cdcBytes(spark, sfDir).collect()
     assert(out.nonEmpty)
