@@ -916,4 +916,109 @@ object Pipeline {
        |FROM x
        |GROUP BY budget
        |ORDER BY budget""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Blocklist phrase filter: content-safety admission over the corpus
+  // --------------------------------------------------------------------
+
+  /** The demonstration blocklist — mixed 2- and 3-token phrases. A
+    * production deployment swaps in its policy list (thousands of
+    * phrases — the plan shape below is phrase-count-independent: the
+    * list rides a broadcast join, never a per-phrase scan). */
+  val Blocklist: Seq[String] = Seq(
+    "key agg", "slow fast", "hash join", "big order scan", "small part order")
+
+  /** Multi-phrase BLOCKLIST filter — the content-safety admission gate
+    * next to [[redactPii]]: for every banned phrase, which documents
+    * contain it verbatim (token-aligned) and how often. The report is
+    * per (source, phrase): hit documents, total hits, and the
+    * hit-document rate — what a policy owner reads before deciding
+    * drop-vs-redact per source.
+    *
+    * Scale (the inverted-index shape, not a per-phrase scan): ONE
+    * positional n-gram explode per DISTINCT phrase length (here 2 and
+    * 3) feeds a hash join against the broadcast phrase list — cost is
+    * O(corpus tokens × #lengths), independent of phrase count; a
+    * LIKE-per-phrase plan would be O(corpus × phrases). Never doc×doc. */
+  def blocklistFilter(spark: SparkSession, sfDir: String,
+      blocklist: Seq[String] = Blocklist): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source_docs"))
+    blocklistHitsOf(spark, docs, blocklist)
+      .groupBy(col("source"), col("phrase"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_hits"))
+      .join(totals, Seq("source"))
+      .withColumn("hit_docs_ppm", expr("(n_docs * 1000000) DIV n_source_docs"))
+      .select(col("source"), col("phrase"), col("n_docs"), col("n_hits"),
+        col("hit_docs_ppm"))
+      .orderBy(col("source"), col("phrase"))
+  }
+
+  /** Per-occurrence (source, doc_id, phrase) hits of any (source,
+    * doc_id, text) frame — package-visible for the alignment spec. */
+  private[ops] def blocklistHitsOf(spark: SparkSession, docs: DataFrame,
+      blocklist: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val t = split(col("text"), " ")
+    // the join key is xxhash64 of the TOKEN SLICE, not a built gram
+    // string, and grams come from ZIPPED SHIFTED SLICES, never
+    // `slice(t, i, k)` inside a transform lambda — CollapseProject
+    // inlines the row's split() into the lambda and re-tokenizes the
+    // document PER GRAM (the docRepetition pitfall; measured 44 s at
+    // the 10x corpus, 2.7 s with the zip idiom). The slices are row
+    // expressions evaluated once per document; the lambda touches only
+    // element fields. Collision bound: grams x phrases pairs / 2^64 —
+    // a collision would surface as a LOUD oracle hash mismatch (the
+    // oracle matches strings), never a silent wrong admission.
+    def kGramHashes(len: Int): Column = {
+      val m = size(t) - (len - 1)
+      if (len == 1) transform(t, x => xxhash64(array(x)))
+      else {
+        val zipped = arrays_zip((0 until len).map(j => slice(t, lit(j + 1), m)): _*)
+        transform(zipped, x =>
+          xxhash64(array((0 until len).map(j => x.getField(j.toString)): _*)))
+      }
+    }
+    blocklist.groupBy(_.split(' ').length).toSeq.sortBy(_._1)
+      .map { case (len, phrases) =>
+        val grams = docs.select(col("source"), col("doc_id"),
+          explode(when(size(t) >= len, kGramHashes(len))
+            .otherwise(array().cast("array<bigint>"))).as("gh"))
+        val pl = phrases.toDF("phrase")
+          .select(col("phrase"), xxhash64(split(col("phrase"), " ")).as("ph"))
+        grams.join(broadcast(pl), col("gh") === col("ph"))
+          .select(col("source"), col("doc_id"), col("phrase"))
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Oracle twin of [[blocklistFilter]] — phrases interpolated as a
+    * VALUES list, the same per-length token-aligned n-gram join. */
+  def blocklistFilterSql(blocklist: Seq[String] = Blocklist): String = {
+    val byLen = blocklist.groupBy(_.split(' ').length).toSeq.sortBy(_._1)
+    val gramCtes = byLen.map { case (len, phrases) =>
+      val vals = phrases.map(p => s"('${p}')").mkString(", ")
+      s"""SELECT g.source, g.doc_id, p.phrase
+         |  FROM (SELECT source, doc_id,
+         |          array_to_string(t[i:i+${len - 1}], ' ') AS g
+         |        FROM (SELECT source, doc_id, t,
+         |                unnest(generate_series(1, len(t) - ${len - 1})) AS i
+         |              FROM toks WHERE len(t) >= $len)) g
+         |  JOIN (VALUES $vals) p(phrase) ON g.g = p.phrase""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS t FROM documents),
+       |totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source_docs
+       |           FROM documents GROUP BY source),
+       |hits AS (
+       |  $gramCtes)
+       |SELECT h.source, h.phrase,
+       |  CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(CAST(count(DISTINCT h.doc_id) AS BIGINT) * 1000000
+       |    // t.n_source_docs AS BIGINT) AS hit_docs_ppm
+       |FROM hits h JOIN totals t ON t.source = h.source
+       |GROUP BY h.source, h.phrase, t.n_source_docs
+       |ORDER BY h.source, h.phrase""".stripMargin
+  }
 }

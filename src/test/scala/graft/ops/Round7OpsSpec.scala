@@ -174,6 +174,40 @@ class Round7OpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("clicks", 1L)))
   }
 
+  test("blocklist filter: one explode per phrase LENGTH (never per phrase), " +
+      "broadcast list join, exact token-aligned hits") {
+    val df = Pipeline.blocklistFilter(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the demonstration blocklist must hit this corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= r.getAs[Long]("n_docs"))
+      val ppm = r.getAs[Long]("hit_docs_ppm")
+      assert(ppm > 0L && ppm <= 1000000L)
+    }
+    // plan shape: one generator per distinct phrase length (2 and 3),
+    // cost independent of phrase count
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Generate explode".r.findAllIn(p).length <= 2,
+      s"per-phrase scans would show more generators:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the phrase list must broadcast:\n$p")
+    // exact token alignment on crafted docs: fused tokens and broken
+    // phrases never match; aligned ones do
+    val s2 = spark
+    import s2.implicits._
+    val crafted = Seq(
+      (1L, "s", "x key agg y"),        // "key agg" aligned -> hit
+      (2L, "s", "x keyagg y"),         // fused token -> no hit
+      (3L, "s", "big order scan end"), // 3-gram hit
+      (4L, "s", "big order x scan"))   // broken 3-gram -> no hit
+      .toDF("doc_id", "source", "text")
+    val hitDocs = Pipeline.blocklistHitsOf(spark, crafted,
+        Seq("key agg", "big order scan"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("phrase")))
+      .sorted.toSeq
+    assert(hitDocs == Seq((1L, "key agg"), (3L, "big order scan")), hitDocs.toString)
+  }
+
   test("batch decay/U-shape credit totals conserve the full purchase volume") {
     val totalPurchaseE6 = graft.Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
