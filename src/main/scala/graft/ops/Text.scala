@@ -93,6 +93,60 @@ object Text {
       .orderBy(col("source"))
   }
 
+  /** Vocabulary COVERAGE CURVE — the vocab-size decision table
+    * completing [[oovRate]]'s single-K check and [[vocabGrowth]]'s
+    * Heaps curve: for each candidate vocabulary size K, the fraction
+    * of all corpus tokens covered by the K most frequent words
+    * (rank ties broken lexically, so the cut is total-ordered on both
+    * engines). The tokenizer-budget input: where the curve flattens
+    * is where additional vocab stops paying.
+    *
+    * Scale: one tokenize+explode into word counts (map-side
+    * combined); everything after operates on the VOCAB-sized table —
+    * one ranking window over it, one conditional-sum row, unpivoted
+    * to a row per K. Never doc×doc, never a corpus-sized sort. */
+  def vocabCoverage(spark: SparkSession, sfDir: String,
+      ks: Seq[Int] = Seq(4, 16, 64, 256, 1024)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, sfDir)
+      .select(explode(tokens).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+    val aggCols = sum(col("tf")).as("n_total") +:
+      ks.map(k => sum(when(col("rank") <= k, col("tf")).otherwise(0L)).as(s"cov_$k"))
+    val sums = counts.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = ks.map(k => s"${k}L, cov_$k").mkString(", ")
+    sums.selectExpr("n_total", s"stack(${ks.size}, $stacked) AS (k, covered_tokens)")
+      .select(col("k").cast("long"),
+        col("covered_tokens").cast("long"),
+        expr("(covered_tokens * 1000000) DIV n_total").as("covered_ppm"),
+        expr("((n_total - covered_tokens) * 1000000) DIV n_total").as("oov_ppm"))
+      .orderBy(col("k"))
+  }
+
+  /** Oracle twin of [[vocabCoverage]] — identical rank/tiebreak and
+    * truncating ppm arithmetic, one UNION ALL branch per K. */
+  def vocabCoverageSql(ks: Seq[Int] = Seq(4, 16, 64, 256, 1024)): String = {
+    val branches = ks.map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN rank <= $k THEN tf ELSE 0 END) AS BIGINT) AS covered_tokens,
+         |  CAST(CAST(sum(CASE WHEN rank <= $k THEN tf ELSE 0 END) AS BIGINT) * 1000000
+         |    // CAST(sum(tf) AS BIGINT) AS BIGINT) AS covered_ppm,
+         |  CAST((CAST(sum(tf) AS BIGINT) -
+         |        CAST(sum(CASE WHEN rank <= $k THEN tf ELSE 0 END) AS BIGINT)) * 1000000
+         |    // CAST(sum(tf) AS BIGINT) AS BIGINT) AS oov_ppm
+         |FROM ranked""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+       |counts AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+       |ranked AS (
+       |  SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM counts)
+       |$branches
+       |ORDER BY k""".stripMargin
+  }
+
   /** Oracle twin of [[oovRate]] — `vocabSize` interpolated. */
   def oovRateSql(vocabSize: Int = 20): String =
     s"""WITH toks AS (

@@ -208,6 +208,29 @@ class Round7OpsSpec extends SparkTestBase {
     assert(hitDocs == Seq((1L, "key agg"), (3L, "big order scan")), hitDocs.toString)
   }
 
+  test("vocabCoverage: coverage is monotone in K, saturates at the full vocab, " +
+      "and covered+oov partitions the corpus") {
+    val rows = Text.vocabCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.length == 5)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"coverage must be monotone in K: $a vs $b")
+    }
+    val nVocab = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(countDistinct(col("t"))).collect().head.getLong(0)
+    val total = graft.Tables.documents(spark, sfDir)
+      .select(sum(size(split(col("text"), " ")))).collect().head.getLong(0)
+    rows.filter(_._1 >= nVocab).foreach { r =>
+      assert(r._2 == total, s"K >= |V| must cover every token: $r")
+      assert(r._3 == 1000000L && r._4 == 0L)
+    }
+    rows.foreach { r =>
+      assert(r._3 + r._4 <= 1000000L && r._3 + r._4 >= 999998L,
+        s"covered+oov ppm must partition the corpus (truncation <= 2): $r")
+    }
+  }
+
   test("batch decay/U-shape credit totals conserve the full purchase volume") {
     val totalPurchaseE6 = graft.Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
