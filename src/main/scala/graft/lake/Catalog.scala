@@ -743,6 +743,19 @@ object Catalog {
     }.sorted
   }
 
+  /** Relative paths of distribution files REMOVED from the committed
+    * set (not necessarily vacuumed yet) — maintenance that lists the
+    * physical directory must treat these as logically dead: their
+    * content already lives in the commit that removed them, so
+    * re-reading them would double it ([[Erase]]'s crash-recovery
+    * rule). */
+  def distRemovedFiles(spark: SparkSession, layout: Layout): Set[String] =
+    readLog(spark, layout).removes.map(_._3).toSet
+
+  /** Lake-area sibling of [[distRemovedFiles]]. */
+  def lakeRemovedFiles(spark: SparkSession, layout: Layout): Set[String] =
+    readLog(spark, layout).lakeRemoves.map(_._3).toSet
+
   /** Physically delete distribution files removed from the committed
     * set at least `graceMs` ago. Deferral gives readers that planned
     * against the pre-compaction snapshot time to finish (Delta's

@@ -334,11 +334,19 @@ object Erase {
     val dir = new Path(dirStr)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // snapshot the physical file list: the content read, the log
-    // removes, and the deletion all operate on exactly this set
-    val oldFiles = fs.listStatus(dir)
+    // removes, and the deletion all operate on exactly this set.
+    // CRASH RULE: a file the log already marks REMOVED is logically
+    // dead — its content lives in the commit that removed it (a
+    // previous erase/compaction that crashed before its physical
+    // delete). Re-reading it would DOUBLE that content, so it is
+    // finished off (deleted) here instead of read.
+    val removed = Catalog.distRemovedFiles(spark, layout)
+    val (dead, oldFiles) = fs.listStatus(dir)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .map(_.getPath)
+      .partition(p => removed.contains(s"source=$source/${p.getName}"))
+    dead.foreach(p => fs.delete(p, false)) // finish the interrupted delete
     if (oldFiles.isEmpty) return 0L
     val lineMatches = new DistLineMatches(matches)
     val df = spark.read.textFile(
@@ -383,10 +391,15 @@ object Erase {
     val dir = new Path(dirStr)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
-    val oldFiles = fs.listStatus(dir)
+    // same crash rule as the distribution leg: logically-removed files
+    // are finished off, never re-read (re-reading doubles content)
+    val removed = Catalog.lakeRemovedFiles(spark, layout)
+    val (dead, oldFiles) = fs.listStatus(dir)
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .map(_.getPath)
+      .partition(p => removed.contains(s"source=$source/${p.getName}"))
+    dead.foreach(p => fs.delete(p, false))
     if (oldFiles.isEmpty) return 0L
     val df = spark.read.parquet(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*)

@@ -106,17 +106,33 @@ object Compaction {
     val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lockDir)
     val lock = new Path(lockDir, s"_compact-$source.lock")
-    def tryLock(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException =>
-        // steal a stale lock from a crashed compactor
-        val st = try Some(fs.getFileStatus(lock)) catch { case _: java.io.IOException => None }
-        if (st.exists(s => System.currentTimeMillis() - s.getModificationTime > lockTtlMs)) {
-          fs.delete(lock, false)
-          try { fs.create(lock, false).close(); true }
-          catch { case _: java.io.IOException => false }
-        } else false
-      }
+    // ownership token: create is check-then-act on a local FS and the
+    // stale-steal path (delete + recreate) can race another stealer —
+    // so after any acquisition the owner WRITES its token and reads it
+    // back; if a racer overwrote it, the last writer wins and the
+    // loser backs off. Two concurrent compactions of one source would
+    // both commit adds for the same inputs (doubled records), so this
+    // verify step is load-bearing, not paranoia.
+    val token = java.util.UUID.randomUUID().toString
+    def writeAndVerify(): Boolean = {
+      val out = fs.create(lock, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      Thread.sleep(20) // let a racing writer's overwrite land
+      val in = fs.open(lock)
+      val read = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      read == token
+    }
+    def tryLock(): Boolean = {
+      val created =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException =>
+          // steal a stale lock from a crashed compactor
+          val st = try Some(fs.getFileStatus(lock)) catch { case _: java.io.IOException => None }
+          st.exists(s => System.currentTimeMillis() - s.getModificationTime > lockTtlMs)
+        }
+      created && writeAndVerify()
+    }
     if (!tryLock())
       throw new java.io.IOException(
         s"compactSourceCommitted($source): another compaction holds the lock")

@@ -291,6 +291,49 @@ class ExactlyOnceSpec extends SparkTestBase {
     assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 3)
   }
 
+  test("an erase that crashed between its log commit and its physical delete " +
+      "never doubles content on re-run (logically-removed files are finished, not re-read)") {
+    val layout = Layout(tmpDir("xo-erasecrash"))
+    val fs = new Path(layout.distributionDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamIngest.processBatch(batchOf(Seq(
+      ("clicks", "k1", """{"user":"A","v":1}"""),
+      ("clicks", "k1", """{"user":"B","v":2}"""))), layout, 1704067200000L, 1L)
+    val oldLive = Catalog.distLiveFiles(spark, layout)
+    assert(oldLive.nonEmpty)
+
+    // simulate the crashed erase: stage the KEPT line, commit
+    // {add staged, remove old}, then "crash" before deleting old
+    val uuid = "crashed-erase"
+    val stagePart = new Path(s"${layout.distributionDir}/_staged/$uuid/source=clicks")
+    fs.mkdirs(stagePart)
+    val out = fs.create(new Path(stagePart, "part-kept.json"), true)
+    try out.write("""{"key":"k1","json":"{\"user\":\"B\",\"v\":2}"}""".getBytes("UTF-8"))
+    finally out.close()
+    Catalog.commitDistPrestaged(spark, layout, uuid, removes = oldLive)
+    // crash point: the logically-removed files are still physically present
+    val deadPaths = oldLive.map(rel => new Path(s"${layout.distributionDir}/$rel"))
+    assert(deadPaths.forall(fs.exists))
+    assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 1)
+
+    // re-run the erase: it must finish the delete, read ONLY live
+    // files, and end with B exactly once everywhere
+    Erase.eraseWhere(spark, layout, "clicks", Erase.jsonFieldEquals("user", "A"))
+    assert(deadPaths.forall(p => !fs.exists(p)), "dead files must be finished off")
+    val snap = Distribution.subscribeSnapshot(spark, layout, "clicks")
+    assert(snap.count() == 1, "no doubled content after crash recovery")
+    // the physical partition holds exactly one B record in total
+    val lines = fs.listStatus(new Path(s"${layout.distributionDir}/source=clicks"))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    assert(lines.length == 1 && lines.head.contains("B") && !lines.exists(_.contains("A")),
+      s"exactly one physical copy of B, zero of A: ${lines.toSeq}")
+  }
+
   test("tombstones re-apply to bronze objects that land after the first application") {
     val layout = Layout(tmpDir("xo-reapply"))
     def writeBronze(name: String, content: String): Unit = {
