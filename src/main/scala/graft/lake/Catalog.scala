@@ -455,8 +455,18 @@ object Catalog {
     * (publish is idempotent — already-renamed files are skipped);
     * staging dirs named by no commit record are orphans from a crash
     * before CLAIM and are deleted. Idempotent; run from maintenance,
-    * like [[graft.streaming.SnapshotStore.recover]]. */
-  def recoverAppends(spark: SparkSession, layout: Layout): Unit = {
+    * like [[graft.streaming.SnapshotStore.recover]].
+    *
+    * The orphan sweep is AGE-GATED: an unclaimed stage younger than
+    * `stageGraceMs` may belong to a committer that is right now
+    * between its stage write and its CLAIM — deleting it would make
+    * that commit publish nothing (or, for a prestaged removes-carrying
+    * commit, commit a removes-only record that logically drops live
+    * files with no replacement). Stage writes take seconds; a crashed
+    * writer's orphan is hours old by the next maintenance run, so the
+    * grace window costs nothing but closes the race. */
+  def recoverAppends(spark: SparkSession, layout: Layout,
+      stageGraceMs: Long = 20L * 60 * 1000): Unit = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
@@ -485,12 +495,14 @@ object Catalog {
         }
       }
     }
+    val sweepCutoff = System.currentTimeMillis() - stageGraceMs
     def sweep(root: String, claimed: Set[String]): Unit = {
       val stagedRoot = new org.apache.hadoop.fs.Path(s"$root/_staged")
       if (fs.exists(stagedRoot))
-        fs.listStatus(stagedRoot).map(_.getPath)
-          .filterNot(p => claimed.contains(p.getName))
-          .foreach(p => fs.delete(p, true))
+        fs.listStatus(stagedRoot)
+          .filter(st => !claimed.contains(st.getPath.getName) &&
+            st.getModificationTime <= sweepCutoff)
+          .foreach(st => fs.delete(st.getPath, true))
     }
     sweep(layout.catalogDir, claimedCat)
     sweep(layout.distributionDir, claimedDist)
@@ -569,16 +581,15 @@ object Catalog {
       if (readCheckpointLines(fs, rec).isDefined) return Some(upTo)
       fs.delete(rec, false) // torn leftover: nobody trusts it; rewrite
     }
-    // net out removed files; keep R/LR lines so vacuum survives folds
-    val removedPaths = rmF.map(_._3).toSet
-    val lakeRemovedPaths = lrmF.map(_._3).toSet
+    // removed adds are KEPT in the fold (alongside their R/LR lines):
+    // distFilesAsOf/lakeFilesAsOf at a version between an add and its
+    // remove must still see the pre-removal file set — netting them
+    // out here would silently break time travel below the checkpoint
     val lines =
       catF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"$s $p" } ++
-      distF.filterNot(d => removedPaths.contains(d._2))
-        .sortBy(e => (e._1, e._2)).map { case (s, p) => s"D $s $p" } ++
+      distF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"D $s $p" } ++
       rmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"R $s $ms $p" } ++
-      lakeF.filterNot(d => lakeRemovedPaths.contains(d._2))
-        .sortBy(e => (e._1, e._2)).map { case (s, p) => s"L $s $p" } ++
+      lakeF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"L $s $p" } ++
       lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),

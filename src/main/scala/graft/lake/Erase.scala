@@ -232,13 +232,25 @@ object Erase {
   def eraseWhere(spark: SparkSession, layout: Layout, source: String,
       matches: String => Boolean, maxAffectedObjects: Int = 100000): EraseReport = {
     val bronzeStats = eraseBronze(spark, layout, source, matches, maxAffectedObjects)
-    val lakeDropped = eraseLake(spark, layout, source, matches)
-    val distDropped =
-      if (new Path(s"${layout.distributionDir}/source=$source")
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new Path(s"${layout.distributionDir}/source=$source")))
-        eraseDistribution(spark, layout, source, matches)
-      else 0L
+    // the lake/distribution rewrite legs hold the per-source
+    // maintenance lock: a compactSourceCommitted committing between
+    // this erase's file-set snapshot and its own commit would leave
+    // the compacted add live while the erase re-adds rewritten copies
+    // of the same inputs — doubled content AND the erased subject
+    // surviving in the still-live compacted file. Erase WAITS for a
+    // contended lock (up to 10 min) rather than failing: skipping an
+    // erasure is not an option.
+    val (lakeDropped, distDropped) =
+      SourceLock.withLock(spark, layout, source, waitMs = 10 * 60 * 1000L) {
+        val lk = eraseLake(spark, layout, source, matches)
+        val dist =
+          if (new Path(s"${layout.distributionDir}/source=$source")
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(new Path(s"${layout.distributionDir}/source=$source")))
+            eraseDistribution(spark, layout, source, matches)
+          else 0L
+        (lk, dist)
+      }
     EraseReport(source, bronzeStats._1, bronzeStats._2, lakeDropped, distDropped)
   }
 
@@ -327,7 +339,11 @@ object Erase {
     *    correct trade;
     *  - raw JSON lines are kept byte-identical (staged as text and
     *    renamed to `.json`), so unknown record schemas survive.
-    * Returns records dropped. */
+    * The CALLER ([[eraseWhere]]) holds the per-source [[SourceLock]],
+    * serializing this rewrite against [[Compaction.compactSourceCommitted]]
+    * — without it a compaction committing between this leg's file-set
+    * snapshot and its commit would keep the subject alive in the
+    * compacted file. Returns records dropped. */
   private def eraseDistribution(spark: SparkSession, layout: Layout, source: String,
       matches: String => Boolean): Long = {
     val dirStr = s"${layout.distributionDir}/source=$source"
@@ -383,7 +399,8 @@ object Erase {
     * not maintenance). Files committed concurrently are neither read,
     * doubled, nor destroyed; directory readers of `lake/source=X`
     * stay correct because the rewrite lands under the same partition
-    * dir. Returns rows dropped. */
+    * dir. Runs under the caller's per-source [[SourceLock]], like the
+    * distribution leg. Returns rows dropped. */
   private def eraseLake(spark: SparkSession, layout: Layout, source: String,
       matches: String => Boolean): Long = {
     import spark.implicits._

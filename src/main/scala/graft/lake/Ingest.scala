@@ -79,7 +79,22 @@ object Ingest {
     * re-split every object, and a file arriving mid-ingest could be
     * cataloged without being written. */
   def ingestBatch(spark: SparkSession, layout: Layout, arrivalMs: Long): Long = {
-    val bronze = readBronze(spark, layout).persist()
+    import spark.implicits._
+    // the same standing-erasure gate the streaming path applies
+    // ([[graft.streaming.StreamIngest.processBatch]]): a late bronze
+    // arrival batch-ingested after a tombstone landed must not put the
+    // subject's records back into the lake/catalog — without this gate
+    // the "intake keeps matched records out" erasure claim held only
+    // for the stream path.
+    val tombs = Erase.tombstones(spark, layout)
+    val raw = readBronze(spark, layout)
+    val gated = if (tombs.isEmpty) raw else {
+      val drop = Erase.recordMatcher(tombs)
+      raw.select("source", "key", "json").as[(String, String, String)]
+        .filter(r => !drop(r._1, r._3))
+        .toDF("source", "key", "json")
+    }
+    val bronze = gated.persist()
     try {
       Catalog.commitLakeIngest(spark, layout, bronze,
         Catalog.entriesFor(bronze, arrivalMs))

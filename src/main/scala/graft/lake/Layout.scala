@@ -26,6 +26,66 @@ final case class Layout(root: String) {
   def bronzeSourceDir(source: String): String = s"$bronzeDir/$source"
 }
 
+/** Per-source maintenance mutex shared by committed compaction and the
+  * erase rewrite legs: both read a snapshot of the live file set and
+  * later commit `adds + removes(snapshot)` — two such writers racing on
+  * one source would each commit adds for the same inputs (doubled
+  * records), and an erase racing a compaction would leave the
+  * compacted file live while re-adding rewritten copies of its inputs
+  * (the erased subject survives). A stale lock from a crashed holder is
+  * stealable after `lockTtlMs`. */
+private[lake] object SourceLock {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.hadoop.fs.Path
+
+  /** Run `body` holding the `_compact-<source>.lock` mutex. Waits up to
+    * `waitMs` for a contended lock (0 = fail immediately, the
+    * compaction posture: a maintenance job skipping a busy source is
+    * fine; an ERASE must not silently skip, so erase waits). */
+  def withLock[T](spark: SparkSession, layout: Layout, source: String,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 0L)(body: => T): T = {
+    val lockDir = new Path(s"${layout.catalogDir}/_log")
+    val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lockDir)
+    val lock = new Path(lockDir, s"_compact-$source.lock")
+    // ownership token: create is check-then-act on a local FS and the
+    // stale-steal path (delete + recreate) can race another stealer —
+    // so after any acquisition the owner WRITES its token and reads it
+    // back; if a racer overwrote it, the last writer wins and the
+    // loser backs off. This verify step is load-bearing, not paranoia.
+    val token = java.util.UUID.randomUUID().toString
+    def writeAndVerify(): Boolean = {
+      val out = fs.create(lock, true)
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+      Thread.sleep(20) // let a racing writer's overwrite land
+      val in = fs.open(lock)
+      val read = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      read == token
+    }
+    def tryLock(): Boolean = {
+      val created =
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException =>
+          // steal a stale lock from a crashed holder
+          val st = try Some(fs.getFileStatus(lock)) catch { case _: java.io.IOException => None }
+          st.exists(s => System.currentTimeMillis() - s.getModificationTime > lockTtlMs)
+        }
+      created && writeAndVerify()
+    }
+    val deadline = System.currentTimeMillis() + waitMs
+    var locked = tryLock()
+    while (!locked && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      locked = tryLock()
+    }
+    if (!locked)
+      throw new java.io.IOException(
+        s"SourceLock($source): another maintenance job holds the lock")
+    try body finally fs.delete(lock, false)
+  }
+}
+
 /** Small-file compaction for the lake's partition dirs — streaming
   * ingest at a 60 s trigger writes one file per micro-batch per
   * source; over days that is thousands of small files per partition,
@@ -101,52 +161,19 @@ object Compaction {
     * is simply not in the remove set and stays live. Returns records
     * compacted (0 when already at or under `targetFiles`). */
   def compactSourceCommitted(spark: SparkSession, layout: Layout, source: String,
-      targetFiles: Int = 1, lockTtlMs: Long = 10 * 60 * 1000L): Long = {
-    val lockDir = new Path(s"${layout.catalogDir}/_log")
-    val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(lockDir)
-    val lock = new Path(lockDir, s"_compact-$source.lock")
-    // ownership token: create is check-then-act on a local FS and the
-    // stale-steal path (delete + recreate) can race another stealer —
-    // so after any acquisition the owner WRITES its token and reads it
-    // back; if a racer overwrote it, the last writer wins and the
-    // loser backs off. Two concurrent compactions of one source would
-    // both commit adds for the same inputs (doubled records), so this
-    // verify step is load-bearing, not paranoia.
-    val token = java.util.UUID.randomUUID().toString
-    def writeAndVerify(): Boolean = {
-      val out = fs.create(lock, true)
-      try out.write(token.getBytes("UTF-8")) finally out.close()
-      Thread.sleep(20) // let a racing writer's overwrite land
-      val in = fs.open(lock)
-      val read = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      read == token
-    }
-    def tryLock(): Boolean = {
-      val created =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException =>
-          // steal a stale lock from a crashed compactor
-          val st = try Some(fs.getFileStatus(lock)) catch { case _: java.io.IOException => None }
-          st.exists(s => System.currentTimeMillis() - s.getModificationTime > lockTtlMs)
-        }
-      created && writeAndVerify()
-    }
-    if (!tryLock())
-      throw new java.io.IOException(
-        s"compactSourceCommitted($source): another compaction holds the lock")
-    try {
+      targetFiles: Int = 1, lockTtlMs: Long = 10 * 60 * 1000L): Long =
+    SourceLock.withLock(spark, layout, source, lockTtlMs) {
       val live = Catalog.distLiveFiles(spark, layout)
         .filter(_.startsWith(s"source=$source/"))
-      if (live.size <= targetFiles) return 0L
-      val df = spark.read.option("basePath", layout.distributionDir).format("json")
-        .load(live.map(rel => s"${layout.distributionDir}/$rel"): _*)
-      val n = df.count()
-      Catalog.commitDist(spark, layout, df.coalesce(targetFiles), removes = live)
-      n
-    } finally fs.delete(lock, false)
-  }
+      if (live.size <= targetFiles) 0L
+      else {
+        val df = spark.read.option("basePath", layout.distributionDir).format("json")
+          .load(live.map(rel => s"${layout.distributionDir}/$rel"): _*)
+        val n = df.count()
+        Catalog.commitDist(spark, layout, df.coalesce(targetFiles), removes = live)
+        n
+      }
+    }
 
   def compactSource(spark: SparkSession, layout: Layout, source: String,
       targetFiles: Int = 1): Long = {

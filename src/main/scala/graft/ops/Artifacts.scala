@@ -14,8 +14,16 @@ import org.apache.spark.sql.SparkSession
   * path. Exactly one rename wins; the loser observes the winner's
   * committed artifact (same corpus ⇒ same deterministic content) and
   * discards its temp. A crashed build leaves only an invisible temp
-  * dir; a `_SUCCESS`-less final dir (pre-protocol crash) is replaced. */
-private[ops] object Artifacts {
+  * dir; a `_SUCCESS`-less final dir (pre-protocol crash) is replaced.
+  *
+  * Retention ([[vacuum]]): artifacts are corpus-fingerprint keyed, so
+  * every corpus change (daily re-ingest, an erasure) strands the
+  * previous key's directory — and an ERASED subject's derived data
+  * (PQ-coded embeddings, near-dup pair rows) lives inside those stale
+  * artifacts. Vacuum against the current live key set is therefore
+  * both the disk-growth bound and the erasure-completion step for the
+  * shared root; [[graft.lake.Erase]]'s contract points here. */
+object Artifacts {
 
   def commit(spark: SparkSession, exportDir: String)
       (write: String => Unit): String = {
@@ -40,4 +48,63 @@ private[ops] object Artifacts {
       throw new java.io.IOException(s"artifact commit failed for $exportDir")
     exportDir
   }
+
+  /** The shared artifact root every corpus-keyed artifact lives under
+    * (`near_dup_pairs/k=…`, `pq_codebooks/v1/k=…`, `ivfpq_codebooks`,
+    * `ivfpq_codes`, `ivf_assignments`). */
+  def sharedRoot: String = s"${Similarity.OracleExportRoot}/shared"
+
+  /** Delete every committed corpus-keyed artifact under `root` whose
+    * `k=<key>` is NOT in `liveKeys`. In-flight builder temps
+    * (`*.tmp-*`) are never touched — a concurrent [[commit]] finishes
+    * its rename onto a now-live or now-stale final name, and the next
+    * vacuum pass judges THAT. Walks only directories, depth-bounded
+    * (the layout is `<name>[/v<n>]/k=<key>`), so the listing cost is
+    * O(artifact families), never O(files). Returns dirs deleted.
+    *
+    * Two callers:
+    *  - RETENTION: pass the fingerprints of every corpus still served
+    *    — each re-ingested corpus otherwise strands an index-sized
+    *    directory per run, forever.
+    *  - ERASURE: after rewriting a corpus to drop a subject, the
+    *    subject's derived rows (PQ codes, pair rows, assignments)
+    *    survive in the OLD key's artifacts; vacuuming to the new live
+    *    set deletes them. [[vacuumFor]] wires this for a corpus dir. */
+  def vacuum(spark: SparkSession, liveKeys: Set[String],
+      root: String = sharedRoot, maxDepth: Int = 4): Long = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0L
+    var deleted = 0L
+    def walk(p: Path, depth: Int): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.contains(".tmp-")) {
+          if (name.startsWith("k=")) {
+            if (!liveKeys.contains(name.stripPrefix("k="))) {
+              fs.delete(st.getPath, true)
+              deleted += 1
+            }
+          } else if (depth < maxDepth) walk(st.getPath, depth + 1)
+        }
+      }
+    walk(rootPath, 0)
+    deleted
+  }
+
+  /** The live corpus fingerprints for one corpus dir: the documents
+    * key (pair-table family) and the embeddings key (ANN index
+    * family) — what [[vacuum]] should keep after the corpus at
+    * `sfDir` changed (an erasure, a re-ingest). */
+  def liveKeysFor(spark: SparkSession, sfDir: String): Set[String] = Set(
+    Dedup.docsCorpusKeyOf(graft.Tables.documents(spark, sfDir)).toString,
+    Similarity.corpusKeyOf(graft.Tables.embeddings(spark, sfDir)).toString)
+
+  /** Erasure/retention convenience: vacuum the shared root down to the
+    * artifacts of the corpus CURRENTLY at `sfDir` (post-erase, its
+    * fingerprints differ from every pre-erase artifact's key, so the
+    * stale dirs holding the erased subject's derived data are exactly
+    * what gets deleted). Returns dirs deleted. */
+  def vacuumFor(spark: SparkSession, sfDir: String, root: String = sharedRoot): Long =
+    vacuum(spark, liveKeysFor(spark, sfDir), root)
 }

@@ -738,10 +738,14 @@ object Behavior {
     val touches = ev.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("event_id").as("t_id"), col("us").as("t_us"),
         col("event_type").as("channel"), floor(col("us") / dayUs).cast("long").as("day"))
+    // band count derives from the lookback (ceil in whole days) — a
+    // hardcoded 7 would silently drop eligible pairs past day 7 for
+    // any longer lookback; the exact window is the residual filter
+    val bands = (lookbackUs + dayUs - 1) / dayUs
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"),
         col("cents"),
-        explode(sequence(floor(col("us") / dayUs).cast("long") - lit(7),
+        explode(sequence(floor(col("us") / dayUs).cast("long") - lit(bands),
           floor(col("us") / dayUs).cast("long"))).as("day"))
     val pairs = purchases.join(touches, Seq("user_id", "day"))
       .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= lookbackUs)
@@ -782,10 +786,13 @@ object Behavior {
     val touches = ev.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("event_id").as("t_id"), col("us").as("t_us"),
         col("event_type").as("channel"), floor(col("us") / dayUs).cast("long").as("day"))
+    // band count from the lookback, as in [[multiTouch]]: lit(7) here
+    // silently dropped eligible pairs for any lookbackUs > 7 days
+    val bands = (lookbackUs + dayUs - 1) / dayUs
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"),
         col("cents"),
-        explode(sequence(floor(col("us") / dayUs).cast("long") - lit(7),
+        explode(sequence(floor(col("us") / dayUs).cast("long") - lit(bands),
           floor(col("us") / dayUs).cast("long"))).as("day"))
     purchases.join(touches, Seq("user_id", "day"))
       .filter(col("t_us") < col("p_us") && col("p_us") - col("t_us") <= lookbackUs)

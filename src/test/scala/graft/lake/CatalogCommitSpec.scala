@@ -84,7 +84,7 @@ class CatalogCommitSpec extends SparkTestBase {
     assert(Catalog.load(spark, layout).count() == 18)
   }
 
-  test("recoverAppends sweeps a pre-CLAIM orphan staging dir") {
+  test("recoverAppends sweeps a pre-CLAIM orphan staging dir (once aged out)") {
     val layout = Layout(tmpDir("cat-orphan"))
     Catalog.append(spark, layout, entries(4, 0, Seq("clicks")))
     val orphan = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/orphan-uuid")
@@ -92,8 +92,15 @@ class CatalogCommitSpec extends SparkTestBase {
       .write.mode("overwrite").partitionBy("source").parquet(orphan.toString)
     val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(orphan))
+    // FRESH unclaimed stage = possibly a committer between its stage
+    // write and its CLAIM: the age-gated sweep must leave it alone
     Catalog.recoverAppends(spark, layout)
-    assert(!fs.exists(orphan), "unclaimed staging is a crashed writer — swept")
+    assert(fs.exists(orphan),
+      "a stage younger than the grace window may belong to an in-flight commit")
+    // backdate it past the grace window — now it is a crashed writer
+    fs.setTimes(orphan, System.currentTimeMillis() - 3600_000L, -1L)
+    Catalog.recoverAppends(spark, layout)
+    assert(!fs.exists(orphan), "an aged unclaimed stage is a crashed writer — swept")
     assert(Catalog.load(spark, layout).count() == 4)
   }
 

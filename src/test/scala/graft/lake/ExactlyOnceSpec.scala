@@ -355,6 +355,77 @@ class ExactlyOnceSpec extends SparkTestBase {
     assert(Erase.applyTombstones(spark, layout) == 0L)
   }
 
+  test("time travel below a compaction survives a log checkpoint " +
+      "(removed adds are kept in the folded record)") {
+    val layout = Layout(tmpDir("xo-cptravel"))
+    StreamIngest.processBatch(batchOf(Seq(("clicks", "k1", """{"v":1}"""))),
+      layout, 1704067200000L, 1L) // version 1
+    StreamIngest.processBatch(batchOf(Seq(("clicks", "k2", """{"v":2}"""),
+      ("clicks", "k2", """{"v":3}"""))), layout, 1704067260000L, 2L) // version 2
+    Compaction.compactSourceCommitted(spark, layout, "clicks") // version 3 removes v1+v2 files
+    val before = (1L to 3L).map(v =>
+      Distribution.subscribeAsOf(spark, layout, "clicks", v).count())
+    assert(before == Seq(1L, 3L, 3L))
+
+    assert(Catalog.checkpoint(spark, layout).isDefined)
+    assert(Catalog.pruneLog(spark, layout) > 0L)
+    // as-of reads between an add and its remove must still see the
+    // pre-removal file set after the fold — the documented contract
+    (1L to 3L).zip(before).foreach { case (v, n) =>
+      assert(Distribution.subscribeAsOf(spark, layout, "clicks", v).count() == n,
+        s"version $v must replay identically from the checkpoint")
+    }
+    // and vacuum still reclaims the removed files from the R lines
+    assert(Catalog.vacuumDist(spark, layout, graceMs = 0L) > 0L)
+    assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 3)
+  }
+
+  test("erase waits for (not skips, not races) a concurrent compaction's lock") {
+    val layout = Layout(tmpDir("xo-eraselock"))
+    StreamIngest.processBatch(batchOf(Seq(
+      ("clicks", "k1", """{"user":"A","v":1}"""),
+      ("clicks", "k1", """{"user":"B","v":2}"""))), layout, 1704067200000L, 1L)
+    // hold the per-source maintenance lock, as a live compaction would
+    val fs = new Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(s"${layout.catalogDir}/_log/_compact-clicks.lock")
+    fs.create(lock, false).close()
+
+    @volatile var report: Erase.EraseReport = null
+    @volatile var err: Throwable = null
+    val eraser = new Thread(() => {
+      try report = Erase.eraseWhere(spark, layout, "clicks",
+        Erase.jsonFieldEquals("user", "A"))
+      catch { case e: Throwable => err = e }
+    })
+    eraser.start()
+    Thread.sleep(500)
+    assert(report == null && err == null,
+      "the erase rewrite legs must block while the lock is held")
+    fs.delete(lock, false) // compaction finishes
+    eraser.join(60000)
+    assert(err == null, s"erase failed: $err")
+    assert(report != null && report.distributionRecordsDropped == 1L)
+    assert(Distribution.subscribeSnapshot(spark, layout, "clicks").count() == 1)
+  }
+
+  test("batch ingest is tombstone-gated like the stream path") {
+    val layout = Layout(tmpDir("xo-batchgate"))
+    def writeBronze(name: String, content: String): Unit = {
+      val d = new java.io.File(layout.bronzeSourceDir("clicks")); d.mkdirs()
+      java.nio.file.Files.writeString(new java.io.File(d, name).toPath, content)
+    }
+    writeBronze("a.json", """{"user":"A","v":1}{"user":"B","v":2}""")
+    Erase.addTombstone(spark, layout, Erase.Tombstone("clicks", "user", "A"))
+    // the late bronze object is batch-ingested AFTER the tombstone:
+    // the subject's records must not reach the lake or the catalog
+    val n = Ingest.ingestBatch(spark, layout, 1704067200000L)
+    assert(n == 1L, s"only the non-subject record ingests (got $n)")
+    val lake = Catalog.loadLakeSnapshot(spark, layout)
+    assert(lake.count() == 1)
+    assert(!lake.select("json").collect().exists(_.getString(0).contains("\"A\"")))
+  }
+
   test("erase keeps the committed distribution surface consistent") {
     val layout = Layout(tmpDir("xo-erasedist"))
     val batch = batchOf(Seq(
