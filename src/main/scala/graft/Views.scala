@@ -56,4 +56,91 @@ object Views {
     register(spark, sfDir)
     spark.sql(nationOrdersSql)
   }
+
+  /** Run verbatim-shared ANSI text through `spark.sql` over the
+    * registered corpus views. */
+  private def sql(spark: SparkSession, sfDir: String, text: String): DataFrame = {
+    register(spark, sfDir)
+    spark.sql(text)
+  }
+
+  /** `q_sql_window`: window functions through SQL text — top-2 orders
+    * per (sampled) customer by cents with the rank filter in an outer
+    * query; the ANSI intersection runs verbatim on both engines. */
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, cents, rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS BIGINT) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 2 AND o_custkey % 100 = 0
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, windowTopOrdersSql)
+
+  /** `q_sql_having`: aggregate subquery + HAVING through SQL text,
+    * verbatim-shared. */
+  val havingUrgentSql: String =
+    """SELECT c.c_custkey, c.c_name, t.n_urgent
+      |FROM customer c
+      |JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+      |      FROM orders WHERE o_orderpriority = '1-URGENT'
+      |      GROUP BY o_custkey HAVING count(*) >= 3) t
+      |  ON t.o_custkey = c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
+  def havingUrgent(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, havingUrgentSql)
+
+  /** `q_sql_cdc`: a REGISTERED NATIVE FUNCTION exercised through SQL
+    * text — `fastcdc_chunks` ([[graft.functions.GraftExtensions]])
+    * chunks each document inside `spark.sql`; the DuckDB oracle
+    * replays the identical byte fold as the recursive CTE
+    * ([[graft.ops.Dedup.cdcChunksCteSql]]), restricted to the same
+    * doc set. Green means the SQL registry serves the same expression
+    * the DataFrame surface uses. */
+  val sqlCdcText: String =
+    """SELECT doc_id,
+      |  CAST(size(fastcdc_chunks(text)) AS BIGINT) AS n_chunks,
+      |  CAST(aggregate(fastcdc_chunks(text), CAST(0 AS BIGINT),
+      |    (a, c) -> a + c.len) AS BIGINT) AS total_len
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
+  def sqlCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    sql(spark, sfDir, sqlCdcText)
+  }
+
+  def sqlCdcOracleSql: String =
+    s"""WITH RECURSIVE ${graft.ops.Dedup.cdcChunksCteSql("doc_id < 20")}
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(len) AS BIGINT) AS total_len
+       |FROM chunks GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** `q_sql_simhash`: the native SimHash fingerprint through SQL text
+    * (`simhash_fields(split(text,' '), 1)`), oracle-replayed by the
+    * declarative md5 bit-sum SQL. */
+  val sqlSimhashText: String =
+    """SELECT doc_id,
+      |  element_at(simhash_fields(split(text, ' '), 1), 1) AS simhash
+      |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+
+  def sqlSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftExtensions.register(spark)
+    sql(spark, sfDir, sqlSimhashText)
+  }
+
+  def sqlSimhashOracleSql: String = {
+    val h = "(('0x' || substr(md5(token), 1, 4))::BIGINT)"
+    val bitSums = (0 until 16).map(j => s"sum((($h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")
+    val simhash = (0 until 16).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE doc_id < 50),
+       |sums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($simhash AS BIGINT) AS simhash
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
 }

@@ -77,9 +77,27 @@ object GraftExtensions {
       FastCdcChunks(children.head)
     })
 
+  /** `simhash_fields(tokens, nBands)` — the native SimHash fingerprint
+    * as a SQL function (→ ARRAY<BIGINT>, one 16-bit band field per
+    * element). `nBands` must be a foldable integer literal (it sizes
+    * the fingerprint at plan time). */
+  val simHashFieldsDescriptor: FunctionDescriptor = (
+    FunctionIdentifier("simhash_fields"),
+    new ExpressionInfo(classOf[SimHashFields].getName, "simhash_fields"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "simhash_fields takes exactly 2 arguments")
+      val nBands = children(1) match {
+        case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+          lit.value.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"simhash_fields: nBands must be an integer literal, got $other")
+      }
+      SimHashFields(children.head, nBands)
+    })
+
   val descriptors: Seq[FunctionDescriptor] =
     Seq(cosineSimDescriptor, distinctCharBigramsDescriptor, redactPiiDescriptor,
-      fastCdcChunksDescriptor)
+      fastCdcChunksDescriptor, simHashFieldsDescriptor)
 
   /** Imperative registration for an existing session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

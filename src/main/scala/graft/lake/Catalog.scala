@@ -203,7 +203,8 @@ object Catalog {
       distUuid: Option[String], dist: Seq[String],
       removes: Seq[String],
       lakeUuid: Option[String] = None, lake: Seq[String] = Seq.empty,
-      lakeRemoves: Seq[String] = Seq.empty)
+      lakeRemoves: Seq[String] = Seq.empty,
+      addCols: Seq[(String, String)] = Seq.empty)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -214,6 +215,7 @@ object Catalog {
     if (r.removes.nonEmpty) { b ++= "\nrm"; r.removes.foreach(f => b ++= s"\n$f") }
     r.lakeUuid.foreach { u => b ++= s"\nlake $u"; r.lake.foreach(f => b ++= s"\n$f") }
     if (r.lakeRemoves.nonEmpty) { b ++= "\nlakerm"; r.lakeRemoves.foreach(f => b ++= s"\n$f") }
+    r.addCols.foreach { case (n, ddl) => b ++= s"\naddcol $n $ddl" }
     b.result()
   }
 
@@ -225,12 +227,18 @@ object Catalog {
     var lakeUuid: Option[String] = None; val lake = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     val lakeRemoves = Seq.newBuilder[String]
+    val addCols = Seq.newBuilder[(String, String)]
     var section = ""
     lines.tail.foreach { l =>
       if (l.startsWith("marker ")) marker = Some(l.stripPrefix("marker "))
       else if (l.startsWith("cat ")) { section = "cat"; catUuid = Some(l.stripPrefix("cat ")) }
       else if (l.startsWith("dist ")) { section = "dist"; distUuid = Some(l.stripPrefix("dist ")) }
       else if (l.startsWith("lake ")) { section = "lake"; lakeUuid = Some(l.stripPrefix("lake ")) }
+      else if (l.startsWith("addcol ")) {
+        val rest = l.stripPrefix("addcol ")
+        val sp = rest.indexOf(' ')
+        addCols += ((rest.substring(0, sp), rest.substring(sp + 1)))
+      }
       else if (l == "rm") section = "rm"
       else if (l == "lakerm") section = "lakerm"
       else if (l.nonEmpty) section match {
@@ -244,7 +252,7 @@ object Catalog {
     }
     V2Record(head(1).toLong, head(2).toLong, marker,
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
-      lakeUuid, lake.result(), lakeRemoves.result())
+      lakeUuid, lake.result(), lakeRemoves.result(), addCols.result())
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -401,15 +409,58 @@ object Catalog {
     }.sorted
   }
 
+  /** SCHEMA EVOLUTION: commit an add-column record for the lake
+    * payload schema — the Delta-style `ALTER TABLE ADD COLUMN`. The
+    * evolution is a LOG FACT, not a data rewrite: files written before
+    * it stay untouched; [[loadLakeSnapshot]] merges at read time
+    * (missing columns backfill as null), and a snapshot read BELOW the
+    * evolution's version keeps the pre-evolution schema exactly —
+    * version-pinned schema, the contract a reprocessing job relies on.
+    * `ddl` is a Spark DDL type string (`string`, `bigint`,
+    * `array<double>`, …). Returns the commit seq. */
+  def commitLakeAddColumn(spark: SparkSession, layout: Layout,
+      name: String, ddl: String): Long = {
+    require(!name.contains(' ') && name.nonEmpty, s"bad column name: '$name'")
+    org.apache.spark.sql.types.DataType.fromDDL(ddl) // validate before commit
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      None, Seq.empty, Seq.empty, addCols = Seq((name, ddl)))
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    seq
+  }
+
+  /** The committed add-column evolutions ≤ `version`, in commit order:
+    * (seq, name, ddl). */
+  def lakeAddedColumns(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Seq[(Long, String, String)] =
+    readLog(spark, layout).addCols.filter(_._1 <= version).sortBy(_._1)
+
   /** Snapshot-isolated read of the committed lake parquet (basePath
     * read, so `source` partition pruning still applies). Empty frame
-    * when nothing is committed. */
+    * when nothing is committed.
+    *
+    * Schema evolution semantics ([[commitLakeAddColumn]]): file
+    * schemas are MERGED at read time, and every evolution column
+    * committed at or below `version` is present in the result —
+    * backfilled as typed nulls where the files predate it. A snapshot
+    * below an evolution never shows its column (the files in that
+    * snapshot's live set predate the evolution by construction:
+    * commits are ordered). */
   def loadLakeSnapshot(spark: SparkSession, layout: Layout,
       version: Long = Long.MaxValue): DataFrame = {
     val live = lakeFilesAsOf(spark, layout, version)
-    if (live.isEmpty) spark.emptyDataFrame
-    else spark.read.option("basePath", layout.lakeDir)
+    if (live.isEmpty) return spark.emptyDataFrame
+    val df = spark.read.option("basePath", layout.lakeDir)
+      .option("mergeSchema", "true")
       .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    lakeAddedColumns(spark, layout, version).foldLeft(df) {
+      case (d, (_, n, ddl)) =>
+        if (d.columns.contains(n)) d
+        else d.withColumn(n, lit(null).cast(ddl))
+    }
   }
 
   /** Lake-area vacuum: physically delete lake files removed from the
@@ -573,7 +624,8 @@ object Catalog {
     val lakeF = state.lake.filter(_._1 <= cap)
     val lrmF = state.lakeRemoves.filter(_._1 <= cap)
     val seqs = catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1) ++
-      lakeF.map(_._1) ++ lrmF.map(_._1)
+      lakeF.map(_._1) ++ lrmF.map(_._1) ++
+      state.addCols.filter(_._1 <= cap).map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
     val rec = new org.apache.hadoop.fs.Path(logDir(layout), f"$upTo%020d.checkpoint")
@@ -585,12 +637,14 @@ object Catalog {
     // distFilesAsOf/lakeFilesAsOf at a version between an add and its
     // remove must still see the pre-removal file set — netting them
     // out here would silently break time travel below the checkpoint
+    val acF = state.addCols.filter(_._1 <= cap)
     val lines =
       catF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"$s $p" } ++
       distF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"D $s $p" } ++
       rmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"R $s $ms $p" } ++
       lakeF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"L $s $p" } ++
-      lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" }
+      lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" } ++
+      acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),
       s"_cp-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
@@ -640,7 +694,8 @@ object Catalog {
       dist: Seq[(Long, String)],
       removes: Seq[(Long, Long, String)],
       lake: Seq[(Long, String)] = Seq.empty,
-      lakeRemoves: Seq[(Long, Long, String)] = Seq.empty)
+      lakeRemoves: Seq[(Long, Long, String)] = Seq.empty,
+      addCols: Seq[(Long, String, String)] = Seq.empty)
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -692,6 +747,7 @@ object Catalog {
     val removes = Seq.newBuilder[(Long, Long, String)]
     val lake = Seq.newBuilder[(Long, String)]
     val lakeRemoves = Seq.newBuilder[(Long, Long, String)]
+    val addCols = Seq.newBuilder[(Long, String, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("D ")) {
         val a = l.split(' '); dist += ((a(1).toLong, a(2)))
@@ -701,6 +757,8 @@ object Catalog {
         val a = l.split(' '); lake += ((a(1).toLong, a(2)))
       } else if (l.startsWith("LR ")) {
         val a = l.split(' '); lakeRemoves += ((a(1).toLong, a(2).toLong, a(3)))
+      } else if (l.startsWith("AC ")) {
+        val a = l.split(' '); addCols += ((a(1).toLong, a(2), a.drop(3).mkString(" ")))
       } else {
         val sp = l.indexOf(' '); cat += ((l.substring(0, sp).toLong, l.substring(sp + 1)))
       }
@@ -723,12 +781,13 @@ object Catalog {
           r.removes.foreach(p => removes += ((seq, r.claimMs, p)))
           r.lake.foreach(rel => lake += ((seq, live(rel))))
           r.lakeRemoves.foreach(p => lakeRemoves += ((seq, r.claimMs, p)))
+          r.addCols.foreach { case (n, ddl) => addCols += ((seq, n, ddl)) }
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
       }
     LogState(cat.result(), dist.result(), removes.result(),
-      lake.result(), lakeRemoves.result())
+      lake.result(), lakeRemoves.result(), addCols.result())
   }
 
   /** The committed distribution file set (relative paths): every

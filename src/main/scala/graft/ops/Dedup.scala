@@ -1221,8 +1221,11 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     // one signature row per doc (tiny), consumed by SIX layout
     // branches: materialize once — without this every branch re-runs
-    // the full shingle→md5→min pass (the query's dominant cost)
-    val sigs = signaturesOf(docs).localCheckpoint(true)
+    // the full shingle→md5→min pass (the query's dominant cost).
+    // Truncated via the posture flag: durable parquet on a cluster
+    // (executor loss must not kill the whole tune), localCheckpoint
+    // locally.
+    val sigs = Truncate(signaturesOf(docs), "bandtune-sigs")
     def sv(i: Int): Column = col(s"sig$i").cast("string")
     def cat(is: Int*): Column =
       concat(is.map(sv).flatMap(c => Seq(c, lit("|"))).dropRight(1): _*)
@@ -1607,23 +1610,46 @@ object Dedup {
     * in flight), so the step-per-position CTE is the trustworthy
     * sequential-fold encoding. Gear table interpolated as the same
     * literals the Spark side bakes in. */
-  def cdcBytesSql: String = {
+  def cdcBytesSql: String =
+    s"""WITH RECURSIVE ${cdcChunksCteSql("TRUE")},
+       |fps AS (
+       |  SELECT source, fp, CAST(count(*) AS BIGINT) AS occ,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
+       |    CAST(max(len) AS BIGINT) AS mx
+       |  FROM chunks GROUP BY source, fp)
+       |SELECT source,
+       |  CAST(sum(occ) AS BIGINT) AS n_chunks,
+       |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_shared_occ,
+       |  CAST(max(mx) AS BIGINT) AS max_len,
+       |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) * 1000000
+       |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS shared_ppm
+       |FROM fps GROUP BY source ORDER BY source""".stripMargin
+
+  /** The FastCDC byte-fold replay as reusable CTE text ending in a
+    * `chunks(doc_id, source, len, fp)` CTE (no leading WITH; the
+    * caller must say `WITH RECURSIVE`). `docFilter` bounds the fold to
+    * the documents a query actually reads — the recursive CTE is one
+    * iteration per byte POSITION, so replaying only the queried docs
+    * keeps the oracle proportional to the query. */
+  private[graft] def cdcChunksCteSql(docFilter: String): String = {
     val g2 = "((f.g * 2 + t[CAST(b.b AS INT) + 1]) % 2147483648)"
     val l2 = "(f.len + 1)"
     val f2 = "((f.fp * 1000003 + b.b) % 2147483647)"
     val boundary = s"(($l2 >= $cdcMinLen AND $l2 < $cdcNormLen AND $g2 % 128 = 0) " +
       s"OR ($l2 >= $cdcNormLen AND $g2 % 32 = 0) OR $l2 >= $cdcMaxLen)"
-    s"""WITH RECURSIVE gear AS (SELECT ${gearTable.mkString("[", ", ", "]")} AS t),
+    s"""gear AS (SELECT ${gearTable.mkString("[", ", ", "]")} AS t),
+       |cdc_docs AS (SELECT * FROM documents WHERE $docFilter),
        |bytes AS (
        |  SELECT doc_id, pos, CAST(ord(c) AS BIGINT) AS b
        |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c,
        |          unnest(range(1, len(text) + 1)) AS pos
-       |        FROM documents)),
-       |lens AS (SELECT doc_id, source, len(text) AS n FROM documents),
+       |        FROM cdc_docs)),
+       |lens AS (SELECT doc_id, source, len(text) AS n FROM cdc_docs),
        |fold AS (
        |  SELECT doc_id, 0 AS i, CAST(0 AS BIGINT) AS g, CAST(0 AS BIGINT) AS len,
        |    CAST(0 AS BIGINT) AS fp, '' AS chunks
-       |  FROM documents
+       |  FROM cdc_docs
        |  UNION ALL
        |  SELECT f.doc_id, f.i + 1,
        |    CASE WHEN $boundary THEN CAST(0 AS BIGINT) ELSE $g2 END,
@@ -1646,20 +1672,7 @@ object Dedup {
        |    CAST(string_split(ch, ',')[2] AS BIGINT) AS fp
        |  FROM (SELECT doc_id, source,
        |          unnest(list_filter(string_split(cs, ';'), x -> x <> '')) AS ch
-       |        FROM final)),
-       |fps AS (
-       |  SELECT source, fp, CAST(count(*) AS BIGINT) AS occ,
-       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS nd,
-       |    CAST(max(len) AS BIGINT) AS mx
-       |  FROM chunks GROUP BY source, fp)
-       |SELECT source,
-       |  CAST(sum(occ) AS BIGINT) AS n_chunks,
-       |  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
-       |  CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_shared_occ,
-       |  CAST(max(mx) AS BIGINT) AS max_len,
-       |  CAST(CAST(sum(CASE WHEN nd >= 2 THEN occ ELSE 0 END) AS BIGINT) * 1000000
-       |    // CAST(sum(occ) AS BIGINT) AS BIGINT) AS shared_ppm
-       |FROM fps GROUP BY source ORDER BY source""".stripMargin
+       |        FROM final))""".stripMargin
   }
 
   /** Method-agreement audit — the meta-question a pipeline owner asks

@@ -65,7 +65,7 @@ object Graph {
         // cap lineage depth for rank-until-convergence callers: every
         // 5th iteration materializes and truncates (the header
         // comment's advice, now wired rather than advisory)
-        if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint(true)
+        if (i % 5 == 0 && i < iters) ranks = Truncate(ranks, "pagerank")
       }
       val top = ranks.join(deg, ranks("id") === deg("src"))
         .select(col("id").as("doc_id"), col("r").as("rank_e6"), col("deg").as("degree"))
@@ -135,7 +135,9 @@ object Graph {
     * ONE equi-join of the (persisted) edge list against the current
     * frontier plus an anti-join against the visited set; no level ever
     * materializes more than the frontier, and the visited set is
-    * localCheckpointed per level so lineage stays O(1) in depth. */
+    * truncated per level ([[Truncate]]: localCheckpoint locally, a
+    * durable parquet round-trip under the cluster posture flag) so
+    * lineage stays O(1) in depth. */
   def nearDupBfs(spark: SparkSession, sfDir: String, maxHops: Int = 3): DataFrame = {
     import spark.implicits._
     val pairsDf = Dedup.nearDupPairTable(spark, sfDir) // already persisted, shared
@@ -162,15 +164,14 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val seed = edges.agg(min(col("src"))).collect()(0).getLong(0)
-      var visited = Seq((seed, 0L)).toDF("doc_id", "hop").localCheckpoint(true)
+      var visited = Truncate(Seq((seed, 0L)).toDF("doc_id", "hop"), "bfs")
       var frontier = visited.select(col("doc_id"))
       (1 to maxHops).foreach { h =>
         frontier = edges.join(frontier.withColumnRenamed("doc_id", "src"), "src")
           .select(col("dst").as("doc_id")).distinct()
           .join(visited, Seq("doc_id"), "left_anti")
-        visited = visited
-          .union(frontier.select(col("doc_id"), lit(h.toLong).as("hop")))
-          .localCheckpoint(true)
+        visited = Truncate(visited
+          .union(frontier.select(col("doc_id"), lit(h.toLong).as("hop"))), "bfs")
       }
       visited.orderBy(col("hop"), col("doc_id"))
     } finally edges.unpersist() // pairsDf is the shared table: leave it cached
@@ -190,15 +191,14 @@ object Graph {
       val seedRow = edges.agg(min(col("src"))).collect()(0)
       if (seedRow.isNullAt(0)) return Seq.empty[(Long, Long)].toDF("doc_id", "hop")
       val seed = seedRow.getLong(0)
-      var visited = Seq((seed, 0L)).toDF("doc_id", "hop").localCheckpoint(true)
+      var visited = Truncate(Seq((seed, 0L)).toDF("doc_id", "hop"), "bfs")
       var frontier = visited.select(col("doc_id"))
       (1 to maxHops).foreach { h =>
         frontier = edges.join(frontier.withColumnRenamed("doc_id", "src"), "src")
           .select(col("dst").as("doc_id")).distinct()
           .join(visited, Seq("doc_id"), "left_anti")
-        visited = visited
-          .union(frontier.select(col("doc_id"), lit(h.toLong).as("hop")))
-          .localCheckpoint(true)
+        visited = Truncate(visited
+          .union(frontier.select(col("doc_id"), lit(h.toLong).as("hop"))), "bfs")
       }
       visited.orderBy(col("hop"), col("doc_id"))
     } finally edges.unpersist()

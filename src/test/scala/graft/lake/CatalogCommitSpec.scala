@@ -194,6 +194,54 @@ class CatalogCommitSpec extends SparkTestBase {
     assert(total > 0)
   }
 
+  test("lake schema evolution: add-column merges at read time with null backfill; " +
+      "snapshot below the evolution keeps the old schema; survives a checkpoint") {
+    val layout = Layout(tmpDir("cat-evolve"))
+    val s = spark
+    import s.implicits._
+    // v1: two rows in the original (source, key, json) schema
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", """{"v":1}"""), ("clicks", "k2", """{"v":2}"""))
+        .toDF("source", "key", "json"))
+    // v2: the evolution — add a typed score column
+    val v2 = Catalog.commitLakeAddColumn(spark, layout, "score", "bigint")
+    assert(v2 == v1 + 1)
+    // v3: a batch already carrying the new column
+    val v3 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", """{"v":3}""", 7L))
+        .toDF("source", "key", "json", "score"))
+
+    // live read: merged schema, nulls backfilled on pre-evolution rows
+    val live = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live.columns.sorted.toSeq == Seq("json", "key", "score", "source"))
+    assert(live.count() == 3)
+    assert(live.filter(org.apache.spark.sql.functions.col("score").isNull).count() == 2)
+    assert(live.filter("score = 7").count() == 1)
+    assert(live.schema("score").dataType.typeName == "long")
+
+    // snapshot pinned BELOW the evolution: the v1 schema, exactly
+    val old = Catalog.loadLakeSnapshot(spark, layout, v1)
+    assert(old.columns.sorted.toSeq == Seq("json", "key", "source"),
+      "a read below the evolution must keep the pre-evolution schema")
+    assert(old.count() == 2)
+    // at the evolution's own version: column present, all null
+    val atEvo = Catalog.loadLakeSnapshot(spark, layout, v2)
+    assert(atEvo.columns.contains("score") &&
+      atEvo.filter("score IS NOT NULL").count() == 0)
+
+    // the evolution record survives the checkpoint fold
+    assert(Catalog.checkpoint(spark, layout) == Some(v3))
+    Catalog.pruneLog(spark, layout)
+    assert(Catalog.lakeAddedColumns(spark, layout).map(t => (t._2, t._3)) ==
+      Seq(("score", "bigint")))
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1).columns.length == 3)
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 3)
+
+    // a bad DDL never reaches the log
+    intercept[Exception](
+      Catalog.commitLakeAddColumn(spark, layout, "bad", "no_such_type"))
+  }
+
   test("loadAsOf never sees a claimed-but-unfinished commit; recovery promotes it") {
     val layout = Layout(tmpDir("cat-asof-crash"))
     Catalog.append(spark, layout, entries(6, 0, Seq("clicks")))

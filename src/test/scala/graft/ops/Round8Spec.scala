@@ -61,6 +61,28 @@ class Round8Spec extends SparkTestBase {
     assert(got(7L * 86400 * 1000000) == naiveMultiTouch(7L * 86400 * 1000000))
   }
 
+  test("durable-truncation posture: PageRank, BFS, band-tune and MMR return " +
+      "identical rows through the parquet path as through localCheckpoint") {
+    def all(): Seq[Seq[String]] = Seq(
+      Graph.nearDupPagerank(spark, sfDir, iters = 6), // crosses the %5 truncation
+      Graph.nearDupBfsDistributed(spark, sfDir),
+      Dedup.lshBandTune(spark, sfDir),
+      Similarity.mmrRerank(spark, sfDir)
+    ).map(_.collect().map(_.toString).sorted.toSeq)
+    val local = all()
+    spark.conf.set("spark.graft.durableTruncate", "true")
+    spark.conf.set("spark.graft.truncateDir", tmpDir("trunc"))
+    try {
+      val durable = all()
+      local.zip(durable).zipWithIndex.foreach { case ((l, d), i) =>
+        assert(l == d, s"query $i diverged between truncation postures")
+      }
+    } finally {
+      spark.conf.unset("spark.graft.durableTruncate")
+      spark.conf.unset("spark.graft.truncateDir")
+    }
+  }
+
   test("weighted attribution conserves credit exactly at a 12-day lookback " +
       "(touchPairs band fix)") {
     val look12 = 12L * 86400 * 1000000
