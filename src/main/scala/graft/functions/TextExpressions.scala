@@ -247,10 +247,79 @@ case class BpeTokens(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Unigram-LM (SentencePiece-style) Viterbi segmentation over a fixed
+  * piece table of scaled-integer log-probs — the apply half of
+  * [[graft.ops.Unigram]]. One tight JVM loop per word (dp over char
+  * positions, piece lookup via hash map, ties to the longest piece);
+  * integer scores keep the argmax bit-identical to the plain-Scala
+  * replay ([[graft.ops.Unigram.viterbi]], spec-pinned) and to the
+  * recursive-CTE oracle. Per-row JVM + CodegenFallback — the
+  * [[BpeTokens]] trade: one codegen boundary per word instead of a
+  * vocab-sized expression tree. */
+case class UnigramPieces(child: Expression, pieces: Seq[(String, Long)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "unigram_pieces"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"unigram_pieces requires STRING input, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val lp: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    pieces.foreach { case (p, v) => m.putIfAbsent(p, java.lang.Long.valueOf(v)) }
+    m
+  }
+  @transient private lazy val maxLen: Int =
+    pieces.iterator.map(_._1.length).foldLeft(1)(math.max)
+
+  override def nullSafeEval(v: Any): Any = {
+    val word = v.asInstanceOf[UTF8String].toString
+    val n = word.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val dp = new Array[Long](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var bestL = 0
+      var l = math.min(maxLen, i)
+      while (l >= 1) { // descending + strict >: ties keep the longest
+        val p = lp.get(word.substring(i - l, i))
+        if (p != null) {
+          val cand = dp(i - l) + p.longValue()
+          if (cand > best) { best = cand; bestL = l }
+        }
+        l -= 1
+      }
+      if (bestL == 0) return null // unsegmentable (char outside the vocab)
+      dp(i) = best; back(i) = bestL
+      i += 1
+    }
+    var out = List.empty[Any]
+    var j = n
+    while (j > 0) {
+      out = UTF8String.fromString(word.substring(j - back(j), j)) :: out
+      j -= back(j)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column-API entry point. */
   def distinct_char_bigrams(c: Column): Column =
     Bridge.column(DistinctCharBigrams(Bridge.expression(c)))
+
+  /** Column-API entry point for [[UnigramPieces]]. */
+  def unigram_pieces(c: Column, pieces: Seq[(String, Long)]): Column =
+    Bridge.column(UnigramPieces(Bridge.expression(c), pieces))
 
   /** Column-API entry point for [[BigramProfileBest]]. */
   def bigram_profile_best(c: Column, profiles: Seq[Seq[String]]): Column =

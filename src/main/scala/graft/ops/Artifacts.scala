@@ -92,6 +92,36 @@ object Artifacts {
     deleted
   }
 
+  /** Erasure by key: delete every committed artifact under `root`
+    * keyed by one of `keys` — the erase-side complement of [[vacuum]].
+    * Vacuum keeps a caller-supplied LIVE set (retention: anything not
+    * live goes); this deletes a known-DEAD set and touches nothing
+    * else, so it is safe to run concurrently with builders over other
+    * corpora — the right-to-erasure call after a corpus rewrite, when
+    * the pre-erase fingerprints are known exactly. Returns dirs
+    * deleted. */
+  def eraseKeys(spark: SparkSession, keys: Set[String],
+      root: String = sharedRoot, maxDepth: Int = 4): Long = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0L
+    var deleted = 0L
+    def walk(p: Path, depth: Int): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && !name.contains(".tmp-")) {
+          if (name.startsWith("k=")) {
+            if (keys.contains(name.stripPrefix("k="))) {
+              fs.delete(st.getPath, true)
+              deleted += 1
+            }
+          } else if (depth < maxDepth) walk(st.getPath, depth + 1)
+        }
+      }
+    walk(rootPath, 0)
+    deleted
+  }
+
   /** The live corpus fingerprints for one corpus dir: the documents
     * key (pair-table family) and the embeddings key (ANN index
     * family) — what [[vacuum]] should keep after the corpus at

@@ -64,29 +64,36 @@ class ArtifactVacuumSpec extends SparkTestBase {
     val postDir = tmpDir("vac-post")
     val docs = graft.Tables.documents(spark, sfDir)
       .withColumn("text", concat(col("text"), lit(" vacspec8")))
+    // the embeddings must be perturbed too: an unmodified copy shares
+    // sf0.001's corpus fingerprint, and erasing "our" keys would then
+    // delete the artifact every parallel suite is serving from
     val emb = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("vec_id", col("vec_id") + lit(7777000L))
     docs.write.mode("overwrite").parquet(s"$preDir/documents.parquet")
     emb.write.mode("overwrite").parquet(s"$preDir/embeddings.parquet")
     docs.filter(col("doc_id") =!= 42).write.mode("overwrite")
       .parquet(s"$postDir/documents.parquet")
-    emb.filter(col("vec_id") =!= 42).write.mode("overwrite")
+    emb.filter(col("vec_id") =!= 7777042L).write.mode("overwrite")
       .parquet(s"$postDir/embeddings.parquet")
 
     val preKeys = Artifacts.liveKeysFor(spark, preDir)
     val postKeys = Artifacts.liveKeysFor(spark, postDir)
     assert((preKeys & postKeys).isEmpty, "the erase must change both fingerprints")
 
-    val others = keysUnder(Artifacts.sharedRoot) -- preKeys
     // build the real artifacts over the pre-erase corpus
     Dedup.buildPairTable(spark, preDir)
     Similarity.buildAssignments(spark, preDir)
     Pq.buildIvfPqIndex(spark, preDir)
     assert((keysUnder(Artifacts.sharedRoot) & preKeys) == preKeys,
       "pair table, assignments and PQ index all committed under the pre-erase keys")
+    val others = keysUnder(Artifacts.sharedRoot) -- preKeys
 
-    // the erasure completed (corpus now = postDir content): vacuum to
-    // the live set — other suites' artifacts are part of that set
-    val deleted = Artifacts.vacuum(spark, others ++ postKeys)
+    // the erasure completed (corpus now = postDir content): delete the
+    // pre-erase keys exactly — eraseKeys touches nothing else, so
+    // concurrent suites building over OTHER corpora are never raced
+    // (the sweeping retention form, vacuum, is pinned on the isolated
+    // root above)
+    val deleted = Artifacts.eraseKeys(spark, preKeys)
     assert(deleted >= 4L, s"pair table + assignments + ivfpq codebooks + codes (got $deleted)")
     val after = keysUnder(Artifacts.sharedRoot)
     assert((after & preKeys).isEmpty,
