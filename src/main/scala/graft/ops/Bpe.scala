@@ -122,7 +122,7 @@ object Bpe {
     ((length(merged) - length(replace(merged, lit("||"), lit("")))) / 2 - 1).cast("long")
   }
 
-  private def tokenCountSqlDuck(word: String): String = {
+  private[ops] def tokenCountSqlDuck(word: String): String = {
     val encoded = s"'||' || regexp_replace($word, '(.)', '\\1||', 'g')"
     val merged = merges.foldLeft(encoded) { case (s, (a, b)) =>
       s"replace($s, '|$a||$b|', '|$a$b|')"

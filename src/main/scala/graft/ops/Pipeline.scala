@@ -868,6 +868,57 @@ object Pipeline {
        |GROUP BY segment
        |ORDER BY segment""".stripMargin
 
+  /** l-diversity audit — k-anonymity's necessary complement (Machanavajjhala
+    * et al., "l-Diversity: Privacy Beyond k-Anonymity", ICDE 2006): a
+    * group can be large (k-anonymous) yet HOMOGENEOUS in its sensitive
+    * attribute, so membership alone discloses it. Here the
+    * quasi-identifier tuple is (nation, balance band) and the
+    * sensitive attribute is the market segment; per nation: the
+    * attained l (min distinct sensitive values over its QI groups),
+    * groups below the l-threshold, and the row mass exposed to
+    * attribute disclosure. Distinct-l (not entropy-l) keeps every
+    * quantity an exact integer.
+    *
+    * Scale: one (QI, sensitive) hash agg, one QI rollup, one
+    * nation-sized rollup — map-side combined, no joins, no windows. */
+  def lDiversity(spark: SparkSession, sfDir: String, l: Int = 2): DataFrame = {
+    val groups = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment").as("segment"))
+      .groupBy(col("nation"), col("bal_band"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("segment")).as("l"))
+    groups.groupBy(col("nation"))
+      .agg(sum(col("n")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("l")).cast("long").as("l_diversity"),
+        sum(when(col("l") < l, 1L).otherwise(0L)).as("weak_groups"),
+        sum(when(col("l") < l, col("n")).otherwise(0L)).as("exposed_rows"))
+      .withColumn("exposed_ppm", expr("(exposed_rows * 1000000) DIV n_rows"))
+      .orderBy(col("nation"))
+  }
+
+  /** Oracle twin of [[lDiversity]] — `l` interpolated. */
+  def lDiversitySql(l: Int = 2): String =
+    s"""WITH groups AS (
+       |  SELECT c_nationkey AS nation,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+       |  FROM customer
+       |  GROUP BY 1, 2
+       |)
+       |SELECT nation, CAST(sum(n) AS BIGINT) AS n_rows,
+       |  count(*) AS n_groups,
+       |  CAST(min(l) AS BIGINT) AS l_diversity,
+       |  CAST(sum(CASE WHEN l < $l THEN 1 ELSE 0 END) AS BIGINT) AS weak_groups,
+       |  CAST(sum(CASE WHEN l < $l THEN n ELSE 0 END) AS BIGINT) AS exposed_rows,
+       |  CAST(CAST(sum(CASE WHEN l < $l THEN n ELSE 0 END) AS BIGINT) * 1000000
+       |       // CAST(sum(n) AS BIGINT) AS BIGINT) AS exposed_ppm
+       |FROM groups
+       |GROUP BY nation
+       |ORDER BY nation""".stripMargin
+
   // --------------------------------------------------------------------
   // Context-length planning (truncation-waste table)
   // --------------------------------------------------------------------

@@ -149,8 +149,12 @@ object Unigram {
     * position, the last [[MaxPieceLen]] dp values and token counts
     * carried as shifted columns (bounded state, the cdc-bytes fold
     * encoding), longest-piece tie-break via longest-first CASE. */
-  def unigramTokensSql: String = {
-    val vals = pieces.map { case (p, lp) => s"('$p', CAST($lp AS BIGINT))" }
+  /** The Viterbi replay as CTE text for an arbitrary piece table,
+    * name-tagged so two tokenizers can replay inside ONE query: reads
+    * a `uw(word)` CTE the caller must define, ends in
+    * `ntok_$tag(word, n_tok)`. No leading WITH. */
+  private def viterbiCtesSql(table: Seq[(String, Long)], tag: String): String = {
+    val vals = table.map { case (p, lp) => s"('$p', CAST($lp AS BIGINT))" }
       .mkString(",\n      ")
     val L = MaxPieceLen
     val neg = "-9000000000000000"
@@ -161,7 +165,7 @@ object Unigram {
       s"WHEN ${cand(l)} = $best THEN f.n$l + 1").mkString(
       "CASE ", " ", "ELSE NULL END")
     val joins = (1 to L).map(l =>
-      s"LEFT JOIN pieces p$l ON f.pos + 1 >= $l AND p$l.piece = substr(f.word, f.pos + 2 - $l, $l)")
+      s"LEFT JOIN pieces_$tag p$l ON f.pos + 1 >= $l AND p$l.piece = substr(f.word, f.pos + 2 - $l, $l)")
       .mkString("\n  ")
     val initCols = "CAST(0 AS BIGINT) AS d1, " +
       (2 to L).map(l => s"CAST(NULL AS BIGINT) AS d$l").mkString(", ") +
@@ -169,29 +173,170 @@ object Unigram {
       (2 to L).map(l => s"CAST(NULL AS BIGINT) AS n$l").mkString(", ")
     val shiftD = (2 to L).map(l => s"f.d${l - 1}").mkString(", ")
     val shiftN = (2 to L).map(l => s"f.n${l - 1}").mkString(", ")
-    s"""WITH RECURSIVE pieces(piece, lp) AS (VALUES
+    s"""pieces_$tag(piece, lp) AS (VALUES
        |      $vals),
-       |words AS (
-       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |  FROM documents),
-       |uw AS (SELECT DISTINCT word FROM words),
-       |vit AS (
+       |vit_$tag AS (
        |  SELECT word, length(word) AS len, 0 AS pos, $initCols
        |  FROM uw
        |  UNION ALL
        |  SELECT f.word, f.len, f.pos + 1,
        |    $best, $shiftD,
        |    $nbest, $shiftN
-       |  FROM vit f
+       |  FROM vit_$tag f
        |  $joins
        |  WHERE f.pos < f.len),
-       |ntok AS (SELECT word, n1 AS n_tok FROM vit WHERE pos = len)
+       |ntok_$tag AS (SELECT word, n1 AS n_tok FROM vit_$tag WHERE pos = len)""".stripMargin
+  }
+
+  def unigramTokensSql: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |uw AS (SELECT DISTINCT word FROM words),
+       |${viterbiCtesSql(pieces, "u")}
        |SELECT lang,
        |  count(*) AS n_words,
        |  CAST(sum(n_tok) AS BIGINT) AS n_unigram_tokens,
        |  round(CAST(sum(length(word)) AS DOUBLE) / sum(n_tok), 4) AS chars_per_token
-       |FROM words JOIN ntok USING (word)
+       |FROM words JOIN ntok_u USING (word)
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Soft-EM training + likelihood-loss pruning (SentencePiece-faithful)
+  // --------------------------------------------------------------------
+
+  /** Soft-EM training — the published SentencePiece recipe next to the
+    * hard-EM of [[trainPieces]]: the E-step accumulates EXPECTED piece
+    * counts by forward-backward over each word's full segmentation
+    * lattice (every segmentation weighted by its probability, not just
+    * the Viterbi best), and pruning keeps the multi-char pieces whose
+    * REMOVAL costs the most corpus likelihood — loss(p) ≈
+    * expCount(p) · (log P(p) − log P_alt(p)), P_alt = the best
+    * segmentation of p's own surface WITHOUT p (Kudo 2018 §3.2's
+    * criterion with the Viterbi alternative). Training arithmetic is
+    * plain doubles (deterministic within a JVM; the exported INTEGER
+    * log-prob table is what both engines consume, so apply stays
+    * bit-exact). Word lattices are ≤ [[MaxPieceLen]]-banded, so a
+    * word's forward pass is O(len·L) — trivial on the seed corpus. */
+  def trainPiecesSoft(wordFreq: Seq[(String, Long)],
+      emIters: Int = 3): Seq[(String, Long)] = {
+    val words = wordFreq.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sortBy(_._1)
+    val singles = ('a' to 'z').map(_.toString)
+    val subCnt = scala.collection.mutable.Map.empty[String, Double]
+    words.foreach { case (w, f) =>
+      for (i <- 0 until w.length; l <- 2 to math.min(MaxPieceLen, w.length - i))
+        subCnt(w.substring(i, i + l)) = subCnt.getOrElse(w.substring(i, i + l), 0.0) + f
+    }
+    var counts: Map[String, Double] =
+      subCnt.filter(_._2 >= 2).toMap ++ singles.map(s => s -> math.max(1.0,
+        words.collect { case (w, f) if w.contains(s) => f }.sum.toDouble)).toMap
+    def probs(c: Map[String, Double]): Map[String, Double] = {
+      val total = c.values.sum
+      c.map { case (p, n) => p -> n / total }
+    }
+    var it = 0
+    while (it < emIters) {
+      val pr = probs(counts)
+      val next = scala.collection.mutable.Map.empty[String, Double]
+      words.foreach { case (w, f) =>
+        val n = w.length
+        val alpha = new Array[Double](n + 1); alpha(0) = 1.0
+        for (i <- 1 to n; l <- 1 to math.min(MaxPieceLen, i))
+          pr.get(w.substring(i - l, i)).foreach(p => alpha(i) += alpha(i - l) * p)
+        val beta = new Array[Double](n + 1); beta(n) = 1.0
+        for (i <- n - 1 to 0 by -1; l <- 1 to math.min(MaxPieceLen, n - i))
+          pr.get(w.substring(i, i + l)).foreach(p => beta(i) += p * beta(i + l))
+        if (alpha(n) > 0)
+          for (i <- 0 until n; l <- 1 to math.min(MaxPieceLen, n - i)) {
+            val piece = w.substring(i, i + l)
+            pr.get(piece).foreach { p =>
+              val exp = alpha(i) * p * beta(i + l) / alpha(n)
+              if (exp > 0) next(piece) = next.getOrElse(piece, 0.0) + f * exp
+            }
+          }
+      }
+      singles.foreach(s => next(s) = math.max(1e-3, next.getOrElse(s, 0.0)))
+      counts = next.toMap
+      it += 1
+    }
+    // likelihood-loss pruning: keep the multi pieces whose removal
+    // (re-segmenting their own surface without them) costs most
+    val pr = probs(counts)
+    val lpD = pr.map { case (p, v) => p -> math.log(v) }
+    val losses = counts.keys.filter(_.length > 1).map { piece =>
+      val alt = viterbi(piece, (lpD - piece)
+        .map { case (p, v) => p -> math.floor(v * 1000000).toLong })
+        .map(lpD).sum
+      piece -> counts(piece) * (lpD(piece) - alt)
+    }.toSeq
+    val keptMulti = losses.sortBy { case (p, loss) => (-loss, p) }
+      .take(MaxMultiPieces).map(_._1).toSet
+    val kept = counts.filter { case (p, _) => p.length == 1 || keptMulti(p) }
+    val total = kept.values.sum
+    kept.map { case (p, n) =>
+      p -> math.floor(math.log(n / total) * 1000000).toLong }.toSeq.sortBy(_._1)
   }
+
+  /** The soft-EM query vocab on the same pinned seed corpus. */
+  val piecesSoft: Seq[(String, Long)] = trainPiecesSoft(Bpe.seedCorpus)
+
+  /** `q_tokenizer_compare`: the tokenizer-selection report — corpus
+    * token totals and chars/token for the three trained vocabularies
+    * (merge-rule BPE, hard-EM unigram, soft-EM unigram) over the SAME
+    * word stream, one row per tokenizer. The table a pipeline owner
+    * reads before fixing the tokenizer budget: higher chars/token =
+    * better compression at equal vocab size. One pass over the words;
+    * all three counts are native per-row expressions; the oracle
+    * replays BPE as the replace chain and both unigram vocabs as two
+    * tagged recursive-CTE Viterbi replays in one statement. */
+  def tokenizerCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    val counted = Tables.documents(spark, sfDir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("word"))
+      .select(length(col("word")).as("n_chars"),
+        size(graft.functions.TextFunctions.bpe_tokens(col("word"), Bpe.merges)).as("tb"),
+        size(graft.functions.TextFunctions.unigram_pieces(col("word"), pieces)).as("te"),
+        size(graft.functions.TextFunctions.unigram_pieces(col("word"), piecesSoft)).as("ts"))
+      .agg(count(lit(1)).as("nw"), sum(col("n_chars")).as("nc"),
+        sum(col("tb")).as("tb"), sum(col("te")).as("te"), sum(col("ts")).as("ts"))
+    counted.selectExpr(
+        """stack(3,
+          |  'bpe', nw, tb, nc,
+          |  'unigram_em', nw, te, nc,
+          |  'unigram_soft', nw, ts, nc) AS (tokenizer, n_words, n_tokens, n_chars)"""
+          .stripMargin)
+      .select(col("tokenizer"), col("n_words").cast("long"),
+        col("n_tokens").cast("long"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"))
+      .orderBy(col("tokenizer"))
+  }
+
+  def tokenizerCompareSql: String =
+    s"""WITH RECURSIVE words AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |uw AS (SELECT DISTINCT word FROM words),
+       |${viterbiCtesSql(pieces, "em")},
+       |${viterbiCtesSql(piecesSoft, "soft")},
+       |bpec AS (SELECT word, ${Bpe.tokenCountSqlDuck("word")} AS n_tok FROM uw),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nw,
+       |    CAST(sum(length(w.word)) AS BIGINT) AS nc,
+       |    CAST(sum(b.n_tok) AS BIGINT) AS tb,
+       |    CAST(sum(e.n_tok) AS BIGINT) AS te,
+       |    CAST(sum(s.n_tok) AS BIGINT) AS ts
+       |  FROM words w
+       |  JOIN bpec b USING (word)
+       |  JOIN ntok_em e USING (word)
+       |  JOIN ntok_soft s USING (word))
+       |SELECT tokenizer, n_words, n_tokens,
+       |  round(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+       |FROM (
+       |  SELECT 'bpe' AS tokenizer, nw AS n_words, tb AS n_tokens, nc AS n_chars FROM agg
+       |  UNION ALL
+       |  SELECT 'unigram_em', nw, te, nc FROM agg
+       |  UNION ALL
+       |  SELECT 'unigram_soft', nw, ts, nc FROM agg)
+       |ORDER BY tokenizer""".stripMargin
 }

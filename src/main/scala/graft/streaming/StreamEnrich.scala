@@ -46,6 +46,46 @@ object StreamEnrich {
         coalesce(col("state"), lit("unknown")).as("state"): _*)
   }
 
+  /** The UNION + carry-forward-window formulation of [[enrichBatch]]
+    * for a dimension too big to broadcast (entity count ≈ event
+    * count): dimension version-starts and events merge into ONE frame,
+    * shuffle ONCE on the entity key, and a running `last(…, ignoreNulls)`
+    * window carries each user's latest (state, interval-end) forward in
+    * event-time order — the standard distributed as-of shape, no
+    * broadcast, no interval explode (open-ended intervals make banding
+    * unbounded). Events past a closed interval's end null out to
+    * 'unknown', so gaps behave exactly like [[enrichBatch]]'s interval
+    * join; requires the SCD2 invariant (non-overlapping intervals per
+    * user), under which the two formulations are row-identical
+    * (spec-pinned on the real corpus). A dimension row at t and an
+    * event at the same t order (dim, event) — the half-open [from, to)
+    * boundary rule. */
+  def enrichBatchMerge(events: DataFrame, dim: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evStruct = org.apache.spark.sql.types.StructType(events.schema.fields)
+    val tagged = events.select(
+        col("user_id").as("k_user"), col("ts_ms").as("t"), lit(1).as("kind"),
+        lit(null).cast("string").as("d_state"),
+        lit(null).cast("long").as("d_to"),
+        struct(events.columns.map(col): _*).as("ev"))
+      .unionByName(dim.select(
+        col("user_id").as("k_user"), col("valid_from_ms").as("t"), lit(0).as("kind"),
+        col("state").as("d_state"),
+        coalesce(col("valid_to_ms"), lit(Long.MaxValue)).as("d_to"),
+        lit(null).cast(evStruct).as("ev")))
+    val w = Window.partitionBy(col("k_user")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(
+      when(col("kind") === 0, struct(col("d_state"), col("d_to"))),
+      ignoreNulls = true).over(w)
+    tagged
+      .withColumn("dim", carried)
+      .filter(col("kind") === 1)
+      .select((events.columns.map(c => col(s"ev.$c")) :+
+        when(col("dim").isNull || col("t") >= col("dim.d_to"), lit("unknown"))
+          .otherwise(col("dim.d_state")).as("state")): _*)
+  }
+
   /** Wire the enrichment over a streaming event frame. `dimSnapshot`
     * is called once per micro-batch and must return a CONSISTENT
     * dimension read (a committed snapshot, not a live directory a

@@ -50,6 +50,19 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("soft-EM training is deterministic and its vocab compresses at least " +
+      "as well as hard-EM on the corpus") {
+    assert(Unigram.piecesSoft == Unigram.trainPiecesSoft(graft.ops.Bpe.seedCorpus))
+    val ps = Unigram.piecesSoft.map(_._1)
+    ('a' to 'z').foreach(c => assert(ps.contains(c.toString)))
+    assert(ps.exists(_.length > 1), "likelihood-loss pruning must keep multi pieces")
+    val rows = Unigram.tokenizerCompare(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet == Set("bpe", "unigram_em", "unigram_soft"))
+    assert(rows("unigram_soft") >= rows("unigram_em"),
+      s"expected-count EM should not compress worse than Viterbi counts: $rows")
+  }
+
   test("unigramTokens aggregates per language with exact token totals") {
     val df = Unigram.unigramTokens(spark, sfDir).collect()
     assert(df.nonEmpty)

@@ -66,6 +66,35 @@ class StreamEnrichSpec extends SparkTestBase {
     dim.unpersist()
   }
 
+  test("the no-broadcast merge formulation is row-identical to the interval join " +
+      "on the real corpus (incl. gaps past closed intervals)") {
+    val s = spark
+    import s.implicits._
+    val evs = realEvents()
+    val dim = realDim().cache()
+    val evDf = evs.toDF()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(StreamEnrich.enrichBatchMerge(evDf, dim)) ==
+      rows(StreamEnrich.enrichBatch(evDf, dim)))
+    // gap behavior: a closed interval must NOT carry past its end
+    val gapDim = Seq((1L, "bronze", 0L, java.lang.Long.valueOf(150L)))
+      .toDF("user_id", "state", "valid_from_ms", "valid_to_ms")
+      .withColumn("valid_to_ms", col("valid_to_ms").cast("long"))
+    val gapEvs = Seq(EnrichEv(1, 1, 100, 0), EnrichEv(1, 2, 150, 0),
+      EnrichEv(1, 3, 999, 0)).toDF()
+    val got = StreamEnrich.enrichBatchMerge(gapEvs, gapDim).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("state")).toMap
+    assert(got == Map(1L -> "bronze", 2L -> "unknown", 3L -> "unknown"),
+      s"half-open end + gap semantics: $got")
+    // and the merge plan carries NO broadcast of the dimension
+    val plan = StreamEnrich.enrichBatchMerge(evDf, dim)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      "the merge path must survive an unbroadcastable dimension")
+    dim.unpersist()
+  }
+
   test("a mid-stream dimension update is snapshot-consistent per batch " +
       "and interval-correct") {
     val s = spark
