@@ -919,6 +919,90 @@ object Pipeline {
        |GROUP BY nation
        |ORDER BY nation""".stripMargin
 
+  /** t-closeness audit — the third rung of the privacy ladder (Li,
+    * Li & Venkatasubramanian, "t-Closeness: Privacy Beyond
+    * k-Anonymity and l-Diversity", ICDE 2007): a group can be large
+    * (k) and varied (l) yet still SKEWED toward one sensitive value
+    * relative to the corpus, so membership shifts an attacker's
+    * prior. For the unordered categorical sensitive attribute the
+    * ground distance is uniform, making EMD the total-variation
+    * distance ½·Σ_s |p_s − q_s| between the group's segment
+    * distribution p and the global distribution q. Every comparison
+    * stays EXACT: the per-segment term |n_gs·N − N_s·n_g| is an
+    * integer cross-multiplication, summed in BIGINT, and divided by
+    * 2·n_g·N only once, as ppm integer division — no engine can
+    * round a group across the threshold differently.
+    *
+    * Scale: two hash aggs over the corpus (cells, then groups as a
+    * re-agg of cells), a 5-row broadcast of the global marginal, and
+    * a group-sized grid join — nothing downstream of the first agg
+    * touches row-level data. */
+  def tCloseness(spark: SparkSession, sfDir: String, tPpm: Long = 200000L): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").as("nation"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"),
+        col("c_mktsegment").as("segment"))
+    val global = cust.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_seg"))
+      .withColumn("n_total",
+        sum(col("n_seg")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val cells = cust.groupBy(col("nation"), col("bal_band"), col("segment"))
+      .agg(count(lit(1)).as("n_gs"))
+    val groups = cells.groupBy(col("nation"), col("bal_band"))
+      .agg(sum(col("n_gs")).cast("long").as("n_g"))
+    val grid = groups.join(broadcast(global))
+      .join(cells, Seq("nation", "bal_band", "segment"), "left")
+      .na.fill(0L, Seq("n_gs"))
+    val perGroup = grid.groupBy(col("nation"), col("bal_band"))
+      .agg(max(col("n_g")).as("n_g"), max(col("n_total")).as("n_total"),
+        sum(abs(col("n_gs") * col("n_total") - col("n_seg") * col("n_g")))
+          .cast("long").as("dist_num"))
+      .withColumn("t_ppm", expr("(dist_num * 1000000) DIV (2 * n_g * n_total)"))
+    perGroup.groupBy(col("nation"))
+      .agg(sum(col("n_g")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        max(col("t_ppm")).cast("long").as("t_max_ppm"),
+        sum(when(col("t_ppm") > tPpm, 1L).otherwise(0L)).as("weak_groups"),
+        sum(when(col("t_ppm") > tPpm, col("n_g")).otherwise(0L)).as("exposed_rows"))
+      .orderBy(col("nation"))
+  }
+
+  /** Oracle twin of [[tCloseness]] — `tPpm` interpolated. */
+  def tClosenessSql(tPpm: Long = 200000L): String =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey AS nation,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |    c_mktsegment AS segment
+       |  FROM customer),
+       |marg AS (
+       |  SELECT segment, CAST(count(*) AS BIGINT) AS n_seg,
+       |    CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+       |  FROM cust GROUP BY 1),
+       |cells AS (
+       |  SELECT nation, bal_band, segment, CAST(count(*) AS BIGINT) AS n_gs
+       |  FROM cust GROUP BY 1, 2, 3),
+       |groups AS (
+       |  SELECT nation, bal_band, CAST(sum(n_gs) AS BIGINT) AS n_g
+       |  FROM cells GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT g.nation, g.bal_band, g.n_g, gl.n_seg, gl.n_total,
+       |    COALESCE(c.n_gs, 0) AS n_gs
+       |  FROM groups g CROSS JOIN marg gl
+       |  LEFT JOIN cells c ON c.nation = g.nation AND c.bal_band = g.bal_band
+       |    AND c.segment = gl.segment),
+       |pg AS (
+       |  SELECT nation, bal_band, max(n_g) AS n_g,
+       |    CAST(sum(abs(n_gs * n_total - n_seg * n_g)) AS BIGINT) * 1000000
+       |      // (2 * max(n_g) * max(n_total)) AS t_ppm
+       |  FROM grid GROUP BY 1, 2)
+       |SELECT nation, CAST(sum(n_g) AS BIGINT) AS n_rows, count(*) AS n_groups,
+       |  CAST(max(t_ppm) AS BIGINT) AS t_max_ppm,
+       |  CAST(sum(CASE WHEN t_ppm > $tPpm THEN 1 ELSE 0 END) AS BIGINT) AS weak_groups,
+       |  CAST(sum(CASE WHEN t_ppm > $tPpm THEN n_g ELSE 0 END) AS BIGINT) AS exposed_rows
+       |FROM pg
+       |GROUP BY nation
+       |ORDER BY nation""".stripMargin
+
   // --------------------------------------------------------------------
   // Context-length planning (truncation-waste table)
   // --------------------------------------------------------------------

@@ -74,6 +74,40 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---------------- tCloseness ----------------
+
+  test("tCloseness: driver-side exact-TVD replay agrees; t bounds hold") {
+    val rows = Pipeline.tCloseness(spark, sfDir).collect()
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"),
+        floor(col("c_acctbal") / 1000).cast("long"), col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nTotal = cust.length.toLong
+    val globalSeg = cust.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val byNation = cust.groupBy(_._1)
+    rows.foreach { r =>
+      val nation = r.getAs[Number]("nation").longValue()
+      val groups = byNation(nation).groupBy(_._2)
+      val tPpms = groups.toSeq.map { case (_, members) =>
+        val nG = members.length.toLong
+        val cellCnt = members.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+        val distNum = globalSeg.map { case (seg, nSeg) =>
+          math.abs(cellCnt.getOrElse(seg, 0L) * nTotal - nSeg * nG)
+        }.sum
+        nG -> distNum * 1000000L / (2L * nG * nTotal)
+      }.toSeq
+      assert(r.getAs[Long]("n_rows") == byNation(nation).length.toLong)
+      assert(r.getAs[Long]("n_groups") == groups.size.toLong)
+      assert(r.getAs[Long]("t_max_ppm") == tPpms.map(_._2).max)
+      assert(r.getAs[Long]("weak_groups") == tPpms.count(_._2 > 200000L).toLong)
+      assert(r.getAs[Long]("exposed_rows") ==
+        tPpms.filter(_._2 > 200000L).map(_._1).sum)
+      // TVD is a [0, 1] metric — ppm must stay inside the unit interval
+      assert(r.getAs[Long]("t_max_ppm") >= 0 && r.getAs[Long]("t_max_ppm") <= 1000000L)
+    }
+  }
+
   // ---------------- zoneMap ----------------
 
   test("zoneMap: skip decisions are sound and zones cover the table") {
