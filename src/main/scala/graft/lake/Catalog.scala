@@ -204,7 +204,9 @@ object Catalog {
       removes: Seq[String],
       lakeUuid: Option[String] = None, lake: Seq[String] = Seq.empty,
       lakeRemoves: Seq[String] = Seq.empty,
-      addCols: Seq[(String, String)] = Seq.empty)
+      addCols: Seq[(String, String)] = Seq.empty,
+      dvUuid: Option[String] = None, dv: Seq[String] = Seq.empty,
+      dvRemoves: Seq[String] = Seq.empty)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -216,6 +218,8 @@ object Catalog {
     r.lakeUuid.foreach { u => b ++= s"\nlake $u"; r.lake.foreach(f => b ++= s"\n$f") }
     if (r.lakeRemoves.nonEmpty) { b ++= "\nlakerm"; r.lakeRemoves.foreach(f => b ++= s"\n$f") }
     r.addCols.foreach { case (n, ddl) => b ++= s"\naddcol $n $ddl" }
+    r.dvUuid.foreach { u => b ++= s"\ndv $u"; r.dv.foreach(f => b ++= s"\n$f") }
+    if (r.dvRemoves.nonEmpty) { b ++= "\ndvrm"; r.dvRemoves.foreach(f => b ++= s"\n$f") }
     b.result()
   }
 
@@ -225,8 +229,10 @@ object Catalog {
     var catUuid: Option[String] = None; val cat = Seq.newBuilder[String]
     var distUuid: Option[String] = None; val dist = Seq.newBuilder[String]
     var lakeUuid: Option[String] = None; val lake = Seq.newBuilder[String]
+    var dvUuid: Option[String] = None; val dv = Seq.newBuilder[String]
     val removes = Seq.newBuilder[String]
     val lakeRemoves = Seq.newBuilder[String]
+    val dvRemoves = Seq.newBuilder[String]
     val addCols = Seq.newBuilder[(String, String)]
     var section = ""
     lines.tail.foreach { l =>
@@ -234,6 +240,7 @@ object Catalog {
       else if (l.startsWith("cat ")) { section = "cat"; catUuid = Some(l.stripPrefix("cat ")) }
       else if (l.startsWith("dist ")) { section = "dist"; distUuid = Some(l.stripPrefix("dist ")) }
       else if (l.startsWith("lake ")) { section = "lake"; lakeUuid = Some(l.stripPrefix("lake ")) }
+      else if (l.startsWith("dv ")) { section = "dv"; dvUuid = Some(l.stripPrefix("dv ")) }
       else if (l.startsWith("addcol ")) {
         val rest = l.stripPrefix("addcol ")
         val sp = rest.indexOf(' ')
@@ -241,18 +248,22 @@ object Catalog {
       }
       else if (l == "rm") section = "rm"
       else if (l == "lakerm") section = "lakerm"
+      else if (l == "dvrm") section = "dvrm"
       else if (l.nonEmpty) section match {
         case "cat" => cat += l
         case "dist" => dist += l
         case "lake" => lake += l
+        case "dv" => dv += l
         case "rm" => removes += l
         case "lakerm" => lakeRemoves += l
+        case "dvrm" => dvRemoves += l
         case _ => ()
       }
     }
     V2Record(head(1).toLong, head(2).toLong, marker,
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
-      lakeUuid, lake.result(), lakeRemoves.result(), addCols.result())
+      lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
+      dvUuid, dv.result(), dvRemoves.result())
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -263,6 +274,7 @@ object Catalog {
     r.catUuid.foreach(u => renameStaged(fs, layout.catalogDir, u, seq, r.cat))
     r.distUuid.foreach(u => renameStaged(fs, layout.distributionDir, u, seq, r.dist))
     r.lakeUuid.foreach(u => renameStaged(fs, layout.lakeDir, u, seq, r.lake))
+    r.dvUuid.foreach(u => renameStaged(fs, layout.lakeDir, u, seq, r.dv))
     r.marker.foreach { m =>
       val p = new org.apache.hadoop.fs.Path(m)
       fs.mkdirs(p.getParent)
@@ -274,6 +286,8 @@ object Catalog {
     r.distUuid.foreach(u =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${layout.distributionDir}/_staged/$u"), true))
     r.lakeUuid.foreach(u =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$u"), true))
+    r.dvUuid.foreach(u =>
       fs.delete(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$u"), true))
   }
 
@@ -448,14 +462,27 @@ object Catalog {
     * backfilled as typed nulls where the files predate it. A snapshot
     * below an evolution never shows its column (the files in that
     * snapshot's live set predate the evolution by construction:
-    * commits are ordered). */
+    * commits are ordered).
+    *
+    * Deletion-vector semantics ([[commitLakeDeletes]]): rows whose
+    * `(file, row_index)` appears in a DV committed at or below
+    * `version` are excluded — an anti-join against the (small) DV row
+    * set, broadcast by AQE when it fits. A snapshot below the DV
+    * commit still shows the rows; a DV row whose target file is not
+    * in the snapshot's live set matches nothing. */
   def loadLakeSnapshot(spark: SparkSession, layout: Layout,
       version: Long = Long.MaxValue): DataFrame = {
     val live = lakeFilesAsOf(spark, layout, version)
     if (live.isEmpty) return spark.emptyDataFrame
-    val df = spark.read.option("basePath", layout.lakeDir)
+    val scan = spark.read.option("basePath", layout.lakeDir)
       .option("mergeSchema", "true")
       .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val dvLive = dvFilesAsOf(spark, layout, version)
+    val df =
+      if (dvLive.isEmpty) scan
+      else applyDvs(scan,
+        spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
+        qualifiedLakeDir(spark, layout))
     lakeAddedColumns(spark, layout, version).foldLeft(df) {
       case (d, (_, n, ddl)) =>
         if (d.columns.contains(n)) d
@@ -463,21 +490,291 @@ object Catalog {
     }
   }
 
-  /** Lake-area vacuum: physically delete lake files removed from the
-    * committed set at least `graceMs` ago. */
+  /** Lake-area vacuum: physically delete lake files (and deletion-
+    * vector sidecars) removed from the committed set at least
+    * `graceMs` ago. */
   def vacuumLake(spark: SparkSession, layout: Layout,
       graceMs: Long = 24L * 3600 * 1000): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - graceMs
     var n = 0L
-    readLog(spark, layout).lakeRemoves.foreach { case (_, claimMs, rel) =>
+    val state = readLog(spark, layout)
+    (state.lakeRemoves ++ state.dvRemoves).foreach { case (_, claimMs, rel) =>
       if (claimMs <= cutoff) {
         val p = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")
         if (fs.exists(p) && fs.delete(p, false)) n += 1
       }
     }
     n
+  }
+
+  // --------------------------------------------------------------------
+  // Deletion vectors: merge-on-read row-level deletes for the lake
+  // --------------------------------------------------------------------
+
+  /** The committed deletion-vector file set (lake-relative paths,
+    * `_dv/c<seq>-part-….parquet`), optionally as of a version. Each DV
+    * parquet carries `(file string, pos long)` rows: `file` is the
+    * lake-relative path of a data file, `pos` the parquet row index
+    * within it ([[org.apache.spark.sql.functions.col]]
+    * `_metadata.row_index`). */
+  def dvFilesAsOf(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Seq[String] = {
+    val state = readLog(spark, layout)
+    val removed = state.dvRemoves.collect { case (seq, _, p) if seq <= version => p }.toSet
+    state.dv.collect {
+      case (seq, p) if seq <= version && !removed.contains(p) => p
+    }.sorted
+  }
+
+  /** The lake dir in the qualified form `_metadata.file_path` uses
+    * (scheme-prefixed, no trailing slash) — the single definition both
+    * the DV writer and the DV read path relativize against. */
+  private def qualifiedLakeDir(spark: SparkSession, layout: Layout): String = {
+    val p = new org.apache.hadoop.fs.Path(layout.lakeDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  /** Lake-relative path of the scanned file, derived from
+    * `_metadata.file_path` — loud on a prefix mismatch instead of a
+    * silently never-matching DV key. Must be projected on the SCAN
+    * frame (the `_metadata` column does not survive joins). */
+  private def lakeRelFileCol(prefix: String) = {
+    val pref = s"$prefix/"
+    when(col("_metadata.file_path").startsWith(pref),
+        expr(s"substring(_metadata.file_path, ${pref.length + 1})"))
+      .otherwise(raise_error(concat(
+        lit(s"deletion vector: file path outside $pref: "),
+        col("_metadata.file_path"))))
+  }
+
+  /** Anti-join `scan` (a frame read directly off the lake parquet, no
+    * joins above the scan yet) against the DV row set. */
+  private def applyDvs(scan: DataFrame, dvDf: DataFrame, prefix: String): DataFrame = {
+    val keyed = scan
+      .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
+      .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+    val dvk = dvDf.select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"))
+    keyed.join(dvk,
+        keyed("_graft_dv_file") === dvk("_dvk_file") &&
+          keyed("_graft_dv_pos") === dvk("_dvk_pos"),
+        "left_anti")
+      .drop("_graft_dv_file", "_graft_dv_pos")
+  }
+
+  /** MERGE-ON-READ row deletes: commit `deletes` — `(file, pos)` rows,
+    * `file` lake-relative, `pos` the parquet row index — as a
+    * deletion-vector record. [[loadLakeSnapshot]] at or above the
+    * returned version excludes the rows; a snapshot BELOW it still
+    * shows them (time travel). The write is O(deleted rows): data
+    * files are untouched, which is the whole point — a one-row delete
+    * in a 1 GB file costs a few KB, not a 1 GB rewrite. The deleted
+    * rows' BYTES remain in the data files until
+    * [[materializeLakeDeletes]] + [[vacuumLake]] — callers with a
+    * physical-erasure deadline (GDPR) must run those; [[Erase]]'s
+    * copy-on-write legs remain the immediate-erasure path.
+    *
+    * Callers that computed `deletes` from a live snapshot should use
+    * [[deleteLakeWhere]], which holds the per-source maintenance locks
+    * so a concurrent compaction/erase cannot remove a target file
+    * between the position scan and this commit (a DV row for a
+    * removed file silently deletes nothing). Returns the commit seq,
+    * -1 when `deletes` is empty. */
+  def commitLakeDeletes(spark: SparkSession, layout: Layout,
+      deletes: DataFrame): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
+    deletes.select(col("file").cast("string"), col("pos").cast("long"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$stage/_dv")
+    val staged = stagedDvFiles(fs, stage)
+    val empty = staged.isEmpty ||
+      spark.read.parquet(staged.map(r => s"$stage/$r"): _*).isEmpty
+    if (empty) { fs.delete(stage, true); return -1L }
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      dvUuid = Some(uuid), dv = staged)
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    seq
+  }
+
+  private def stagedDvFiles(fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(stage, "_dv")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => s"_dv/${f.getPath.getName}")
+      .toSeq.sorted
+  }
+
+  /** Positions of committed lake rows matching `predicate`, as the
+    * `(file, pos)` frame [[commitLakeDeletes]] consumes. Rows already
+    * deleted by committed DVs are excluded (re-deleting them would
+    * only grow the DV set). Evolved columns are merged first, so the
+    * predicate may reference them. */
+  private def lakePositionsWhere(spark: SparkSession, layout: Layout,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val live = lakeFilesAsOf(spark, layout)
+    if (live.isEmpty)
+      return spark.emptyDataFrame
+        .withColumn("file", lit(null).cast("string"))
+        .withColumn("pos", lit(null).cast("long"))
+    val prefix = qualifiedLakeDir(spark, layout)
+    val scan = spark.read.option("basePath", layout.lakeDir)
+      .option("mergeSchema", "true")
+      .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+      .withColumn("_graft_file", lakeRelFileCol(prefix))
+      .withColumn("_graft_pos", col("_metadata.row_index"))
+    val evolved = lakeAddedColumns(spark, layout).foldLeft(scan) {
+      case (d, (_, n, ddl)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+    }
+    val dvLive = dvFilesAsOf(spark, layout)
+    val undeleted =
+      if (dvLive.isEmpty) evolved
+      else {
+        val dvk = spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+          .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"))
+        evolved.join(dvk,
+          evolved("_graft_file") === dvk("_dvk_file") &&
+            evolved("_graft_pos") === dvk("_dvk_pos"),
+          "left_anti")
+      }
+    undeleted.filter(predicate)
+      .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
+  }
+
+  /** Acquire the per-source maintenance locks for every source in
+    * `sources` (sorted — one global acquisition order, so two
+    * multi-source maintenance jobs cannot deadlock), then run `body`. */
+  private def withSourceLocks[T](spark: SparkSession, layout: Layout,
+      sources: Seq[String], lockTtlMs: Long, waitMs: Long)(body: => T): T =
+    sources.sorted.distinct match {
+      case Seq() => body
+      case s +: rest =>
+        SourceLock.withLock(spark, layout, s, lockTtlMs, waitMs)(
+          withSourceLocks(spark, layout, rest, lockTtlMs, waitMs)(body))
+    }
+
+  private def sourceOfRel(rel: String): String =
+    rel.takeWhile(_ != '/').stripPrefix("source=")
+
+  /** `DELETE FROM lake WHERE predicate`, merge-on-read: scan the
+    * committed snapshot for matching row positions and commit them as
+    * a deletion vector — no data file is rewritten. Holds the
+    * per-source maintenance locks (shared with [[Erase]]'s rewrite
+    * legs and [[materializeLakeDeletes]]) for every source the
+    * positions touch, and re-verifies under the locks that every
+    * referenced data file is still committed-live — retrying the scan
+    * when a remover won the race — so a DV row can never reference an
+    * already-removed file (which would silently lose the delete).
+    * Returns the commit seq, -1 when nothing matches. */
+  def deleteLakeWhere(spark: SparkSession, layout: Layout,
+      predicate: org.apache.spark.sql.Column,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    var attempt = 0
+    while (attempt < 5) {
+      val dels = lakePositionsWhere(spark, layout, predicate)
+      val files = dels.select("file").distinct().collect().map(_.getString(0)).toSeq
+      if (files.isEmpty) return -1L
+      val sources = files.map(sourceOfRel).distinct.sorted
+      val committed = withSourceLocks(spark, layout, sources, lockTtlMs, waitMs) {
+        val liveNow = lakeFilesAsOf(spark, layout).toSet
+        // data files are immutable once committed: if every referenced
+        // file is still live, the positions computed above are still
+        // exact, and the locks keep removers out until we commit
+        if (files.forall(liveNow.contains))
+          Some(commitLakeDeletes(spark, layout, dels))
+        else None
+      }
+      committed match {
+        case Some(seq) => return seq
+        case None => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      "deleteLakeWhere: target files kept disappearing under concurrent " +
+        "maintenance after 5 attempts")
+  }
+
+  /** Materialize committed deletion vectors: rewrite every live data
+    * file that has DV rows WITHOUT its deleted rows, atomically
+    * {add rewrites, remove originals, drop now-stale DV files} in one
+    * commit. After this, the deleted rows' bytes are gone from the
+    * live tree ([[vacuumLake]] reclaims the removed originals after
+    * grace) — the compaction half of the merge-on-read contract.
+    * Snapshot reads at any version are unchanged by construction
+    * (reads below the materialization still apply the old DVs to the
+    * old files). A DV file is dropped only when none of its rows
+    * reference a still-live data file; one kept DV file may carry
+    * rows for both rewritten and untouched files — the untouched
+    * rows still apply, the rewritten ones dangle harmlessly until a
+    * later materialization drops the file. Holds the same per-source
+    * locks as [[deleteLakeWhere]]/[[Erase]]. Returns files rewritten. */
+  def materializeLakeDeletes(spark: SparkSession, layout: Layout,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = qualifiedLakeDir(spark, layout)
+    // discovery pass (unlocked): which sources have DV'd live files?
+    val sources0 = {
+      val dvLive = dvFilesAsOf(spark, layout)
+      if (dvLive.isEmpty) return 0L
+      val liveSet = lakeFilesAsOf(spark, layout).toSet
+      val dvFiles = spark.read
+        .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+        .select("file").distinct().collect().map(_.getString(0))
+      dvFiles.filter(liveSet.contains).map(sourceOfRel).distinct.sorted.toSeq
+    }
+    withSourceLocks(spark, layout, sources0, lockTtlMs, waitMs) {
+      val dvLive = dvFilesAsOf(spark, layout)
+      if (dvLive.isEmpty) return 0L
+      val live = lakeFilesAsOf(spark, layout)
+      val dvPaths = dvLive.map(rel => s"${layout.lakeDir}/$rel")
+      val dvDf = spark.read.parquet(dvPaths: _*)
+      val liveSet = live.toSet
+      val affected = dvDf.select("file").distinct().collect()
+        .map(_.getString(0)).filter(liveSet.contains).sorted.toSeq
+      // sources that gained DV'd files since discovery are NOT under
+      // our locks — leave them to the next run rather than racing
+      val lockedAffected = affected.filter(f => sources0.contains(sourceOfRel(f)))
+      val postLive = live.filterNot(lockedAffected.toSet)
+      // a DV file survives iff any of its rows still targets a live file
+      val dvWithSelf = spark.read.parquet(dvPaths: _*)
+        .select(col("file"),
+          expr(s"substring(_metadata.file_path, ${prefix.length + 2})").as("self"))
+      import spark.implicits._
+      val keepDv = dvWithSelf
+        .join(postLive.toDF("lf"), col("file") === col("lf"), "left_semi")
+        .select("self").distinct().collect().map(_.getString(0)).toSet
+      val dvRm = dvLive.filterNot(keepDv.contains)
+      if (lockedAffected.isEmpty && dvRm.isEmpty) return 0L
+      val uuid = java.util.UUID.randomUUID().toString
+      val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
+      val staged =
+        if (lockedAffected.isEmpty) Seq.empty[String]
+        else {
+          val scan = spark.read.option("basePath", layout.lakeDir)
+            .option("mergeSchema", "true")
+            .parquet(lockedAffected.map(rel => s"${layout.lakeDir}/$rel"): _*)
+          applyDvs(scan, dvDf, prefix)
+            .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+          stagedFiles(fs, stage)
+        }
+      val rec = V2Record(-1L, System.currentTimeMillis(), None,
+        None, Seq.empty, None, Seq.empty, Seq.empty,
+        if (staged.nonEmpty) Some(uuid) else None, staged,
+        lakeRemoves = lockedAffected, dvRemoves = dvRm)
+      val seq = claimBody(fs, layout, v2Body(rec))
+      finishV2(fs, layout, seq, rec)
+      if (staged.isEmpty) fs.delete(stage, true)
+      lockedAffected.size.toLong
+    }
   }
 
   /** Commit an ALREADY-STAGED distribution payload: raw files placed
@@ -537,6 +834,7 @@ object Catalog {
           claimedCat ++= r.catUuid
           claimedDist ++= r.distUuid
           claimedLake ++= r.lakeUuid
+          claimedLake ++= r.dvUuid
           if (!done.contains(seqStr)) finishV2(fs, layout, seqStr.toLong, r)
         } else {
           val uuid = lines.head
@@ -623,8 +921,11 @@ object Catalog {
     val rmF = state.removes.filter(_._1 <= cap)
     val lakeF = state.lake.filter(_._1 <= cap)
     val lrmF = state.lakeRemoves.filter(_._1 <= cap)
+    val dvF = state.dv.filter(_._1 <= cap)
+    val dvrF = state.dvRemoves.filter(_._1 <= cap)
     val seqs = catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1) ++
       lakeF.map(_._1) ++ lrmF.map(_._1) ++
+      dvF.map(_._1) ++ dvrF.map(_._1) ++
       state.addCols.filter(_._1 <= cap).map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
@@ -644,7 +945,9 @@ object Catalog {
       rmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"R $s $ms $p" } ++
       lakeF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"L $s $p" } ++
       lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" } ++
-      acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" }
+      acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" } ++
+      dvF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"DV $s $p" } ++
+      dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),
       s"_cp-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
@@ -695,7 +998,9 @@ object Catalog {
       removes: Seq[(Long, Long, String)],
       lake: Seq[(Long, String)] = Seq.empty,
       lakeRemoves: Seq[(Long, Long, String)] = Seq.empty,
-      addCols: Seq[(Long, String, String)] = Seq.empty)
+      addCols: Seq[(Long, String, String)] = Seq.empty,
+      dv: Seq[(Long, String)] = Seq.empty,
+      dvRemoves: Seq[(Long, Long, String)] = Seq.empty)
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -748,8 +1053,14 @@ object Catalog {
     val lake = Seq.newBuilder[(Long, String)]
     val lakeRemoves = Seq.newBuilder[(Long, Long, String)]
     val addCols = Seq.newBuilder[(Long, String, String)]
+    val dv = Seq.newBuilder[(Long, String)]
+    val dvRemoves = Seq.newBuilder[(Long, Long, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
-      if (l.startsWith("D ")) {
+      if (l.startsWith("DVR ")) {
+        val a = l.split(' '); dvRemoves += ((a(1).toLong, a(2).toLong, a(3)))
+      } else if (l.startsWith("DV ")) {
+        val a = l.split(' '); dv += ((a(1).toLong, a(2)))
+      } else if (l.startsWith("D ")) {
         val a = l.split(' '); dist += ((a(1).toLong, a(2)))
       } else if (l.startsWith("R ")) {
         val a = l.split(' '); removes += ((a(1).toLong, a(2).toLong, a(3)))
@@ -782,12 +1093,15 @@ object Catalog {
           r.lake.foreach(rel => lake += ((seq, live(rel))))
           r.lakeRemoves.foreach(p => lakeRemoves += ((seq, r.claimMs, p)))
           r.addCols.foreach { case (n, ddl) => addCols += ((seq, n, ddl)) }
+          r.dv.foreach(rel => dv += ((seq, live(rel))))
+          r.dvRemoves.foreach(p => dvRemoves += ((seq, r.claimMs, p)))
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
       }
     LogState(cat.result(), dist.result(), removes.result(),
-      lake.result(), lakeRemoves.result(), addCols.result())
+      lake.result(), lakeRemoves.result(), addCols.result(),
+      dv.result(), dvRemoves.result())
   }
 
   /** The committed distribution file set (relative paths): every

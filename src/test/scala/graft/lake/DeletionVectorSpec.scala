@@ -1,0 +1,133 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read row deletes on the manifest log
+  * ([[Catalog.commitLakeDeletes]] / [[Catalog.deleteLakeWhere]] /
+  * [[Catalog.materializeLakeDeletes]]): a delete is O(deleted rows) —
+  * a DV commit, no data-file rewrite — applied by the snapshot read as
+  * an anti-join on (file, row_index); materialization later rewrites
+  * the affected files and drops stale DV sidecars atomically. */
+class DeletionVectorSpec extends SparkTestBase {
+
+  private def seed(layout: Layout): Long = {
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L), ("clicks", "k3", 30L),
+          ("logs", "k4", 40L), ("logs", "k5", 50L))
+        .toDF("source", "key", "v"))
+  }
+
+  test("deleteLakeWhere hides rows without touching data files; time travel " +
+      "below the DV still shows them; no-match returns -1") {
+    val layout = Layout(tmpDir("dv-basic"))
+    val v1 = seed(layout)
+    val filesBefore = Catalog.lakeFilesAsOf(spark, layout)
+
+    val v2 = Catalog.deleteLakeWhere(spark, layout, col("key") === "k2")
+    assert(v2 == v1 + 1)
+    val live = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live.count() == 4 && live.filter("key = 'k2'").count() == 0)
+    // merge-on-read: the data-file set is byte-identical
+    assert(Catalog.lakeFilesAsOf(spark, layout) == filesBefore,
+      "a DV delete must not add/remove/rewrite any data file")
+    assert(Catalog.dvFilesAsOf(spark, layout).nonEmpty)
+    // snapshot below the DV commit still shows the row
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1).filter("key = 'k2'").count() == 1)
+    // the deleted row no longer matches: re-delete is a no-op commit
+    assert(Catalog.deleteLakeWhere(spark, layout, col("key") === "k2") == -1L)
+    // stacked DVs union
+    val v3 = Catalog.deleteLakeWhere(spark, layout, col("v") >= 40L)
+    assert(v3 > v2)
+    val live2 = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live2.select("key").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("k1", "k3"))
+    // and per-version reads see exactly the DVs at that version
+    assert(Catalog.loadLakeSnapshot(spark, layout, v2).count() == 4)
+  }
+
+  test("materializeLakeDeletes rewrites affected files, drops stale DVs, and " +
+      "leaves every snapshot read unchanged; vacuum reclaims the bytes") {
+    val layout = Layout(tmpDir("dv-mat"))
+    val v1 = seed(layout)
+    val v2 = Catalog.deleteLakeWhere(spark, layout, col("key").isin("k2", "k4"))
+    val before = Catalog.loadLakeSnapshot(spark, layout)
+      .select("source", "key", "v").collect().map(_.toString).sorted.toSeq
+    val filesBefore = Catalog.lakeFilesAsOf(spark, layout).toSet
+
+    val rewritten = Catalog.materializeLakeDeletes(spark, layout)
+    assert(rewritten == 2, s"both DV'd files rewritten, got $rewritten")
+    val after = Catalog.loadLakeSnapshot(spark, layout)
+      .select("source", "key", "v").collect().map(_.toString).sorted.toSeq
+    assert(after == before, "materialization must not change the live view")
+    assert(Catalog.dvFilesAsOf(spark, layout).isEmpty,
+      "no DV row references a live file after materialization — all dropped")
+    val filesAfter = Catalog.lakeFilesAsOf(spark, layout).toSet
+    assert((filesBefore -- filesAfter).size == 2, "originals logically removed")
+    // time travel below the materialization still applies the old DVs
+    assert(Catalog.loadLakeSnapshot(spark, layout, v2).filter("key = 'k2'").count() == 0)
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1).filter("key = 'k2'").count() == 1)
+    // physical reclamation: removed data files AND dv sidecars deleted
+    val n = Catalog.vacuumLake(spark, layout, graceMs = 0L)
+    assert(n >= 3, s"2 originals + >=1 dv sidecar reclaimed, got $n")
+    (filesBefore -- filesAfter).foreach { rel =>
+      assert(!new java.io.File(s"${layout.lakeDir}/$rel").exists())
+    }
+    // the deleted subject's bytes are GONE from the live tree
+    assert(Catalog.loadLakeSnapshot(spark, layout)
+      .select("source", "key", "v").collect().map(_.toString).sorted.toSeq == before)
+    // idempotent: nothing left to materialize
+    assert(Catalog.materializeLakeDeletes(spark, layout) == 0L)
+  }
+
+  test("a DV referencing no live file is garbage-collected by materialize " +
+      "without any rewrite") {
+    val layout = Layout(tmpDir("dv-stale"))
+    seed(layout)
+    val s = spark
+    import s.implicits._
+    Catalog.commitLakeDeletes(spark, layout,
+      Seq(("source=ghost/c000-nope.parquet", 0L)).toDF("file", "pos"))
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 5,
+      "a dangling DV row deletes nothing")
+    val filesBefore = Catalog.lakeFilesAsOf(spark, layout)
+    assert(Catalog.materializeLakeDeletes(spark, layout) == 0L)
+    assert(Catalog.dvFilesAsOf(spark, layout).isEmpty, "stale DV dropped")
+    assert(Catalog.lakeFilesAsOf(spark, layout) == filesBefore)
+  }
+
+  test("DV records survive the checkpoint fold and log prune; as-of below " +
+      "the DV keeps the pre-delete view") {
+    val layout = Layout(tmpDir("dv-ckpt"))
+    val v1 = seed(layout)
+    Catalog.deleteLakeWhere(spark, layout, col("key") === "k1")
+    val cp = Catalog.checkpoint(spark, layout)
+    assert(cp.isDefined)
+    Catalog.pruneLog(spark, layout)
+    val live = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live.count() == 4 && live.filter("key = 'k1'").count() == 0,
+      "DV must survive the fold")
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1).filter("key = 'k1'").count() == 1,
+      "time travel below the DV must survive the fold")
+    // and a post-checkpoint materialize still sees the folded DV
+    assert(Catalog.materializeLakeDeletes(spark, layout) == 1L)
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 4)
+  }
+
+  test("deleteLakeWhere can reference an evolved column") {
+    val layout = Layout(tmpDir("dv-evolve"))
+    val s = spark
+    import s.implicits._
+    seed(layout)
+    Catalog.commitLakeAddColumn(spark, layout, "score", "bigint")
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k9", 90L, 7L)).toDF("source", "key", "v", "score"))
+    Catalog.deleteLakeWhere(spark, layout, col("score") === 7L)
+    val live = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live.count() == 5 && live.filter("key = 'k9'").count() == 0)
+    // pre-evolution rows (score null) never match a non-null predicate
+    assert(live.filter("key = 'k1'").count() == 1)
+  }
+}
