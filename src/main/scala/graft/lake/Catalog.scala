@@ -634,19 +634,22 @@ object Catalog {
       case (d, (_, n, ddl)) =>
         if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
     }
+    // filter BEFORE the DV anti-join (they commute — both are row
+    // predicates on the scan side) so the predicate pushes down to the
+    // parquet scan instead of sitting above a join
+    val matching = evolved.filter(predicate)
     val dvLive = dvFilesAsOf(spark, layout)
     val undeleted =
-      if (dvLive.isEmpty) evolved
+      if (dvLive.isEmpty) matching
       else {
         val dvk = spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
           .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"))
-        evolved.join(dvk,
-          evolved("_graft_file") === dvk("_dvk_file") &&
-            evolved("_graft_pos") === dvk("_dvk_pos"),
+        matching.join(dvk,
+          matching("_graft_file") === dvk("_dvk_file") &&
+            matching("_graft_pos") === dvk("_dvk_pos"),
           "left_anti")
       }
-    undeleted.filter(predicate)
-      .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
+    undeleted.select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
   }
 
   /** Acquire the per-source maintenance locks for every source in
