@@ -281,6 +281,144 @@ object Sketch {
        |ORDER BY grp""".stripMargin
   }
 
+  /** KMV SET ALGEBRA (Beyer et al., "On Synopses for Distinct-Value
+    * Estimation Under Multiset Operations", SIGMOD 2007) — the reason
+    * KMV beats HLL in a pipeline: sketches support union AND
+    * intersection. For every event-type pair (A, B) over the per-type
+    * distinct-user sets: merge the two k-min sketches (k smallest of
+    * S_A ∪ S_B) → union estimate `(k−1)·2³²/h₍ₖ₎`; K_∩ = merged
+    * hashes present in BOTH input sketches → intersection estimate
+    * `K_∩/k · est_union` and Jaccard `K_∩/k` — the audience-overlap /
+    * co-occurrence table ("how many users did A and B?") computed from
+    * 64-row synopses instead of a corpus self-join. Exact companions
+    * sit alongside so every green run certifies the estimator error.
+    * Under k distinct hashes the sketches are complete and all three
+    * estimates fall back to exact sketch-set arithmetic.
+    *
+    * Scale: ONE corpus-wide (type, user-hash) distinct; sketch rows
+    * are ≤ types·k, so all pair joins are model-sized. The exact
+    * intersection is one equi-join keyed on the user (each user
+    * carries ≤ |types| rows). Every estimator term is integer (hash
+    * order statistics, one integer division per estimate), so the
+    * ESTIMATES hash-match across engines, not just the machinery. */
+  def kmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = KmvK
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val hashes = Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"), h.as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("t")).orderBy(col("h"))
+    val sk = hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("t"), col("h"))
+    val types = hashes.select(col("t")).distinct()
+    val pairs = types.select(col("t").as("ta"))
+      .join(types.select(col("t").as("tb")), col("ta") < col("tb"))
+    val merged = pairs.join(sk, col("ta") === col("t")).select(col("ta"), col("tb"), col("h"))
+      .unionByName(
+        pairs.join(sk, col("tb") === col("t")).select(col("ta"), col("tb"), col("h")))
+      .distinct()
+    val wu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ta"), col("tb")).orderBy(col("h"))
+    val m = merged.withColumn("rn", row_number().over(wu)).filter(col("rn") <= k)
+    val agg = m
+      .join(sk.select(col("t").as("ta"), col("h"), lit(1).as("in_a")), Seq("ta", "h"), "left")
+      .join(sk.select(col("t").as("tb"), col("h"), lit(1).as("in_b")), Seq("tb", "h"), "left")
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("m_cnt"),
+        max(when(col("rn") === k, col("h"))).as("kth"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("k_inter"))
+    val du = Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val sizes = du.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val eInter = du.select(col("t").as("ta"), col("u"))
+      .join(du.select(col("t").as("tb"), col("u")), Seq("u"))
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_inter"))
+    agg
+      .join(sizes.select(col("t").as("ta"), col("n").as("n_a")), Seq("ta"))
+      .join(sizes.select(col("t").as("tb"), col("n").as("n_b")), Seq("tb"))
+      .join(eInter, Seq("ta", "tb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .withColumn("n_union", expr("n_a + n_b - n_inter"))
+      .withColumn("kmv_union",
+        when(col("m_cnt") < k, col("m_cnt"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) DIV kth")))
+      .withColumn("kmv_inter",
+        when(col("m_cnt") < k, col("k_inter"))
+          .otherwise(expr(s"(k_inter * kmv_union) DIV $k")))
+      .withColumn("union_err_bp", expr("(abs(kmv_union - n_union) * 10000) DIV n_union"))
+      .withColumn("jac_ppm", expr("(n_inter * 1000000) DIV n_union"))
+      .withColumn("kmv_jac_ppm",
+        when(col("m_cnt") < k, expr("(k_inter * 1000000) DIV m_cnt"))
+          .otherwise(expr(s"(k_inter * 1000000) DIV $k")))
+      .select(col("ta"), col("tb"), col("n_union"), col("kmv_union").cast("long"),
+        col("union_err_bp").cast("long"), col("n_inter"),
+        col("kmv_inter").cast("long"), col("jac_ppm").cast("long"),
+        col("kmv_jac_ppm").cast("long"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  def kmvSetOpsSql: String = {
+    val k = KmvK
+    s"""WITH hashes AS (
+       |  SELECT DISTINCT event_type AS t,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT t, h FROM (
+       |    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+       |    FROM hashes) WHERE rn <= $k),
+       |types AS (SELECT DISTINCT t FROM hashes),
+       |pairs AS (
+       |  SELECT a.t AS ta, b.t AS tb FROM types a JOIN types b ON a.t < b.t),
+       |merged AS (
+       |  SELECT DISTINCT ta, tb, h FROM (
+       |    SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.t = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.t = p.tb)),
+       |m AS (
+       |  SELECT ta, tb, h, rn FROM (
+       |    SELECT ta, tb, h,
+       |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+       |    FROM merged) WHERE rn <= $k),
+       |agg AS (
+       |  SELECT m.ta, m.tb, CAST(count(*) AS BIGINT) AS m_cnt,
+       |    max(CASE WHEN m.rn = $k THEN m.h END) AS kth,
+       |    CAST(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+       |                  THEN 1 ELSE 0 END) AS BIGINT) AS k_inter
+       |  FROM m
+       |  LEFT JOIN sk sa ON sa.t = m.ta AND sa.h = m.h
+       |  LEFT JOIN sk sb ON sb.t = m.tb AND sb.h = m.h
+       |  GROUP BY m.ta, m.tb),
+       |du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+       |sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY t),
+       |einter AS (
+       |  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM du a JOIN du b ON a.u = b.u AND a.t < b.t
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT g.ta, g.tb, g.m_cnt, g.k_inter,
+       |    sa.n + sb.n - COALESCE(e.n_inter, 0) AS n_union,
+       |    COALESCE(e.n_inter, 0) AS n_inter,
+       |    CASE WHEN g.m_cnt < $k THEN g.m_cnt
+       |         ELSE (${k - 1} * 4294967296) // g.kth END AS kmv_union
+       |  FROM agg g
+       |  JOIN sizes sa ON sa.t = g.ta
+       |  JOIN sizes sb ON sb.t = g.tb
+       |  LEFT JOIN einter e ON e.ta = g.ta AND e.tb = g.tb)
+       |SELECT ta, tb, n_union, CAST(kmv_union AS BIGINT) AS kmv_union,
+       |  CAST((abs(kmv_union - n_union) * 10000) // n_union AS BIGINT) AS union_err_bp,
+       |  n_inter,
+       |  CAST(CASE WHEN m_cnt < $k THEN k_inter
+       |       ELSE (k_inter * kmv_union) // $k END AS BIGINT) AS kmv_inter,
+       |  CAST((n_inter * 1000000) // n_union AS BIGINT) AS jac_ppm,
+       |  CAST(CASE WHEN m_cnt < $k THEN (k_inter * 1000000) // m_cnt
+       |       ELSE (k_inter * 1000000) // $k END AS BIGINT) AS kmv_jac_ppm
+       |FROM est
+       |ORDER BY ta, tb""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // MinHash signature-width accuracy audit
   // --------------------------------------------------------------------

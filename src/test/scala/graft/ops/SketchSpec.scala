@@ -99,4 +99,42 @@ class SketchSpec extends SparkTestBase {
     val meanErr = rows.map(_.getAs[Long]("abs_err_ppm")).sum / rows.length
     assert(meanErr <= 60000L, s"mean abs err $meanErr ppm")
   }
+
+  test("kmvSetOps matches an exact JVM k-min-sketch replay on every pair") {
+    val k = Sketch.KmvK
+    val rows = Sketch.kmvSetOps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(u: Long): Long = {
+      val hex = md.digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val tu = graft.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = tu.groupBy(_._1).view.mapValues(_.map(p => h(p._2)).toSet).toMap
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[String]("ta"), r.getAs[String]("tb"))
+      val (sa, sb) = (byType(ta), byType(tb))
+      val skA = sa.toSeq.sorted.take(k).toSet
+      val skB = sb.toSeq.sorted.take(k).toSet
+      val merged = (skA ++ skB).toSeq.sorted.take(k)
+      val kInter = merged.count(x => skA(x) && skB(x)).toLong
+      val mCnt = merged.size.toLong
+      val estU =
+        if (mCnt < k) mCnt else (k - 1).toLong * 4294967296L / merged.last
+      val estI = if (mCnt < k) kInter else kInter * estU / k
+      assert(r.getAs[Long]("n_union") == (sa ++ sb).size.toLong)
+      assert(r.getAs[Long]("n_inter") == (sa & sb).size.toLong)
+      assert(r.getAs[Long]("kmv_union") == estU, s"($ta,$tb) union est")
+      assert(r.getAs[Long]("kmv_inter") == estI, s"($ta,$tb) inter est")
+      val jacKmv = if (mCnt < k) kInter * 1000000L / mCnt else kInter * 1000000L / k
+      assert(r.getAs[Long]("kmv_jac_ppm") == jacKmv)
+      // set-algebra sanity on the estimates themselves
+      assert(estI <= estU, "an intersection estimate above the union is broken")
+    }
+  }
 }
