@@ -611,4 +611,76 @@ object Aggregates {
       |FROM events
       |GROUP BY event_type, CAST(ts AS DATE)
       |ORDER BY event_type, day""".stripMargin
+
+  /** RETRACTABLE incremental aggregate maintenance — [[incrAggMerge]]
+    * handles inserts; this handles DELETES (the arrival the lake's
+    * deletion vectors now produce): maintain the (event_type × day)
+    * rollup under a delete delta WITHOUT recomputing history.
+    * count/sum retract algebraically (n−n_d, s−s_d). min/max are NOT
+    * self-maintainable under deletion — so the classic affected-group
+    * trick: a group's extrema are recomputed from surviving rows ONLY
+    * when the delete delta touched them (deleted min ≤ group min or
+    * deleted max ≥ group max); untouched groups keep their stored
+    * extrema. Groups fully deleted drop out.
+    *
+    * The ORACLE is the flat recompute over surviving rows — a green
+    * run proves the retraction identity INCLUDING the
+    * recompute-only-affected branch (a wrong "safe" classification
+    * would surface as a hash mismatch).
+    *
+    * Scale: the delete delta aggregates in one partial-combined pass;
+    * the recompute scan is pruned to affected groups by a semi-join
+    * (cost = O(rows of groups whose extremum died), not O(history)).
+    * The delete set here is `event_id % 97 = 0` — a deterministic
+    * ~1% row-level delete both engines select identically. */
+  def incrAggDelete(spark: SparkSession, sfDir: String, mod: Long = 97): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val doomed = col("event_id") % mod === 0
+    def partials(df: DataFrame, suffix: String): DataFrame =
+      df.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as(s"n$suffix"), sum(col("cents")).as(s"s$suffix"),
+          min(col("cents")).as(s"mn$suffix"), max(col("cents")).as(s"mx$suffix"))
+    val merged = partials(ev, "").join(
+        partials(ev.filter(doomed), "_d"), Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("n_d", "s_d"))
+      .withColumn("n2", col("n") - col("n_d"))
+      .withColumn("s2", col("s") - col("s_d"))
+      .filter(col("n2") > 0)
+    val touched = col("mn_d").isNotNull &&
+      (col("mn_d") <= col("mn") || col("mx_d") >= col("mx"))
+    val affected = merged.filter(touched)
+    val recomputed = ev.filter(!doomed)
+      .join(affected.select(col("event_type"), col("day")),
+        Seq("event_type", "day"), "left_semi")
+      .groupBy(col("event_type"), col("day"))
+      .agg(min(col("cents")).as("mn_r"), max(col("cents")).as("mx_r"))
+    val out = merged.filter(!touched)
+      .select(col("event_type"), col("day"), col("n2"), col("s2"),
+        col("mn").as("mn_o"), col("mx").as("mx_o"))
+      .unionByName(affected
+        .join(recomputed, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n2"), col("s2"),
+          col("mn_r").as("mn_o"), col("mx_r").as("mx_o")))
+    out.select(col("event_type"), col("day"),
+        col("n2").cast("long").as("n_events"),
+        col("s2").cast("long").as("sum_cents"),
+        col("mn_o").cast("long").as("min_cents"),
+        col("mx_o").cast("long").as("max_cents"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Oracle twin of [[incrAggDelete]]: the flat recompute over
+    * surviving rows — `mod` interpolated. */
+  def incrAggDeleteSql(mod: Long = 97): String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS min_cents,
+       |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+       |FROM events
+       |WHERE event_id % $mod <> 0
+       |GROUP BY event_type, CAST(ts AS DATE)
+       |ORDER BY event_type, day""".stripMargin
 }

@@ -74,6 +74,43 @@ class AuditOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---------------- incrAggDelete ----------------
+
+  test("incrAggDelete: both the keep-stored and recompute branches are LIVE " +
+      "on this corpus, and the result equals the flat recompute") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).cast("string"),
+        col("event_id"), round(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byGroup = ev.groupBy(t => (t._1, t._2))
+    var affected = 0; var safe = 0
+    byGroup.foreach { case (_, rows) =>
+      val del = rows.filter(_._3 % 97 == 0)
+      val kept = rows.filterNot(_._3 % 97 == 0)
+      if (del.nonEmpty && kept.nonEmpty) {
+        val (mn, mx) = (rows.map(_._4).min, rows.map(_._4).max)
+        if (del.map(_._4).min <= mn || del.map(_._4).max >= mx) affected += 1
+        else safe += 1
+      } else if (del.isEmpty) safe += 1
+    }
+    assert(affected > 0, "no group's extremum was deleted — recompute branch untested")
+    assert(safe > 0, "every group recomputed — the keep-stored branch is untested")
+    // and the maintained view equals the flat recompute exactly
+    val got = graft.ops.Aggregates.incrAggDelete(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val flat = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") % 97 =!= 0)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("sum_cents"),
+        min(round(col("value") * 100).cast("long")).cast("long").as("min_cents"),
+        max(round(col("value") * 100).cast("long")).cast("long").as("max_cents"))
+      .select("event_type", "day", "n_events", "sum_cents", "min_cents", "max_cents")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == flat)
+  }
+
   // ---------------- tCloseness ----------------
 
   test("tCloseness: driver-side exact-TVD replay agrees; t bounds hold") {
