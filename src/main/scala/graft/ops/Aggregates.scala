@@ -642,12 +642,15 @@ object Aggregates {
       df.groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as(s"n$suffix"), sum(col("cents")).as(s"s$suffix"),
           min(col("cents")).as(s"mn$suffix"), max(col("cents")).as(s"mx$suffix"))
-    val merged = partials(ev, "").join(
+    // merged is group-count-sized and referenced twice (safe branch +
+    // affected branch); truncating it keeps the corpus from being
+    // scanned once per reference
+    val merged = Truncate(partials(ev, "").join(
         partials(ev.filter(doomed), "_d"), Seq("event_type", "day"), "left")
       .na.fill(0L, Seq("n_d", "s_d"))
       .withColumn("n2", col("n") - col("n_d"))
       .withColumn("s2", col("s") - col("s_d"))
-      .filter(col("n2") > 0)
+      .filter(col("n2") > 0), "incr-agg-del")
     val touched = col("mn_d").isNotNull &&
       (col("mn_d") <= col("mn") || col("mx_d") >= col("mx"))
     val affected = merged.filter(touched)

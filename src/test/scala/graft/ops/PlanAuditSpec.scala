@@ -509,6 +509,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join") && !p.contains("Window"), s"scan+agg only:\n$p")
   }
 
+  test("tCloseness: corpus work is agg-only, every join broadcast, the one " +
+      "window is the 5-row marginal total") {
+    val p = plan(Pipeline.tCloseness(spark, sfDir))
+    assert(!p.contains("SortMergeJoin"), s"dimension joins must broadcast:\n$p")
+    assert("partial_count|partial_sum".r.findFirstIn(p).isDefined,
+      s"QI cells must combine map-side:\n$p")
+    // exactly one Window: the sum-over-() marginal total on the 5-row
+    // segment frame — never a corpus-level window
+    assert("Window \\[".r.findAllIn(p).length == 1, s"one marginal window only:\n$p")
+    assert(p.contains("SinglePartition"),
+      s"the marginal window runs on the collapsed 5-row frame:\n$p")
+  }
+
+  test("kmvSetOps: merged sketch top-k prunes via WindowGroupLimit; " +
+      "nested-loop joins bounded to the type-pair cross") {
+    val p = plan(graft.ops.Sketch.kmvSetOps(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"),
+      s"the k-smallest rank must push down, not sort whole partitions:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"only the |types|x|types| pair cross may nest-loop ($bnlj):\n$p")
+  }
+
+  test("incrAggDelete: the group-sized merged view is truncated so events is " +
+      "scanned once; the recompute branch is semi-join-pruned") {
+    val df = Aggregates.incrAggDelete(spark, sfDir)
+    val p = plan(df)
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 1,
+      s"only the recompute branch may rescan events, got $scans scans:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the recompute scan must prune to affected groups:\n$p")
+  }
+
   test("kAnonymity: two stacked partial-combined aggs, nothing else") {
     val p = plan(Pipeline.kAnonymity(spark, sfDir))
     assert(!p.contains("Join") && !p.contains("Window"), s"agg-only plan:\n$p")
