@@ -563,6 +563,22 @@ object Catalog {
       .drop("_graft_dv_file", "_graft_dv_pos")
   }
 
+  /** Apply every COMMITTED deletion vector to `scan` (a frame read
+    * directly off lake parquet files; no joins above the scan yet) —
+    * no-op when none exist. Maintenance REWRITES (the erase lake leg)
+    * must read through this: a rewrite copies surviving rows into a
+    * new file name, and a DV keyed on the old (file, pos) would no
+    * longer apply — silently RESURRECTING deleted rows in the rewrite
+    * output. */
+  private[lake] def applyCommittedDvs(spark: SparkSession, layout: Layout,
+      scan: DataFrame): DataFrame = {
+    val dvLive = dvFilesAsOf(spark, layout)
+    if (dvLive.isEmpty) scan
+    else applyDvs(scan,
+      spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
+      qualifiedLakeDir(spark, layout))
+  }
+
   /** MERGE-ON-READ row deletes: commit `deletes` — `(file, pos)` rows,
     * `file` lake-relative, `pos` the parquet row index — as a
     * deletion-vector record. [[loadLakeSnapshot]] at or above the

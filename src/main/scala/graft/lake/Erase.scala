@@ -418,8 +418,12 @@ object Erase {
       .partition(p => removed.contains(s"source=$source/${p.getName}"))
     dead.foreach(p => fs.delete(p, false))
     if (oldFiles.isEmpty) return 0L
-    val df = spark.read.parquet(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*)
+    // read through committed deletion vectors: this rewrite copies
+    // surviving rows under a NEW file name, so a DV keyed on the old
+    // (file, pos) would stop applying — without this, rows a DV
+    // deleted would resurrect in the rewritten file
+    val df = Catalog.applyCommittedDvs(spark, layout, spark.read.parquet(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*))
     val total = df.count()
     val keptDf = df.select("key", "json").as[(String, String)]
       .filter(r => !matches(r._2)).toDF("key", "json")

@@ -116,6 +116,34 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(Catalog.loadLakeSnapshot(spark, layout).count() == 4)
   }
 
+  test("an erase rewrite cannot resurrect DV-deleted rows") {
+    val layout = Layout(tmpDir("dv-erase"))
+    def rec(user: String, v: Int): String = s"""{"user":"$user","v":$v}"""
+    def writeGz(name: String, content: String): Unit = {
+      val d = new java.io.File(layout.bronzeSourceDir("clicks")); d.mkdirs()
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(d, name)))
+      out.write(content.getBytes("UTF-8")); out.close()
+    }
+    writeGz("obj1.gz", rec("A", 1) + rec("B", 2) + rec("A", 3))
+    writeGz("obj2.gz", rec("B", 4) + rec("C", 5))
+    Ingest.ingestBatch(spark, layout, arrivalMs = 1704067200000L)
+    // merge-on-read delete of one NON-subject record
+    Catalog.deleteLakeWhere(spark, layout, col("json") === rec("B", 2))
+    assert(Catalog.loadLakeSnapshot(spark, layout)
+      .filter(col("json") === rec("B", 2)).count() == 0)
+    // now a GDPR erase rewrites the same files under new names — the
+    // rewrite must read THROUGH the DV or the B record resurrects
+    Erase.eraseWhere(spark, layout, "clicks", Erase.jsonFieldEquals("user", "A"))
+    val after = Catalog.loadLakeSnapshot(spark, layout)
+      .select("json").collect().map(_.getString(0))
+    assert(!after.exists(_.contains("\"user\":\"A\"")), "subject erased")
+    assert(!after.contains(rec("B", 2)),
+      s"the DV-deleted row must NOT resurrect in the rewritten file: ${after.toSeq}")
+    assert(after.contains(rec("B", 4)) && after.contains(rec("C", 5)),
+      "unrelated records survive")
+  }
+
   test("deleteLakeWhere can reference an evolved column") {
     val layout = Layout(tmpDir("dv-evolve"))
     val s = spark
