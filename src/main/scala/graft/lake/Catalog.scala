@@ -721,6 +721,101 @@ object Catalog {
         "maintenance after 5 attempts")
   }
 
+  /** UPSERT (MERGE-by-key) into the lake, merge-on-read: every
+    * committed row whose `keyCols` tuple appears in `batch` is
+    * DV-deleted and the batch's rows are appended — BOTH in one log
+    * record, so a snapshot reader sees the old versions or the new
+    * ones, never neither or both. The CDC-apply primitive: cost is
+    * O(batch + matched rows), no data-file rewrite. `batch` must carry
+    * a `source` column (the lake partition key) plus `keyCols`. Rows
+    * with fresh keys are plain inserts. Holds the per-source
+    * maintenance locks for every source whose files the deletes touch
+    * (same discipline as [[deleteLakeWhere]]) and re-verifies
+    * target-file liveness under them. Returns the commit seq, -1 for
+    * an empty batch. */
+  def upsertLakeByKey(spark: SparkSession, layout: Layout, batch: DataFrame,
+      keyCols: Seq[String],
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    require(batch.columns.contains("source"), "batch needs the source partition column")
+    require(keyCols.nonEmpty && keyCols.forall(batch.columns.contains),
+      s"keyCols $keyCols must be batch columns")
+    if (batch.isEmpty) return -1L
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = batch.select(keyCols.map(col): _*).distinct()
+    var attempt = 0
+    while (attempt < 5) {
+      val live = lakeFilesAsOf(spark, layout)
+      val matched =
+        if (live.isEmpty)
+          spark.emptyDataFrame.withColumn("file", lit(null).cast("string"))
+            .withColumn("pos", lit(null).cast("long"))
+        else {
+          val prefix = qualifiedLakeDir(spark, layout)
+          val scan = spark.read.option("basePath", layout.lakeDir)
+            .option("mergeSchema", "true")
+            .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+            .withColumn("_graft_file", lakeRelFileCol(prefix))
+            .withColumn("_graft_pos", col("_metadata.row_index"))
+          val undel = {
+            val dvLive = dvFilesAsOf(spark, layout)
+            if (dvLive.isEmpty) scan
+            else {
+              val dvk = spark.read
+                .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+                .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"))
+              scan.join(dvk,
+                scan("_graft_file") === dvk("_dvk_file") &&
+                  scan("_graft_pos") === dvk("_dvk_pos"),
+                "left_anti")
+            }
+          }
+          undel.join(keys, keyCols, "left_semi")
+            .select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
+        }
+      val files = matched.select("file").distinct().collect().map(_.getString(0)).toSeq
+      val sources = files.map(sourceOfRel).distinct.sorted
+      val committed = withSourceLocks(spark, layout, sources, lockTtlMs, waitMs) {
+        val liveNow = lakeFilesAsOf(spark, layout).toSet
+        if (!files.forall(liveNow.contains)) None
+        else {
+          val lakeUuid = java.util.UUID.randomUUID().toString
+          val lakeStage = new org.apache.hadoop.fs.Path(
+            s"${layout.lakeDir}/_staged/$lakeUuid")
+          batch.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
+          val lakeStaged = stagedFiles(fs, lakeStage)
+          val dvUuid = java.util.UUID.randomUUID().toString
+          val dvStage = new org.apache.hadoop.fs.Path(
+            s"${layout.lakeDir}/_staged/$dvUuid")
+          val dvStaged =
+            if (files.isEmpty) Seq.empty[String]
+            else {
+              matched.select(col("file").cast("string"), col("pos").cast("long"))
+                .distinct()
+                .write.mode("overwrite").parquet(s"$dvStage/_dv")
+              stagedDvFiles(fs, dvStage)
+            }
+          val rec = V2Record(-1L, System.currentTimeMillis(), None,
+            None, Seq.empty, None, Seq.empty, Seq.empty,
+            if (lakeStaged.nonEmpty) Some(lakeUuid) else None, lakeStaged,
+            dvUuid = if (dvStaged.nonEmpty) Some(dvUuid) else None, dv = dvStaged)
+          val seq = claimBody(fs, layout, v2Body(rec))
+          finishV2(fs, layout, seq, rec)
+          if (lakeStaged.isEmpty) fs.delete(lakeStage, true)
+          if (dvStaged.isEmpty) fs.delete(dvStage, true)
+          Some(seq)
+        }
+      }
+      committed match {
+        case Some(seq) => return seq
+        case None => attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      "upsertLakeByKey: target files kept disappearing under concurrent " +
+        "maintenance after 5 attempts")
+  }
+
   /** Materialize committed deletion vectors: rewrite every live data
     * file that has DV rows WITHOUT its deleted rows, atomically
     * {add rewrites, remove originals, drop now-stale DV files} in one

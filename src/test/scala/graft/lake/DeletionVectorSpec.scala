@@ -116,6 +116,48 @@ class DeletionVectorSpec extends SparkTestBase {
     assert(Catalog.loadLakeSnapshot(spark, layout).count() == 4)
   }
 
+  test("upsertLakeByKey: one atomic commit replaces matched keys and inserts " +
+      "fresh ones; snapshot below shows the old versions; repeated upserts " +
+      "keep only the latest") {
+    val layout = Layout(tmpDir("dv-upsert"))
+    val s = spark
+    import s.implicits._
+    val v1 = seed(layout)
+    val filesBefore = Catalog.lakeFilesAsOf(spark, layout)
+    val v2 = Catalog.upsertLakeByKey(spark, layout,
+      Seq(("clicks", "k2", 21L), ("logs", "k9", 90L)).toDF("source", "key", "v"),
+      keyCols = Seq("key"))
+    assert(v2 == v1 + 1, "exactly ONE commit spans the delete and the insert")
+    val live = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live.count() == 6)
+    assert(live.filter("key = 'k2'").select("v").collect().map(_.getLong(0)).toSeq
+      == Seq(21L), "the matched key holds only the new version")
+    assert(live.filter("key = 'k9' AND v = 90").count() == 1, "fresh key inserted")
+    // merge-on-read: original files untouched, one add + one DV
+    assert(Catalog.lakeFilesAsOf(spark, layout).toSet.intersect(filesBefore.toSet)
+      == filesBefore.toSet)
+    // time travel below the upsert
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1)
+      .filter("key = 'k2' AND v = 20").count() == 1)
+    // a second upsert of the same key keeps only the latest
+    Catalog.upsertLakeByKey(spark, layout,
+      Seq(("clicks", "k2", 22L)).toDF("source", "key", "v"), keyCols = Seq("key"))
+    val vs = Catalog.loadLakeSnapshot(spark, layout)
+      .filter("key = 'k2'").select("v").collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(22L), s"stacked upserts must not accumulate versions: $vs")
+    // materialization preserves the upserted view
+    val before = Catalog.loadLakeSnapshot(spark, layout)
+      .select("source", "key", "v").collect().map(_.toString).sorted.toSeq
+    Catalog.materializeLakeDeletes(spark, layout)
+    val after = Catalog.loadLakeSnapshot(spark, layout)
+      .select("source", "key", "v").collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    // pure-insert batch commits without a DV section
+    val v5 = Catalog.upsertLakeByKey(spark, layout,
+      Seq(("clicks", "k7", 70L)).toDF("source", "key", "v"), keyCols = Seq("key"))
+    assert(v5 > 0 && Catalog.loadLakeSnapshot(spark, layout).count() == 7)
+  }
+
   test("an erase rewrite cannot resurrect DV-deleted rows") {
     val layout = Layout(tmpDir("dv-erase"))
     def rec(user: String, v: Int): String = s"""{"user":"$user","v":$v}"""
