@@ -303,10 +303,15 @@ object Sketch {
     * ESTIMATES hash-match across engines, not just the machinery. */
   def kmvSetOps(spark: SparkSession, sfDir: String): DataFrame = {
     val k = KmvK
-    val h = conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
-    val hashes = Tables.events(spark, sfDir)
-      .select(col("event_type").as("t"), h.as("h"))
-      .distinct()
+    // ONE corpus pass: the distinct (type, user) table feeds the
+    // sketches (hashed on the distinct pairs, not on every event row),
+    // the exact sizes, and the exact intersection — truncated so the
+    // three consumers do not each rescan events
+    val du = Truncate(Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"), col("user_id").as("u"))
+      .distinct(), "kmv-setops-du")
+    val h = conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10).cast("long")
+    val hashes = du.select(col("t"), h.as("h")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("t")).orderBy(col("h"))
     val sk = hashes.withColumn("rn", row_number().over(w))
@@ -328,8 +333,6 @@ object Sketch {
       .agg(count(lit(1)).as("m_cnt"),
         max(when(col("rn") === k, col("h"))).as("kth"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("k_inter"))
-    val du = Tables.events(spark, sfDir)
-      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
     val sizes = du.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val eInter = du.select(col("t").as("ta"), col("u"))
       .join(du.select(col("t").as("tb"), col("u")), Seq("u"))
@@ -361,10 +364,11 @@ object Sketch {
 
   def kmvSetOpsSql: String = {
     val k = KmvK
-    s"""WITH hashes AS (
-       |  SELECT DISTINCT event_type AS t,
-       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
-       |  FROM events),
+    s"""WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+       |hashes AS (
+       |  SELECT DISTINCT t,
+       |    ('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM du),
        |sk AS (
        |  SELECT t, h FROM (
        |    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
@@ -391,7 +395,6 @@ object Sketch {
        |  LEFT JOIN sk sa ON sa.t = m.ta AND sa.h = m.h
        |  LEFT JOIN sk sb ON sb.t = m.tb AND sb.h = m.h
        |  GROUP BY m.ta, m.tb),
-       |du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
        |sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM du GROUP BY t),
        |einter AS (
        |  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS n_inter
