@@ -206,7 +206,8 @@ object Catalog {
       lakeRemoves: Seq[String] = Seq.empty,
       addCols: Seq[(String, String)] = Seq.empty,
       dvUuid: Option[String] = None, dv: Seq[String] = Seq.empty,
-      dvRemoves: Seq[String] = Seq.empty)
+      dvRemoves: Seq[String] = Seq.empty,
+      fileStats: Seq[(String, String)] = Seq.empty)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -220,6 +221,7 @@ object Catalog {
     r.addCols.foreach { case (n, ddl) => b ++= s"\naddcol $n $ddl" }
     r.dvUuid.foreach { u => b ++= s"\ndv $u"; r.dv.foreach(f => b ++= s"\n$f") }
     if (r.dvRemoves.nonEmpty) { b ++= "\ndvrm"; r.dvRemoves.foreach(f => b ++= s"\n$f") }
+    r.fileStats.foreach { case (rel, json) => b ++= s"\nfstat $rel $json" }
     b.result()
   }
 
@@ -234,9 +236,15 @@ object Catalog {
     val lakeRemoves = Seq.newBuilder[String]
     val dvRemoves = Seq.newBuilder[String]
     val addCols = Seq.newBuilder[(String, String)]
+    val fileStats = Seq.newBuilder[(String, String)]
     var section = ""
     lines.tail.foreach { l =>
       if (l.startsWith("marker ")) marker = Some(l.stripPrefix("marker "))
+      else if (l.startsWith("fstat ")) {
+        val rest = l.stripPrefix("fstat ")
+        val sp = rest.indexOf(' ')
+        fileStats += ((rest.substring(0, sp), rest.substring(sp + 1)))
+      }
       else if (l.startsWith("cat ")) { section = "cat"; catUuid = Some(l.stripPrefix("cat ")) }
       else if (l.startsWith("dist ")) { section = "dist"; distUuid = Some(l.stripPrefix("dist ")) }
       else if (l.startsWith("lake ")) { section = "lake"; lakeUuid = Some(l.stripPrefix("lake ")) }
@@ -263,7 +271,7 @@ object Catalog {
     V2Record(head(1).toLong, head(2).toLong, marker,
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
       lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
-      dvUuid, dv.result(), dvRemoves.result())
+      dvUuid, dv.result(), dvRemoves.result(), fileStats.result())
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -393,9 +401,16 @@ object Catalog {
   /** Lake-area sibling of [[commitDist]]: publish `batch` into the
     * lake parquet area and atomically mark `removes` dropped from the
     * committed set (lake compaction/rewrite). Physical removal via
-    * [[vacuumLake]]. */
+    * [[vacuumLake]].
+    *
+    * `statsCols`: columns whose per-file min/max land in the SAME
+    * commit record as `fstat` lines — the Iceberg/Delta file-level
+    * skipping index, log-resident so planning a pruned read
+    * ([[lakeFilesOverlapping]]/[[loadLakeRange]]) never opens a data
+    * file. One extra pass over the STAGED files only (not the lake). */
   def commitLake(spark: SparkSession, layout: Layout, batch: DataFrame,
-      removes: Seq[String] = Seq.empty): Long = {
+      removes: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString
@@ -403,13 +418,136 @@ object Catalog {
     batch.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
     val staged = stagedFiles(fs, stage)
     if (staged.isEmpty && removes.isEmpty) { fs.delete(stage, true); return -1L }
+    val stats =
+      if (staged.isEmpty || statsCols.isEmpty) Seq.empty[(String, String)]
+      else computeFileStats(spark, stage.toString, statsCols)
     val rec = V2Record(-1L, System.currentTimeMillis(), None,
       None, Seq.empty, None, Seq.empty, Seq.empty,
-      if (staged.nonEmpty) Some(uuid) else None, staged, removes)
+      if (staged.nonEmpty) Some(uuid) else None, staged, removes,
+      fileStats = stats)
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (staged.isEmpty) fs.delete(stage, true)
     seq
+  }
+
+  /** Per-staged-file min/max of `statsCols`, as (staged rel path,
+    * single-line JSON `{"col":{"min":…,"max":…}}`). Timestamps are
+    * stored as epoch millis; all-null columns are omitted. */
+  private def computeFileStats(spark: SparkSession, stage: String,
+      statsCols: Seq[String]): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(stage)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qual = fs.makeQualified(p).toString
+    val df = spark.read.option("basePath", stage).parquet(stage)
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return Seq.empty
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = df
+      .withColumn("_graft_f", expr(s"substring(_metadata.file_path, ${qual.length + 2})"))
+      .groupBy(col("_graft_f")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    rows.map { r =>
+      val node = mapper.createObjectNode()
+      present.foreach { c =>
+        val mnI = r.fieldIndex(s"__mn_$c")
+        if (!r.isNullAt(mnI)) {
+          val o = node.putObject(c)
+          def put(k: String, v: Any): Unit = v match {
+            case l: java.lang.Long => o.put(k, l.longValue())
+            case i: java.lang.Integer => o.put(k, i.intValue())
+            case d: java.lang.Double => o.put(k, d.doubleValue())
+            case f: java.lang.Float => o.put(k, f.doubleValue())
+            case dec: java.math.BigDecimal => o.put(k, dec)
+            case ts: java.sql.Timestamp => o.put(k, ts.getTime)
+            case dt: java.sql.Date => o.put(k, dt.toString)
+            case s: String => o.put(k, s)
+            case other => o.put(k, other.toString)
+          }
+          put("min", r.get(mnI)); put("max", r.get(r.fieldIndex(s"__mx_$c")))
+        }
+      }
+      (r.getString(0), mapper.writeValueAsString(node))
+    }.toSeq
+  }
+
+  /** The committed per-file stats at `version`: live file → stats
+    * JSON. Files without stats are absent (their commit predates the
+    * stats opt-in or carried none). */
+  def lakeFileStatsAsOf(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Map[String, String] = {
+    val liveSet = lakeFilesAsOf(spark, layout, version).toSet
+    readLog(spark, layout).fileStats
+      .collect { case (seq, rel, json) if seq <= version && liveSet.contains(rel) =>
+        rel -> json }
+      .toMap
+  }
+
+  /** FILE SKIPPING on the committed read: the live files whose
+    * `[min, max]` stats for `column` overlap `[lo, hi]` — plus every
+    * file with no recorded stats for it (skipping is an optimization,
+    * never a filter). Bounds: Long/Int/Double/String, or a
+    * java.sql.Timestamp (compared against the stored epoch millis).
+    * Planned ENTIRELY from the log — no data file is opened. */
+  def lakeFilesOverlapping(spark: SparkSession, layout: Layout,
+      column: String, lo: Any, hi: Any,
+      version: Long = Long.MaxValue): Seq[String] = {
+    val stats = lakeFileStatsAsOf(spark, layout, version)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def bound(v: Any): Any = v match {
+      case ts: java.sql.Timestamp => ts.getTime
+      case other => other
+    }
+    def cmp(statVal: com.fasterxml.jackson.databind.JsonNode, b: Any): Option[Int] =
+      (statVal.isNumber, bound(b)) match {
+        case (true, n: Long) => Some(statVal.decimalValue.compareTo(new java.math.BigDecimal(n)))
+        case (true, n: Int) => Some(statVal.decimalValue.compareTo(new java.math.BigDecimal(n)))
+        case (true, n: Double) => Some(statVal.decimalValue.compareTo(new java.math.BigDecimal(n)))
+        case (false, s: String) if statVal.isTextual => Some(statVal.asText.compareTo(s))
+        case _ => None // incomparable: never skip on it
+      }
+    lakeFilesAsOf(spark, layout, version).filter { rel =>
+      stats.get(rel) match {
+        case None => true
+        case Some(json) =>
+          val node = mapper.readTree(json).get(column)
+          if (node == null) true
+          else {
+            val disjoint =
+              cmp(node.get("max"), lo).exists(_ < 0) ||
+              cmp(node.get("min"), hi).exists(_ > 0)
+            !disjoint
+          }
+      }
+    }
+  }
+
+  /** Range read through the skipping index: snapshot semantics of
+    * [[loadLakeSnapshot]] (DVs applied, evolved columns merged) over
+    * ONLY the files overlapping `[lo, hi]` on `column`, with the
+    * residual row filter applied — so the result is exact even where
+    * stats were missing, and the scan lists O(overlapping files)
+    * instead of the whole lake. */
+  def loadLakeRange(spark: SparkSession, layout: Layout, column: String,
+      lo: Any, hi: Any, version: Long = Long.MaxValue): DataFrame = {
+    val keep = lakeFilesOverlapping(spark, layout, column, lo, hi, version)
+    if (keep.isEmpty) return spark.emptyDataFrame
+    val scan = spark.read.option("basePath", layout.lakeDir)
+      .option("mergeSchema", "true")
+      .parquet(keep.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val dvLive = dvFilesAsOf(spark, layout, version)
+    val withDv =
+      if (dvLive.isEmpty) scan
+      else applyDvs(scan,
+        spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
+        qualifiedLakeDir(spark, layout))
+    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
+      case (d, (_, n, ddl)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+    }
+    evolved.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** Committed lake file set (relative paths), optionally as of a
@@ -1037,9 +1175,10 @@ object Catalog {
     val lrmF = state.lakeRemoves.filter(_._1 <= cap)
     val dvF = state.dv.filter(_._1 <= cap)
     val dvrF = state.dvRemoves.filter(_._1 <= cap)
+    val fsF = state.fileStats.filter(_._1 <= cap)
     val seqs = catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1) ++
       lakeF.map(_._1) ++ lrmF.map(_._1) ++
-      dvF.map(_._1) ++ dvrF.map(_._1) ++
+      dvF.map(_._1) ++ dvrF.map(_._1) ++ fsF.map(_._1) ++
       state.addCols.filter(_._1 <= cap).map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
@@ -1061,7 +1200,8 @@ object Catalog {
       lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" } ++
       acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" } ++
       dvF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"DV $s $p" } ++
-      dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" }
+      dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" } ++
+      fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),
       s"_cp-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
@@ -1114,7 +1254,8 @@ object Catalog {
       lakeRemoves: Seq[(Long, Long, String)] = Seq.empty,
       addCols: Seq[(Long, String, String)] = Seq.empty,
       dv: Seq[(Long, String)] = Seq.empty,
-      dvRemoves: Seq[(Long, Long, String)] = Seq.empty)
+      dvRemoves: Seq[(Long, Long, String)] = Seq.empty,
+      fileStats: Seq[(Long, String, String)] = Seq.empty)
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -1169,8 +1310,11 @@ object Catalog {
     val addCols = Seq.newBuilder[(Long, String, String)]
     val dv = Seq.newBuilder[(Long, String)]
     val dvRemoves = Seq.newBuilder[(Long, Long, String)]
+    val fileStats = Seq.newBuilder[(Long, String, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
-      if (l.startsWith("DVR ")) {
+      if (l.startsWith("FS ")) {
+        val a = l.split(" ", 4); fileStats += ((a(1).toLong, a(2), a(3)))
+      } else if (l.startsWith("DVR ")) {
         val a = l.split(' '); dvRemoves += ((a(1).toLong, a(2).toLong, a(3)))
       } else if (l.startsWith("DV ")) {
         val a = l.split(' '); dv += ((a(1).toLong, a(2)))
@@ -1209,13 +1353,14 @@ object Catalog {
           r.addCols.foreach { case (n, ddl) => addCols += ((seq, n, ddl)) }
           r.dv.foreach(rel => dv += ((seq, live(rel))))
           r.dvRemoves.foreach(p => dvRemoves += ((seq, r.claimMs, p)))
+          r.fileStats.foreach { case (rel, json) => fileStats += ((seq, live(rel), json)) }
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
       }
     LogState(cat.result(), dist.result(), removes.result(),
       lake.result(), lakeRemoves.result(), addCols.result(),
-      dv.result(), dvRemoves.result())
+      dv.result(), dvRemoves.result(), fileStats.result())
   }
 
   /** The committed distribution file set (relative paths): every
