@@ -286,6 +286,98 @@ object Selection {
        |FROM alloc
        |ORDER BY source""".stripMargin
 
+  /** UniMax allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", 2023) — the THIRD allocator beside proportional
+    * (largest-remainder) and temperature (w ∝ T^α): spread the token
+    * budget as uniformly as possible across sources, but never draw
+    * more than `epochCapX10/10` epochs from any one source — the
+    * published answer to temperature sampling's over-repetition of
+    * small sources. The waterfilling solution: sort sources by their
+    * epoch cap ascending; a PREFIX gets capped (they can't absorb an
+    * equal share), the rest split the remaining budget equally, with
+    * the integer remainder going to the first uncapped sources in cap
+    * order. Everything is integer arithmetic over window prefix sums
+    * on the source-count-sized frame, so the allocation — not just the
+    * machinery — is bit-identical across engines. Budget is
+    * data-derived (`budgetX10/10` epochs of the whole corpus) so both
+    * branches stay live at every scale factor. */
+  def uniMaxAlloc(spark: SparkSession, sfDir: String,
+      epochCapX10: Long = 20, budgetX10: Long = 19): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Tables.documents(spark, sfDir)
+      .select(col("source"), wsTokens.as("n_tokens"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).cast("long").as("t"))
+      .withColumn("cap", expr(s"(t * $epochCapX10) DIV 10"))
+    val all = Window.partitionBy()
+    val byCap = Window.partitionBy().orderBy(col("cap"), col("source"))
+    val run = Window.partitionBy().orderBy(col("cap"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = bySrc
+      .withColumn("b", expr(s"(sum(t) OVER () * $budgetX10) DIV 10"))
+      .withColumn("s_cnt", count(lit(1)).over(all))
+      .withColumn("i", row_number().over(byCap))
+      .withColumn("p", sum(col("cap")).over(run))
+      .withColumn("p_prev", col("p") - col("cap"))
+      .withColumn("capped",
+        expr("cap * (s_cnt - i + 1) + p_prev <= b"))
+    staged
+      .withColumn("k", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("p_k", coalesce(
+        max(when(col("capped"), col("p"))).over(all), lit(0L)))
+      .withColumn("q", when(col("s_cnt") > col("k"),
+        expr("(b - p_k) DIV (s_cnt - k)")).otherwise(lit(0L)))
+      .withColumn("r", when(col("s_cnt") > col("k"),
+        expr("(b - p_k) % (s_cnt - k)")).otherwise(lit(0L)))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap"))
+        .otherwise(col("q") + when(col("i") - col("k") <= col("r"), 1L).otherwise(0L)))
+      .select(col("source"), col("t").as("src_tokens"),
+        col("cap").as("cap_tokens"), col("capped"),
+        col("alloc_tokens").cast("long"),
+        expr("(alloc_tokens * 1000) DIV t").as("epochs_milli"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[uniMaxAlloc]] — parameters interpolated. */
+  def uniMaxAllocSql(epochCapX10: Long = 20, budgetX10: Long = 19): String =
+    s"""WITH by_src AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+       |  FROM documents GROUP BY source
+       |), capd AS (
+       |  SELECT source, t, (t * $epochCapX10) // 10 AS cap,
+       |    (CAST(sum(t) OVER () AS BIGINT) * $budgetX10) // 10 AS b,
+       |    CAST(count(*) OVER () AS BIGINT) AS s_cnt,
+       |    CAST(row_number() OVER (ORDER BY (t * $epochCapX10) // 10, source) AS BIGINT) AS i,
+       |    CAST(sum((t * $epochCapX10) // 10) OVER (
+       |      ORDER BY (t * $epochCapX10) // 10, source
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |  FROM by_src
+       |), flagged AS (
+       |  SELECT *, p - cap AS p_prev,
+       |    cap * (s_cnt - i + 1) + (p - cap) <= b AS capped
+       |  FROM capd
+       |), agg AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS k,
+       |    COALESCE(CAST(max(CASE WHEN capped THEN p END) OVER () AS BIGINT), 0) AS p_k
+       |  FROM flagged
+       |), alloc AS (
+       |  SELECT *,
+       |    CASE WHEN s_cnt > k THEN (b - p_k) // (s_cnt - k) ELSE 0 END AS q,
+       |    CASE WHEN s_cnt > k THEN (b - p_k) % (s_cnt - k) ELSE 0 END AS r
+       |  FROM agg
+       |)
+       |SELECT source, t AS src_tokens, cap AS cap_tokens, capped,
+       |  CAST(CASE WHEN capped THEN cap
+       |       ELSE q + CASE WHEN i - k <= r THEN 1 ELSE 0 END END AS BIGINT)
+       |    AS alloc_tokens,
+       |  CAST((CASE WHEN capped THEN cap
+       |       ELSE q + CASE WHEN i - k <= r THEN 1 ELSE 0 END END * 1000) // t
+       |    AS BIGINT) AS epochs_milli
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------------
   // Exact-quota sample execution (distributed order statistic)
   // --------------------------------------------------------------------

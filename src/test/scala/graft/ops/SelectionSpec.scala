@@ -234,6 +234,48 @@ class SelectionSpec extends SparkTestBase {
 
   // ---------------- prefixDup ----------------
 
+  test("uniMaxAlloc equals an ITERATIVE waterfilling replay; conservation " +
+      "and cap-respect hold; both branches live") {
+    val rows = Selection.uniMaxAlloc(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("src_tokens"),
+        r.getAs[Long]("cap_tokens"), r.getAs[Boolean]("capped"),
+        r.getAs[Long]("alloc_tokens")))
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      s"both capped and uncapped sources must exist: ${rows.toSeq}")
+    val total = rows.map(_._2).sum
+    val b = total * 19 / 10
+    assert(rows.map(_._5).sum == math.min(b, rows.map(_._3).sum),
+      "the allocation must spend the budget exactly (or hit every cap)")
+    rows.foreach { case (src, _, cap, _, alloc) =>
+      assert(alloc <= cap, s"$src allocated past its epoch cap") }
+    // iterative waterfilling reference: repeatedly give every
+    // unfinalized source the equal share; finalize those whose cap is
+    // below it; stop when none caps
+    var remaining = rows.sortBy(r => (r._3, r._1)).toList
+    var budget = b
+    val fin = scala.collection.mutable.Map.empty[String, Long]
+    var changed = true
+    while (changed && remaining.nonEmpty) {
+      val share = budget / remaining.size
+      val (capped, open) = remaining.partition(_._3 <= share)
+      changed = capped.nonEmpty
+      capped.foreach { r => fin(r._1) = r._3; budget -= r._3 }
+      remaining = open
+      if (!changed) {
+        val q = budget / remaining.size
+        val r0 = budget % remaining.size
+        remaining.zipWithIndex.foreach { case (r, j) =>
+          fin(r._1) = q + (if (j < r0) 1L else 0L) }
+        remaining = Nil
+      }
+    }
+    if (remaining.isEmpty && fin.size < rows.length)
+      rows.foreach(r => fin.getOrElseUpdate(r._1, r._3))
+    rows.foreach { case (src, _, _, _, alloc) =>
+      assert(fin(src) == alloc,
+        s"$src: query $alloc != iterative waterfilling ${fin(src)}") }
+  }
+
   test("prefixDup matches a driver replay of corpus-wide head cohorts") {
     val heads = docs.map { case (id, src, text) =>
       (id, src, md5Hex(text.split(" ", -1).take(8).mkString(" "))) }
