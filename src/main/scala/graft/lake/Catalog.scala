@@ -873,7 +873,8 @@ object Catalog {
     * an empty batch. */
   def upsertLakeByKey(spark: SparkSession, layout: Layout, batch: DataFrame,
       keyCols: Seq[String],
-      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L,
+      markerPath: Option[String] = None): Long = {
     require(batch.columns.contains("source"), "batch needs the source partition column")
     require(keyCols.nonEmpty && keyCols.forall(batch.columns.contains),
       s"keyCols $keyCols must be batch columns")
@@ -933,7 +934,7 @@ object Catalog {
                 .write.mode("overwrite").parquet(s"$dvStage/_dv")
               stagedDvFiles(fs, dvStage)
             }
-          val rec = V2Record(-1L, System.currentTimeMillis(), None,
+          val rec = V2Record(-1L, System.currentTimeMillis(), markerPath,
             None, Seq.empty, None, Seq.empty, Seq.empty,
             if (lakeStaged.nonEmpty) Some(lakeUuid) else None, lakeStaged,
             dvUuid = if (dvStaged.nonEmpty) Some(dvUuid) else None, dv = dvStaged)

@@ -28,22 +28,48 @@ object StreamUpsert {
 
   /** Collapse `batch` to the highest-`seqCol` row per key, then merge. */
   def applyBatch(layout: Layout, batch: DataFrame, keyCols: Seq[String],
-      seqCol: String): Long = {
+      seqCol: String, markerPath: Option[String] = None): Long = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc)
     val latest = batch.withColumn("_graft_rn", row_number().over(w))
       .filter(col("_graft_rn") === 1).drop("_graft_rn")
-    Catalog.upsertLakeByKey(batch.sparkSession, layout, latest, keyCols)
+    Catalog.upsertLakeByKey(batch.sparkSession, layout, latest, keyCols,
+      markerPath = markerPath)
   }
 
+  private def markerFor(checkpointDir: String, batchId: Long): String =
+    s"$checkpointDir/_graft_upsert_markers/$batchId"
+
+  /** The exactly-once guard around [[applyBatch]]: skip when this
+    * batch id's marker already exists (the marker lands in the SAME
+    * log record as the upsert, and [[graft.lake.Catalog.recoverAppends]]
+    * re-creates it when finishing a torn commit — so a crash anywhere
+    * leaves either no trace or a complete, marked commit). Returns
+    * true when the batch was applied, false when skipped. */
+  def applyBatchOnce(layout: Layout, batch: DataFrame, keyCols: Seq[String],
+      seqCol: String, checkpointDir: String, batchId: Long): Boolean = {
+    val marker = markerFor(checkpointDir, batchId)
+    val p = new org.apache.hadoop.fs.Path(marker)
+    val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) false
+    else {
+      Catalog.recoverAppends(batch.sparkSession, layout)
+      applyBatch(layout, batch, keyCols, seqCol, Some(marker))
+      true
+    }
+  }
+
+  /** EXACTLY-ONCE per micro-batch: a redelivered batch that finds its
+    * marker is SKIPPED — no duplicate log version, on top of the
+    * state-idempotence the merge already has. */
   def start(changes: DataFrame, layout: Layout, keyCols: Seq[String],
       seqCol: String, checkpointDir: String): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(layout, batch, keyCols, seqCol)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchOnce(layout, batch, keyCols, seqCol, checkpointDir, batchId)
         ()
       }
       .start()

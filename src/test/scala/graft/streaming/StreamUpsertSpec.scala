@@ -54,4 +54,25 @@ class StreamUpsertSpec extends SparkTestBase {
     // (a new log version, same live state)
     assert(Catalog.dvFilesAsOf(spark, layout).nonEmpty)
   }
+
+  test("the batch marker makes redelivery exactly-once: no duplicate log commit") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("su-marker"))
+    val ckpt = tmpDir("su-marker-ckpt")
+    val batch = Seq(Change("clicks", "k1", 10L, 1)).toDF()
+    def commits(): Int = new java.io.File(s"${layout.catalogDir}/_log")
+      .listFiles().count(_.getName.endsWith(".commit"))
+    assert(StreamUpsert.applyBatchOnce(layout, batch, Seq("key"), "seq", ckpt, 7L))
+    val n1 = commits()
+    assert(n1 == 1)
+    // redelivery of the same batch id: marker found, nothing committed
+    assert(!StreamUpsert.applyBatchOnce(layout, batch, Seq("key"), "seq", ckpt, 7L))
+    assert(commits() == n1, "a marked batch must not commit again")
+    assert(liveView(layout) == Seq("[clicks,k1,10]"))
+    // a NEW batch id still applies
+    assert(StreamUpsert.applyBatchOnce(layout,
+      Seq(Change("clicks", "k1", 11L, 2)).toDF(), Seq("key"), "seq", ckpt, 8L))
+    assert(liveView(layout) == Seq("[clicks,k1,11]"))
+  }
 }
