@@ -1030,6 +1030,130 @@ object Catalog {
     }
   }
 
+  // --------------------------------------------------------------------
+  // Change data feed: row-level changes between committed versions
+  // --------------------------------------------------------------------
+
+  /** Highest committed version across ALL manifest areas (0 when the
+    * log is empty) — the version a change-feed consumer reads up to.
+    * ([[versions]] lists catalog-area commits only.) */
+  def headVersion(spark: SparkSession, layout: Layout): Long = {
+    val s = readLog(spark, layout)
+    (s.cat.map(_._1) ++ s.dist.map(_._1) ++ s.removes.map(_._1) ++
+      s.lake.map(_._1) ++ s.lakeRemoves.map(_._1) ++ s.addCols.map(_._1) ++
+      s.dv.map(_._1) ++ s.dvRemoves.map(_._1)).maxOption.getOrElse(0L)
+  }
+
+  /** CHANGE DATA FEED — the row-level lake changes committed at
+    * versions `fromVersion < seq <= toVersion`, derived ENTIRELY from
+    * the manifest log (Delta's `table_changes`, without writing any
+    * extra change files):
+    *
+    *  - lake files ADDED by a commit with no remove section are that
+    *    commit's INSERTS (plain appends; the insert half of an
+    *    [[upsertLakeByKey]]);
+    *  - DV rows ADDED by a commit are its DELETES — the deleted rows'
+    *    content is re-read from the (immutable) target data files at
+    *    the recorded row positions;
+    *  - commits that REMOVE lake files are REWRITES and contribute
+    *    nothing: compaction and [[materializeLakeDeletes]] preserve
+    *    the live view by construction, and [[Erase]]'s copy-on-write
+    *    legs are deliberately NOT re-emitted — a change feed that
+    *    replays an erased subject's rows would defeat erasure (the
+    *    erased files are physically gone, so the diff is not even
+    *    computable; consumers of the feed own erasing their copies,
+    *    see [[Mv.rebuild]]).
+    *
+    * Output: the lake payload columns (merged schema, evolution
+    * columns ≤ `toVersion` null-backfilled) plus `_change_type`
+    * (`'insert' | 'delete'`) and `_commit_version`. Applying the feed
+    * in version order to the snapshot at `fromVersion` reproduces the
+    * snapshot at `toVersion`, PROVIDED no content-changing rewrite
+    * (erase) lies inside the range — the one divergence the erasure
+    * contract forces, documented above.
+    *
+    * Availability: change rows are read from the data files
+    * themselves, so a change stays readable while its files exist on
+    * disk — files logically removed by a later rewrite remain readable
+    * until [[vacuumLake]] reclaims them, after which this method
+    * raises a LOUD error for ranges it can no longer serve (never a
+    * silent drop). Per-seq attribution survives [[checkpoint]] folds
+    * (adds keep their original seq), so the feed works across
+    * [[pruneLog]].
+    *
+    * Scale: file-list driven — one scan over the range's inserted
+    * files (version parsed from the committed `c<seq>-` file-name
+    * prefix) and one over its DV files joined against their distinct
+    * target files. Cost is O(changed data), independent of lake size
+    * and version count. */
+  def lakeChangesBetween(spark: SparkSession, layout: Layout,
+      fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
+    val state = readLog(spark, layout)
+    val rewriteSeqs = state.lakeRemoves.map(_._1).toSet
+    def inRange(seq: Long) = seq > fromVersion && seq <= toVersion
+    val insertFiles = state.lake.collect {
+      case (seq, rel) if inRange(seq) && !rewriteSeqs.contains(seq) => rel
+    }.sorted
+    val dvRels = state.dv.collect { case (seq, rel) if inRange(seq) => rel }.sorted
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def requireReadable(rels: Seq[String], what: String): Unit = {
+      val missing = rels.filterNot(rel =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")))
+      if (missing.nonEmpty) throw new java.io.IOException(
+        s"change feed ($fromVersion, $toVersion]: $what vacuumed — range no " +
+          s"longer readable: ${missing.take(3).mkString(", ")}" +
+          (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+    }
+    requireReadable(insertFiles, "inserted data files")
+    requireReadable(dvRels, "deletion-vector files")
+    // committed names are `…/c<20-digit seq>-<part>`: the version is in
+    // the file name, so ONE scan covers every version in the range
+    val verCol = regexp_extract(col("_metadata.file_path"), "/c(\\d{20})-", 1)
+      .cast("long")
+    val inserts =
+      if (insertFiles.isEmpty) None
+      else Some(spark.read.option("basePath", layout.lakeDir)
+        .option("mergeSchema", "true")
+        .parquet(insertFiles.map(r => s"${layout.lakeDir}/$r"): _*)
+        .withColumn("_commit_version", verCol)
+        .withColumn("_change_type", lit("insert")))
+    val deletes =
+      if (dvRels.isEmpty) None
+      else {
+        val dvDf = spark.read.parquet(dvRels.map(r => s"${layout.lakeDir}/$r"): _*)
+          .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"),
+            verCol.as("_commit_version"))
+        val targets = dvDf.select("_dvk_file").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        requireReadable(targets, "deleted rows' data files")
+        val prefix = qualifiedLakeDir(spark, layout)
+        val scan = spark.read.option("basePath", layout.lakeDir)
+          .option("mergeSchema", "true")
+          .parquet(targets.map(r => s"${layout.lakeDir}/$r"): _*)
+          .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
+          .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+        Some(scan.join(dvDf,
+            scan("_graft_dv_file") === dvDf("_dvk_file") &&
+              scan("_graft_dv_pos") === dvDf("_dvk_pos"))
+          .drop("_graft_dv_file", "_graft_dv_pos", "_dvk_file", "_dvk_pos")
+          .withColumn("_change_type", lit("delete")))
+      }
+    val combined = (inserts, deletes) match {
+      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case (None, None) =>
+        return loadLakeSnapshot(spark, layout, toVersion).limit(0)
+          .withColumn("_commit_version", lit(null).cast("long"))
+          .withColumn("_change_type", lit(null).cast("string"))
+    }
+    lakeAddedColumns(spark, layout, toVersion).foldLeft(combined) {
+      case (d, (_, n, ddl)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+    }
+  }
+
   /** Commit an ALREADY-STAGED distribution payload: raw files placed
     * by the caller under `distributionDir/_staged/<uuid>/source=X/`
     * (`.json` suffix), plus `removes` — live relative paths dropped
