@@ -132,6 +132,36 @@ object Views {
     sql(spark, sfDir, sqlSimhashText)
   }
 
+  /** `q_sql_recursive`: a RECURSIVE CTE through SQL text, verbatim on
+    * both engines (Spark 4's `UnionLoop` execution vs DuckDB's native
+    * recursion) — the calendar-spine pattern: the spine months are
+    * generated by integer recursion (84 rows, driver-bounded), the
+    * orders aggregate is computed ONCE corpus-side, and the LEFT JOIN
+    * zero-fills empty months — the monthly report no calendar table
+    * exists for. Kept to the ANSI intersection: integer recursion (no
+    * dialect-specific INTERVAL arithmetic), `make_date`, float `/`
+    * rounded through CAST on non-negatives only. */
+  val recursiveSpineSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT 0
+      |  UNION ALL
+      |  SELECT m + 1 FROM months WHERE m < 83
+      |),
+      |agg AS (
+      |  SELECT (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT make_date(1995 + CAST((m - (m % 12)) / 12 AS INT), (m % 12) + 1, 1) AS month_start,
+      |  CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(COALESCE(cents, 0) AS BIGINT) AS cents
+      |FROM months LEFT JOIN agg USING (m)
+      |ORDER BY month_start""".stripMargin
+
+  def recursiveSpine(spark: SparkSession, sfDir: String): DataFrame =
+    sql(spark, sfDir, recursiveSpineSql)
+
   def sqlSimhashOracleSql: String = {
     val h = "(('0x' || substr(md5(token), 1, 4))::BIGINT)"
     val bitSums = (0 until 16).map(j => s"sum((($h >> $j) & 1) * 2 - 1) AS s$j").mkString(", ")

@@ -1003,6 +1003,58 @@ object Pipeline {
        |GROUP BY nation
        |ORDER BY nation""".stripMargin
 
+  /** Differentially-private release of the event-type histogram — the
+    * fourth rung of the privacy ladder (k-anonymity / l-diversity /
+    * t-closeness audit what a release EXPOSES; DP bounds what any
+    * release can REVEAL): each cell's true count gets Laplace(1/ε)
+    * noise (Dwork et al., TCC 2006 — per-cell sensitivity of a
+    * disjoint histogram under add/remove of one event is 1, so one ε
+    * covers the whole table by parallel composition).
+    *
+    * Determinism for the oracle gate: the noise draw is SEEDED, not
+    * `rand()` — u = (h + 0.5) / 2^48 with h the first 48 bits of
+    * md5(event_type) (never exactly 0, ½, or 1), pushed through the
+    * Laplace inverse CDF −b·sign(u−½)·ln(1−2·|u−½|). The ONE double
+    * expression is rounded once to e6 (`noise_e6`); the released count
+    * `n_noisy_e6 = n_true·10⁶ + noise_e6` stays exact BIGINT — no
+    * integer division anywhere, so the negative-value floor/truncate
+    * divergence can't bite. (A production release would key the seed
+    * off a secret; the MECHANISM — sensitivity, inverse CDF, exact
+    * integer accounting — is the surface under test, the
+    * [[graft.ops.Multimodal]] FakeCodec discipline.)
+    *
+    * Scale: one map-side-combined hash agg over events; the noise is a
+    * per-GROUP scalar expression. Nothing else touches row data. */
+  def dpCounts(spark: SparkSession, sfDir: String, epsilonPpm: Long = 500000L): DataFrame = {
+    val u = (conv(substring(md5(col("event_type")), 1, 12), 16, 10).cast("double")
+      + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val b = lit(1000000.0) / epsilonPpm // 1/ε
+    val noise = -b * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("epsilon_ppm", lit(epsilonPpm))
+      .withColumn("noise_e6", round(noise * 1e6).cast("long"))
+      .withColumn("n_noisy_e6", col("n_true") * 1000000L + col("noise_e6"))
+      .select(col("event_type"), col("n_true").cast("long").as("n_true"),
+        col("epsilon_ppm"), col("noise_e6"), col("n_noisy_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[dpCounts]] — same seeded inverse-CDF draw,
+    * `epsilonPpm` interpolated. */
+  def dpCountsSql(epsilonPpm: Long = 500000L): String = {
+    val u = "((('0x' || substr(md5(event_type), 1, 12))::BIGINT + 0.5) / 281474976710656.0)"
+    val noise = s"(-(1000000.0 / $epsilonPpm) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5)))"
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST($epsilonPpm AS BIGINT) AS epsilon_ppm,
+       |  CAST(round($noise * 1e6) AS BIGINT) AS noise_e6,
+       |  CAST(count(*) * 1000000 + CAST(round($noise * 1e6) AS BIGINT) AS BIGINT) AS n_noisy_e6
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   // --------------------------------------------------------------------
   // Context-length planning (truncation-waste table)
   // --------------------------------------------------------------------

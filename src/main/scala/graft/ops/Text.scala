@@ -412,6 +412,124 @@ object Text {
        |GROUP BY lang, decile
        |ORDER BY lang, decile""".stripMargin
 
+  /** Supervised quality classifier — the fastText-style linear
+    * bag-of-words filter the published curation pipelines (CCNet,
+    * LLaMA, GPT-3's WebText discriminator) train to score documents,
+    * completing the quality ladder's supervised rung next to the
+    * heuristic deciles ([[qualityScore]]) and the LM fluency score
+    * ([[lmScore]]): a multinomial Naive Bayes log-linear model —
+    * exactly a linear classifier over bag-of-words counts, fastText
+    * with n=1 and no learned embedding — trained on the 5% SEED split
+    * (`doc_id % 20 = 0`, the [[knLm]] convention), labels = heuristic
+    * decile ≥ 7 (the pipeline bootstrap: heuristics label a seed, the
+    * classifier generalizes), applied to the 95% rest.
+    *
+    * Per-token weight: `llr_e4 = round((ln((c⁺+1)/(N⁺+V)) −
+    * ln((c⁻+1)/(N⁻+V)))·10⁴)` — add-one smoothing, integer
+    * tenth-milli-nats (the [[lmScore]] discipline: one double
+    * expression rounded once per MODEL row, every corpus-sized fold
+    * exact BIGINT). Tokens unseen in the seed take the smoothing-only
+    * weight; the class prior enters once per doc. Admission = score
+    * > 0. Output per source: docs scored, docs admitted, admit ppm
+    * (non-negative integer division only), exact score sum.
+    *
+    * Scale: the MODEL is seed-sized (one agg over 5% of the corpus);
+    * scoring is one explode → distinct-per-doc collapse (boilerplate
+    * tokens ride the join once with weight k) → equi-join on token →
+    * two hash aggs. The 1-row totals frame rides a broadcast BNLJ. No
+    * corpus² anywhere. */
+  def nbQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val seed = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), (qualityDecile >= 7).as("pos"), tokens.as("t"))
+    val seedToks = seed.select(col("pos"), explode(col("t")).as("token"))
+    val counts = seedToks.groupBy(col("token"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+    val totals = counts.agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+      .crossJoin(seed.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("dneg")))
+    val llr = counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round((log((col("cp") + 1).cast("double") / (col("np") + col("v"))) -
+          log((col("cn") + 1).cast("double") / (col("nn") + col("v")))) * 10000)
+          .cast("long").as("llr_e4"))
+    val scalars = totals.select(
+      round((log(lit(1.0) / (col("np") + col("v"))) -
+        log(lit(1.0) / (col("nn") + col("v")))) * 10000).cast("long").as("unseen_e4"),
+      round(log((col("dpos") + 1).cast("double") / (col("dneg") + 1)) * 10000)
+        .cast("long").as("prior_e4"))
+    val probe = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("source"), col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("source"), col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("k"))
+    val scored = probe
+      .join(llr, Seq("token"), "left")
+      .crossJoin(broadcast(scalars))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((sum(col("k") * coalesce(col("llr_e4"), col("unseen_e4"))) +
+        max(col("prior_e4"))).as("score_e4"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_e4") > 0, 1L).otherwise(0L)).as("n_admitted"),
+        sum(col("score_e4")).cast("long").as("sum_score_e4"))
+      .withColumn("admit_ppm", expr("(n_admitted * 1000000) DIV n_docs"))
+      .select(col("source"), col("n_docs"), col("n_admitted"), col("admit_ppm"),
+        col("sum_score_e4"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle twin of [[nbQuality]] — the decile labeler is the shared
+    * [[qualityDecileSqlExpr]] fragment, so the seed labels cannot
+    * drift from the proven decile query. */
+  def nbQualitySql: String =
+    s"""WITH seed AS (
+       |  SELECT doc_id, ($qualityDecileSqlExpr) >= 7 AS pos, string_split(text, ' ') AS t
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0),
+       |seedtoks AS (SELECT pos, unnest(t) AS token FROM seed),
+       |counts AS (
+       |  SELECT token,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+       |  FROM seedtoks GROUP BY token),
+       |totals AS (
+       |  SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn,
+       |    CAST(count(*) AS BIGINT) AS v,
+       |    (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) FROM seed) AS dpos,
+       |    (SELECT CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) FROM seed) AS dneg
+       |  FROM counts),
+       |llr AS (
+       |  SELECT token,
+       |    CAST(round((ln(CAST(cp + 1 AS DOUBLE) / (np + v)) -
+       |      ln(CAST(cn + 1 AS DOUBLE) / (nn + v))) * 10000) AS BIGINT) AS llr_e4
+       |  FROM counts CROSS JOIN totals),
+       |scalars AS (
+       |  SELECT
+       |    CAST(round((ln(1.0 / (np + v)) - ln(1.0 / (nn + v))) * 10000) AS BIGINT) AS unseen_e4,
+       |    CAST(round(ln(CAST(dpos + 1 AS DOUBLE) / (dneg + 1)) * 10000) AS BIGINT) AS prior_e4
+       |  FROM totals),
+       |probe AS (
+       |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 20 <> 0),
+       |probek AS (
+       |  SELECT source, doc_id, token, CAST(count(*) AS BIGINT) AS k
+       |  FROM probe GROUP BY source, doc_id, token),
+       |scored AS (
+       |  SELECT source, doc_id,
+       |    CAST(sum(k * COALESCE(llr_e4, unseen_e4)) + max(prior_e4) AS BIGINT) AS score_e4
+       |  FROM probek LEFT JOIN llr USING (token) CROSS JOIN scalars
+       |  GROUP BY source, doc_id)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN score_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(CAST(sum(CASE WHEN score_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+       |       // CAST(count(*) AS BIGINT) AS BIGINT) AS admit_ppm,
+       |  CAST(sum(score_e4) AS BIGINT) AS sum_score_e4
+       |FROM scored
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Content fingerprinting: md5 of the normalized text (the rolling-
     * hash fingerprint role; md5 chosen for engine parity) + per-source
     * duplicate-fingerprint counts. */

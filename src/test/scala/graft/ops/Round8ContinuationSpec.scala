@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-8 continuation queries: the DP histogram release
+  * ([[Pipeline.dpCounts]]), the supervised Naive-Bayes quality
+  * classifier ([[Text.nbQuality]]), and the recursive-CTE calendar
+  * spine through shared SQL text ([[graft.Views.recursiveSpineSql]]) —
+  * each replayed exactly in plain Scala (BigDecimal HALF_UP to match
+  * Spark's `round`) or pinned by closed-form invariants, plus the plan
+  * shapes that make them scale. */
+class Round8ContinuationSpec extends SparkTestBase {
+
+  private def halfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dpCounts: exact plain-Scala replay of the seeded Laplace draw; " +
+      "true counts match the direct aggregate; release is exact BIGINT") {
+    val eps = 500000L
+    val got = Pipeline.dpCounts(spark, sfDir, eps).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val trueCounts = graft.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted && got.nonEmpty)
+    got.foreach { case (et, nTrue, epsPpm, noiseE6, noisyE6) =>
+      assert(nTrue == trueCounts(et))
+      assert(epsPpm == eps)
+      val h = java.lang.Long.parseLong(md5Hex(et).take(12), 16)
+      val u = (h + 0.5) / 281474976710656.0
+      val b = 1000000.0 / eps
+      val noise = -b * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(noiseE6 == halfUp(noise * 1e6), s"$et: noise draw must replay exactly")
+      assert(noisyE6 == nTrue * 1000000L + noiseE6, "release is exact integer arithmetic")
+    }
+    // ε scaling: b = 1/ε, and the draw is linear in b for a fixed seed
+    val half = Pipeline.dpCounts(spark, sfDir, eps / 2).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    got.foreach { case (et, _, _, noiseE6, _) =>
+      assert(math.abs(half(et) - 2L * noiseE6) <= 1L,
+        s"$et: halving epsilon must double the Laplace scale (one rounding ulp)")
+    }
+  }
+
+  test("dpCounts plan: one hash aggregate, no join, noise is a per-group " +
+      "scalar expression") {
+    val p = Pipeline.dpCounts(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("nbQuality: exact plain-Scala Naive-Bayes replay (labels from the " +
+      "proven decile expression), admitted <= scored, doc accounting exact") {
+    val docs = graft.Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val seed = docs.filter(col("doc_id") % 20 === 0)
+      .select(col("text"), (Text.qualityDecile >= 7).as("pos"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    def toks(text: String): Seq[String] = text.split(" ", -1).toSeq
+    val cp = new scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+    val cn = new scala.collection.mutable.HashMap[String, Long]().withDefaultValue(0L)
+    seed.foreach { case (t, pos) =>
+      toks(t).foreach(tok => if (pos) cp(tok) += 1 else cn(tok) += 1)
+    }
+    val vocab = (cp.keySet ++ cn.keySet).toSet
+    val (np, nn, v) = (cp.values.sum, cn.values.sum, vocab.size.toLong)
+    val dpos = seed.count(_._2).toLong
+    val dneg = seed.size - dpos
+    def llr(tok: String): Long =
+      if (!vocab.contains(tok))
+        halfUp((math.log(1.0 / (np + v)) - math.log(1.0 / (nn + v))) * 10000)
+      else halfUp((math.log((cp(tok) + 1.0) / (np + v)) -
+        math.log((cn(tok) + 1.0) / (nn + v))) * 10000)
+    val prior = halfUp(math.log((dpos + 1.0) / (dneg + 1.0)) * 10000)
+    val probe = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = probe.map { case (src, t) =>
+      (src, prior + toks(t).map(llr).sum)
+    }.groupBy(_._1).map { case (src, xs) =>
+      val scores = xs.map(_._2)
+      val admitted = scores.count(_ > 0).toLong
+      (src, (scores.size.toLong, admitted,
+        admitted * 1000000L / scores.size, scores.sum))
+    }
+    val got = Text.nbQuality(spark, sfDir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, s"NB replay mismatch:\n got $got\n exp $expected")
+    assert(got.values.map(_._1).sum == probe.length,
+      "every scored doc lands in exactly one source row")
+    got.values.foreach { case (n, adm, ppm, _) =>
+      assert(adm <= n && ppm <= 1000000L)
+    }
+  }
+
+  test("nbQuality plan: the model/scalars ride broadcasts (1-row or " +
+      "seed-vocab-sized); no cartesian product; the corpus is scanned, " +
+      "never nested-looped against itself") {
+    val p = Text.nbQuality(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("recursiveSpine: 84 consecutive first-of-month rows, order totals " +
+      "conserve exactly, empty months zero-fill") {
+    val rows = graft.Views.recursiveSpine(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    assert(rows.length == 84)
+    rows.zipWithIndex.foreach { case ((d, _, _), i) =>
+      assert(d == java.time.LocalDate.of(1995 + i / 12, i % 12 + 1, 1),
+        s"row $i: $d is not the spine month")
+    }
+    val orders = graft.Tables.orders(spark, sfDir)
+    val nOrders = orders.count()
+    val cents = orders.agg(
+      sum(round(col("o_totalprice") * 100).cast("long"))).collect()(0).getLong(0)
+    assert(rows.map(_._2).sum == nOrders, "spine conserves the order count")
+    assert(rows.map(_._3).sum == cents, "spine conserves the cents mass")
+    assert(rows.exists(r => r._2 == 0L && r._3 == 0L),
+      "the spine's raison d'etre: months with no orders are PRESENT at zero")
+    // zero rows only where the corpus truly has no orders in the month
+    val present = orders.select(
+      ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    rows.zipWithIndex.foreach { case ((_, n, _), i) =>
+      assert((n > 0) == present.contains(i), s"month $i zero-fill mismatch")
+    }
+  }
+
+  test("recursiveSpine plan: executes through UnionLoop (real recursion, " +
+      "not an unrolled literal), spine side stays driver-bounded") {
+    val qe = graft.Views.recursiveSpine(spark, sfDir).queryExecution
+    assert(qe.optimizedPlan.toString.contains("UnionLoop") ||
+      qe.executedPlan.toString.contains("UnionLoop"),
+      "the shared SQL text must plan as a recursive CTE")
+  }
+}
