@@ -410,7 +410,8 @@ object Catalog {
     * file. One extra pass over the STAGED files only (not the lake). */
   def commitLake(spark: SparkSession, layout: Layout, batch: DataFrame,
       removes: Seq[String] = Seq.empty,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString
@@ -419,8 +420,9 @@ object Catalog {
     val staged = stagedFiles(fs, stage)
     if (staged.isEmpty && removes.isEmpty) { fs.delete(stage, true); return -1L }
     val stats =
-      if (staged.isEmpty || statsCols.isEmpty) Seq.empty[(String, String)]
-      else computeFileStats(spark, stage.toString, statsCols)
+      if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
+        Seq.empty[(String, String)]
+      else computeFileStats(spark, stage.toString, statsCols, bloomCols)
     val rec = V2Record(-1L, System.currentTimeMillis(), None,
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (staged.nonEmpty) Some(uuid) else None, staged, removes,
@@ -431,26 +433,56 @@ object Catalog {
     seq
   }
 
-  /** Per-staged-file min/max of `statsCols`, as (staged rel path,
-    * single-line JSON `{"col":{"min":…,"max":…}}`). Timestamps are
-    * stored as epoch millis; all-null columns are omitted. */
+  /** Per-staged-file min/max of `statsCols` plus the file's row count
+    * (`_nrows` — the metadata-only `count(*)` input), as (staged rel
+    * path, single-line JSON `{"_nrows":…,"col":{"min":…,"max":…}}`).
+    * Timestamps are stored as epoch millis; all-null columns are
+    * omitted. */
   private def computeFileStats(spark: SparkSession, stage: String,
-      statsCols: Seq[String]): Seq[(String, String)] = {
+      statsCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(stage)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qual = fs.makeQualified(p).toString
     val df = spark.read.option("basePath", stage).parquet(stage)
     val present = statsCols.filter(df.columns.contains)
-    if (present.isEmpty) return Seq.empty
-    val aggs = present.flatMap(c =>
+    val fileCol = expr(s"substring(_metadata.file_path, ${qual.length + 2})")
+    // Bloom build: a count gate first (cheap agg), then collect distinct
+    // values ONLY for under-cap (file, col) pairs — a high-cardinality
+    // file simply records no bloom and is never skipped
+    val blooms: Map[(String, String), String] =
+      bloomCols.filter(df.columns.contains).flatMap { c =>
+        val distinctVals = df
+          .select(fileCol.as("_graft_f"), col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct()
+        val counts = distinctVals.groupBy(col("_graft_f"))
+          .agg(count(lit(1)).as("n")).collect()
+        val underCap = counts
+          .filter(_.getLong(1) <= BloomStats.maxDistinct)
+          .map(_.getString(0)).toSeq
+        if (underCap.isEmpty) Seq.empty[((String, String), String)]
+        else distinctVals.filter(col("_graft_f").isin(underCap: _*))
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rs) =>
+            (f, c) -> BloomStats.build(rs.map(_.getString(1)).toSeq)
+          }
+      }.toMap
+    val aggs = count(lit(1)).as("__nrows") +: present.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     val rows = df
-      .withColumn("_graft_f", expr(s"substring(_metadata.file_path, ${qual.length + 2})"))
+      .withColumn("_graft_f", fileCol)
       .groupBy(col("_graft_f")).agg(aggs.head, aggs.tail: _*)
       .collect()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     rows.map { r =>
       val node = mapper.createObjectNode()
+      node.put("_nrows", r.getLong(r.fieldIndex("__nrows")))
+      val fileBlooms = bloomCols.flatMap(c =>
+        blooms.get((r.getString(0), c)).map(c -> _))
+      if (fileBlooms.nonEmpty) {
+        val bn = node.putObject("_bloom")
+        fileBlooms.foreach { case (c, b64) => bn.put(c, b64) }
+      }
       present.foreach { c =>
         val mnI = r.fieldIndex(s"__mn_$c")
         if (!r.isNullAt(mnI)) {
@@ -548,6 +580,132 @@ object Catalog {
         if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
     }
     evolved.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** POINT-predicate file skipping from the log alone: the live files
+    * whose committed Bloom filter ([[BloomStats]], recorded via
+    * `commitLake(bloomCols = …)`) might contain `value` on `column` —
+    * plus every file with no bloom for it (absence is sound, never a
+    * filter). Composes the min/max stats too when present (a point is
+    * a degenerate range). Zero false negatives by construction. */
+  def lakeFilesMatchingPoint(spark: SparkSession, layout: Layout,
+      column: String, value: Any,
+      version: Long = Long.MaxValue): Seq[String] = {
+    val v = BloomStats.canonical(value)
+    val stats = lakeFileStatsAsOf(spark, layout, version)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lakeFilesOverlapping(spark, layout, column, value, value, version)
+      .filter { rel =>
+        stats.get(rel) match {
+          case None => true
+          case Some(json) =>
+            val b = mapper.readTree(json).path("_bloom").path(column)
+            !b.isTextual || BloomStats.mightContain(b.asText(), v)
+        }
+      }
+  }
+
+  /** Point lookup through the skipping indexes: [[loadLakeSnapshot]]
+    * semantics (DVs applied, evolved columns merged) over ONLY the
+    * bloom/stats-surviving files, with the residual equality filter —
+    * exact regardless of which files carried indexes, listing
+    * O(matching files) instead of the lake. */
+  def loadLakePoint(spark: SparkSession, layout: Layout, column: String,
+      value: Any, version: Long = Long.MaxValue): DataFrame = {
+    val keep = lakeFilesMatchingPoint(spark, layout, column, value, version)
+    if (keep.isEmpty) return spark.emptyDataFrame
+    val scan = spark.read.option("basePath", layout.lakeDir)
+      .option("mergeSchema", "true")
+      .parquet(keep.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val dvLive = dvFilesAsOf(spark, layout, version)
+    val withDv =
+      if (dvLive.isEmpty) scan
+      else applyDvs(scan,
+        spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
+        qualifiedLakeDir(spark, layout))
+    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
+      case (d, (_, n, ddl)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+    }
+    evolved.filter(col(column) === lit(value))
+  }
+
+  /** METADATA-ONLY `count(*)` of the committed lake snapshot — the
+    * Delta-style log-resident count: Σ per-file `_nrows` from the
+    * committed stats, MINUS the committed DV rows that target live
+    * files (each DV position deletes exactly one existing row and
+    * positions are committed at most once, so the subtraction is
+    * exact). No data file is opened; the only reads are the log and
+    * the (tiny) DV sidecars. Returns None — caller falls back to the
+    * scan — when any live file lacks recorded stats (committed before
+    * the stats opt-in, or through a path that doesn't compute them,
+    * e.g. [[upsertLakeByKey]]). */
+  def lakeCountFromLog(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Option[Long] = {
+    val live = lakeFilesAsOf(spark, layout, version)
+    if (live.isEmpty) return Some(0L)
+    val stats = lakeFileStatsAsOf(spark, layout, version)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var total = 0L
+    live.foreach { rel =>
+      stats.get(rel) match {
+        case None => return None
+        case Some(json) =>
+          val n = mapper.readTree(json).get("_nrows")
+          if (n == null) return None
+          total += n.longValue()
+      }
+    }
+    val dvLive = dvFilesAsOf(spark, layout, version)
+    if (dvLive.isEmpty) return Some(total)
+    val liveSet = live.toSet
+    val deleted = spark.read
+      .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+      .select("file").collect().count(r => liveSet.contains(r.getString(0)))
+    Some(total - deleted)
+  }
+
+  /** METADATA-ONLY min/max of `column` over the committed snapshot,
+    * folded from the per-file stats — no data file opened. None (fall
+    * back to the scan) when any live file lacks stats for the column,
+    * OR when any committed DV targets a live file: a DV may have
+    * deleted the extremum row, which per-file stats cannot see —
+    * returning the stale bound would be WRONG, not just imprecise.
+    * Only numeric/string stats fold here; use the scan for timestamps
+    * (stored as epoch millis — the caller can't distinguish a long
+    * column from a converted timestamp without the schema). */
+  def lakeMinMaxFromLog(spark: SparkSession, layout: Layout, column: String,
+      version: Long = Long.MaxValue): Option[(Any, Any)] = {
+    val live = lakeFilesAsOf(spark, layout, version)
+    if (live.isEmpty) return None
+    val dvLive = dvFilesAsOf(spark, layout, version)
+    if (dvLive.nonEmpty) {
+      val liveSet = live.toSet
+      val touches = spark.read
+        .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+        .select("file").collect().exists(r => liveSet.contains(r.getString(0)))
+      if (touches) return None
+    }
+    val stats = lakeFileStatsAsOf(spark, layout, version)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var mn: Any = null; var mx: Any = null
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
+      case (x: String, y: String) => x.compareTo(y) < 0
+      case _ => return false // mixed kinds: never happens for one column
+    }
+    live.foreach { rel =>
+      val node = stats.get(rel).map(mapper.readTree).map(_.get(column)).orNull
+      if (node == null) return None
+      def v(k: String): Any = {
+        val n = node.get(k)
+        if (n.isNumber) n.decimalValue() else n.asText()
+      }
+      val (lo, hi) = (v("min"), v("max"))
+      if (mn == null || lt(lo, mn)) mn = lo
+      if (mx == null || lt(mx, hi)) mx = hi
+    }
+    Some((mn, mx))
   }
 
   /** Committed lake file set (relative paths), optionally as of a
@@ -1258,6 +1416,68 @@ object Catalog {
     * torn commit. */
   def versions(spark: SparkSession, layout: Layout): Seq[Long] =
     readLog(spark, layout).cat.map(_._1).distinct.sorted
+
+  /** TIMESTAMP AS OF — map a wall-clock time to the version that was
+    * live then: the highest committed seq whose commit record's
+    * (monotonized) time is ≤ `ms`, for use with [[loadAsOf]] /
+    * [[loadLakeSnapshot]] / [[lakeChangesBetween]]. v2 records carry
+    * their claim time in the body; v1 records fall back to the record
+    * file's mtime; times are MONOTONIZED in seq order, so clock skew
+    * between concurrent writers can never reorder history (the Delta
+    * timestamp-resolution rule).
+    *
+    * Retention bound: history folded by [[checkpoint]] + [[pruneLog]]
+    * keeps per-version FILE attribution but loses commit times — a
+    * `ms` below the oldest retained record throws (never guesses)
+    * when pruned history exists, and returns None when the table
+    * simply did not exist yet. */
+  def versionAtTimestamp(spark: SparkSession, layout: Layout,
+      ms: Long): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    if (!fs.exists(log)) return None
+    val sts = fs.listStatus(log)
+    val names = sts.map(_.getPath.getName)
+    val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    val committed = sts
+      .filter(s => s.getPath.getName.endsWith(".commit") &&
+        done.contains(s.getPath.getName.stripSuffix(".commit")))
+      .map { s =>
+        val seq = s.getPath.getName.stripSuffix(".commit").toLong
+        val in = fs.open(s.getPath)
+        val head = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse("") finally in.close()
+        val t =
+          if (head.startsWith("v2 ")) head.split(' ')(2).toLong
+          else s.getModificationTime
+        (seq, t)
+      }.sortBy(_._1)
+    val cps = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+    if (committed.isEmpty) {
+      if (cps.nonEmpty)
+        throw new java.io.IOException(
+          s"versionAtTimestamp($ms): all commit times pruned — history below " +
+            "the checkpoint is not timestamp-addressable")
+      return None
+    }
+    // pruned history exists iff some checkpoint folded seqs below the
+    // oldest RETAINED commit (pruneLog removes exactly those records)
+    val pruned = cps.exists(_ < committed.head._1)
+    // monotonize in seq order
+    var mono = Long.MinValue
+    val timeline = committed.map { case (seq, t) =>
+      mono = math.max(mono, t); (seq, mono)
+    }
+    if (ms < timeline.head._2) {
+      if (pruned) throw new java.io.IOException(
+        s"versionAtTimestamp($ms): below the oldest retained commit time " +
+          s"(${timeline.head._2}) — pruned history is not timestamp-addressable")
+      return None
+    }
+    Some(timeline.takeWhile(_._2 <= ms).last._1)
+  }
 
   /** Fold the committed log prefix into ONE checkpoint record — the
     * Delta-style log checkpoint: at thousands of commits,

@@ -255,6 +255,105 @@ object SetAndScalar {
       .orderBy(col("edit_dist"), col("name_a"), col("name_b"))
   }
 
+  /** Entity-resolution CONSOLIDATION (the golden record): the step
+    * after [[fuzzyNamePairs]] finds match candidates — connected
+    * components over the match graph, then survivorship: each
+    * multi-member cluster elects its canonical member (most data
+    * behind it: max part count, ties to the lexicographically
+    * smallest name) and reports the mass a merge would coalesce. The
+    * MDM/dedupe-consolidation operator every customer-data pipeline
+    * runs after blocking+matching.
+    *
+    * Scale: the match graph lives over the DISTINCT-name dictionary
+    * (an aggregate of the fact table — orders of magnitude smaller),
+    * so components run as driver union-find under the same loud
+    * [[Dedup.maxCollectedEdges]]-style guard as
+    * [[Dedup.nearDupClusters]]; the cluster map broadcasts back and
+    * survivorship is one hash agg with a min-struct argmax (no window
+    * over the corpus). The oracle computes components as a recursive
+    * min-reachable-label CTE, so a green run re-proves the union-find
+    * against declarative transitive closure. */
+  def goldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = fuzzyNamePairs(spark, sfDir)
+      .select(col("name_a"), col("name_b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    require(edges.length <= Dedup.maxCollectedEdges,
+      s"golden record: ${edges.length} match edges exceed the driver guard — " +
+        "route through the distributed component path")
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    import spark.implicits._
+    val reps = spark.createDataset(parent.keys.toSeq.sorted.map(n => (n, find(n))))
+      .toDF("p_name", "rep")
+    val names = Tables.part(spark, sfDir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    names.join(broadcast(reps), Seq("p_name"))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_parts")).cast("long").as("n_parts_total"),
+        min(struct((-col("n_parts")).as("neg"), col("p_name").as("nm"))).as("c"))
+      .filter(col("n_members") >= 2)
+      .select(col("c.nm").as("canonical_name"), col("n_members"),
+        col("n_parts_total"), (-col("c.neg")).cast("long").as("canonical_parts"))
+      .orderBy(col("canonical_name"))
+  }
+
+  /** Oracle twin of [[goldenRecord]] — components as a recursive
+    * min-reachable-label closure (the [[Dedup.nearDupClustersSql]]
+    * pattern over the fuzzy match graph). */
+  def goldenRecordSql: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY p_name),
+      |a AS (
+      |  SELECT p_name AS name_a, CAST(len(p_name) AS BIGINT) // 3 AS band FROM names),
+      |b AS (
+      |  SELECT p_name AS name_b, CAST(len(p_name) AS BIGINT) // 3 + d.d AS band
+      |  FROM names CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d),
+      |pairs AS (
+      |  SELECT DISTINCT name_a, name_b
+      |  FROM a JOIN b USING (band)
+      |  WHERE name_a < name_b
+      |    AND abs(len(name_a) - len(name_b)) <= 2
+      |    AND levenshtein(name_a, name_b) BETWEEN 1 AND 2),
+      |edges AS (
+      |  SELECT name_a AS src, name_b AS dst FROM pairs
+      |  UNION ALL SELECT name_b, name_a FROM pairs),
+      |reach(name, label) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.name),
+      |comp AS (SELECT name, min(label) AS rep FROM reach GROUP BY name),
+      |members AS (
+      |  SELECT c.rep, n.p_name, n.n_parts
+      |  FROM comp c JOIN names n ON n.p_name = c.name),
+      |surv AS (
+      |  SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
+      |    CAST(sum(n_parts) AS BIGINT) AS n_parts_total
+      |  FROM members GROUP BY rep),
+      |canon AS (
+      |  SELECT rep, p_name AS canonical_name, n_parts AS canonical_parts,
+      |    row_number() OVER (PARTITION BY rep ORDER BY n_parts DESC, p_name) AS rk
+      |  FROM members)
+      |SELECT canonical_name, n_members, n_parts_total,
+      |  CAST(canonical_parts AS BIGINT) AS canonical_parts
+      |FROM surv JOIN canon USING (rep)
+      |WHERE rk = 1 AND n_members >= 2
+      |ORDER BY canonical_name""".stripMargin
+
   def fuzzyNamePairsSql: String =
     """WITH names AS (
       |  SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),

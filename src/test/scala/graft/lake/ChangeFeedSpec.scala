@@ -129,6 +129,45 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("versionAtTimestamp maps wall-clock times to versions (monotonized), " +
+      "refuses pruned history loud, and returns None before the table existed") {
+    val layout = Layout(tmpDir("cdf-tsasof"))
+    val s = spark
+    import s.implicits._
+    assert(Catalog.versionAtTimestamp(spark, layout, System.currentTimeMillis()).isEmpty,
+      "no log yet -> None")
+    val t0 = System.currentTimeMillis()
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "v"))
+    Thread.sleep(15)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(15)
+    val v2 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    val tEnd = System.currentTimeMillis()
+    assert(Catalog.versionAtTimestamp(spark, layout, tEnd) == Some(v2))
+    assert(Catalog.versionAtTimestamp(spark, layout, tMid) == Some(v1))
+    assert(Catalog.versionAtTimestamp(spark, layout, t0 - 1000).isEmpty,
+      "before the first commit the table did not exist")
+    // the mapping composes with snapshot reads
+    val atMid = Catalog.versionAtTimestamp(spark, layout, tMid).get
+    assert(Catalog.loadLakeSnapshot(spark, layout, atMid).count() == 1)
+    // checkpoint+prune: retained tail still timestamp-addressable,
+    // folded history refuses LOUD instead of guessing
+    val v3 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", 30L)).toDF("source", "key", "v"))
+    assert(Catalog.checkpoint(spark, layout).isDefined)
+    Catalog.pruneLog(spark, layout)
+    Thread.sleep(15)
+    val v4 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k4", 40L)).toDF("source", "key", "v"))
+    assert(Catalog.versionAtTimestamp(spark, layout,
+      System.currentTimeMillis()) == Some(v4))
+    intercept[java.io.IOException](
+      Catalog.versionAtTimestamp(spark, layout, tMid))
+    assert(v3 > v2)
+  }
+
   test("Mv.refresh maintains count/sum incrementally through appends, " +
       "deletes and upserts; zero-count groups vanish; refresh is " +
       "idempotent; rebuild recovers after an unreadable feed") {

@@ -138,4 +138,43 @@ class Round8ContinuationSpec extends SparkTestBase {
       qe.executedPlan.toString.contains("UnionLoop"),
       "the shared SQL text must plan as a recursive CTE")
   }
+
+  test("goldenRecord: clusters are transitively-closed components of the " +
+      "fuzzy pairs, the canonical is a max-parts member, and part mass is " +
+      "conserved across clusters + singletons") {
+    val pairs = SetAndScalar.fuzzyNamePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val golden = SetAndScalar.goldenRecord(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // reference components via plain transitive closure
+    val adj = new scala.collection.mutable.HashMap[String, Set[String]]()
+      .withDefaultValue(Set.empty)
+    pairs.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    var comps = Map.empty[String, Set[String]]
+    val seen = scala.collection.mutable.Set.empty[String]
+    adj.keys.toSeq.sorted.foreach { start =>
+      if (!seen.contains(start)) {
+        var frontier = Set(start); var comp = Set.empty[String]
+        while (frontier.nonEmpty) {
+          comp ++= frontier; seen ++= frontier
+          frontier = frontier.flatMap(adj).diff(comp)
+        }
+        comps += (comp.min -> comp)
+      }
+    }
+    val parts = graft.Tables.part(spark, sfDir).groupBy(col("p_name"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = comps.values.filter(_.size >= 2).map { comp =>
+      val canonical = comp.toSeq.map(n => (-parts(n), n)).min._2
+      (canonical, comp.size.toLong, comp.toSeq.map(parts).sum, parts(canonical))
+    }.toSeq.sortBy(_._1)
+    assert(golden.toSeq == expected,
+      s"golden record must replay the closure + survivorship exactly")
+    // conservation: clustered mass + unclustered names = all parts
+    val clusteredNames = comps.values.filter(_.size >= 2).flatten.toSet
+    val unclustered = parts.filterNot(kv => clusteredNames.contains(kv._1)).values.sum
+    assert(golden.map(_._3).sum + unclustered == parts.values.sum,
+      "every part belongs to exactly one cluster or stays a singleton")
+  }
 }
