@@ -745,4 +745,252 @@ object EventOps {
        |GROUP BY zone
        |ORDER BY zone""".stripMargin
   }
+
+  // --------------------------------------------------------------------
+  // Time-series analysis: the zero-filled per-type daily series shared
+  // by autocorrelation, Holt forecasting and changepoint detection
+  // --------------------------------------------------------------------
+
+  /** Zero-filled per-(event_type, day-index) daily counts: the dense
+    * series every time-series operator below consumes. `t` runs 0..N−1
+    * from the corpus's own min day (one scalar agg, broadcast); absent
+    * (type, day) cells are materialized at 0 — a sparse series would
+    * silently skew means, lags and trends. ONE events pass; everything
+    * downstream is model-sized (types × days). */
+  private def dailySeries(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_millis(ts) DIV 86400000").as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = counts.select(col("event_type")).distinct()
+    types.crossJoin(broadcast(span))
+      .select(col("event_type"), col("d0"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("t"))
+      .join(counts.crossJoin(broadcast(span))
+          .select(col("event_type"), (col("day") - col("d0")).as("t"), col("x")),
+        Seq("event_type", "t"), "left")
+      .na.fill(0L, Seq("x"))
+      .select(col("event_type"), col("t"), col("x").cast("long").as("x"))
+  }
+
+  /** Shared WITH-body for the zero-filled daily series (CTE `series`):
+    * the oracle twin of [[dailySeries]]. */
+  private val dailySeriesCteSql: String =
+    """ev AS (
+      |  SELECT event_type, epoch_ms(ts::TIMESTAMP) // 86400000 AS day FROM events),
+      |counts AS (
+      |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS x
+      |  FROM ev GROUP BY event_type, day),
+      |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+      |grid AS (
+      |  SELECT t.event_type, g.t
+      |  FROM (SELECT DISTINCT event_type FROM counts) t
+      |  CROSS JOIN (SELECT unnest(generate_series(0, (SELECT d1 - d0 FROM span))) AS t) g),
+      |series AS (
+      |  SELECT grid.event_type, grid.t, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      |  FROM grid LEFT JOIN (
+      |    SELECT event_type, day - (SELECT d0 FROM span) AS t, x FROM counts) c
+      |  ON c.event_type = grid.event_type AND c.t = grid.t)""".stripMargin
+
+  /** Autocorrelation of the daily event series at lags 1/2/7 — the
+    * seasonality probe (lag-7 = weekly structure) that decides whether
+    * a forecast needs seasonal terms. Exactness: with S = Σx and N
+    * days, every deviation is the INTEGER N·x_t − S (the mean cleared
+    * of division), so numerator and denominator are exact BIGINT folds;
+    * the single double division is rounded once to e6. The lag join is
+    * a self equi-join of the model-sized series on (type, t+k).
+    *
+    * Scale: one events pass builds the series; the lag join and the
+    * folds touch types × days rows. */
+  def autocorr(spark: SparkSession, sfDir: String,
+      lags: Seq[Int] = Seq(1, 2, 7)): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+    val stats = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val base = series.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("t"), col("n"), col("s"),
+        (col("x") * col("n") - col("s")).as("dev"))
+    val lagged = base.select(col("event_type").as("et2"), col("t").as("t2"),
+      col("dev").as("dev2"))
+    val lagDf = lags.foldLeft(Option.empty[DataFrame]) { (acc, k) =>
+      val pairs = base
+        .join(lagged,
+          col("event_type") === col("et2") && col("t") + k === col("t2"))
+        .groupBy(col("event_type"))
+        .agg(lit(k.toLong).as("lag"),
+          count(lit(1)).as("n_pairs"),
+          sum(col("dev") * col("dev2")).cast("long").as("num"))
+      Some(acc.map(_.unionByName(pairs)).getOrElse(pairs))
+    }.get
+    val den = base.groupBy(col("event_type"))
+      .agg(sum(col("dev") * col("dev")).cast("long").as("den"))
+    lagDf.join(den, Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"), col("num"), col("den"),
+        round(lit(1000000.0) * col("num") / col("den")).cast("long").as("r_e6"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Oracle twin of [[autocorr]]. */
+  def autocorrSql(lags: Seq[Int] = Seq(1, 2, 7)): String = {
+    val lagList = lags.mkString(", ")
+    s"""WITH $dailySeriesCteSql,
+       |st AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+       |  FROM series GROUP BY event_type),
+       |dev AS (
+       |  SELECT series.event_type, t, x * n - s AS dev
+       |  FROM series JOIN st ON st.event_type = series.event_type),
+       |num AS (
+       |  SELECT a.event_type, k.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(a.dev * b.dev) AS BIGINT) AS num
+       |  FROM dev a
+       |  CROSS JOIN (SELECT unnest([$lagList]) AS lag) k
+       |  JOIN dev b ON b.event_type = a.event_type AND b.t = a.t + k.lag
+       |  GROUP BY a.event_type, k.lag),
+       |den AS (
+       |  SELECT event_type, CAST(sum(dev * dev) AS BIGINT) AS den
+       |  FROM dev GROUP BY event_type)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs, num, den,
+       |  CAST(round(1000000.0 * num / den) AS BIGINT) AS r_e6
+       |FROM num JOIN den USING (event_type)
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
+  /** Holt linear (double) exponential smoothing over the daily series —
+    * the level+trend forecasting primitive (α = ½, β = 3/10): the
+    * next-day operational forecast and the trend estimate a capacity
+    * planner reads. The recurrence runs on e6-scaled INTEGERS with one
+    * FLOOR per step — `l_t = floor((x_t·10⁶ + l + b)/2)`,
+    * `b_t = floor((3(l_t − l_{t−1}) + 7b)/10)` — floor is TIE-FREE, so
+    * both engines fold the identical integer sequence (a round() here
+    * hits exact .5 ties on every odd sum and the engines' tie rules
+    * differ; bare integer division diverges on negative trends: Spark
+    * DIV truncates, DuckDB // floors — floor(a/2.0) agrees for every
+    * sign and the double quotients are exact or safely far from the
+    * boundary at these magnitudes).
+    *
+    * Engine path: the model-sized series collapses to one ordered
+    * array per type (`sort_array` of (t, x) structs), and the
+    * recurrence is a codegen'd `aggregate` fold — the q_cdc_bytes
+    * native-fold discipline; the oracle replays the identical
+    * recurrence as a recursive CTE stepping t. */
+  def holtForecast(spark: SparkSession, sfDir: String): DataFrame = {
+    val series = dailySeries(spark, sfDir)
+    series.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("sx"))
+      .select(col("event_type"),
+        size(col("sx")).cast("long").as("n_days"),
+        // init l0 = x0·e6, b0 = (x1 − x0)·e6; fold x1..x_{N−1}
+        expr("""aggregate(
+          slice(transform(sx, e -> e.x), 2, size(sx) - 1),
+          named_struct(
+            'l', sx[0].x * 1000000L,
+            'b', (sx[1].x - sx[0].x) * 1000000L),
+          (s, x) -> named_struct(
+            'l', CAST(floor((x * 1000000L + s.l + s.b) / 2) AS BIGINT),
+            'b', CAST(floor((3 * (CAST(floor((x * 1000000L + s.l + s.b) / 2) AS BIGINT) - s.l)
+                 + 7 * s.b) / 10) AS BIGINT)))""").as("h"))
+      .select(col("event_type"), col("n_days"),
+        col("h.l").as("level_e6"), col("h.b").as("trend_e6"),
+        (col("h.l") + col("h.b")).as("forecast_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[holtForecast]] — the identical integer recurrence
+    * replayed as a recursive CTE stepping t per type (the q_cdc_bytes
+    * bounded-state fold pattern). */
+  def holtForecastSql: String =
+    s"""WITH RECURSIVE $dailySeriesCteSql,
+       |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       |      FROM series GROUP BY event_type),
+       |step(event_type, t, l, b) AS (
+       |  SELECT s0.event_type, CAST(0 AS BIGINT),
+       |    s0.x * 1000000, (s1.x - s0.x) * 1000000
+       |  FROM series s0 JOIN series s1
+       |    ON s1.event_type = s0.event_type AND s1.t = 1
+       |  WHERE s0.t = 0
+       |  UNION ALL
+       |  SELECT st.event_type, st.t + 1,
+       |    CAST(floor((s.x * 1000000 + st.l + st.b) / 2) AS BIGINT),
+       |    CAST(floor((3 * (CAST(floor((s.x * 1000000 + st.l + st.b) / 2) AS BIGINT) - st.l)
+       |         + 7 * st.b) / 10) AS BIGINT)
+       |  FROM step st JOIN series s
+       |    ON s.event_type = st.event_type AND s.t = st.t + 1)
+       |SELECT step.event_type, n.n_days,
+       |  CAST(l AS BIGINT) AS level_e6, CAST(b AS BIGINT) AS trend_e6,
+       |  CAST(l + b AS BIGINT) AS forecast_e6
+       |FROM step JOIN n ON n.event_type = step.event_type
+       |WHERE step.t = n.n_days - 1
+       |ORDER BY step.event_type""".stripMargin
+
+  /** Offline CHANGEPOINT detection over the daily series — one-split
+    * binary segmentation: the day that best divides the series into
+    * two mean-regimes, scored by the between-segment deviation
+    * a_t² / (t·(N−t)) with a_t = S_t·N − S·t (prefix sums cleared of
+    * division — a_t is an exact BIGINT, the score one double division
+    * rounded to e6). The regime-shift detector next to the online
+    * CUSUM monitor ([[graft.streaming.StreamCusum]]): CUSUM alarms in
+    * flight, this LOCATES the break in history. Argmax ties break to
+    * the smallest t (max-struct, total order).
+    *
+    * Scale: one events pass → model-sized series → prefix-sum window
+    * per type → one argmax agg. */
+  def changepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = dailySeries(spark, sfDir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = series.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    // a prefix of p days (p = 1..N−1) splits the series; a = S_p·N − S·p
+    val pref = series
+      .withColumn("st", sum(col("x")).over(w))
+      .join(broadcast(tot), Seq("event_type"))
+      .withColumn("p", col("t") + 1)
+      .filter(col("p") < col("n"))
+      .withColumn("a", col("st") * col("n") - col("s") * col("p"))
+      .withColumn("score_e6",
+        round(lit(1000000.0) * col("a") * col("a") /
+          (col("p") * (col("n") - col("p")))).cast("long"))
+    pref.groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_days"),
+        max(col("s")).as("s"),
+        max(struct(col("score_e6").as("sc"), (-col("p")).as("negp"),
+          col("st").as("stv"))).as("best"))
+      .select(col("event_type"), col("n_days"),
+        (-col("best.negp")).cast("long").as("split_p"),
+        col("best.sc").as("score_e6"),
+        expr("CAST(round(1000000.0 * best.stv / (-best.negp)) AS BIGINT)")
+          .as("mean_before_e6"),
+        expr("CAST(round(1000000.0 * (s - best.stv) / (n_days + best.negp)) AS BIGINT)")
+          .as("mean_after_e6"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[changepoint]]. */
+  def changepointSql: String =
+    s"""WITH $dailySeriesCteSql,
+       |tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+       |  FROM series GROUP BY event_type),
+       |pref AS (
+       |  SELECT series.event_type, t + 1 AS p, n, s,
+       |    CAST(sum(x) OVER (PARTITION BY series.event_type ORDER BY t) AS BIGINT) AS st
+       |  FROM series JOIN tot ON tot.event_type = series.event_type),
+       |scored AS (
+       |  SELECT event_type, p, n, s, st,
+       |    CAST(round(1000000.0 * (st * n - s * p) * (st * n - s * p)
+       |         / (p * (n - p))) AS BIGINT) AS score_e6
+       |  FROM pref WHERE p < n),
+       |best AS (
+       |  SELECT event_type, p, n, s, st, score_e6,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY score_e6 DESC, p) AS rk
+       |  FROM scored)
+       |SELECT event_type, n AS n_days, CAST(p AS BIGINT) AS split_p, score_e6,
+       |  CAST(round(1000000.0 * st / p) AS BIGINT) AS mean_before_e6,
+       |  CAST(round(1000000.0 * (s - st) / (n - p)) AS BIGINT) AS mean_after_e6
+       |FROM best WHERE rk = 1
+       |ORDER BY event_type""".stripMargin
 }

@@ -139,6 +139,88 @@ class Round8ContinuationSpec extends SparkTestBase {
       "the shared SQL text must plan as a recursive CTE")
   }
 
+  /** The zero-filled per-type daily series, replayed in plain Scala
+    * from the raw events — the shared input of the time-series trio. */
+  private def dailySeriesReplay(): Map[String, Array[Long]] = {
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_millis(ts) DIV 86400000").as("day"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val d0 = rows.map(_._2).min
+    val d1 = rows.map(_._2).max
+    val n = (d1 - d0 + 1).toInt
+    rows.groupBy(_._1).map { case (et, rs) =>
+      val xs = new Array[Long](n)
+      rs.foreach { case (_, d) => xs((d - d0).toInt) += 1 }
+      et -> xs
+    }
+  }
+
+  test("autocorr: exact plain-Scala replay over the zero-filled series; " +
+      "|r| bounded by 1 (Cauchy-Schwarz)") {
+    val series = dailySeriesReplay()
+    val got = EventOps.autocorr(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((et, lag), (nPairs, num, den, rE6)) =>
+      val xs = series(et); val n = xs.length.toLong; val s = xs.sum
+      val dev = xs.map(_ * n - s)
+      val k = lag.toInt
+      val expNum = (0 until xs.length - k).map(t => dev(t) * dev(t + k)).sum
+      val expDen = dev.map(d => d * d).sum
+      assert(nPairs == xs.length - k)
+      assert(num == expNum && den == expDen, s"($et, $lag) moment mismatch")
+      assert(rE6 == halfUp(1e6 * expNum / expDen), s"($et, $lag) r mismatch")
+      assert(math.abs(rE6) <= 1000000L, "Cauchy-Schwarz bound")
+    }
+  }
+
+  test("holtForecast: exact plain-Scala fold replay; a constant series " +
+      "yields zero trend and level = x") {
+    val series = dailySeriesReplay()
+    val got = EventOps.holtForecast(spark, sfDir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def replay(xs: Array[Long]): (Long, Long) = {
+      var l = xs(0) * 1000000L
+      var b = (xs(1) - xs(0)) * 1000000L
+      (1 until xs.length).foreach { t =>
+        val l2 = math.floorDiv(xs(t) * 1000000L + l + b, 2L)
+        b = math.floorDiv(3L * (l2 - l) + 7L * b, 10L)
+        l = l2
+      }
+      (l, b)
+    }
+    series.foreach { case (et, xs) =>
+      val (l, b) = replay(xs)
+      val (nDays, level, trend, forecast) = got(et)
+      assert(nDays == xs.length)
+      assert(level == l && trend == b, s"$et fold mismatch: got ($level,$trend) exp ($l,$b)")
+      assert(forecast == l + b)
+    }
+    val (lc, bc) = replay(Array.fill(10)(42L))
+    assert(lc == 42000000L && bc == 0L, "constant series: level = x, trend = 0")
+  }
+
+  test("changepoint: brute-force argmax replay; split means reproduce") {
+    val series = dailySeriesReplay()
+    val got = EventOps.changepoint(spark, sfDir).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    series.foreach { case (et, xs) =>
+      val n = xs.length.toLong; val s = xs.sum
+      val best = (1L until n).map { p =>
+        val st = xs.take(p.toInt).sum
+        val a = st * n - s * p
+        (halfUp(1e6 * a * a / (p * (n - p))), -p, st)
+      }.max
+      val (nDays, splitP, score, mb, ma) = got(et)
+      assert(nDays == n && splitP == -best._2 && score == best._1, s"$et argmax mismatch")
+      assert(mb == halfUp(1e6 * best._3 / splitP))
+      assert(ma == halfUp(1e6 * (s - best._3) / (n - splitP)))
+    }
+  }
+
   test("goldenRecord: clusters are transitively-closed components of the " +
       "fuzzy pairs, the canonical is a max-parts member, and part mass is " +
       "conserved across clusters + singletons") {
