@@ -1188,6 +1188,110 @@ object Catalog {
     }
   }
 
+  /** Committed lake OPTIMIZE — Delta's `OPTIMIZE [ZORDER BY]` on the
+    * manifest log: per source, BIN-PACK the live data files into
+    * ~`targetBytes` outputs (undoing the small files streaming ingest
+    * and [[upsertLakeByKey]] accumulate — at 100 TB, file count is a
+    * planning cost every reader pays), optionally CLUSTERING rows by
+    * the Z-order key of two columns ([[ZOrder.clusteredBy]]) so the
+    * recomputed per-file stats become tight on BOTH dimensions and
+    * [[lakeFilesOverlapping]] prunes multi-dimensional predicates —
+    * stats-based skipping over Z-clustered files is this engine's
+    * hidden-partitioning answer to partition-spec evolution.
+    *
+    * Semantics: the rewrite reads THROUGH committed DVs (exactly like
+    * [[materializeLakeDeletes]] — a rewrite that ignored them would
+    * resurrect deleted rows under new file names), so the affected
+    * DV rows are materialized away and now-stale DV files are dropped
+    * in the SAME record: {adds, removes, dvrm, fstat} commit
+    * atomically, and every snapshot read at any version is unchanged
+    * by construction. Evolution columns stay read-time facts. Without
+    * `zorder`, a source is optimized only when it has ≥ 2 files under
+    * HALF the target (so a pack's outputs are never re-chosen —
+    * repeated runs converge); with `zorder`, every
+    * listed source re-clusters. Holds the per-source maintenance
+    * locks; candidates are re-derived UNDER the locks. Fresh stats
+    * (`statsCols`/`bloomCols`) are recomputed for the rewritten files.
+    * Returns data files rewritten. */
+  def optimizeLake(spark: SparkSession, layout: Layout,
+      targetBytes: Long = 128L << 20,
+      zorder: Option[(String, String)] = None,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileLen(rel: String): Long =
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")).getLen
+    def candidates(): Map[String, Seq[String]] =
+      lakeFilesAsOf(spark, layout).groupBy(sourceOfRel).flatMap {
+        case (src, files) =>
+          if (zorder.isDefined && files.nonEmpty) Some(src -> files.sorted)
+          else {
+            // candidacy threshold is HALF the target so the outputs of a
+            // pack (avg ≥ target/2 by construction) are never re-chosen —
+            // repeated OPTIMIZE runs converge instead of churning
+            val small = files.filter(f => fileLen(f) < targetBytes / 2)
+            if (small.size >= 2) Some(src -> small.sorted) else None
+          }
+      }
+    val prefix = qualifiedLakeDir(spark, layout)
+    var rewritten = 0L
+    candidates().keys.toSeq.sorted.foreach { src =>
+      SourceLock.withLock(spark, layout, src, lockTtlMs, waitMs) {
+        candidates().get(src).foreach { chosen =>
+          val bytes = chosen.map(fileLen).sum
+          val n = math.max(1L, math.min((bytes + targetBytes - 1) / targetBytes,
+            4096L)).toInt
+          val scan = spark.read.option("basePath", layout.lakeDir)
+            .option("mergeSchema", "true")
+            .parquet(chosen.map(rel => s"${layout.lakeDir}/$rel"): _*)
+          val dvLive = dvFilesAsOf(spark, layout)
+          val dvPaths = dvLive.map(rel => s"${layout.lakeDir}/$rel")
+          val undeleted =
+            if (dvLive.isEmpty) scan
+            else applyDvs(scan, spark.read.parquet(dvPaths: _*), prefix)
+          val packed = zorder match {
+            case Some((a, b)) => ZOrder.clusteredBy(undeleted, a, b, n)
+            case None => undeleted.repartition(n)
+          }
+          val uuid = java.util.UUID.randomUUID().toString
+          val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
+          packed.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+          val staged = stagedFiles(fs, stage)
+          // a DV file survives iff any of its rows still targets a file
+          // live AFTER this commit (the materializeLakeDeletes rule)
+          val dvRm =
+            if (dvLive.isEmpty) Seq.empty[String]
+            else {
+              val postLive = lakeFilesAsOf(spark, layout).filterNot(chosen.toSet)
+              import spark.implicits._
+              val dvWithSelf = spark.read.parquet(dvPaths: _*)
+                .select(col("file"),
+                  expr(s"substring(_metadata.file_path, ${prefix.length + 2})").as("self"))
+              val keep = dvWithSelf
+                .join(postLive.toDF("lf"), col("file") === col("lf"), "left_semi")
+                .select("self").distinct().collect().map(_.getString(0)).toSet
+              dvLive.filterNot(keep.contains)
+            }
+          val stats =
+            if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
+              Seq.empty[(String, String)]
+            else computeFileStats(spark, stage.toString, statsCols, bloomCols)
+          val rec = V2Record(-1L, System.currentTimeMillis(), None,
+            None, Seq.empty, None, Seq.empty, Seq.empty,
+            if (staged.nonEmpty) Some(uuid) else None, staged,
+            lakeRemoves = chosen, dvRemoves = dvRm, fileStats = stats)
+          val seq = claimBody(fs, layout, v2Body(rec))
+          finishV2(fs, layout, seq, rec)
+          if (staged.isEmpty) fs.delete(stage, true)
+          rewritten += chosen.size
+        }
+      }
+    }
+    rewritten
+  }
+
   // --------------------------------------------------------------------
   // Change data feed: row-level changes between committed versions
   // --------------------------------------------------------------------

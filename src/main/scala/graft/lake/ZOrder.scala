@@ -40,7 +40,15 @@ object ZOrder {
     * the same normalize-then-interleave approach production layout
     * optimizers use, robust at any scale. */
   def writeZOrdered(df: DataFrame, path: String, dimA: String, dimB: String,
-      nFiles: Int): Unit = {
+      nFiles: Int): Unit =
+    clusteredBy(df, dimA, dimB, nFiles).write.mode("overwrite").parquet(path)
+
+  /** The clustering itself, without the write: `df` range-partitioned
+    * into `nFiles` partitions by the normalized z-key and sorted within
+    * them — for callers that route the output through their own commit
+    * protocol ([[Catalog.optimizeLake]]). */
+  def clusteredBy(df: DataFrame, dimA: String, dimB: String,
+      nFiles: Int): DataFrame = {
     val maxKey = (1 << bitsPerDim) - 1
     val r = df.agg(
       min(col(dimA)).cast("double"), max(col(dimA)).cast("double"),
@@ -60,6 +68,5 @@ object ZOrder {
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
   }
 }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.lake.{Catalog, Layout}
+
+/** STREAMING SOURCE over the lake's change data feed — the
+  * Delta-streaming-source shape as a first-class Spark source:
+  * `spark.readStream.format("graft-lake-cdf").option("root", …)` (or
+  * the provider class name) yields an unbounded stream of row-level
+  * changes (`_change_type` insert|delete, `_commit_version`) driven
+  * entirely by the manifest log.
+  *
+  * Exactly-once: offsets ARE committed versions. `getOffset` reports
+  * the log head; `getBatch(start, end)` is
+  * [[Catalog.lakeChangesBetween]] over `(start, end]` — a pure
+  * function of the immutable log + data files, so the engine's
+  * checkpoint replay after a crash re-derives the identical batch and
+  * a committed batch is never re-delivered. No state beyond the
+  * engine's own offset log.
+  *
+  * Schema is DECLARED ONCE at stream start (the current snapshot's
+  * payload columns + the two feed columns) and every batch is
+  * projected onto it — columns added by a later schema evolution are
+  * invisible to a running stream (restart to pick them up; the Delta
+  * source makes the same call). `startingVersion` (default 0) skips
+  * history already consumed elsewhere.
+  *
+  * Inherits the feed's erasure posture: rewrite commits contribute
+  * nothing, and ranges whose files were vacuumed fail LOUD rather
+  * than silently dropping changes. */
+class LakeCdfSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake-cdf"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(LakeCdfSource.schemaFor(sqlContext, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val layout = Layout(parameters("root"))
+    val from = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    new LakeCdfSource(sqlContext, layout,
+      schema.getOrElse(LakeCdfSource.schemaFor(sqlContext, parameters)), from)
+  }
+}
+
+object LakeCdfSource {
+  /** The stream's declared schema: current committed payload columns
+    * (evolution merged as of NOW) + the feed columns. */
+  def schemaFor(sqlContext: SQLContext, parameters: Map[String, String]): StructType = {
+    val layout = Layout(parameters("root"))
+    val snap = Catalog.loadLakeSnapshot(sqlContext.sparkSession, layout)
+    require(snap.columns.nonEmpty,
+      "graft-lake-cdf: the lake has no committed files yet — commit first " +
+        "or pass an explicit schema")
+    snap.schema.add("_commit_version", LongType).add("_change_type", StringType)
+  }
+}
+
+class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
+    declaredSchema: StructType, startVersion: Long) extends Source {
+
+  override def schema: StructType = declaredSchema
+
+  override def getOffset: Option[Offset] = {
+    val head = Catalog.headVersion(sqlContext.sparkSession, layout)
+    if (head <= startVersion) None else Some(LongOffset(head))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val from = start.map(toLong).getOrElse(startVersion)
+    val changes = Catalog.lakeChangesBetween(
+      sqlContext.sparkSession, layout, from, toLong(end))
+    val cols = declaredSchema.fields.map { f =>
+      if (changes.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val projected = changes.select(cols.toSeq: _*)
+    // v1 sources must hand back a STREAMING frame; the projected plan's
+    // executed RDD keeps the work distributed
+    org.apache.spark.sql.GraftStreamingBridge.streamingFrame(
+      sqlContext, projected.queryExecution.toRdd, declaredSchema)
+  }
+
+  private def toLong(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().trim.toLong
+  }
+
+  override def stop(): Unit = ()
+}

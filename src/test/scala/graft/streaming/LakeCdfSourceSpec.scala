@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.lake.{Catalog, Layout}
+import org.apache.spark.sql.functions._
+
+/** Streaming change-feed source ([[LakeCdfSourceProvider]]): readStream
+  * over the manifest log delivers row-level changes exactly once across
+  * batches AND restarts (offsets = committed versions), appends and
+  * DV-deletes/upserts arrive with their change type, and rewrites emit
+  * nothing. */
+class LakeCdfSourceSpec extends SparkTestBase {
+
+  private val received =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, Long)]()
+
+  private def startStream(layout: Layout, ckpt: String) =
+    spark.readStream
+      .format(classOf[LakeCdfSourceProvider].getName)
+      .option("root", layout.root)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("key", "v", "_change_type", "_commit_version").collect()
+          .foreach(r => received.add(
+            (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))))
+        ()
+      }
+      .start()
+
+  test("changes stream exactly once across micro-batches and restarts; " +
+      "deletes carry content; rewrites emit nothing") {
+    val layout = Layout(tmpDir("cdfsrc"))
+    val ckpt = tmpDir("cdfsrc-ckpt")
+    val s = spark
+    import s.implicits._
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L)).toDF("source", "key", "v"))
+
+    val q1 = startStream(layout, ckpt)
+    q1.processAllAvailable()
+    assert(received.size == 2, s"seed inserts delivered: $received")
+
+    val v2 = Catalog.deleteLakeWhere(spark, layout, col("key") === "k2")
+    val v3 = Catalog.upsertLakeByKey(spark, layout,
+      Seq(("clicks", "k1", 11L)).toDF("source", "key", "v"), keyCols = Seq("key"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val sorted = received.toArray(Array.empty[(String, Long, String, Long)])
+      .sortBy(t => (t._4, t._3, t._1)).toSeq
+    assert(sorted == Seq(
+      ("k1", 10L, "insert", v1), ("k2", 20L, "insert", v1),
+      ("k2", 20L, "delete", v2),
+      ("k1", 10L, "delete", v3), ("k1", 11L, "insert", v3)),
+      s"stream must equal the batch feed: $sorted")
+
+    // a rewrite while the stream is DOWN: the restarted stream skips it
+    // (no logical change) but picks up the next real commit — and never
+    // redelivers anything already committed to the checkpoint
+    assert(Catalog.materializeLakeDeletes(spark, layout) > 0)
+    received.clear()
+    val q2 = startStream(layout, ckpt)
+    q2.processAllAvailable()
+    assert(received.isEmpty, s"no redelivery, no rewrite rows: $received")
+    val v5 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k9", 90L)).toDF("source", "key", "v"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(received.toArray(Array.empty[(String, Long, String, Long)]).toSeq ==
+      Seq(("k9", 90L, "insert", v5)), s"only the new commit arrives: $received")
+  }
+
+  test("startingVersion skips already-consumed history") {
+    val layout = Layout(tmpDir("cdfsrc-sv"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "old", 1L)).toDF("source", "key", "v"))
+    val vSkip = Catalog.headVersion(spark, layout)
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "new", 2L)).toDF("source", "key", "v"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = spark.readStream
+      .format(classOf[LakeCdfSourceProvider].getName)
+      .option("root", layout.root)
+      .option("startingVersion", vSkip.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdfsrc-sv-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("key").collect().foreach(r => got.add(r.getString(0)))
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toArray(Array.empty[String]).toSeq == Seq("new"),
+      s"history at or below startingVersion must be skipped: $got")
+  }
+}
