@@ -755,14 +755,19 @@ object EventOps {
     * series every time-series operator below consumes. `t` runs 0..N−1
     * from the corpus's own min day (one scalar agg, broadcast); absent
     * (type, day) cells are materialized at 0 — a sparse series would
-    * silently skew means, lags and trends. ONE events pass; everything
-    * downstream is model-sized (types × days). */
+    * silently skew means, lags and trends. ONE events pass: the
+    * (type, day) count table is [[Truncate]]d, so span/types/grid and
+    * every consumer join arm (autocorr references the series from four
+    * arms) derive from the materialized model-sized table instead of
+    * re-scanning events. */
   private def dailySeries(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), expr("unix_millis(ts) DIV 86400000").as("day"))
-    val counts = ev.groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("x"))
-    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    // the ONE events pass, materialized: span, types, the grid and the
+    // consumers' join arms all derive from this model-sized table
+    val counts = Truncate(ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x")), "daily-counts")
+    val span = counts.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val types = counts.select(col("event_type")).distinct()
     types.crossJoin(broadcast(span))
       .select(col("event_type"), col("d0"),
