@@ -686,4 +686,109 @@ object Aggregates {
        |WHERE event_id % $mod <> 0
        |GROUP BY event_type, CAST(ts AS DATE)
        |ORDER BY event_type, day""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Poisson bootstrap: one-pass uncertainty quantification
+  // --------------------------------------------------------------------
+
+  /** Bootstrap confidence interval for the per-type mean value — the
+    * POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): classical resampling needs n
+    * draws WITH replacement per replicate — impossible in one pass over
+    * distributed data — but each row's multiplicity in a replicate is
+    * asymptotically Poisson(1), so every row independently draws its
+    * weight per replicate and one groupBy computes all `reps` replicate
+    * means simultaneously. The uncertainty attached to every metric this
+    * suite reports, as a query.
+    *
+    * Determinism for the oracle gate: the Poisson draw is SEEDED — u
+    * from the first 48 md5 bits of `event_id:rep` pushed through the
+    * Poisson(1) inverse CDF (literal cumulative thresholds e⁻¹·Σ1/k!,
+    * capped at 5 — P(K>5) ≈ 6·10⁻⁴ truncated identically on both
+    * sides). Replicate means are exact integer division over
+    * non-negative cents; the interval is the 2nd/(reps−1)th ORDER
+    * STATISTIC of the replicate means (rank 2 and 31 of 32 ≈ a 94% CI)
+    * — rank-based, no percentile interpolation to diverge on.
+    *
+    * Scale: one explode (×reps, linear) into a map-side-combined
+    * (type, rep) agg; the rank window runs over types × reps rows. */
+  def bootstrapCi(spark: SparkSession, sfDir: String, reps: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val expl = ev.select(col("event_type"), col("event_id"), col("cents"),
+      explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+    val u = (conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+      col("rep").cast("string"))), 1, 12), 16, 10).cast("double") + lit(0.5)) /
+      lit(281474976710656.0)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val repMeans = expl.withColumn("w", w)
+      .groupBy(col("event_type"), col("rep"))
+      .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .withColumn("mean_e4", expr("(swc * 10000) DIV sw"))
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy(col("mean_e4"), col("rep"))
+    val ranked = repMeans
+      .withColumn("r", row_number().over(rk))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("r") === 2, col("mean_e4"))).as("boot_lo_e4"),
+        max(when(col("r") === reps - 1, col("mean_e4"))).as("boot_hi_e4"))
+    val full = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sc"))
+      .withColumn("mean_e4", expr("(sc * 10000) DIV n_events"))
+    full.join(ranked, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("mean_e4"),
+        col("boot_lo_e4"), col("boot_hi_e4"),
+        (col("boot_hi_e4") - col("boot_lo_e4")).as("boot_spread_e4"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin of [[bootstrapCi]] — `reps` interpolated, identical
+    * seeded inverse-CDF draw. */
+  def bootstrapCiSql(reps: Int = 32): String = {
+    val u = "((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 12))::BIGINT + 0.5) / 281474976710656.0)"
+    s"""WITH ev AS (
+       |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events),
+       |expl AS (
+       |  SELECT event_type, event_id, cents, r.rep
+       |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, ${reps - 1})) AS rep) r),
+       |weighted AS (
+       |  SELECT event_type, rep, cents,
+       |    CASE WHEN $u < 0.36787944117144233 THEN 0
+       |         WHEN $u < 0.7357588823428847 THEN 1
+       |         WHEN $u < 0.9196986029286058 THEN 2
+       |         WHEN $u < 0.9810118431238462 THEN 3
+       |         WHEN $u < 0.9963401531726563 THEN 4
+       |         ELSE 5 END AS w
+       |  FROM expl),
+       |rep_means AS (
+       |  SELECT event_type, rep,
+       |    CAST(sum(w * cents) AS BIGINT) * 10000 // CAST(sum(w) AS BIGINT) AS mean_e4
+       |  FROM weighted GROUP BY event_type, rep),
+       |ranked AS (
+       |  SELECT event_type, mean_e4,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY mean_e4, rep) AS r
+       |  FROM rep_means),
+       |ci AS (
+       |  SELECT event_type,
+       |    CAST(max(CASE WHEN r = 2 THEN mean_e4 END) AS BIGINT) AS boot_lo_e4,
+       |    CAST(max(CASE WHEN r = ${reps - 1} THEN mean_e4 END) AS BIGINT) AS boot_hi_e4
+       |  FROM ranked GROUP BY event_type),
+       |full_mean AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |    CAST(sum(cents) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS mean_e4
+       |  FROM ev GROUP BY event_type)
+       |SELECT event_type, n_events, CAST(mean_e4 AS BIGINT) AS mean_e4,
+       |  boot_lo_e4, boot_hi_e4,
+       |  CAST(boot_hi_e4 - boot_lo_e4 AS BIGINT) AS boot_spread_e4
+       |FROM full_mean JOIN ci USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
 }

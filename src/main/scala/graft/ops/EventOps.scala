@@ -998,4 +998,80 @@ object EventOps {
        |  CAST(round(1000000.0 * (s - st) / (n - p)) AS BIGINT) AS mean_after_e6
        |FROM best WHERE rk = 1
        |ORDER BY event_type""".stripMargin
+
+  /** Seasonal decomposition of the daily series (STL-lite): per
+    * (type, day) the classic additive split x = trend + seasonal +
+    * residual — trend from a centered 7-day moving average (edges
+    * average the available window), seasonal as the per-day-of-week
+    * mean of the detrended series, residual as the rest — plus the
+    * anomaly verdict |residual| > 3 × (mean |residual|), i.e. days
+    * that deviate even AFTER weekly structure and drift are explained
+    * away (the alarm [[changepoint]] locates and the raw z-score
+    * queries can't de-season). Exactness: the moving average is
+    * non-negative integer division (`·10⁶ DIV cnt`); the seasonal and
+    * threshold means sit over possibly-NEGATIVE sums, where Spark DIV
+    * truncates but DuckDB // floors — so both engines use tie-free
+    * `floor(sum/cnt)` on the exact double quotient (the q_holt
+    * lesson).
+    *
+    * Scale: everything past the [[dailySeries]] events pass is
+    * types × days — two windows, one dow agg, one threshold agg. */
+  def seasonalDecompose(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = dailySeries(spark, sfDir)
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(-3, 3)
+    val detrended = series
+      .withColumn("sw", sum(col("x")).over(w7))
+      .withColumn("cw", count(lit(1)).over(w7))
+      .withColumn("trend_e6", expr("(sw * 1000000) DIV cw"))
+      .withColumn("det_e6", col("x") * 1000000L - col("trend_e6"))
+      .withColumn("dow", pmod(col("t"), lit(7)))
+    val seasonal = detrended.groupBy(col("event_type"), col("dow"))
+      .agg(floor(sum(col("det_e6")).cast("double") / count(lit(1)))
+        .cast("long").as("seasonal_e6"))
+    val withRes = detrended.join(seasonal, Seq("event_type", "dow"))
+      .withColumn("residual_e6", col("det_e6") - col("seasonal_e6"))
+    val thresh = withRes.groupBy(col("event_type"))
+      .agg(floor(sum(abs(col("residual_e6"))).cast("double") / count(lit(1)))
+        .cast("long").as("mad_e6"))
+    withRes.join(broadcast(thresh), Seq("event_type"))
+      .select(col("event_type"), col("t"), col("x"),
+        col("trend_e6"), col("seasonal_e6"), col("residual_e6"),
+        (abs(col("residual_e6")) > col("mad_e6") * 3).as("is_anomaly"))
+      .orderBy(col("event_type"), col("t"))
+  }
+
+  /** Oracle twin of [[seasonalDecompose]]. */
+  def seasonalDecomposeSql: String =
+    s"""WITH $dailySeriesCteSql,
+       |tr AS (
+       |  SELECT event_type, t, x,
+       |    CAST(sum(x) OVER w7 AS BIGINT) AS sw,
+       |    CAST(count(*) OVER w7 AS BIGINT) AS cw
+       |  FROM series
+       |  WINDOW w7 AS (PARTITION BY event_type ORDER BY t
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |det AS (
+       |  SELECT event_type, t, x, (sw * 1000000) // cw AS trend_e6,
+       |    x * 1000000 - (sw * 1000000) // cw AS det_e6,
+       |    t % 7 AS dow
+       |  FROM tr),
+       |seas AS (
+       |  SELECT event_type, dow,
+       |    CAST(floor(CAST(sum(det_e6) AS DOUBLE) / count(*)) AS BIGINT) AS seasonal_e6
+       |  FROM det GROUP BY event_type, dow),
+       |res AS (
+       |  SELECT det.event_type, t, x, trend_e6, seasonal_e6,
+       |    det_e6 - seasonal_e6 AS residual_e6
+       |  FROM det JOIN seas ON seas.event_type = det.event_type AND seas.dow = det.dow),
+       |th AS (
+       |  SELECT event_type,
+       |    CAST(floor(CAST(sum(abs(residual_e6)) AS DOUBLE) / count(*)) AS BIGINT) AS mad_e6
+       |  FROM res GROUP BY event_type)
+       |SELECT res.event_type, t, x, trend_e6, seasonal_e6,
+       |  CAST(residual_e6 AS BIGINT) AS residual_e6,
+       |  abs(residual_e6) > mad_e6 * 3 AS is_anomaly
+       |FROM res JOIN th ON th.event_type = res.event_type
+       |ORDER BY res.event_type, t""".stripMargin
 }

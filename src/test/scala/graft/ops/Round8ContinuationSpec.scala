@@ -221,6 +221,75 @@ class Round8ContinuationSpec extends SparkTestBase {
     }
   }
 
+  test("seasonalDecompose: exact plain-Scala replay; x = trend + seasonal " +
+      "+ residual holds row-exactly by construction") {
+    val series = dailySeriesReplay()
+    val got = EventOps.seasonalDecompose(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    series.foreach { case (et, xs) =>
+      val n = xs.length
+      val trend = (0 until n).map { t =>
+        val lo = math.max(0, t - 3); val hi = math.min(n - 1, t + 3)
+        val sw = (lo to hi).map(xs).sum
+        sw * 1000000L / (hi - lo + 1) // non-negative: DIV == floor
+      }
+      val det = (0 until n).map(t => xs(t) * 1000000L - trend(t))
+      val seasonal = (0 until 7).map { d =>
+        val vals = (0 until n).filter(_ % 7 == d).map(det)
+        d -> math.floor(vals.sum.toDouble / vals.size).toLong
+      }.toMap
+      val res = (0 until n).map(t => det(t) - seasonal(t % 7))
+      val mad = math.floor(res.map(math.abs).sum.toDouble / n).toLong
+      (0 until n).foreach { t =>
+        val (gx, gtr, gse, gre, gan) = got((et, t.toLong))
+        assert(gx == xs(t) && gtr == trend(t) && gse == seasonal(t % 7) &&
+          gre == res(t), s"($et, $t) decomposition mismatch")
+        assert(gan == (math.abs(res(t)) > mad * 3))
+        assert(gx * 1000000L == gtr + gse + gre,
+          "additive identity must hold row-exactly")
+      }
+    }
+  }
+
+  test("bootstrapCi: exact plain-Scala Poisson-bootstrap replay; interval " +
+      "ordered and rank-based") {
+    val rows = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val reps = 32
+    def weight(id: Long, rep: Int): Long = {
+      val h = java.lang.Long.parseLong(md5Hex(s"$id:$rep").take(12), 16)
+      val u = (h + 0.5) / 281474976710656.0
+      if (u < 0.36787944117144233) 0L
+      else if (u < 0.7357588823428847) 1L
+      else if (u < 0.9196986029286058) 2L
+      else if (u < 0.9810118431238462) 3L
+      else if (u < 0.9963401531726563) 4L else 5L
+    }
+    val expected = rows.groupBy(_._1).map { case (et, rs) =>
+      val repMeans = (0 until reps).map { rep =>
+        val ws = rs.map { case (_, id, c) => (weight(id, rep), c) }
+        val sw = ws.map(_._1).sum
+        (ws.map { case (w, c) => w * c }.sum * 10000L / sw, rep)
+      }.sortBy(identity).map(_._1)
+      val n = rs.length.toLong
+      val mean = rs.map(_._3).sum * 10000L / n
+      et -> (n, mean, repMeans(1), repMeans(reps - 2),
+        repMeans(reps - 2) - repMeans(1))
+    }
+    val actual = Aggregates.bootstrapCi(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(actual == expected, s"bootstrap replay mismatch:\n $actual\n $expected")
+    actual.values.foreach { case (_, _, lo, hi, spread) =>
+      assert(lo <= hi && spread == hi - lo)
+    }
+  }
+
   test("goldenRecord: clusters are transitively-closed components of the " +
       "fuzzy pairs, the canonical is a max-parts member, and part mass is " +
       "conserved across clusters + singletons") {
