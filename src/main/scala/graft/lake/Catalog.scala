@@ -658,10 +658,14 @@ object Catalog {
     }
     val dvLive = dvFilesAsOf(spark, layout, version)
     if (dvLive.isEmpty) return Some(total)
-    val liveSet = live.toSet
+    // distributed correction: DV row volume is unbounded in principle
+    // (a mass delete), so the live-file semi-join + count stays on the
+    // executors — only the scalar comes back
+    import spark.implicits._
     val deleted = spark.read
       .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
-      .select("file").collect().count(r => liveSet.contains(r.getString(0)))
+      .join(broadcast(live.toDF("lf")), col("file") === col("lf"), "left_semi")
+      .count()
     Some(total - deleted)
   }
 
@@ -680,10 +684,11 @@ object Catalog {
     if (live.isEmpty) return None
     val dvLive = dvFilesAsOf(spark, layout, version)
     if (dvLive.nonEmpty) {
-      val liveSet = live.toSet
-      val touches = spark.read
+      import spark.implicits._
+      val touches = !spark.read
         .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
-        .select("file").collect().exists(r => liveSet.contains(r.getString(0)))
+        .join(broadcast(live.toDF("lf")), col("file") === col("lf"), "left_semi")
+        .isEmpty
       if (touches) return None
     }
     val stats = lakeFileStatsAsOf(spark, layout, version)
