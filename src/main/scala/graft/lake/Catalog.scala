@@ -591,17 +591,26 @@ object Catalog {
   def lakeFilesMatchingPoint(spark: SparkSession, layout: Layout,
       column: String, value: Any,
       version: Long = Long.MaxValue): Seq[String] = {
+    // the bloom is consulted ONLY for types whose canonical string is
+    // guaranteed identical between the commit-time builder (Spark's
+    // string cast) and this probe — for anything else (timestamps,
+    // decimals, …) skipping silently DROPPING a matching file would be
+    // a wrong answer, so those types keep every file (sound, unpruned)
+    val safe = value match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer => true
+      case _ => false
+    }
     val v = BloomStats.canonical(value)
     val stats = lakeFileStatsAsOf(spark, layout, version)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     lakeFilesOverlapping(spark, layout, column, value, value, version)
       .filter { rel =>
-        stats.get(rel) match {
+        !safe || (stats.get(rel) match {
           case None => true
           case Some(json) =>
             val b = mapper.readTree(json).path("_bloom").path(column)
             !b.isTextual || BloomStats.mightContain(b.asText(), v)
-        }
+        })
       }
   }
 
@@ -1374,9 +1383,10 @@ object Catalog {
     }
     requireReadable(insertFiles, "inserted data files")
     requireReadable(dvRels, "deletion-vector files")
-    // committed names are `…/c<20-digit seq>-<part>`: the version is in
-    // the file name, so ONE scan covers every version in the range
-    val verCol = regexp_extract(col("_metadata.file_path"), "/c(\\d{20})-", 1)
+    // committed names are `…/c<20-digit seq>-part-…`: the version is in
+    // the file name, so ONE scan covers every version in the range (the
+    // `-part` anchor keeps a pathological lake-root path from matching)
+    val verCol = regexp_extract(col("_metadata.file_path"), "/c(\\d{20})-part", 1)
       .cast("long")
     val inserts =
       if (insertFiles.isEmpty) None

@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * and pointer flip leaves an orphan directory that the next refresh
   * sweeps; a reader never observes a half-written view.
   *
+  * Concurrency: the view is SINGLE-WRITER (one refresher owns a
+  * stateDir — the norm for a maintained view); concurrent READS are
+  * always safe (the pointer only ever names a fully-written
+  * directory). Two concurrent refreshes would race the pointer flip —
+  * last writer wins with a complete, correct state, but work is
+  * wasted; serialize refreshes per stateDir.
+  *
   * Erasure caveat (inherited from the feed, documented there): an
   * [[Erase]] rewrite is deliberately not re-emitted as deletes, so a
   * view refreshed across an erase still counts the erased rows — call
