@@ -438,7 +438,21 @@ object Text {
     * tokens ride the join once with weight k) → equi-join on token →
     * two hash aggs. The 1-row totals frame rides a broadcast BNLJ. No
     * corpus² anywhere. */
-  def nbQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  def nbQuality(spark: SparkSession, sfDir: String): DataFrame =
+    nbScored(spark, sfDir).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_e4") > 0, 1L).otherwise(0L)).as("n_admitted"),
+        sum(col("score_e4")).cast("long").as("sum_score_e4"))
+      .withColumn("admit_ppm", expr("(n_admitted * 1000000) DIV n_docs"))
+      .select(col("source"), col("n_docs"), col("n_admitted"), col("admit_ppm"),
+        col("sum_score_e4"))
+      .orderBy(col("source"))
+
+  /** The per-doc classifier score frame `(source, doc_id, score_e4)` —
+    * ONE definition shared by [[nbQuality]] (the admission report) and
+    * [[nbConfusion]] (the accuracy acceptance), so the two can never
+    * drift. */
+  private[ops] def nbScored(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
     val seed = docs.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), (qualityDecile >= 7).as("pos"), tokens.as("t"))
@@ -465,27 +479,46 @@ object Text {
       .select(col("source"), col("doc_id"), explode(tokens).as("token"))
       .groupBy(col("source"), col("doc_id"), col("token"))
       .agg(count(lit(1)).as("k"))
-    val scored = probe
+    probe
       .join(llr, Seq("token"), "left")
       .crossJoin(broadcast(scalars))
       .groupBy(col("source"), col("doc_id"))
       .agg((sum(col("k") * coalesce(col("llr_e4"), col("unseen_e4"))) +
         max(col("prior_e4"))).as("score_e4"))
-    scored.groupBy(col("source"))
+  }
+
+  /** Classifier ACCEPTANCE — the confusion matrix of [[nbQuality]]'s
+    * admission verdict against the heuristic-decile label on the
+    * HELD-OUT 95% (the labels the classifier never saw): per source
+    * tp/fp/fn/tn and accuracy ppm. The q_ivf_recall discipline applied
+    * to the classifier: a trained model ships with its measured
+    * generalization, as an oracle-checked query — if a refactor breaks
+    * the model, this row moves before any downstream corpus does.
+    *
+    * Scale: the scored frame's linear joins + one label expression on
+    * the eval docs + two hash aggs. */
+  def nbConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull && col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), (qualityDecile >= 7).as("label"))
+    nbScored(spark, sfDir)
+      .join(labels, Seq("doc_id"))
+      .withColumn("pred", col("score_e4") > 0)
+      .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("score_e4") > 0, 1L).otherwise(0L)).as("n_admitted"),
-        sum(col("score_e4")).cast("long").as("sum_score_e4"))
-      .withColumn("admit_ppm", expr("(n_admitted * 1000000) DIV n_docs"))
-      .select(col("source"), col("n_docs"), col("n_admitted"), col("admit_ppm"),
-        col("sum_score_e4"))
+        sum(when(col("pred") && col("label"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("label"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("label"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("label"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("accuracy_ppm", expr("((tp + tn) * 1000000) DIV n_docs"))
       .orderBy(col("source"))
   }
 
-  /** Oracle twin of [[nbQuality]] — the decile labeler is the shared
-    * [[qualityDecileSqlExpr]] fragment, so the seed labels cannot
-    * drift from the proven decile query. */
-  def nbQualitySql: String =
-    s"""WITH seed AS (
+  /** Shared WITH-body (CTE chain ending in `scored`) for the NB
+    * classifier — interpolated verbatim into [[nbQualitySql]] and
+    * [[nbConfusionSql]]. */
+  private def nbCtesSql: String =
+    s"""seed AS (
        |  SELECT doc_id, ($qualityDecileSqlExpr) >= 7 AS pos, string_split(text, ' ') AS t
        |  FROM documents WHERE text IS NOT NULL AND doc_id % 20 = 0),
        |seedtoks AS (SELECT pos, unnest(t) AS token FROM seed),
@@ -520,13 +553,39 @@ object Text {
        |  SELECT source, doc_id,
        |    CAST(sum(k * COALESCE(llr_e4, unseen_e4)) + max(prior_e4) AS BIGINT) AS score_e4
        |  FROM probek LEFT JOIN llr USING (token) CROSS JOIN scalars
-       |  GROUP BY source, doc_id)
+       |  GROUP BY source, doc_id)""".stripMargin
+
+  /** Oracle twin of [[nbQuality]] — the decile labeler is the shared
+    * [[qualityDecileSqlExpr]] fragment, so the seed labels cannot
+    * drift from the proven decile query. */
+  def nbQualitySql: String =
+    s"""WITH $nbCtesSql
        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(sum(CASE WHEN score_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
        |  CAST(CAST(sum(CASE WHEN score_e4 > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
        |       // CAST(count(*) AS BIGINT) AS BIGINT) AS admit_ppm,
        |  CAST(sum(score_e4) AS BIGINT) AS sum_score_e4
        |FROM scored
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Oracle twin of [[nbConfusion]]. */
+  def nbConfusionSql: String =
+    s"""WITH $nbCtesSql,
+       |labels AS (
+       |  SELECT doc_id, ($qualityDecileSqlExpr) >= 7 AS label
+       |  FROM documents WHERE text IS NOT NULL AND doc_id % 20 <> 0),
+       |joined AS (
+       |  SELECT source, score_e4 > 0 AS pred, label
+       |  FROM scored JOIN labels USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST((CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+       |       // CAST(count(*) AS BIGINT) AS BIGINT) AS accuracy_ppm
+       |FROM joined
        |GROUP BY source
        |ORDER BY source""".stripMargin
 

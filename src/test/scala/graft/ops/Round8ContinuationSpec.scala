@@ -98,6 +98,23 @@ class Round8ContinuationSpec extends SparkTestBase {
     }
   }
 
+  test("nbConfusion: the matrix partitions the scored docs exactly and " +
+      "agrees with nbQuality's admission counts cell-for-cell") {
+    val adm = Text.nbQuality(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val conf = Text.nbConfusion(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(conf.nonEmpty && conf.map(_._1).toSet == adm.keySet)
+    conf.foreach { case (src, n, tp, fp, fn, tn, accPpm) =>
+      assert(tp + fp + fn + tn == n, s"$src: matrix must partition the docs")
+      assert(tp + fp == adm(src)._2,
+        s"$src: predicted-positive mass must equal nbQuality's admissions")
+      assert(n == adm(src)._1)
+      assert(accPpm == (tp + tn) * 1000000L / n)
+    }
+  }
+
   test("nbQuality plan: the model/scalars ride broadcasts (1-row or " +
       "seed-vocab-sized); no cartesian product; the corpus is scanned, " +
       "never nested-looped against itself") {
