@@ -449,8 +449,19 @@ object Catalog {
     // Bloom build: a count gate first (cheap agg), then collect distinct
     // values ONLY for under-cap (file, col) pairs — a high-cardinality
     // file simply records no bloom and is never skipped
+    // blooms are built ONLY for long/int/string columns: any other
+    // type's commit-time string cast can differ from a probe value's
+    // canonical form (DOUBLE "701.0" vs a Long probe's "701"), and a
+    // false "definitely absent" would wrongly SKIP a matching file —
+    // unsupported types simply record no bloom and are never skipped
+    val bloomSafe: Set[String] = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSet
     val blooms: Map[(String, String), String] =
-      bloomCols.filter(df.columns.contains).flatMap { c =>
+      bloomCols.filter(c => df.columns.contains(c) && bloomSafe.contains(c))
+        .flatMap { c =>
         val distinctVals = df
           .select(fileCol.as("_graft_f"), col(c).cast("string").as("v"))
           .filter(col("v").isNotNull).distinct()
@@ -523,11 +534,11 @@ object Catalog {
     * never a filter). Bounds: Long/Int/Double/String, or a
     * java.sql.Timestamp (compared against the stored epoch millis).
     * Planned ENTIRELY from the log — no data file is opened. */
-  def lakeFilesOverlapping(spark: SparkSession, layout: Layout,
-      column: String, lo: Any, hi: Any,
-      version: Long = Long.MaxValue): Seq[String] = {
-    val stats = lakeFileStatsAsOf(spark, layout, version)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  /** True when the file's recorded `[min, max]` for `column` might
+    * overlap `[lo, hi]` — absent/incomparable stats keep the file
+    * (skipping is an optimization, never a filter). */
+  private def statsMightOverlap(json: String, column: String, lo: Any, hi: Any,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): Boolean = {
     def bound(v: Any): Any = v match {
       case ts: java.sql.Timestamp => ts.getTime
       case other => other
@@ -540,19 +551,40 @@ object Catalog {
         case (false, s: String) if statVal.isTextual => Some(statVal.asText.compareTo(s))
         case _ => None // incomparable: never skip on it
       }
+    val node = mapper.readTree(json).get(column)
+    if (node == null) true
+    else !(cmp(node.get("max"), lo).exists(_ < 0) ||
+      cmp(node.get("min"), hi).exists(_ > 0))
+  }
+
+  def lakeFilesOverlapping(spark: SparkSession, layout: Layout,
+      column: String, lo: Any, hi: Any,
+      version: Long = Long.MaxValue): Seq[String] = {
+    val stats = lakeFileStatsAsOf(spark, layout, version)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     lakeFilesAsOf(spark, layout, version).filter { rel =>
-      stats.get(rel) match {
-        case None => true
-        case Some(json) =>
-          val node = mapper.readTree(json).get(column)
-          if (node == null) true
-          else {
-            val disjoint =
-              cmp(node.get("max"), lo).exists(_ < 0) ||
-              cmp(node.get("min"), hi).exists(_ > 0)
-            !disjoint
-          }
-      }
+      stats.get(rel).forall(statsMightOverlap(_, column, lo, hi, mapper))
+    }
+  }
+
+  /** Snapshot-semantics read of an explicit committed file subset —
+    * the scan + DV anti-join + evolution merge every pruned read
+    * shares ([[loadLakeRange]], [[loadLakePoint]]); callers add their
+    * residual filter. */
+  private def snapshotReadFiles(spark: SparkSession, layout: Layout,
+      files: Seq[String], version: Long): DataFrame = {
+    val scan = spark.read.option("basePath", layout.lakeDir)
+      .option("mergeSchema", "true")
+      .parquet(files.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val dvLive = dvFilesAsOf(spark, layout, version)
+    val withDv =
+      if (dvLive.isEmpty) scan
+      else applyDvs(scan,
+        spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
+        qualifiedLakeDir(spark, layout))
+    lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
+      case (d, (_, n, ddl)) =>
+        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
     }
   }
 
@@ -566,20 +598,8 @@ object Catalog {
       lo: Any, hi: Any, version: Long = Long.MaxValue): DataFrame = {
     val keep = lakeFilesOverlapping(spark, layout, column, lo, hi, version)
     if (keep.isEmpty) return spark.emptyDataFrame
-    val scan = spark.read.option("basePath", layout.lakeDir)
-      .option("mergeSchema", "true")
-      .parquet(keep.map(rel => s"${layout.lakeDir}/$rel"): _*)
-    val dvLive = dvFilesAsOf(spark, layout, version)
-    val withDv =
-      if (dvLive.isEmpty) scan
-      else applyDvs(scan,
-        spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
-        qualifiedLakeDir(spark, layout))
-    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
-      case (d, (_, n, ddl)) =>
-        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
-    }
-    evolved.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    snapshotReadFiles(spark, layout, keep, version)
+      .filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** POINT-predicate file skipping from the log alone: the live files
@@ -603,15 +623,17 @@ object Catalog {
     val v = BloomStats.canonical(value)
     val stats = lakeFileStatsAsOf(spark, layout, version)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    lakeFilesOverlapping(spark, layout, column, value, value, version)
-      .filter { rel =>
-        !safe || (stats.get(rel) match {
-          case None => true
-          case Some(json) =>
+    // one stats fetch serves both prunes (range = a degenerate point)
+    lakeFilesAsOf(spark, layout, version).filter { rel =>
+      stats.get(rel).forall { json =>
+        statsMightOverlap(json, column, value, value, mapper) && {
+          !safe || {
             val b = mapper.readTree(json).path("_bloom").path(column)
             !b.isTextual || BloomStats.mightContain(b.asText(), v)
-        })
+          }
+        }
       }
+    }
   }
 
   /** Point lookup through the skipping indexes: [[loadLakeSnapshot]]
@@ -623,20 +645,8 @@ object Catalog {
       value: Any, version: Long = Long.MaxValue): DataFrame = {
     val keep = lakeFilesMatchingPoint(spark, layout, column, value, version)
     if (keep.isEmpty) return spark.emptyDataFrame
-    val scan = spark.read.option("basePath", layout.lakeDir)
-      .option("mergeSchema", "true")
-      .parquet(keep.map(rel => s"${layout.lakeDir}/$rel"): _*)
-    val dvLive = dvFilesAsOf(spark, layout, version)
-    val withDv =
-      if (dvLive.isEmpty) scan
-      else applyDvs(scan,
-        spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
-        qualifiedLakeDir(spark, layout))
-    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
-      case (d, (_, n, ddl)) =>
-        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
-    }
-    evolved.filter(col(column) === lit(value))
+    snapshotReadFiles(spark, layout, keep, version)
+      .filter(col(column) === lit(value))
   }
 
   /** METADATA-ONLY `count(*)` of the committed lake snapshot — the
@@ -1168,16 +1178,8 @@ object Catalog {
       // sources that gained DV'd files since discovery are NOT under
       // our locks — leave them to the next run rather than racing
       val lockedAffected = affected.filter(f => sources0.contains(sourceOfRel(f)))
-      val postLive = live.filterNot(lockedAffected.toSet)
-      // a DV file survives iff any of its rows still targets a live file
-      val dvWithSelf = spark.read.parquet(dvPaths: _*)
-        .select(col("file"),
-          expr(s"substring(_metadata.file_path, ${prefix.length + 2})").as("self"))
-      import spark.implicits._
-      val keepDv = dvWithSelf
-        .join(postLive.toDF("lf"), col("file") === col("lf"), "left_semi")
-        .select("self").distinct().collect().map(_.getString(0)).toSet
-      val dvRm = dvLive.filterNot(keepDv.contains)
+      val dvRm = staleDvsAfterRemoval(spark, layout, lockedAffected.toSet,
+        dvLive, prefix)
       if (lockedAffected.isEmpty && dvRm.isEmpty) return 0L
       val uuid = java.util.UUID.randomUUID().toString
       val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
@@ -1200,6 +1202,26 @@ object Catalog {
       if (staged.isEmpty) fs.delete(stage, true)
       lockedAffected.size.toLong
     }
+  }
+
+  /** DV sidecars that no longer apply once `removed` leaves the live
+    * set — a DV file survives iff any of its rows targets a file in
+    * (live \ removed); returns the rels to DROP in the same commit.
+    * The one rule [[materializeLakeDeletes]] and [[optimizeLake]]
+    * share. */
+  private def staleDvsAfterRemoval(spark: SparkSession, layout: Layout,
+      removed: Set[String], dvLive: Seq[String], prefix: String): Seq[String] = {
+    if (dvLive.isEmpty) return Seq.empty
+    val dvPaths = dvLive.map(rel => s"${layout.lakeDir}/$rel")
+    val postLive = lakeFilesAsOf(spark, layout).filterNot(removed)
+    import spark.implicits._
+    val dvWithSelf = spark.read.parquet(dvPaths: _*)
+      .select(col("file"),
+        expr(s"substring(_metadata.file_path, ${prefix.length + 2})").as("self"))
+    val keep = dvWithSelf
+      .join(postLive.toDF("lf"), col("file") === col("lf"), "left_semi")
+      .select("self").distinct().collect().map(_.getString(0)).toSet
+    dvLive.filterNot(keep.contains)
   }
 
   /** Committed lake OPTIMIZE — Delta's `OPTIMIZE [ZORDER BY]` on the
@@ -1237,72 +1259,57 @@ object Catalog {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def fileLen(rel: String): Long =
       fs.getFileStatus(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")).getLen
-    def candidates(): Map[String, Seq[String]] =
-      lakeFilesAsOf(spark, layout).groupBy(sourceOfRel).flatMap {
-        case (src, files) =>
-          if (zorder.isDefined && files.nonEmpty) Some(src -> files.sorted)
-          else {
-            // candidacy threshold is HALF the target so the outputs of a
-            // pack (avg ≥ target/2 by construction) are never re-chosen —
-            // repeated OPTIMIZE runs converge instead of churning
-            val small = files.filter(f => fileLen(f) < targetBytes / 2)
-            if (small.size >= 2) Some(src -> small.sorted) else None
-          }
+    // candidacy for ONE source's live files — the under-lock re-check
+    // stats only that source's files (never O(sources × files) RPCs)
+    def candidatesIn(files: Seq[String]): Option[Seq[String]] =
+      if (zorder.isDefined && files.nonEmpty) Some(files.sorted)
+      else {
+        // candidacy threshold is HALF the target so the outputs of a
+        // pack (avg ≥ target/2 by construction) are never re-chosen —
+        // repeated OPTIMIZE runs converge instead of churning
+        val small = files.filter(f => fileLen(f) < targetBytes / 2)
+        if (small.size >= 2) Some(small.sorted) else None
       }
     val prefix = qualifiedLakeDir(spark, layout)
+    val bySource = lakeFilesAsOf(spark, layout).groupBy(sourceOfRel)
     var rewritten = 0L
-    candidates().keys.toSeq.sorted.foreach { src =>
-      SourceLock.withLock(spark, layout, src, lockTtlMs, waitMs) {
-        candidates().get(src).foreach { chosen =>
-          val bytes = chosen.map(fileLen).sum
-          val n = math.max(1L, math.min((bytes + targetBytes - 1) / targetBytes,
-            4096L)).toInt
-          val scan = spark.read.option("basePath", layout.lakeDir)
-            .option("mergeSchema", "true")
-            .parquet(chosen.map(rel => s"${layout.lakeDir}/$rel"): _*)
-          val dvLive = dvFilesAsOf(spark, layout)
-          val dvPaths = dvLive.map(rel => s"${layout.lakeDir}/$rel")
-          val undeleted =
-            if (dvLive.isEmpty) scan
-            else applyDvs(scan, spark.read.parquet(dvPaths: _*), prefix)
-          val packed = zorder match {
-            case Some((a, b)) => ZOrder.clusteredBy(undeleted, a, b, n)
-            case None => undeleted.repartition(n)
-          }
-          val uuid = java.util.UUID.randomUUID().toString
-          val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
-          packed.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
-          val staged = stagedFiles(fs, stage)
-          // a DV file survives iff any of its rows still targets a file
-          // live AFTER this commit (the materializeLakeDeletes rule)
-          val dvRm =
-            if (dvLive.isEmpty) Seq.empty[String]
-            else {
-              val postLive = lakeFilesAsOf(spark, layout).filterNot(chosen.toSet)
-              import spark.implicits._
-              val dvWithSelf = spark.read.parquet(dvPaths: _*)
-                .select(col("file"),
-                  expr(s"substring(_metadata.file_path, ${prefix.length + 2})").as("self"))
-              val keep = dvWithSelf
-                .join(postLive.toDF("lf"), col("file") === col("lf"), "left_semi")
-                .select("self").distinct().collect().map(_.getString(0)).toSet
-              dvLive.filterNot(keep.contains)
+    bySource.collect { case (src, files) if candidatesIn(files).isDefined => src }
+      .toSeq.sorted.foreach { src =>
+        SourceLock.withLock(spark, layout, src, lockTtlMs, waitMs) {
+          val liveNow = lakeFilesAsOf(spark, layout).filter(sourceOfRel(_) == src)
+          candidatesIn(liveNow).foreach { chosen =>
+            val bytes = chosen.map(fileLen).sum
+            val n = math.max(1L, math.min((bytes + targetBytes - 1) / targetBytes,
+              4096L)).toInt
+            val scan = spark.read.option("basePath", layout.lakeDir)
+              .option("mergeSchema", "true")
+              .parquet(chosen.map(rel => s"${layout.lakeDir}/$rel"): _*)
+            val undeleted = applyCommittedDvs(spark, layout, scan)
+            val packed = zorder match {
+              case Some((a, b)) => ZOrder.clusteredBy(undeleted, a, b, n)
+              case None => undeleted.repartition(n)
             }
-          val stats =
-            if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
-              Seq.empty[(String, String)]
-            else computeFileStats(spark, stage.toString, statsCols, bloomCols)
-          val rec = V2Record(-1L, System.currentTimeMillis(), None,
-            None, Seq.empty, None, Seq.empty, Seq.empty,
-            if (staged.nonEmpty) Some(uuid) else None, staged,
-            lakeRemoves = chosen, dvRemoves = dvRm, fileStats = stats)
-          val seq = claimBody(fs, layout, v2Body(rec))
-          finishV2(fs, layout, seq, rec)
-          if (staged.isEmpty) fs.delete(stage, true)
-          rewritten += chosen.size
+            val uuid = java.util.UUID.randomUUID().toString
+            val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
+            packed.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+            val staged = stagedFiles(fs, stage)
+            val dvRm = staleDvsAfterRemoval(spark, layout, chosen.toSet,
+              dvFilesAsOf(spark, layout), prefix)
+            val stats =
+              if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
+                Seq.empty[(String, String)]
+              else computeFileStats(spark, stage.toString, statsCols, bloomCols)
+            val rec = V2Record(-1L, System.currentTimeMillis(), None,
+              None, Seq.empty, None, Seq.empty, Seq.empty,
+              if (staged.nonEmpty) Some(uuid) else None, staged,
+              lakeRemoves = chosen, dvRemoves = dvRm, fileStats = stats)
+            val seq = claimBody(fs, layout, v2Body(rec))
+            finishV2(fs, layout, seq, rec)
+            if (staged.isEmpty) fs.delete(stage, true)
+            rewritten += chosen.size
+          }
         }
       }
-    }
     rewritten
   }
 

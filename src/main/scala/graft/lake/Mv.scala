@@ -17,19 +17,23 @@ import org.apache.spark.sql.functions._
   * pattern). Each [[refresh]] costs O(changes since the last refresh) +
   * O(view), independent of lake size.
   *
-  * State protocol (crash-safe on any filesystem with atomic rename):
-  * the view lives in `stateDir/s<version>/` parquet; a `_current`
-  * pointer file names the live directory and is flipped by temp+rename
-  * AFTER the new state is fully written. A crash between state write
-  * and pointer flip leaves an orphan directory that the next refresh
-  * sweeps; a reader never observes a half-written view.
+  * State protocol (crash-safe with NO atomic-rename assumption beyond
+  * what Spark's own committer provides): each commit writes a FRESH
+  * `s<version>-<uuid>/` parquet directory — Spark's `_SUCCESS` marker
+  * is the completeness fact — and the live view is simply the
+  * lexicographically-highest complete directory (versions are
+  * zero-padded, so name order = (version, uuid) order). Nothing is
+  * ever deleted before its replacement is complete; a crash at ANY
+  * point leaves the previous complete state live, and [[refresh]]
+  * sweeps superseded/incomplete directories afterwards. A reader never
+  * observes a half-written view because it never looks at a directory
+  * without `_SUCCESS`.
   *
   * Concurrency: the view is SINGLE-WRITER (one refresher owns a
   * stateDir — the norm for a maintained view); concurrent READS are
-  * always safe (the pointer only ever names a fully-written
-  * directory). Two concurrent refreshes would race the pointer flip —
-  * last writer wins with a complete, correct state, but work is
-  * wasted; serialize refreshes per stateDir.
+  * always safe. Two concurrent refreshes both land complete states and
+  * name order picks one — correct but wasted work; serialize refreshes
+  * per stateDir.
   *
   * Erasure caveat (inherited from the feed, documented there): an
   * [[Erase]] rewrite is deliberately not re-emitted as deletes, so a
@@ -42,47 +46,49 @@ object Mv {
     * is now at (unchanged when no new commits exist — an idempotent
     * no-op). First call bootstraps from version 0, i.e. replays the
     * full feed; prefer [[rebuild]] for the bootstrap when the feed's
-    * early files may already be vacuumed. */
+    * early files may already be vacuumed. A head that advanced with NO
+    * lake-area commits yet (catalog/distribution-only tables) leaves
+    * the view untouched. */
   def refresh(spark: SparkSession, layout: Layout, stateDir: String,
       keyCols: Seq[String], valueCol: String): Long = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val head = Catalog.headVersion(spark, layout)
-    val cur = currentVersion(spark, stateDir)
-    sweepOrphans(spark, stateDir, cur)
-    val v0 = cur.getOrElse(0L)
+    val cur = liveState(spark, stateDir)
+    val v0 = cur.map(_._1).getOrElse(0L)
     if (head <= v0) return v0
     val changes = Catalog.lakeChangesBetween(spark, layout, v0, head)
+    if (!keyCols.forall(changes.columns.contains) ||
+        !changes.columns.contains(valueCol)) {
+      // no lake data exists yet (the empty feed has no payload schema):
+      // nothing to fold, nothing to stamp — retry once the lake commits
+      return v0
+    }
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val delta = changes.groupBy(keyCols.map(col): _*)
       .agg(sum(sign).as("n_rows"),
         sum(sign * col(valueCol).cast("long")).as("sum_v"))
     val merged = cur match {
       case None => delta
-      case Some(_) => read(spark, stateDir).unionByName(delta)
+      case Some((_, dir)) => spark.read.parquet(dir).unionByName(delta)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"))
     }
-    commitState(spark, stateDir,
-      merged.filter(col("n_rows") =!= 0L), head)
+    commitState(spark, stateDir, merged.filter(col("n_rows") =!= 0L), head)
     head
   }
 
   /** Re-derive the view directly from the live committed snapshot and
     * stamp it at the head version — the post-erase (or bootstrap)
-    * path that needs no historical change files. */
+    * path that needs no historical change files. A lake with no
+    * committed data is a no-op (there is no schema to derive). */
   def rebuild(spark: SparkSession, layout: Layout, stateDir: String,
       keyCols: Seq[String], valueCol: String): Long = {
     val head = Catalog.headVersion(spark, layout)
-    sweepOrphans(spark, stateDir, currentVersion(spark, stateDir))
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
-    val agg =
-      if (snap.columns.isEmpty)
-        spark.range(0).select(
-          (keyCols.map(k => lit(null).cast("string").as(k)) ++
-            Seq(lit(0L).as("n_rows"), lit(0L).as("sum_v"))): _*).limit(0)
-      else snap.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col(valueCol).cast("long")).as("sum_v"))
+    if (snap.columns.isEmpty) return liveState(spark, stateDir).map(_._1).getOrElse(0L)
+    val agg = snap.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sum_v"))
     commitState(spark, stateDir, agg, head)
     head
   }
@@ -90,53 +96,54 @@ object Mv {
   /** The live view: `(keyCols…, n_rows, sum_v)`. Empty (no columns)
     * before the first refresh. */
   def read(spark: SparkSession, stateDir: String): DataFrame =
-    currentVersion(spark, stateDir) match {
-      case Some(v) => spark.read.parquet(s"$stateDir/s$v")
+    liveState(spark, stateDir) match {
+      case Some((_, dir)) => spark.read.parquet(dir)
       case None => spark.emptyDataFrame
     }
 
   /** The version the view is at, None before the first refresh. */
-  def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
+  def currentVersion(spark: SparkSession, stateDir: String): Option[Long] =
+    liveState(spark, stateDir).map(_._1)
+
+  /** The lexicographically-highest COMPLETE (`_SUCCESS`-marked) state
+    * directory — zero-padded versions make name order (version, uuid)
+    * order, and completeness-gating makes a half-written directory
+    * invisible. */
+  private def liveState(spark: SparkSession,
+      stateDir: String): Option[(Long, String)] = {
     val fs = fsOf(spark, stateDir)
-    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_current")
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    Option(name).filter(_.startsWith("s")).map(_.stripPrefix("s").toLong)
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("s") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).sorted.lastOption
+      .map(n => (n.stripPrefix("s").takeWhile(_ != '-').toLong, s"$stateDir/$n"))
   }
 
+  /** Write a fresh complete state, THEN sweep — never delete before
+    * the replacement exists, and keep the IMMEDIATELY-PREVIOUS complete
+    * state as read grace (a reader that resolved the old directory just
+    * before this commit finishes its scan; it is reclaimed on the next
+    * refresh — the vacuum-grace idea at view scale). */
   private def commitState(spark: SparkSession, stateDir: String,
       view: DataFrame, version: Long): Unit = {
     val fs = fsOf(spark, stateDir)
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$stateDir/_tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-    view.write.mode("overwrite").parquet(tmp.toString)
-    val dst = new org.apache.hadoop.fs.Path(s"$stateDir/s$version")
-    if (fs.exists(dst)) fs.delete(dst, true) // re-refresh at same head
-    require(fs.rename(tmp, dst), s"mv state rename failed: $tmp -> $dst")
-    val ptmp = new org.apache.hadoop.fs.Path(
-      s"$stateDir/_ptr-${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(ptmp, true)
-    try out.write(s"s$version".getBytes("UTF-8")) finally out.close()
-    val ptr = new org.apache.hadoop.fs.Path(s"$stateDir/_current")
-    fs.delete(ptr, false)
-    require(fs.rename(ptmp, ptr), "mv pointer rename failed")
-  }
-
-  /** Drop state dirs the pointer does not reference (crash leftovers
-    * and superseded versions). */
-  private def sweepOrphans(spark: SparkSession, stateDir: String,
-      live: Option[Long]): Unit = {
-    val fs = fsOf(spark, stateDir)
+    val name = f"s$version%020d-${java.util.UUID.randomUUID().toString.take(8)}"
+    view.write.mode("overwrite").parquet(s"$stateDir/$name")
     val root = new org.apache.hadoop.fs.Path(stateDir)
-    if (!fs.exists(root)) return
-    val keep = live.map(v => s"s$v").getOrElse("")
+    val complete = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("s") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName).sorted
+    val keep = complete.takeRight(2).toSet
     fs.listStatus(root).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n != keep && (n.startsWith("s") || n.startsWith("_tmp-")))
+      if (st.isDirectory && !keep.contains(n) && n.startsWith("s"))
         fs.delete(st.getPath, true)
     }
+    // legacy pointer file from the pre-_SUCCESS protocol, if any
+    fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/_current"), false)
   }
 
   private def fsOf(spark: SparkSession, dir: String) =

@@ -706,9 +706,12 @@ object Aggregates {
     * Poisson(1) inverse CDF (literal cumulative thresholds e⁻¹·Σ1/k!,
     * capped at 5 — P(K>5) ≈ 6·10⁻⁴ truncated identically on both
     * sides). Replicate means are exact integer division over
-    * non-negative cents; the interval is the 2nd/(reps−1)th ORDER
-    * STATISTIC of the replicate means (rank 2 and 31 of 32 ≈ a 94% CI)
-    * — rank-based, no percentile interpolation to diverge on.
+    * non-negative cents; the interval is the 2nd/(count−1)th ORDER
+    * STATISTIC of the SURVIVING replicate means (a replicate whose
+    * every row drew 0 has no mean and is dropped — P = e^-n per type,
+    * real for tiny types and an ANSI /0 error otherwise; rank 2 and 31
+    * of 32 ≈ a 94% CI) — rank-based, no percentile interpolation to
+    * diverge on.
     *
     * Scale: one explode (×reps, linear) into a map-side-combined
     * (type, rep) agg; the rank window runs over types × reps rows. */
@@ -728,17 +731,23 @@ object Aggregates {
       .when(u < 0.9810118431238462, 3L)
       .when(u < 0.9963401531726563, 4L)
       .otherwise(5L)
+    // a replicate whose every row drew weight 0 (P = e^-n per type —
+    // real for tiny types) has no mean: drop it BEFORE the division
+    // (ANSI mode makes /0 a runtime error) and rank over the survivors
     val repMeans = expl.withColumn("w", w)
       .groupBy(col("event_type"), col("rep"))
       .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
       .withColumn("mean_e4", expr("(swc * 10000) DIV sw"))
     val rk = Window.partitionBy(col("event_type"))
       .orderBy(col("mean_e4"), col("rep"))
+    val cw = Window.partitionBy(col("event_type"))
     val ranked = repMeans
       .withColumn("r", row_number().over(rk))
+      .withColumn("cnt", count(lit(1)).over(cw))
       .groupBy(col("event_type"))
       .agg(max(when(col("r") === 2, col("mean_e4"))).as("boot_lo_e4"),
-        max(when(col("r") === reps - 1, col("mean_e4"))).as("boot_hi_e4"))
+        max(when(col("r") === col("cnt") - 1, col("mean_e4"))).as("boot_hi_e4"))
     val full = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sc"))
       .withColumn("mean_e4", expr("(sc * 10000) DIV n_events"))
@@ -771,15 +780,17 @@ object Aggregates {
        |rep_means AS (
        |  SELECT event_type, rep,
        |    CAST(sum(w * cents) AS BIGINT) * 10000 // CAST(sum(w) AS BIGINT) AS mean_e4
-       |  FROM weighted GROUP BY event_type, rep),
+       |  FROM weighted GROUP BY event_type, rep
+       |  HAVING sum(w) > 0),
        |ranked AS (
        |  SELECT event_type, mean_e4,
-       |    row_number() OVER (PARTITION BY event_type ORDER BY mean_e4, rep) AS r
+       |    row_number() OVER (PARTITION BY event_type ORDER BY mean_e4, rep) AS r,
+       |    count(*) OVER (PARTITION BY event_type) AS cnt
        |  FROM rep_means),
        |ci AS (
        |  SELECT event_type,
        |    CAST(max(CASE WHEN r = 2 THEN mean_e4 END) AS BIGINT) AS boot_lo_e4,
-       |    CAST(max(CASE WHEN r = ${reps - 1} THEN mean_e4 END) AS BIGINT) AS boot_hi_e4
+       |    CAST(max(CASE WHEN r = cnt - 1 THEN mean_e4 END) AS BIGINT) AS boot_hi_e4
        |  FROM ranked GROUP BY event_type),
        |full_mean AS (
        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -884,6 +884,10 @@ object EventOps {
     val series = dailySeries(spark, sfDir)
     series.groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("t"), col("x")))).as("sx"))
+      // a 1-day series has no trend to estimate: dropped on BOTH sides
+      // (the oracle's init join on t = 1 matches nothing) rather than
+      // an ANSI out-of-bounds error on sx[1]
+      .filter(size(col("sx")) >= 2)
       .select(col("event_type"),
         size(col("sx")).cast("long").as("n_days"),
         // init l0 = x0·e6, b0 = (x1 − x0)·e6; fold x1..x_{N−1}

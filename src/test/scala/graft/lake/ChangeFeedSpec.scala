@@ -206,12 +206,16 @@ class ChangeFeedSpec extends SparkTestBase {
     Mv.refresh(spark, layout, stateDir, Seq("source"), "v")
     assert(view() == direct() && !view().exists(_._1 == "clicks"))
 
-    // crash-sim: an orphan _tmp dir and a stale state dir are swept
-    new java.io.File(s"$stateDir/_tmp-deadbeef").mkdirs()
+    // crash-sim: a half-written state directory (no _SUCCESS) is
+    // invisible to readers — even named ABOVE the live version — and
+    // the next refresh's sweep reclaims it
+    new java.io.File(s"$stateDir/s99999999999999999999-crash").mkdirs()
+    assert(view() == direct(), "an incomplete state dir must never be read")
     Catalog.commitLake(spark, layout, Seq(("web", "k9", 90L)).toDF("source", "key", "v"))
     Mv.refresh(spark, layout, stateDir, Seq("source"), "v")
     assert(view() == direct())
-    assert(!new java.io.File(s"$stateDir/_tmp-deadbeef").exists())
+    assert(!new java.io.File(s"$stateDir/s99999999999999999999-crash").exists(),
+      "the sweep reclaims incomplete state dirs")
 
     // after vacuum breaks the historical feed, rebuild re-derives from
     // the snapshot and refresh resumes from there
