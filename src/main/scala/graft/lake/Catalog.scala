@@ -207,7 +207,9 @@ object Catalog {
       addCols: Seq[(String, String)] = Seq.empty,
       dvUuid: Option[String] = None, dv: Seq[String] = Seq.empty,
       dvRemoves: Seq[String] = Seq.empty,
-      fileStats: Seq[(String, String)] = Seq.empty)
+      fileStats: Seq[(String, String)] = Seq.empty,
+      expects: Seq[(String, String)] = Seq.empty,
+      expectRms: Seq[String] = Seq.empty)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -222,6 +224,8 @@ object Catalog {
     r.dvUuid.foreach { u => b ++= s"\ndv $u"; r.dv.foreach(f => b ++= s"\n$f") }
     if (r.dvRemoves.nonEmpty) { b ++= "\ndvrm"; r.dvRemoves.foreach(f => b ++= s"\n$f") }
     r.fileStats.foreach { case (rel, json) => b ++= s"\nfstat $rel $json" }
+    r.expects.foreach { case (n, pred) => b ++= s"\nexpect $n $pred" }
+    r.expectRms.foreach(n => b ++= s"\nexpectrm $n")
     b.result()
   }
 
@@ -237,6 +241,8 @@ object Catalog {
     val dvRemoves = Seq.newBuilder[String]
     val addCols = Seq.newBuilder[(String, String)]
     val fileStats = Seq.newBuilder[(String, String)]
+    val expects = Seq.newBuilder[(String, String)]
+    val expectRms = Seq.newBuilder[String]
     var section = ""
     lines.tail.foreach { l =>
       if (l.startsWith("marker ")) marker = Some(l.stripPrefix("marker "))
@@ -244,6 +250,12 @@ object Catalog {
         val rest = l.stripPrefix("fstat ")
         val sp = rest.indexOf(' ')
         fileStats += ((rest.substring(0, sp), rest.substring(sp + 1)))
+      }
+      else if (l.startsWith("expectrm ")) expectRms += l.stripPrefix("expectrm ")
+      else if (l.startsWith("expect ")) {
+        val rest = l.stripPrefix("expect ")
+        val sp = rest.indexOf(' ')
+        expects += ((rest.substring(0, sp), rest.substring(sp + 1)))
       }
       else if (l.startsWith("cat ")) { section = "cat"; catUuid = Some(l.stripPrefix("cat ")) }
       else if (l.startsWith("dist ")) { section = "dist"; distUuid = Some(l.stripPrefix("dist ")) }
@@ -271,7 +283,8 @@ object Catalog {
     V2Record(head(1).toLong, head(2).toLong, marker,
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
       lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
-      dvUuid, dv.result(), dvRemoves.result(), fileStats.result())
+      dvUuid, dv.result(), dvRemoves.result(), fileStats.result(),
+      expects.result(), expectRms.result())
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -412,6 +425,7 @@ object Catalog {
       removes: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    enforceExpectations(spark, layout, batch)
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString
@@ -772,6 +786,103 @@ object Catalog {
       version: Long = Long.MaxValue): Seq[(Long, String, String)] =
     readLog(spark, layout).addCols.filter(_._1 <= version).sortBy(_._1)
 
+  // --------------------------------------------------------------------
+  // Expectations: commit-time CHECK constraints on the manifest log
+  // --------------------------------------------------------------------
+
+  /** EXPECTATIONS — Delta-style `ADD CONSTRAINT CHECK` / the
+    * data-quality gates a dbt/DLT pipeline declares, as a manifest-log
+    * fact: once committed, EVERY typed-batch write surface
+    * ([[commitLake]], [[upsertLakeByKey]], and therefore
+    * [[graft.streaming.StreamUpsert]]) rejects a batch containing a row
+    * where `predicateSql` evaluates to FALSE — loudly, with the
+    * expectation's name and the violation count, BEFORE anything is
+    * staged, so a bad batch can never become a version. SQL-standard
+    * CHECK semantics: a NULL predicate passes (constrain nullability
+    * explicitly with `x IS NOT NULL`). Existing committed data is
+    * validated AT ADD TIME (this throws, and registers nothing, if the
+    * current snapshot already violates) — grandfathered bad history
+    * would make the gate a lie. The bronze gzip-JSON ingest path stays
+    * schema-on-read and is gated by [[Access]]/tombstones instead.
+    * Returns the commit seq. */
+  def addLakeExpectation(spark: SparkSession, layout: Layout,
+      name: String, predicateSql: String): Long = {
+    require(!name.contains(' ') && name.nonEmpty, s"bad expectation name: '$name'")
+    require(!predicateSql.contains('\n'), "predicate must be single-line")
+    expr(predicateSql) // parse before commit
+    val snap = loadLakeSnapshot(spark, layout)
+    // a predicate over a column the lake doesn't have yet is vacuously
+    // satisfied (every row evaluates NULL = pass) — same rule as the
+    // write-time gate, so pre-evolution adds work
+    val applicable = snap.columns.nonEmpty &&
+      (try { snap.select(expr(predicateSql)); true }
+       catch { case _: org.apache.spark.sql.AnalysisException => false })
+    if (applicable) {
+      val bad = snap.filter(!coalesce(expr(predicateSql), lit(true))).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"expectation '$name' ($predicateSql) already violated by $bad " +
+          "committed rows — clean the lake first or fix the predicate")
+    }
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      expects = Seq((name, predicateSql)))
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    seq
+  }
+
+  /** Drop a committed expectation (future writes stop checking it). */
+  def removeLakeExpectation(spark: SparkSession, layout: Layout,
+      name: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      expectRms = Seq(name))
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    seq
+  }
+
+  /** The expectations in force at `version`: name → predicate (adds
+    * minus removes, by seq; re-adding after a remove re-arms). */
+  def lakeExpectations(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Map[String, String] = {
+    val st = readLog(spark, layout)
+    val events = (st.expects.collect {
+      case (seq, n, p) if seq <= version => (seq, n, Some(p))
+    } ++ st.expectRms.collect {
+      case (seq, n) if seq <= version => (seq, n, None)
+    }).sortBy(_._1)
+    events.foldLeft(Map.empty[String, String]) {
+      case (acc, (_, n, Some(p))) => acc + (n -> p)
+      case (acc, (_, n, None)) => acc - n
+    }
+  }
+
+  /** Enforce the committed expectations on a typed batch BEFORE it is
+    * staged — throws naming the first violated gate. Columns a batch
+    * lacks evaluate the predicate to NULL = pass (the evolution
+    * contract: old-schema writers aren't broken by a new column's
+    * constraint unless it says IS NOT NULL over a column they carry). */
+  private def enforceExpectations(spark: SparkSession, layout: Layout,
+      batch: DataFrame): Unit = {
+    lakeExpectations(spark, layout).foreach { case (name, pred) =>
+      val cond = expr(pred) // add-time-validated; a corrupt line fails LOUD
+      val applicable = // predicate referencing absent columns: skip (NULL-pass)
+        try { batch.select(cond); true }
+        catch { case _: org.apache.spark.sql.AnalysisException => false }
+      if (applicable) {
+        val bad = batch.filter(!coalesce(cond, lit(true))).count()
+        if (bad > 0) throw new IllegalArgumentException(
+          s"expectation '$name' ($pred) violated by $bad batch rows — " +
+            "commit rejected, nothing staged")
+      }
+    }
+  }
+
   /** Snapshot-isolated read of the committed lake parquet (basePath
     * read, so `source` partition pruning still applies). Empty frame
     * when nothing is committed.
@@ -1061,6 +1172,7 @@ object Catalog {
     require(keyCols.nonEmpty && keyCols.forall(batch.columns.contains),
       s"keyCols $keyCols must be batch columns")
     if (batch.isEmpty) return -1L
+    enforceExpectations(spark, layout, batch)
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = batch.select(keyCols.map(col): _*).distinct()
@@ -1324,7 +1436,8 @@ object Catalog {
     val s = readLog(spark, layout)
     (s.cat.map(_._1) ++ s.dist.map(_._1) ++ s.removes.map(_._1) ++
       s.lake.map(_._1) ++ s.lakeRemoves.map(_._1) ++ s.addCols.map(_._1) ++
-      s.dv.map(_._1) ++ s.dvRemoves.map(_._1)).maxOption.getOrElse(0L)
+      s.dv.map(_._1) ++ s.dvRemoves.map(_._1) ++
+      s.expects.map(_._1) ++ s.expectRms.map(_._1)).maxOption.getOrElse(0L)
   }
 
   /** CHANGE DATA FEED — the row-level lake changes committed at
@@ -1647,9 +1760,12 @@ object Catalog {
     val dvF = state.dv.filter(_._1 <= cap)
     val dvrF = state.dvRemoves.filter(_._1 <= cap)
     val fsF = state.fileStats.filter(_._1 <= cap)
+    val exF = state.expects.filter(_._1 <= cap)
+    val exrF = state.expectRms.filter(_._1 <= cap)
     val seqs = catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1) ++
       lakeF.map(_._1) ++ lrmF.map(_._1) ++
       dvF.map(_._1) ++ dvrF.map(_._1) ++ fsF.map(_._1) ++
+      exF.map(_._1) ++ exrF.map(_._1) ++
       state.addCols.filter(_._1 <= cap).map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
@@ -1672,7 +1788,9 @@ object Catalog {
       acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" } ++
       dvF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"DV $s $p" } ++
       dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" } ++
-      fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" }
+      fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" } ++
+      exF.sortBy(e => (e._1, e._2)).map { case (s, n, p) => s"EX $s $n $p" } ++
+      exrF.sortBy(e => (e._1, e._2)).map { case (s, n) => s"EXR $s $n" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),
       s"_cp-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
@@ -1726,7 +1844,9 @@ object Catalog {
       addCols: Seq[(Long, String, String)] = Seq.empty,
       dv: Seq[(Long, String)] = Seq.empty,
       dvRemoves: Seq[(Long, Long, String)] = Seq.empty,
-      fileStats: Seq[(Long, String, String)] = Seq.empty)
+      fileStats: Seq[(Long, String, String)] = Seq.empty,
+      expects: Seq[(Long, String, String)] = Seq.empty,
+      expectRms: Seq[(Long, String)] = Seq.empty)
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -1782,9 +1902,15 @@ object Catalog {
     val dv = Seq.newBuilder[(Long, String)]
     val dvRemoves = Seq.newBuilder[(Long, Long, String)]
     val fileStats = Seq.newBuilder[(Long, String, String)]
+    val expects = Seq.newBuilder[(Long, String, String)]
+    val expectRms = Seq.newBuilder[(Long, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("FS ")) {
         val a = l.split(" ", 4); fileStats += ((a(1).toLong, a(2), a(3)))
+      } else if (l.startsWith("EXR ")) {
+        val a = l.split(' '); expectRms += ((a(1).toLong, a(2)))
+      } else if (l.startsWith("EX ")) {
+        val a = l.split(" ", 4); expects += ((a(1).toLong, a(2), a(3)))
       } else if (l.startsWith("DVR ")) {
         val a = l.split(' '); dvRemoves += ((a(1).toLong, a(2).toLong, a(3)))
       } else if (l.startsWith("DV ")) {
@@ -1825,13 +1951,16 @@ object Catalog {
           r.dv.foreach(rel => dv += ((seq, live(rel))))
           r.dvRemoves.foreach(p => dvRemoves += ((seq, r.claimMs, p)))
           r.fileStats.foreach { case (rel, json) => fileStats += ((seq, live(rel), json)) }
+          r.expects.foreach { case (n, pred) => expects += ((seq, n, pred)) }
+          r.expectRms.foreach(n => expectRms += ((seq, n)))
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
       }
     LogState(cat.result(), dist.result(), removes.result(),
       lake.result(), lakeRemoves.result(), addCols.result(),
-      dv.result(), dvRemoves.result(), fileStats.result())
+      dv.result(), dvRemoves.result(), fileStats.result(),
+      expects.result(), expectRms.result())
   }
 
   /** The committed distribution file set (relative paths): every
