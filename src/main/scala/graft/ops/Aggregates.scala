@@ -701,11 +701,15 @@ object Aggregates {
     * means simultaneously. The uncertainty attached to every metric this
     * suite reports, as a query.
     *
-    * Determinism for the oracle gate: the Poisson draw is SEEDED — u
-    * from the first 48 md5 bits of `event_id:rep` pushed through the
-    * Poisson(1) inverse CDF (literal cumulative thresholds e⁻¹·Σ1/k!,
-    * capped at 5 — P(K>5) ≈ 6·10⁻⁴ truncated identically on both
-    * sides). Replicate means are exact integer division over
+    * Determinism for the oracle gate: the Poisson draw is SEEDED — the
+    * first 48 md5 bits of `event_id:rep` compared against the
+    * Poisson(1) inverse-CDF thresholds e⁻¹·Σ1/k! QUANTIZED to 48 bits
+    * and baked as 12-char hex literals (capped at 5 — P(K>5) ≈ 6·10⁻⁴
+    * truncated identically on both sides). The comparison stays on the
+    * hex STRING (lexicographic order on fixed-width lowercase hex IS
+    * numeric order), so the per-row cost is one md5 + five string
+    * compares — no base-conversion (`conv` walks a BigInteger string
+    * parse per evaluation and dominated the draw, measured 2×). Replicate means are exact integer division over
     * non-negative cents; the interval is the 2nd/(count−1)th ORDER
     * STATISTIC of the SURVIVING replicate means (a replicate whose
     * every row drew 0 has no mean and is dropped — P = e^-n per type,
@@ -720,17 +724,20 @@ object Aggregates {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
-    val expl = ev.select(col("event_type"), col("event_id"), col("cents"),
-      explode(sequence(lit(0), lit(reps - 1))).as("rep"))
-    val u = (conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
-      col("rep").cast("string"))), 1, 12), 16, 10).cast("double") + lit(0.5)) /
-      lit(281474976710656.0)
-    val w = when(u < 0.36787944117144233, 0L)
-      .when(u < 0.7357588823428847, 1L)
-      .when(u < 0.9196986029286058, 2L)
-      .when(u < 0.9810118431238462, 3L)
-      .when(u < 0.9963401531726563, 4L)
-      .otherwise(5L)
+    // the md5 draw costs ~1 µs/row × reps: spread the PRE-explode rows
+    // across every core first — with an EXPLICIT partition count, or
+    // AQE sizes the exchange on its (tiny, pre-blowup) bytes and
+    // coalesces the whole reps× draw back onto one task (measured 4×
+    // the wall time at sf0.1)
+    val expl = ev
+      .repartition(spark.sparkContext.defaultParallelism, col("event_id"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+    val h = substring(md5(concat(col("event_id").cast("string"), lit(":"),
+      col("rep").cast("string"))), 1, 12)
+    val t = poissonHexThresholds
+    val w = when(h < t(0), 0L).when(h < t(1), 1L).when(h < t(2), 2L)
+      .when(h < t(3), 3L).when(h < t(4), 4L).otherwise(5L)
     // a replicate whose every row drew weight 0 (P = e^-n per type —
     // real for tiny types) has no mean: drop it BEFORE the division
     // (ANSI mode makes /0 a runtime error) and rank over the survivors
@@ -758,10 +765,19 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** The Poisson(1) inverse-CDF thresholds e⁻¹·Σ1/k! for k = 0..4,
+    * quantized to 48 bits as 12-char lowercase hex — ONE definition
+    * for the engine, the oracle text, and the spec replay. */
+  val poissonHexThresholds: Seq[String] =
+    Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563)
+      .map(c => f"${math.round(c * 281474976710656.0)}%012x")
+
   /** Oracle twin of [[bootstrapCi]] — `reps` interpolated, identical
-    * seeded inverse-CDF draw. */
+    * seeded hex-threshold draw. */
   def bootstrapCiSql(reps: Int = 32): String = {
-    val u = "((('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 12))::BIGINT + 0.5) / 281474976710656.0)"
+    val h = "substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 12)"
+    val t = poissonHexThresholds
     s"""WITH ev AS (
        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS cents
        |  FROM events),
@@ -770,11 +786,11 @@ object Aggregates {
        |  FROM ev CROSS JOIN (SELECT unnest(generate_series(0, ${reps - 1})) AS rep) r),
        |weighted AS (
        |  SELECT event_type, rep, cents,
-       |    CASE WHEN $u < 0.36787944117144233 THEN 0
-       |         WHEN $u < 0.7357588823428847 THEN 1
-       |         WHEN $u < 0.9196986029286058 THEN 2
-       |         WHEN $u < 0.9810118431238462 THEN 3
-       |         WHEN $u < 0.9963401531726563 THEN 4
+       |    CASE WHEN $h < '${t(0)}' THEN 0
+       |         WHEN $h < '${t(1)}' THEN 1
+       |         WHEN $h < '${t(2)}' THEN 2
+       |         WHEN $h < '${t(3)}' THEN 3
+       |         WHEN $h < '${t(4)}' THEN 4
        |         ELSE 5 END AS w
        |  FROM expl),
        |rep_means AS (

@@ -277,14 +277,10 @@ class Round8ContinuationSpec extends SparkTestBase {
         round(col("value") * 100).cast("long").as("cents"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val reps = 32
+    val thresholds = Aggregates.poissonHexThresholds
     def weight(id: Long, rep: Int): Long = {
-      val h = java.lang.Long.parseLong(md5Hex(s"$id:$rep").take(12), 16)
-      val u = (h + 0.5) / 281474976710656.0
-      if (u < 0.36787944117144233) 0L
-      else if (u < 0.7357588823428847) 1L
-      else if (u < 0.9196986029286058) 2L
-      else if (u < 0.9810118431238462) 3L
-      else if (u < 0.9963401531726563) 4L else 5L
+      val h = md5Hex(s"$id:$rep").take(12)
+      thresholds.count(t => h >= t).toLong
     }
     val expected = rows.groupBy(_._1).map { case (et, rs) =>
       val repMeans = (0 until reps).map { rep =>
