@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * and [[graft.streaming.StreamUpsert]] being the upstream half).
   *
   * The view is a per-key retractable aggregate: `n_rows` (count) and
-  * `sum_v` (sum of `valueCol`, exact BIGINT). Inserts add, deletes
-  * subtract, and a group whose count retracts to zero vanishes —
-  * count/sum form a group under retraction, so NO base-table rescan is
-  * ever needed (min/max do not; for extremum maintenance under deletes
-  * see [[graft.ops.Aggregates.incrAggDelete]]'s recompute-touched-groups
-  * pattern). Each [[refresh]] costs O(changes since the last refresh) +
-  * O(view), independent of lake size.
+  * `sum_v` (sum of `valueCol`, exact BIGINT) — count/sum form a group
+  * under retraction, so those never rescan the base table — plus,
+  * under `trackExtrema = true`, `min_v`/`max_v` maintained by the
+  * [[graft.ops.Aggregates.incrAggDelete]] rule: inserts tighten the
+  * extrema ALGEBRAICALLY (least/greatest), and only groups where a
+  * delete TOUCHED the boundary (deleted value ≤ running min or ≥
+  * running max — the one case stored extrema cannot answer) pay a
+  * key-pruned snapshot recompute. A group whose count retracts to
+  * zero vanishes. Each [[refresh]] costs O(changes) + O(view) (+
+  * O(extremum-touched groups' rows) when tracking extrema),
+  * independent of lake size.
   *
   * State protocol (crash-safe with NO atomic-rename assumption beyond
   * what Spark's own committer provides): each commit writes a FRESH
@@ -48,9 +52,12 @@ object Mv {
     * full feed; prefer [[rebuild]] for the bootstrap when the feed's
     * early files may already be vacuumed. A head that advanced with NO
     * lake-area commits yet (catalog/distribution-only tables) leaves
-    * the view untouched. */
+    * the view untouched. A view's column shape is fixed at creation:
+    * flipping `trackExtrema` on an existing stateDir fails loudly on
+    * the state read rather than silently mixing shapes. */
   def refresh(spark: SparkSession, layout: Layout, stateDir: String,
-      keyCols: Seq[String], valueCol: String): Long = {
+      keyCols: Seq[String], valueCol: String,
+      trackExtrema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val head = Catalog.headVersion(spark, layout)
     val cur = liveState(spark, stateDir)
@@ -63,17 +70,67 @@ object Mv {
       // nothing to fold, nothing to stamp — retry once the lake commits
       return v0
     }
+    val keys = keyCols.map(col)
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val delta = changes.groupBy(keyCols.map(col): _*)
-      .agg(sum(sign).as("n_rows"),
-        sum(sign * col(valueCol).cast("long")).as("sum_v"))
-    val merged = cur match {
-      case None => delta
-      case Some((_, dir)) => spark.read.parquet(dir).unionByName(delta)
-        .groupBy(keyCols.map(col): _*)
-        .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"))
+    val vc = col(valueCol).cast("long")
+    if (!trackExtrema) {
+      val delta = changes.groupBy(keys: _*)
+        .agg(sum(sign).as("n_rows"), sum(sign * vc).as("sum_v"))
+      val merged = cur match {
+        case None => delta
+        case Some((_, dir)) => spark.read.parquet(dir).unionByName(delta)
+          .groupBy(keys: _*)
+          .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"))
+      }
+      commitState(spark, stateDir, merged.filter(col("n_rows") =!= 0L), head)
+      return head
     }
-    commitState(spark, stateDir, merged.filter(col("n_rows") =!= 0L), head)
+    val delta = changes.groupBy(keys: _*)
+      .agg(sum(sign).as("d_n"), sum(sign * vc).as("d_sum"),
+        min(when(col("_change_type") === "insert", vc)).as("ins_min"),
+        max(when(col("_change_type") === "insert", vc)).as("ins_max"),
+        min(when(col("_change_type") === "delete", vc)).as("del_min"),
+        max(when(col("_change_type") === "delete", vc)).as("del_max"))
+    val old = cur match {
+      case Some((_, dir)) => spark.read.parquet(dir)
+        .select(keys ++ Seq(col("n_rows").as("o_n"), col("sum_v").as("o_sum"),
+          col("min_v").as("o_min"), col("max_v").as("o_max")): _*)
+      case None => delta.select(keys: _*).limit(0)
+        .withColumn("o_n", lit(null).cast("long"))
+        .withColumn("o_sum", lit(null).cast("long"))
+        .withColumn("o_min", lit(null).cast("long"))
+        .withColumn("o_max", lit(null).cast("long"))
+    }
+    val joined = old.join(delta, keyCols, "full_outer")
+      .withColumn("n_rows", coalesce(col("o_n"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+      .withColumn("sum_v", coalesce(col("o_sum"), lit(0L)) + coalesce(col("d_sum"), lit(0L)))
+      .filter(col("n_rows") =!= 0L)
+      // inserts tighten extrema algebraically (least/greatest skip NULLs)
+      .withColumn("alg_min", least(col("o_min"), col("ins_min")))
+      .withColumn("alg_max", greatest(col("o_max"), col("ins_max")))
+      // a delete at the running boundary is the one case stored extrema
+      // cannot answer: the deleted value may have BEEN the extremum
+      // coalesce(true): a NULL verdict (unreachable for consistent
+      // tracked state) falls to the recompute path — correct, never wrong
+      .withColumn("touched", coalesce(
+        (col("del_min").isNotNull && col("del_min") <= col("alg_min")) ||
+          (col("del_max").isNotNull && col("del_max") >= col("alg_max")),
+        lit(true)))
+    val safe = joined.filter(!col("touched"))
+      .select(keys ++ Seq(col("n_rows"), col("sum_v"),
+        col("alg_min").as("min_v"), col("alg_max").as("max_v")): _*)
+    val needs = joined.filter(col("touched"))
+      .select(keys ++ Seq(col("n_rows"), col("sum_v")): _*)
+    val merged =
+      if (needs.isEmpty) safe
+      else {
+        val rec = Catalog.loadLakeSnapshot(spark, layout, head)
+          .join(needs.select(keys: _*), keyCols, "left_semi")
+          .groupBy(keys: _*)
+          .agg(min(vc).as("min_v"), max(vc).as("max_v"))
+        safe.unionByName(needs.join(rec, keyCols))
+      }
+    commitState(spark, stateDir, merged, head)
     head
   }
 
@@ -82,13 +139,15 @@ object Mv {
     * path that needs no historical change files. A lake with no
     * committed data is a no-op (there is no schema to derive). */
   def rebuild(spark: SparkSession, layout: Layout, stateDir: String,
-      keyCols: Seq[String], valueCol: String): Long = {
+      keyCols: Seq[String], valueCol: String,
+      trackExtrema: Boolean = false): Long = {
     val head = Catalog.headVersion(spark, layout)
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
     if (snap.columns.isEmpty) return liveState(spark, stateDir).map(_._1).getOrElse(0L)
-    val agg = snap.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast("long")).as("sum_v"))
+    val vc = col(valueCol).cast("long")
+    val aggs = Seq(count(lit(1)).as("n_rows"), sum(vc).as("sum_v")) ++
+      (if (trackExtrema) Seq(min(vc).as("min_v"), max(vc).as("max_v")) else Nil)
+    val agg = snap.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     commitState(spark, stateDir, agg, head)
     head
   }

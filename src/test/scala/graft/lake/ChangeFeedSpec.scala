@@ -129,6 +129,58 @@ class ChangeFeedSpec extends SparkTestBase {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("Mv with trackExtrema: inserts tighten min/max algebraically, a " +
+      "boundary delete triggers the key-pruned recompute, a non-boundary " +
+      "delete does not, and every step equals the direct recompute") {
+    val layout = Layout(tmpDir("cdf-mvx"))
+    val stateDir = tmpDir("cdf-mvx-state")
+    val s = spark
+    import s.implicits._
+    def direct(): Seq[(String, Long, Long, Long, Long)] =
+      Catalog.loadLakeSnapshot(spark, layout).groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+    def view(): Seq[(String, Long, Long, Long, Long)] =
+      Mv.read(spark, stateDir).select("source", "n_rows", "sum_v", "min_v", "max_v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+    def refresh() = Mv.refresh(spark, layout, stateDir, Seq("source"), "v",
+      trackExtrema = true)
+
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 50L), ("clicks", "k3", 30L))
+        .toDF("source", "key", "v"))
+    refresh()
+    assert(view() == direct())
+    // insert a new max: algebraic tightening, no recompute needed
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k4", 99L)).toDF("source", "key", "v"))
+    refresh()
+    assert(view() == direct() && view().head._5 == 99L)
+    // delete a NON-boundary row: count/sum retract, extrema stand
+    Catalog.deleteLakeWhere(spark, layout, col("key") === "k3")
+    refresh()
+    assert(view() == direct())
+    // delete the MAX row: the boundary recompute path must fire and
+    // find the true new max among the survivors
+    Catalog.deleteLakeWhere(spark, layout, col("key") === "k4")
+    refresh()
+    assert(view() == direct() && view().head._5 == 50L)
+    // upsert replacing the MIN with a larger value: delete at the min
+    // boundary + insert, in one version
+    Catalog.upsertLakeByKey(spark, layout,
+      Seq(("clicks", "k1", 40L)).toDF("source", "key", "v"), keyCols = Seq("key"))
+    refresh()
+    assert(view() == direct() && view().head._4 == 40L)
+    // rebuild agrees
+    val st2 = tmpDir("cdf-mvx-state2")
+    Mv.rebuild(spark, layout, st2, Seq("source"), "v", trackExtrema = true)
+    assert(Mv.read(spark, st2).select("source", "n_rows", "sum_v", "min_v", "max_v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sorted.toSeq == direct())
+  }
+
   test("versionAtTimestamp maps wall-clock times to versions (monotonized), " +
       "refuses pruned history loud, and returns None before the table existed") {
     val layout = Layout(tmpDir("cdf-tsasof"))
