@@ -997,4 +997,81 @@ object Behavior {
        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        |  CAST(sum(cents) AS BIGINT) AS sum_cents
        |FROM pur GROUP BY channel ORDER BY channel""".stripMargin
+
+  // --------------------------------------------------------------------
+  // Market-basket association rules (Apriori support/confidence/lift)
+  // --------------------------------------------------------------------
+
+  /** Association rules over order baskets — the Apriori surface
+    * (Agrawal & Srikant, VLDB 1994) every retail/recommendation
+    * pipeline computes: brand co-occurrence within orders, reported as
+    * the classic support/confidence/lift table for every pair above a
+    * minimum support of `minSupPct`% of baskets. Lift > 1e6 (ppm) =
+    * brands bought together MORE than independence predicts — the
+    * recommendation signal; confidence = P(B | basket has A).
+    *
+    * Exactness: support counts are integers; confidence is
+    * non-negative integer division to ppm; lift is the pure-integer
+    * cross-multiplication `(supAB·N·10⁶) DIV (supA·supB)` — no double
+    * ever (the weighted-sample multiply-out discipline).
+    *
+    * Scale: items collapse to the DISTINCT (basket, brand) table
+    * first (the dominant reduction), the pair generation is a
+    * self-EQUI-join on the basket key — per-basket cost is
+    * (brands-per-basket choose 2), never baskets² — and everything
+    * downstream is brand²-sized. The lineitem→part brand lookup rides
+    * the existing dimension join. */
+  def assocRules(spark: SparkSession, sfDir: String,
+      minSupPct: Int = 1): DataFrame = {
+    val ob = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
+      .distinct()
+    val n = ob.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val sup = ob.groupBy(col("brand")).agg(count(lit(1)).as("sup"))
+    val b2 = ob.select(col("basket"), col("brand").as("brand_b"))
+    val pairs = ob.select(col("basket"), col("brand").as("brand_a"))
+      .join(b2, Seq("basket"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(sup.select(col("brand").as("brand_a"), col("sup").as("sup_a"))),
+        Seq("brand_a"))
+      .join(broadcast(sup.select(col("brand").as("brand_b"), col("sup").as("sup_b"))),
+        Seq("brand_b"))
+      .crossJoin(broadcast(n))
+      .filter(col("sup_ab") * 100 >= col("n_baskets") * minSupPct)
+      .select(col("brand_a"), col("brand_b"),
+        col("sup_ab").cast("long").as("sup_ab"),
+        col("sup_a").cast("long").as("sup_a"),
+        col("sup_b").cast("long").as("sup_b"),
+        expr("(sup_ab * 1000000) DIV sup_a").as("confidence_ppm"),
+        expr("(sup_ab * n_baskets * 1000000) DIV (sup_a * sup_b)").as("lift_ppm"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  /** Oracle twin of [[assocRules]] — `minSupPct` interpolated. */
+  def assocRulesSql(minSupPct: Int = 1): String =
+    s"""WITH ob AS (
+       |  SELECT DISTINCT l_orderkey AS basket, p_brand AS brand
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+       |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM ob),
+       |sup AS (SELECT brand, CAST(count(*) AS BIGINT) AS sup FROM ob GROUP BY brand),
+       |pairs AS (
+       |  SELECT a.brand AS brand_a, b.brand AS brand_b,
+       |    CAST(count(*) AS BIGINT) AS sup_ab
+       |  FROM ob a JOIN ob b ON b.basket = a.basket AND a.brand < b.brand
+       |  GROUP BY a.brand, b.brand)
+       |SELECT brand_a, brand_b, sup_ab,
+       |  sa.sup AS sup_a, sb.sup AS sup_b,
+       |  CAST(sup_ab * 1000000 // sa.sup AS BIGINT) AS confidence_ppm,
+       |  CAST(sup_ab * n_baskets * 1000000 // (sa.sup * sb.sup) AS BIGINT) AS lift_ppm
+       |FROM pairs
+       |JOIN sup sa ON sa.brand = brand_a
+       |JOIN sup sb ON sb.brand = brand_b
+       |CROSS JOIN n
+       |WHERE sup_ab * 100 >= n_baskets * $minSupPct
+       |ORDER BY brand_a, brand_b""".stripMargin
 }

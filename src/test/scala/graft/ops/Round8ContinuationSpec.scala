@@ -303,6 +303,37 @@ class Round8ContinuationSpec extends SparkTestBase {
     }
   }
 
+  test("assocRules: exact plain-Scala basket replay; support/confidence/" +
+      "lift identities hold") {
+    val ob = graft.Tables.lineitem(spark, sfDir)
+      .join(graft.Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val baskets = ob.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val sup = ob.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCounts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      .withDefaultValue(0L)
+    baskets.values.foreach { bs =>
+      val s = bs.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size) pairCounts((s(i), s(j))) += 1
+    }
+    val expected = pairCounts.toSeq.collect {
+      case ((a, b), sab) if sab * 100 >= n =>
+        (a, b, sab, sup(a), sup(b), sab * 1000000L / sup(a),
+          sab * n * 1000000L / (sup(a) * sup(b)))
+    }.sortBy(t => (t._1, t._2))
+    val got = Behavior.assocRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected, s"basket replay mismatch: got ${got.take(3)}…")
+    got.foreach { case (_, _, sab, sa, sb, conf, _) =>
+      assert(sab <= math.min(sa, sb), "support of the pair bounds by each side")
+      assert(conf <= 1000000L)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("goldenRecord: clusters are transitively-closed components of the " +
       "fuzzy pairs, the canonical is a max-parts member, and part mass is " +
       "conserved across clusters + singletons") {
