@@ -60,7 +60,17 @@ object Bench {
     val fj = failures.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failures.size},"failures":$fj,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failures.size},"failures":$fj,"sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only the stdout TAIL, so the per-query map gets
+    // truncated in BENCH_r{N}.json on large suites — also write the
+    // COMPLETE record to a file for round-over-round per-query diffing
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

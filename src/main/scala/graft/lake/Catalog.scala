@@ -209,7 +209,12 @@ object Catalog {
       dvRemoves: Seq[String] = Seq.empty,
       fileStats: Seq[(String, String)] = Seq.empty,
       expects: Seq[(String, String)] = Seq.empty,
-      expectRms: Seq[String] = Seq.empty)
+      expectRms: Seq[String] = Seq.empty,
+      // free-form commit annotation; the one load-bearing value is
+      // "erase" — a CONTENT-CHANGING rewrite (vs compaction/optimize/
+      // materialize, which preserve the live view), the fact an
+      // incremental consumer needs to know it cannot refresh across
+      note: Option[String] = None)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -226,6 +231,7 @@ object Catalog {
     r.fileStats.foreach { case (rel, json) => b ++= s"\nfstat $rel $json" }
     r.expects.foreach { case (n, pred) => b ++= s"\nexpect $n $pred" }
     r.expectRms.foreach(n => b ++= s"\nexpectrm $n")
+    r.note.foreach(n => b ++= s"\nnote $n")
     b.result()
   }
 
@@ -243,9 +249,11 @@ object Catalog {
     val fileStats = Seq.newBuilder[(String, String)]
     val expects = Seq.newBuilder[(String, String)]
     val expectRms = Seq.newBuilder[String]
+    var note: Option[String] = None
     var section = ""
     lines.tail.foreach { l =>
       if (l.startsWith("marker ")) marker = Some(l.stripPrefix("marker "))
+      else if (l.startsWith("note ")) note = Some(l.stripPrefix("note "))
       else if (l.startsWith("fstat ")) {
         val rest = l.stripPrefix("fstat ")
         val sp = rest.indexOf(' ')
@@ -284,7 +292,7 @@ object Catalog {
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
       lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
       dvUuid, dv.result(), dvRemoves.result(), fileStats.result(),
-      expects.result(), expectRms.result())
+      expects.result(), expectRms.result(), note)
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -424,7 +432,8 @@ object Catalog {
   def commitLake(spark: SparkSession, layout: Layout, batch: DataFrame,
       removes: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      note: Option[String] = None): Long = {
     enforceExpectations(spark, layout, batch)
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -440,7 +449,7 @@ object Catalog {
     val rec = V2Record(-1L, System.currentTimeMillis(), None,
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (staged.nonEmpty) Some(uuid) else None, staged, removes,
-      fileStats = stats)
+      fileStats = stats, note = note)
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (staged.isEmpty) fs.delete(stage, true)
@@ -695,8 +704,12 @@ object Catalog {
     // (a mass delete), so the live-file semi-join + count stays on the
     // executors — only the scalar comes back
     import spark.implicits._
+    // distinct (file, pos): the writers re-filter under their locks so
+    // committed DV files should never overlap, but a duplicated row in
+    // a pre-fix log must subtract ONCE, not twice
     val deleted = spark.read
       .parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+      .select(col("file"), col("pos")).distinct()
       .join(broadcast(live.toDF("lf")), col("file") === col("lf"), "left_semi")
       .count()
     Some(total - deleted)
@@ -1099,6 +1112,29 @@ object Catalog {
     undeleted.select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
   }
 
+  /** Drop from `dels` — `(file, pos)` rows — every position already
+    * present in a COMMITTED deletion vector. The under-lock re-filter
+    * for [[deleteLakeWhere]]/[[upsertLakeByKey]]: both compute their
+    * delete sets from a pre-lock snapshot, so a concurrent overlapping
+    * delete that committed in between would otherwise land the same
+    * (file, pos) in TWO DV files — harmless for snapshot reads (the
+    * anti-join dedups), but [[lakeCountFromLog]] would double-subtract
+    * and [[lakeChangesBetween]] would emit the delete twice (a double
+    * retraction for [[Mv]]). Called under the per-source locks, where
+    * the committed DV set cannot move. */
+  private def excludeCommittedDvRows(spark: SparkSession, layout: Layout,
+      dels: DataFrame): DataFrame = {
+    val dvLive = dvFilesAsOf(spark, layout)
+    if (dvLive.isEmpty) dels
+    else {
+      val dvk = spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+        .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"))
+      dels.join(dvk,
+        dels("file") === dvk("_dvk_file") && dels("pos") === dvk("_dvk_pos"),
+        "left_anti")
+    }
+  }
+
   /** Acquire the per-source maintenance locks for every source in
     * `sources` (sorted — one global acquisition order, so two
     * multi-source maintenance jobs cannot deadlock), then run `body`. */
@@ -1137,9 +1173,14 @@ object Catalog {
         val liveNow = lakeFilesAsOf(spark, layout).toSet
         // data files are immutable once committed: if every referenced
         // file is still live, the positions computed above are still
-        // exact, and the locks keep removers out until we commit
+        // exact, and the locks keep removers out until we commit. A
+        // concurrent overlapping DELETE may still have committed some
+        // of these positions (it takes no file away), so re-filter
+        // against the now-committed DV set — without this, two
+        // overlapping deletes double-commit the shared (file, pos).
         if (files.forall(liveNow.contains))
-          Some(commitLakeDeletes(spark, layout, dels))
+          Some(commitLakeDeletes(spark, layout,
+            excludeCommittedDvRows(spark, layout, dels)))
         else None
       }
       committed match {
@@ -1208,9 +1249,23 @@ object Catalog {
         }
       val files = matched.select("file").distinct().collect().map(_.getString(0)).toSeq
       val sources = files.map(sourceOfRel).distinct.sorted
+      val livePre = live.toSet
       val committed = withSourceLocks(spark, layout, sources, lockTtlMs, waitMs) {
-        val liveNow = lakeFilesAsOf(spark, layout).toSet
-        if (!files.forall(liveNow.contains)) None
+        val liveNow = lakeFilesAsOf(spark, layout)
+        val liveNowSet = liveNow.toSet
+        if (!files.forall(liveNowSet.contains)) None
+        // WRITE-WRITE CONFLICT CHECK: a concurrent upsert that COMMITTED
+        // between our match scan and these locks appended new versions
+        // of possibly-overlapping keys — rows our scan never saw and
+        // would leave alive next to ours (a torn two-rows-per-key
+        // state). New files in a source we matched ⇒ rescan under the
+        // retry loop, now holding nothing (locks release), and the
+        // fresh scan supersedes the other writer's rows too. Sources
+        // with no matched rows take no lock: concurrent FIRST inserts
+        // of the same fresh key are the caller's serialization domain
+        // (one CDC stream per key space — the StreamUpsert contract).
+        else if (liveNow.exists(rel =>
+            sources.contains(sourceOfRel(rel)) && !livePre.contains(rel))) None
         else {
           val lakeUuid = java.util.UUID.randomUUID().toString
           val lakeStage = new org.apache.hadoop.fs.Path(
@@ -1223,10 +1278,18 @@ object Catalog {
           val dvStaged =
             if (files.isEmpty) Seq.empty[String]
             else {
-              matched.select(col("file").cast("string"), col("pos").cast("long"))
-                .distinct()
-                .write.mode("overwrite").parquet(s"$dvStage/_dv")
-              stagedDvFiles(fs, dvStage)
+              // same under-lock re-filter as deleteLakeWhere: a
+              // concurrent delete/upsert that already DV'd some of
+              // these positions must not get them committed twice
+              val fresh = excludeCommittedDvRows(spark, layout,
+                matched.select(col("file").cast("string"), col("pos").cast("long"))
+                  .distinct())
+              fresh.write.mode("overwrite").parquet(s"$dvStage/_dv")
+              val s = stagedDvFiles(fs, dvStage)
+              if (s.isEmpty ||
+                  spark.read.parquet(s.map(r => s"$dvStage/$r"): _*).isEmpty)
+                Seq.empty[String]
+              else s
             }
           val rec = V2Record(-1L, System.currentTimeMillis(), markerPath,
             None, Seq.empty, None, Seq.empty, Seq.empty,
@@ -1245,8 +1308,9 @@ object Catalog {
       }
     }
     throw new java.io.IOException(
-      "upsertLakeByKey: target files kept disappearing under concurrent " +
-        "maintenance after 5 attempts")
+      "upsertLakeByKey: 5 attempts lost to concurrent maintenance " +
+        "(vanished target files) or concurrent commits into matched " +
+        "sources — serialize writers per key space or retry")
   }
 
   /** Materialize committed deletion vectors: rewrite every live data
@@ -1369,8 +1433,15 @@ object Catalog {
       lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def fileLen(rel: String): Long =
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")).getLen
+    // a None length = the file vanished between the (unlocked) live
+    // listing and the stat — a concurrent maintenance commit plus
+    // vacuum got it first. During discovery that file is simply not a
+    // candidate (the under-lock re-check re-lists); throwing here
+    // would fail the whole OPTIMIZE run for a benign race.
+    def fileLen(rel: String): Option[Long] =
+      try Some(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")).getLen)
+      catch { case _: java.io.FileNotFoundException => None }
     // candidacy for ONE source's live files — the under-lock re-check
     // stats only that source's files (never O(sources × files) RPCs)
     def candidatesIn(files: Seq[String]): Option[Seq[String]] =
@@ -1379,7 +1450,7 @@ object Catalog {
         // candidacy threshold is HALF the target so the outputs of a
         // pack (avg ≥ target/2 by construction) are never re-chosen —
         // repeated OPTIMIZE runs converge instead of churning
-        val small = files.filter(f => fileLen(f) < targetBytes / 2)
+        val small = files.filter(f => fileLen(f).exists(_ < targetBytes / 2))
         if (small.size >= 2) Some(small.sorted) else None
       }
     val prefix = qualifiedLakeDir(spark, layout)
@@ -1390,7 +1461,7 @@ object Catalog {
         SourceLock.withLock(spark, layout, src, lockTtlMs, waitMs) {
           val liveNow = lakeFilesAsOf(spark, layout).filter(sourceOfRel(_) == src)
           candidatesIn(liveNow).foreach { chosen =>
-            val bytes = chosen.map(fileLen).sum
+            val bytes = chosen.flatMap(fileLen).sum
             val n = math.max(1L, math.min((bytes + targetBytes - 1) / targetBytes,
               4096L)).toInt
             val scan = spark.read.option("basePath", layout.lakeDir)
@@ -1439,6 +1510,18 @@ object Catalog {
       s.dv.map(_._1) ++ s.dvRemoves.map(_._1) ++
       s.expects.map(_._1) ++ s.expectRms.map(_._1)).maxOption.getOrElse(0L)
   }
+
+  /** Commit annotations, in seq order: (version, note). The one
+    * load-bearing note is `"erase"` — stamped by [[Erase]]'s lake
+    * rewrite leg — marking a CONTENT-CHANGING rewrite. Rewrites emit
+    * nothing on the change feed, which is correct for view-preserving
+    * maintenance (compaction/OPTIMIZE/materialize) but makes an erase
+    * invisible to incremental consumers; this is how they find out
+    * ([[Mv.refresh]] auto-rebuilds across one; external CDC consumers
+    * own checking it — see [[lakeChangesBetween]]'s contract). Notes
+    * survive [[checkpoint]] folds. */
+  def commitNotes(spark: SparkSession, layout: Layout): Seq[(Long, String)] =
+    readLog(spark, layout).notes.sortBy(_._1)
 
   /** CHANGE DATA FEED — the row-level lake changes committed at
     * versions `fromVersion < seq <= toVersion`, derived ENTIRELY from
@@ -1521,6 +1604,12 @@ object Catalog {
         val dvDf = spark.read.parquet(dvRels.map(r => s"${layout.lakeDir}/$r"): _*)
           .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"),
             verCol.as("_commit_version"))
+          // one delete per (file, pos) even if a pre-fix log carries
+          // the position in two DV files — the FIRST commit deleted
+          // the row; a later duplicate changed nothing and must not
+          // double-retract downstream Mv state
+          .groupBy(col("_dvk_file"), col("_dvk_pos"))
+          .agg(min(col("_commit_version")).as("_commit_version"))
         val targets = dvDf.select("_dvk_file").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
         requireReadable(targets, "deleted rows' data files")
@@ -1790,7 +1879,9 @@ object Catalog {
       dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" } ++
       fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" } ++
       exF.sortBy(e => (e._1, e._2)).map { case (s, n, p) => s"EX $s $n $p" } ++
-      exrF.sortBy(e => (e._1, e._2)).map { case (s, n) => s"EXR $s $n" }
+      exrF.sortBy(e => (e._1, e._2)).map { case (s, n) => s"EXR $s $n" } ++
+      state.notes.filter(_._1 <= cap).sortBy(_._1)
+        .map { case (s, n) => s"N $s $n" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(logDir(layout),
       s"_cp-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
@@ -1846,7 +1937,8 @@ object Catalog {
       dvRemoves: Seq[(Long, Long, String)] = Seq.empty,
       fileStats: Seq[(Long, String, String)] = Seq.empty,
       expects: Seq[(Long, String, String)] = Seq.empty,
-      expectRms: Seq[(Long, String)] = Seq.empty)
+      expectRms: Seq[(Long, String)] = Seq.empty,
+      notes: Seq[(Long, String)] = Seq.empty)
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -1904,8 +1996,11 @@ object Catalog {
     val fileStats = Seq.newBuilder[(Long, String, String)]
     val expects = Seq.newBuilder[(Long, String, String)]
     val expectRms = Seq.newBuilder[(Long, String)]
+    val notes = Seq.newBuilder[(Long, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
-      if (l.startsWith("FS ")) {
+      if (l.startsWith("N ")) {
+        val a = l.split(" ", 3); notes += ((a(1).toLong, a(2)))
+      } else if (l.startsWith("FS ")) {
         val a = l.split(" ", 4); fileStats += ((a(1).toLong, a(2), a(3)))
       } else if (l.startsWith("EXR ")) {
         val a = l.split(' '); expectRms += ((a(1).toLong, a(2)))
@@ -1953,6 +2048,7 @@ object Catalog {
           r.fileStats.foreach { case (rel, json) => fileStats += ((seq, live(rel), json)) }
           r.expects.foreach { case (n, pred) => expects += ((seq, n, pred)) }
           r.expectRms.foreach(n => expectRms += ((seq, n)))
+          r.note.foreach(n => notes += ((seq, n)))
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
@@ -1960,7 +2056,7 @@ object Catalog {
     LogState(cat.result(), dist.result(), removes.result(),
       lake.result(), lakeRemoves.result(), addCols.result(),
       dv.result(), dvRemoves.result(), fileStats.result(),
-      expects.result(), expectRms.result())
+      expects.result(), expectRms.result(), notes.result())
   }
 
   /** The committed distribution file set (relative paths): every

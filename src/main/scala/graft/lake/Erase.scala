@@ -41,7 +41,24 @@ import org.apache.hadoop.fs.Path
   * matched objects, in parallel (one task per object, objects are
   * Firehose-buffer bounded ~10 MB); the partition rewrites are one
   * filter+write each. Nothing is driver-side except the matched key
-  * list and the final counts. */
+  * list and the final counts.
+  *
+  * **The three storage legs above are NOT the whole erasure surface.**
+  * Two more places hold a subject's bytes/values, each with its own
+  * tested mechanism, and [[eraseEverywhere]] orchestrates all of them
+  * in one call:
+  *  - **Shared derived artifacts** (`shared/…`: near-dup pair tables,
+  *    PQ codes, IVF assignments): corpus-fingerprint-keyed, so the
+  *    subject's derived rows survive in the PRE-erase key's dirs after
+  *    any corpus rewrite — [[graft.ops.Artifacts.eraseKeys]] (known
+  *    stale keys) / [[graft.ops.Artifacts.vacuumFor]] (retention to
+  *    the live corpus) delete them.
+  *  - **Maintained views** ([[Mv]]): an incrementally-maintained
+  *    aggregate keeps the erased rows' contribution (for tracked
+  *    extrema, possibly the erased VALUE itself). The lake leg stamps
+  *    its rewrite commit with the `"erase"` note, so [[Mv.refresh]]
+  *    self-heals by rebuilding — and [[eraseEverywhere]] rebuilds
+  *    registered views immediately rather than at next refresh. */
 object Erase {
 
   final case class EraseReport(
@@ -254,6 +271,53 @@ object Erase {
     EraseReport(source, bronzeStats._1, bronzeStats._2, lakeDropped, distDropped)
   }
 
+  /** A maintained view registered for post-erase rebuild — the
+    * [[Mv]] parameters that identify one view. */
+  final case class MvRef(stateDir: String, keyCols: Seq[String],
+      valueCol: String, trackExtrema: Boolean = false)
+
+  final case class EraseEverywhereReport(
+      lake: EraseReport,
+      artifactDirsDeleted: Long,
+      mvsRebuilt: Long)
+
+  /** COMPLETE erasure in one call — the orchestration over the five
+    * places a subject's data can live:
+    *
+    *  1. bronze + lake + distribution via [[eraseWhere]] (the lake leg
+    *     stamps the `"erase"` commit note);
+    *  2. shared derived artifacts: [[graft.ops.Artifacts.eraseKeys]]
+    *     for `staleArtifactKeys` — the pre-erase corpus fingerprints,
+    *     captured by the caller BEFORE rewriting a derived corpus
+    *     (e.g. via [[graft.ops.Artifacts.liveKeysFor]]) — plus
+    *     [[graft.ops.Artifacts.vacuumFor]] retention for each of
+    *     `corpusDirs` (keeps only the now-live fingerprints, so every
+    *     stale key goes even when the caller didn't record it);
+    *  3. registered maintained views (`mvs`): [[Mv.rebuild]] from the
+    *     post-erase snapshot, immediately — unregistered views still
+    *     self-heal at their next [[Mv.refresh]] via the commit note.
+    *
+    * Steps 2–3 are each idempotent and independently safe to re-run;
+    * a crash mid-call re-runs the whole thing (step 1 re-matches
+    * nothing). Tombstones for FUTURE arrivals remain a separate,
+    * standing registration ([[addTombstone]]) — this call clears what
+    * exists now. */
+  def eraseEverywhere(spark: SparkSession, layout: Layout, source: String,
+      matches: String => Boolean,
+      staleArtifactKeys: Set[String] = Set.empty,
+      corpusDirs: Seq[String] = Seq.empty,
+      artifactRoot: String = graft.ops.Artifacts.sharedRoot,
+      mvs: Seq[MvRef] = Seq.empty,
+      maxAffectedObjects: Int = 100000): EraseEverywhereReport = {
+    val lakeReport = eraseWhere(spark, layout, source, matches, maxAffectedObjects)
+    val erasedDirs = graft.ops.Artifacts.eraseKeys(spark, staleArtifactKeys, artifactRoot)
+    val vacuumed = corpusDirs
+      .map(d => graft.ops.Artifacts.vacuumFor(spark, d, artifactRoot)).sum
+    mvs.foreach(m =>
+      Mv.rebuild(spark, layout, m.stateDir, m.keyCols, m.valueCol, m.trackExtrema))
+    EraseEverywhereReport(lakeReport, erasedDirs + vacuumed, mvs.size.toLong)
+  }
+
   /** Bronze leg: distributed search for affected objects, then one
     * rewrite task per object. Returns (objects rewritten, records
     * dropped). */
@@ -422,17 +486,29 @@ object Erase {
     // surviving rows under a NEW file name, so a DV keyed on the old
     // (file, pos) would stop applying — without this, rows a DV
     // deleted would resurrect in the rewritten file
-    val df = Catalog.applyCommittedDvs(spark, layout, spark.read.parquet(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*))
+    // mergeSchema: a partition holding pre- and post-evolution files
+    // must rewrite with the UNION schema — a single-file schema pick
+    // would silently drop the newer columns from every surviving row
+    val df = Catalog.applyCommittedDvs(spark, layout,
+      spark.read.option("mergeSchema", "true").parquet(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*))
+    require(df.columns.contains("json"),
+      s"eraseLake($source): the erasure predicate matches the raw record " +
+        "'json' column, which this lake partition lacks")
     val total = df.count()
-    val keptDf = df.select("key", "json").as[(String, String)]
-      .filter(r => !matches(r._2)).toDF("key", "json")
+    // keep EVERY column (evolution columns, typed side columns): the
+    // rewrite only drops matched ROWS, it must not narrow the schema
+    val keptDf = df.filter((r: org.apache.spark.sql.Row) =>
+      !matches(r.getAs[String]("json")))
     val keptCount = keptDf.count()
     if (keptCount == total) return 0L
     val removes = oldFiles.map(p => s"source=$source/${p.getName}").toSeq
+    // note = "erase": the ONE rewrite kind the change feed cannot make
+    // view-preserving — incremental consumers detect it via
+    // [[Catalog.commitNotes]] and rebuild instead of refreshing across
     Catalog.commitLake(spark, layout,
       keptDf.withColumn("source", org.apache.spark.sql.functions.lit(source)),
-      removes)
+      removes, note = Some("erase"))
     // erasure deletes NOW (no vacuum grace): the subject's bytes must go
     oldFiles.foreach(p => fs.delete(p, false))
     if (keptCount == 0) {

@@ -39,11 +39,15 @@ import org.apache.spark.sql.functions._
   * name order picks one — correct but wasted work; serialize refreshes
   * per stateDir.
   *
-  * Erasure caveat (inherited from the feed, documented there): an
-  * [[Erase]] rewrite is deliberately not re-emitted as deletes, so a
-  * view refreshed across an erase still counts the erased rows — call
-  * [[rebuild]] after an erase to re-derive the view from the live
-  * snapshot (the same obligation every external CDC consumer has). */
+  * Erasure (round 9 — SELF-HEALING): an [[Erase]] rewrite is
+  * deliberately not re-emitted as deletes on the feed, but the erase
+  * leg stamps its commit with the `"erase"` note
+  * ([[Catalog.commitNotes]]) — [[refresh]] detects one inside its
+  * `(v0, head]` range and automatically falls back to [[rebuild]]
+  * (re-deriving from the live snapshot, at the same returned head
+  * version), so a forgotten manual rebuild can no longer serve the
+  * erased subject's contribution. External CDC consumers carry the
+  * same obligation and should consult the same notes. */
 object Mv {
 
   /** Bring the view up to the lake head. Returns the version the view
@@ -63,13 +67,29 @@ object Mv {
     val cur = liveState(spark, stateDir)
     val v0 = cur.map(_._1).getOrElse(0L)
     if (head <= v0) return v0
+    // an ERASE rewrite inside the range changed content the feed does
+    // not (must not) re-emit: incremental maintenance would keep the
+    // erased rows' contribution forever — rebuild from the live
+    // snapshot instead (view-preserving rewrites carry no note and
+    // refresh through normally)
+    if (Catalog.commitNotes(spark, layout)
+        .exists { case (seq, n) => n == "erase" && seq > v0 && seq <= head })
+      return rebuild(spark, layout, stateDir, keyCols, valueCol, trackExtrema)
     val changes = Catalog.lakeChangesBetween(spark, layout, v0, head)
-    if (!keyCols.forall(changes.columns.contains) ||
-        !changes.columns.contains(valueCol)) {
+    val payload = changes.columns
+      .filterNot(Set("_change_type", "_commit_version").contains)
+    if (payload.isEmpty) {
       // no lake data exists yet (the empty feed has no payload schema):
       // nothing to fold, nothing to stamp — retry once the lake commits
       return v0
     }
+    // the feed HAS a payload schema: a missing key/value column here is
+    // a misspelling, not an empty lake — silently returning v0 would
+    // make every refresh a permanent no-op serving a stale view
+    val missing = (keyCols :+ valueCol).filterNot(changes.columns.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"Mv.refresh: column(s) ${missing.mkString(", ")} absent from the " +
+        s"change feed (payload columns: ${payload.mkString(", ")})")
     val keys = keyCols.map(col)
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val vc = col(valueCol).cast("long")
@@ -136,18 +156,103 @@ object Mv {
 
   /** Re-derive the view directly from the live committed snapshot and
     * stamp it at the head version — the post-erase (or bootstrap)
-    * path that needs no historical change files. A lake with no
-    * committed data is a no-op (there is no schema to derive). */
+    * path that needs no historical change files. A never-written lake
+    * is a no-op (there is no schema to derive) — but a lake whose
+    * live file set was emptied by a FULL erasure empties the view
+    * (keeping the old state would serve every erased row). */
   def rebuild(spark: SparkSession, layout: Layout, stateDir: String,
       keyCols: Seq[String], valueCol: String,
       trackExtrema: Boolean = false): Long = {
     val head = Catalog.headVersion(spark, layout)
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
-    if (snap.columns.isEmpty) return liveState(spark, stateDir).map(_._1).getOrElse(0L)
+    if (snap.columns.isEmpty) return liveState(spark, stateDir) match {
+      case None => 0L
+      case Some((_, dir)) =>
+        commitState(spark, stateDir, spark.read.parquet(dir).limit(0), head)
+        head
+    }
     val vc = col(valueCol).cast("long")
     val aggs = Seq(count(lit(1)).as("n_rows"), sum(vc).as("sum_v")) ++
       (if (trackExtrema) Seq(min(vc).as("min_v"), max(vc).as("max_v")) else Nil)
     val agg = snap.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    commitState(spark, stateDir, agg, head)
+    head
+  }
+
+  /** Maintained JOIN view: per-key count/sum over
+    * `lake ⋈ broadcast(dim)` (inner equi-join on `joinCols`, `dim`
+    * read from `dimPath` — a small dimension table), delta-maintained
+    * from the change feed. Enriching a change row and THEN folding it
+    * retractably is exact because the join is row-local: an inserted
+    * (deleted) lake row contributes (retracts) exactly its joined
+    * rows, so per refresh the cost is O(changes ⋈ dim) + O(view) —
+    * never a lake rescan. `keyCols` may name lake and/or dim columns
+    * (the group-by runs on the enriched frame).
+    *
+    * Contract: `dim` must be CHANGE-STATIC between refreshes — the
+    * view is maintained against lake changes only; after a dimension
+    * change call [[rebuildJoined]] (same obligation as a batch
+    * join-aggregate consumer). A dim key matching several dim rows
+    * multiplies contributions exactly like the batch join does.
+    * Erase-aware like [[refresh]]: an `"erase"` note in the range
+    * falls back to [[rebuildJoined]]. */
+  def refreshJoined(spark: SparkSession, layout: Layout, stateDir: String,
+      dimPath: String, joinCols: Seq[String],
+      keyCols: Seq[String], valueCol: String): Long = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(joinCols.nonEmpty, "joinCols must be non-empty")
+    val head = Catalog.headVersion(spark, layout)
+    val cur = liveState(spark, stateDir)
+    val v0 = cur.map(_._1).getOrElse(0L)
+    if (head <= v0) return v0
+    if (Catalog.commitNotes(spark, layout)
+        .exists { case (seq, n) => n == "erase" && seq > v0 && seq <= head })
+      return rebuildJoined(spark, layout, stateDir, dimPath, joinCols,
+        keyCols, valueCol)
+    val changes = Catalog.lakeChangesBetween(spark, layout, v0, head)
+    val payload = changes.columns
+      .filterNot(Set("_change_type", "_commit_version").contains)
+    if (payload.isEmpty) return v0
+    val dim = spark.read.parquet(dimPath)
+    val missing = (joinCols :+ valueCol).filterNot(changes.columns.contains) ++
+      keyCols.filterNot(c => changes.columns.contains(c) || dim.columns.contains(c))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"Mv.refreshJoined: column(s) ${missing.mkString(", ")} absent from " +
+        s"feed payload (${payload.mkString(", ")}) and dim (${dim.columns.mkString(", ")})")
+    val enriched = changes.join(broadcast(dim), joinCols)
+    val keys = keyCols.map(col)
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = enriched.groupBy(keys: _*)
+      .agg(sum(sign).as("n_rows"), sum(sign * col(valueCol).cast("long")).as("sum_v"))
+    val merged = cur match {
+      case None => delta
+      case Some((_, dir)) => spark.read.parquet(dir).unionByName(delta)
+        .groupBy(keys: _*)
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("sum_v")).as("sum_v"))
+    }
+    commitState(spark, stateDir, merged.filter(col("n_rows") =!= 0L), head)
+    head
+  }
+
+  /** Re-derive the join view from the live snapshot ⋈ dim — the
+    * bootstrap / post-erase / post-dimension-change path. Empty-lake
+    * semantics mirror [[rebuild]]. */
+  def rebuildJoined(spark: SparkSession, layout: Layout, stateDir: String,
+      dimPath: String, joinCols: Seq[String],
+      keyCols: Seq[String], valueCol: String): Long = {
+    val head = Catalog.headVersion(spark, layout)
+    val snap = Catalog.loadLakeSnapshot(spark, layout, head)
+    if (snap.columns.isEmpty) return liveState(spark, stateDir) match {
+      case None => 0L
+      case Some((_, dir)) =>
+        commitState(spark, stateDir, spark.read.parquet(dir).limit(0), head)
+        head
+    }
+    val dim = spark.read.parquet(dimPath)
+    val agg = snap.join(broadcast(dim), joinCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(valueCol).cast("long")).as("sum_v"))
     commitState(spark, stateDir, agg, head)
     head
   }

@@ -1027,11 +1027,36 @@ object Behavior {
       .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
       .distinct()
+    assocRulesFrom(ob, minSupPct)
+  }
+
+  /** The Apriori frequent-1-itemset prune: only (basket, brand) rows
+    * whose brand meets min support can contribute to a pair above min
+    * support (`sup_ab ≤ min(sup_a, sup_b)` — the downward-closure
+    * lemma), so dropping infrequent brands BEFORE the basket self-join
+    * is provably lossless for the pair output while shrinking the
+    * join's input (and its shuffle) on a large item vocabulary. */
+  private[ops] def frequentBaskets(ob: DataFrame, minSupPct: Int): DataFrame = {
+    val n = ob.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val freq = ob.groupBy(col("brand")).agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(n))
+      .filter(col("sup") * 100 >= col("n_baskets") * minSupPct)
+      .select(col("brand"))
+    ob.join(broadcast(freq), Seq("brand"), "left_semi")
+  }
+
+  /** [[assocRules]] over an explicit distinct (basket, brand) table —
+    * the testable core (the prune's losslessness and its input
+    * shrinkage are pinned in BehaviorSpec against a rare-brand
+    * corpus). */
+  private[ops] def assocRulesFrom(ob: DataFrame, minSupPct: Int): DataFrame = {
     val n = ob.select(col("basket")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val sup = ob.groupBy(col("brand")).agg(count(lit(1)).as("sup"))
-    val b2 = ob.select(col("basket"), col("brand").as("brand_b"))
-    val pairs = ob.select(col("basket"), col("brand").as("brand_a"))
+    val obF = frequentBaskets(ob, minSupPct)
+    val b2 = obF.select(col("basket"), col("brand").as("brand_b"))
+    val pairs = obF.select(col("basket"), col("brand").as("brand_a"))
       .join(b2, Seq("basket"))
       .filter(col("brand_a") < col("brand_b"))
       .groupBy(col("brand_a"), col("brand_b"))

@@ -102,20 +102,32 @@ object Text {
     * is where additional vocab stops paying.
     *
     * Scale: one tokenize+explode into word counts (map-side
-    * combined); everything after operates on the VOCAB-sized table —
-    * one ranking window over it, one conditional-sum row, unpivoted
-    * to a row per K. Never doc×doc, never a corpus-sized sort. */
+    * combined). Only ranks ≤ max(ks) matter, so the ranking runs over
+    * a TakeOrdered top-max(ks) SHORTLIST of the count table (the
+    * distributed top-k — per-partition heads merged on the driver-
+    * side-sized frame), never a global sort or an unpartitioned window
+    * over the full vocabulary: at 100 TB the distinct-token table is
+    * itself huge (Heaps' law plus junk tokens), and a vocab-sized
+    * single-partition rank would be the one serial stage in the plan.
+    * `n_total` comes from a plain aggregate over the same counts;
+    * everything downstream is ≤ max(ks) rows. */
   def vocabCoverage(spark: SparkSession, sfDir: String,
       ks: Seq[Int] = Seq(4, 16, 64, 256, 1024)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(spark, sfDir)
       .select(explode(tokens).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    // orderBy+limit plans as TakeOrderedAndProject; the shortlist is
+    // EXACTLY the top-max(ks) of the full table under the same total
+    // order (tf desc, token), so ranks ≤ any k ∈ ks are unchanged
+    val short = counts.orderBy(col("tf").desc, col("token")).limit(ks.max)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("tf").desc, col("token"))))
-    val aggCols = sum(col("tf")).as("n_total") +:
-      ks.map(k => sum(when(col("rank") <= k, col("tf")).otherwise(0L)).as(s"cov_$k"))
-    val sums = counts.agg(aggCols.head, aggCols.tail: _*)
+    val covCols = ks.map(k =>
+      sum(when(col("rank") <= k, col("tf")).otherwise(0L)).as(s"cov_$k"))
+    val covs = short.agg(covCols.head, covCols.tail: _*)
+    val total = counts.agg(sum(col("tf")).as("n_total"))
+    val sums = covs.crossJoin(total) // 1 row × 1 row
     val stacked = ks.map(k => s"${k}L, cov_$k").mkString(", ")
     sums.selectExpr("n_total", s"stack(${ks.size}, $stacked) AS (k, covered_tokens)")
       .select(col("k").cast("long"),

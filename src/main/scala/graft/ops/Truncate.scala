@@ -29,7 +29,13 @@ object Truncate {
 
   /** Truncate `df`'s lineage per the session posture. `tag` names the
     * scratch dir (uniquified per call — iterations never overwrite a
-    * frame a later stage still reads). */
+    * frame a later stage still reads). Every scratch dir is registered
+    * for JVM-exit deletion (`FileSystem.deleteOnExit`), so iterative
+    * callers (PageRank per 5 iters, BFS per hop, MMR per pick) cannot
+    * leak dirs ACROSS runs; within a run they stay readable — a later
+    * stage may still scan an earlier iteration's frame. A long-lived
+    * service JVM that never exits should point `spark.graft.truncateDir`
+    * at job-scoped scratch and reclaim it per job. */
   def apply(df: DataFrame, tag: String): DataFrame =
     if (!durable(df)) df.localCheckpoint(true)
     else {
@@ -38,6 +44,8 @@ object Truncate {
         s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-truncate")
       val dir = s"$root/$tag-${java.util.UUID.randomUUID().toString.take(8)}"
       df.write.mode("overwrite").parquet(dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
       spark.read.parquet(dir)
     }
 }

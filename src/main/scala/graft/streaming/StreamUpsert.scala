@@ -53,9 +53,14 @@ object StreamUpsert {
     val marker = markerFor(checkpointDir, batchId)
     val p = new org.apache.hadoop.fs.Path(marker)
     val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    // recover FIRST, then check the marker (StreamIngest's ordering):
+    // a prior attempt that crashed between CLAIM and publish has no
+    // marker yet — recovery recreates it, and checking before
+    // recovering would re-apply the batch, minting a duplicate log
+    // version despite the exactly-once claim
+    Catalog.recoverAppends(batch.sparkSession, layout)
     if (fs.exists(p)) false
     else {
-      Catalog.recoverAppends(batch.sparkSession, layout)
       applyBatch(layout, batch, keyCols, seqCol, Some(marker))
       true
     }
