@@ -1048,13 +1048,24 @@ object Behavior {
 
   /** [[assocRules]] over an explicit distinct (basket, brand) table —
     * the testable core (the prune's losslessness and its input
-    * shrinkage are pinned in BehaviorSpec against a rare-brand
+    * shrinkage are pinned in Round9OpsSpec against a rare-brand
     * corpus). */
-  private[ops] def assocRulesFrom(ob: DataFrame, minSupPct: Int): DataFrame = {
+  private[ops] def assocRulesFrom(ob0: DataFrame, minSupPct: Int): DataFrame = {
+    // every stage references the distinct (basket, brand) table — N,
+    // the support table, the prune, and BOTH pair-join sides — so
+    // truncate it once; without this the upstream join+distinct
+    // re-executes per reference (measured 2.5× on the bench)
+    val ob = Truncate(ob0, "assoc_ob")
     val n = ob.select(col("basket")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val sup = ob.groupBy(col("brand")).agg(count(lit(1)).as("sup"))
-    val obF = frequentBaskets(ob, minSupPct)
+    // Apriori downward closure: sup_ab ≤ min(sup_a, sup_b), so brands
+    // below min support cannot appear in any reported pair — dropping
+    // their rows BEFORE the self-join is lossless (see frequentBaskets)
+    val freq = sup.crossJoin(broadcast(n))
+      .filter(col("sup") * 100 >= col("n_baskets") * minSupPct)
+      .select(col("brand"))
+    val obF = ob.join(broadcast(freq), Seq("brand"), "left_semi")
     val b2 = obF.select(col("basket"), col("brand").as("brand_b"))
     val pairs = obF.select(col("basket"), col("brand").as("brand_a"))
       .join(b2, Seq("basket"))

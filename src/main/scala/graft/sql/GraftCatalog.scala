@@ -1,0 +1,229 @@
+package graft.sql
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.lake.{Catalog => Lake, Layout}
+
+/** DataSource-v2 `TableCatalog` over the manifest-log lake — the SQL
+  * addressability surface every Delta/Iceberg user expects (the
+  * reference's ONLY queryable structure is its catalog,
+  * `/root/reference/cdk/serverless_datalake_stack.py:63-77`; here the
+  * whole committed lake is SQL-addressable). Register per layout root:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.root", "/data/my-lake")
+  * spark.sql("SELECT * FROM graft.lake VERSION AS OF 3")
+  * }}}
+  *
+  * Tables (read path; writes stay on the typed Scala API — commitLake/
+  * upsertLakeByKey/StreamUpsert — where expectations and locks live):
+  *
+  *  - `lake` — the committed snapshot ([[graft.lake.Catalog.loadLakeSnapshot]]):
+  *    DV-applied, schema-evolved, snapshot-isolated. Supports
+  *    `VERSION AS OF <seq>` and `TIMESTAMP AS OF <ts>`
+  *    ([[graft.lake.Catalog.versionAtTimestamp]] semantics, pruned
+  *    history refusing loud).
+  *  - `lake_changes` — the change data feed
+  *    ([[graft.lake.Catalog.lakeChangesBetween]]) over the session-conf
+  *    range `spark.graft.cdf.startingVersion` (exclusive, default 0) to
+  *    `spark.graft.cdf.endingVersion` (inclusive, default head) — the
+  *    conf stands in for Delta's `table_changes(...)` arguments, which
+  *    SQL cannot pass to a v2 catalog table.
+  *  - `lake_catalog` — the ingest catalog area (the reference's
+  *    DynamoDB table), with the same version-as-of surface via
+  *    [[graft.lake.Catalog.loadAsOf]].
+  *
+  * Execution: scans go through [[V1Scan]] — the plan is BUILT with the
+  * library's own public DataFrame reads (manifest-log file listing, DV
+  * anti-join, evolution merge), so there is no second read path to
+  * keep correct; supported filters and the required-column set are
+  * pushed INTO that inner plan (reaching the parquet scans via
+  * Catalyst as usual), unsupported ones are left for Spark to apply
+  * above. Time travel binds at analysis (`loadTable`), exactly the
+  * DSv2 contract. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var layout: Layout = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    val root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' needs option spark.sql.catalog.$name.root = <layout root dir>")
+    catalogName = name
+    layout = Layout(root)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private val tableNames = Seq("lake", "lake_changes", "lake_catalog")
+
+  private def resolvable(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
+      tableNames.contains(ident.name)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    tableNames.map(Identifier.of(namespace, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean = resolvable(ident)
+
+  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+
+  /** `VERSION AS OF <v>` — the commit seq, as in the Scala API. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"VERSION AS OF wants a commit seq, got '$version'"))))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the timestamp down in
+    * MICROseconds since the epoch. Refuses loud below the oldest
+    * reconstructible version (the pruned-history retention bound). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val ms = timestamp / 1000L
+    val v = Lake.versionAtTimestamp(spark, layout, ms).getOrElse(
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF: no committed version at or before epoch-ms $ms " +
+          "(before the first commit, or pruned history)"))
+    tableAt(ident, Some(v))
+  }
+
+  private def tableAt(ident: Identifier, version: Option[Long]): Table = {
+    if (!resolvable(ident)) throw new NoSuchTableException(ident)
+    val s = spark
+    ident.name match {
+      case "lake" =>
+        new GraftTable(s"$catalogName.lake",
+          () => Lake.loadLakeSnapshot(s, layout, version.getOrElse(Long.MaxValue)))
+      case "lake_catalog" =>
+        new GraftTable(s"$catalogName.lake_catalog",
+          () => version match {
+            case Some(v) => Lake.loadAsOf(s, layout, v)
+            case None => Lake.load(s, layout)
+          })
+      case "lake_changes" =>
+        if (version.isDefined) throw new UnsupportedOperationException(
+          "lake_changes is already a version range — set " +
+            "spark.graft.cdf.startingVersion / endingVersion instead of AS OF")
+        // conf is read HERE (loadTable runs per query analysis), so two
+        // queries under different conf values see different ranges
+        val from = s.conf.get("spark.graft.cdf.startingVersion", "0").toLong
+        val to = s.conf.get("spark.graft.cdf.endingVersion",
+          Long.MaxValue.toString).toLong
+        new GraftTable(s"$catalogName.lake_changes",
+          () => Lake.lakeChangesBetween(s, layout, from, to))
+      case _ => throw new NoSuchTableException(ident)
+    }
+  }
+
+  // read-path catalog: DDL surfaces are explicitly unsupported (the
+  // lake's schema facts are manifest-log commits, not catalog calls)
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog is read-only; write through graft.lake.Catalog.commitLake")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "alter through graft.lake.Catalog.commitLakeAddColumn / expectations")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft catalog is read-only")
+}
+
+/** A lazily-planned read-only table: `frame` builds the DataFrame from
+  * the manifest log on first use (schema and scans both come from it —
+  * one source of truth). */
+private[sql] class GraftTable(tableName: String, frame: () => DataFrame)
+    extends Table with SupportsRead {
+  private lazy val df: DataFrame = frame()
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(df)
+}
+
+/** Pushes supported filters and the required-column projection into
+  * the inner DataFrame plan (where Catalyst carries them down to the
+  * parquet scans); anything it cannot translate is returned to Spark
+  * to evaluate above the scan — never dropped. */
+private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var filtered: DataFrame = df
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) = filters.partition(f => toColumn(f).isDefined)
+    supported.flatMap(toColumn(_)).foreach(c => filtered = filtered.filter(c))
+    pushed = supported
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (requiredSchema.fields.nonEmpty &&
+        requiredSchema.fieldNames.forall(filtered.columns.contains))
+      filtered = filtered.select(
+        requiredSchema.fieldNames.toIndexedSeq.map(col): _*)
+
+  override def build(): Scan = new GraftV1Scan(filtered)
+
+  /** sources.Filter → Column for the ANSI basics; None = unsupported
+    * (nested attributes, exotic predicates) and evaluated by Spark. */
+  private def toColumn(f: Filter): Option[Column] = {
+    def simple(attr: String): Boolean = !attr.contains(".")
+    f match {
+      case sources.EqualTo(a, v) if simple(a) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) if simple(a) => Some(col(a) <=> lit(v))
+      case sources.GreaterThan(a, v) if simple(a) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) if simple(a) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) if simple(a) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) if simple(a) => Some(col(a) <= lit(v))
+      case sources.In(a, vs) if simple(a) =>
+        Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a) if simple(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) if simple(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) if simple(a) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) if simple(a) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) if simple(a) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case sources.Not(c) => toColumn(c).map(!_)
+      case _ => None
+    }
+  }
+}
+
+/** The V1 fallback scan (the JDBC-connector pattern): Spark's own
+  * planner wraps the relation in a RowDataSourceScanExec; rows come
+  * from executing the pushed-down inner plan. */
+private[sql] class GraftV1Scan(df: DataFrame) extends V1Scan {
+  override def readSchema(): StructType = df.schema
+  override def description(): String = s"GraftLake${df.schema.catalogString}"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = df.schema
+      override def buildScan(): RDD[Row] = df.rdd
+    }.asInstanceOf[T]
+}
