@@ -1160,11 +1160,25 @@ object Catalog {
     * when a remover won the race — so a DV row can never reference an
     * already-removed file (which would silently lose the delete).
     * Returns the commit seq, -1 when nothing matches. */
+  /** Backoff with jitter between optimistic-retry attempts — sustained
+    * plain-append traffic into a matched source would otherwise make
+    * the fixed-cost retry loop exhaust its attempts inside one append
+    * burst ([[upsertLakeByKey]]'s write-write conflict check aborts on
+    * ANY new file in a matched source). Exponential with ±50% jitter
+    * so colliding retriers decorrelate. */
+  private def conflictBackoff(attempt: Int): Unit = {
+    val base = math.min(100L << math.min(attempt, 6), 3200L)
+    val jitter = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(base / 2, base + base / 2)
+    try Thread.sleep(jitter)
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+  }
+
   def deleteLakeWhere(spark: SparkSession, layout: Layout,
       predicate: org.apache.spark.sql.Column,
       lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < 8) {
       val dels = lakePositionsWhere(spark, layout, predicate)
       val files = dels.select("file").distinct().collect().map(_.getString(0)).toSeq
       if (files.isEmpty) return -1L
@@ -1185,12 +1199,12 @@ object Catalog {
       }
       committed match {
         case Some(seq) => return seq
-        case None => attempt += 1
+        case None => attempt += 1; conflictBackoff(attempt)
       }
     }
     throw new java.io.IOException(
       "deleteLakeWhere: target files kept disappearing under concurrent " +
-        "maintenance after 5 attempts")
+        "maintenance after 8 attempts")
   }
 
   /** UPSERT (MERGE-by-key) into the lake, merge-on-read: every
@@ -1218,7 +1232,7 @@ object Catalog {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val keys = batch.select(keyCols.map(col): _*).distinct()
     var attempt = 0
-    while (attempt < 5) {
+    while (attempt < 8) {
       val live = lakeFilesAsOf(spark, layout)
       val matched =
         if (live.isEmpty)
@@ -1304,11 +1318,11 @@ object Catalog {
       }
       committed match {
         case Some(seq) => return seq
-        case None => attempt += 1
+        case None => attempt += 1; conflictBackoff(attempt)
       }
     }
     throw new java.io.IOException(
-      "upsertLakeByKey: 5 attempts lost to concurrent maintenance " +
+      "upsertLakeByKey: 8 attempts lost to concurrent maintenance " +
         "(vanished target files) or concurrent commits into matched " +
         "sources — serialize writers per key space or retry")
   }
@@ -1601,7 +1615,7 @@ object Catalog {
     val deletes =
       if (dvRels.isEmpty) None
       else {
-        val dvDf = spark.read.parquet(dvRels.map(r => s"${layout.lakeDir}/$r"): _*)
+        val dvDf0 = spark.read.parquet(dvRels.map(r => s"${layout.lakeDir}/$r"): _*)
           .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"),
             verCol.as("_commit_version"))
           // one delete per (file, pos) even if a pre-fix log carries
@@ -1610,20 +1624,43 @@ object Catalog {
           // double-retract downstream Mv state
           .groupBy(col("_dvk_file"), col("_dvk_pos"))
           .agg(min(col("_commit_version")).as("_commit_version"))
+        // the same dedup must hold ACROSS the range boundary: a pre-fix
+        // log whose FIRST commit of a (file, pos) is ≤ fromVersion may
+        // carry an in-range duplicate, which is not a fresh delete — an
+        // incremental consumer (Mv) refreshing in small windows would
+        // double-retract it. Anti-join against the DV rows already
+        // committed at or below fromVersion (still on disk; a vacuumed
+        // pre-range DV cannot be consulted, matching the feed's general
+        // availability contract).
+        val dvBefore = state.dv.collect {
+          case (seq, rel) if seq <= fromVersion => rel
+        }.filter(rel => fs.exists(
+          new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")))
+        val dvDf =
+          if (dvBefore.isEmpty) dvDf0
+          else dvDf0.join(
+            spark.read.parquet(dvBefore.map(r => s"${layout.lakeDir}/$r"): _*)
+              .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos")),
+            Seq("_dvk_file", "_dvk_pos"), "left_anti")
         val targets = dvDf.select("_dvk_file").distinct()
           .collect().map(_.getString(0)).toSeq.sorted
-        requireReadable(targets, "deleted rows' data files")
-        val prefix = qualifiedLakeDir(spark, layout)
-        val scan = spark.read.option("basePath", layout.lakeDir)
-          .option("mergeSchema", "true")
-          .parquet(targets.map(r => s"${layout.lakeDir}/$r"): _*)
-          .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
-          .withColumn("_graft_dv_pos", col("_metadata.row_index"))
-        Some(scan.join(dvDf,
-            scan("_graft_dv_file") === dvDf("_dvk_file") &&
-              scan("_graft_dv_pos") === dvDf("_dvk_pos"))
-          .drop("_graft_dv_file", "_graft_dv_pos", "_dvk_file", "_dvk_pos")
-          .withColumn("_change_type", lit("delete")))
+        // every in-range DV row may be a boundary duplicate — no fresh
+        // deletes in the range at all
+        if (targets.isEmpty) None
+        else {
+          requireReadable(targets, "deleted rows' data files")
+          val prefix = qualifiedLakeDir(spark, layout)
+          val scan = spark.read.option("basePath", layout.lakeDir)
+            .option("mergeSchema", "true")
+            .parquet(targets.map(r => s"${layout.lakeDir}/$r"): _*)
+            .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
+            .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+          Some(scan.join(dvDf,
+              scan("_graft_dv_file") === dvDf("_dvk_file") &&
+                scan("_graft_dv_pos") === dvDf("_dvk_pos"))
+            .drop("_graft_dv_file", "_graft_dv_pos", "_dvk_file", "_dvk_pos")
+            .withColumn("_change_type", lit("delete")))
+        }
       }
     val combined = (inserts, deletes) match {
       case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)

@@ -85,7 +85,15 @@ object Mv {
     }
     // the feed HAS a payload schema: a missing key/value column here is
     // a misspelling, not an empty lake — silently returning v0 would
-    // make every refresh a permanent no-op serving a stale view
+    // make every refresh a permanent no-op serving a stale view.
+    // BEHAVIOR NOTE (round 9+): a view whose value column only arrives
+    // via a LATER schema evolution (addcol after the first data commit)
+    // must be registered/refreshed only once that evolution is
+    // committed — before it, this throws rather than bootstrapping at
+    // v0, because a missing-by-evolution column and a misspelled one
+    // are indistinguishable here and the silent no-op was the worse
+    // failure. Commit the addcol first (it is a metadata-only commit),
+    // then register the view.
     val missing = (keyCols :+ valueCol).filterNot(changes.columns.contains)
     if (missing.nonEmpty) throw new IllegalArgumentException(
       s"Mv.refresh: column(s) ${missing.mkString(", ")} absent from the " +

@@ -18,7 +18,8 @@ import graft.lake.{Catalog => Lake, Layout}
 /** DataSource-v2 `TableCatalog` over the manifest-log lake — the SQL
   * addressability surface every Delta/Iceberg user expects (the
   * reference's ONLY queryable structure is its catalog,
-  * `/root/reference/cdk/serverless_datalake_stack.py:63-77`; here the
+  * `/root/reference/serverless_datalake/serverless_datalake_stack.py:63-77`;
+  * here the
   * whole committed lake is SQL-addressable). Register per layout root:
   *
   * {{{
@@ -76,8 +77,12 @@ class GraftCatalog extends TableCatalog {
     (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
       tableNames.contains(ident.name)
 
+  // mirror resolvable(): listing a namespace loadTable would refuse
+  // (SHOW TABLES IN graft.foo) returns nothing, not phantom tables
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    tableNames.map(Identifier.of(namespace, _)).toArray
+    if (namespace.isEmpty || namespace.sameElements(Array("default")))
+      tableNames.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
 
   override def tableExists(ident: Identifier): Boolean = resolvable(ident)
 
@@ -178,8 +183,14 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (requiredSchema.fields.nonEmpty &&
-        requiredSchema.fieldNames.forall(filtered.columns.contains))
+    if (requiredSchema.fields.isEmpty) {
+      // SELECT count(*): no columns are required — project only the
+      // CHEAPEST table column so the row boundary carries narrow rows
+      // instead of the full width (the scan's readSchema must stay a
+      // subset of the table schema, so a literal cannot stand in)
+      filtered.schema.fields.sortBy(f => (f.dataType.defaultSize, f.name))
+        .headOption.foreach(f => filtered = filtered.select(col(f.name)))
+    } else if (requiredSchema.fieldNames.forall(filtered.columns.contains))
       filtered = filtered.select(
         requiredSchema.fieldNames.toIndexedSeq.map(col): _*)
 

@@ -1,0 +1,136 @@
+package graft.sql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Catalog, Layout}
+
+/** The ORACLE-GATED face of the DSv2 catalog ([[GraftCatalog]]): a
+  * deterministic manifest-log lake derived from the `events` corpus,
+  * addressed through PURE `spark.sql` over `« catalog ».lake` /
+  * `lake_changes` — so the driver's DuckDB oracle exercises the SQL
+  * catalog path on real corpus volume (the reference's catalog is its
+  * only queryable structure, `/root/reference/serverless_datalake/
+  * serverless_datalake_stack.py:63-77`; here the SQL face of the whole
+  * lake is the gated surface).
+  *
+  * Fixture content (2 commits, versions fixed by construction):
+  *  - v1 `commitLake`: every event as `(source = event_type, event_id,
+  *    user_id, cents)` — integer cents via `floor(value·100 + 0.5)`
+  *    (exact-tie-safe on both engines, unlike `round`);
+  *  - v2 `deleteLakeWhere(event_id % 10 = 3)`: a deletion-vector
+  *    commit, so the snapshot/AS-OF/CDF queries all have non-trivial
+  *    answers the oracle can replay over the raw `events` parquet.
+  *
+  * The lake is corpus-keyed and built ONCE under the shared artifact
+  * root ([[graft.ops.Artifacts.commit]] atomic-rename protocol — safe
+  * under parallel suites and reused across JVMs); the manifest log
+  * stores relative paths, so the build-in-temp + rename is sound.
+  * Scale: the fixture build is one partitioned write + one DV commit —
+  * O(corpus); every query below is a pruned committed-snapshot scan
+  * through the catalog's pushdown path. */
+object SqlLake {
+
+  /** Corpus key: events parquet byte length + dir basename — stable
+    * per generated corpus, no data scan needed. */
+  private def corpusKey(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getContentSummary(p).getLength
+    val base = new org.apache.hadoop.fs.Path(sfDir).getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+    s"${base}_$len"
+  }
+
+  /** Build (once) the deterministic lake for `sfDir`'s events corpus;
+    * returns its layout root. */
+  def lakeRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val lay = Layout(tmp)
+      val batch = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"),
+        col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val v1 = Catalog.commitLake(spark, lay, batch)
+      require(v1 == 1L, s"fixture commit seq drifted: $v1")
+      val v2 = Catalog.deleteLakeWhere(spark, lay, col("event_id") % 10 === 3)
+      require(v2 == 2L, s"fixture delete seq drifted: $v2")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** Register (idempotently) a DSv2 catalog over the fixture lake and
+    * return its name — corpus-keyed, because catalog instances are
+    * cached per name and must never see a different root. */
+  def ensureCatalog(spark: SparkSession, sfDir: String): String = {
+    val root = lakeRoot(spark, sfDir)
+    val name = s"graft_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  /** `q_sql_lake_agg`: committed-snapshot aggregate through pure SQL —
+    * DV-applied (the v2 delete is invisible), grouped per source. */
+  def snapshotAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalog(spark, sfDir)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $cat.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val snapshotAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE NOT (event_id % 10 = 3)
+      |GROUP BY event_type ORDER BY source""".stripMargin
+
+  /** `q_sql_lake_asof`: `VERSION AS OF 1` — the snapshot BEFORE the
+    * DV delete; time travel bound at SQL analysis. */
+  def asOfAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalog(spark, sfDir)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $cat.lake VERSION AS OF 1
+         |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val asOfAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY event_type ORDER BY source""".stripMargin
+
+  /** `q_sql_lake_changes`: the change data feed through pure SQL —
+    * net per-change-type counts/sums over the full version range
+    * (inserts = the v1 append, deletes = the v2 DV commit). */
+  def changesAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalog(spark, sfDir)
+    // pin the full range explicitly: the conf is session-shared
+    spark.conf.set("spark.graft.cdf.startingVersion", "0")
+    spark.conf.set("spark.graft.cdf.endingVersion", Long.MaxValue.toString)
+    spark.sql(
+      s"""SELECT _change_type, count(*) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $cat.lake_changes
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
+  val changesAggOracleSql: String =
+    """SELECT * FROM (
+      |  SELECT 'delete' AS _change_type, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM events WHERE event_id % 10 = 3
+      |  UNION ALL
+      |  SELECT 'insert' AS _change_type, count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM events
+      |) ORDER BY _change_type""".stripMargin
+}
