@@ -205,6 +205,7 @@ object Catalog {
       lakeUuid: Option[String] = None, lake: Seq[String] = Seq.empty,
       lakeRemoves: Seq[String] = Seq.empty,
       addCols: Seq[(String, String)] = Seq.empty,
+      widenCols: Seq[(String, String)] = Seq.empty,
       dvUuid: Option[String] = None, dv: Seq[String] = Seq.empty,
       dvRemoves: Seq[String] = Seq.empty,
       fileStats: Seq[(String, String)] = Seq.empty,
@@ -226,6 +227,7 @@ object Catalog {
     r.lakeUuid.foreach { u => b ++= s"\nlake $u"; r.lake.foreach(f => b ++= s"\n$f") }
     if (r.lakeRemoves.nonEmpty) { b ++= "\nlakerm"; r.lakeRemoves.foreach(f => b ++= s"\n$f") }
     r.addCols.foreach { case (n, ddl) => b ++= s"\naddcol $n $ddl" }
+    r.widenCols.foreach { case (n, ddl) => b ++= s"\nwidencol $n $ddl" }
     r.dvUuid.foreach { u => b ++= s"\ndv $u"; r.dv.foreach(f => b ++= s"\n$f") }
     if (r.dvRemoves.nonEmpty) { b ++= "\ndvrm"; r.dvRemoves.foreach(f => b ++= s"\n$f") }
     r.fileStats.foreach { case (rel, json) => b ++= s"\nfstat $rel $json" }
@@ -246,6 +248,7 @@ object Catalog {
     val lakeRemoves = Seq.newBuilder[String]
     val dvRemoves = Seq.newBuilder[String]
     val addCols = Seq.newBuilder[(String, String)]
+    val widenCols = Seq.newBuilder[(String, String)]
     val fileStats = Seq.newBuilder[(String, String)]
     val expects = Seq.newBuilder[(String, String)]
     val expectRms = Seq.newBuilder[String]
@@ -274,6 +277,11 @@ object Catalog {
         val sp = rest.indexOf(' ')
         addCols += ((rest.substring(0, sp), rest.substring(sp + 1)))
       }
+      else if (l.startsWith("widencol ")) {
+        val rest = l.stripPrefix("widencol ")
+        val sp = rest.indexOf(' ')
+        widenCols += ((rest.substring(0, sp), rest.substring(sp + 1)))
+      }
       else if (l == "rm") section = "rm"
       else if (l == "lakerm") section = "lakerm"
       else if (l == "dvrm") section = "dvrm"
@@ -291,6 +299,7 @@ object Catalog {
     V2Record(head(1).toLong, head(2).toLong, marker,
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
       lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
+      widenCols.result(),
       dvUuid, dv.result(), dvRemoves.result(), fileStats.result(),
       expects.result(), expectRms.result(), note)
   }
@@ -400,7 +409,8 @@ object Catalog {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lakeUuid = java.util.UUID.randomUUID().toString
     val lakeStage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$lakeUuid")
-    lakeBatch.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
+    widenBatch(spark, layout, lakeBatch)
+      .write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
     val lakeFiles = stagedFiles(fs, lakeStage)
     val catUuid = java.util.UUID.randomUUID().toString
     val catStage = new org.apache.hadoop.fs.Path(s"${layout.catalogDir}/_staged/$catUuid")
@@ -439,7 +449,10 @@ object Catalog {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
-    batch.write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+    // cast widened columns UP before staging — files committed after a
+    // widening fact always carry the wide physical type
+    widenBatch(spark, layout, batch)
+      .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
     val staged = stagedFiles(fs, stage)
     if (staged.isEmpty && removes.isEmpty) { fs.delete(stage, true); return -1L }
     val stats =
@@ -596,19 +609,18 @@ object Catalog {
     * residual filter. */
   private def snapshotReadFiles(spark: SparkSession, layout: Layout,
       files: Seq[String], version: Long): DataFrame = {
-    val scan = spark.read.option("basePath", layout.lakeDir)
-      .option("mergeSchema", "true")
-      .parquet(files.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val scan = lakeScan(spark, layout, files, version)
     val dvLive = dvFilesAsOf(spark, layout, version)
     val withDv =
       if (dvLive.isEmpty) scan
       else applyDvs(scan,
         spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
         qualifiedLakeDir(spark, layout))
-    lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
+    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
       case (d, (_, n, ddl)) =>
         if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
     }
+    applyWidenings(spark, layout, evolved, version)
   }
 
   /** Range read through the skipping index: snapshot semantics of
@@ -800,6 +812,164 @@ object Catalog {
     readLog(spark, layout).addCols.filter(_._1 <= version).sortBy(_._1)
 
   // --------------------------------------------------------------------
+  // Schema evolution: TYPE WIDENING (int→long, float→double, …)
+  // --------------------------------------------------------------------
+
+  /** The widenings the parquet reader can serve LOSSLESSLY from old
+    * files via read-side type promotion (each pair verified against
+    * Spark 4's vectorized reader): integral up-casts, int/float →
+    * double, same-scale decimal precision growth, date → local
+    * timestamp. long→double and any narrowing are refused — they lose
+    * values. */
+  private def isWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d1.scale == d2.scale && d2.precision > d1.precision
+      case _ => false
+    }
+  }
+
+  /** TYPE WIDENING as a manifest-log fact (Delta's `ALTER COLUMN …
+    * TYPE` widening): after this commit the column's snapshot type is
+    * `ddl`, already-committed files keep their narrow physical type
+    * (no rewrite — the reader promotes them), and subsequent typed
+    * writes are cast up at staging so new files carry the wide type.
+    * Time travel below this commit still reads the OLD type; the
+    * change feed follows the type in force at its range's end. Only
+    * the whitelisted lossless promotions are accepted ([[isWidening]];
+    * e.g. int→long, float→double) and the FROM type is the column's
+    * current effective type, so chained widenings compose. Metadata-
+    * only commit; returns its seq. */
+  def commitLakeWidenColumn(spark: SparkSession, layout: Layout,
+      name: String, ddl: String): Long = {
+    require(!name.contains(' ') && name.nonEmpty, s"bad column name: '$name'")
+    val to = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+    val snap = loadLakeSnapshot(spark, layout)
+    require(snap.columns.contains(name),
+      s"cannot widen unknown column '$name' (lake columns: " +
+        s"${snap.columns.mkString(", ")})")
+    val from = snap.schema(name).dataType
+    if (!isWidening(from, to)) throw new IllegalArgumentException(
+      s"'${from.sql}' -> '${to.sql}' is not a lossless widening for " +
+        s"column '$name' — allowed: byte/short→int/long, int→long/double, " +
+        "float→double, decimal precision growth (same scale), " +
+        "date→timestamp_ntz")
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      None, Seq.empty, Seq.empty, widenCols = Seq((name, ddl)))
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    seq
+  }
+
+  /** The committed widenings ≤ `version`, in commit order:
+    * (seq, name, ddl). */
+  def lakeWidenedColumns(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Seq[(Long, String, String)] =
+    readLog(spark, layout).widenCols.filter(_._1 <= version).sortBy(_._1)
+
+  /** Effective widened type per column at `version` (last widening
+    * wins — chains land on their final type). */
+  private def widenedTypesAt(spark: SparkSession, layout: Layout,
+      version: Long): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    lakeWidenedColumns(spark, layout, version)
+      .groupBy(_._2).view
+      .mapValues(ws => org.apache.spark.sql.types.DataType.fromDDL(ws.last._3))
+      .toSeq.sortBy(_._1)
+
+  /** Cast a typed batch's widened columns UP to the type in force at
+    * the head, so every file staged after a widening commit carries
+    * the wide physical type — the invariant [[lakeScan]]'s per-epoch
+    * schema merge relies on. A no-op (and no plan change) without
+    * widening facts. */
+  private def widenBatch(spark: SparkSession, layout: Layout,
+      batch: DataFrame): DataFrame =
+    widenedTypesAt(spark, layout, Long.MaxValue).foldLeft(batch) {
+      case (b, (n, t)) =>
+        if (b.columns.contains(n) && isWidening(b.schema(n).dataType, t))
+          b.withColumn(n, col(n).cast(t))
+        else b
+    }
+
+  /** Read committed lake data files with the schema in force at
+    * `version`. Without widening facts this is the plain distributed
+    * `mergeSchema` scan (unchanged fast path). With them, `mergeSchema`
+    * would fail — pre-widening files are physically narrow — so the
+    * files are grouped into WIDENING EPOCHS by the commit seq carried
+    * in their `c<seq>-` names, each epoch's schema is merged normally
+    * (uniform within an epoch: writes are cast up at staging from the
+    * widening commit on), the widened columns are overridden to their
+    * in-force type, the epoch schemas are unioned, and ONE explicit-
+    * schema scan reads everything — the parquet reader promotes narrow
+    * pages losslessly (Spark 4 read-side widening). Costs the same
+    * O(files) distributed footer pass as `mergeSchema`, split across
+    * (#widenings + 1) groups. */
+  private def lakeScan(spark: SparkSession, layout: Layout,
+      files: Seq[String], version: Long = Long.MaxValue): DataFrame = {
+    def paths(rels: Seq[String]) = rels.map(rel => s"${layout.lakeDir}/$rel")
+    val widens = widenedTypesAt(spark, layout, version)
+    if (widens.isEmpty)
+      return spark.read.option("basePath", layout.lakeDir)
+        .option("mergeSchema", "true").parquet(paths(files): _*)
+    val targets = widens.toMap
+    val bounds = lakeWidenedColumns(spark, layout, version).map(_._1).distinct.sorted
+    def fileSeq(rel: String): Long = {
+      val name = rel.substring(rel.indexOf('/') + 1)
+      name.stripPrefix("c").takeWhile(_.isDigit).toLong
+    }
+    val epochSchemas = files.groupBy(rel => bounds.count(_ <= fileSeq(rel)))
+      .toSeq.sortBy(_._1).map { case (_, group) =>
+        spark.read.option("basePath", layout.lakeDir)
+          .option("mergeSchema", "true").parquet(paths(group): _*).schema
+      }
+      .map(s => org.apache.spark.sql.types.StructType(s.map(f =>
+        targets.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))))
+    // union by name, first-seen order; same-name fields must agree
+    // (widened columns already overridden above — a surviving conflict
+    // is a real write-path type error and fails LOUD, as mergeSchema
+    // would)
+    val merged = epochSchemas.reduce { (a, b) =>
+      val known = a.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(
+        a.map { f =>
+          b.find(_.name == f.name).foreach { g =>
+            if (g.dataType != f.dataType) throw new IllegalStateException(
+              s"lake files disagree on column '${f.name}' beyond the " +
+                s"committed widenings: ${f.dataType.sql} vs ${g.dataType.sql}")
+          }
+          b.find(_.name == f.name)
+            .map(g => f.copy(nullable = f.nullable || g.nullable))
+            .getOrElse(f)
+        } ++ b.filterNot(f => known.contains(f.name)))
+    }
+    spark.read.option("basePath", layout.lakeDir)
+      .schema(merged).parquet(paths(files): _*)
+  }
+
+  /** Widen-cast fold for frames assembled OUTSIDE [[lakeScan]]'s
+    * explicit schema (evolution columns backfilled as narrow nulls,
+    * pre-widening state unions): brings every widened column present
+    * in `df` to its in-force type at `version`. No-op per column when
+    * already wide. */
+  private def applyWidenings(spark: SparkSession, layout: Layout,
+      df: DataFrame, version: Long): DataFrame =
+    widenedTypesAt(spark, layout, version).foldLeft(df) {
+      case (d, (n, t)) =>
+        if (d.columns.contains(n) && d.schema(n).dataType != t)
+          d.withColumn(n, col(n).cast(t))
+        else d
+    }
+
+  // --------------------------------------------------------------------
   // Expectations: commit-time CHECK constraints on the manifest log
   // --------------------------------------------------------------------
 
@@ -918,20 +1088,20 @@ object Catalog {
       version: Long = Long.MaxValue): DataFrame = {
     val live = lakeFilesAsOf(spark, layout, version)
     if (live.isEmpty) return spark.emptyDataFrame
-    val scan = spark.read.option("basePath", layout.lakeDir)
-      .option("mergeSchema", "true")
-      .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val scan = lakeScan(spark, layout, live, version)
     val dvLive = dvFilesAsOf(spark, layout, version)
     val df =
       if (dvLive.isEmpty) scan
       else applyDvs(scan,
         spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
         qualifiedLakeDir(spark, layout))
-    lakeAddedColumns(spark, layout, version).foldLeft(df) {
+    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(df) {
       case (d, (_, n, ddl)) =>
         if (d.columns.contains(n)) d
         else d.withColumn(n, lit(null).cast(ddl))
     }
+    // an addcol backfilled narrow then widened lands here still narrow
+    applyWidenings(spark, layout, evolved, version)
   }
 
   /** Lake-area vacuum: physically delete lake files (and deletion-
@@ -1085,15 +1255,14 @@ object Catalog {
         .withColumn("file", lit(null).cast("string"))
         .withColumn("pos", lit(null).cast("long"))
     val prefix = qualifiedLakeDir(spark, layout)
-    val scan = spark.read.option("basePath", layout.lakeDir)
-      .option("mergeSchema", "true")
-      .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+    val scan = lakeScan(spark, layout, live)
       .withColumn("_graft_file", lakeRelFileCol(prefix))
       .withColumn("_graft_pos", col("_metadata.row_index"))
-    val evolved = lakeAddedColumns(spark, layout).foldLeft(scan) {
-      case (d, (_, n, ddl)) =>
-        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
-    }
+    val evolved = applyWidenings(spark, layout,
+      lakeAddedColumns(spark, layout).foldLeft(scan) {
+        case (d, (_, n, ddl)) =>
+          if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+      }, Long.MaxValue)
     // filter BEFORE the DV anti-join (they commute — both are row
     // predicates on the scan side) so the predicate pushes down to the
     // parquet scan instead of sitting above a join
@@ -1228,9 +1397,12 @@ object Catalog {
       s"keyCols $keyCols must be batch columns")
     if (batch.isEmpty) return -1L
     enforceExpectations(spark, layout, batch)
+    // staged files must carry the widened types (lakeScan's epoch
+    // invariant); key types follow so the semi-join stays equi-typed
+    val wide = widenBatch(spark, layout, batch)
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val keys = batch.select(keyCols.map(col): _*).distinct()
+    val keys = wide.select(keyCols.map(col): _*).distinct()
     var attempt = 0
     while (attempt < 8) {
       val live = lakeFilesAsOf(spark, layout)
@@ -1240,9 +1412,7 @@ object Catalog {
             .withColumn("pos", lit(null).cast("long"))
         else {
           val prefix = qualifiedLakeDir(spark, layout)
-          val scan = spark.read.option("basePath", layout.lakeDir)
-            .option("mergeSchema", "true")
-            .parquet(live.map(rel => s"${layout.lakeDir}/$rel"): _*)
+          val scan = lakeScan(spark, layout, live)
             .withColumn("_graft_file", lakeRelFileCol(prefix))
             .withColumn("_graft_pos", col("_metadata.row_index"))
           val undel = {
@@ -1284,7 +1454,7 @@ object Catalog {
           val lakeUuid = java.util.UUID.randomUUID().toString
           val lakeStage = new org.apache.hadoop.fs.Path(
             s"${layout.lakeDir}/_staged/$lakeUuid")
-          batch.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
+          wide.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
           val lakeStaged = stagedFiles(fs, lakeStage)
           val dvUuid = java.util.UUID.randomUUID().toString
           val dvStage = new org.apache.hadoop.fs.Path(
@@ -1376,9 +1546,9 @@ object Catalog {
       val staged =
         if (lockedAffected.isEmpty) Seq.empty[String]
         else {
-          val scan = spark.read.option("basePath", layout.lakeDir)
-            .option("mergeSchema", "true")
-            .parquet(lockedAffected.map(rel => s"${layout.lakeDir}/$rel"): _*)
+          // rewrite through lakeScan: materialized outputs come out
+          // carrying the widened types (old narrow files upgrade here)
+          val scan = lakeScan(spark, layout, lockedAffected)
           applyDvs(scan, dvDf, prefix)
             .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
           stagedFiles(fs, stage)
@@ -1478,9 +1648,8 @@ object Catalog {
             val bytes = chosen.flatMap(fileLen).sum
             val n = math.max(1L, math.min((bytes + targetBytes - 1) / targetBytes,
               4096L)).toInt
-            val scan = spark.read.option("basePath", layout.lakeDir)
-              .option("mergeSchema", "true")
-              .parquet(chosen.map(rel => s"${layout.lakeDir}/$rel"): _*)
+            // lakeScan: compacted outputs carry the widened types
+            val scan = lakeScan(spark, layout, chosen)
             val undeleted = applyCommittedDvs(spark, layout, scan)
             val packed = zorder match {
               case Some((a, b)) => ZOrder.clusteredBy(undeleted, a, b, n)
@@ -1607,9 +1776,7 @@ object Catalog {
       .cast("long")
     val inserts =
       if (insertFiles.isEmpty) None
-      else Some(spark.read.option("basePath", layout.lakeDir)
-        .option("mergeSchema", "true")
-        .parquet(insertFiles.map(r => s"${layout.lakeDir}/$r"): _*)
+      else Some(lakeScan(spark, layout, insertFiles, toVersion)
         .withColumn("_commit_version", verCol)
         .withColumn("_change_type", lit("insert")))
     val deletes =
@@ -1650,9 +1817,7 @@ object Catalog {
         else {
           requireReadable(targets, "deleted rows' data files")
           val prefix = qualifiedLakeDir(spark, layout)
-          val scan = spark.read.option("basePath", layout.lakeDir)
-            .option("mergeSchema", "true")
-            .parquet(targets.map(r => s"${layout.lakeDir}/$r"): _*)
+          val scan = lakeScan(spark, layout, targets, toVersion)
             .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
             .withColumn("_graft_dv_pos", col("_metadata.row_index"))
           Some(scan.join(dvDf,
@@ -1671,10 +1836,13 @@ object Catalog {
           .withColumn("_commit_version", lit(null).cast("long"))
           .withColumn("_change_type", lit(null).cast("string"))
     }
-    lakeAddedColumns(spark, layout, toVersion).foldLeft(combined) {
+    val evolved = lakeAddedColumns(spark, layout, toVersion).foldLeft(combined) {
       case (d, (_, n, ddl)) =>
         if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
     }
+    // the feed speaks the type in force at the range END: pre-widening
+    // rows inside the range are promoted, so one consumer schema holds
+    applyWidenings(spark, layout, evolved, toVersion)
   }
 
   /** Commit an ALREADY-STAGED distribution payload: raw files placed
@@ -1892,7 +2060,8 @@ object Catalog {
       lakeF.map(_._1) ++ lrmF.map(_._1) ++
       dvF.map(_._1) ++ dvrF.map(_._1) ++ fsF.map(_._1) ++
       exF.map(_._1) ++ exrF.map(_._1) ++
-      state.addCols.filter(_._1 <= cap).map(_._1)
+      state.addCols.filter(_._1 <= cap).map(_._1) ++
+      state.widenCols.filter(_._1 <= cap).map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
     val rec = new org.apache.hadoop.fs.Path(logDir(layout), f"$upTo%020d.checkpoint")
@@ -1912,6 +2081,8 @@ object Catalog {
       lakeF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"L $s $p" } ++
       lrmF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"LR $s $ms $p" } ++
       acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" } ++
+      state.widenCols.filter(_._1 <= cap).sortBy(e => (e._1, e._2))
+        .map { case (s, n, ddl) => s"WC $s $n $ddl" } ++
       dvF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"DV $s $p" } ++
       dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" } ++
       fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" } ++
@@ -1970,6 +2141,7 @@ object Catalog {
       lake: Seq[(Long, String)] = Seq.empty,
       lakeRemoves: Seq[(Long, Long, String)] = Seq.empty,
       addCols: Seq[(Long, String, String)] = Seq.empty,
+      widenCols: Seq[(Long, String, String)] = Seq.empty,
       dv: Seq[(Long, String)] = Seq.empty,
       dvRemoves: Seq[(Long, Long, String)] = Seq.empty,
       fileStats: Seq[(Long, String, String)] = Seq.empty,
@@ -2028,6 +2200,7 @@ object Catalog {
     val lake = Seq.newBuilder[(Long, String)]
     val lakeRemoves = Seq.newBuilder[(Long, Long, String)]
     val addCols = Seq.newBuilder[(Long, String, String)]
+    val widenCols = Seq.newBuilder[(Long, String, String)]
     val dv = Seq.newBuilder[(Long, String)]
     val dvRemoves = Seq.newBuilder[(Long, Long, String)]
     val fileStats = Seq.newBuilder[(Long, String, String)]
@@ -2057,6 +2230,8 @@ object Catalog {
         val a = l.split(' '); lakeRemoves += ((a(1).toLong, a(2).toLong, a(3)))
       } else if (l.startsWith("AC ")) {
         val a = l.split(' '); addCols += ((a(1).toLong, a(2), a.drop(3).mkString(" ")))
+      } else if (l.startsWith("WC ")) {
+        val a = l.split(' '); widenCols += ((a(1).toLong, a(2), a.drop(3).mkString(" ")))
       } else {
         val sp = l.indexOf(' '); cat += ((l.substring(0, sp).toLong, l.substring(sp + 1)))
       }
@@ -2080,6 +2255,7 @@ object Catalog {
           r.lake.foreach(rel => lake += ((seq, live(rel))))
           r.lakeRemoves.foreach(p => lakeRemoves += ((seq, r.claimMs, p)))
           r.addCols.foreach { case (n, ddl) => addCols += ((seq, n, ddl)) }
+          r.widenCols.foreach { case (n, ddl) => widenCols += ((seq, n, ddl)) }
           r.dv.foreach(rel => dv += ((seq, live(rel))))
           r.dvRemoves.foreach(p => dvRemoves += ((seq, r.claimMs, p)))
           r.fileStats.foreach { case (rel, json) => fileStats += ((seq, live(rel), json)) }
@@ -2092,6 +2268,7 @@ object Catalog {
       }
     LogState(cat.result(), dist.result(), removes.result(),
       lake.result(), lakeRemoves.result(), addCols.result(),
+      widenCols.result(),
       dv.result(), dvRemoves.result(), fileStats.result(),
       expects.result(), expectRms.result(), notes.result())
   }

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.{col, lit}
@@ -111,8 +111,14 @@ class GraftCatalog extends TableCatalog {
     val s = spark
     ident.name match {
       case "lake" =>
-        new GraftTable(s"$catalogName.lake",
-          () => Lake.loadLakeSnapshot(s, layout, version.getOrElse(Long.MaxValue)))
+        version match {
+          // the HEAD table is the DML surface: DELETE FROM graft.lake
+          // WHERE … routes into the typed path (locks + expectations)
+          case None => new GraftLakeTable(s"$catalogName.lake", layout,
+            () => Lake.loadLakeSnapshot(s, layout))
+          case Some(v) => new GraftTable(s"$catalogName.lake",
+            () => Lake.loadLakeSnapshot(s, layout, v))
+        }
       case "lake_catalog" =>
         new GraftTable(s"$catalogName.lake_catalog",
           () => version match {
@@ -154,13 +160,39 @@ class GraftCatalog extends TableCatalog {
   * one source of truth). */
 private[sql] class GraftTable(tableName: String, frame: () => DataFrame)
     extends Table with SupportsRead {
-  private lazy val df: DataFrame = frame()
+  protected lazy val df: DataFrame = frame()
   override def name(): String = tableName
   override def schema(): StructType = df.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(df)
+}
+
+/** The head `lake` table: readable like every [[GraftTable]], plus the
+  * ONE DML verb a lakehouse user reaches for first —
+  * `DELETE FROM graft.lake WHERE …` — routed into
+  * [[graft.lake.Catalog.deleteLakeWhere]], so the SQL verb gets the
+  * exact semantics of the typed API: per-source maintenance locks,
+  * optimistic re-check under them, a deletion-vector commit (no data
+  * files rewritten), and CDF visibility. A predicate the translator
+  * cannot express as a [[graft.lake.Catalog.deleteLakeWhere]] column
+  * (nested fields, exotic ops) makes `canDeleteWhere` false and Spark
+  * refuses the statement loudly — never a partial delete. Unqualified
+  * `DELETE FROM graft.lake` (and SQL `TRUNCATE`) deletes every row —
+  * as a DV commit, so time travel below it still reads the history. */
+private[sql] class GraftLakeTable(tableName: String, layout: Layout,
+    frame: () => DataFrame) extends GraftTable(tableName, frame)
+    with SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(GraftFilters.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Lake.deleteLakeWhere(SparkSession.active, layout, pred)
+  }
 }
 
 /** Pushes supported filters and the required-column projection into
@@ -196,9 +228,17 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
 
   override def build(): Scan = new GraftV1Scan(filtered)
 
-  /** sources.Filter → Column for the ANSI basics; None = unsupported
-    * (nested attributes, exotic predicates) and evaluated by Spark. */
-  private def toColumn(f: Filter): Option[Column] = {
+  private def toColumn(f: Filter): Option[Column] = GraftFilters.toColumn(f)
+}
+
+/** `sources.Filter` → `Column` for the ANSI basics; `None` =
+  * unsupported (nested attributes, exotic predicates) — left for Spark
+  * to evaluate above a scan, or refused outright by DML. Shared by the
+  * read pushdown ([[GraftScanBuilder]]) and `DELETE`
+  * ([[GraftLakeTable]]) so both surfaces accept exactly the same
+  * predicate language. */
+private[sql] object GraftFilters {
+  def toColumn(f: Filter): Option[Column] = {
     def simple(attr: String): Boolean = !attr.contains(".")
     f match {
       case sources.EqualTo(a, v) if simple(a) => Some(col(a) === lit(v))
@@ -226,7 +266,14 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
 
 /** The V1 fallback scan (the JDBC-connector pattern): Spark's own
   * planner wraps the relation in a RowDataSourceScanExec; rows come
-  * from executing the pushed-down inner plan. */
+  * from executing the pushed-down inner plan. `needConversion = false`
+  * is the load-bearing line: the relation hands Spark the inner plan's
+  * OWN `InternalRow` output (`queryExecution.toRdd`) instead of
+  * round-tripping every row through external `Row` objects — the same
+  * contract the built-in relations use, so rows surviving pushdown
+  * cross the V1 boundary with zero per-row conversion (the
+  * RowDataSourceScanExec above projects them into its unsafe output
+  * as it would any scan). */
 private[sql] class GraftV1Scan(df: DataFrame) extends V1Scan {
   override def readSchema(): StructType = df.schema
   override def description(): String = s"GraftLake${df.schema.catalogString}"
@@ -235,6 +282,8 @@ private[sql] class GraftV1Scan(df: DataFrame) extends V1Scan {
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = df.schema
-      override def buildScan(): RDD[Row] = df.rdd
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }.asInstanceOf[T]
 }

@@ -134,4 +134,49 @@ class GraftCatalogSpec extends SparkTestBase {
       .map(_.getString(1)).toSet ==
       Set("lake", "lake_changes", "lake_catalog"))
   }
+
+  test("DELETE FROM graft.lake WHERE … ≡ deleteLakeWhere: a DV commit, " +
+      "visible in the CDF, history intact below it; untranslatable " +
+      "predicates refuse loud with nothing deleted") {
+    val layoutSql = Layout(tmpDir("dsv2-del-sql"))
+    val layoutApi = Layout(tmpDir("dsv2-del-api"))
+    val s = spark
+    import s.implicits._
+    def seed(layout: Layout): Long = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L), ("logs", "k3", 30L),
+        ("logs", "k4", 40L)).toDF("source", "key", "v"))
+    val v1 = seed(layoutSql); seed(layoutApi)
+    val cat = register(layoutSql)
+
+    spark.sql(s"DELETE FROM $cat.lake WHERE v > 20 AND source = 'logs'")
+    Catalog.deleteLakeWhere(spark, layoutApi,
+      col("v") > 20 && col("source") === "logs")
+
+    // SQL ≡ API: identical survivors, identical commit shape (a DV
+    // commit — no data file rewritten)
+    val sqlRows = Catalog.loadLakeSnapshot(spark, layoutSql)
+      .select("key").collect().map(_.getString(0)).toSet
+    val apiRows = Catalog.loadLakeSnapshot(spark, layoutApi)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(sqlRows == apiRows && sqlRows == Set("k1", "k2"))
+    assert(Catalog.lakeFilesAsOf(spark, layoutSql).toSet ==
+      Catalog.lakeFilesAsOf(spark, layoutSql, v1).toSet,
+      "SQL DELETE must be merge-on-read: same data files, new DV")
+    assert(Catalog.dvFilesAsOf(spark, layoutSql).nonEmpty)
+
+    // the delete is on the change feed, exactly once per row
+    val dels = Catalog.lakeChangesBetween(spark, layoutSql, v1)
+      .filter(col("_change_type") === "delete")
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(dels == Set("k3", "k4"))
+    // time travel below the DELETE still reads all four rows
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake VERSION AS OF $v1")
+      .head.getLong(0) == 4L)
+
+    // an untranslatable predicate refuses LOUD, deleting nothing
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.lake WHERE length(key) > 1"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 2L)
+  }
 }
