@@ -20,8 +20,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * engine, the DataFrame surface plus these expressions cover it.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    // the change-feed table-valued function: SELECT * FROM
+    // table_changes('catalog_or_root', from[, to])
+    ext.injectTableFunction(graft.sql.TableChanges.descriptor)
+  }
 }
 
 object GraftExtensions {

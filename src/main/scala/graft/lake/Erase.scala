@@ -293,9 +293,14 @@ object Erase {
     *     [[graft.ops.Artifacts.vacuumFor]] retention for each of
     *     `corpusDirs` (keeps only the now-live fingerprints, so every
     *     stale key goes even when the caller didn't record it);
-    *  3. registered maintained views (`mvs`): [[Mv.rebuild]] from the
-    *     post-erase snapshot, immediately — unregistered views still
-    *     self-heal at their next [[Mv.refresh]] via the commit note.
+    *  3. maintained views: every view in the layout's registry
+    *     ([[Mv.registered]] — populated automatically by every
+    *     refresh/rebuild, flat AND joined) is rebuilt from the
+    *     post-erase snapshot via [[Mv.rebuildView]], immediately — no
+    *     caller knowledge needed. `mvs` remains for state dirs
+    *     maintained by pre-registry code; a view in neither place
+    *     still self-heals at its next [[Mv.refresh]] via the commit
+    *     note.
     *
     * Steps 2–3 are each idempotent and independently safe to re-run;
     * a crash mid-call re-runs the whole thing (step 1 re-matches
@@ -313,9 +318,15 @@ object Erase {
     val erasedDirs = graft.ops.Artifacts.eraseKeys(spark, staleArtifactKeys, artifactRoot)
     val vacuumed = corpusDirs
       .map(d => graft.ops.Artifacts.vacuumFor(spark, d, artifactRoot)).sum
-    mvs.foreach(m =>
-      Mv.rebuild(spark, layout, m.stateDir, m.keyCols, m.valueCol, m.trackExtrema))
-    EraseEverywhereReport(lakeReport, erasedDirs + vacuumed, mvs.size.toLong)
+    // registry first (it knows joined-view geometry); explicit MvRefs
+    // only add state dirs the registry has never seen
+    val views = (Mv.registered(spark, layout) ++
+      mvs.map(m => Mv.ViewDef(m.stateDir, m.keyCols, m.valueCol, m.trackExtrema)))
+      .foldLeft(Vector.empty[Mv.ViewDef]) { (acc, v) =>
+        if (acc.exists(_.stateDir == v.stateDir)) acc else acc :+ v
+      }
+    views.foreach(v => Mv.rebuildView(spark, layout, v))
+    EraseEverywhereReport(lakeReport, erasedDirs + vacuumed, views.size.toLong)
   }
 
   /** Bronze leg: distributed search for affected objects, then one

@@ -63,6 +63,7 @@ object Mv {
       keyCols: Seq[String], valueCol: String,
       trackExtrema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
+    register(spark, layout, ViewDef(stateDir, keyCols, valueCol, trackExtrema))
     val head = Catalog.headVersion(spark, layout)
     val cur = liveState(spark, stateDir)
     val v0 = cur.map(_._1).getOrElse(0L)
@@ -171,6 +172,7 @@ object Mv {
   def rebuild(spark: SparkSession, layout: Layout, stateDir: String,
       keyCols: Seq[String], valueCol: String,
       trackExtrema: Boolean = false): Long = {
+    register(spark, layout, ViewDef(stateDir, keyCols, valueCol, trackExtrema))
     val head = Catalog.headVersion(spark, layout)
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
     if (snap.columns.isEmpty) return liveState(spark, stateDir) match {
@@ -209,6 +211,8 @@ object Mv {
       keyCols: Seq[String], valueCol: String): Long = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(joinCols.nonEmpty, "joinCols must be non-empty")
+    register(spark, layout,
+      ViewDef(stateDir, keyCols, valueCol, dimPath = Some(dimPath), joinCols = joinCols))
     val head = Catalog.headVersion(spark, layout)
     val cur = liveState(spark, stateDir)
     val v0 = cur.map(_._1).getOrElse(0L)
@@ -248,6 +252,8 @@ object Mv {
   def rebuildJoined(spark: SparkSession, layout: Layout, stateDir: String,
       dimPath: String, joinCols: Seq[String],
       keyCols: Seq[String], valueCol: String): Long = {
+    register(spark, layout,
+      ViewDef(stateDir, keyCols, valueCol, dimPath = Some(dimPath), joinCols = joinCols))
     val head = Catalog.headVersion(spark, layout)
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
     if (snap.columns.isEmpty) return liveState(spark, stateDir) match {
@@ -264,6 +270,107 @@ object Mv {
     commitState(spark, stateDir, agg, head)
     head
   }
+
+  // --------------------------------------------------------------------
+  // View registry: the layout knows its own maintained views
+  // --------------------------------------------------------------------
+
+  /** A registered maintained view — everything needed to rebuild it
+    * with NO caller knowledge (the GDPR obligation: a view nobody
+    * remembers must still shed an erased subject immediately, not at
+    * its next incidental refresh). Flat when `dimPath` is None, a
+    * maintained JOIN view otherwise. */
+  final case class ViewDef(stateDir: String, keyCols: Seq[String],
+      valueCol: String, trackExtrema: Boolean = false,
+      dimPath: Option[String] = None, joinCols: Seq[String] = Seq.empty)
+
+  private def viewsDir(layout: Layout) = s"${layout.root}/_views"
+
+  private def viewFileName(stateDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(stateDir.getBytes("UTF-8"))
+    "v" + d.take(8).map(b => f"$b%02x").mkString + ".json"
+  }
+
+  /** Register (or re-register) a view in the layout-level registry —
+    * one JSON file per stateDir under `<root>/_views/`, tmp+rename so
+    * a reader never sees a torn entry. Idempotent; an unchanged
+    * definition writes nothing (refresh calls this every time). Every
+    * [[refresh]]/[[rebuild]]/[[refreshJoined]]/[[rebuildJoined]]
+    * registers automatically, so any view that was EVER maintained
+    * against this layout is discoverable by
+    * [[Erase.eraseEverywhere]]. */
+  def register(spark: SparkSession, layout: Layout, v: ViewDef): Unit = {
+    val fs = fsOf(spark, viewsDir(layout))
+    val dir = new org.apache.hadoop.fs.Path(viewsDir(layout))
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("stateDir", v.stateDir)
+    val kc = node.putArray("keyCols"); v.keyCols.foreach(kc.add)
+    node.put("valueCol", v.valueCol)
+    node.put("trackExtrema", v.trackExtrema)
+    v.dimPath.foreach(node.put("dimPath", _))
+    val jc = node.putArray("joinCols"); v.joinCols.foreach(jc.add)
+    val body = m.writeValueAsString(node)
+    val p = new org.apache.hadoop.fs.Path(dir, viewFileName(v.stateDir))
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val cur = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (cur == body) return
+    }
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s"_tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false) // concurrent identical winner
+  }
+
+  /** Drop a view from the registry (the state dir itself is the
+    * caller's to delete). Returns whether an entry existed. */
+  def unregister(spark: SparkSession, layout: Layout, stateDir: String): Boolean =
+    fsOf(spark, viewsDir(layout)).delete(
+      new org.apache.hadoop.fs.Path(viewsDir(layout), viewFileName(stateDir)), false)
+
+  /** Every registered view of this layout. A torn/foreign file in the
+    * registry fails LOUD — silently skipping one would quietly exempt
+    * a view from erasure. */
+  def registered(spark: SparkSession, layout: Layout): Seq[ViewDef] = {
+    val fs = fsOf(spark, viewsDir(layout))
+    val dir = new org.apache.hadoop.fs.Path(viewsDir(layout))
+    if (!fs.exists(dir)) return Seq.empty
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    fs.listStatus(dir).map(_.getPath).filter(p =>
+      p.getName.endsWith(".json") && !p.getName.startsWith("_"))
+      .sortBy(_.getName).map { p =>
+        val in = fs.open(p)
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val n = m.readTree(body)
+        def arr(field: String): Seq[String] = {
+          val it = n.path(field).elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+        require(n.hasNonNull("stateDir") && n.hasNonNull("valueCol"),
+          s"torn or foreign view-registry entry: $p")
+        ViewDef(n.get("stateDir").asText(), arr("keyCols"),
+          n.get("valueCol").asText(), n.path("trackExtrema").asBoolean(false),
+          Option(n.get("dimPath")).filter(_.isTextual).map(_.asText()),
+          arr("joinCols"))
+      }.toSeq
+  }
+
+  /** Rebuild ONE registered view from the live snapshot — the
+    * post-erase path, dispatching flat vs joined. */
+  def rebuildView(spark: SparkSession, layout: Layout, v: ViewDef): Long =
+    v.dimPath match {
+      case Some(dim) => rebuildJoined(spark, layout, v.stateDir, dim,
+        v.joinCols, v.keyCols, v.valueCol)
+      case None => rebuild(spark, layout, v.stateDir, v.keyCols, v.valueCol,
+        v.trackExtrema)
+    }
 
   /** The live view: `(keyCols…, n_rows, sum_v)`. Empty (no columns)
     * before the first refresh. */

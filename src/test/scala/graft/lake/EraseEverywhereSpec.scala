@@ -217,4 +217,74 @@ class EraseEverywhereSpec extends SparkTestBase {
     assert(again.lake.totalDropped == 0L && again.artifactDirsDeleted == 0L)
     assert(mvRows(mvState) == Map("clicks" -> ((4L, 40L, 40L, 40L))))
   }
+
+  test("view registry: every refresh auto-registers (flat AND joined); " +
+      "eraseEverywhere discovers and rebuilds them with NO caller " +
+      "knowledge — an unregistered view keeps a stale window, a " +
+      "registered one does not") {
+    val layout = Layout(tmpDir("reg-root"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout, Seq(
+      ("clicks", "k1", """{"user":"A","v":10}""", 10L),
+      ("clicks", "k2", """{"user":"B","v":20}""", 20L),
+      ("logs", "k3", """{"user":"A","v":5}""", 5L))
+      .toDF("source", "key", "json", "v"))
+    val dimPath = tmpDir("reg-dim") + "/dim.parquet"
+    Seq(("clicks", "web"), ("logs", "backend"))
+      .toDF("source", "channel").write.mode("overwrite").parquet(dimPath)
+
+    // three views, all created through their NORMAL maintenance calls —
+    // nobody calls register() explicitly
+    val flat = tmpDir("reg-flat")
+    val joined = tmpDir("reg-joined")
+    val forgotten = tmpDir("reg-forgotten")
+    Mv.refresh(spark, layout, flat, Seq("source"), "v", trackExtrema = true)
+    Mv.refreshJoined(spark, layout, joined, dimPath, Seq("source"),
+      Seq("channel"), "v")
+    Mv.refreshJoined(spark, layout, forgotten, dimPath, Seq("source"),
+      Seq("channel"), "v")
+    assert(Mv.registered(spark, layout).map(_.stateDir).toSet ==
+      Set(flat, joined, forgotten))
+    // simulate a view maintained by pre-registry code
+    assert(Mv.unregister(spark, layout, forgotten))
+
+    def joinedRows(state: String): Map[String, (Long, Long)] =
+      Mv.read(spark, state).collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("sum_v")))).toMap
+    val preErase = joinedRows(forgotten)
+    assert(preErase == Map("web" -> ((2L, 30L)), "backend" -> ((1L, 5L))))
+
+    // ONE call, NO mvs argument: registry-discovered views rebuild
+    val report = Erase.eraseEverywhere(spark, layout, "clicks",
+      Erase.jsonFieldEquals("user", "A"))
+    assert(report.mvsRebuilt == 2L,
+      s"flat + joined from the registry, not the unregistered one: $report")
+
+    // registered views: NO stale window — correct immediately
+    assert(mvRows(flat) == Map("clicks" -> ((1L, 20L, 20L, 20L)),
+      "logs" -> ((1L, 5L, 5L, 5L))), mvRows(flat).toString)
+    assert(joinedRows(joined) ==
+      Map("web" -> ((1L, 20L)), "backend" -> ((1L, 5L))))
+    // the unregistered view still serves the erased contribution …
+    assert(joinedRows(forgotten) == preErase,
+      "an unregistered view is exactly the stale window the registry closes")
+    // … until its next refresh self-heals via the commit note AND
+    // re-registers it
+    Mv.refreshJoined(spark, layout, forgotten, dimPath, Seq("source"),
+      Seq("channel"), "v")
+    assert(joinedRows(forgotten) ==
+      Map("web" -> ((1L, 20L)), "backend" -> ((1L, 5L))))
+    assert(Mv.registered(spark, layout).map(_.stateDir).toSet ==
+      Set(flat, joined, forgotten))
+
+    // second erase: now ALL THREE rebuild from the registry alone, and
+    // the joined geometry (dimPath/joinCols) round-trips through it
+    val report2 = Erase.eraseEverywhere(spark, layout, "logs",
+      Erase.jsonFieldEquals("user", "A"))
+    assert(report2.mvsRebuilt == 3L)
+    assert(joinedRows(forgotten) == Map("web" -> ((1L, 20L))))
+    assert(joinedRows(joined) == Map("web" -> ((1L, 20L))))
+    assert(mvRows(flat) == Map("clicks" -> ((1L, 20L, 20L, 20L))))
+  }
 }

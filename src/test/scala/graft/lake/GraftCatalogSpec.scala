@@ -135,6 +135,50 @@ class GraftCatalogSpec extends SparkTestBase {
       Set("lake", "lake_changes", "lake_catalog"))
   }
 
+  test("table_changes TVF: two ranges in ONE statement (what the conf " +
+      "path cannot express); catalog names and raw roots both resolve; " +
+      "non-literal versions refuse loud") {
+    val layout = Layout(tmpDir("dsv2-tvf"))
+    val s = spark
+    import s.implicits._
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    val v2 = Catalog.deleteLakeWhere(spark, layout, col("key") === "k1")
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", 30L)).toDF("source", "key", "v"))
+    val cat = register(layout)
+
+    // two DIFFERENT ranges, one statement
+    val both = spark.sql(
+      s"""SELECT (SELECT count(*) FROM table_changes('$cat', 0, $v1)) AS early,
+         |       (SELECT count(*) FROM table_changes('$cat', $v1)) AS late""".stripMargin)
+      .head
+    assert(both.getLong(0) == 2L, "(0, v1]: the two seed inserts")
+    assert(both.getLong(1) == 2L, "(v1, head]: one delete + one insert")
+
+    // rows and change types match the Scala API exactly
+    val sql = spark.sql(s"SELECT key, v, _change_type, _commit_version " +
+      s"FROM table_changes('$cat', 0)").collect().map(_.toSeq).toSet
+    val api = Catalog.lakeChangesBetween(spark, layout, 0L)
+      .select("key", "v", "_change_type", "_commit_version")
+      .collect().map(_.toSeq).toSet
+    assert(sql == api)
+    assert(sql.exists(r => r(0) == "k1" && r(2) == "delete" &&
+      r(3) == v2))
+
+    // a raw layout root works without any catalog registration
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM table_changes('${layout.root}', $v1)")
+      .head.getLong(0) == 2L)
+
+    // non-literal version: loud analysis-time refusal
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM table_changes('$cat', rand())").collect())
+    assert(e.getMessage.contains("literal") ||
+      (e.getCause != null && e.getCause.getMessage.contains("literal")),
+      e.getMessage)
+  }
+
   test("DELETE FROM graft.lake WHERE … ≡ deleteLakeWhere: a DV commit, " +
       "visible in the CDF, history intact below it; untranslatable " +
       "predicates refuse loud with nothing deleted") {
