@@ -103,10 +103,14 @@ object GraftExtensions {
     Seq(cosineSimDescriptor, distinctCharBigramsDescriptor, redactPiiDescriptor,
       fastCdcChunksDescriptor, simHashFieldsDescriptor)
 
-  /** Imperative registration for an existing session (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Imperative registration for an existing session (tests, REPL):
+    * the scalar functions AND the `table_changes` TVF. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "table_changes", graft.sql.TableChanges.descriptor._3, "built-in")
+  }
 }

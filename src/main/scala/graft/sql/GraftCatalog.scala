@@ -28,8 +28,9 @@ import graft.lake.{Catalog => Lake, Layout}
   * spark.sql("SELECT * FROM graft.lake VERSION AS OF 3")
   * }}}
   *
-  * Tables (read path; writes stay on the typed Scala API — commitLake/
-  * upsertLakeByKey/StreamUpsert — where expectations and locks live):
+  * Tables (reads, `DELETE`, and evolution DDL; INSERT/UPSERT stay on
+  * the typed Scala API — commitLake/upsertLakeByKey/StreamUpsert —
+  * where staging and the exactly-once markers live):
   *
   *  - `lake` — the committed snapshot ([[graft.lake.Catalog.loadLakeSnapshot]]):
   *    DV-applied, schema-evolved, snapshot-isolated. Supports
@@ -68,6 +69,12 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  // opt into ADD/DROP CONSTRAINT DDL (mapped onto expectations below)
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   private def spark: SparkSession = SparkSession.active
 
@@ -140,15 +147,63 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  // read-path catalog: DDL surfaces are explicitly unsupported (the
-  // lake's schema facts are manifest-log commits, not catalog calls)
+  // table creation is the layout's job (commitLake on a fresh root);
+  // renames/drops have no manifest-log fact — all refuse loudly
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "graft catalog is read-only; write through graft.lake.Catalog.commitLake")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter through graft.lake.Catalog.commitLakeAddColumn / expectations")
+  /** SQL DDL for the evolutions the manifest log supports — each maps
+    * onto its typed commit, so ALTER through SQL and through the Scala
+    * API produce the identical log fact:
+    *
+    *  - `ADD COLUMNS (c T)` → [[graft.lake.Catalog.commitLakeAddColumn]]
+    *  - `ALTER COLUMN c TYPE T` → [[graft.lake.Catalog.commitLakeWidenColumn]]
+    *    (the lossless-widening whitelist is enforced there)
+    *  - `ADD CONSTRAINT n CHECK (…)` → [[graft.lake.Catalog.addLakeExpectation]]
+    *    (validated against committed data at add time)
+    *  - `DROP CONSTRAINT n` → [[graft.lake.Catalog.removeLakeExpectation]]
+    *
+    * Anything else (renames, drops, nested fields, property bags)
+    * refuses loudly — the log has no lossy evolution facts. Only the
+    * head `lake` table is alterable. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!resolvable(ident)) throw new NoSuchTableException(ident)
+    if (ident.name != "lake") throw new UnsupportedOperationException(
+      s"${ident.name} is not alterable; evolutions land on the lake table")
+    val s = spark
+    def topLevel(fieldNames: Array[String]): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"nested fields are not evolvable: ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case ac: TableChange.AddColumn =>
+        Lake.commitLakeAddColumn(s, layout, topLevel(ac.fieldNames()),
+          ac.dataType().sql)
+      case ut: TableChange.UpdateColumnType =>
+        Lake.commitLakeWidenColumn(s, layout, topLevel(ut.fieldNames()),
+          ut.newDataType().sql)
+      case acn: TableChange.AddConstraint =>
+        acn.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            Lake.addLakeExpectation(s, layout, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported, got $other")
+        }
+      case dcn: TableChange.DropConstraint =>
+        if (!dcn.ifExists() &&
+            !Lake.lakeExpectations(s, layout).contains(dcn.name()))
+          throw new IllegalArgumentException(
+            s"no such constraint: ${dcn.name()}")
+        Lake.removeLakeExpectation(s, layout, dcn.name())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on the manifest log: $other — supported: " +
+          "ADD COLUMNS, ALTER COLUMN TYPE (lossless widening), " +
+          "ADD/DROP CONSTRAINT … CHECK")
+    }
+    tableAt(ident, None)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

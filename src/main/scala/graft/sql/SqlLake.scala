@@ -133,4 +133,25 @@ object SqlLake {
       |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |  FROM events
       |) ORDER BY _change_type""".stripMargin
+
+  /** `q_sql_table_changes`: the `table_changes` TVF through pure SQL —
+    * the window `(1, 2]` is exactly the DV-delete commit, so the feed
+    * is deletes-only, per source. Exercises
+    * [[TableChanges]] (analysis-time range binding) rather than the
+    * session-conf `lake_changes` table. */
+  def tvfChangesAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = ensureCatalog(spark, sfDir)
+    graft.functions.GraftExtensions.register(spark) // the TVF
+    spark.sql(
+      s"""SELECT source, _change_type, count(*) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM table_changes('$cat', 1, 2)
+         |GROUP BY source, _change_type ORDER BY source, _change_type""".stripMargin)
+  }
+
+  val tvfChangesAggOracleSql: String =
+    """SELECT event_type AS source, 'delete' AS _change_type, count(*) AS n,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE event_id % 10 = 3
+      |GROUP BY event_type ORDER BY source, _change_type""".stripMargin
 }

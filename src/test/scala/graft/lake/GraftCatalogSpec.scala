@@ -135,6 +135,61 @@ class GraftCatalogSpec extends SparkTestBase {
       Set("lake", "lake_changes", "lake_catalog"))
   }
 
+  test("ALTER TABLE through the catalog ≡ the typed evolution commits: " +
+      "ADD COLUMNS, ALTER COLUMN TYPE widening, ADD/DROP CONSTRAINT " +
+      "CHECK; lossy and unsupported ALTERs refuse") {
+    val layout = Layout(tmpDir("dsv2-alter"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10), ("clicks", "k2", 20)).toDF("source", "key", "v"))
+    val cat = register(layout)
+
+    // ADD COLUMNS → commitLakeAddColumn (null-backfilled at read)
+    spark.sql(s"ALTER TABLE $cat.lake ADD COLUMNS (score bigint)")
+    assert(Catalog.lakeAddedColumns(spark, layout).map(t => (t._2, t._3.toLowerCase))
+      == Seq(("score", "bigint")))
+    assert(spark.sql(s"SELECT score FROM $cat.lake").collect()
+      .forall(_.isNullAt(0)))
+
+    // ALTER COLUMN TYPE → commitLakeWidenColumn; post-widening SQL
+    // reads the wide type over the narrow files
+    spark.sql(s"ALTER TABLE $cat.lake ALTER COLUMN v TYPE bigint")
+    assert(Catalog.lakeWidenedColumns(spark, layout).map(t => (t._2, t._3.toLowerCase))
+      == Seq(("v", "bigint")))
+    assert(spark.sql(s"SELECT v FROM $cat.lake").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", 5000000000L)).toDF("source", "key", "v"))
+    assert(spark.sql(s"SELECT sum(v) AS sv FROM $cat.lake").head.getLong(0) ==
+      10L + 20L + 5000000000L)
+    // a LOSSY type change refuses, nothing committed — Spark's own
+    // analysis-time upcast check (NOT_SUPPORTED_CHANGE_COLUMN) fires
+    // first; the catalog's widening whitelist backstops API callers
+    val eLossy = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.lake ALTER COLUMN v TYPE int"))
+    assert(eLossy.getMessage.contains("widening") ||
+      eLossy.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"),
+      eLossy.getMessage)
+    assert(Catalog.lakeWidenedColumns(spark, layout).size == 1)
+
+    // ADD CONSTRAINT … CHECK → a commit-time expectation that rejects
+    // a violating batch on the TYPED path
+    spark.sql(s"ALTER TABLE $cat.lake ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(Catalog.lakeExpectations(spark, layout) == Map("v_pos" -> "v > 0"))
+    val eGate = intercept[IllegalArgumentException](Catalog.commitLake(spark, layout,
+      Seq(("clicks", "bad", -1L)).toDF("source", "key", "v")))
+    assert(eGate.getMessage.contains("v_pos"))
+    // DROP CONSTRAINT disarms it
+    spark.sql(s"ALTER TABLE $cat.lake DROP CONSTRAINT v_pos")
+    assert(Catalog.lakeExpectations(spark, layout).isEmpty)
+
+    // renames/drops have no log fact — refuse
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.lake RENAME COLUMN key TO k"))
+    intercept[Exception](spark.sql(s"ALTER TABLE $cat.lake DROP COLUMN key"))
+  }
+
   test("table_changes TVF: two ranges in ONE statement (what the conf " +
       "path cannot express); catalog names and raw roots both resolve; " +
       "non-literal versions refuse loud") {
