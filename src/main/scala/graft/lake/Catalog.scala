@@ -913,7 +913,7 @@ object Catalog {
     * pages losslessly (Spark 4 read-side widening). Costs the same
     * O(files) distributed footer pass as `mergeSchema`, split across
     * (#widenings + 1) groups. */
-  private def lakeScan(spark: SparkSession, layout: Layout,
+  private[lake] def lakeScan(spark: SparkSession, layout: Layout,
       files: Seq[String], version: Long = Long.MaxValue): DataFrame = {
     def paths(rels: Seq[String]) = rels.map(rel => s"${layout.lakeDir}/$rel")
     val widens = widenedTypesAt(spark, layout, version)
@@ -2177,6 +2177,20 @@ object Catalog {
         new org.apache.hadoop.fs.Path(log, f"$seq%020d.checkpoint"))))
       .collectFirst { case (seq, Some(lines)) => (seq, lines) }
 
+  /** Parsed-log memo: ONE `listStatus` of the log dir (names + length
+    * + mtime) fully determines the committed state — log records are
+    * immutable once their `.done` gate exists and every mutation
+    * (commit, checkpoint, prune, even a lock file) changes the
+    * listing — so re-parsing the checkpoint + commit tail is skipped
+    * when the digest matches. Matters twice: a single snapshot read
+    * consults the log ~5× (live files, DVs, evolutions, widenings,
+    * expectations), and at 100 TB the checkpoint is megabytes. The
+    * digest re-checks the filesystem on every call, so cross-process
+    * writers are always observed; bounded so long-lived many-layout
+    * JVMs (test suites) cannot leak. */
+  private val logMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, LogState)]()
+
   /** Every committed log fact: the latest VALID checkpoint's folded
     * history plus the committed `.commit` tail above it. */
   private def readLog(spark: SparkSession, layout: Layout): LogState = {
@@ -2184,7 +2198,24 @@ object Catalog {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
     if (!fs.exists(log)) return LogState(Seq.empty, Seq.empty, Seq.empty)
-    val names = fs.listStatus(log).map(_.getPath.getName)
+    val statuses = fs.listStatus(log)
+    val digest = {
+      val d = java.security.MessageDigest.getInstance("SHA-1")
+      statuses.map(st =>
+        s"${st.getPath.getName} ${st.getLen} ${st.getModificationTime}")
+        .sorted.foreach(line => d.update(line.getBytes("UTF-8")))
+      d.digest().map(b => f"$b%02x").mkString
+    }
+    val hit = logMemo.get(layout.catalogDir)
+    if (hit != null && hit._1 == digest) return hit._2
+    val state = parseLog(fs, log, statuses.map(_.getPath.getName))
+    if (logMemo.size > 64) logMemo.clear() // many-layout JVMs: stay bounded
+    logMemo.put(layout.catalogDir, (digest, state))
+    state
+  }
+
+  private def parseLog(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path, names: Array[String]): LogState = {
     def readLines(p: org.apache.hadoop.fs.Path): List[String] = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList

@@ -496,13 +496,16 @@ object Erase {
     // read through committed deletion vectors: this rewrite copies
     // surviving rows under a NEW file name, so a DV keyed on the old
     // (file, pos) would stop applying — without this, rows a DV
-    // deleted would resurrect in the rewritten file
-    // mergeSchema: a partition holding pre- and post-evolution files
-    // must rewrite with the UNION schema — a single-file schema pick
-    // would silently drop the newer columns from every surviving row
+    // deleted would resurrect in the rewritten file.
+    // lakeScan: a partition holding pre- and post-evolution files must
+    // rewrite with the UNION schema (a single-file schema pick would
+    // silently drop newer columns), and one holding pre- and
+    // post-WIDENING files cannot go through plain mergeSchema at all —
+    // the epoch-merged explicit-schema read covers both, and the
+    // rewrite lands wide
+    val rels = oldFiles.map(p => s"source=$source/${p.getName}").toIndexedSeq
     val df = Catalog.applyCommittedDvs(spark, layout,
-      spark.read.option("mergeSchema", "true").parquet(
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(oldFiles.map(_.toString)): _*))
+      Catalog.lakeScan(spark, layout, rels))
     require(df.columns.contains("json"),
       s"eraseLake($source): the erasure predicate matches the raw record " +
         "'json' column, which this lake partition lacks")

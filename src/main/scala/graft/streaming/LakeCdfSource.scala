@@ -80,8 +80,24 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
     val changes = Catalog.lakeChangesBetween(
       sqlContext.sparkSession, layout, from, toLong(end))
     val cols = declaredSchema.fields.map { f =>
-      if (changes.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      if (changes.columns.contains(f.name)) {
+        // a TYPE WIDENING committed after stream start makes the feed
+        // wider than the declared schema — casting DOWN would silently
+        // corrupt values past the narrow range, so refuse loud: the
+        // stream must restart to pick up the widened schema (the same
+        // restart contract as added columns, but a wrong-answer risk
+        // rather than a missing-column one)
+        val feedType = changes.schema(f.name).dataType
+        if (feedType != f.dataType &&
+            !org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(feedType, f.dataType))
+          throw new IllegalStateException(
+            s"graft-lake-cdf: column '${f.name}' widened to " +
+              s"${feedType.sql} after stream start (declared " +
+              s"${f.dataType.sql}) — restart the stream from its " +
+              "checkpoint to adopt the widened schema")
+        col(f.name).cast(f.dataType).as(f.name)
+      } else lit(null).cast(f.dataType).as(f.name)
     }
     val projected = changes.select(cols.toSeq: _*)
     // v1 sources must hand back a STREAMING frame; the projected plan's

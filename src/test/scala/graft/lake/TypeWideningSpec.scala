@@ -144,6 +144,38 @@ class TypeWideningSpec extends SparkTestBase {
     }
   }
 
+  test("GDPR erase across a widening boundary: the mixed-width partition " +
+      "rewrites through the epoch scan, survivors keep exact long values, " +
+      "and the rewrite lands wide") {
+    val layout = Layout(tmpDir("widen-erase"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout, Seq(
+      ("clicks", "k1", """{"user":"A"}""", 10),
+      ("clicks", "k2", """{"user":"B"}""", 20)).toDF("source", "key", "json", "v"))
+    Catalog.commitLakeWidenColumn(spark, layout, "v", "bigint")
+    Catalog.commitLake(spark, layout, Seq(
+      ("clicks", "k3", """{"user":"A"}""", 6000000000L),
+      ("clicks", "k4", """{"user":"B"}""", 7000000000L))
+      .toDF("source", "key", "json", "v"))
+
+    val rep = Erase.eraseWhere(spark, layout, "clicks",
+      Erase.jsonFieldEquals("user", "A"))
+    assert(rep.lakeRowsDropped == 2L, rep.toString)
+    val live = Catalog.loadLakeSnapshot(spark, layout)
+    assert(live.schema("v").dataType == LongType)
+    assert(live.select("key").collect().map(_.getString(0)).toSet ==
+      Set("k2", "k4"))
+    assert(live.agg(sum("v")).head.getLong(0) == 20L + 7000000000L,
+      "pre-widening survivors must promote exactly, post ones stay exact")
+    // the rewrite's files are physically wide
+    Catalog.lakeFilesAsOf(spark, layout).foreach { rel =>
+      val sch = spark.read.parquet(s"${layout.lakeDir}/$rel").schema
+      if (sch.fieldNames.contains("v"))
+        assert(sch("v").dataType == LongType, s"$rel still narrow")
+    }
+  }
+
   test("widening an addcol-evolved column: null backfill follows the wide " +
       "type; point/range reads through the skipping index stay exact") {
     val layout = Layout(tmpDir("widen-addcol"))

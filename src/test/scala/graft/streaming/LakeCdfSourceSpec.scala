@@ -72,6 +72,53 @@ class LakeCdfSourceSpec extends SparkTestBase {
       Seq(("k9", 90L, "insert", v5)), s"only the new commit arrives: $received")
   }
 
+  test("a TYPE WIDENING after stream start refuses loud (no silent " +
+      "narrow-cast corruption); a restart adopts the wide schema and " +
+      "reads the long values exactly") {
+    val layout = Layout(tmpDir("cdfsrc-widen"))
+    val ckpt = tmpDir("cdfsrc-widen-ckpt")
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10)).toDF("source", "key", "v")) // INT column
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    def start() = spark.readStream
+      .format(classOf[LakeCdfSourceProvider].getName)
+      .option("root", layout.root)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("v").cast("long")).collect()
+          .foreach(r => got.add(r.getLong(0)))
+        ()
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq == Seq(10L))
+
+    // widen mid-stream and land a value only long can hold: the
+    // running query (declared schema: int) must FAIL LOUD, not wrap
+    Catalog.commitLakeWidenColumn(spark, layout, "v", "bigint")
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k2", 5000000000L)).toDF("source", "key", "v"))
+    val e = intercept[Exception] { q1.processAllAvailable() }
+    assert(e.getMessage.contains("widened") ||
+      (e.getCause != null && e.getCause.getMessage.contains("widened")),
+      s"expected the widening refusal, got: ${e.getMessage}")
+    q1.stop()
+
+    // restart: the new run declares the WIDE schema and delivers the
+    // missed commit exactly once, value intact
+    got.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq == Seq(5000000000L),
+      s"restart must deliver only the missed commit, wide: $got")
+  }
+
   test("startingVersion skips already-consumed history") {
     val layout = Layout(tmpDir("cdfsrc-sv"))
     val s = spark
