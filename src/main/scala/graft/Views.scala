@@ -15,7 +15,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Scale: views are lazy plans over the parquet scans — registration
   * costs nothing; Catalyst prunes/pushes through them like any
-  * DataFrame. */
+  * DataFrame.
+  *
+  * ONE SQL story: temp views here cover the ad-hoc corpus; the
+  * COMMITTED lake is SQL-addressable through the DSv2 catalog
+  * ([[graft.sql.GraftCatalog]] — `spark.sql.catalog.<name>` +
+  * `.root`), which adds `VERSION/TIMESTAMP AS OF`, `DELETE`, the
+  * evolution `ALTER`s, and the [[graft.sql.TableChanges]]
+  * `table_changes(...)` TVF on top of the same manifest-log plans —
+  * prefer it over [[registerLake]] snapshot views for anything beyond
+  * a quick look. */
 object Views {
 
   /** Register the full test corpus as temp views under their bare

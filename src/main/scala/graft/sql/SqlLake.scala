@@ -154,4 +154,61 @@ object SqlLake {
       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events WHERE event_id % 10 = 3
       |GROUP BY event_type ORDER BY source, _change_type""".stripMargin
+
+  /** Second deterministic fixture, WITH a widening boundary: v1 = the
+    * even-event-id half with `cents_i` committed as INT (physical
+    * int32 pages), v2 = `commitLakeWidenColumn(cents_i → bigint)`,
+    * v3 = the odd half with `cents_i + 10^10` as LONG (values no int
+    * can hold). The [[tvfWidenAgg]] query below makes TYPE WIDENING
+    * itself oracle-gated: its answer is only right if the narrow
+    * files promote losslessly, the write-time up-cast landed the v3
+    * files wide, and the epoch-merged explicit-schema scan unions
+    * them — the DuckDB replay over raw `events` knows nothing of any
+    * of that. */
+  private def widenLakeRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_w/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val lay = Layout(tmp)
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val v1 = Catalog.commitLake(spark, lay,
+        base.filter(col("event_id") % 2 === 0)
+          .withColumn("cents_i", col("cents").cast("int")).drop("cents"))
+      require(v1 == 1L, s"widen fixture seq drifted: $v1")
+      val v2 = Catalog.commitLakeWidenColumn(spark, lay, "cents_i", "bigint")
+      require(v2 == 2L, s"widen fixture seq drifted: $v2")
+      val v3 = Catalog.commitLake(spark, lay,
+        base.filter(col("event_id") % 2 === 1)
+          .withColumn("cents_i", col("cents") + lit(10000000000L)).drop("cents"))
+      require(v3 == 3L, s"widen fixture seq drifted: $v3")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_widen`: per-source count + exact BIGINT sum over the
+    * widened snapshot, pure SQL through the DSv2 catalog. */
+  def widenAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = widenLakeRoot(spark, sfDir)
+    val name = s"graftw_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents_i) AS BIGINT) AS sum_cents
+         |FROM $name.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val widenAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_id % 2 = 0
+      |    THEN CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS INT)
+      |    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) + 10000000000 END)
+      |    AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY event_type ORDER BY source""".stripMargin
 }
