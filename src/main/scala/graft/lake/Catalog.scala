@@ -1690,6 +1690,7 @@ object Catalog {
     val s = readLog(spark, layout)
     (s.cat.map(_._1) ++ s.dist.map(_._1) ++ s.removes.map(_._1) ++
       s.lake.map(_._1) ++ s.lakeRemoves.map(_._1) ++ s.addCols.map(_._1) ++
+      s.widenCols.map(_._1) ++
       s.dv.map(_._1) ++ s.dvRemoves.map(_._1) ++
       s.expects.map(_._1) ++ s.expectRms.map(_._1)).maxOption.getOrElse(0L)
   }

@@ -5,12 +5,13 @@ import java.util
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.lake.{Catalog => Lake, Layout}
@@ -225,20 +226,33 @@ private[sql] class GraftTable(tableName: String, frame: () => DataFrame)
 }
 
 /** The head `lake` table: readable like every [[GraftTable]], plus the
-  * ONE DML verb a lakehouse user reaches for first —
-  * `DELETE FROM graft.lake WHERE …` — routed into
-  * [[graft.lake.Catalog.deleteLakeWhere]], so the SQL verb gets the
-  * exact semantics of the typed API: per-source maintenance locks,
-  * optimistic re-check under them, a deletion-vector commit (no data
-  * files rewritten), and CDF visibility. A predicate the translator
-  * cannot express as a [[graft.lake.Catalog.deleteLakeWhere]] column
-  * (nested fields, exotic ops) makes `canDeleteWhere` false and Spark
-  * refuses the statement loudly — never a partial delete. Unqualified
-  * `DELETE FROM graft.lake` (and SQL `TRUNCATE`) deletes every row —
-  * as a DV commit, so time travel below it still reads the history. */
+  * DML verbs that map losslessly onto the manifest log:
+  *
+  *  - `DELETE FROM graft.lake WHERE …` → [[graft.lake.Catalog
+  *    .deleteLakeWhere]]: per-source maintenance locks, optimistic
+  *    re-check under them, a deletion-vector commit (no data files
+  *    rewritten), CDF visibility. A predicate the translator cannot
+  *    express (nested fields, exotic ops) makes `canDeleteWhere`
+  *    false and Spark refuses loudly — never a partial delete.
+  *    `TRUNCATE TABLE` / unqualified DELETE = a DV over every row, so
+  *    time travel below it still reads the history.
+  *  - `INSERT INTO graft.lake …` → [[graft.lake.Catalog.commitLake]]
+  *    through the [[V1Write]] bridge: the SQL verb gets the typed
+  *    write path whole — commit-time expectations, widening up-cast
+  *    at staging, one atomic log record. `INSERT OVERWRITE` refuses
+  *    (the lake is append + merge-on-read; DELETE then INSERT says
+  *    what it means). A NULL `source` refuses before staging — it
+  *    would corrupt the partition scheme every maintenance path keys
+  *    on. MERGE/UPSERT stays on the typed API
+  *    ([[graft.lake.Catalog.upsertLakeByKey]]), which needs key
+  *    semantics SQL INSERT cannot carry. */
 private[sql] class GraftLakeTable(tableName: String, layout: Layout,
     frame: () => DataFrame) extends GraftTable(tableName, frame)
-    with SupportsDelete {
+    with SupportsDelete with SupportsWrite {
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftFilters.toColumn(f).isDefined)
@@ -248,6 +262,26 @@ private[sql] class GraftLakeTable(tableName: String, layout: Layout,
       .reduceOption(_ && _).getOrElse(lit(true))
     Lake.deleteLakeWhere(SparkSession.active, layout, pred)
   }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE is not supported: the lake is append + " +
+                  "merge-on-read — DELETE FROM … then INSERT INTO …, or " +
+                  "use the typed upsert (Catalog.upsertLakeByKey)")
+              if (!data.filter(col("source").isNull).isEmpty)
+                throw new IllegalArgumentException(
+                  "INSERT INTO lake: NULL source — every row needs the " +
+                    "source partition key")
+              Lake.commitLake(SparkSession.active, layout, data)
+            }
+          }
+      }
+    }
 }
 
 /** Pushes supported filters and the required-column projection into
@@ -314,6 +348,10 @@ private[sql] object GraftFilters {
       case sources.Or(l, r) =>
         for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
       case sources.Not(c) => toColumn(c).map(!_)
+      // TRUNCATE arrives as deleteWhere(AlwaysTrue) — must translate,
+      // or the default truncateTable() silently no-ops
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
       case _ => None
     }
   }

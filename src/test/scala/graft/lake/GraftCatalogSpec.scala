@@ -114,25 +114,79 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(q2.collect().head.getLong(0) == (1 to 100).map(_.toLong).sum)
   }
 
-  test("read-only: INSERT/DROP through the catalog refuse with a pointer " +
-      "to the typed write API; listTables lists the three surfaces") {
+  test("write surface boundaries: lake_changes/lake_catalog refuse INSERT, " +
+      "DROP refuses everywhere; listTables lists the three surfaces") {
     val layout = Layout(tmpDir("dsv2-ro"))
     val s = spark
     import s.implicits._
     Catalog.commitLake(spark, layout, Seq(("clicks", "k1", 1L)).toDF("source", "key", "v"))
     val cat = register(layout)
-    // schema-identical insert so analysis passes the cast check and the
-    // refusal comes from the missing write capability, not a type error
+    // derived surfaces stay read-only (the lake table itself now takes
+    // INSERT — covered by its own test)
     val e = intercept[Exception](
-      spark.sql(s"INSERT INTO $cat.lake SELECT * FROM $cat.lake"))
-    assert(e.getMessage.toLowerCase.contains("read-only") ||
-      e.getMessage.toLowerCase.contains("does not support") ||
+      spark.sql(s"INSERT INTO $cat.lake_changes SELECT * FROM $cat.lake_changes"))
+    assert(e.getMessage.toLowerCase.contains("does not support") ||
       e.getMessage.contains("UNSUPPORTED"), e.getMessage)
     val e2 = intercept[Exception](spark.sql(s"DROP TABLE $cat.lake"))
     assert(e2.getMessage.toLowerCase.contains("read-only"), e2.getMessage)
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet ==
       Set("lake", "lake_changes", "lake_catalog"))
+  }
+
+  test("INSERT INTO graft.lake ≡ commitLake: one atomic version, visible " +
+      "to the CDF, expectations gate it, widened columns land wide; " +
+      "INSERT OVERWRITE and NULL source refuse; TRUNCATE = DV over all") {
+    val layout = Layout(tmpDir("dsv2-insert"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10)).toDF("source", "key", "v"))
+    spark.sql(s"ALTER TABLE ${register(layout)}.lake ALTER COLUMN v TYPE bigint")
+    val cat = register(layout)
+    val v0 = Catalog.headVersion(spark, layout)
+
+    spark.sql(s"INSERT INTO $cat.lake VALUES ('k2', 5000000000, 'clicks')," +
+      s" ('k3', 30, 'logs')")
+    val v1 = Catalog.headVersion(spark, layout)
+    assert(v1 == v0 + 1, "one INSERT = one atomic commit")
+    assert(spark.sql(s"SELECT sum(v) AS sv FROM $cat.lake").head.getLong(0) ==
+      10L + 5000000000L + 30L)
+    // the CDF carries the inserted rows at their version
+    assert(Catalog.lakeChangesBetween(spark, layout, v0)
+      .filter(col("_change_type") === "insert").count() == 2L)
+    // physical: the staged files carry the widened type
+    Catalog.lakeFilesAsOf(spark, layout).filter(_.contains(f"c$v1%020d"))
+      .foreach { rel =>
+        assert(spark.read.parquet(s"${layout.lakeDir}/$rel")
+          .schema("v").dataType == org.apache.spark.sql.types.LongType, rel)
+      }
+
+    // an expectation gates the SQL INSERT exactly like the typed path
+    spark.sql(s"ALTER TABLE $cat.lake ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val eGate = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.lake VALUES ('bad', -5, 'clicks')"))
+    assert(eGate.getMessage.contains("v_pos") ||
+      (eGate.getCause != null && eGate.getCause.getMessage.contains("v_pos")),
+      eGate.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 3L)
+
+    // refusals: OVERWRITE (either our message or Spark's capability
+    // check — both loud, nothing written) and NULL source
+    intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE $cat.lake VALUES ('x', 1, 'clicks')"))
+    val eNull = intercept[Exception](
+      spark.sql(s"INSERT INTO $cat.lake VALUES ('x', 1, CAST(NULL AS STRING))"))
+    assert(eNull.getMessage.contains("source") ||
+      (eNull.getCause != null && eNull.getCause.getMessage.contains("source")),
+      eNull.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 3L)
+
+    // TRUNCATE: everything DV-deleted, history intact below
+    spark.sql(s"TRUNCATE TABLE $cat.lake")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake VERSION AS OF $v1")
+      .head.getLong(0) == 3L)
   }
 
   test("ALTER TABLE through the catalog ≡ the typed evolution commits: " +
