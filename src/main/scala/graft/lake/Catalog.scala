@@ -1086,6 +1086,29 @@ object Catalog {
     * in the snapshot's live set matches nothing. */
   def loadLakeSnapshot(spark: SparkSession, layout: Layout,
       version: Long = Long.MaxValue): DataFrame = {
+    // PLAN MEMO: the snapshot plan's construction runs a distributed
+    // parquet footer-merge job, and a SQL surface builds it at EVERY
+    // statement's analysis (`loadTable` → schema) — reuse the built
+    // plan while the log digest is unchanged (files are immutable, the
+    // live set is a pure function of the log, and every commit/vacuum/
+    // erase changes the digest). Session-checked so a cached plan can
+    // never cross sessions; bounded like the log memo.
+    val digest = readLog(spark, layout).digest
+    val key = s"${System.identityHashCode(spark)}#${layout.catalogDir}#$version"
+    val hit = snapMemo.get(key)
+    if (hit != null && hit._1 == digest && (hit._2.sparkSession eq spark))
+      return hit._2
+    val df = buildLakeSnapshot(spark, layout, version)
+    if (snapMemo.size > 64) snapMemo.clear()
+    snapMemo.put(key, (digest, df))
+    df
+  }
+
+  private val snapMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  private def buildLakeSnapshot(spark: SparkSession, layout: Layout,
+      version: Long): DataFrame = {
     val live = lakeFilesAsOf(spark, layout, version)
     if (live.isEmpty) return spark.emptyDataFrame
     val scan = lakeScan(spark, layout, live, version)
@@ -2148,7 +2171,11 @@ object Catalog {
       fileStats: Seq[(Long, String, String)] = Seq.empty,
       expects: Seq[(Long, String, String)] = Seq.empty,
       expectRms: Seq[(Long, String)] = Seq.empty,
-      notes: Seq[(Long, String)] = Seq.empty)
+      notes: Seq[(Long, String)] = Seq.empty,
+      // listing digest this state was parsed from ([[readLog]]'s memo
+      // key) — lets downstream memos (snapshot plans) validate with
+      // zero extra filesystem calls
+      digest: String = "")
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
@@ -2210,6 +2237,7 @@ object Catalog {
     val hit = logMemo.get(layout.catalogDir)
     if (hit != null && hit._1 == digest) return hit._2
     val state = parseLog(fs, log, statuses.map(_.getPath.getName))
+      .copy(digest = digest)
     if (logMemo.size > 64) logMemo.clear() // many-layout JVMs: stay bounded
     logMemo.put(layout.catalogDir, (digest, state))
     state
