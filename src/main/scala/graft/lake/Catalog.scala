@@ -1706,6 +1706,61 @@ object Catalog {
   // Change data feed: row-level changes between committed versions
   // --------------------------------------------------------------------
 
+  /** `DESCRIBE HISTORY` for the manifest log — one row per RETAINED
+    * committed version, newest last: what each commit did (files
+    * added/removed per area, DV files, evolutions, expectation
+    * changes) plus its monotonized commit time and free-form note
+    * (`"erase"` being the load-bearing one). Retention-bounded exactly
+    * like Delta's: versions folded into a checkpoint and pruned by
+    * [[pruneLog]] no longer appear (their net effect lives in the
+    * checkpoint; per-commit attribution is gone by design). Cost is a
+    * driver-side pass over the retained `.commit` tail — bounded by
+    * the checkpoint cadence, not the table's age. Surfaced in SQL as
+    * the catalog's `lake_history` table. */
+  def lakeHistory(spark: SparkSession, layout: Layout): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Int, Int, Int, Int, Int,
+      String, String, String, String)].toDF(
+      "version", "commit_ts", "n_lake_added", "n_lake_removed", "n_dv_files",
+      "n_catalog_added", "n_dist_added", "added_columns", "widened_columns",
+      "expectation_changes", "note")
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    if (!fs.exists(log)) return empty
+    val names = fs.listStatus(log).map(_.getPath.getName)
+    val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    val rows = names
+      .filter(n => n.endsWith(".commit") && done.contains(n.stripSuffix(".commit")))
+      .map(_.stripSuffix(".commit").toLong).sorted.map { seq =>
+        val p = new org.apache.hadoop.fs.Path(log, f"$seq%020d.commit")
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        if (lines.headOption.exists(_.startsWith("v2 "))) {
+          val r = parseV2(lines)
+          (seq, r.claimMs, r.lake.size, r.lakeRemoves.size, r.dv.size,
+            r.cat.size, r.dist.size,
+            r.addCols.map(_._1).mkString(","),
+            r.widenCols.map { case (n, t) => s"$n:$t" }.mkString(","),
+            (r.expects.map("+" + _._1) ++ r.expectRms.map("-" + _)).mkString(","),
+            r.note.getOrElse(""))
+        } else (seq, fs.getFileStatus(p).getModificationTime,
+          0, 0, 0, lines.tail.size, 0, "", "", "", "")
+      }
+    // monotonize commit times in seq order (same rule as
+    // versionAtTimestamp — writer clock skew cannot reorder history)
+    var mono = Long.MinValue
+    val monoRows = rows.map { r =>
+      mono = math.max(mono, r._2)
+      (r._1, new java.sql.Timestamp(mono), r._3, r._4, r._5, r._6, r._7,
+        r._8, r._9, r._10, r._11)
+    }
+    monoRows.toSeq.toDF("version", "commit_ts", "n_lake_added",
+      "n_lake_removed", "n_dv_files", "n_catalog_added", "n_dist_added",
+      "added_columns", "widened_columns", "expectation_changes", "note")
+  }
+
   /** Highest committed version across ALL manifest areas (0 when the
     * log is empty) — the version a change-feed consumer reads up to.
     * ([[versions]] lists catalog-area commits only.) */

@@ -47,6 +47,10 @@ import graft.lake.{Catalog => Lake, Layout}
   *  - `lake_catalog` — the ingest catalog area (the reference's
   *    DynamoDB table), with the same version-as-of surface via
   *    [[graft.lake.Catalog.loadAsOf]].
+  *  - `lake_history` — `DESCRIBE HISTORY`
+  *    ([[graft.lake.Catalog.lakeHistory]]): one row per retained
+  *    version — files added/removed, DV files, evolutions,
+  *    expectation changes, commit time, note.
   *
   * Execution: scans go through [[V1Scan]] — the plan is BUILT with the
   * library's own public DataFrame reads (manifest-log file listing, DV
@@ -79,7 +83,7 @@ class GraftCatalog extends TableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
-  private val tableNames = Seq("lake", "lake_changes", "lake_catalog")
+  private val tableNames = Seq("lake", "lake_changes", "lake_catalog", "lake_history")
 
   private def resolvable(ident: Identifier): Boolean =
     (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
@@ -133,6 +137,12 @@ class GraftCatalog extends TableCatalog {
             case Some(v) => Lake.loadAsOf(s, layout, v)
             case None => Lake.load(s, layout)
           })
+      case "lake_history" =>
+        // DESCRIBE HISTORY: per-retained-version commit summary
+        if (version.isDefined) throw new UnsupportedOperationException(
+          "lake_history is the version timeline itself — no AS OF")
+        new GraftTable(s"$catalogName.lake_history",
+          () => Lake.lakeHistory(s, layout))
       case "lake_changes" =>
         if (version.isDefined) throw new UnsupportedOperationException(
           "lake_changes is already a version range — set " +

@@ -131,7 +131,42 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e2.getMessage.toLowerCase.contains("read-only"), e2.getMessage)
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet ==
-      Set("lake", "lake_changes", "lake_catalog"))
+      Set("lake", "lake_changes", "lake_catalog", "lake_history"))
+  }
+
+  test("lake_history ≡ DESCRIBE HISTORY: one row per retained version " +
+      "with per-commit attribution; commit times monotone; the erase " +
+      "note surfaces in SQL") {
+    val layout = Layout(tmpDir("dsv2-hist"))
+    val s = spark
+    import s.implicits._
+    val v1 = Catalog.commitLake(spark, layout, Seq(
+      ("clicks", "k1", """{"user":"A"}""", 10L),
+      ("clicks", "k2", """{"user":"B"}""", 20L)).toDF("source", "key", "json", "v"))
+    val v2 = Catalog.commitLakeAddColumn(spark, layout, "score", "int")
+    val v3 = Catalog.commitLakeWidenColumn(spark, layout, "score", "bigint")
+    val v4 = Catalog.deleteLakeWhere(spark, layout, col("key") === "k2")
+    val v5 = Catalog.addLakeExpectation(spark, layout, "v_pos", "v > 0")
+    Erase.eraseWhere(spark, layout, "clicks", Erase.jsonFieldEquals("user", "A"))
+    val cat = register(layout)
+
+    val hist = spark.sql(s"SELECT * FROM $cat.lake_history ORDER BY version")
+      .collect()
+    val byV = hist.map(r => r.getAs[Long]("version") -> r).toMap
+    assert(hist.map(_.getAs[Long]("version")).toSeq ==
+      (1L to Catalog.headVersion(spark, layout)))
+    assert(byV(v1).getAs[Int]("n_lake_added") > 0)
+    assert(byV(v2).getAs[String]("added_columns") == "score")
+    assert(byV(v3).getAs[String]("widened_columns") == "score:bigint")
+    assert(byV(v4).getAs[Int]("n_dv_files") > 0)
+    assert(byV(v5).getAs[String]("expectation_changes") == "+v_pos")
+    assert(hist.exists(_.getAs[String]("note") == "erase"),
+      "the erase rewrite must be visible in SQL history")
+    val erasedRow = hist.find(_.getAs[String]("note") == "erase").get
+    assert(erasedRow.getAs[Int]("n_lake_removed") > 0)
+    // times monotone in version order
+    val ts = hist.map(_.getAs[java.sql.Timestamp]("commit_ts").getTime).toSeq
+    assert(ts == ts.sorted)
   }
 
   test("INSERT INTO graft.lake ≡ commitLake: one atomic version, visible " +
