@@ -62,6 +62,20 @@ class TypeWideningSpec extends SparkTestBase {
     assert(Catalog.lakeChangesBetween(spark, layout, 0L, v1)
       .schema("v").dataType == IntegerType)
 
+    // PLAN: the widened explicit-schema scan keeps filter pushdown and
+    // column pruning — the wide-typed predicate reaches the parquet
+    // scan over narrow AND wide files (read-side promotion evaluates
+    // it), vectorized
+    val q = Catalog.loadLakeSnapshot(spark, layout)
+      .filter(org.apache.spark.sql.functions.col("v") > 1L).select("key", "v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(v,1"), s"pushdown lost:\n$plan")
+    assert(plan.contains("ReadSchema: struct<key:string,v:bigint>"),
+      s"pruning or widening lost:\n$plan")
+    assert(plan.contains("Batched: true"), s"vectorized reader lost:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("k2", 2L), ("k3", 3L), ("k4", 5000000000L)))
+
     // the fact survives the checkpoint fold + prune
     assert(Catalog.checkpoint(spark, layout).contains(v4))
     Catalog.pruneLog(spark, layout)
