@@ -372,6 +372,22 @@ object Mv {
         v.trackExtrema)
     }
 
+  /** Incrementally refresh EVERY registered view of this layout — the
+    * one call a post-commit hook or scheduler needs (each refresh is
+    * O(changes)+O(view), erase-aware, and self-heals via the commit
+    * note). Returns (stateDir, version-now-at) per view, registry
+    * order. */
+  def refreshRegistered(spark: SparkSession, layout: Layout): Seq[(String, Long)] =
+    registered(spark, layout).map { v =>
+      val at = v.dimPath match {
+        case Some(dim) => refreshJoined(spark, layout, v.stateDir, dim,
+          v.joinCols, v.keyCols, v.valueCol)
+        case None => refresh(spark, layout, v.stateDir, v.keyCols, v.valueCol,
+          v.trackExtrema)
+      }
+      (v.stateDir, at)
+    }
+
   /** The live view: `(keyCols…, n_rows, sum_v)`. Empty (no columns)
     * before the first refresh. */
   def read(spark: SparkSession, stateDir: String): DataFrame =

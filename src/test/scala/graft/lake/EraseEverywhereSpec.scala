@@ -286,5 +286,17 @@ class EraseEverywhereSpec extends SparkTestBase {
     assert(joinedRows(forgotten) == Map("web" -> ((1L, 20L))))
     assert(joinedRows(joined) == Map("web" -> ((1L, 20L))))
     assert(mvRows(flat) == Map("clicks" -> ((1L, 20L, 20L, 20L))))
+
+    // refreshRegistered: one call brings every view to the new head
+    // after a plain commit — the post-commit scheduler hook
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k9", """{"user":"C"}""", 7L))
+        .toDF("source", "key", "json", "v"))
+    val head = Catalog.headVersion(spark, layout)
+    val refreshed = Mv.refreshRegistered(spark, layout)
+    assert(refreshed.map(_._1).toSet == Set(flat, joined, forgotten))
+    assert(refreshed.forall(_._2 == head), refreshed.toString)
+    assert(joinedRows(joined) == Map("web" -> ((2L, 27L))))
+    assert(mvRows(flat) == Map("clicks" -> ((2L, 27L, 7L, 20L))))
   }
 }
