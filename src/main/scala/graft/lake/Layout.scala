@@ -41,42 +41,74 @@ private[lake] object SourceLock {
   /** Run `body` holding the `_compact-<source>.lock` mutex. Waits up to
     * `waitMs` for a contended lock (0 = fail immediately, the
     * compaction posture: a maintenance job skipping a busy source is
-    * fine; an ERASE must not silently skip, so erase waits). */
+    * fine; an ERASE must not silently skip, so erase waits).
+    *
+    * Acquisition is an ATOMIC exclusive create, not check-then-act:
+    * `java.io.File.createNewFile` (O_CREAT|O_EXCL) on the local FS where
+    * Hadoop's `create(overwrite=false)` is exists()-then-create, and
+    * `fs.create(lock, false)` on HDFS where the namenode makes it atomic.
+    * The round-10 overwrite-token protocol (write, sleep, read back) had
+    * two real defects the stress spec reproduced: a racer's re-create
+    * mid-read escaped as a ChecksumException from the maintenance job,
+    * and mutual back-off could ORPHAN the lock file (exists, fresh
+    * mtime, no holder) — starving every contender until the TTL. With
+    * exclusive create the file exists iff a holder owns it, so neither
+    * failure mode exists. Stealing a stale lock is arbitrated by a
+    * MARKER file keyed by the stale lock's mtime — its incarnation
+    * identity: atomic create of the marker grants exactly one stealer
+    * the right to delete exactly that incarnation (a rename-based claim
+    * was tried and rejected: the staleness-check→rename window can
+    * contain another stealer's entire steal-plus-create, so the rename
+    * grabs a FRESH holder's lock). The one accepted hazard is inherent
+    * to every TTL lock: a live holder stalled past the TTL can be
+    * stolen from; callers size lockTtlMs far above any legitimate
+    * critical-section duration. */
   def withLock[T](spark: SparkSession, layout: Layout, source: String,
       lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 0L)(body: => T): T = {
     val lockDir = new Path(s"${layout.catalogDir}/_log")
     val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lockDir)
     val lock = new Path(lockDir, s"_compact-$source.lock")
-    // ownership token: create is check-then-act on a local FS and the
-    // stale-steal path (delete + recreate) can race another stealer —
-    // so after any acquisition the owner WRITES its token and reads it
-    // back; if a racer overwrote it, the last writer wins and the
-    // loser backs off. This verify step is load-bearing, not paranoia.
-    val token = java.util.UUID.randomUUID().toString
-    def writeAndVerify(): Boolean = {
-      val out = fs.create(lock, true)
-      try out.write(token.getBytes("UTF-8")) finally out.close()
-      Thread.sleep(20) // let a racing writer's overwrite land
-      val in = fs.open(lock)
-      val read = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      read == token
+    val isLocalFs = "file" == Option(fs.getScheme).getOrElse("")
+    def atomicCreate(p: Path): Boolean =
+      try {
+        if (isLocalFs) {
+          // O_CREAT|O_EXCL — genuinely atomic on the local FS, where
+          // Hadoop's own create(overwrite=false) is check-then-act
+          new java.io.File(p.toUri.getPath).createNewFile()
+        } else { fs.create(p, false).close(); true }
+      } catch { case _: java.io.IOException => false }
+    def mtimeOf(p: Path): Option[Long] =
+      try Some(fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.IOException => None }
+    def trySteal(staleMtime: Long): Unit = {
+      val marker = new Path(lockDir, s"_compact-$source.steal-$staleMtime")
+      if (atomicCreate(marker)) {
+        try {
+          // delete ONLY the incarnation the marker names: a fresh lock
+          // acquired since the staleness check has a different mtime
+          // and must survive
+          if (mtimeOf(lock).contains(staleMtime)) fs.delete(lock, false)
+        } finally fs.delete(marker, false)
+      } else {
+        // a crashed stealer's leftover marker: it only ever blocked the
+        // steal of one dead incarnation — clear it once stale itself
+        if (mtimeOf(marker).exists(m => System.currentTimeMillis() - m > lockTtlMs))
+          fs.delete(marker, false)
+      }
     }
-    def tryLock(): Boolean = {
-      val created =
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException =>
-          // steal a stale lock from a crashed holder
-          val st = try Some(fs.getFileStatus(lock)) catch { case _: java.io.IOException => None }
-          st.exists(s => System.currentTimeMillis() - s.getModificationTime > lockTtlMs)
-        }
-      created && writeAndVerify()
-    }
+    def tryLock(): Boolean =
+      atomicCreate(lock) || {
+        mtimeOf(lock)
+          .filter(m => System.currentTimeMillis() - m > lockTtlMs)
+          .foreach(trySteal)
+        // whether or not we won a steal, compete fairly for the create
+        atomicCreate(lock)
+      }
     val deadline = System.currentTimeMillis() + waitMs
     var locked = tryLock()
     while (!locked && System.currentTimeMillis() < deadline) {
-      Thread.sleep(100)
+      Thread.sleep(50 + scala.util.Random.nextInt(50))
       locked = tryLock()
     }
     if (!locked)
