@@ -848,27 +848,89 @@ object Catalog {
     * current effective type, so chained widenings compose. Metadata-
     * only commit; returns its seq. */
   def commitLakeWidenColumn(spark: SparkSession, layout: Layout,
-      name: String, ddl: String): Long = {
-    require(!name.contains(' ') && name.nonEmpty, s"bad column name: '$name'")
-    val to = org.apache.spark.sql.types.DataType.fromDDL(ddl)
-    val snap = loadLakeSnapshot(spark, layout)
-    require(snap.columns.contains(name),
-      s"cannot widen unknown column '$name' (lake columns: " +
-        s"${snap.columns.mkString(", ")})")
-    val from = snap.schema(name).dataType
-    if (!isWidening(from, to)) throw new IllegalArgumentException(
-      s"'${from.sql}' -> '${to.sql}' is not a lossless widening for " +
-        s"column '$name' — allowed: byte/short→int/long, int→long/double, " +
-        "float→double, decimal precision growth (same scale), " +
-        "date→timestamp_ntz")
-    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rec = V2Record(-1L, System.currentTimeMillis(), None,
-      None, Seq.empty, None, Seq.empty, Seq.empty,
-      None, Seq.empty, Seq.empty, widenCols = Seq((name, ddl)))
-    val seq = claimBody(fs, layout, v2Body(rec))
-    finishV2(fs, layout, seq, rec)
-    seq
+      name: String, ddl: String,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long =
+    commitLakeAlter(spark, layout, widenCols = Seq((name, ddl)),
+      lockTtlMs = lockTtlMs, waitMs = waitMs)
+
+  /** The table-wide schema mutex (one [[SourceLock]] name no data
+    * source can collide with): widening validates the FROM type
+    * against the current effective schema, so two racing widenings of
+    * one column could otherwise both pass validation and commit a
+    * chain the whitelist would have refused (int→double at seq n,
+    * int→long at n+1 — files staged between them carry double while
+    * the in-force type becomes long, and double→long is not a parquet
+    * read-side promotion: every later scan of that epoch fails).
+    * Serializing schema commits makes each validation see its
+    * predecessor's fact. */
+  private val schemaLockName = "__schema__"
+
+  /** ONE atomic manifest-log record for a (possibly multi-change)
+    * `ALTER TABLE` statement: every change is validated UP FRONT —
+    * names, type parses, the widening whitelist (against the schema as
+    * this same statement evolves it, so `ADD COLUMNS (c int)` +
+    * `ALTER COLUMN c TYPE bigint` in one statement composes),
+    * expectation predicates (validated against committed data, the
+    * [[addLakeExpectation]] contract), constraint existence for drops
+    * — and only then do ALL facts land in a single [[V2Record]]. A
+    * mixed statement therefore either commits whole or leaves the log
+    * untouched; the per-change commit loop it replaces could strand
+    * earlier changes when a later one was refused. Runs under the
+    * table-wide schema lock so concurrent widenings serialize
+    * (validation always sees the committed pre-image). Returns the
+    * commit seq. */
+  def commitLakeAlter(spark: SparkSession, layout: Layout,
+      addCols: Seq[(String, String)] = Seq.empty,
+      widenCols: Seq[(String, String)] = Seq.empty,
+      expectAdds: Seq[(String, String)] = Seq.empty,
+      expectRms: Seq[String] = Seq.empty,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    require(addCols.nonEmpty || widenCols.nonEmpty || expectAdds.nonEmpty ||
+      expectRms.nonEmpty, "ALTER with no changes")
+    SourceLock.withLock(spark, layout, schemaLockName, lockTtlMs, waitMs) {
+      // ---- validate EVERYTHING before committing ANYTHING ----
+      val snap = loadLakeSnapshot(spark, layout)
+      val types = scala.collection.mutable.LinkedHashMap[String,
+        org.apache.spark.sql.types.DataType]()
+      snap.schema.foreach(f => types(f.name) = f.dataType)
+      addCols.foreach { case (n, ddl) =>
+        require(!n.contains(' ') && n.nonEmpty, s"bad column name: '$n'")
+        val t = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        if (types.contains(n)) throw new IllegalArgumentException(
+          s"ALTER: column '$n' already exists")
+        types(n) = t
+      }
+      widenCols.foreach { case (n, ddl) =>
+        require(!n.contains(' ') && n.nonEmpty, s"bad column name: '$n'")
+        val to = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+        val from = types.getOrElse(n, throw new IllegalArgumentException(
+          s"cannot widen unknown column '$n' (lake columns: " +
+            s"${types.keys.mkString(", ")})"))
+        if (!isWidening(from, to)) throw new IllegalArgumentException(
+          s"'${from.sql}' -> '${to.sql}' is not a lossless widening for " +
+            s"column '$n' — allowed: byte/short→int/long, int→long/double, " +
+            "float→double, decimal precision growth (same scale), " +
+            "date→timestamp_ntz")
+        types(n) = to
+      }
+      expectAdds.foreach { case (n, pred) =>
+        validateExpectation(spark, snap, n, pred) }
+      val inForce = lakeExpectations(spark, layout)
+      expectRms.foreach { n =>
+        if (!inForce.contains(n)) throw new IllegalArgumentException(
+          s"no such constraint: $n")
+      }
+      // ---- one record for the whole statement ----
+      val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rec = V2Record(-1L, System.currentTimeMillis(), None,
+        None, Seq.empty, None, Seq.empty, Seq.empty,
+        None, Seq.empty, Seq.empty, addCols = addCols, widenCols = widenCols,
+        expects = expectAdds, expectRms = expectRms)
+      val seq = claimBody(fs, layout, v2Body(rec))
+      finishV2(fs, layout, seq, rec)
+      seq
+    }
   }
 
   /** The committed widenings ≤ `version`, in commit order:
@@ -891,7 +953,7 @@ object Catalog {
     * the wide physical type — the invariant [[lakeScan]]'s per-epoch
     * schema merge relies on. A no-op (and no plan change) without
     * widening facts. */
-  private def widenBatch(spark: SparkSession, layout: Layout,
+  private[lake] def widenBatch(spark: SparkSession, layout: Layout,
       batch: DataFrame): DataFrame =
     widenedTypesAt(spark, layout, Long.MaxValue).foldLeft(batch) {
       case (b, (n, t)) =>
@@ -960,7 +1022,7 @@ object Catalog {
     * pre-widening state unions): brings every widened column present
     * in `df` to its in-force type at `version`. No-op per column when
     * already wide. */
-  private def applyWidenings(spark: SparkSession, layout: Layout,
+  private[lake] def applyWidenings(spark: SparkSession, layout: Layout,
       df: DataFrame, version: Long): DataFrame =
     widenedTypesAt(spark, layout, version).foldLeft(df) {
       case (d, (n, t)) =>
@@ -990,10 +1052,26 @@ object Catalog {
     * Returns the commit seq. */
   def addLakeExpectation(spark: SparkSession, layout: Layout,
       name: String, predicateSql: String): Long = {
+    validateExpectation(spark, loadLakeSnapshot(spark, layout), name, predicateSql)
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      expects = Seq((name, predicateSql)))
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    seq
+  }
+
+  /** Add-time validation shared by [[addLakeExpectation]] and
+    * [[commitLakeAlter]]: name/shape checks, predicate parse, and the
+    * committed-data gate — the current snapshot must not already
+    * violate (grandfathered bad history would make the gate a lie). */
+  private def validateExpectation(spark: SparkSession,
+      snap: DataFrame, name: String, predicateSql: String): Unit = {
     require(!name.contains(' ') && name.nonEmpty, s"bad expectation name: '$name'")
     require(!predicateSql.contains('\n'), "predicate must be single-line")
     expr(predicateSql) // parse before commit
-    val snap = loadLakeSnapshot(spark, layout)
     // a predicate over a column the lake doesn't have yet is vacuously
     // satisfied (every row evaluates NULL = pass) — same rule as the
     // write-time gate, so pre-evolution adds work
@@ -1006,14 +1084,6 @@ object Catalog {
         s"expectation '$name' ($predicateSql) already violated by $bad " +
           "committed rows — clean the lake first or fix the predicate")
     }
-    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rec = V2Record(-1L, System.currentTimeMillis(), None,
-      None, Seq.empty, None, Seq.empty, Seq.empty,
-      expects = Seq((name, predicateSql)))
-    val seq = claimBody(fs, layout, v2Body(rec))
-    finishV2(fs, layout, seq, rec)
-    seq
   }
 
   /** Drop a committed expectation (future writes stop checking it). */
@@ -1050,7 +1120,7 @@ object Catalog {
     * lacks evaluate the predicate to NULL = pass (the evolution
     * contract: old-schema writers aren't broken by a new column's
     * constraint unless it says IS NOT NULL over a column they carry). */
-  private def enforceExpectations(spark: SparkSession, layout: Layout,
+  private[lake] def enforceExpectations(spark: SparkSession, layout: Layout,
       batch: DataFrame): Unit = {
     lakeExpectations(spark, layout).foreach { case (name, pred) =>
       val cond = expr(pred) // add-time-validated; a corrupt line fails LOUD
@@ -1090,9 +1160,18 @@ object Catalog {
     // parquet footer-merge job, and a SQL surface builds it at EVERY
     // statement's analysis (`loadTable` → schema) — reuse the built
     // plan while the log digest is unchanged (files are immutable, the
-    // live set is a pure function of the log, and every commit/vacuum/
-    // erase changes the digest). Session-checked so a cached plan can
-    // never cross sessions; bounded like the log memo.
+    // live set is a pure function of the log, and every commit — incl.
+    // erase rewrites — changes the digest). vacuumLake does NOT change
+    // the digest (it deletes files without a log record), which is
+    // safe HERE: a memoized plan references the files live AT ITS
+    // VERSION, so the head plan is untouched by vacuum, and an AS-OF
+    // plan below a remove fails exactly as loudly through the memo
+    // (missing file at execution) as a freshly-built one would (missing
+    // footer at construction) — the documented vacuumed-history
+    // contract either way. Do not extend this memo to anything that
+    // must OBSERVE physical deletion (e.g. a bytes-on-disk audit):
+    // vacuum would invalidate it invisibly. Session-checked so a
+    // cached plan can never cross sessions; bounded like the log memo.
     val digest = readLog(spark, layout).digest
     val key = s"${System.identityHashCode(spark)}#${layout.catalogDir}#$version"
     val hit = snapMemo.get(key)
@@ -1168,7 +1247,7 @@ object Catalog {
   /** The lake dir in the qualified form `_metadata.file_path` uses
     * (scheme-prefixed, no trailing slash) — the single definition both
     * the DV writer and the DV read path relativize against. */
-  private def qualifiedLakeDir(spark: SparkSession, layout: Layout): String = {
+  private[lake] def qualifiedLakeDir(spark: SparkSession, layout: Layout): String = {
     val p = new org.apache.hadoop.fs.Path(layout.lakeDir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
   }
@@ -1177,7 +1256,7 @@ object Catalog {
     * `_metadata.file_path` — loud on a prefix mismatch instead of a
     * silently never-matching DV key. Must be projected on the SCAN
     * frame (the `_metadata` column does not survive joins). */
-  private def lakeRelFileCol(prefix: String) = {
+  private[lake] def lakeRelFileCol(prefix: String) = {
     val pref = s"$prefix/"
     when(col("_metadata.file_path").startsWith(pref),
         expr(s"substring(_metadata.file_path, ${pref.length + 1})"))
@@ -1304,6 +1383,90 @@ object Catalog {
     undeleted.select(col("_graft_file").as("file"), col("_graft_pos").as("pos"))
   }
 
+  /** The committed snapshot WITH row identity — every live, undeleted,
+    * evolution-merged row plus `__graft_file`/`__graft_pos` (the DV
+    * coordinate space) — the merge-addressable form of
+    * [[loadLakeSnapshot]], built over an explicit `live` file list so
+    * a caller's retry loop pins exactly the set its conflict checks
+    * re-validate. Empty-schema frame when `live` is empty. */
+  private[lake] def lakeSnapshotWithPos(spark: SparkSession, layout: Layout,
+      live: Seq[String]): DataFrame = {
+    if (live.isEmpty) return spark.emptyDataFrame
+    val prefix = qualifiedLakeDir(spark, layout)
+    val scan = lakeScan(spark, layout, live)
+      .withColumn("__graft_file", lakeRelFileCol(prefix))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val evolved = applyWidenings(spark, layout,
+      lakeAddedColumns(spark, layout).foldLeft(scan) {
+        case (d, (_, n, ddl)) =>
+          if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+      }, Long.MaxValue)
+    val dvLive = dvFilesAsOf(spark, layout)
+    if (dvLive.isEmpty) evolved
+    else {
+      val dvk = spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*)
+        .select(col("file").as("_dvk_file"), col("pos").as("_dvk_pos"))
+      evolved.join(dvk,
+        evolved("__graft_file") === dvk("_dvk_file") &&
+          evolved("__graft_pos") === dvk("_dvk_pos"),
+        "left_anti")
+    }
+  }
+
+  /** Stage `batch` (appends, partitioned by source) and `dels`
+    * (`(file, pos)` deletion-vector rows) and commit BOTH as one
+    * atomic log record — the shared tail of [[upsertLakeByKey]],
+    * [[overwriteLake]] and [[Merge.mergeIntoLake]]. The caller holds
+    * the per-source locks and has re-validated its conflict
+    * invariants; `dels` is re-filtered against already-committed DV
+    * rows here (the double-retraction guard). Returns the commit seq,
+    * -1 when both sides stage empty (nothing to commit). */
+  private[lake] def commitStagedDvAndAppend(spark: SparkSession, layout: Layout,
+      batch: Option[DataFrame], dels: Option[DataFrame],
+      note: Option[String] = None, marker: Option[String] = None): Long = {
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lakeUuid = java.util.UUID.randomUUID().toString
+    val lakeStage = new org.apache.hadoop.fs.Path(
+      s"${layout.lakeDir}/_staged/$lakeUuid")
+    val lakeStaged = batch match {
+      case None => Seq.empty[String]
+      case Some(b) =>
+        b.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
+        stagedFiles(fs, lakeStage)
+    }
+    val dvUuid = java.util.UUID.randomUUID().toString
+    val dvStage = new org.apache.hadoop.fs.Path(
+      s"${layout.lakeDir}/_staged/$dvUuid")
+    val dvStaged = dels match {
+      case None => Seq.empty[String]
+      case Some(d) =>
+        val fresh = excludeCommittedDvRows(spark, layout,
+          d.select(col("file").cast("string"), col("pos").cast("long"))
+            .distinct())
+        fresh.write.mode("overwrite").parquet(s"$dvStage/_dv")
+        val s = stagedDvFiles(fs, dvStage)
+        if (s.isEmpty ||
+            spark.read.parquet(s.map(r => s"$dvStage/$r"): _*).isEmpty)
+          Seq.empty[String]
+        else s
+    }
+    if (lakeStaged.isEmpty && dvStaged.isEmpty) {
+      fs.delete(lakeStage, true); fs.delete(dvStage, true)
+      return -1L
+    }
+    val rec = V2Record(-1L, System.currentTimeMillis(), marker,
+      None, Seq.empty, None, Seq.empty, Seq.empty,
+      if (lakeStaged.nonEmpty) Some(lakeUuid) else None, lakeStaged,
+      dvUuid = if (dvStaged.nonEmpty) Some(dvUuid) else None, dv = dvStaged,
+      note = note)
+    val seq = claimBody(fs, layout, v2Body(rec))
+    finishV2(fs, layout, seq, rec)
+    if (lakeStaged.isEmpty) fs.delete(lakeStage, true)
+    if (dvStaged.isEmpty) fs.delete(dvStage, true)
+    seq
+  }
+
   /** Drop from `dels` — `(file, pos)` rows — every position already
     * present in a COMMITTED deletion vector. The under-lock re-filter
     * for [[deleteLakeWhere]]/[[upsertLakeByKey]]: both compute their
@@ -1314,7 +1477,7 @@ object Catalog {
     * and [[lakeChangesBetween]] would emit the delete twice (a double
     * retraction for [[Mv]]). Called under the per-source locks, where
     * the committed DV set cannot move. */
-  private def excludeCommittedDvRows(spark: SparkSession, layout: Layout,
+  private[lake] def excludeCommittedDvRows(spark: SparkSession, layout: Layout,
       dels: DataFrame): DataFrame = {
     val dvLive = dvFilesAsOf(spark, layout)
     if (dvLive.isEmpty) dels
@@ -1330,7 +1493,7 @@ object Catalog {
   /** Acquire the per-source maintenance locks for every source in
     * `sources` (sorted — one global acquisition order, so two
     * multi-source maintenance jobs cannot deadlock), then run `body`. */
-  private def withSourceLocks[T](spark: SparkSession, layout: Layout,
+  private[lake] def withSourceLocks[T](spark: SparkSession, layout: Layout,
       sources: Seq[String], lockTtlMs: Long, waitMs: Long)(body: => T): T =
     sources.sorted.distinct match {
       case Seq() => body
@@ -1339,7 +1502,7 @@ object Catalog {
           withSourceLocks(spark, layout, rest, lockTtlMs, waitMs)(body))
     }
 
-  private def sourceOfRel(rel: String): String =
+  private[lake] def sourceOfRel(rel: String): String =
     rel.takeWhile(_ != '/').stripPrefix("source=")
 
   /** `DELETE FROM lake WHERE predicate`, merge-on-read: scan the
@@ -1358,7 +1521,7 @@ object Catalog {
     * burst ([[upsertLakeByKey]]'s write-write conflict check aborts on
     * ANY new file in a matched source). Exponential with ±50% jitter
     * so colliding retriers decorrelate. */
-  private def conflictBackoff(attempt: Int): Unit = {
+  private[lake] def conflictBackoff(attempt: Int): Unit = {
     val base = math.min(100L << math.min(attempt, 6), 3200L)
     val jitter = java.util.concurrent.ThreadLocalRandom.current()
       .nextLong(base / 2, base + base / 2)
@@ -1473,41 +1636,11 @@ object Catalog {
         // (one CDC stream per key space — the StreamUpsert contract).
         else if (liveNow.exists(rel =>
             sources.contains(sourceOfRel(rel)) && !livePre.contains(rel))) None
-        else {
-          val lakeUuid = java.util.UUID.randomUUID().toString
-          val lakeStage = new org.apache.hadoop.fs.Path(
-            s"${layout.lakeDir}/_staged/$lakeUuid")
-          wide.write.mode("overwrite").partitionBy("source").parquet(lakeStage.toString)
-          val lakeStaged = stagedFiles(fs, lakeStage)
-          val dvUuid = java.util.UUID.randomUUID().toString
-          val dvStage = new org.apache.hadoop.fs.Path(
-            s"${layout.lakeDir}/_staged/$dvUuid")
-          val dvStaged =
-            if (files.isEmpty) Seq.empty[String]
-            else {
-              // same under-lock re-filter as deleteLakeWhere: a
-              // concurrent delete/upsert that already DV'd some of
-              // these positions must not get them committed twice
-              val fresh = excludeCommittedDvRows(spark, layout,
-                matched.select(col("file").cast("string"), col("pos").cast("long"))
-                  .distinct())
-              fresh.write.mode("overwrite").parquet(s"$dvStage/_dv")
-              val s = stagedDvFiles(fs, dvStage)
-              if (s.isEmpty ||
-                  spark.read.parquet(s.map(r => s"$dvStage/$r"): _*).isEmpty)
-                Seq.empty[String]
-              else s
-            }
-          val rec = V2Record(-1L, System.currentTimeMillis(), markerPath,
-            None, Seq.empty, None, Seq.empty, Seq.empty,
-            if (lakeStaged.nonEmpty) Some(lakeUuid) else None, lakeStaged,
-            dvUuid = if (dvStaged.nonEmpty) Some(dvUuid) else None, dv = dvStaged)
-          val seq = claimBody(fs, layout, v2Body(rec))
-          finishV2(fs, layout, seq, rec)
-          if (lakeStaged.isEmpty) fs.delete(lakeStage, true)
-          if (dvStaged.isEmpty) fs.delete(dvStage, true)
-          Some(seq)
-        }
+        else Some(commitStagedDvAndAppend(spark, layout, Some(wide),
+          // the helper re-filters against committed DVs (the same
+          // under-lock double-retraction guard as deleteLakeWhere)
+          if (files.isEmpty) None else Some(matched),
+          marker = markerPath))
       }
       committed match {
         case Some(seq) => return seq
@@ -1518,6 +1651,56 @@ object Catalog {
       "upsertLakeByKey: 8 attempts lost to concurrent maintenance " +
         "(vanished target files) or concurrent commits into matched " +
         "sources — serialize writers per key space or retry")
+  }
+
+  /** `INSERT OVERWRITE` / atomic REPLACE, merge-on-read: every
+    * currently-live row is deletion-vectored AND the new batch is
+    * appended in ONE log record, so a snapshot reader sees the old
+    * table or the new one — never empty, never both. Time travel below
+    * the returned version still reads the replaced history (no data
+    * file is rewritten; [[vacuumLake]] reclaims bytes only after
+    * [[materializeLakeDeletes]]), and the change feed shows the
+    * replacement as retractions + inserts at a single version — the
+    * same shape [[lakeChangesBetween]] already emits for an upsert, so
+    * incremental consumers ([[Mv]]) refresh across it. Commit-time
+    * expectations gate the NEW rows. Holds the per-source maintenance
+    * locks for every live source and retries when ANY commit lands
+    * between the position scan and the locks (an overwrite must
+    * replace everything, including rows it never scanned). Returns the
+    * commit seq; overwriting an empty lake is a plain append. */
+  def overwriteLake(spark: SparkSession, layout: Layout, batch: DataFrame,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    require(batch.columns.contains("source"),
+      "overwrite batch needs the source partition column")
+    enforceExpectations(spark, layout, batch)
+    val wide = widenBatch(spark, layout, batch)
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 8) {
+      val livePre = lakeFilesAsOf(spark, layout)
+      val sources = livePre.map(sourceOfRel).distinct.sorted
+      val dels =
+        if (livePre.isEmpty) None
+        else Some(lakePositionsWhere(spark, layout, lit(true)))
+      val committed = withSourceLocks(spark, layout, sources, lockTtlMs, waitMs) {
+        val liveNow = lakeFilesAsOf(spark, layout)
+        // ANY movement of the live set — a new append (rows our DV scan
+        // never saw) or a remove (vanished DV targets) — forces a rescan
+        if (liveNow.toSet != livePre.toSet) None
+        // concurrent DELETEs cannot add files, so they pass the
+        // live-set check — the helper excludes their committed DV rows
+        else Some(commitStagedDvAndAppend(spark, layout, Some(wide), dels,
+          note = Some("overwrite")))
+      }
+      committed match {
+        case Some(seq) => return seq
+        case None => attempt += 1; conflictBackoff(attempt)
+      }
+    }
+    throw new java.io.IOException(
+      "overwriteLake: 8 attempts lost to concurrent commits — quiesce " +
+        "writers for the replacement or retry")
   }
 
   /** Materialize committed deletion vectors: rewrite every live data

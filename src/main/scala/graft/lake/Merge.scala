@@ -1,0 +1,282 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** MERGE INTO the lake — the general row-level DML primitive
+  * ([[Catalog.upsertLakeByKey]] is its equi-key special case): one
+  * source frame, one join condition, and ordered WHEN clauses per
+  * match category, executed merge-on-read as ONE atomic log record
+  * {deletion vector over modified target rows + appended new rows} —
+  * a snapshot reader sees the pre-merge table or the post-merge one,
+  * never a torn middle; time travel below the commit is untouched;
+  * the change feed shows the merge as retractions + inserts at a
+  * single version (the shape incremental consumers already handle).
+  *
+  * Scala API (the SQL `MERGE INTO` statement lands on the same entry
+  * through [[graft.sql.GraftDmlRule]]):
+  *
+  * {{{
+  * Merge.mergeIntoLake(spark, layout, changes,
+  *   on = col("t.key") === col("s.key"),
+  *   matched = Seq(
+  *     Merge.Update(Some(col("s.op") === "U"), Map("v" -> col("s.v"))),
+  *     Merge.Delete(Some(col("s.op") === "D"))),
+  *   notMatched = Seq(Merge.Insert(None, Map(
+  *     "source" -> col("s.source"), "key" -> col("s.key"), "v" -> col("s.v")))))
+  * }}}
+  *
+  * Conditions and values reference the target as `t.<col>` and the
+  * source as `s.<col>` (override the aliases via `targetAlias` /
+  * `sourceAlias`). Within a category, the FIRST clause whose
+  * condition is satisfied applies (SQL semantics; a NULL condition
+  * does not match). SQL's cardinality rule is enforced: a target row
+  * matched by more than one modifying source row fails loud.
+  *
+  * Execution shape, designed for the 100 TB posture:
+  *  1. target = committed snapshot + row identity
+  *     ([[Catalog.lakeSnapshotWithPos]] — DV-applied, evolution-
+  *     merged), joined to the source with exactly the outer-ness the
+  *     clause set needs (inner when only MATCHED clauses exist,
+  *     right-outer to add NOT MATCHED, left-outer/full for NOT
+  *     MATCHED BY SOURCE) — a small source broadcasts, so a CDC-sized
+  *     merge never shuffles the lake;
+  *  2. the per-row action (first satisfied clause) and the post-merge
+  *     row are computed in ONE pass and MATERIALIZED to a staging
+  *     parquet — the deletion-vector half and the insert half are
+  *     then derived from that one artifact, so a non-deterministic
+  *     source (rand(), uuid()) can never produce a DV half and an
+  *     insert half that disagree (the two-executions hazard);
+  *  3. commit under the per-source maintenance locks with
+  *     [[Catalog.upsertLakeByKey]]'s conflict discipline — target
+  *     files must still be live, no new files in a source we modify
+  *     (rows the scan never saw), and with NOT-MATCHED-BY-SOURCE
+  *     clauses no live-set movement at all (those clauses read the
+  *     whole target) — retrying the scan+join when a writer won.
+  *
+  * Cost: O(target scan + source + modified rows); no data file is
+  * rewritten. Like Delta's merge, an un-prunable ON condition reads
+  * the full target — pre-filter the lake into a view or carry
+  * partition predicates in the matched conditions where possible. */
+object Merge {
+
+  /** One WHEN clause. `condition = None` means WHEN <category> with no
+    * AND — always applies to rows of its category. */
+  sealed trait Clause { def condition: Option[Column] }
+  /** `WHEN [NOT] MATCHED [BY SOURCE] AND cond THEN UPDATE SET …` —
+    * unassigned target columns keep their values. */
+  final case class Update(condition: Option[Column],
+      set: Map[String, Column]) extends Clause
+  /** `WHEN [NOT] MATCHED [BY SOURCE] AND cond THEN DELETE`. */
+  final case class Delete(condition: Option[Column]) extends Clause
+  /** `WHEN NOT MATCHED AND cond THEN INSERT (…) VALUES (…)` —
+    * unassigned columns insert NULL; `source` must be assigned. */
+  final case class Insert(condition: Option[Column],
+      values: Map[String, Column]) extends Clause
+
+  /** The alias the SQL rule binds the target under — reserved-looking
+    * on purpose, so it can never collide with an alias inside the
+    * user's source query. */
+  private[graft] val SqlTargetAlias = "__graft_t"
+
+  private val OpNop = 0
+  private val OpDelete = 1 // DV only
+  private val OpUpdate = 2 // DV + insert the post-update row
+  private val OpInsert = 3 // insert only
+
+  private def opOf(c: Clause): Int = c match {
+    case _: Update => OpUpdate
+    case _: Delete => OpDelete
+    case _: Insert => OpInsert
+  }
+
+  /** Run the merge; returns the commit seq, or -1 when no row matched
+    * any clause (nothing to do, nothing committed). */
+  def mergeIntoLake(spark: SparkSession, layout: Layout,
+      source: DataFrame, on: Column,
+      matched: Seq[Clause] = Seq.empty,
+      notMatched: Seq[Clause] = Seq.empty,
+      notMatchedBySource: Seq[Clause] = Seq.empty,
+      targetAlias: String = "t", sourceAlias: String = "s",
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L,
+      checkCardinality: Boolean = true): Long = {
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE with no WHEN clauses")
+    matched.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "WHEN MATCHED supports UPDATE/DELETE, not INSERT")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: Insert => ()
+      case other => throw new IllegalArgumentException(
+        s"WHEN NOT MATCHED supports INSERT only, got $other")
+    }
+    notMatchedBySource.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, not INSERT")
+      case _ => ()
+    }
+    require(!source.columns.exists(_.startsWith("__graft_")),
+      "source carries reserved __graft_* columns")
+
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 8) {
+      val live = Catalog.lakeFilesAsOf(spark, layout)
+      val tgt0 = Catalog.lakeSnapshotWithPos(spark, layout, live)
+      require(tgt0.columns.nonEmpty,
+        "MERGE into an empty lake has no target schema — commitLake a " +
+          "first batch (or use INSERT)")
+      val payload = tgt0.schema.fields
+        .filterNot(_.name.startsWith("__graft_")).toSeq
+    payload.foreach(f => ()) // (schema pinned per attempt)
+      val payloadNames = payload.map(_.name).toSet
+      (matched ++ notMatchedBySource).foreach {
+        case Update(_, set) => set.keys.foreach(k => require(payloadNames(k),
+          s"UPDATE SET references unknown lake column '$k'"))
+        case _ => ()
+      }
+      notMatched.foreach {
+        case Insert(_, values) =>
+          values.keys.foreach(k => require(payloadNames(k),
+            s"INSERT references unknown lake column '$k'"))
+          require(values.contains("source"),
+            "INSERT must assign the source partition column")
+        case _ => ()
+      }
+      val newType = StructType(payload.map(_.copy(nullable = true)))
+      val nullStruct = lit(null).cast(newType)
+
+      val tgtA = tgt0.alias(targetAlias)
+      val srcA = source.withColumn("__graft_src", lit(1)).alias(sourceAlias)
+      val joinType = (notMatched.nonEmpty, notMatchedBySource.nonEmpty) match {
+        case (true, true) => "full_outer"
+        case (true, false) => "right_outer"
+        case (false, true) => "left_outer"
+        case (false, false) => "inner"
+      }
+      val joined = tgtA.join(srcA, on, joinType)
+
+      def newOf(cl: Clause): Column = cl match {
+        case Update(_, set) => struct(payload.map(f =>
+          set.get(f.name).map(_.cast(f.dataType))
+            .getOrElse(tgtA(f.name)).as(f.name)): _*).cast(newType)
+        case Insert(_, values) => struct(payload.map(f =>
+          values.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)): _*)
+          .cast(newType)
+        case Delete(_) => nullStruct
+      }
+      def ladder(clauses: Seq[Clause], value: Clause => Column,
+          default: Column): Column =
+        clauses.foldRight(default) { (cl, els) =>
+          when(cl.condition.getOrElse(lit(true)), value(cl)).otherwise(els)
+        }
+      val tP = tgtA("__graft_pos").isNotNull
+      val sP = srcA("__graft_src").isNotNull
+      val opCol =
+        when(tP && sP, ladder(matched, c => lit(opOf(c)), lit(OpNop)))
+          .when(!tP && sP, ladder(notMatched, c => lit(opOf(c)), lit(OpNop)))
+          .when(tP && !sP,
+            ladder(notMatchedBySource, c => lit(opOf(c)), lit(OpNop)))
+          .otherwise(lit(OpNop))
+      val newCol =
+        when(tP && sP, ladder(matched, newOf, nullStruct))
+          .when(!tP && sP, ladder(notMatched, newOf, nullStruct))
+          .when(tP && !sP, ladder(notMatchedBySource, newOf, nullStruct))
+          .otherwise(nullStruct)
+
+      // ---- ONE materializing pass: per-row action + post-merge row ----
+      val actionsPath = s"${layout.lakeDir}/_staged/" +
+        s"merge-${java.util.UUID.randomUUID().toString}"
+      try {
+        joined.select(
+            tgtA("__graft_file").as("__gfile"),
+            tgtA("__graft_pos").as("__gpos"),
+            opCol.as("__gop"), newCol.as("__gnew"))
+          .filter(col("__gop") =!= OpNop)
+          .write.mode("overwrite").parquet(actionsPath)
+        val st = spark.read.parquet(actionsPath)
+
+        if (checkCardinality && matched.nonEmpty) {
+          val dup = st
+            .filter(col("__gop").isin(OpDelete, OpUpdate) &&
+              col("__gfile").isNotNull)
+            .groupBy("__gfile", "__gpos").agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).limit(1).count()
+          if (dup > 0) throw new IllegalStateException(
+            "MERGE: a target row is modified by more than one source row " +
+              "— the SQL cardinality rule; make ON + the matched " +
+              "conditions unique per target row, or pre-aggregate the source")
+        }
+
+        val dels = st.filter(col("__gop").isin(OpDelete, OpUpdate))
+          .select(col("__gfile").as("file"), col("__gpos").as("pos"))
+        val inserts0 = st.filter(col("__gop").isin(OpUpdate, OpInsert))
+          .select(col("__gnew.*"))
+        // the partition key must be present on every inserted row — in
+        // the single derivation pass, like the SQL INSERT guard
+        val inserts = inserts0.withColumn("source",
+          when(col("source").isNull, raise_error(lit(
+            "MERGE: NULL source on an inserted/updated row — every lake " +
+              "row needs the source partition key"))).otherwise(col("source")))
+        Catalog.enforceExpectations(spark, layout, inserts)
+
+        val files = dels.select("file").distinct().collect()
+          .map(_.getString(0)).toSeq
+        if (files.isEmpty && inserts.isEmpty) return -1L
+        val delSources = files.map(Catalog.sourceOfRel).distinct
+        // NOT MATCHED BY SOURCE reads the whole target: any live-set
+        // movement invalidates the scan, so lock every live source
+        val lockSources =
+          if (notMatchedBySource.nonEmpty)
+            (live.map(Catalog.sourceOfRel).distinct ++ delSources).distinct
+          else delSources
+        val livePre = live.toSet
+        val committed = Catalog.withSourceLocks(spark, layout,
+            lockSources.sorted, lockTtlMs, waitMs) {
+          val liveNow = Catalog.lakeFilesAsOf(spark, layout)
+          val liveNowSet = liveNow.toSet
+          if (!files.forall(liveNowSet.contains)) None
+          else if (notMatchedBySource.nonEmpty && liveNowSet != livePre) None
+          else if (liveNow.exists(rel =>
+              delSources.contains(Catalog.sourceOfRel(rel)) &&
+                !livePre.contains(rel))) None
+          else Some(Catalog.commitStagedDvAndAppend(spark, layout,
+            Some(Catalog.widenBatch(spark, layout, inserts)),
+            if (files.isEmpty) None else Some(dels),
+            note = Some("merge")))
+        }
+        committed match {
+          case Some(seq) => return seq
+          case None => attempt += 1; Catalog.conflictBackoff(attempt)
+        }
+      } finally {
+        fs.delete(new org.apache.hadoop.fs.Path(actionsPath), true)
+      }
+    }
+    throw new java.io.IOException(
+      "mergeIntoLake: 8 attempts lost to concurrent commits into merged " +
+        "sources — serialize writers per key space or retry")
+  }
+
+  /** SQL `UPDATE lake SET … [WHERE …]` — a merge whose source is a
+    * single dummy row joined to every target row (broadcast, so the
+    * cost is exactly one target scan): matched rows take the UPDATE,
+    * everything else is untouched. Same one-record DV+append commit. */
+  def updateLake(spark: SparkSession, layout: Layout,
+      set: Map[String, Column], condition: Option[Column],
+      targetAlias: String = "t",
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    require(set.nonEmpty, "UPDATE with no assignments")
+    val dummy = spark.range(1).toDF("__dummy_one")
+    mergeIntoLake(spark, layout, dummy, on = lit(true),
+      matched = Seq(Update(condition, set)),
+      targetAlias = targetAlias, sourceAlias = "__graft_upd_src",
+      lockTtlMs = lockTtlMs, waitMs = waitMs,
+      // 1 source row ⇒ provably 1:1; skip the duplicate-match agg
+      checkCardinality = false)
+  }
+}

@@ -293,8 +293,16 @@ object Mv {
   }
 
   /** Register (or re-register) a view in the layout-level registry —
-    * one JSON file per stateDir under `<root>/_views/`, tmp+rename so
-    * a reader never sees a torn entry. Idempotent; an unchanged
+    * one JSON file per stateDir under `<root>/_views/`, tmp + OVERWRITE
+    * rename so a reader never sees a torn OR ABSENT entry: a
+    * delete-then-rename swap would open a window in which a concurrent
+    * `registered()`/[[Erase.eraseEverywhere]] sees no entry and
+    * silently skips rebuilding that view — the exact GDPR gap the
+    * registry exists to close. The overwrite rename is atomic on the
+    * local FS (NIO `ATOMIC_MOVE`) and on HDFS (`FileContext` +
+    * `Options.Rename.OVERWRITE`); two racing registers with DIFFERENT
+    * bodies resolve last-writer-wins with a whole body — an entry for
+    * the stateDir is present throughout. Idempotent; an unchanged
     * definition writes nothing (refresh calls this every time). Every
     * [[refresh]]/[[rebuild]]/[[refreshJoined]]/[[rebuildJoined]]
     * registers automatically, so any view that was EVER maintained
@@ -321,10 +329,27 @@ object Mv {
     fs.mkdirs(dir)
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s"_tmp-${java.util.UUID.randomUUID().toString.take(12)}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false) // concurrent identical winner
+    if ("file" == Option(fs.getScheme).getOrElse("")) {
+      // NIO end to end: no checksum sidecar is written for tmp, and a
+      // sidecar left by the pre-overwrite-rename era (fs.create +
+      // fs.rename moved the .crc along) is dropped BEFORE the move so
+      // a reader never sees new body + stale checksum
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp.toUri.getPath), body.getBytes("UTF-8"))
+      fs.delete(new org.apache.hadoop.fs.Path(dir, s".${p.getName}.crc"), false)
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      try org.apache.hadoop.fs.FileContext
+        .getFileContext(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      catch { case e: Throwable => fs.delete(tmp, false); throw e }
+    }
   }
 
   /** Drop a view from the registry (the state dir itself is the

@@ -273,13 +273,24 @@ object SetAndScalar {
     * over the corpus). The oracle computes components as a recursive
     * min-reachable-label CTE, so a green run re-proves the union-find
     * against declarative transitive closure. */
-  def goldenRecord(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = fuzzyNamePairs(spark, sfDir)
-      .select(col("name_a"), col("name_b")).collect()
+  def goldenRecord(spark: SparkSession, sfDir: String): DataFrame =
+    goldenRecord(spark, sfDir, Dedup.maxCollectedEdges)
+
+  /** Cap-injectable form (tests pin the loud over-cap failure without
+    * a corpus that big). The guard COUNTS first — a distributed 1-row
+    * aggregate — and only then collects, so an over-cap match graph
+    * fails loud without ever materializing on the driver (collect-
+    * then-require would OOM the driver before the error fired). */
+  private[ops] def goldenRecord(spark: SparkSession, sfDir: String,
+      maxEdges: Long): DataFrame = {
+    val pairs = fuzzyNamePairs(spark, sfDir)
+      .select(col("name_a"), col("name_b"))
+    val nEdges = pairs.count()
+    require(nEdges <= maxEdges,
+      s"golden record: $nEdges match edges exceed the driver guard " +
+        s"($maxEdges) — route through the distributed component path")
+    val edges = pairs.collect()
       .map(r => (r.getString(0), r.getString(1)))
-    require(edges.length <= Dedup.maxCollectedEdges,
-      s"golden record: ${edges.length} match edges exceed the driver guard — " +
-        "route through the distributed component path")
     val parent = scala.collection.mutable.Map.empty[String, String]
     def find(x: String): String = {
       var r = x

@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, raise_error, when}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -177,7 +177,14 @@ class GraftCatalog extends TableCatalog {
     *
     * Anything else (renames, drops, nested fields, property bags)
     * refuses loudly — the log has no lossy evolution facts. Only the
-    * head `lake` table is alterable. */
+    * head `lake` table is alterable.
+    *
+    * A multi-change statement (`ADD COLUMNS (a int, b int)`, or mixed
+    * adds + widenings + constraints) is ATOMIC: every change is
+    * validated first and all facts land in ONE manifest-log record
+    * ([[graft.lake.Catalog.commitLakeAlter]]) — a refused change
+    * leaves the table exactly as the statement found it, never with a
+    * committed prefix of itself. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!resolvable(ident)) throw new NoSuchTableException(ident)
     if (ident.name != "lake") throw new UnsupportedOperationException(
@@ -188,31 +195,36 @@ class GraftCatalog extends TableCatalog {
         s"nested fields are not evolvable: ${fieldNames.mkString(".")}")
       fieldNames(0)
     }
+    val addCols = Seq.newBuilder[(String, String)]
+    val widenCols = Seq.newBuilder[(String, String)]
+    val expectAdds = Seq.newBuilder[(String, String)]
+    val expectRms = Seq.newBuilder[String]
     changes.foreach {
       case ac: TableChange.AddColumn =>
-        Lake.commitLakeAddColumn(s, layout, topLevel(ac.fieldNames()),
-          ac.dataType().sql)
+        addCols += ((topLevel(ac.fieldNames()), ac.dataType().sql))
       case ut: TableChange.UpdateColumnType =>
-        Lake.commitLakeWidenColumn(s, layout, topLevel(ut.fieldNames()),
-          ut.newDataType().sql)
+        widenCols += ((topLevel(ut.fieldNames()), ut.newDataType().sql))
       case acn: TableChange.AddConstraint =>
         acn.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            Lake.addLakeExpectation(s, layout, c.name(), c.predicateSql())
+            expectAdds += ((c.name(), c.predicateSql()))
           case other => throw new UnsupportedOperationException(
             s"only CHECK constraints are supported, got $other")
         }
       case dcn: TableChange.DropConstraint =>
-        if (!dcn.ifExists() &&
-            !Lake.lakeExpectations(s, layout).contains(dcn.name()))
-          throw new IllegalArgumentException(
-            s"no such constraint: ${dcn.name()}")
-        Lake.removeLakeExpectation(s, layout, dcn.name())
+        if (dcn.ifExists() &&
+            !Lake.lakeExpectations(s, layout).contains(dcn.name())) ()
+        else expectRms += dcn.name()
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on the manifest log: $other — supported: " +
           "ADD COLUMNS, ALTER COLUMN TYPE (lossless widening), " +
           "ADD/DROP CONSTRAINT … CHECK")
     }
+    val (ac, wc, ea, er) =
+      (addCols.result(), widenCols.result(), expectAdds.result(), expectRms.result())
+    // a lone DROP CONSTRAINT IF EXISTS on a missing name is a no-op
+    if (ac.nonEmpty || wc.nonEmpty || ea.nonEmpty || er.nonEmpty)
+      Lake.commitLakeAlter(s, layout, ac, wc, ea, er)
     tableAt(ident, None)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -249,13 +261,19 @@ private[sql] class GraftTable(tableName: String, frame: () => DataFrame)
   *  - `INSERT INTO graft.lake …` → [[graft.lake.Catalog.commitLake]]
   *    through the [[V1Write]] bridge: the SQL verb gets the typed
   *    write path whole — commit-time expectations, widening up-cast
-  *    at staging, one atomic log record. `INSERT OVERWRITE` refuses
-  *    (the lake is append + merge-on-read; DELETE then INSERT says
-  *    what it means). A NULL `source` refuses before staging — it
-  *    would corrupt the partition scheme every maintenance path keys
-  *    on. MERGE/UPSERT stays on the typed API
-  *    ([[graft.lake.Catalog.upsertLakeByKey]]), which needs key
-  *    semantics SQL INSERT cannot carry. */
+  *    at staging, one atomic log record. A NULL `source` refuses IN
+  *    the write pass (`raise_error` in the partition projection, so a
+  *    non-deterministic inserted query cannot slip past a pre-check)
+  *    — it would corrupt the partition scheme every maintenance path
+  *    keys on.
+  *  - `INSERT OVERWRITE TABLE graft.lake …` →
+  *    [[graft.lake.Catalog.overwriteLake]]: atomic truncate + append
+  *    in ONE log record (a DV over every live row + the new files) —
+  *    readers see the old table or the new one, never empty; history
+  *    below stays time-travelable; expectations gate the new rows.
+  *  - `MERGE INTO graft.lake` / `UPDATE graft.lake` land through the
+  *    injected resolution rule ([[GraftDmlRule]]) on the same
+  *    one-record DV+append machinery. */
 private[sql] class GraftLakeTable(tableName: String, layout: Layout,
     frame: () => DataFrame) extends GraftTable(tableName, frame)
     with SupportsDelete with SupportsWrite {
@@ -274,20 +292,30 @@ private[sql] class GraftLakeTable(tableName: String, layout: Layout,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // INSERT OVERWRITE arrives as OverwriteByExpression(true) and is
+      // negotiated on the BUILDER (truncate()), not the relation — keep
+      // both signals and honor either
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE is not supported: the lake is append + " +
-                  "merge-on-read — DELETE FROM … then INSERT INTO …, or " +
-                  "use the typed upsert (Catalog.upsertLakeByKey)")
-              if (!data.filter(col("source").isNull).isEmpty)
-                throw new IllegalArgumentException(
+              // the NULL-source guard rides INSIDE the single write pass
+              // (raise_error in the partition column's own projection):
+              // a pre-check job would execute the inserted query twice,
+              // and a non-deterministic query (rand(), uuid(), …) could
+              // pass the check yet stage different rows — letting NULL
+              // rows land in __HIVE_DEFAULT_PARTITION__ and corrupt the
+              // partition scheme every maintenance path keys on
+              val guarded = data.withColumn("source",
+                when(col("source").isNull, raise_error(lit(
                   "INSERT INTO lake: NULL source — every row needs the " +
-                    "source partition key")
-              Lake.commitLake(SparkSession.active, layout, data)
+                    "source partition key"))).otherwise(col("source")))
+              if (overwrite || replaceAll)
+                Lake.overwriteLake(SparkSession.active, layout, guarded)
+              else Lake.commitLake(SparkSession.active, layout, guarded)
             }
           }
       }

@@ -171,7 +171,8 @@ class GraftCatalogSpec extends SparkTestBase {
 
   test("INSERT INTO graft.lake ≡ commitLake: one atomic version, visible " +
       "to the CDF, expectations gate it, widened columns land wide; " +
-      "INSERT OVERWRITE and NULL source refuse; TRUNCATE = DV over all") {
+      "NULL source refuses; INSERT OVERWRITE = atomic truncate+append " +
+      "in ONE record; TRUNCATE = DV over all") {
     val layout = Layout(tmpDir("dsv2-insert"))
     val s = spark
     import s.implicits._
@@ -206,16 +207,29 @@ class GraftCatalogSpec extends SparkTestBase {
       eGate.getMessage)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 3L)
 
-    // refusals: OVERWRITE (either our message or Spark's capability
-    // check — both loud, nothing written) and NULL source
-    intercept[Exception](
-      spark.sql(s"INSERT OVERWRITE $cat.lake VALUES ('x', 1, 'clicks')"))
+    // NULL source refuses IN the write pass (raise_error in the
+    // partition projection), nothing staged
     val eNull = intercept[Exception](
       spark.sql(s"INSERT INTO $cat.lake VALUES ('x', 1, CAST(NULL AS STRING))"))
     assert(eNull.getMessage.contains("source") ||
       (eNull.getCause != null && eNull.getCause.getMessage.contains("source")),
       eNull.getMessage)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 3L)
+
+    // INSERT OVERWRITE: atomic truncate+append in ONE log record —
+    // old rows replaced, history below intact, expectations gate the
+    // NEW rows (a violating overwrite leaves the table untouched)
+    val vPre = Catalog.headVersion(spark, layout)
+    spark.sql(s"INSERT OVERWRITE $cat.lake VALUES ('only', 7, 'clicks')")
+    assert(Catalog.headVersion(spark, layout) == vPre + 1,
+      "one OVERWRITE = one atomic commit")
+    assert(spark.sql(s"SELECT key, v FROM $cat.lake").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("only", 7L)))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake VERSION AS OF $v1")
+      .head.getLong(0) == 3L, "time travel below the overwrite")
+    intercept[Exception](
+      spark.sql(s"INSERT OVERWRITE $cat.lake VALUES ('bad', -5, 'clicks')"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 1L)
 
     // TRUNCATE: everything DV-deleted, history intact below
     spark.sql(s"TRUNCATE TABLE $cat.lake")
@@ -277,6 +291,52 @@ class GraftCatalogSpec extends SparkTestBase {
     intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.lake RENAME COLUMN key TO k"))
     intercept[Exception](spark.sql(s"ALTER TABLE $cat.lake DROP COLUMN key"))
+  }
+
+  test("multi-change ALTER is ATOMIC: a refused change leaves NOTHING " +
+      "committed; a valid mixed statement lands as ONE log record") {
+    val layout = Layout(tmpDir("dsv2-alter-atomic"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10)).toDF("source", "key", "v"))
+    val cat = register(layout)
+    val v0 = Catalog.headVersion(spark, layout)
+
+    // second column duplicates an existing one → the FIRST must not
+    // stay committed (the old per-change loop stranded it)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.lake ADD COLUMNS (a bigint, key string)"))
+    assert(Catalog.lakeAddedColumns(spark, layout).isEmpty,
+      "refused multi-ADD must leave no committed prefix")
+    assert(Catalog.headVersion(spark, layout) == v0)
+
+    // two adds in one statement: ONE version, both visible, and the
+    // statement may widen a column it just added
+    spark.sql(s"ALTER TABLE $cat.lake ADD COLUMNS (a int, b bigint)")
+    assert(Catalog.headVersion(spark, layout) == v0 + 1,
+      "one ALTER statement = one commit")
+    assert(Catalog.lakeAddedColumns(spark, layout).map(_._2) == Seq("a", "b"))
+    spark.sql(s"ALTER TABLE $cat.lake ALTER COLUMN a TYPE bigint")
+    assert(spark.sql(s"SELECT a FROM $cat.lake").schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // racing widenings of ONE column serialize under the schema lock:
+    // exactly one of int→long / int→double wins, the loser refuses
+    // against the NEW effective type (never a long+double chain)
+    val layout2 = Layout(tmpDir("dsv2-widen-race"))
+    Catalog.commitLake(spark, layout2,
+      Seq(("clicks", "k1", 10)).toDF("source", "key", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val attempts = Seq("bigint", "double").map(t => Future(
+      try Right(Catalog.commitLakeWidenColumn(spark, layout2, "v", t))
+      catch { case e: IllegalArgumentException => Left(e.getMessage) }))
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    val wins = results.collect { case Right(v) => v }
+    assert(wins.size == 1, s"exactly one widening must win, got $results")
+    assert(Catalog.lakeWidenedColumns(spark, layout2).size == 1)
   }
 
   test("table_changes TVF: two ranges in ONE statement (what the conf " +

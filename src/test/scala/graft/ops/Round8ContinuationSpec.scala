@@ -371,5 +371,13 @@ class Round8ContinuationSpec extends SparkTestBase {
     val unclustered = parts.filterNot(kv => clusteredNames.contains(kv._1)).values.sum
     assert(golden.map(_._3).sum + unclustered == parts.values.sum,
       "every part belongs to exactly one cluster or stays a singleton")
+
+    // the driver guard fires via a distributed COUNT, before any edge
+    // is collected: an over-cap match graph fails loud naming the cap,
+    // never an OOM from collect-then-require (cap injected below the
+    // real edge count so the corpus trips it)
+    val eCap = intercept[IllegalArgumentException](
+      SetAndScalar.goldenRecord(spark, sfDir, maxEdges = 0L))
+    assert(eCap.getMessage.contains("exceed the driver guard"))
   }
 }
