@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * (Injected functions are the (b)-tier of the custom-operator ladder
-  * in SURVEY.md §7.3 — no planner rules are needed anywhere in this
-  * engine, the DataFrame surface plus these expressions cover it.)
+  * in SURVEY.md §7.3. The ONE analyzer rule this engine injects is
+  * [[graft.sql.GraftDmlRule]] — SQL MERGE/UPDATE have no public
+  * connector API that reuses a driver-side commit protocol, so the
+  * rule+command wiring Delta uses is the (c)-tier escape hatch; the
+  * DataFrame surface plus the expressions cover everything else.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -25,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the change-feed table-valued function: SELECT * FROM
     // table_changes('catalog_or_root', from[, to])
     ext.injectTableFunction(graft.sql.TableChanges.descriptor)
+    // SQL MERGE INTO / UPDATE on graft.lake → the one-record DV+append
+    // merge core (rule-based, the Delta wiring — see GraftDmlRule)
+    ext.injectPostHocResolutionRule(s => new graft.sql.GraftDmlRule(s))
   }
 }
 

@@ -132,7 +132,6 @@ object Merge {
           "first batch (or use INSERT)")
       val payload = tgt0.schema.fields
         .filterNot(_.name.startsWith("__graft_")).toSeq
-    payload.foreach(f => ()) // (schema pinned per attempt)
       val payloadNames = payload.map(_.name).toSet
       (matched ++ notMatchedBySource).foreach {
         case Update(_, set) => set.keys.foreach(k => require(payloadNames(k),

@@ -274,7 +274,8 @@ private[sql] class GraftTable(tableName: String, frame: () => DataFrame)
   *  - `MERGE INTO graft.lake` / `UPDATE graft.lake` land through the
   *    injected resolution rule ([[GraftDmlRule]]) on the same
   *    one-record DV+append machinery. */
-private[sql] class GraftLakeTable(tableName: String, layout: Layout,
+private[sql] class GraftLakeTable(tableName: String,
+    private[sql] val layout: Layout,
     frame: () => DataFrame) extends GraftTable(tableName, frame)
     with SupportsDelete with SupportsWrite {
 

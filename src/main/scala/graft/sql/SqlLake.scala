@@ -211,4 +211,125 @@ object SqlLake {
       |    AS BIGINT) AS sum_cents
       |FROM events
       |GROUP BY event_type ORDER BY source""".stripMargin
+
+  /** Third deterministic fixture — the SQL ROW-LEVEL DML surface: v1 =
+    * the full corpus as `(source, event_id, user_id, cents)`; v2 = a
+    * `MERGE INTO` executed through the STATEMENT path
+    * ([[GraftDmlRule]] → [[graft.lake.Merge]]) with all three arms —
+    * matched odd multiples of 7 DELETE, matched even multiples UPDATE
+    * (`cents + 1e6`), new ids (`event_id + 1e9`, `cents + 55`) INSERT;
+    * v3 = a SQL `UPDATE … SET cents = cents + 7 WHERE event_id % 3 =
+    * 0`. The queries below replay in DuckDB over raw `events`, so a
+    * green row proves the statement binding, the clause ladder, the
+    * one-record DV+append commit AND the snapshot read — end to end
+    * on corpus volume. */
+  private def mergeLakeRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_m/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val lay = Layout(tmp)
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val v1 = Catalog.commitLake(spark, lay, base)
+      require(v1 == 1L, s"merge fixture seq drifted: $v1")
+      val cand = base.filter(col("event_id") % 7 === 0)
+      val srcView = s"graft_merge_src_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      cand.withColumn("op",
+          when(col("event_id") % 2 === 1, lit("D")).otherwise(lit("U")))
+        .unionByName(cand.select(col("source"),
+          (col("event_id") + lit(1000000000L)).as("event_id"),
+          col("user_id"), (col("cents") + lit(55L)).as("cents"))
+          .withColumn("op", lit("I")))
+        .createOrReplaceTempView(srcView)
+      // transient catalog name: instances are cached per name and this
+      // one binds the pre-rename tmp dir — never reuse it
+      val name = s"graftm_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      spark.sql(
+        s"""MERGE INTO $name.lake t USING $srcView s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents + 1000000
+           |WHEN NOT MATCHED THEN INSERT (source, event_id, user_id, cents)
+           |  VALUES (s.source, s.event_id, s.user_id, s.cents)""".stripMargin)
+      spark.sql(
+        s"UPDATE $name.lake SET cents = cents + 7 WHERE event_id % 3 = 0")
+      spark.catalog.dropTempView(srcView)
+      val head = Catalog.headVersion(spark, lay)
+      require(head == 3L, s"merge fixture head drifted: $head")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  private def mergeCatalog(spark: SparkSession, sfDir: String): String = {
+    val root = mergeLakeRoot(spark, sfDir)
+    val name = s"graftm_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  /** `q_sql_lake_merge`: the post-MERGE snapshot (`VERSION AS OF 2` —
+    * above the merge, below the update, so the row also pins time
+    * travel over a DV+append record). */
+  def mergeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = mergeCatalog(spark, sfDir)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $cat.lake VERSION AS OF 2
+         |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val mergeAggOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS source, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |merged AS (
+      |  SELECT source,
+      |    CASE WHEN event_id % 7 = 0 AND event_id % 2 = 0
+      |      THEN cents + 1000000 ELSE cents END AS cents
+      |  FROM base WHERE NOT (event_id % 7 = 0 AND event_id % 2 = 1)
+      |  UNION ALL
+      |  SELECT source, cents + 55 AS cents FROM base WHERE event_id % 7 = 0)
+      |SELECT source, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM merged GROUP BY source ORDER BY source""".stripMargin
+
+  /** `q_sql_lake_update`: the head snapshot — the SQL `UPDATE`
+    * statement's `cents + 7` applied on top of the merge. */
+  def updateAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = mergeCatalog(spark, sfDir)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $cat.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val updateAggOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS source, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |merged AS (
+      |  SELECT source, event_id,
+      |    CASE WHEN event_id % 7 = 0 AND event_id % 2 = 0
+      |      THEN cents + 1000000 ELSE cents END AS cents
+      |  FROM base WHERE NOT (event_id % 7 = 0 AND event_id % 2 = 1)
+      |  UNION ALL
+      |  SELECT source, event_id + 1000000000 AS event_id, cents + 55 AS cents
+      |  FROM base WHERE event_id % 7 = 0),
+      |updated AS (
+      |  SELECT source,
+      |    CASE WHEN event_id % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+      |  FROM merged)
+      |SELECT source, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM updated GROUP BY source ORDER BY source""".stripMargin
 }
