@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the change-feed table-valued function: SELECT * FROM
     // table_changes('catalog_or_root', from[, to])
     ext.injectTableFunction(graft.sql.TableChanges.descriptor)
+    // CALL-style maintenance verbs: lake_optimize / lake_vacuum /
+    // lake_checkpoint / lake_materialize_deletes
+    graft.sql.Maintenance.descriptors.foreach(ext.injectTableFunction)
     // SQL MERGE INTO / UPDATE on graft.lake → the one-record DV+append
     // merge core (rule-based, the Delta wiring — see GraftDmlRule)
     ext.injectPostHocResolutionRule(s => new graft.sql.GraftDmlRule(s))
@@ -118,5 +121,9 @@ object GraftExtensions {
     }
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "table_changes", graft.sql.TableChanges.descriptor._3, "built-in")
+    graft.sql.Maintenance.descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
   }
 }

@@ -339,6 +339,63 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(Catalog.lakeWidenedColumns(spark, layout2).size == 1)
   }
 
+  test("maintenance TVFs ≡ the typed verbs: lake_optimize compacts with " +
+      "every prior version readable, lake_materialize_deletes rewrites " +
+      "DV'd files, lake_vacuum reclaims, lake_checkpoint folds the log — " +
+      "content identical throughout; bad args refuse loud") {
+    val layout = Layout(tmpDir("dsv2-maint"))
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { i =>
+      Catalog.commitLake(spark, layout,
+        Seq(("clicks", s"k$i", i.toLong)).toDF("source", "key", "v"))
+    }
+    Catalog.deleteLakeWhere(spark, layout, col("key") === "k2")
+    val cat = register(layout)
+    val vPre = Catalog.headVersion(spark, layout)
+    def content: Set[(String, Long)] =
+      Catalog.loadLakeSnapshot(spark, layout).select("key", "v").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val before = content
+
+    // OPTIMIZE: the 3 small files bin-pack; snapshot content identical;
+    // every prior version still readable (old files only logically
+    // removed until vacuum)
+    val opt = spark.sql(s"SELECT * FROM lake_optimize('$cat')").head
+    assert(opt.getAs[String]("verb") == "lake_optimize")
+    assert(opt.getAs[Long]("result") == 3L, s"3 small files rewritten: $opt")
+    assert(opt.getAs[Long]("head_version") == vPre + 1)
+    assert(content == before)
+    (1L to vPre).foreach { v =>
+      Catalog.loadLakeSnapshot(spark, layout, v).count() // must not throw
+    }
+
+    // MATERIALIZE: nothing left (optimize already materialized the DV);
+    // add a fresh DV and materialize it away
+    Catalog.deleteLakeWhere(spark, layout, col("key") === "k3")
+    val mat = spark.sql(s"SELECT * FROM lake_materialize_deletes('$cat')").head
+    assert(mat.getAs[Long]("result") == 1L, s"one DV'd file rewritten: $mat")
+    assert(content == Set(("k1", 1L)))
+
+    // VACUUM(grace 0): the superseded originals reclaim; head content
+    // unchanged (vacuum never touches the live view)
+    val vac = spark.sql(s"SELECT * FROM lake_vacuum('$cat', 0)").head
+    assert(vac.getAs[Long]("result") > 0L, s"reclaimed originals: $vac")
+    assert(content == Set(("k1", 1L)))
+
+    // CHECKPOINT: folds + prunes; reads keep working above it
+    val ck = spark.sql(s"SELECT * FROM lake_checkpoint('$cat')").head
+    assert(ck.getAs[Long]("result") >= 1L, s"checkpoint seq: $ck")
+    assert(content == Set(("k1", 1L)))
+
+    // refusals: negative grace, non-literal arg, extra args
+    intercept[Exception](spark.sql(s"SELECT * FROM lake_vacuum('$cat', -5)"))
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM lake_optimize('$cat', rand())"))
+    intercept[Exception](spark.sql(s"SELECT * FROM lake_checkpoint('$cat', 1)"))
+    assert(content == Set(("k1", 1L)))
+  }
+
   test("table_changes TVF: two ranges in ONE statement (what the conf " +
       "path cannot express); catalog names and raw roots both resolve; " +
       "non-literal versions refuse loud") {
