@@ -443,7 +443,8 @@ object Catalog {
       removes: Seq[String] = Seq.empty,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      note: Option[String] = None): Long = {
+      note: Option[String] = None,
+      marker: Option[String] = None): Long = {
     enforceExpectations(spark, layout, batch)
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -459,7 +460,7 @@ object Catalog {
       if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
         Seq.empty[(String, String)]
       else computeFileStats(spark, stage.toString, statsCols, bloomCols)
-    val rec = V2Record(-1L, System.currentTimeMillis(), None,
+    val rec = V2Record(-1L, System.currentTimeMillis(), marker,
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (staged.nonEmpty) Some(uuid) else None, staged, removes,
       fileStats = stats, note = note)

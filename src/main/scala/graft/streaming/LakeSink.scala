@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+import graft.lake.{Catalog, Layout}
+
+/** FIRST-CLASS STREAMING SINK into the lake — the write half of the
+  * `graft-lake-cdf` source, completing the Delta streaming-table
+  * idiom without a hand-rolled `foreachBatch`:
+  *
+  * {{{
+  * df.writeStream.format("graft-lake")
+  *   .option("root", layoutRoot)
+  *   .option("checkpointLocation", ckpt)      // required: keys the markers
+  *   .option("mode", "append")                // default; or:
+  *   .option("mode", "upsert")
+  *   .option("keys", "k1,k2").option("seqCol", "ts")
+  *   .start()
+  * }}}
+  *
+  * Exactly-once, per micro-batch, via the engine's batch-marker
+  * protocol (the one [[StreamUpsert]]/[[StreamIngest]] prove): the
+  * batch-completion marker lands in the SAME atomic log record as the
+  * data, [[Catalog.recoverAppends]] runs before every batch so a
+  * crash between CLAIM and publish is finished (marker included), and
+  * a redelivered batch that finds its marker is SKIPPED — the log
+  * gains no duplicate version. Each micro-batch is ONE commit: a
+  * snapshot reader sees batch boundaries, never a torn batch; the CDF
+  * shows each batch as one version (pinned by the consumer E2E spec).
+  *
+  * `mode=append` routes through [[Catalog.commitLake]] (expectations,
+  * widening up-casts, partitioned staging); `mode=upsert` through
+  * [[StreamUpsert.applyBatch]] (collapse to latest per key by
+  * `seqCol`, then the one-record DV+append merge).
+  *
+  * v1 `Sink` on purpose: `addBatch` receives the batch as a REPLAYABLE
+  * frame (offsets pin it), and the commit path is driver-coordinated
+  * staging — the same reason the CDF source stays a v1 `Source` (and
+  * the same choice Delta's sink makes). Multiple actions over the
+  * batch (expectation gates + the staging write) re-execute a
+  * deterministic incremental plan. */
+class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-lake"
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    def opt(name: String): Option[String] =
+      parameters.get(name).orElse(parameters.get(name.toLowerCase))
+    val layout = Layout(parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft-lake sink: option 'root' " +
+        "(the layout root) is required")))
+    val checkpoint = opt("checkpointLocation").getOrElse(
+      throw new IllegalArgumentException("graft-lake sink: " +
+        "checkpointLocation is required — it keys the exactly-once markers"))
+    opt("mode").getOrElse("append") match {
+      case "append" => new LakeAppendSink(layout, checkpoint)
+      case "upsert" =>
+        val keys = opt("keys").getOrElse(throw new IllegalArgumentException(
+          "graft-lake sink: mode=upsert needs option 'keys' (comma-separated)"))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val seqCol = opt("seqCol").getOrElse(
+          throw new IllegalArgumentException(
+            "graft-lake sink: mode=upsert needs option 'seqCol' (the " +
+              "per-key version order within a batch)"))
+        new LakeUpsertSink(layout, checkpoint, keys, seqCol)
+      case other => throw new IllegalArgumentException(
+        s"graft-lake sink: mode must be append|upsert, got '$other'")
+    }
+  }
+}
+
+private[streaming] abstract class LakeSinkBase(layout: Layout,
+    checkpointDir: String) extends Sink {
+
+  protected def apply(batch: DataFrame, marker: String): Unit
+
+  final override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val marker = s"$checkpointDir/_graft_lake_sink_markers/$batchId"
+    val p = new org.apache.hadoop.fs.Path(marker)
+    val fs = p.getFileSystem(
+      data.sparkSession.sparkContext.hadoopConfiguration)
+    // recover FIRST, then check the marker (the StreamUpsert ordering):
+    // a prior attempt that crashed between CLAIM and publish has no
+    // marker yet — recovery finishes it, marker included; checking
+    // first would re-apply the batch and mint a duplicate version
+    Catalog.recoverAppends(data.sparkSession, layout)
+    // the engine hands a STREAMING-flagged frame that refuses normal
+    // actions — rewrap the executed incremental plan as a batch frame
+    // (the ForeachBatchSink move) so the commit path runs unchanged
+    if (!fs.exists(p))
+      apply(org.apache.spark.sql.GraftStreamingBridge.batchFrame(data), marker)
+  }
+}
+
+private[streaming] class LakeAppendSink(layout: Layout, checkpointDir: String)
+    extends LakeSinkBase(layout, checkpointDir) {
+  override protected def apply(batch: DataFrame, marker: String): Unit = {
+    Catalog.commitLake(batch.sparkSession, layout, batch,
+      marker = Some(marker))
+    ()
+  }
+}
+
+private[streaming] class LakeUpsertSink(layout: Layout, checkpointDir: String,
+    keys: Seq[String], seqCol: String)
+    extends LakeSinkBase(layout, checkpointDir) {
+  override protected def apply(batch: DataFrame, marker: String): Unit = {
+    StreamUpsert.applyBatch(layout, batch, keys, seqCol, Some(marker))
+    ()
+  }
+}
