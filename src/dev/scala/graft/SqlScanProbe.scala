@@ -41,6 +41,42 @@ object SqlScanProbe {
       DevTiming.time("sqlscan")(s"sql-narrow rep$i")(
         spark.sql("SELECT sum(cents) FROM gprobe.lake").collect())
     }
+
+    // COMMIT-INTERLEAVED reads: the snapshot-plan memo's claimed win is
+    // "footer-merge once per COMMIT, not per statement" — pin it under
+    // the realistic pattern of reads interleaved with small appends.
+    // Per round: read (memoized), tiny commit (digest moves), read
+    // (one rebuild = one distributed footer-merge), read again
+    // (memoized). At 100 TB the rebuild cost is the one that scales
+    // with file count; the memoized statements must stay flat.
+    {
+      import org.apache.spark.sql.functions._
+      val s2 = spark
+      import s2.implicits._
+      // a PRIVATE copy of the lake — the shared SqlLake fixture is
+      // oracle-gated content and must never gain probe rows
+      val iroot = s"/tmp/sqlscan-interleave-${System.nanoTime()}"
+      val ilay = graft.lake.Layout(iroot)
+      graft.lake.Catalog.commitLake(spark, ilay,
+        graft.Events.events(spark, sfDir).select(
+          col("event_type").as("source"), col("event_id"), col("user_id"),
+          floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents")))
+      spark.conf.set("spark.sql.catalog.gprobe2",
+        classOf[graft.sql.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gprobe2.root", iroot)
+      (1 to reps).foreach { i =>
+        DevTiming.time("sqlscan")(s"interleave warm-read rep$i")(
+          spark.sql("SELECT sum(cents) FROM gprobe2.lake").collect())
+        DevTiming.time("sqlscan")(s"interleave commit rep$i")(
+          graft.lake.Catalog.commitLake(spark, ilay,
+            Seq(("probe", 900000000L + i.toLong, 1L, 1L))
+              .toDF("source", "event_id", "user_id", "cents")))
+        DevTiming.time("sqlscan")(s"interleave rebuild-read rep$i")(
+          spark.sql("SELECT sum(cents) FROM gprobe2.lake").collect())
+        DevTiming.time("sqlscan")(s"interleave memo-read rep$i")(
+          spark.sql("SELECT sum(cents) FROM gprobe2.lake").collect())
+      }
+    }
     spark.stop()
   }
 }
