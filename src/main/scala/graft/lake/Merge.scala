@@ -91,6 +91,64 @@ object Merge {
     case _: Insert => OpInsert
   }
 
+  /** The un-materialized per-row action frame for one attempt's target
+    * — (__gfile, __gpos, __gop, __gnew) with nop rows dropped.
+    * Factored out (and `private[graft]`-visible) so plan audits can
+    * pin the join strategy: a CDC-sized source must broadcast, the
+    * lake side must not shuffle. */
+  private[graft] def actionFrame(tgt0: DataFrame, source: DataFrame,
+      on: Column, matched: Seq[Clause], notMatched: Seq[Clause],
+      notMatchedBySource: Seq[Clause],
+      targetAlias: String, sourceAlias: String): DataFrame = {
+    val payload = tgt0.schema.fields
+      .filterNot(_.name.startsWith("__graft_")).toSeq
+    val newType = StructType(payload.map(_.copy(nullable = true)))
+    val nullStruct = lit(null).cast(newType)
+
+    val tgtA = tgt0.alias(targetAlias)
+    val srcA = source.withColumn("__graft_src", lit(1)).alias(sourceAlias)
+    val joinType = (notMatched.nonEmpty, notMatchedBySource.nonEmpty) match {
+      case (true, true) => "full_outer"
+      case (true, false) => "right_outer"
+      case (false, true) => "left_outer"
+      case (false, false) => "inner"
+    }
+    val joined = tgtA.join(srcA, on, joinType)
+
+    def newOf(cl: Clause): Column = cl match {
+      case Update(_, set) => struct(payload.map(f =>
+        set.get(f.name).map(_.cast(f.dataType))
+          .getOrElse(tgtA(f.name)).as(f.name)): _*).cast(newType)
+      case Insert(_, values) => struct(payload.map(f =>
+        values.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)): _*)
+        .cast(newType)
+      case Delete(_) => nullStruct
+    }
+    def ladder(clauses: Seq[Clause], value: Clause => Column,
+        default: Column): Column =
+      clauses.foldRight(default) { (cl, els) =>
+        when(cl.condition.getOrElse(lit(true)), value(cl)).otherwise(els)
+      }
+    val tP = tgtA("__graft_pos").isNotNull
+    val sP = srcA("__graft_src").isNotNull
+    val opCol =
+      when(tP && sP, ladder(matched, c => lit(opOf(c)), lit(OpNop)))
+        .when(!tP && sP, ladder(notMatched, c => lit(opOf(c)), lit(OpNop)))
+        .when(tP && !sP,
+          ladder(notMatchedBySource, c => lit(opOf(c)), lit(OpNop)))
+        .otherwise(lit(OpNop))
+    val newCol =
+      when(tP && sP, ladder(matched, newOf, nullStruct))
+        .when(!tP && sP, ladder(notMatched, newOf, nullStruct))
+        .when(tP && !sP, ladder(notMatchedBySource, newOf, nullStruct))
+        .otherwise(nullStruct)
+    joined.select(
+        tgtA("__graft_file").as("__gfile"),
+        tgtA("__graft_pos").as("__gpos"),
+        opCol.as("__gop"), newCol.as("__gnew"))
+      .filter(col("__gop") =!= OpNop)
+  }
+
   /** Run the merge; returns the commit seq, or -1 when no row matched
     * any clause (nothing to do, nothing committed). */
   def mergeIntoLake(spark: SparkSession, layout: Layout,
@@ -146,56 +204,12 @@ object Merge {
             "INSERT must assign the source partition column")
         case _ => ()
       }
-      val newType = StructType(payload.map(_.copy(nullable = true)))
-      val nullStruct = lit(null).cast(newType)
-
-      val tgtA = tgt0.alias(targetAlias)
-      val srcA = source.withColumn("__graft_src", lit(1)).alias(sourceAlias)
-      val joinType = (notMatched.nonEmpty, notMatchedBySource.nonEmpty) match {
-        case (true, true) => "full_outer"
-        case (true, false) => "right_outer"
-        case (false, true) => "left_outer"
-        case (false, false) => "inner"
-      }
-      val joined = tgtA.join(srcA, on, joinType)
-
-      def newOf(cl: Clause): Column = cl match {
-        case Update(_, set) => struct(payload.map(f =>
-          set.get(f.name).map(_.cast(f.dataType))
-            .getOrElse(tgtA(f.name)).as(f.name)): _*).cast(newType)
-        case Insert(_, values) => struct(payload.map(f =>
-          values.getOrElse(f.name, lit(null)).cast(f.dataType).as(f.name)): _*)
-          .cast(newType)
-        case Delete(_) => nullStruct
-      }
-      def ladder(clauses: Seq[Clause], value: Clause => Column,
-          default: Column): Column =
-        clauses.foldRight(default) { (cl, els) =>
-          when(cl.condition.getOrElse(lit(true)), value(cl)).otherwise(els)
-        }
-      val tP = tgtA("__graft_pos").isNotNull
-      val sP = srcA("__graft_src").isNotNull
-      val opCol =
-        when(tP && sP, ladder(matched, c => lit(opOf(c)), lit(OpNop)))
-          .when(!tP && sP, ladder(notMatched, c => lit(opOf(c)), lit(OpNop)))
-          .when(tP && !sP,
-            ladder(notMatchedBySource, c => lit(opOf(c)), lit(OpNop)))
-          .otherwise(lit(OpNop))
-      val newCol =
-        when(tP && sP, ladder(matched, newOf, nullStruct))
-          .when(!tP && sP, ladder(notMatched, newOf, nullStruct))
-          .when(tP && !sP, ladder(notMatchedBySource, newOf, nullStruct))
-          .otherwise(nullStruct)
-
       // ---- ONE materializing pass: per-row action + post-merge row ----
       val actionsPath = s"${layout.lakeDir}/_staged/" +
         s"merge-${java.util.UUID.randomUUID().toString}"
       try {
-        joined.select(
-            tgtA("__graft_file").as("__gfile"),
-            tgtA("__graft_pos").as("__gpos"),
-            opCol.as("__gop"), newCol.as("__gnew"))
-          .filter(col("__gop") =!= OpNop)
+        actionFrame(tgt0, source, on, matched, notMatched,
+            notMatchedBySource, targetAlias, sourceAlias)
           .write.mode("overwrite").parquet(actionsPath)
         val st = spark.read.parquet(actionsPath)
 

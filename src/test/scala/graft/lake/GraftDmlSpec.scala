@@ -176,6 +176,99 @@ class GraftDmlSpec extends SparkTestBase {
     assert(Catalog.headVersion(spark, layout) == vNow)
   }
 
+  test("plan audit: a CDC-sized merge source BROADCASTS — the lake side " +
+      "is never shuffled for the match join") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("dml-merge-plan"))
+    seed(layout)
+    val src = Seq(("clicks", "k2", 200L)).toDF("source", "key", "v")
+    val tgt0 = Catalog.lakeSnapshotWithPos(spark, layout,
+      Catalog.lakeFilesAsOf(spark, layout))
+    val af = Merge.actionFrame(tgt0, src,
+      on = col("t.key") === col("s.key"),
+      matched = Seq(Merge.Update(None, Map("v" -> col("s.v")))),
+      notMatched = Seq(Merge.Insert(None, Map("source" -> col("s.source"),
+        "key" -> col("s.key"), "v" -> col("s.v")))),
+      notMatchedBySource = Seq.empty, targetAlias = "t", sourceAlias = "s")
+    val p = af.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"a small source must not shuffle the lake:\n$p")
+  }
+
+  test("merge racing a concurrent appender into a touched source: the " +
+      "conflict check retries and the final state is exactly " +
+      "merge-applied-to-everything-committed") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("dml-merge-race"))
+    seed(layout)
+    // a slow source frame: its evaluation window gives the appender
+    // time to land a new file in the matched source AFTER the merge's
+    // match scan — forcing the new-files-in-touched-sources retry
+    val src = Seq(("clicks", "k1", 100L), ("clicks", "k2", 200L))
+      .toDF("source", "key", "v")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val appender = Future {
+      (1 to 5).foreach { i =>
+        Catalog.commitLake(spark, layout,
+          Seq(("clicks", s"x$i", i.toLong)).toDF("source", "key", "v"))
+        Thread.sleep(30)
+      }
+    }
+    val merger = Future {
+      Merge.mergeIntoLake(spark, layout, src,
+        on = col("t.key") === col("s.key"),
+        matched = Seq(Merge.Update(None, Map("v" -> col("s.v")))))
+    }
+    Await.result(Future.sequence(Seq(appender.map(_ => 0L), merger)), 300.seconds)
+    val st = state(layout)
+    assert(st.contains(("clicks", "k1", 100L)) &&
+      st.contains(("clicks", "k2", 200L)), s"merge applied: $st")
+    assert((1 to 5).forall(i => st.contains(("clicks", s"x$i", i.toLong))),
+      s"every concurrent append survived: $st")
+    assert(st.size == 8, s"no duplicates, no losses: $st")
+  }
+
+  test("refusals: MERGE WITH SCHEMA EVOLUTION, MERGE into an empty lake, " +
+      "INSERT arm without the source column") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("dml-merge-refuse"))
+    val cat = register(layout)
+    Seq(("clicks", "k9", 1L)).toDF("source", "key", "v")
+      .createOrReplaceTempView("dml_src6")
+
+    // empty lake: no target schema to merge into
+    val eEmpty = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.lake t USING dml_src6 s ON t.key = s.key
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eEmpty).exists(m => m.contains("empty lake") ||
+      m.contains("UNRESOLVED")), msgs(eEmpty).take(2).mkString("; "))
+
+    seed(layout)
+    val eEvo = intercept[Exception](spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.lake t
+         |USING dml_src6 s ON t.key = s.key
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+    assert(msgs(eEvo).exists(m => m.contains("SCHEMA EVOLUTION")),
+      msgs(eEvo).take(2).mkString("; "))
+
+    // Scala API: INSERT arm must assign the partition key
+    val eSrc = intercept[Exception](Merge.mergeIntoLake(spark, layout,
+      Seq(("z9", 5L)).toDF("key", "v"),
+      on = col("t.key") === col("s.key"),
+      notMatched = Seq(Merge.Insert(None, Map("key" -> col("s.key"),
+        "v" -> col("s.v"))))))
+    assert(msgs(eSrc).exists(_.contains("source")),
+      msgs(eSrc).take(2).mkString("; "))
+  }
+
   test("Scala-API Merge.mergeIntoLake: alias-bound clauses produce the " +
       "same semantics as the SQL statement") {
     val s = spark
