@@ -225,7 +225,7 @@ object SqlLake {
     * on corpus volume. */
   private def mergeLakeRoot(spark: SparkSession, sfDir: String): String = {
     val dir =
-      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_m/k=${corpusKey(spark, sfDir)}"
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_dml/k=${corpusKey(spark, sfDir)}"
     graft.ops.Artifacts.commit(spark, dir) { tmp =>
       val lay = Layout(tmp)
       val base = graft.Events.events(spark, sfDir).select(
@@ -258,9 +258,19 @@ object SqlLake {
            |  VALUES (s.source, s.event_id, s.user_id, s.cents)""".stripMargin)
       spark.sql(
         s"UPDATE $name.lake SET cents = cents + 7 WHERE event_id % 3 = 0")
+      // v4: SELF-REFERENTIAL atomic replace — the source reads the
+      // table's own v3 (time travel binds at analysis, files are
+      // immutable), the write replaces everything in ONE record
+      // positional INSERT: the snapshot schema carries the partition
+      // column LAST (event_id, user_id, cents, source)
+      spark.sql(
+        s"""INSERT OVERWRITE $name.lake
+           |SELECT event_id, user_id, cents, source
+           |FROM $name.lake VERSION AS OF 3
+           |WHERE event_id % 2 = 0""".stripMargin)
       spark.catalog.dropTempView(srcView)
       val head = Catalog.headVersion(spark, lay)
-      require(head == 3L, s"merge fixture head drifted: $head")
+      require(head == 4L, s"merge fixture head drifted: $head")
       val fs = new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
@@ -270,7 +280,7 @@ object SqlLake {
 
   private def mergeCatalog(spark: SparkSession, sfDir: String): String = {
     val root = mergeLakeRoot(spark, sfDir)
-    val name = s"graftm_${corpusKey(spark, sfDir)}"
+    val name = s"graftdml_${corpusKey(spark, sfDir)}"
     spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$name.root", root)
     name
@@ -303,14 +313,16 @@ object SqlLake {
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM merged GROUP BY source ORDER BY source""".stripMargin
 
-  /** `q_sql_lake_update`: the head snapshot — the SQL `UPDATE`
-    * statement's `cents + 7` applied on top of the merge. */
+  /** `q_sql_lake_update`: `VERSION AS OF 3` — the SQL `UPDATE`
+    * statement's `cents + 7` applied on top of the merge (below the
+    * v4 overwrite). */
   def updateAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val cat = mergeCatalog(spark, sfDir)
     spark.sql(
       s"""SELECT source, count(*) AS n_events,
          |  CAST(sum(cents) AS BIGINT) AS sum_cents
-         |FROM $cat.lake GROUP BY source ORDER BY source""".stripMargin)
+         |FROM $cat.lake VERSION AS OF 3
+         |GROUP BY source ORDER BY source""".stripMargin)
   }
 
   val updateAggOracleSql: String =
@@ -332,4 +344,71 @@ object SqlLake {
       |SELECT source, count(*) AS n_events,
       |  CAST(sum(cents) AS BIGINT) AS sum_cents
       |FROM updated GROUP BY source ORDER BY source""".stripMargin
+
+  /** `q_sql_lake_overwrite`: the head snapshot after the v4
+    * SELF-REFERENTIAL `INSERT OVERWRITE … SELECT … FROM <self>
+    * VERSION AS OF 3 WHERE event_id % 2 = 0` — green only if the
+    * atomic replace kept exactly the even-id rows of the post-update
+    * state (and the time-traveled self-read saw v3, not the write in
+    * flight). */
+  def overwriteAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = mergeCatalog(spark, sfDir)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $cat.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val overwriteAggOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS source, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |merged AS (
+      |  SELECT source, event_id,
+      |    CASE WHEN event_id % 7 = 0 AND event_id % 2 = 0
+      |      THEN cents + 1000000 ELSE cents END AS cents
+      |  FROM base WHERE NOT (event_id % 7 = 0 AND event_id % 2 = 1)
+      |  UNION ALL
+      |  SELECT source, event_id + 1000000000 AS event_id, cents + 55 AS cents
+      |  FROM base WHERE event_id % 7 = 0),
+      |updated AS (
+      |  SELECT source, event_id,
+      |    CASE WHEN event_id % 3 = 0 THEN cents + 7 ELSE cents END AS cents
+      |  FROM merged)
+      |SELECT source, count(*) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM updated WHERE event_id % 2 = 0
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** `q_sql_lake_merge_changes`: the change feed of EXACTLY the merge
+    * commit — `table_changes(cat, 1, 2)` — per change type: the
+    * matched keys' OLD rows retract (both the DELETE and the UPDATE
+    * arms), the updated and inserted rows arrive, all at one
+    * version. */
+  def mergeCdfAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val cat = mergeCatalog(spark, sfDir)
+    graft.functions.GraftExtensions.register(spark) // the TVF
+    spark.sql(
+      s"""SELECT _change_type, count(*) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM table_changes('$cat', 1, 2)
+         |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+  }
+
+  val mergeCdfAggOracleSql: String =
+    """WITH base AS (
+      |  SELECT event_type AS source, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |ch AS (
+      |  SELECT 'delete' AS _change_type, cents
+      |  FROM base WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT 'insert' AS _change_type, cents + 1000000 AS cents
+      |  FROM base WHERE event_id % 7 = 0 AND event_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'insert' AS _change_type, cents + 55 AS cents
+      |  FROM base WHERE event_id % 7 = 0)
+      |SELECT _change_type, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM ch GROUP BY _change_type ORDER BY _change_type""".stripMargin
 }
