@@ -1593,13 +1593,36 @@ object Catalog {
     var attempt = 0
     while (attempt < 8) {
       val live = lakeFilesAsOf(spark, layout)
+      // DYNAMIC FILE PRUNING through the skipping index: with ONE key
+      // column, a file whose committed min/max excludes the batch's
+      // key range cannot hold a matched row — skip scanning it. Files
+      // without stats are always kept (absence is sound, never a
+      // filter), so this is exact by construction; the conflict checks
+      // below stay against the FULL live list. One scalar agg over the
+      // (already-deduped) key frame buys a match scan that reads
+      // O(overlapping files) instead of the whole lake — at 100 TB
+      // with stats-committed or OPTIMIZE'd files this is the
+      // difference between a CDC batch costing O(batch) and O(lake).
+      val scanFiles: Seq[String] =
+        if (live.isEmpty || keyCols.length != 1) live
+        else {
+          val k = keyCols.head
+          val b = keys.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head
+          if (b.isNullAt(0)) Seq.empty // all-NULL keys equi-match nothing
+          else {
+            val stats = lakeFileStatsAsOf(spark, layout)
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            live.filter(rel => stats.get(rel).forall(
+              statsMightOverlap(_, k, b.get(0), b.get(1), mapper)))
+          }
+        }
       val matched =
-        if (live.isEmpty)
+        if (scanFiles.isEmpty)
           spark.emptyDataFrame.withColumn("file", lit(null).cast("string"))
             .withColumn("pos", lit(null).cast("long"))
         else {
           val prefix = qualifiedLakeDir(spark, layout)
-          val scan = lakeScan(spark, layout, live)
+          val scan = lakeScan(spark, layout, scanFiles)
             .withColumn("_graft_file", lakeRelFileCol(prefix))
             .withColumn("_graft_pos", col("_metadata.row_index"))
           val undel = {

@@ -29,9 +29,11 @@ import graft.lake.{Catalog => Lake, Layout}
   * spark.sql("SELECT * FROM graft.lake VERSION AS OF 3")
   * }}}
   *
-  * Tables (reads, `DELETE`, and evolution DDL; INSERT/UPSERT stay on
-  * the typed Scala API — commitLake/upsertLakeByKey/StreamUpsert —
-  * where staging and the exactly-once markers live):
+  * Tables (reads, the full DML verb set — INSERT / INSERT OVERWRITE /
+  * DELETE / TRUNCATE here, MERGE INTO / UPDATE via the injected
+  * [[GraftDmlRule]] — and evolution DDL; every verb maps onto the
+  * typed commit protocol, so SQL and Scala writes produce identical
+  * log shapes):
   *
   *  - `lake` — the committed snapshot ([[graft.lake.Catalog.loadLakeSnapshot]]):
   *    DV-applied, schema-evolved, snapshot-isolated. Supports
