@@ -1693,7 +1693,8 @@ object Catalog {
     * replace everything, including rows it never scanned). Returns the
     * commit seq; overwriting an empty lake is a plain append. */
   def overwriteLake(spark: SparkSession, layout: Layout, batch: DataFrame,
-      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L,
+      marker: Option[String] = None): Long = {
     require(batch.columns.contains("source"),
       "overwrite batch needs the source partition column")
     enforceExpectations(spark, layout, batch)
@@ -1715,7 +1716,7 @@ object Catalog {
         // concurrent DELETEs cannot add files, so they pass the
         // live-set check — the helper excludes their committed DV rows
         else Some(commitStagedDvAndAppend(spark, layout, Some(wide), dels,
-          note = Some("overwrite")))
+          note = Some("overwrite"), marker = marker))
       }
       committed match {
         case Some(seq) => return seq

@@ -18,6 +18,9 @@ import graft.lake.{Catalog, Layout}
   *   .option("mode", "upsert")
   *   .option("keys", "k1,k2").option("seqCol", "ts")
   *   .start()
+  * // a streaming AGGREGATE mirrors into the lake via Complete mode:
+  * agg.writeStream.format("graft-lake").outputMode("complete")
+  *   .option("root", r).option("checkpointLocation", c).start()
   * }}}
   *
   * Exactly-once, per micro-batch, via the engine's batch-marker
@@ -56,7 +59,27 @@ class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
     val checkpoint = opt("checkpointLocation").getOrElse(
       throw new IllegalArgumentException("graft-lake sink: " +
         "checkpointLocation is required — it keys the exactly-once markers"))
-    opt("mode").getOrElse("append") match {
+    // OutputMode is load-bearing for correctness, not decoration:
+    //  - Complete: every batch is the WHOLE result — map it to the
+    //    atomic replace (overwriteLake), the streaming-aggregate →
+    //    lake-mirror idiom (Delta's complete-mode replaceWhere).
+    //  - Update: batches carry re-emitted rows for changed keys —
+    //    appending them would duplicate every update, so Update
+    //    REQUIRES mode=upsert (keys merge the re-emissions).
+    //  - Append: plain appends, or upsert if asked.
+    val mode = opt("mode").getOrElse("append")
+    if (outputMode == OutputMode.Complete()) {
+      if (mode != "append") throw new IllegalArgumentException(
+        "graft-lake sink: Complete output replaces the lake wholesale — " +
+          "drop mode=" + mode)
+      return new LakeCompleteSink(layout, checkpoint)
+    }
+    if (outputMode == OutputMode.Update() && mode != "upsert")
+      throw new IllegalArgumentException(
+        "graft-lake sink: Update output re-emits changed keys — appending " +
+          "them would duplicate every update; use mode=upsert with keys/" +
+          "seqCol (or aggregate in Complete mode)")
+    mode match {
       case "append" => new LakeAppendSink(layout, checkpoint)
       case "upsert" =>
         val keys = opt("keys").getOrElse(throw new IllegalArgumentException(
@@ -110,6 +133,20 @@ private[streaming] class LakeUpsertSink(layout: Layout, checkpointDir: String,
     extends LakeSinkBase(layout, checkpointDir) {
   override protected def apply(batch: DataFrame, marker: String): Unit = {
     StreamUpsert.applyBatch(layout, batch, keys, seqCol, Some(marker))
+    ()
+  }
+}
+
+/** Complete-mode: each batch is the whole result — ONE atomic replace
+  * per batch ([[Catalog.overwriteLake]]): readers see consecutive
+  * whole results, never a mix; the CDF shows each batch as one
+  * retract+insert version, so an [[graft.lake.Mv]] downstream of the
+  * mirrored aggregate refreshes across it. */
+private[streaming] class LakeCompleteSink(layout: Layout,
+    checkpointDir: String) extends LakeSinkBase(layout, checkpointDir) {
+  override protected def apply(batch: DataFrame, marker: String): Unit = {
+    Catalog.overwriteLake(batch.sparkSession, layout, batch,
+      marker = Some(marker))
     ()
   }
 }

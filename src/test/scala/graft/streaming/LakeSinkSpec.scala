@@ -106,16 +106,60 @@ class LakeSinkSpec extends SparkTestBase {
       "cross-batch supersede through the merge")
   }
 
-  test("option refusals: missing root/checkpoint/keys and a bogus mode " +
-      "fail loud at sink construction") {
+  test("Complete mode = one atomic REPLACE per batch: the lake mirrors a " +
+      "streaming aggregate exactly; the CDF shows retract+insert versions") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val layout = Layout(tmpDir("lsink-complete"))
+    val mem = MemoryStream[Change]
+    val agg = mem.toDF().groupBy("source", "key")
+      .agg(org.apache.spark.sql.functions.sum("v").as("v"))
+    val q = agg.writeStream.format("graft-lake").outputMode("complete")
+      .option("root", layout.root)
+      .option("checkpointLocation", tmpDir("lsink-complete-ckpt"))
+      .start()
+    mem.addData(Change("clicks", "k1", 10L, 1), Change("clicks", "k1", 5L, 2))
+    q.processAllAvailable()
+    assert(liveView(layout) == Seq("[clicks,k1,15]"))
+    val v1 = Catalog.headVersion(spark, layout)
+    mem.addData(Change("clicks", "k1", 1L, 3), Change("logs", "k3", 30L, 4))
+    q.processAllAvailable()
+    q.stop()
+    assert(liveView(layout) == Seq("[clicks,k1,16]", "[logs,k3,30]"),
+      "the lake IS the aggregate after every batch")
+    assert(Catalog.headVersion(spark, layout) == v1 + 1,
+      "one Complete batch = one atomic replace version")
+    // time travel below the replace still shows the previous result
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1)
+      .select("v").head.getLong(0) == 15L)
+    // the CDF retracts the superseded aggregate row exactly once
+    val ch = Catalog.lakeChangesBetween(spark, layout, v1)
+      .select("key", "v", "_change_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch == Set(("k1", 15L, "delete"), ("k1", 16L, "insert"),
+      ("k3", 30L, "insert")), ch.toString)
+  }
+
+  test("option refusals: missing root/checkpoint/keys, a bogus mode, " +
+      "Update-without-upsert, and Complete-with-upsert fail loud at " +
+      "sink construction") {
     val provider = new LakeSinkProvider()
-    def mk(opts: Map[String, String]) =
-      provider.createSink(spark.sqlContext, opts, Seq.empty, OutputMode.Append())
+    def mk(opts: Map[String, String],
+        om: OutputMode = OutputMode.Append()) =
+      provider.createSink(spark.sqlContext, opts, Seq.empty, om)
     intercept[IllegalArgumentException](mk(Map("checkpointLocation" -> "/x")))
     intercept[IllegalArgumentException](mk(Map("root" -> "/x")))
     intercept[IllegalArgumentException](mk(Map("root" -> "/x",
       "checkpointLocation" -> "/c", "mode" -> "upsert")))
     intercept[IllegalArgumentException](mk(Map("root" -> "/x",
       "checkpointLocation" -> "/c", "mode" -> "replace")))
+    // Update re-emits changed keys: appending would duplicate them
+    intercept[IllegalArgumentException](mk(Map("root" -> "/x",
+      "checkpointLocation" -> "/c"), OutputMode.Update()))
+    // Complete replaces wholesale: keyed upsert contradicts it
+    intercept[IllegalArgumentException](mk(Map("root" -> "/x",
+      "checkpointLocation" -> "/c", "mode" -> "upsert", "keys" -> "k",
+      "seqCol" -> "s"), OutputMode.Complete()))
   }
 }
