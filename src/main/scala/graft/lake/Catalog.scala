@@ -594,6 +594,33 @@ object Catalog {
       cmp(node.get("min"), hi).exists(_ > 0))
   }
 
+  /** FILE-LEVEL data skipping for the SQL catalog's pushed filters:
+    * the head-snapshot read over ONLY the files whose committed
+    * min/max might satisfy EVERY bound in `bounds` (per-column
+    * `(col, lo?, hi?)` conjuncts; a missing side constrains nothing;
+    * files without stats are always kept — zero false negatives).
+    * Returns None when nothing prunes, so the caller keeps its
+    * already-built plan; the caller re-applies the row predicates
+    * (stats skip files, never rows). */
+  private[graft] def loadLakeSnapshotForBounds(spark: SparkSession,
+      layout: Layout,
+      bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] = {
+    if (bounds.isEmpty) return None
+    val live = lakeFilesAsOf(spark, layout)
+    if (live.isEmpty) return None
+    val stats = lakeFileStatsAsOf(spark, layout)
+    if (stats.isEmpty) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val keep = live.filter { rel =>
+      stats.get(rel).forall(json => bounds.forall { case (c, lo, hi) =>
+        statsMightOverlap(json, c, lo.orNull, hi.orNull, mapper)
+      })
+    }
+    if (keep.size == live.size) None
+    else if (keep.isEmpty) Some(loadLakeSnapshot(spark, layout).limit(0))
+    else Some(snapshotReadFiles(spark, layout, keep, Long.MaxValue))
+  }
+
   def lakeFilesOverlapping(spark: SparkSession, layout: Layout,
       column: String, lo: Any, hi: Any,
       version: Long = Long.MaxValue): Seq[String] = {

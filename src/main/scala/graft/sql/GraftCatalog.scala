@@ -285,6 +285,16 @@ private[sql] class GraftLakeTable(tableName: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  // the head table's scans consult the manifest-log skipping index:
+  // pushed range/point conjuncts prune the FILE LIST (min/max stats)
+  // before parquet opens a footer — SQL data skipping, the
+  // Delta/Iceberg scan behavior (time-travel tables keep the plain
+  // path: their frames are version-bound at loadTable)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(df, filters =>
+      Lake.loadLakeSnapshotForBounds(SparkSession.active, layout,
+        GraftFilters.boundsOf(filters)))
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftFilters.toColumn(f).isDefined)
 
@@ -328,8 +338,18 @@ private[sql] class GraftLakeTable(tableName: String,
 /** Pushes supported filters and the required-column projection into
   * the inner DataFrame plan (where Catalyst carries them down to the
   * parquet scans); anything it cannot translate is returned to Spark
-  * to evaluate above the scan — never dropped. */
-private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
+  * to evaluate above the scan — never dropped.
+  *
+  * `filePruner` (the head lake table's hook): given the accepted
+  * filters, an optional REPLACEMENT base frame whose file list was
+  * pruned through the manifest-log skipping index
+  * ([[graft.lake.Catalog.loadLakeSnapshotForBounds]]) — SQL data
+  * skipping at the FILE level, before parquet ever opens a footer.
+  * The row predicates are re-applied on the replacement (stats skip
+  * files, never rows), so the result is exact by construction. */
+private[sql] class GraftScanBuilder(df: DataFrame,
+    filePruner: Array[Filter] => Option[DataFrame] = _ => None)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var filtered: DataFrame = df
@@ -337,7 +357,8 @@ private[sql] class GraftScanBuilder(df: DataFrame) extends ScanBuilder
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (supported, residual) = filters.partition(f => toColumn(f).isDefined)
-    supported.flatMap(toColumn(_)).foreach(c => filtered = filtered.filter(c))
+    val base = filePruner(supported).getOrElse(filtered)
+    filtered = supported.flatMap(toColumn(_)).foldLeft(base)(_.filter(_))
     pushed = supported
     residual
   }
@@ -395,6 +416,30 @@ private[sql] object GraftFilters {
       case sources.AlwaysFalse() => Some(lit(false))
       case _ => None
     }
+  }
+
+  /** Per-column `(col, lo?, hi?)` bounds from the pushed conjuncts —
+    * the input to file-level skipping. Only shapes whose bound is
+    * EXACTLY implied are translated (GT uses an inclusive lo: keeping
+    * a boundary file is sound, dropping one would not be); anything
+    * else contributes no bound and prunes nothing. */
+  def boundsOf(filters: Array[Filter]): Seq[(String, Option[Any], Option[Any])] = {
+    def simple(attr: String): Boolean = !attr.contains(".")
+    def walk(f: Filter): Seq[(String, Option[Any], Option[Any])] = f match {
+      case sources.EqualTo(a, v) if simple(a) && v != null =>
+        Seq((a, Some(v), Some(v)))
+      case sources.GreaterThan(a, v) if simple(a) && v != null =>
+        Seq((a, Some(v), None))
+      case sources.GreaterThanOrEqual(a, v) if simple(a) && v != null =>
+        Seq((a, Some(v), None))
+      case sources.LessThan(a, v) if simple(a) && v != null =>
+        Seq((a, None, Some(v)))
+      case sources.LessThanOrEqual(a, v) if simple(a) && v != null =>
+        Seq((a, None, Some(v)))
+      case sources.And(l, r) => walk(l) ++ walk(r)
+      case _ => Seq.empty // OR/IN/nulls/...: no file bound, never wrong
+    }
+    filters.toSeq.flatMap(walk)
   }
 }
 

@@ -339,6 +339,46 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(Catalog.lakeWidenedColumns(spark, layout2).size == 1)
   }
 
+  test("SQL data skipping at the FILE level: a pushed range predicate " +
+      "prunes stats-excluded files before parquet opens them (pinned " +
+      "physically — the excluded file's bytes are gone), result exact") {
+    val layout = Layout(tmpDir("dsv2-skip"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      (0L to 99L).map(k => ("clicks", k, k * 10)).toDF("source", "k", "v"),
+      statsCols = Seq("k"))
+    Catalog.commitLake(spark, layout,
+      (1000L to 1099L).map(k => ("clicks", k, k * 10)).toDF("source", "k", "v"),
+      statsCols = Seq("k"))
+    val cat = register(layout)
+    // both ranges visible through SQL first (plans the full file list)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0)
+      == 200L)
+    // physically remove range A's bytes — the log still lists it live,
+    // so ONLY a file-pruned scan can answer range-B queries
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Catalog.lakeFilesAsOf(spark, layout)
+      .filter(_.contains(f"c${1L}%020d"))
+      .foreach(rel => assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"${layout.lakeDir}/$rel"), false), rel))
+
+    val rows = spark.sql(s"SELECT k, v FROM $cat.lake " +
+        "WHERE k >= 1000 AND k <= 1005 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == (1000L to 1005L).map(k => (k, k * 10)),
+      s"pruned range read stays exact: $rows")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $cat.lake WHERE k = 1050").head.getLong(0)
+      == 1L, "point predicate prunes too")
+    // the UNBOUNDED scan must still need range A — proves the pruned
+    // queries above really skipped it rather than the file being
+    // invisible for some other reason
+    intercept[Exception](
+      spark.sql(s"SELECT sum(v) FROM $cat.lake").collect())
+  }
+
   test("maintenance TVFs ≡ the typed verbs: lake_optimize compacts with " +
       "every prior version readable, lake_materialize_deletes rewrites " +
       "DV'd files, lake_vacuum reclaims, lake_checkpoint folds the log — " +
