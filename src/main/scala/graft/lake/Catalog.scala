@@ -611,9 +611,22 @@ object Catalog {
     val stats = lakeFileStatsAsOf(spark, layout)
     if (stats.isEmpty) return None
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // equality conjuncts ALSO consult the committed Bloom filters — the
+    // high-cardinality case min/max can never prune (every file's range
+    // covers the key space). Same type whitelist as
+    // [[lakeFilesMatchingPoint]]: only values whose canonical string is
+    // identical between the commit-time builder and this probe; absence
+    // of a bloom keeps the file.
+    def bloomKeeps(json: String, c: String, v: Any): Boolean = v match {
+      case _: String | _: java.lang.Long | _: java.lang.Integer =>
+        val b = mapper.readTree(json).path("_bloom").path(c)
+        !b.isTextual || BloomStats.mightContain(b.asText(), BloomStats.canonical(v))
+      case _ => true
+    }
     val keep = live.filter { rel =>
       stats.get(rel).forall(json => bounds.forall { case (c, lo, hi) =>
-        statsMightOverlap(json, c, lo.orNull, hi.orNull, mapper)
+        statsMightOverlap(json, c, lo.orNull, hi.orNull, mapper) &&
+          (lo.isEmpty || lo != hi || bloomKeeps(json, c, lo.get))
       })
     }
     if (keep.size == live.size) None

@@ -377,6 +377,43 @@ class GraftCatalogSpec extends SparkTestBase {
     // invisible for some other reason
     intercept[Exception](
       spark.sql(s"SELECT sum(v) FROM $cat.lake").collect())
+
+    // BLOOM skipping: two single-file commits with the SAME key range
+    // (min/max can never separate them) but disjoint values — an
+    // equality on a value only file B holds must skip file A's carcass
+    // via its committed bloom. A bloom has a deterministic ~2% FP set,
+    // so the probe key is CHOSEN from the committed filter itself: the
+    // first odd key file A's bloom provably rejects.
+    val layout2 = Layout(tmpDir("dsv2-skip-bloom"))
+    Catalog.commitLake(spark, layout2,
+      (0L to 998L by 2).map(k => ("clicks", k, k)).toDF("source", "k", "v")
+        .coalesce(1),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    Catalog.commitLake(spark, layout2,
+      (1L to 999L by 2).map(k => ("clicks", k, k)).toDF("source", "k", "v")
+        .coalesce(1),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val cat2 = register(layout2)
+    // warm the snapshot plan (schema derivation reads every footer;
+    // the physical-carcass pin below needs the memoized plan, exactly
+    // like a live planner that built its snapshot before a vacuum)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat2.lake")
+      .head.getLong(0) == 1000L)
+    val fileA = Catalog.lakeFilesAsOf(spark, layout2)
+      .filter(_.contains(f"c${1L}%020d")) match { case Seq(one) => one }
+    val bloomA = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Catalog.lakeFileStatsAsOf(spark, layout2)(fileA))
+      .path("_bloom").path("k").asText()
+    val probeKey = (1L to 999L by 2).find(k =>
+      !BloomStats.mightContain(bloomA, BloomStats.canonical(k))).get
+    val fs2 = new org.apache.hadoop.fs.Path(layout2.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs2.delete(new org.apache.hadoop.fs.Path(
+      s"${layout2.lakeDir}/$fileA"), false))
+    assert(spark.sql(s"SELECT v FROM $cat2.lake WHERE k = $probeKey")
+      .head.getLong(0) == probeKey, "the probe key lives only in file B")
+    intercept[Exception](spark.sql(
+      s"SELECT count(*) FROM $cat2.lake WHERE k >= 0").collect())
   }
 
   test("maintenance TVFs ≡ the typed verbs: lake_optimize compacts with " +
