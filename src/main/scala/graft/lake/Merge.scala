@@ -124,29 +124,34 @@ object Merge {
         .cast(newType)
       case Delete(_) => nullStruct
     }
-    def ladder(clauses: Seq[Clause], value: Clause => Column,
-        default: Column): Column =
-      clauses.foldRight(default) { (cl, els) =>
-        when(cl.condition.getOrElse(lit(true)), value(cl)).otherwise(els)
+    // ONE action struct per row — the op code and the post-merge row
+    // come out of the SAME clause-condition evaluation. Two parallel
+    // ladders (one for op, one for the row) would evaluate each
+    // condition twice, and a non-deterministic condition (rand()) could
+    // then pick DIFFERENT branches for op vs row. The select-then-
+    // filter split below keeps it single-evaluation even against
+    // filter pushdown: a non-deterministic projection blocks the
+    // pushdown, a deterministic one makes re-evaluation harmless.
+    val nopAct = struct(lit(OpNop).as("op"), nullStruct.as("nw"))
+    def actLadder(clauses: Seq[Clause]): Column =
+      clauses.foldRight(nopAct) { (cl, els) =>
+        when(cl.condition.getOrElse(lit(true)),
+          struct(lit(opOf(cl)).as("op"), newOf(cl).as("nw"))).otherwise(els)
       }
     val tP = tgtA("__graft_pos").isNotNull
     val sP = srcA("__graft_src").isNotNull
-    val opCol =
-      when(tP && sP, ladder(matched, c => lit(opOf(c)), lit(OpNop)))
-        .when(!tP && sP, ladder(notMatched, c => lit(opOf(c)), lit(OpNop)))
-        .when(tP && !sP,
-          ladder(notMatchedBySource, c => lit(opOf(c)), lit(OpNop)))
-        .otherwise(lit(OpNop))
-    val newCol =
-      when(tP && sP, ladder(matched, newOf, nullStruct))
-        .when(!tP && sP, ladder(notMatched, newOf, nullStruct))
-        .when(tP && !sP, ladder(notMatchedBySource, newOf, nullStruct))
-        .otherwise(nullStruct)
+    val act =
+      when(tP && sP, actLadder(matched))
+        .when(!tP && sP, actLadder(notMatched))
+        .when(tP && !sP, actLadder(notMatchedBySource))
+        .otherwise(nopAct)
     joined.select(
         tgtA("__graft_file").as("__gfile"),
         tgtA("__graft_pos").as("__gpos"),
-        opCol.as("__gop"), newCol.as("__gnew"))
-      .filter(col("__gop") =!= OpNop)
+        act.as("__gact"))
+      .filter(col("__gact.op") =!= OpNop)
+      .select(col("__gfile"), col("__gpos"),
+        col("__gact.op").as("__gop"), col("__gact.nw").as("__gnew"))
   }
 
   /** Run the merge; returns the commit seq, or -1 when no row matched
