@@ -16,7 +16,9 @@ class LakeCdfSourceSpec extends SparkTestBase {
 
   private def startStream(layout: Layout, ckpt: String) =
     spark.readStream
-      .format(classOf[LakeCdfSourceProvider].getName)
+      // the SHORT name, resolved through META-INF/services — pins the
+      // DataSourceRegister wiring alongside the sink's ("graft-lake")
+      .format("graft-lake-cdf")
       .option("root", layout.root)
       .load()
       .writeStream
