@@ -34,6 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL MERGE INTO / UPDATE on graft.lake → the one-record DV+append
     // merge core (rule-based, the Delta wiring — see GraftDmlRule)
     ext.injectPostHocResolutionRule(s => new graft.sql.GraftDmlRule(s))
+    // RESTORE TABLE … TO VERSION|TIMESTAMP AS OF — the one statement
+    // Spark's grammar lacks; a delegating parser (the DeltaSqlParser
+    // pattern) adds the verb and passes everything else through
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

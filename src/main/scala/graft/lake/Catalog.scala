@@ -208,6 +208,12 @@ object Catalog {
       widenCols: Seq[(String, String)] = Seq.empty,
       dvUuid: Option[String] = None, dv: Seq[String] = Seq.empty,
       dvRemoves: Seq[String] = Seq.empty,
+      // RE-ADDS ([[restoreLake]]): ALREADY-LIVE relative paths returned
+      // to the committed set under their original names — unlike the
+      // `lake`/`dv` sections these are not staged names, so finishV2
+      // renames nothing and parseLog applies no name transformation
+      lakeReAdds: Seq[String] = Seq.empty,
+      dvReAdds: Seq[String] = Seq.empty,
       fileStats: Seq[(String, String)] = Seq.empty,
       expects: Seq[(String, String)] = Seq.empty,
       expectRms: Seq[String] = Seq.empty,
@@ -230,6 +236,8 @@ object Catalog {
     r.widenCols.foreach { case (n, ddl) => b ++= s"\nwidencol $n $ddl" }
     r.dvUuid.foreach { u => b ++= s"\ndv $u"; r.dv.foreach(f => b ++= s"\n$f") }
     if (r.dvRemoves.nonEmpty) { b ++= "\ndvrm"; r.dvRemoves.foreach(f => b ++= s"\n$f") }
+    if (r.lakeReAdds.nonEmpty) { b ++= "\nlakere"; r.lakeReAdds.foreach(f => b ++= s"\n$f") }
+    if (r.dvReAdds.nonEmpty) { b ++= "\ndvre"; r.dvReAdds.foreach(f => b ++= s"\n$f") }
     r.fileStats.foreach { case (rel, json) => b ++= s"\nfstat $rel $json" }
     r.expects.foreach { case (n, pred) => b ++= s"\nexpect $n $pred" }
     r.expectRms.foreach(n => b ++= s"\nexpectrm $n")
@@ -247,6 +255,8 @@ object Catalog {
     val removes = Seq.newBuilder[String]
     val lakeRemoves = Seq.newBuilder[String]
     val dvRemoves = Seq.newBuilder[String]
+    val lakeReAdds = Seq.newBuilder[String]
+    val dvReAdds = Seq.newBuilder[String]
     val addCols = Seq.newBuilder[(String, String)]
     val widenCols = Seq.newBuilder[(String, String)]
     val fileStats = Seq.newBuilder[(String, String)]
@@ -285,6 +295,8 @@ object Catalog {
       else if (l == "rm") section = "rm"
       else if (l == "lakerm") section = "lakerm"
       else if (l == "dvrm") section = "dvrm"
+      else if (l == "lakere") section = "lakere"
+      else if (l == "dvre") section = "dvre"
       else if (l.nonEmpty) section match {
         case "cat" => cat += l
         case "dist" => dist += l
@@ -293,6 +305,8 @@ object Catalog {
         case "rm" => removes += l
         case "lakerm" => lakeRemoves += l
         case "dvrm" => dvRemoves += l
+        case "lakere" => lakeReAdds += l
+        case "dvre" => dvReAdds += l
         case _ => ()
       }
     }
@@ -300,7 +314,8 @@ object Catalog {
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
       lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
       widenCols.result(),
-      dvUuid, dv.result(), dvRemoves.result(), fileStats.result(),
+      dvUuid, dv.result(), dvRemoves.result(),
+      lakeReAdds.result(), dvReAdds.result(), fileStats.result(),
       expects.result(), expectRms.result(), note)
   }
 
@@ -812,15 +827,36 @@ object Catalog {
     Some((mn, mx))
   }
 
+  /** EVENT-ORDERED live-set fold: a path is live at `version` when its
+    * LATEST ≤version event is an add. A removed-forever set would be
+    * cheaper, but [[restoreLake]] re-adds a previously-removed path
+    * under its ORIGINAL name (it must: committed DV rows key data
+    * files by relative path, and the name's embedded commit seq is the
+    * file's type epoch), so add → remove → re-add chains are legal log
+    * history. A path added and removed at the SAME seq cannot occur
+    * (no commit both re-adds and removes one path); ties read as
+    * removed. */
+  private def liveAsOf(adds: Seq[(Long, String)],
+      removes: Seq[(Long, String)], version: Long): Seq[String] = {
+    val lastRm = new scala.collection.mutable.HashMap[String, Long]
+    removes.foreach { case (s, p) =>
+      if (s <= version && lastRm.getOrElse(p, Long.MinValue) < s) lastRm(p) = s
+    }
+    val lastAdd = new scala.collection.mutable.HashMap[String, Long]
+    adds.foreach { case (s, p) =>
+      if (s <= version && lastAdd.getOrElse(p, Long.MinValue) < s) lastAdd(p) = s
+    }
+    lastAdd.iterator.collect {
+      case (p, a) if lastRm.getOrElse(p, Long.MinValue) < a => p
+    }.toSeq.sorted
+  }
+
   /** Committed lake file set (relative paths), optionally as of a
     * version — the lake-area [[distFilesAsOf]]. */
   def lakeFilesAsOf(spark: SparkSession, layout: Layout,
       version: Long = Long.MaxValue): Seq[String] = {
     val state = readLog(spark, layout)
-    val removed = state.lakeRemoves.collect { case (seq, _, p) if seq <= version => p }.toSet
-    state.lake.collect {
-      case (seq, p) if seq <= version && !removed.contains(p) => p
-    }.sorted
+    liveAsOf(state.lake, state.lakeRemoves.map(e => (e._1, e._3)), version)
   }
 
   /** SCHEMA EVOLUTION: commit an add-column record for the lake
@@ -1257,8 +1293,13 @@ object Catalog {
     val cutoff = System.currentTimeMillis() - graceMs
     var n = 0L
     val state = readLog(spark, layout)
+    // a remove fact no longer implies dead: [[restoreLake]] re-adds a
+    // previously-removed path, so reclaim only paths whose LATEST
+    // event is still a remove (i.e. not in the current live sets)
+    val live = lakeFilesAsOf(spark, layout).toSet ++
+      dvFilesAsOf(spark, layout).toSet
     (state.lakeRemoves ++ state.dvRemoves).foreach { case (_, claimMs, rel) =>
-      if (claimMs <= cutoff) {
+      if (claimMs <= cutoff && !live.contains(rel)) {
         val p = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")
         if (fs.exists(p) && fs.delete(p, false)) n += 1
       }
@@ -1279,10 +1320,8 @@ object Catalog {
   def dvFilesAsOf(spark: SparkSession, layout: Layout,
       version: Long = Long.MaxValue): Seq[String] = {
     val state = readLog(spark, layout)
-    val removed = state.dvRemoves.collect { case (seq, _, p) if seq <= version => p }.toSet
-    state.dv.collect {
-      case (seq, p) if seq <= version && !removed.contains(p) => p
-    }.sorted
+    // event-ordered like the data-file fold: restore re-adds DV files
+    liveAsOf(state.dv, state.dvRemoves.map(e => (e._1, e._3)), version)
   }
 
   /** The lake dir in the qualified form `_metadata.file_path` uses
@@ -1768,6 +1807,100 @@ object Catalog {
         "writers for the replacement or retry")
   }
 
+  /** `RESTORE TABLE … TO VERSION AS OF v` — rewind the lake's LIVE
+    * content to what version `v` served, as a NEW commit (the Delta
+    * RESTORE semantics): history above `v` stays readable below the
+    * restore, and the restore itself is one more time-travelable
+    * version — a second restore can undo the first.
+    *
+    * METADATA-ONLY by construction: no data file is read or written.
+    * The commit is the exact set reconciliation of (data files, DV
+    * files) between head and `v` — files added since `v` are removed,
+    * files removed since `v` are RE-ADDED under their original names
+    * (they must be: committed DV rows key data files by relative path,
+    * and the name's embedded seq is the file's type epoch), DVs
+    * committed since `v` are retracted, DVs dropped since `v` (a
+    * materialize) return. All four sections land in ONE log record, so
+    * a snapshot reader sees pre- or post-restore, never a mix. At
+    * 100 TB this is O(|file-set diff|) driver work and zero data I/O —
+    * a full-copy restore would be the single most expensive statement
+    * in the engine.
+    *
+    * What restore does NOT rewind (documented contract, both are
+    * monotone by design):
+    *  - SCHEMA: columns added/widened since `v` stay — restored rows
+    *    read through the same evolution merge as any pre-evolution
+    *    file (null backfill / read-time up-cast). The log has no
+    *    column-removal fact, and narrowing would break files already
+    *    written wide.
+    *  - EXPECTATIONS: constraints keep their head state; restore
+    *    gates nothing (it re-publishes rows that were already
+    *    committed once). Delta behaves the same way.
+    *
+    * Change-feed consumers: a restore is a REWIND, not a delta — the
+    * feed REFUSES ranges spanning it ([[lakeChangesBetween]]), and
+    * [[Mv.refresh]] auto-rebuilds across one (same discipline as
+    * erase, except erase must stay silent while restore refuses loud).
+    *
+    * Requires every re-added file to still exist physically — a
+    * [[vacuumLake]] that reclaimed them makes `v` unrestorable; the
+    * error names the missing files. Holds every touched source's
+    * maintenance lock and re-verifies the live sets under them.
+    * Returns the commit seq, -1 when head already equals `v`. */
+  def restoreLake(spark: SparkSession, layout: Layout, version: Long,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+    val head = headVersion(spark, layout)
+    require(version >= 0 && version <= head,
+      s"RESTORE: version $version outside committed history [0, $head]")
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 8) {
+      val liveAtV = lakeFilesAsOf(spark, layout, version)
+      val dvAtV = dvFilesAsOf(spark, layout, version)
+      val livePre = lakeFilesAsOf(spark, layout)
+      val dvPre = dvFilesAsOf(spark, layout)
+      val lakeRe = (liveAtV.toSet -- livePre).toSeq.sorted
+      val lakeRm = (livePre.toSet -- liveAtV).toSeq.sorted
+      val dvRe = (dvAtV.toSet -- dvPre).toSeq.sorted
+      val dvRm = (dvPre.toSet -- dvAtV).toSeq.sorted
+      if (lakeRe.isEmpty && lakeRm.isEmpty && dvRe.isEmpty && dvRm.isEmpty)
+        return -1L
+      val missing = (lakeRe ++ dvRe).filterNot(rel =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")))
+      if (missing.nonEmpty) throw new java.io.IOException(
+        s"RESTORE to $version: ${missing.size} required files already " +
+          s"vacuumed — version no longer restorable: " +
+          missing.take(3).mkString(", ") +
+          (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
+      // the restore moves the live set wholesale — lock every source
+      // either state touches, and re-verify both live sets under them
+      val sources = (livePre ++ liveAtV).map(sourceOfRel).distinct.sorted
+      val committed = withSourceLocks(spark, layout, sources,
+          lockTtlMs, waitMs) {
+        if (lakeFilesAsOf(spark, layout) != livePre ||
+            dvFilesAsOf(spark, layout) != dvPre) None
+        else {
+          val rec = V2Record(-1L, System.currentTimeMillis(), None,
+            None, Seq.empty, None, Seq.empty, Seq.empty,
+            None, Seq.empty, lakeRemoves = lakeRm,
+            dvRemoves = dvRm, lakeReAdds = lakeRe, dvReAdds = dvRe,
+            note = Some(s"restore $version"))
+          val seq = claimBody(fs, layout, v2Body(rec))
+          finishV2(fs, layout, seq, rec)
+          Some(seq)
+        }
+      }
+      committed match {
+        case Some(seq) => return seq
+        case None => attempt += 1; conflictBackoff(attempt)
+      }
+    }
+    throw new java.io.IOException(
+      "restoreLake: 8 attempts lost to concurrent commits — quiesce " +
+        "writers for the rewind or retry")
+  }
+
   /** Materialize committed deletion vectors: rewrite every live data
     * file that has DV rows WITHOUT its deleted rows, atomically
     * {add rewrites, remove originals, drop now-stale DV files} in one
@@ -1987,7 +2120,9 @@ object Catalog {
           .getLines().toList finally in.close()
         if (lines.headOption.exists(_.startsWith("v2 "))) {
           val r = parseV2(lines)
-          (seq, r.claimMs, r.lake.size, r.lakeRemoves.size, r.dv.size,
+          // restore re-adds count as adds: history reports set movement
+          (seq, r.claimMs, r.lake.size + r.lakeReAdds.size,
+            r.lakeRemoves.size, r.dv.size + r.dvReAdds.size,
             r.cat.size, r.dist.size,
             r.addCols.map(_._1).mkString(","),
             r.widenCols.map { case (n, t) => s"$n:$t" }.mkString(","),
@@ -2080,6 +2215,19 @@ object Catalog {
     val state = readLog(spark, layout)
     val rewriteSeqs = state.lakeRemoves.map(_._1).toSet
     def inRange(seq: Long) = seq > fromVersion && seq <= toVersion
+    // a RESTORE is a rewind, not a delta: its re-adds/retractions have
+    // no incremental meaning, so a range spanning one REFUSES (erase
+    // must stay silent — re-emitting erased rows is illegal — but a
+    // restore has no such constraint and loud beats silently wrong)
+    state.notes.collectFirst {
+      case (seq, n) if n.startsWith("restore") && inRange(seq) => seq
+    }.foreach { seq =>
+      throw new java.io.IOException(
+        s"change feed ($fromVersion, $toVersion]: version $seq is a " +
+          "RESTORE — a rewind has no incremental delta; rebuild the " +
+          "consumer from the snapshot (Mv.refresh does this " +
+          "automatically), or read ranges that do not span it")
+    }
     val insertFiles = state.lake.collect {
       case (seq, rel) if inRange(seq) && !rewriteSeqs.contains(seq) => rel
     }.sorted
@@ -2621,6 +2769,9 @@ object Catalog {
           r.widenCols.foreach { case (n, ddl) => widenCols += ((seq, n, ddl)) }
           r.dv.foreach(rel => dv += ((seq, live(rel))))
           r.dvRemoves.foreach(p => dvRemoves += ((seq, r.claimMs, p)))
+          // re-adds are ALREADY-LIVE names (restore): no transformation
+          r.lakeReAdds.foreach(p => lake += ((seq, p)))
+          r.dvReAdds.foreach(p => dv += ((seq, p)))
           r.fileStats.foreach { case (rel, json) => fileStats += ((seq, live(rel), json)) }
           r.expects.foreach { case (n, pred) => expects += ((seq, n, pred)) }
           r.expectRms.foreach(n => expectRms += ((seq, n)))

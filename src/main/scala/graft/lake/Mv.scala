@@ -72,9 +72,12 @@ object Mv {
     // not (must not) re-emit: incremental maintenance would keep the
     // erased rows' contribution forever — rebuild from the live
     // snapshot instead (view-preserving rewrites carry no note and
-    // refresh through normally)
+    // refresh through normally). A RESTORE ("restore <v>") is a rewind
+    // with no incremental delta at all — same rebuild path (the feed
+    // itself REFUSES ranges spanning one).
     if (Catalog.commitNotes(spark, layout)
-        .exists { case (seq, n) => n == "erase" && seq > v0 && seq <= head })
+        .exists { case (seq, n) => (n == "erase" || n.startsWith("restore")) &&
+          seq > v0 && seq <= head })
       return rebuild(spark, layout, stateDir, keyCols, valueCol, trackExtrema)
     val changes = Catalog.lakeChangesBetween(spark, layout, v0, head)
     val payload = changes.columns
@@ -218,7 +221,8 @@ object Mv {
     val v0 = cur.map(_._1).getOrElse(0L)
     if (head <= v0) return v0
     if (Catalog.commitNotes(spark, layout)
-        .exists { case (seq, n) => n == "erase" && seq > v0 && seq <= head })
+        .exists { case (seq, n) => (n == "erase" || n.startsWith("restore")) &&
+          seq > v0 && seq <= head })
       return rebuildJoined(spark, layout, stateDir, dimPath, joinCols,
         keyCols, valueCol)
     val changes = Catalog.lakeChangesBetween(spark, layout, v0, head)

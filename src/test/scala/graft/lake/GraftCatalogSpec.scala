@@ -561,4 +561,47 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake").head.getLong(0) == 2L)
   }
+
+  test("RESTORE TABLE … TO VERSION AS OF ≡ restoreLake (the injected " +
+      "parser statement): content rewinds, EXPLAIN is side-effect-free, " +
+      "the timestamp form resolves, and ordinary SQL still parses") {
+    val layout = Layout(tmpDir("dsv2-restore"))
+    val s = spark
+    import s.implicits._
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    val v2 = Catalog.deleteLakeWhere(spark, layout, col("key") === "k2")
+    val cat = register(layout)
+    def keys(): Set[String] =
+      spark.sql(s"SELECT key FROM $cat.lake").collect().map(_.getString(0)).toSet
+    assert(keys() == Set("k1"))
+
+    // EXPLAIN must not restore (the reason this is a statement, not a
+    // TVF): plan it, content unchanged
+    spark.sql(s"EXPLAIN RESTORE TABLE $cat.lake TO VERSION AS OF $v1").collect()
+    assert(keys() == Set("k1"))
+
+    val out = spark.sql(s"RESTORE TABLE $cat.lake TO VERSION AS OF $v1")
+      .collect().head
+    assert(out.getLong(0) == v1 && out.getLong(1) > v2)
+    assert(keys() == Set("k1", "k2"))
+    // SQL ≡ API: re-restoring to the same version is a no-op (-1)
+    assert(spark.sql(s"RESTORE TABLE $cat.lake TO VERSION AS OF $v1")
+      .collect().head.getLong(1) == -1L)
+    // the deleted view is still served below the restore
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.lake VERSION AS OF $v2")
+      .head.getLong(0) == 1L)
+
+    // the TIMESTAMP form: far future = head state = no-op
+    assert(spark.sql(s"RESTORE TABLE $cat.lake TO TIMESTAMP AS OF " +
+      "'2099-01-01 00:00:00'").collect().head.getLong(1) == -1L)
+
+    // only <catalog>.lake is restorable; and ordinary SQL (including a
+    // query with 'restore' inside it) still parses through the delegate
+    val bad = intercept[Exception](
+      spark.sql(s"RESTORE TABLE $cat.lake_history TO VERSION AS OF 1"))
+    assert(bad.getMessage.contains("lake"), bad.getMessage)
+    assert(spark.sql("SELECT 'RESTORE TABLE x TO VERSION AS OF 1' AS t")
+      .head.getString(0).startsWith("RESTORE"))
+  }
 }
