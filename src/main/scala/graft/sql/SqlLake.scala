@@ -395,6 +395,66 @@ object SqlLake {
          |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
   }
 
+  /** Fourth deterministic fixture — the RESTORE statement: v1 = the
+    * full corpus; v2 = `deleteLakeWhere(event_id % 10 = 3)` (a DV
+    * commit); v3 = `materializeLakeDeletes` (rewrites the DV'd files
+    * WITHOUT the deleted rows, drops the DV, removes the originals);
+    * v4 = SQL `RESTORE TABLE … TO VERSION AS OF 2`. The restore must
+    * therefore RE-ADD the original data files AND the retired DV file
+    * while removing the materialized rewrites — the head snapshot is
+    * only right if the re-added DV applies to the re-added files
+    * again. A DuckDB replay over raw `events` gates exactly that. */
+  private def restoreLakeRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_restore/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val lay = Layout(tmp)
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val v1 = Catalog.commitLake(spark, lay, base)
+      require(v1 == 1L, s"restore fixture seq drifted: $v1")
+      val v2 = Catalog.deleteLakeWhere(spark, lay, col("event_id") % 10 === 3)
+      require(v2 == 2L, s"restore fixture seq drifted: $v2")
+      require(Catalog.materializeLakeDeletes(spark, lay) > 0,
+        "restore fixture: materialize found nothing to rewrite")
+      require(Catalog.headVersion(spark, lay) == 3L, "materialize seq drifted")
+      val name = s"graftr_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      val out = spark.sql(s"RESTORE TABLE $name.lake TO VERSION AS OF 2")
+        .collect().head
+      require(out.getLong(0) == 2L && out.getLong(1) == 4L,
+        s"restore fixture: unexpected restore result $out")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_restore`: the head snapshot after the v4 RESTORE —
+    * the v2 view again (deletions re-applied through the RE-ADDED DV
+    * over the RE-ADDED original files; the materialized rewrites
+    * retired), plus the restored version's history attribution. */
+  def restoreAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = restoreLakeRoot(spark, sfDir)
+    val name = s"graftr_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $name.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val restoreAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE NOT (event_id % 10 = 3)
+      |GROUP BY event_type ORDER BY source""".stripMargin
+
   val mergeCdfAggOracleSql: String =
     """WITH base AS (
       |  SELECT event_type AS source, event_id,
