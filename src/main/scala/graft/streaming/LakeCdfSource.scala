@@ -47,8 +47,13 @@ class LakeCdfSourceProvider extends StreamSourceProvider with DataSourceRegister
     val layout = Layout(parameters("root"))
     val from = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    val maxPerTrigger = parameters.get("maxversionspertrigger")
+      .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
+    maxPerTrigger.foreach(k => require(k >= 1,
+      s"graft-lake-cdf: maxVersionsPerTrigger must be >= 1, got $k"))
     new LakeCdfSource(sqlContext, layout,
-      schema.getOrElse(LakeCdfSource.schemaFor(sqlContext, parameters)), from)
+      schema.getOrElse(LakeCdfSource.schemaFor(sqlContext, parameters)), from,
+      maxPerTrigger)
   }
 }
 
@@ -66,16 +71,38 @@ object LakeCdfSource {
 }
 
 class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
-    declaredSchema: StructType, startVersion: Long) extends Source {
+    declaredSchema: StructType, startVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override def schema: StructType = declaredSchema
 
+  /** The highest offset handed to the engine so far — the rate-limit
+    * base. Re-synced on restart by the engine's recovery `getBatch`
+    * call over the last logged batch (the Delta v1-source pattern:
+    * `DeltaSource` reconstructs `previousOffset` the same way), so a
+    * restarted stream paces from where the offset log left off, never
+    * behind it. */
+  private var lastEnd: Long = startVersion
+
+  /** RATE LIMITING (`maxVersionsPerTrigger`): at 100 TB a cold start —
+    * or a consumer catching up after downtime — must not serve the
+    * whole backlog as ONE micro-batch (one giant scan, one giant
+    * checkpoint state delta, no progress marks). Capping the offset at
+    * `lastEnd + k` slices the backlog into bounded per-trigger windows;
+    * correctness is untouched (offsets stay committed versions, each
+    * `(start, end]` range is exact). Uncapped by default, like Delta. */
   override def getOffset: Option[Offset] = {
     val head = Catalog.headVersion(sqlContext.sparkSession, layout)
-    if (head <= startVersion) None else Some(LongOffset(head))
+    val base = math.max(lastEnd, startVersion)
+    val end = maxVersionsPerTrigger match {
+      case Some(k) => math.min(head, base + k)
+      case None => head
+    }
+    if (end <= base) None else Some(LongOffset(end))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastEnd = math.max(lastEnd, toLong(end))
     val from = start.map(toLong).getOrElse(startVersion)
     val changes = Catalog.lakeChangesBetween(
       sqlContext.sparkSession, layout, from, toLong(end))
