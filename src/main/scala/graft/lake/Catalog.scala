@@ -206,6 +206,8 @@ object Catalog {
       lakeRemoves: Seq[String] = Seq.empty,
       addCols: Seq[(String, String)] = Seq.empty,
       widenCols: Seq[(String, String)] = Seq.empty,
+      renameCols: Seq[(String, String)] = Seq.empty,
+      dropCols: Seq[String] = Seq.empty,
       dvUuid: Option[String] = None, dv: Seq[String] = Seq.empty,
       dvRemoves: Seq[String] = Seq.empty,
       // RE-ADDS ([[restoreLake]]): ALREADY-LIVE relative paths returned
@@ -234,6 +236,8 @@ object Catalog {
     if (r.lakeRemoves.nonEmpty) { b ++= "\nlakerm"; r.lakeRemoves.foreach(f => b ++= s"\n$f") }
     r.addCols.foreach { case (n, ddl) => b ++= s"\naddcol $n $ddl" }
     r.widenCols.foreach { case (n, ddl) => b ++= s"\nwidencol $n $ddl" }
+    r.renameCols.foreach { case (o, n) => b ++= s"\nrenamecol $o $n" }
+    r.dropCols.foreach(n => b ++= s"\ndropcol $n")
     r.dvUuid.foreach { u => b ++= s"\ndv $u"; r.dv.foreach(f => b ++= s"\n$f") }
     if (r.dvRemoves.nonEmpty) { b ++= "\ndvrm"; r.dvRemoves.foreach(f => b ++= s"\n$f") }
     if (r.lakeReAdds.nonEmpty) { b ++= "\nlakere"; r.lakeReAdds.foreach(f => b ++= s"\n$f") }
@@ -259,6 +263,8 @@ object Catalog {
     val dvReAdds = Seq.newBuilder[String]
     val addCols = Seq.newBuilder[(String, String)]
     val widenCols = Seq.newBuilder[(String, String)]
+    val renameCols = Seq.newBuilder[(String, String)]
+    val dropCols = Seq.newBuilder[String]
     val fileStats = Seq.newBuilder[(String, String)]
     val expects = Seq.newBuilder[(String, String)]
     val expectRms = Seq.newBuilder[String]
@@ -292,6 +298,10 @@ object Catalog {
         val sp = rest.indexOf(' ')
         widenCols += ((rest.substring(0, sp), rest.substring(sp + 1)))
       }
+      else if (l.startsWith("renamecol ")) {
+        val a = l.split(' '); renameCols += ((a(1), a(2)))
+      }
+      else if (l.startsWith("dropcol ")) dropCols += l.stripPrefix("dropcol ")
       else if (l == "rm") section = "rm"
       else if (l == "lakerm") section = "lakerm"
       else if (l == "dvrm") section = "dvrm"
@@ -313,7 +323,7 @@ object Catalog {
     V2Record(head(1).toLong, head(2).toLong, marker,
       catUuid, cat.result(), distUuid, dist.result(), removes.result(),
       lakeUuid, lake.result(), lakeRemoves.result(), addCols.result(),
-      widenCols.result(),
+      widenCols.result(), renameCols.result(), dropCols.result(),
       dvUuid, dv.result(), dvRemoves.result(),
       lakeReAdds.result(), dvReAdds.result(), fileStats.result(),
       expects.result(), expectRms.result(), note)
@@ -672,11 +682,7 @@ object Catalog {
       else applyDvs(scan,
         spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
         qualifiedLakeDir(spark, layout))
-    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(withDv) {
-      case (d, (_, n, ddl)) =>
-        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
-    }
-    applyWidenings(spark, layout, evolved, version)
+    evolveFrame(spark, layout, withDv, version)
   }
 
   /** Range read through the skipping index: snapshot semantics of
@@ -869,24 +875,114 @@ object Catalog {
     * `ddl` is a Spark DDL type string (`string`, `bigint`,
     * `array<double>`, …). Returns the commit seq. */
   def commitLakeAddColumn(spark: SparkSession, layout: Layout,
-      name: String, ddl: String): Long = {
-    require(!name.contains(' ') && name.nonEmpty, s"bad column name: '$name'")
-    org.apache.spark.sql.types.DataType.fromDDL(ddl) // validate before commit
-    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val rec = V2Record(-1L, System.currentTimeMillis(), None,
-      None, Seq.empty, None, Seq.empty, Seq.empty,
-      None, Seq.empty, Seq.empty, addCols = Seq((name, ddl)))
-    val seq = claimBody(fs, layout, v2Body(rec))
-    finishV2(fs, layout, seq, rec)
-    seq
-  }
+      name: String, ddl: String): Long =
+    // routed through the validating ALTER path: duplicate names, the
+    // retirement rule (a dropped/renamed-away name never returns) and
+    // the type parse all check there, under the schema lock
+    commitLakeAlter(spark, layout, addCols = Seq((name, ddl)))
 
   /** The committed add-column evolutions ≤ `version`, in commit order:
     * (seq, name, ddl). */
   def lakeAddedColumns(spark: SparkSession, layout: Layout,
       version: Long = Long.MaxValue): Seq[(Long, String, String)] =
     readLog(spark, layout).addCols.filter(_._1 <= version).sortBy(_._1)
+
+  // --------------------------------------------------------------------
+  // Schema evolution: RENAME / DROP COLUMN (metadata-only name facts)
+  // --------------------------------------------------------------------
+
+  /** The committed renames ≤ `version`, in commit order:
+    * (seq, old, new). */
+  def lakeRenamedColumns(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Seq[(Long, String, String)] =
+    readLog(spark, layout).renameCols.filter(_._1 <= version).sortBy(_._1)
+
+  /** The committed drops ≤ `version`, in commit order: (seq, name). */
+  def lakeDroppedColumns(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Seq[(Long, String)] =
+    readLog(spark, layout).dropCols.filter(_._1 <= version).sortBy(_._1)
+
+  /** PHYSICAL→LOGICAL name resolution at a version. Files carry the
+    * column names in force when they were written; renames and drops
+    * are log facts, so a read at `version` maps each physical name
+    * along its rename chain (`resolve`) and hides names dropped by
+    * then. Sound WITHOUT Delta-style physical column ids because a
+    * name, once renamed away or dropped, is RETIRED FOREVER
+    * ([[commitLakeAlter]] refuses reuse) — every physical name
+    * therefore resolves to at most one logical column, ever. */
+  private[lake] final case class NameMap(next: Map[String, String],
+      droppedSet: Set[String]) {
+    def terminal(p: String): String = {
+      var x = p
+      while (next.contains(x)) x = next(x)
+      x
+    }
+    /** Logical name at the map's version, None when dropped by then. */
+    def resolve(p: String): Option[String] = {
+      val t = terminal(p)
+      if (droppedSet(t)) None else Some(t)
+    }
+    def isIdentity: Boolean = next.isEmpty && droppedSet.isEmpty
+  }
+
+  private[lake] def nameMapAt(spark: SparkSession, layout: Layout,
+      version: Long): NameMap = {
+    val st = readLog(spark, layout)
+    NameMap(
+      st.renameCols.collect { case (seq, o, n) if seq <= version => o -> n }.toMap,
+      st.dropCols.collect { case (seq, n) if seq <= version => n }.toSet)
+  }
+
+  /** Project a frame read off [[lakeScan]] (physical names, possibly
+    * from several rename epochs) onto the LOGICAL schema at `version`:
+    * each physical alias chain collapses to one column
+    * (`coalesce(aliases…)` — disjoint by construction, a file carries
+    * exactly one name of a chain), dropped columns vanish, and every
+    * other column — including `_graft_*` row-identity helpers already
+    * added by the caller — passes through at its position. Identity
+    * (and plan-unchanged) when no rename/drop fact ≤ `version`. */
+  private[lake] def applyNameMap(spark: SparkSession, layout: Layout,
+      df: DataFrame, version: Long): DataFrame = {
+    val nm = nameMapAt(spark, layout, version)
+    if (nm.isIdentity) return df
+    val members = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[String]]
+    val order = scala.collection.mutable.ArrayBuffer.empty[String]
+    df.schema.fieldNames.foreach { p =>
+      nm.resolve(p) match {
+        case None => () // dropped by `version`: projected away
+        case Some(t) =>
+          if (members.contains(t)) members(t) = members(t) :+ p
+          else { members(t) = Vector(p); order += t }
+      }
+    }
+    val cols = order.toSeq.map { t =>
+      members(t) match {
+        case Vector(p) if p == t => col(p)
+        case Vector(p) => col(p).as(t)
+        case ps => coalesce(ps.map(col): _*).as(t)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** The shared post-scan evolution merge: physical→logical names
+    * ([[applyNameMap]]), added-column null backfill (names canonical
+    * at `version`; columns dropped by then stay gone), then the
+    * widening up-casts. Every snapshot-shaped consumer routes here. */
+  private[lake] def evolveFrame(spark: SparkSession, layout: Layout,
+      df: DataFrame, version: Long): DataFrame = {
+    val nm = nameMapAt(spark, layout, version)
+    val mapped = applyNameMap(spark, layout, df, version)
+    val backfilled = lakeAddedColumns(spark, layout, version).foldLeft(mapped) {
+      case (d, (_, n, ddl)) => nm.resolve(n) match {
+        case Some(t) if !d.columns.contains(t) =>
+          d.withColumn(t, lit(null).cast(ddl))
+        case _ => d
+      }
+    }
+    applyWidenings(spark, layout, backfilled, version)
+  }
 
   // --------------------------------------------------------------------
   // Schema evolution: TYPE WIDENING (int→long, float→double, …)
@@ -961,21 +1057,72 @@ object Catalog {
       widenCols: Seq[(String, String)] = Seq.empty,
       expectAdds: Seq[(String, String)] = Seq.empty,
       expectRms: Seq[String] = Seq.empty,
+      renameCols: Seq[(String, String)] = Seq.empty,
+      dropCols: Seq[String] = Seq.empty,
       lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
     require(addCols.nonEmpty || widenCols.nonEmpty || expectAdds.nonEmpty ||
-      expectRms.nonEmpty, "ALTER with no changes")
+      expectRms.nonEmpty || renameCols.nonEmpty || dropCols.nonEmpty,
+      "ALTER with no changes")
     SourceLock.withLock(spark, layout, schemaLockName, lockTtlMs, waitMs) {
       // ---- validate EVERYTHING before committing ANYTHING ----
       val snap = loadLakeSnapshot(spark, layout)
       val types = scala.collection.mutable.LinkedHashMap[String,
         org.apache.spark.sql.types.DataType]()
       snap.schema.foreach(f => types(f.name) = f.dataType)
-      addCols.foreach { case (n, ddl) =>
-        require(!n.contains(' ') && n.nonEmpty, s"bad column name: '$n'")
-        val t = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      // RETIREMENT RULE: a name renamed away or dropped is retired
+      // FOREVER — files written under it still carry it physically, and
+      // without Delta-style physical column ids a reused name would
+      // read old files' retired data into the new logical column.
+      val st = readLog(spark, layout)
+      val retired = scala.collection.mutable.Set.empty[String]
+      retired ++= st.renameCols.map(_._2) // old names already renamed away
+      retired ++= st.dropCols.map(_._2)
+      def freshName(n: String, what: String): Unit = {
+        require(!n.contains(' ') && !n.contains('.') && n.nonEmpty,
+          s"bad column name: '$n'")
         if (types.contains(n)) throw new IllegalArgumentException(
-          s"ALTER: column '$n' already exists")
-        types(n) = t
+          s"ALTER: $what '$n' collides with an existing column")
+        if (retired.contains(n)) throw new IllegalArgumentException(
+          s"ALTER: '$n' is RETIRED (a past rename/drop used it; old files " +
+            "still carry it physically) — pick a name never used before")
+      }
+      addCols.foreach { case (n, ddl) =>
+        freshName(n, "new column")
+        types(n) = org.apache.spark.sql.types.DataType.fromDDL(ddl)
+      }
+      renameCols.foreach { case (o, n) =>
+        require(o != "source" && n != "source",
+          "the 'source' partition column cannot be renamed")
+        val t = types.getOrElse(o, throw new IllegalArgumentException(
+          s"cannot rename unknown column '$o' (lake columns: " +
+            s"${types.keys.mkString(", ")})"))
+        freshName(n, "rename target")
+        types.remove(o); types(n) = t; retired += o
+      }
+      dropCols.foreach { n =>
+        require(n != "source", "the 'source' partition column cannot be dropped")
+        if (!types.contains(n)) throw new IllegalArgumentException(
+          s"cannot drop unknown column '$n' (lake columns: " +
+            s"${types.keys.mkString(", ")})")
+        types.remove(n); retired += n
+      }
+      // every expectation staying in force must still RESOLVE against
+      // the post-change schema — otherwise the gate would break on the
+      // next write, long after this statement succeeded
+      if (renameCols.nonEmpty || dropCols.nonEmpty) {
+        val postSchema = org.apache.spark.sql.types.StructType(
+          types.toSeq.map { case (n, t) =>
+            org.apache.spark.sql.types.StructField(n, t) })
+        val postEmpty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), postSchema)
+        (lakeExpectations(spark, layout) -- expectRms).foreach {
+          case (name, pred) =>
+            try postEmpty.filter(expr(pred)).queryExecution.analyzed
+            catch { case e: Exception => throw new IllegalArgumentException(
+              s"ALTER: constraint '$name' ($pred) references a renamed/" +
+                "dropped column — DROP CONSTRAINT first (or rename it " +
+                s"into the predicate): ${e.getMessage}") }
+        }
       }
       widenCols.foreach { case (n, ddl) =>
         require(!n.contains(' ') && n.nonEmpty, s"bad column name: '$n'")
@@ -1003,12 +1150,39 @@ object Catalog {
       val rec = V2Record(-1L, System.currentTimeMillis(), None,
         None, Seq.empty, None, Seq.empty, Seq.empty,
         None, Seq.empty, Seq.empty, addCols = addCols, widenCols = widenCols,
+        renameCols = renameCols, dropCols = dropCols,
         expects = expectAdds, expectRms = expectRms)
       val seq = claimBody(fs, layout, v2Body(rec))
       finishV2(fs, layout, seq, rec)
       seq
     }
   }
+
+  /** `ALTER TABLE … RENAME COLUMN old TO new` as a metadata-only log
+    * fact (no file is touched): committed files keep the old physical
+    * name and the read path maps it ([[applyNameMap]] — the
+    * column-mapping idea without physical ids, bought by retiring
+    * names forever). Time travel below the rename still serves the old
+    * name; writes from this commit on use the new one. The per-file
+    * skipping stats of pre-rename files stay keyed by the old name, so
+    * file skipping on the new name keeps those files (exact, just
+    * unpruned) until a rewrite refreshes them. */
+  def commitLakeRenameColumn(spark: SparkSession, layout: Layout,
+      oldName: String, newName: String,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long =
+    commitLakeAlter(spark, layout, renameCols = Seq((oldName, newName)),
+      lockTtlMs = lockTtlMs, waitMs = waitMs)
+
+  /** `ALTER TABLE … DROP COLUMN` as a metadata-only log fact: the
+    * column vanishes from reads at this version on (time travel below
+    * still serves it); the bytes stay in committed files until a
+    * rewrite (OPTIMIZE / materialize) drops them physically — exactly
+    * Delta's drop-column posture. The name is retired forever. */
+  def commitLakeDropColumn(spark: SparkSession, layout: Layout,
+      name: String,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long =
+    commitLakeAlter(spark, layout, dropCols = Seq(name),
+      lockTtlMs = lockTtlMs, waitMs = waitMs)
 
   /** The committed widenings ≤ `version`, in commit order:
     * (seq, name, ddl). */
@@ -1019,11 +1193,19 @@ object Catalog {
   /** Effective widened type per column at `version` (last widening
     * wins — chains land on their final type). */
   private def widenedTypesAt(spark: SparkSession, layout: Layout,
-      version: Long): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      version: Long): Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    // keyed by the TERMINAL (logical-at-version) name: a widen fact
+    // names the column as it was called at its own seq, which a later
+    // rename may have changed; a widen of a since-dropped column is
+    // dead (the column is projected away, no override needed)
+    val nm = nameMapAt(spark, layout, version)
     lakeWidenedColumns(spark, layout, version)
-      .groupBy(_._2).view
-      .mapValues(ws => org.apache.spark.sql.types.DataType.fromDDL(ws.last._3))
+      .flatMap { case (seq, n, ddl) => nm.resolve(n).map(t => (t, seq, ddl)) }
+      .groupBy(_._1).view
+      .mapValues(ws => org.apache.spark.sql.types.DataType
+        .fromDDL(ws.maxBy(_._2)._3))
       .toSeq.sortBy(_._1)
+  }
 
   /** Cast a typed batch's widened columns UP to the type in force at
     * the head, so every file staged after a widening commit carries
@@ -1059,7 +1241,8 @@ object Catalog {
     if (widens.isEmpty)
       return spark.read.option("basePath", layout.lakeDir)
         .option("mergeSchema", "true").parquet(paths(files): _*)
-    val targets = widens.toMap
+    val targets = widens.toMap // terminal-keyed
+    val nm = nameMapAt(spark, layout, version)
     val bounds = lakeWidenedColumns(spark, layout, version).map(_._1).distinct.sorted
     def fileSeq(rel: String): Long = {
       val name = rel.substring(rel.indexOf('/') + 1)
@@ -1071,7 +1254,8 @@ object Catalog {
           .option("mergeSchema", "true").parquet(paths(group): _*).schema
       }
       .map(s => org.apache.spark.sql.types.StructType(s.map(f =>
-        targets.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))))
+        nm.resolve(f.name).flatMap(targets.get)
+          .map(t => f.copy(dataType = t)).getOrElse(f))))
     // union by name, first-seen order; same-name fields must agree
     // (widened columns already overridden above — a surviving conflict
     // is a real write-path type error and fails LOUD, as mergeSchema
@@ -1274,13 +1458,9 @@ object Catalog {
       else applyDvs(scan,
         spark.read.parquet(dvLive.map(rel => s"${layout.lakeDir}/$rel"): _*),
         qualifiedLakeDir(spark, layout))
-    val evolved = lakeAddedColumns(spark, layout, version).foldLeft(df) {
-      case (d, (_, n, ddl)) =>
-        if (d.columns.contains(n)) d
-        else d.withColumn(n, lit(null).cast(ddl))
-    }
-    // an addcol backfilled narrow then widened lands here still narrow
-    applyWidenings(spark, layout, evolved, version)
+    // names mapped + added columns backfilled (still narrow here if
+    // widened later) + widening up-casts, in one shared helper
+    evolveFrame(spark, layout, df, version)
   }
 
   /** Lake-area vacuum: physically delete lake files (and deletion-
@@ -1440,11 +1620,7 @@ object Catalog {
     val scan = lakeScan(spark, layout, live)
       .withColumn("_graft_file", lakeRelFileCol(prefix))
       .withColumn("_graft_pos", col("_metadata.row_index"))
-    val evolved = applyWidenings(spark, layout,
-      lakeAddedColumns(spark, layout).foldLeft(scan) {
-        case (d, (_, n, ddl)) =>
-          if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
-      }, Long.MaxValue)
+    val evolved = evolveFrame(spark, layout, scan, Long.MaxValue)
     // filter BEFORE the DV anti-join (they commute — both are row
     // predicates on the scan side) so the predicate pushes down to the
     // parquet scan instead of sitting above a join
@@ -1476,11 +1652,7 @@ object Catalog {
     val scan = lakeScan(spark, layout, live)
       .withColumn("__graft_file", lakeRelFileCol(prefix))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-    val evolved = applyWidenings(spark, layout,
-      lakeAddedColumns(spark, layout).foldLeft(scan) {
-        case (d, (_, n, ddl)) =>
-          if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
-      }, Long.MaxValue)
+    val evolved = evolveFrame(spark, layout, scan, Long.MaxValue)
     val dvLive = dvFilesAsOf(spark, layout)
     if (dvLive.isEmpty) evolved
     else {
@@ -1701,9 +1873,11 @@ object Catalog {
             .withColumn("pos", lit(null).cast("long"))
         else {
           val prefix = qualifiedLakeDir(spark, layout)
-          val scan = lakeScan(spark, layout, scanFiles)
-            .withColumn("_graft_file", lakeRelFileCol(prefix))
-            .withColumn("_graft_pos", col("_metadata.row_index"))
+          val scan = applyNameMap(spark, layout,
+            lakeScan(spark, layout, scanFiles)
+              .withColumn("_graft_file", lakeRelFileCol(prefix))
+              .withColumn("_graft_pos", col("_metadata.row_index")),
+            Long.MaxValue)
           val undel = {
             val dvLive = dvFilesAsOf(spark, layout)
             if (dvLive.isEmpty) scan
@@ -1953,7 +2127,10 @@ object Catalog {
           // rewrite through lakeScan: materialized outputs come out
           // carrying the widened types (old narrow files upgrade here)
           val scan = lakeScan(spark, layout, lockedAffected)
-          applyDvs(scan, dvDf, prefix)
+          // rewritten files live in the NEW name epoch (c<newSeq>-):
+          // their physical columns must be the names in force now
+          applyNameMap(spark, layout, applyDvs(scan, dvDf, prefix),
+            Long.MaxValue)
             .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
           stagedFiles(fs, stage)
         }
@@ -2054,7 +2231,9 @@ object Catalog {
               4096L)).toInt
             // lakeScan: compacted outputs carry the widened types
             val scan = lakeScan(spark, layout, chosen)
-            val undeleted = applyCommittedDvs(spark, layout, scan)
+            // compacted outputs land in the new name epoch too
+            val undeleted = applyNameMap(spark, layout,
+              applyCommittedDvs(spark, layout, scan), Long.MaxValue)
             val packed = zorder match {
               case Some((a, b)) => ZOrder.clusteredBy(undeleted, a, b, n)
               case None => undeleted.repartition(n)
@@ -2101,10 +2280,10 @@ object Catalog {
   def lakeHistory(spark: SparkSession, layout: Layout): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(Long, java.sql.Timestamp, Int, Int, Int, Int, Int,
-      String, String, String, String)].toDF(
+      String, String, String, String, String)].toDF(
       "version", "commit_ts", "n_lake_added", "n_lake_removed", "n_dv_files",
       "n_catalog_added", "n_dist_added", "added_columns", "widened_columns",
-      "expectation_changes", "note")
+      "name_changes", "expectation_changes", "note")
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
@@ -2126,10 +2305,12 @@ object Catalog {
             r.cat.size, r.dist.size,
             r.addCols.map(_._1).mkString(","),
             r.widenCols.map { case (n, t) => s"$n:$t" }.mkString(","),
+            (r.renameCols.map { case (o, n) => s"$o->$n" } ++
+              r.dropCols.map("-" + _)).mkString(","),
             (r.expects.map("+" + _._1) ++ r.expectRms.map("-" + _)).mkString(","),
             r.note.getOrElse(""))
         } else (seq, fs.getFileStatus(p).getModificationTime,
-          0, 0, 0, lines.tail.size, 0, "", "", "", "")
+          0, 0, 0, lines.tail.size, 0, "", "", "", "", "")
       }
     // monotonize commit times in seq order (same rule as
     // versionAtTimestamp — writer clock skew cannot reorder history)
@@ -2137,11 +2318,12 @@ object Catalog {
     val monoRows = rows.map { r =>
       mono = math.max(mono, r._2)
       (r._1, new java.sql.Timestamp(mono), r._3, r._4, r._5, r._6, r._7,
-        r._8, r._9, r._10, r._11)
+        r._8, r._9, r._10, r._11, r._12)
     }
     monoRows.toSeq.toDF("version", "commit_ts", "n_lake_added",
       "n_lake_removed", "n_dv_files", "n_catalog_added", "n_dist_added",
-      "added_columns", "widened_columns", "expectation_changes", "note")
+      "added_columns", "widened_columns", "name_changes",
+      "expectation_changes", "note")
   }
 
   /** Highest committed version across ALL manifest areas (0 when the
@@ -2151,7 +2333,8 @@ object Catalog {
     val s = readLog(spark, layout)
     (s.cat.map(_._1) ++ s.dist.map(_._1) ++ s.removes.map(_._1) ++
       s.lake.map(_._1) ++ s.lakeRemoves.map(_._1) ++ s.addCols.map(_._1) ++
-      s.widenCols.map(_._1) ++
+      s.widenCols.map(_._1) ++ s.renameCols.map(_._1) ++
+      s.dropCols.map(_._1) ++
       s.dv.map(_._1) ++ s.dvRemoves.map(_._1) ++
       s.expects.map(_._1) ++ s.expectRms.map(_._1)).maxOption.getOrElse(0L)
   }
@@ -2251,8 +2434,10 @@ object Catalog {
       .cast("long")
     val inserts =
       if (insertFiles.isEmpty) None
-      else Some(lakeScan(spark, layout, insertFiles, toVersion)
-        .withColumn("_commit_version", verCol)
+      else Some(applyNameMap(spark, layout,
+        lakeScan(spark, layout, insertFiles, toVersion)
+          .withColumn("_commit_version", verCol),
+        toVersion)
         .withColumn("_change_type", lit("insert")))
     val deletes =
       if (dvRels.isEmpty) None
@@ -2292,9 +2477,11 @@ object Catalog {
         else {
           requireReadable(targets, "deleted rows' data files")
           val prefix = qualifiedLakeDir(spark, layout)
-          val scan = lakeScan(spark, layout, targets, toVersion)
-            .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
-            .withColumn("_graft_dv_pos", col("_metadata.row_index"))
+          val scan = applyNameMap(spark, layout,
+            lakeScan(spark, layout, targets, toVersion)
+              .withColumn("_graft_dv_file", lakeRelFileCol(prefix))
+              .withColumn("_graft_dv_pos", col("_metadata.row_index")),
+            toVersion)
           Some(scan.join(dvDf,
               scan("_graft_dv_file") === dvDf("_dvk_file") &&
                 scan("_graft_dv_pos") === dvDf("_dvk_pos"))
@@ -2311,12 +2498,15 @@ object Catalog {
           .withColumn("_commit_version", lit(null).cast("long"))
           .withColumn("_change_type", lit(null).cast("string"))
     }
+    // the feed speaks the names and types in force at the range END
+    val nmEnd = nameMapAt(spark, layout, toVersion)
     val evolved = lakeAddedColumns(spark, layout, toVersion).foldLeft(combined) {
-      case (d, (_, n, ddl)) =>
-        if (d.columns.contains(n)) d else d.withColumn(n, lit(null).cast(ddl))
+      case (d, (_, n, ddl)) => nmEnd.resolve(n) match {
+        case Some(t) if !d.columns.contains(t) =>
+          d.withColumn(t, lit(null).cast(ddl))
+        case _ => d
+      }
     }
-    // the feed speaks the type in force at the range END: pre-widening
-    // rows inside the range are promoted, so one consumer schema holds
     applyWidenings(spark, layout, evolved, toVersion)
   }
 
@@ -2536,7 +2726,9 @@ object Catalog {
       dvF.map(_._1) ++ dvrF.map(_._1) ++ fsF.map(_._1) ++
       exF.map(_._1) ++ exrF.map(_._1) ++
       state.addCols.filter(_._1 <= cap).map(_._1) ++
-      state.widenCols.filter(_._1 <= cap).map(_._1)
+      state.widenCols.filter(_._1 <= cap).map(_._1) ++
+      state.renameCols.filter(_._1 <= cap).map(_._1) ++
+      state.dropCols.filter(_._1 <= cap).map(_._1)
     if (seqs.isEmpty) return None
     val upTo = seqs.max
     val rec = new org.apache.hadoop.fs.Path(logDir(layout), f"$upTo%020d.checkpoint")
@@ -2558,6 +2750,10 @@ object Catalog {
       acF.sortBy(e => (e._1, e._2)).map { case (s, n, ddl) => s"AC $s $n $ddl" } ++
       state.widenCols.filter(_._1 <= cap).sortBy(e => (e._1, e._2))
         .map { case (s, n, ddl) => s"WC $s $n $ddl" } ++
+      state.renameCols.filter(_._1 <= cap).sortBy(e => (e._1, e._2))
+        .map { case (s, o, n) => s"RC $s $o $n" } ++
+      state.dropCols.filter(_._1 <= cap).sortBy(e => (e._1, e._2))
+        .map { case (s, n) => s"DC $s $n" } ++
       dvF.sortBy(e => (e._1, e._2)).map { case (s, p) => s"DV $s $p" } ++
       dvrF.sortBy(e => (e._1, e._3)).map { case (s, ms, p) => s"DVR $s $ms $p" } ++
       fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" } ++
@@ -2617,6 +2813,8 @@ object Catalog {
       lakeRemoves: Seq[(Long, Long, String)] = Seq.empty,
       addCols: Seq[(Long, String, String)] = Seq.empty,
       widenCols: Seq[(Long, String, String)] = Seq.empty,
+      renameCols: Seq[(Long, String, String)] = Seq.empty,
+      dropCols: Seq[(Long, String)] = Seq.empty,
       dv: Seq[(Long, String)] = Seq.empty,
       dvRemoves: Seq[(Long, Long, String)] = Seq.empty,
       fileStats: Seq[(Long, String, String)] = Seq.empty,
@@ -2712,6 +2910,8 @@ object Catalog {
     val lakeRemoves = Seq.newBuilder[(Long, Long, String)]
     val addCols = Seq.newBuilder[(Long, String, String)]
     val widenCols = Seq.newBuilder[(Long, String, String)]
+    val renameCols = Seq.newBuilder[(Long, String, String)]
+    val dropCols = Seq.newBuilder[(Long, String)]
     val dv = Seq.newBuilder[(Long, String)]
     val dvRemoves = Seq.newBuilder[(Long, Long, String)]
     val fileStats = Seq.newBuilder[(Long, String, String)]
@@ -2743,6 +2943,10 @@ object Catalog {
         val a = l.split(' '); addCols += ((a(1).toLong, a(2), a.drop(3).mkString(" ")))
       } else if (l.startsWith("WC ")) {
         val a = l.split(' '); widenCols += ((a(1).toLong, a(2), a.drop(3).mkString(" ")))
+      } else if (l.startsWith("RC ")) {
+        val a = l.split(' '); renameCols += ((a(1).toLong, a(2), a(3)))
+      } else if (l.startsWith("DC ")) {
+        val a = l.split(' '); dropCols += ((a(1).toLong, a(2)))
       } else {
         val sp = l.indexOf(' '); cat += ((l.substring(0, sp).toLong, l.substring(sp + 1)))
       }
@@ -2767,6 +2971,8 @@ object Catalog {
           r.lakeRemoves.foreach(p => lakeRemoves += ((seq, r.claimMs, p)))
           r.addCols.foreach { case (n, ddl) => addCols += ((seq, n, ddl)) }
           r.widenCols.foreach { case (n, ddl) => widenCols += ((seq, n, ddl)) }
+          r.renameCols.foreach { case (o, n) => renameCols += ((seq, o, n)) }
+          r.dropCols.foreach(n => dropCols += ((seq, n)))
           r.dv.foreach(rel => dv += ((seq, live(rel))))
           r.dvRemoves.foreach(p => dvRemoves += ((seq, r.claimMs, p)))
           // re-adds are ALREADY-LIVE names (restore): no transformation
@@ -2782,7 +2988,7 @@ object Catalog {
       }
     LogState(cat.result(), dist.result(), removes.result(),
       lake.result(), lakeRemoves.result(), addCols.result(),
-      widenCols.result(),
+      widenCols.result(), renameCols.result(), dropCols.result(),
       dv.result(), dvRemoves.result(), fileStats.result(),
       expects.result(), expectRms.result(), notes.result())
   }

@@ -504,8 +504,11 @@ object Erase {
     // the epoch-merged explicit-schema read covers both, and the
     // rewrite lands wide
     val rels = oldFiles.map(p => s"source=$source/${p.getName}").toIndexedSeq
-    val df = Catalog.applyCommittedDvs(spark, layout,
-      Catalog.lakeScan(spark, layout, rels))
+    // name map: the rewrite lands in the new name epoch, so the staged
+    // files must carry the column names in force NOW
+    val df = Catalog.applyNameMap(spark, layout,
+      Catalog.applyCommittedDvs(spark, layout,
+        Catalog.lakeScan(spark, layout, rels)), Long.MaxValue)
     require(df.columns.contains("json"),
       s"eraseLake($source): the erasure predicate matches the raw record " +
         "'json' column, which this lake partition lacks")

@@ -199,6 +199,8 @@ class GraftCatalog extends TableCatalog {
     }
     val addCols = Seq.newBuilder[(String, String)]
     val widenCols = Seq.newBuilder[(String, String)]
+    val renameCols = Seq.newBuilder[(String, String)]
+    val dropCols = Seq.newBuilder[String]
     val expectAdds = Seq.newBuilder[(String, String)]
     val expectRms = Seq.newBuilder[String]
     changes.foreach {
@@ -206,6 +208,10 @@ class GraftCatalog extends TableCatalog {
         addCols += ((topLevel(ac.fieldNames()), ac.dataType().sql))
       case ut: TableChange.UpdateColumnType =>
         widenCols += ((topLevel(ut.fieldNames()), ut.newDataType().sql))
+      case rc: TableChange.RenameColumn =>
+        renameCols += ((topLevel(rc.fieldNames()), rc.newName()))
+      case dc: TableChange.DeleteColumn =>
+        dropCols += topLevel(dc.fieldNames())
       case acn: TableChange.AddConstraint =>
         acn.constraint() match {
           case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
@@ -220,13 +226,16 @@ class GraftCatalog extends TableCatalog {
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on the manifest log: $other — supported: " +
           "ADD COLUMNS, ALTER COLUMN TYPE (lossless widening), " +
-          "ADD/DROP CONSTRAINT … CHECK")
+          "RENAME COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT … CHECK")
     }
-    val (ac, wc, ea, er) =
-      (addCols.result(), widenCols.result(), expectAdds.result(), expectRms.result())
+    val (ac, wc, rc, dc, ea, er) =
+      (addCols.result(), widenCols.result(), renameCols.result(),
+        dropCols.result(), expectAdds.result(), expectRms.result())
     // a lone DROP CONSTRAINT IF EXISTS on a missing name is a no-op
-    if (ac.nonEmpty || wc.nonEmpty || ea.nonEmpty || er.nonEmpty)
-      Lake.commitLakeAlter(s, layout, ac, wc, ea, er)
+    if (ac.nonEmpty || wc.nonEmpty || rc.nonEmpty || dc.nonEmpty ||
+        ea.nonEmpty || er.nonEmpty)
+      Lake.commitLakeAlter(s, layout, ac, wc, ea, er,
+        renameCols = rc, dropCols = dc)
     tableAt(ident, None)
   }
   override def dropTable(ident: Identifier): Boolean =

@@ -455,6 +455,62 @@ object SqlLake {
       |FROM events WHERE NOT (event_id % 10 = 3)
       |GROUP BY event_type ORDER BY source""".stripMargin
 
+  /** Fifth deterministic fixture — RENAME/DROP COLUMN: v1 = the even
+    * half with columns `(source, event_id, amount, tag)`; v2 = `RENAME
+    * COLUMN amount TO cents` + v3 = `DROP COLUMN tag` (both SQL DDL
+    * through the catalog); v4 = the odd half written with the NEW
+    * schema `(source, event_id, cents)`. The head aggregate below is
+    * only right if the v1 files' physical `amount` maps onto `cents`
+    * at read (two name epochs union), and `tag` is projected away —
+    * the DuckDB replay over raw `events` knows nothing of either. */
+  private def renameLakeRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_rn/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val lay = Layout(tmp)
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val v1 = Catalog.commitLake(spark, lay,
+        base.filter(col("event_id") % 2 === 0)
+          .withColumnRenamed("cents", "amount")
+          .withColumn("tag", lit("legacy")))
+      require(v1 == 1L, s"rename fixture seq drifted: $v1")
+      val name = s"graftrn_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      spark.sql(s"ALTER TABLE $name.lake RENAME COLUMN amount TO cents")
+      spark.sql(s"ALTER TABLE $name.lake DROP COLUMN tag")
+      val v4 = Catalog.commitLake(spark, lay,
+        base.filter(col("event_id") % 2 === 1))
+      require(v4 == 4L, s"rename fixture seq drifted: $v4")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_rename`: per-source count + exact sum over BOTH name
+    * epochs through the renamed column, pure SQL. */
+  def renameAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = renameLakeRoot(spark, sfDir)
+    val name = s"graftrn_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $name.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val renameAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY event_type ORDER BY source""".stripMargin
+
   val mergeCdfAggOracleSql: String =
     """WITH base AS (
       |  SELECT event_type AS source, event_id,

@@ -287,10 +287,13 @@ class GraftCatalogSpec extends SparkTestBase {
     spark.sql(s"ALTER TABLE $cat.lake DROP CONSTRAINT v_pos")
     assert(Catalog.lakeExpectations(spark, layout).isEmpty)
 
-    // renames/drops have no log fact — refuse
+    // renames/drops are metadata-only log facts since round 11
+    // (RenameDropSpec owns the semantics; here: the DDL routes)
+    spark.sql(s"ALTER TABLE $cat.lake RENAME COLUMN key TO k")
+    assert(spark.sql(s"SELECT k FROM $cat.lake").count() > 0)
+    // nested fields stay unsupported
     intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.lake RENAME COLUMN key TO k"))
-    intercept[Exception](spark.sql(s"ALTER TABLE $cat.lake DROP COLUMN key"))
+      spark.sql(s"ALTER TABLE $cat.lake RENAME COLUMN a.b TO c"))
   }
 
   test("multi-change ALTER is ATOMIC: a refused change leaves NOTHING " +
