@@ -176,10 +176,13 @@ class GraftCatalog extends TableCatalog {
     *  - `ADD CONSTRAINT n CHECK (…)` → [[graft.lake.Catalog.addLakeExpectation]]
     *    (validated against committed data at add time)
     *  - `DROP CONSTRAINT n` → [[graft.lake.Catalog.removeLakeExpectation]]
+    *  - `RENAME COLUMN o TO n` → [[graft.lake.Catalog.commitLakeRenameColumn]]
+    *    (metadata-only; the read path maps old files' physical name)
+    *  - `DROP COLUMN c` → [[graft.lake.Catalog.commitLakeDropColumn]]
+    *    (metadata-only; retired names never return)
     *
-    * Anything else (renames, drops, nested fields, property bags)
-    * refuses loudly — the log has no lossy evolution facts. Only the
-    * head `lake` table is alterable.
+    * Anything else (nested fields, property bags) refuses loudly.
+    * Only the head `lake` table is alterable.
     *
     * A multi-change statement (`ADD COLUMNS (a int, b int)`, or mixed
     * adds + widenings + constraints) is ATOMIC: every change is
