@@ -2055,6 +2055,17 @@ object Catalog {
         if (lakeFilesAsOf(spark, layout) != livePre ||
             dvFilesAsOf(spark, layout) != dvPre) None
         else {
+          // re-verify the re-adds' bytes UNDER the locks: a concurrent
+          // vacuum may have reclaimed one since the unlocked check
+          // (vacuum is lock-free; once this commits, the re-added
+          // files are live again and vacuum's live-set guard protects
+          // them — the races-with-vacuum window is exactly here)
+          val gone = (lakeRe ++ dvRe).filterNot(rel => fs.exists(
+            new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")))
+          if (gone.nonEmpty) throw new java.io.IOException(
+            s"RESTORE to $version: ${gone.size} required files vacuumed " +
+              s"mid-restore — version no longer restorable: " +
+              gone.take(3).mkString(", "))
           val rec = V2Record(-1L, System.currentTimeMillis(), None,
             None, Seq.empty, None, Seq.empty, Seq.empty,
             None, Seq.empty, lakeRemoves = lakeRm,
@@ -2277,6 +2288,42 @@ object Catalog {
     * driver-side pass over the retained `.commit` tail — bounded by
     * the checkpoint cadence, not the table's age. Surfaced in SQL as
     * the catalog's `lake_history` table. */
+  /** `DESCRIBE DETAIL` — one row of table-level facts, planned from
+    * the manifest log plus one `getFileStatus` per LIVE file for the
+    * byte totals (metadata-only; at extreme file counts a log-resident
+    * size fact would replace the listing — noted, not built: the log
+    * records no file sizes today and every other consumer plans
+    * without them). */
+  def lakeDetail(spark: SparkSession, layout: Layout): DataFrame = {
+    import spark.implicits._
+    val live = lakeFilesAsOf(spark, layout)
+    val dvLive = dvFilesAsOf(spark, layout)
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bytesOf(rels: Seq[String]): Long = rels.map { rel =>
+      try fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val st = readLog(spark, layout)
+    val schemaDdl =
+      if (live.isEmpty) ""
+      else loadLakeSnapshot(spark, layout).schema.toDDL
+    Seq((
+      headVersion(spark, layout),
+      live.size.toLong, bytesOf(live),
+      dvLive.size.toLong, bytesOf(dvLive),
+      live.map(sourceOfRel).distinct.size.toLong,
+      schemaDdl,
+      "source",
+      (st.renameCols.map(_._2) ++ st.dropCols.map(_._2)).distinct
+        .sorted.mkString(","),
+      lakeExpectations(spark, layout).keys.toSeq.sorted.mkString(",")))
+      .toDF("head_version", "n_files", "total_bytes", "n_dv_files",
+        "dv_bytes", "n_sources", "schema_ddl", "partition_columns",
+        "retired_columns", "expectations")
+  }
+
   def lakeHistory(spark: SparkSession, layout: Layout): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(Long, java.sql.Timestamp, Int, Int, Int, Int, Int,

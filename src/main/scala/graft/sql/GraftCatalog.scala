@@ -85,7 +85,8 @@ class GraftCatalog extends TableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
-  private val tableNames = Seq("lake", "lake_changes", "lake_catalog", "lake_history")
+  private val tableNames =
+    Seq("lake", "lake_changes", "lake_catalog", "lake_history", "lake_detail")
 
   private def resolvable(ident: Identifier): Boolean =
     (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
@@ -145,6 +146,12 @@ class GraftCatalog extends TableCatalog {
           "lake_history is the version timeline itself — no AS OF")
         new GraftTable(s"$catalogName.lake_history",
           () => Lake.lakeHistory(s, layout))
+      case "lake_detail" =>
+        // DESCRIBE DETAIL: one row of table-level facts at head
+        if (version.isDefined) throw new UnsupportedOperationException(
+          "lake_detail describes the head — use VERSION AS OF on lake")
+        new GraftTable(s"$catalogName.lake_detail",
+          () => Lake.lakeDetail(s, layout))
       case "lake_changes" =>
         if (version.isDefined) throw new UnsupportedOperationException(
           "lake_changes is already a version range — set " +

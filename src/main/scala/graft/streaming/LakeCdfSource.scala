@@ -124,7 +124,23 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
               s"${f.dataType.sql}) — restart the stream from its " +
               "checkpoint to adopt the widened schema")
         col(f.name).cast(f.dataType).as(f.name)
-      } else lit(null).cast(f.dataType).as(f.name)
+      } else {
+        // a column ABSENT from the feed is only legitimately null when
+        // the feed predates its ADD; a declared name the feed lost to
+        // a RENAME/DROP after stream start would null real data — the
+        // same silent-corruption class as a narrow-cast, refuse loud
+        val to = toLong(end)
+        val retired =
+          Catalog.lakeRenamedColumns(sqlContext.sparkSession, layout, to)
+            .exists(_._2 == f.name) ||
+          Catalog.lakeDroppedColumns(sqlContext.sparkSession, layout, to)
+            .exists(_._2 == f.name)
+        if (retired) throw new IllegalStateException(
+          s"graft-lake-cdf: column '${f.name}' was renamed or dropped " +
+            "after stream start — restart the stream from its checkpoint " +
+            "to adopt the evolved schema")
+        lit(null).cast(f.dataType).as(f.name)
+      }
     }
     val projected = changes.select(cols.toSeq: _*)
     // v1 sources must hand back a STREAMING frame; the projected plan's

@@ -131,7 +131,18 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(e2.getMessage.toLowerCase.contains("read-only"), e2.getMessage)
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet ==
-      Set("lake", "lake_changes", "lake_catalog", "lake_history"))
+      Set("lake", "lake_changes", "lake_catalog", "lake_history",
+        "lake_detail"))
+
+    // lake_detail ≡ DESCRIBE DETAIL: one row of table-level facts
+    val d = spark.sql(s"SELECT * FROM $cat.lake_detail").collect().head
+    assert(d.getAs[Long]("n_files") == 1L)
+    assert(d.getAs[Long]("total_bytes") > 0L)
+    assert(d.getAs[Long]("n_sources") == 1L)
+    assert(d.getAs[String]("schema_ddl").contains("key"))
+    assert(d.getAs[String]("partition_columns") == "source")
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.lake_detail VERSION AS OF 1").collect())
   }
 
   test("lake_history ≡ DESCRIBE HISTORY: one row per retained version " +

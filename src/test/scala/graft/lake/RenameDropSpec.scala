@@ -172,4 +172,23 @@ class RenameDropSpec extends SparkTestBase {
       spark.sql(s"ALTER TABLE $cat.lake ADD COLUMNS (extra string)"))
     assert(e2.getMessage.contains("RETIRED"), e2.getMessage)
   }
+
+  test("RESTORE below a rename: the content rewinds while the schema " +
+      "stays monotone — the restored head speaks the NEW names") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("rn-restore"))
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "amount"))
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k2", 20L)).toDF("source", "key", "amount"))
+    Catalog.commitLakeRenameColumn(spark, layout, "amount", "cents")
+    assert(Catalog.restoreLake(spark, layout, v1) > 0)
+    val head = Catalog.loadLakeSnapshot(spark, layout)
+    assert(head.columns.contains("cents") && !head.columns.contains("amount"))
+    assert(head.select("key", "cents").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k1", 10L)))
+    // and time travel below the restore still serves v2's two rows
+    assert(Catalog.loadLakeSnapshot(spark, layout, v1 + 1).count() == 2L)
+  }
 }

@@ -121,6 +121,49 @@ class LakeCdfSourceSpec extends SparkTestBase {
       s"restart must deliver only the missed commit, wide: $got")
   }
 
+  test("a RENAME after stream start refuses loud (silently nulling the " +
+      "renamed column's data would be the narrow-cast corruption class); " +
+      "a restart adopts the new name and delivers the missed commit") {
+    val layout = Layout(tmpDir("cdfsrc-rn"))
+    val ckpt = tmpDir("cdfsrc-rn-ckpt")
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "amount"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    def start(valueCol: String) = spark.readStream
+      .format("graft-lake-cdf")
+      .option("root", layout.root)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("key"), col(valueCol)).collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    val q1 = start("amount")
+    q1.processAllAvailable()
+    assert(got.toArray(Array.empty[(String, Long)]).toSeq == Seq(("k1", 10L)))
+
+    Catalog.commitLakeRenameColumn(spark, layout, "amount", "cents")
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k2", 20L)).toDF("source", "key", "cents"))
+    val e = intercept[Exception] { q1.processAllAvailable() }
+    assert(e.getMessage.contains("renamed") ||
+      (e.getCause != null && e.getCause.getMessage.contains("renamed")),
+      s"expected the rename refusal, got: ${e.getMessage}")
+    q1.stop()
+
+    got.clear()
+    val q2 = start("cents")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toArray(Array.empty[(String, Long)]).toSeq == Seq(("k2", 20L)),
+      s"restart must deliver only the missed commit under the new name: $got")
+  }
+
   test("startingVersion skips already-consumed history") {
     val layout = Layout(tmpDir("cdfsrc-sv"))
     val s = spark
