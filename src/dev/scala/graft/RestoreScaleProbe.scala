@@ -60,6 +60,24 @@ object RestoreScaleProbe {
     DevTiming.time("rscale")("un-restore to pre-rewind head")(
       Catalog.restoreLake(spark, lay, seq - 1))
 
+    // RENAME at 10×: the commit is metadata-only; the claim to measure
+    // is the READ cost of the mapped path (old files' physical name
+    // coalesced onto the new logical one) vs the unmapped baseline
+    DevTiming.time("rscale")("pre-rename snapshot agg (baseline)")(
+      println("  " + Catalog.loadLakeSnapshot(spark, lay)
+        .agg(sum("cents"), count(lit(1))).collect().mkString))
+    DevTiming.time("rscale")("RENAME COLUMN cents -> amount_c (metadata-only)")(
+      Catalog.commitLakeRenameColumn(spark, lay, "cents", "amount_c"))
+    // a post-rename batch: the lake now spans two name epochs
+    Catalog.commitLake(spark, lay,
+      base.filter(col("event_id") % 1000 === 7)
+        .withColumnRenamed("cents", "amount_c"))
+    (1 to 2).foreach { i =>
+      DevTiming.time("rscale")(s"mapped snapshot agg over 2 name epochs rep$i")(
+        println("  " + Catalog.loadLakeSnapshot(spark, lay)
+          .agg(sum("amount_c"), count(lit(1))).collect().mkString))
+    }
+
     // SQL data skipping at 10×, both index shapes:
     //  - BLOOM lake: commits by event_id MODULO, so every file's
     //    min/max spans the whole key space (min/max can never prune a

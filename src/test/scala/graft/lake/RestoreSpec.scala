@@ -190,4 +190,53 @@ class RestoreSpec extends SparkTestBase {
       .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSeq
     assert(view == Seq(("clicks", 3L, 11L)), view.toString)
   }
+
+  test("restore racing concurrent appenders: every attempt serializes " +
+      "through the live-set recheck — the final history is a consistent " +
+      "interleaving (each version's snapshot is exact, no torn state)") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("restore-race"))
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "seed", 0L)).toDF("source", "key", "v"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // an appender committing 6 batches while a restorer rewinds to v1
+    // twice — the restore must either win a clean slot (content == v1
+    // state at its commit) or exhaust retries loudly, never commit a
+    // half-reconciled set
+    val appender = Future {
+      (1 to 6).map { i =>
+        Catalog.commitLake(spark, layout,
+          Seq(("clicks", s"k$i", i.toLong)).toDF("source", "key", "v"))
+      }
+    }
+    val restorer = Future {
+      (1 to 2).map { _ =>
+        Thread.sleep(150)
+        try Some(Catalog.restoreLake(spark, layout, v1)).filter(_ > 0)
+        catch { case e: java.io.IOException
+            if e.getMessage.contains("restoreLake") => None }
+      }
+    }
+    val appends = Await.result(appender, 180.seconds)
+    val restores = Await.result(restorer, 180.seconds).flatten
+    // every restore that committed must serve EXACTLY the v1 content
+    // at its own version — nothing torn, regardless of interleaving
+    restores.foreach { r =>
+      assert(snap(layout, r) == Seq(("clicks", "seed", 0L)),
+        s"restore at $r is not the v1 state")
+    }
+    // and every append's own version is intact (snapshot isolation
+    // across the rewinds: appended keys present at their commit seq)
+    appends.zipWithIndex.foreach { case (seq, i) =>
+      assert(snap(layout, seq).contains(("clicks", s"k${i + 1}", (i + 1).toLong)),
+        s"append $seq lost its row")
+    }
+    // the head equals the last event in seq order, recomputed from the
+    // log itself — the ultimate consistency check
+    val headV = Catalog.headVersion(spark, layout)
+    assert(snap(layout) == snap(layout, headV))
+  }
 }
