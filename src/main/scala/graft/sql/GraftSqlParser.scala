@@ -69,6 +69,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       v.substring(1, v.length - 1)
     else v
 
+  /** Parameterized `spark.sql(text, args)`: the delegate OVERRIDES the
+    * interface default (its parameter substitution lives there), so
+    * forward rather than inherit — a RESTORE statement takes no
+    * parameters and goes through [[parsePlan]]. */
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
+    sqlText match {
+      case Restore(_, _, _) | Explain(_, _) => parsePlan(sqlText)
+      case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+    }
+
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

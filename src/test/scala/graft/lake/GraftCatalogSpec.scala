@@ -617,5 +617,8 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(bad.getMessage.contains("lake"), bad.getMessage)
     assert(spark.sql("SELECT 'RESTORE TABLE x TO VERSION AS OF 1' AS t")
       .head.getString(0).startsWith("RESTORE"))
+    // parameterized SQL forwards to the delegate's substitution
+    assert(spark.sql("SELECT ? + 1 AS n", Array(41))
+      .head.getInt(0) == 42)
   }
 }
