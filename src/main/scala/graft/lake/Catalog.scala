@@ -1447,10 +1447,35 @@ object Catalog {
   private val snapMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
+  /** The FACTS-BORN schema of a lake with no data files: addcol facts
+    * in commit order with renames/drops/widenings applied, `source`
+    * moved LAST (the data-born partition-column convention, so the
+    * reported column order never flips when the first file lands).
+    * Empty when the log carries no column facts — the pre-CREATE
+    * state. This is what makes `CREATE TABLE` (schema facts on an
+    * empty log) + `INSERT INTO` a pure-SQL bootstrap. */
+  private def factsBornSchema(spark: SparkSession, layout: Layout,
+      version: Long): org.apache.spark.sql.types.StructType = {
+    val nm = nameMapAt(spark, layout, version)
+    val widened = widenedTypesAt(spark, layout, version).toMap
+    val cols = lakeAddedColumns(spark, layout, version).flatMap {
+      case (_, n, ddl) => nm.resolve(n).map(t => (t,
+        widened.getOrElse(t, org.apache.spark.sql.types.DataType.fromDDL(ddl))))
+    }
+    val (srcCols, rest) = cols.partition(_._1 == "source")
+    org.apache.spark.sql.types.StructType((rest ++ srcCols).map {
+      case (n, t) => org.apache.spark.sql.types.StructField(n, t) })
+  }
+
   private def buildLakeSnapshot(spark: SparkSession, layout: Layout,
       version: Long): DataFrame = {
     val live = lakeFilesAsOf(spark, layout, version)
-    if (live.isEmpty) return spark.emptyDataFrame
+    if (live.isEmpty) {
+      val facts = factsBornSchema(spark, layout, version)
+      if (facts.isEmpty) return spark.emptyDataFrame
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), facts)
+    }
     val scan = lakeScan(spark, layout, live, version)
     val dvLive = dvFilesAsOf(spark, layout, version)
     val df =
@@ -1647,7 +1672,16 @@ object Catalog {
     * re-validate. Empty-schema frame when `live` is empty. */
   private[lake] def lakeSnapshotWithPos(spark: SparkSession, layout: Layout,
       live: Seq[String]): DataFrame = {
-    if (live.isEmpty) return spark.emptyDataFrame
+    if (live.isEmpty) {
+      // a CREATEd-but-empty lake still has a schema: serve it with
+      // null row identity so MERGE's NOT-MATCHED bootstrap works
+      val facts = factsBornSchema(spark, layout, Long.MaxValue)
+      if (facts.isEmpty) return spark.emptyDataFrame
+      return spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), facts)
+        .withColumn("__graft_file", lit(null).cast("string"))
+        .withColumn("__graft_pos", lit(null).cast("long"))
+    }
     val prefix = qualifiedLakeDir(spark, layout)
     val scan = lakeScan(spark, layout, live)
       .withColumn("__graft_file", lakeRelFileCol(prefix))

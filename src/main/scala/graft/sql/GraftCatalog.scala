@@ -99,7 +99,14 @@ class GraftCatalog extends TableCatalog {
       tableNames.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
-  override def tableExists(ident: Identifier): Boolean = resolvable(ident)
+  /** The `lake` table "exists" once the log carries ANY fact (a
+    * CREATE's schema facts, or data) — that is what gates `CREATE
+    * TABLE` vs `TableAlreadyExistsException` and makes `IF NOT EXISTS`
+    * a no-op on a populated root. The derived surfaces always exist
+    * alongside it. */
+  override def tableExists(ident: Identifier): Boolean =
+    resolvable(ident) && (ident.name != "lake" ||
+      Lake.headVersion(spark, layout) > 0)
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
 
@@ -167,12 +174,52 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
-  // table creation is the layout's job (commitLake on a fresh root);
-  // renames/drops have no manifest-log fact — all refuse loudly
+  /** `CREATE TABLE <cat>.lake (…) PARTITIONED BY (source)` — schema
+    * facts on an EMPTY log: every declared column lands as an addcol
+    * fact in ONE atomic record ([[graft.lake.Catalog.commitLakeAlter]]),
+    * so the table reads as an empty frame WITH that schema and the
+    * whole lifecycle — `INSERT INTO`, `MERGE INTO` (the NOT-MATCHED
+    * bootstrap), constraints, evolution — is reachable from pure SQL
+    * with no typed bootstrap commit. Requirements: the one table name
+    * is `lake` (the catalog stays single-lake-per-root — more lakes =
+    * more catalogs, the root is the unit of layout); the schema
+    * carries `source STRING` (the partition key every maintenance path
+    * keys on); partitioning is absent or exactly `source`. The
+    * reported column order puts `source` LAST (the data-born
+    * convention), regardless of declaration order. Refuses on a
+    * populated root ([[tableExists]] gates `IF NOT EXISTS` upstream). */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only; write through graft.lake.Catalog.commitLake")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (!resolvable(ident) || ident.name != "lake")
+      throw new UnsupportedOperationException(
+        s"only the 'lake' table is creatable (one lake per catalog " +
+          s"root — register another catalog for another lake), got " +
+          s"${ident.name}")
+    val s = spark
+    if (Lake.headVersion(s, layout) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Array(name(), "lake"))
+    val src = schema.fields.find(_.name == "source").getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE TABLE needs a 'source STRING' column — the lake's " +
+          "partition key"))
+    require(src.dataType == org.apache.spark.sql.types.StringType,
+      s"'source' must be STRING, got ${src.dataType.sql}")
+    partitions.foreach { t =>
+      val ok = t.name() == "identity" &&
+        t.references().map(_.fieldNames().mkString(".")).sameElements(
+          Array("source"))
+      if (!ok) throw new UnsupportedOperationException(
+        s"the lake is partitioned by 'source' (got $t) — declare " +
+          "PARTITIONED BY (source) or nothing")
+    }
+    Option(properties.get("location")).foreach(_ =>
+      throw new UnsupportedOperationException(
+        "LOCATION is the catalog root — set spark.sql.catalog.<name>.root"))
+    Lake.commitLakeAlter(s, layout,
+      addCols = schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+    tableAt(ident, None)
+  }
   /** SQL DDL for the evolutions the manifest log supports — each maps
     * onto its typed commit, so ALTER through SQL and through the Scala
     * API produce the identical log fact:

@@ -511,6 +511,62 @@ object SqlLake {
       |FROM events
       |GROUP BY event_type ORDER BY source""".stripMargin
 
+  /** Sixth deterministic fixture — the pure-SQL bootstrap: the lake is
+    * BORN via `CREATE TABLE` (schema facts on an empty log) and filled
+    * by `INSERT INTO … SELECT` from a temp view over the corpus; no
+    * typed Scala commit anywhere. Green only if the facts-born schema
+    * (source reported LAST), Spark's INSERT alignment against it, and
+    * the ordinary snapshot read all compose. */
+  private def createLakeRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_cr/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val lay = Layout(tmp)
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val srcView = s"graft_create_src_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      base.createOrReplaceTempView(srcView)
+      val name = s"graftcr_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      val colsDdl = base.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"CREATE TABLE $name.lake ($colsDdl) PARTITIONED BY (source)")
+      // positional INSERT against the reported order: source LAST
+      val nonSrc = base.schema.fieldNames.filterNot(_ == "source")
+      spark.sql(s"INSERT INTO $name.lake SELECT ${nonSrc.mkString(", ")}, " +
+        s"source FROM $srcView")
+      spark.catalog.dropTempView(srcView)
+      require(Catalog.headVersion(spark, lay) == 2L, "create fixture drifted")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_create`: the snapshot aggregate over the SQL-born
+    * lake — full corpus, per source. */
+  def createAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = createLakeRoot(spark, sfDir)
+    val name = s"graftcr_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_events,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM $name.lake GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val createAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |GROUP BY event_type ORDER BY source""".stripMargin
+
   val mergeCdfAggOracleSql: String =
     """WITH base AS (
       |  SELECT event_type AS source, event_id,

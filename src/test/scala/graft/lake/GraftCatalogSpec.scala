@@ -621,4 +621,70 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT ? + 1 AS n", Array(41))
       .head.getInt(0) == 42)
   }
+
+  test("CREATE TABLE = schema facts on an empty log: the whole lifecycle " +
+      "(CREATE, INSERT, MERGE bootstrap, constraint, evolution) is pure " +
+      "SQL; IF NOT EXISTS no-ops on a populated root; CTAS works") {
+    val layout = Layout(tmpDir("dsv2-create"))
+    val cat = register(layout)
+    // (spark.catalog.tableExists resolves via loadTable, which always
+    // serves the surfaces — the CREATE gate is the catalog's own
+    // tableExists, exercised by the duplicate-CREATE refusal below)
+    spark.sql(s"CREATE TABLE $cat.lake (source STRING, key STRING, v BIGINT) " +
+      "PARTITIONED BY (source)")
+    // empty frame WITH the declared schema, source LAST
+    val empt = spark.sql(s"SELECT * FROM $cat.lake")
+    assert(empt.columns.toSeq == Seq("key", "v", "source"), empt.columns.toSeq)
+    assert(empt.count() == 0)
+    // duplicate CREATE refuses; IF NOT EXISTS no-ops
+    val dup = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.lake (source STRING, x INT)"))
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.lake (source STRING, x INT)")
+    assert(spark.sql(s"SELECT * FROM $cat.lake").columns.length == 3)
+
+    // INSERT INTO the created-but-empty table (positional: source last)
+    spark.sql(s"INSERT INTO $cat.lake VALUES ('k1', 10, 'clicks')")
+    assert(spark.sql(s"SELECT key, v, source FROM $cat.lake").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("k1", 10L, "clicks")))
+
+    // MERGE bootstrap into another CREATEd table with ZERO rows: the
+    // NOT MATCHED arm inserts through the empty facts-born target
+    val layout2 = Layout(tmpDir("dsv2-create2"))
+    val cat2 = register(layout2)
+    spark.sql(s"CREATE TABLE $cat2.lake (source STRING, key STRING, v BIGINT)")
+    spark.sql(
+      s"""MERGE INTO $cat2.lake t USING (SELECT 'clicks' AS source,
+         |  'k9' AS key, CAST(90 AS BIGINT) AS v) s
+         |ON t.key = s.key
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (source, key, v)
+         |  VALUES (s.source, s.key, s.v)""".stripMargin)
+    assert(spark.sql(s"SELECT key, v FROM $cat2.lake").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k9", 90L)))
+
+    // refusals: no source column; bad partitioning; LOCATION
+    val layout3 = Layout(tmpDir("dsv2-create3"))
+    val cat3 = register(layout3)
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat3.lake (key STRING)")).getMessage.contains("source"))
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat3.lake (source STRING, key STRING) " +
+        "PARTITIONED BY (key)")).getMessage.contains("source"))
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat3.lake (source STRING) LOCATION '/tmp/x'"))
+      .getMessage.contains("root"))
+    // only 'lake' is creatable
+    assert(intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat3.other (source STRING)"))
+      .getMessage.toLowerCase.contains("lake"))
+
+    // CTAS: createTable + the write path in one statement
+    spark.sql(s"CREATE TABLE $cat3.lake PARTITIONED BY (source) AS " +
+      s"SELECT key, v, source FROM $cat.lake")
+    assert(spark.sql(s"SELECT key, v, source FROM $cat3.lake").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("k1", 10L, "clicks")))
+  }
 }

@@ -142,6 +142,17 @@ class RenameDropSpec extends SparkTestBase {
     assert(Catalog.loadLakeSnapshot(spark, layout)
       .select("c").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 10000000000L))
+    // and a DROP followed by OPTIMIZE physically removes the retired
+    // bytes from the live tree (the Delta REORG-PURGE effect for free)
+    Catalog.commitLakeDropColumn(spark, layout, "key")
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", 7L)).toDF("source", "c"))
+    assert(Catalog.optimizeLake(spark, layout) > 0)
+    val live2 = Catalog.lakeFilesAsOf(spark, layout)
+    live2.foreach { rel =>
+      val cols = spark.read.parquet(s"${layout.lakeDir}/$rel").columns
+      assert(!cols.contains("key"), s"$rel still carries dropped bytes")
+    }
   }
 
   test("an in-force CHECK constraint blocks renaming/dropping its " +
