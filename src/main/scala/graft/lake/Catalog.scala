@@ -1492,7 +1492,8 @@ object Catalog {
     * vector sidecars) removed from the committed set at least
     * `graceMs` ago. */
   def vacuumLake(spark: SparkSession, layout: Layout,
-      graceMs: Long = 24L * 3600 * 1000): Long = {
+      graceMs: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - graceMs
@@ -1506,7 +1507,10 @@ object Catalog {
     (state.lakeRemoves ++ state.dvRemoves).foreach { case (_, claimMs, rel) =>
       if (claimMs <= cutoff && !live.contains(rel)) {
         val p = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")
-        if (fs.exists(p) && fs.delete(p, false)) n += 1
+        // DRY RUN (Delta's VACUUM … DRY RUN): count what a real run
+        // would reclaim, delete nothing — note the count also prices
+        // the time-travel/RESTORE reach a real run would give up
+        if (fs.exists(p) && (dryRun || fs.delete(p, false))) n += 1
       }
     }
     n

@@ -86,13 +86,28 @@ object Maintenance {
         targetBytes = numArg(rest, "lake_optimize", "targetBytes", 128L << 20))
   }
 
-  /** `lake_vacuum(root[, graceMs])` → [[graft.lake.Catalog.vacuumLake]]
-    * (physically reclaim files removed from the committed set at least
-    * graceMs ago; logical content untouched). */
+  /** `lake_vacuum(root[, graceMs[, 'dry']])` →
+    * [[graft.lake.Catalog.vacuumLake]] (physically reclaim files
+    * removed from the committed set at least graceMs ago; logical
+    * content untouched). The optional third literal `'dry'` makes it
+    * Delta's `VACUUM … DRY RUN`: count the reclaimable files, delete
+    * nothing — which also keeps the TVF's EXPLAIN-runs-it caveat
+    * harmless for the dry form. */
   val vacuumDescriptor: Descriptor = descriptor("lake_vacuum") {
     (spark, layout, rest) =>
+      val (numArgs, dry) = rest.lastOption.map(literal(_, "lake_vacuum")) match {
+        case Some(s: org.apache.spark.unsafe.types.UTF8String) =>
+          require(s.toString == "dry",
+            s"lake_vacuum: the mode argument must be 'dry', got '$s'")
+          (rest.init, true)
+        case Some(s: String) =>
+          require(s == "dry", s"lake_vacuum: mode must be 'dry', got '$s'")
+          (rest.init, true)
+        case _ => (rest, false)
+      }
       Lake.vacuumLake(spark, layout,
-        graceMs = numArg(rest, "lake_vacuum", "graceMs", 24L * 3600 * 1000))
+        graceMs = numArg(numArgs, "lake_vacuum", "graceMs", 24L * 3600 * 1000),
+        dryRun = dry)
   }
 
   /** `lake_checkpoint(root)` → [[graft.lake.Catalog.checkpoint]] +

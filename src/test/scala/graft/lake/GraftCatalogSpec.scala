@@ -468,11 +468,22 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(mat.getAs[Long]("result") == 1L, s"one DV'd file rewritten: $mat")
     assert(content == Set(("k1", 1L)))
 
-    // VACUUM(grace 0): the superseded originals reclaim; head content
-    // unchanged (vacuum never touches the live view)
+    // VACUUM DRY RUN first: counts the reclaimable files, deletes
+    // nothing (every prior version still readable afterwards)
+    val dry = spark.sql(s"SELECT * FROM lake_vacuum('$cat', 0, 'dry')").head
+    assert(dry.getAs[Long]("result") > 0L, s"dry-run count: $dry")
+    (1L to vPre).foreach { v =>
+      Catalog.loadLakeSnapshot(spark, layout, v).count() // still readable
+    }
+    // VACUUM(grace 0): the superseded originals reclaim — exactly the
+    // dry-run's count; head content unchanged (vacuum never touches
+    // the live view)
     val vac = spark.sql(s"SELECT * FROM lake_vacuum('$cat', 0)").head
-    assert(vac.getAs[Long]("result") > 0L, s"reclaimed originals: $vac")
+    assert(vac.getAs[Long]("result") == dry.getAs[Long]("result"),
+      s"real run must reclaim what the dry run counted: $dry vs $vac")
     assert(content == Set(("k1", 1L)))
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM lake_vacuum('$cat', 0, 'wet')"))
 
     // CHECKPOINT: folds + prunes; reads keep working above it
     val ck = spark.sql(s"SELECT * FROM lake_checkpoint('$cat')").head
