@@ -1467,6 +1467,16 @@ object Catalog {
       case (n, t) => org.apache.spark.sql.types.StructField(n, t) })
   }
 
+  /** Whether the LAKE table exists: any committed data file (ever —
+    * a fully-erased lake still exists) or any schema fact (a CREATEd
+    * lake). Deliberately NOT the whole-layout head: a root used only
+    * for ingest (catalog + distribution areas) has commits but no lake
+    * — its lake table is still creatable. */
+  def lakeTableExists(spark: SparkSession, layout: Layout): Boolean = {
+    val st = readLog(spark, layout)
+    st.lake.nonEmpty || st.addCols.nonEmpty
+  }
+
   private def buildLakeSnapshot(spark: SparkSession, layout: Layout,
       version: Long): DataFrame = {
     val live = lakeFilesAsOf(spark, layout, version)

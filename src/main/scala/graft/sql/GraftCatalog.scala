@@ -99,14 +99,15 @@ class GraftCatalog extends TableCatalog {
       tableNames.map(Identifier.of(namespace, _)).toArray
     else Array.empty
 
-  /** The `lake` table "exists" once the log carries ANY fact (a
-    * CREATE's schema facts, or data) — that is what gates `CREATE
-    * TABLE` vs `TableAlreadyExistsException` and makes `IF NOT EXISTS`
-    * a no-op on a populated root. The derived surfaces always exist
-    * alongside it. */
+  /** The `lake` table "exists" once the log carries any LAKE fact —
+    * a data file ever committed or a CREATE's schema facts; catalog/
+    * distribution-area commits don't count (an ingest-only root's lake
+    * is still creatable). Gates `CREATE TABLE` vs
+    * `TableAlreadyExistsException` and makes `IF NOT EXISTS` a no-op
+    * on a populated root. The derived surfaces always exist. */
   override def tableExists(ident: Identifier): Boolean =
     resolvable(ident) && (ident.name != "lake" ||
-      Lake.headVersion(spark, layout) > 0)
+      Lake.lakeTableExists(spark, layout))
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
 
@@ -196,7 +197,7 @@ class GraftCatalog extends TableCatalog {
           s"root — register another catalog for another lake), got " +
           s"${ident.name}")
     val s = spark
-    if (Lake.headVersion(s, layout) > 0)
+    if (Lake.lakeTableExists(s, layout))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(Array(name(), "lake"))
     val src = schema.fields.find(_.name == "source").getOrElse(
