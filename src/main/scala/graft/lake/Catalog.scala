@@ -2336,6 +2336,79 @@ object Catalog {
     * driver-side pass over the retained `.commit` tail — bounded by
     * the checkpoint cadence, not the table's age. Surfaced in SQL as
     * the catalog's `lake_history` table. */
+  /** CONSISTENCY AUDIT (`fsck`) over the manifest log — the checks an
+    * operator runs before trusting a lake after an incident, each one
+    * row `(check, ok, n_bad, detail)`:
+    *
+    *  - `live_files_exist` / `dv_files_exist`: every committed-live
+    *    path has bytes on disk (a missing one means an out-of-band
+    *    delete or a vacuum bug — reads of the head WILL fail);
+    *  - `dv_targets_live`: every live DV row references a live data
+    *    file (dangling rows are harmless by construction — the scan
+    *    never joins them — but a growing count means materialize debt);
+    *  - `recovery_backlog`: claimed-but-unfinished commits
+    *    ([[recoverAppends]] finishes them; a persistent count means
+    *    recovery is not being run);
+    *  - `checkpoint_valid`: the newest checkpoint file has a valid
+    *    terminator (a torn one is ignored by readers, but it means the
+    *    last fold crashed and should be re-run);
+    *  - `staged_orphans`: leftover `_staged/` dirs (pre-claim crash
+    *    debris; swept by recovery, informational).
+    *
+    * Read-only and idempotent — safe as a `CALL`-style TVF. */
+  def fsckLake(spark: SparkSession, layout: Layout): DataFrame = {
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def missing(rels: Seq[String]): Seq[String] = rels.filterNot(rel =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")))
+    val live = lakeFilesAsOf(spark, layout)
+    val dvLive = dvFilesAsOf(spark, layout)
+    val liveMissing = missing(live)
+    val dvMissing = missing(dvLive)
+    val dangling =
+      if (dvLive.isEmpty || dvMissing.nonEmpty) Seq.empty[String]
+      else {
+        val liveSet = live.toSet
+        spark.read.parquet(dvLive.map(r => s"${layout.lakeDir}/$r"): _*)
+          .select("file").distinct().collect().map(_.getString(0))
+          .filterNot(liveSet.contains).sorted.toSeq
+      }
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    val names =
+      if (fs.exists(log)) fs.listStatus(log).map(_.getPath.getName)
+      else Array.empty[String]
+    val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
+    val unfinished = names
+      .filter(n => n.endsWith(".commit") && !done.contains(n.stripSuffix(".commit")))
+      .map(_.stripSuffix(".commit")).sorted.toSeq
+    val cpSeqs = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted
+    val tornCheckpoint = cpSeqs.lastOption.exists { seq =>
+      readCheckpointLines(fs,
+        new org.apache.hadoop.fs.Path(log, f"$seq%020d.checkpoint")).isEmpty
+    }
+    def orphans(area: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$area/_staged")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName).sorted.toSeq
+    }
+    val staged = orphans(layout.lakeDir) ++ orphans(layout.catalogDir) ++
+      orphans(layout.distributionDir)
+    def row(check: String, bad: Seq[String], info: Boolean = false) =
+      (check, info || bad.isEmpty, bad.size.toLong,
+        bad.take(3).mkString(",") +
+          (if (bad.size > 3) s" (+${bad.size - 3} more)" else ""))
+    Seq(
+      row("live_files_exist", liveMissing),
+      row("dv_files_exist", dvMissing),
+      row("dv_targets_live", dangling, info = true),
+      row("recovery_backlog", unfinished, info = true),
+      row("checkpoint_valid", if (tornCheckpoint) Seq("torn") else Seq.empty),
+      row("staged_orphans", staged, info = true))
+      .toDF("check", "ok", "n_bad", "detail")
+  }
+
   /** `DESCRIBE DETAIL` — one row of table-level facts, planned from
     * the manifest log plus one `getFileStatus` per LIVE file for the
     * byte totals (metadata-only; at extreme file counts a log-resident

@@ -51,8 +51,11 @@ import graft.lake.{Catalog => Lake, Layout}
   *    [[graft.lake.Catalog.loadAsOf]].
   *  - `lake_history` — `DESCRIBE HISTORY`
   *    ([[graft.lake.Catalog.lakeHistory]]): one row per retained
-  *    version — files added/removed, DV files, evolutions,
-  *    expectation changes, commit time, note.
+  *    version — files added/removed, DV files, evolutions, name
+  *    changes, expectation changes, commit time, note.
+  *  - `lake_detail` — `DESCRIBE DETAIL`
+  *    ([[graft.lake.Catalog.lakeDetail]]): one row of table-level
+  *    facts at head.
   *
   * Execution: scans go through [[V1Scan]] — the plan is BUILT with the
   * library's own public DataFrame reads (manifest-log file listing, DV

@@ -133,6 +133,22 @@ object Maintenance {
       Lake.materializeLakeDeletes(spark, layout)
   }
 
+  /** `lake_fsck(root)` → [[graft.lake.Catalog.fsckLake]] — the
+    * consistency audit as a multi-row TVF (read-only and idempotent,
+    * so the EXPLAIN-runs-it caveat is harmless). */
+  val fsckDescriptor: Descriptor = (
+    FunctionIdentifier("lake_fsck"),
+    new ExpressionInfo(Maintenance.getClass.getName, "lake_fsck"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "lake_fsck(catalog_or_root)")
+      val spark = SparkSession.active
+      val target = literal(args.head, "lake_fsck").toString
+      val root = spark.conf.getOption(s"spark.sql.catalog.$target.root")
+        .getOrElse(target)
+      Lake.fsckLake(spark, Layout(root)).queryExecution.analyzed
+    })
+
   val descriptors: Seq[Descriptor] = Seq(optimizeDescriptor,
-    vacuumDescriptor, checkpointDescriptor, materializeDescriptor)
+    vacuumDescriptor, checkpointDescriptor, materializeDescriptor,
+    fsckDescriptor)
 }

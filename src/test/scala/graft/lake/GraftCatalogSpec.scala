@@ -496,6 +496,23 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM lake_optimize('$cat', rand())"))
     intercept[Exception](spark.sql(s"SELECT * FROM lake_checkpoint('$cat', 1)"))
     assert(content == Set(("k1", 1L)))
+
+    // FSCK: the healthy lake audits clean through SQL…
+    def fsck(): Map[String, (Boolean, Long)] =
+      spark.sql(s"SELECT * FROM lake_fsck('$cat')").collect()
+        .map(r => r.getString(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    val clean = fsck()
+    assert(clean.values.forall(_._1), s"healthy lake must audit ok: $clean")
+    assert(clean("live_files_exist")._2 == 0)
+    // …and a live file whose bytes vanished out-of-band is CAUGHT
+    val victim = Catalog.lakeFilesAsOf(spark, layout).head
+    val fsk = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsk.delete(new org.apache.hadoop.fs.Path(
+      s"${layout.lakeDir}/$victim"), false))
+    val broken = fsck()
+    assert(!broken("live_files_exist")._1 &&
+      broken("live_files_exist")._2 == 1, broken.toString)
   }
 
   test("table_changes TVF: two ranges in ONE statement (what the conf " +
