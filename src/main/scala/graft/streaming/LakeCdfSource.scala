@@ -72,37 +72,67 @@ object LakeCdfSource {
 
 class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
     declaredSchema: StructType, startVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.{streaming => cstream}
 
   override def schema: StructType = declaredSchema
 
-  /** The highest offset handed to the engine so far — the rate-limit
-    * base. Re-synced on restart by the engine's recovery `getBatch`
-    * call over the last logged batch (the Delta v1-source pattern:
-    * `DeltaSource` reconstructs `previousOffset` the same way), so a
-    * restarted stream paces from where the offset log left off, never
-    * behind it. */
-  private var lastEnd: Long = startVersion
+  /** `Trigger.AvailableNow` terminal: the head captured at start-up —
+    * the drain target. Without [[cstream.SupportsTriggerAvailableNow]]
+    * the engine wraps a v1 source with a ONE-SHOT offset fetch, and a
+    * rate-limited source would report one capped window and be declared
+    * drained (losing the rest of the backlog); implementing the trait
+    * (the `FileStreamSource` shape — the same v1-source + admission-
+    * control combination) makes the engine loop batches to this cap. */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Catalog.headVersion(sqlContext.sparkSession, layout))
 
   /** RATE LIMITING (`maxVersionsPerTrigger`): at 100 TB a cold start —
     * or a consumer catching up after downtime — must not serve the
     * whole backlog as ONE micro-batch (one giant scan, one giant
-    * checkpoint state delta, no progress marks). Capping the offset at
-    * `lastEnd + k` slices the backlog into bounded per-trigger windows;
-    * correctness is untouched (offsets stay committed versions, each
-    * `(start, end]` range is exact). Uncapped by default, like Delta. */
-  override def getOffset: Option[Offset] = {
-    val head = Catalog.headVersion(sqlContext.sparkSession, layout)
-    val base = math.max(lastEnd, startVersion)
-    val end = maxVersionsPerTrigger match {
-      case Some(k) => math.min(head, base + k)
-      case None => head
+    * checkpoint state delta, no progress marks). The engine drives
+    * admission through [[latestOffset]] with the PREVIOUS end offset,
+    * so the cap is `start + k` versions, sliced exactly on commit
+    * boundaries — correctness untouched (each `(start, end]` range is
+    * exact), restart pacing from the offset log by construction.
+    * Uncapped by default, like Delta. */
+  override def getDefaultReadLimit: cstream.ReadLimit =
+    maxVersionsPerTrigger.map(k => cstream.ReadLimit.maxRows(k))
+      .getOrElse(cstream.ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: cstream.Offset,
+      limit: cstream.ReadLimit): cstream.Offset = {
+    val base = Option(startOffset).map(anyToLong).getOrElse(startVersion)
+    val head0 = Catalog.headVersion(sqlContext.sparkSession, layout)
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
+    val end = limit match {
+      case r: cstream.ReadMaxRows => math.min(head, base + r.maxRows())
+      case _ => head
     }
-    if (end <= base) None else Some(LongOffset(end))
+    if (end <= base) null else LongOffset(end)
+  }
+
+  override def reportLatestOffset(): cstream.Offset =
+    LongOffset(Catalog.headVersion(sqlContext.sparkSession, layout))
+
+  /** Admission-control sources are driven through [[latestOffset]];
+    * the engine never calls this (the `FileStreamSource` posture). */
+  override def getOffset: Option[Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  private def anyToLong(o: cstream.Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => other.json().trim.toLong
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    lastEnd = math.max(lastEnd, toLong(end))
     val from = start.map(toLong).getOrElse(startVersion)
     val changes = Catalog.lakeChangesBetween(
       sqlContext.sparkSession, layout, from, toLong(end))

@@ -164,6 +164,38 @@ class LakeCdfSourceSpec extends SparkTestBase {
       s"restart must deliver only the missed commit under the new name: $got")
   }
 
+  test("Trigger.AvailableNow drains the backlog and STOPS (the batch-job-" +
+      "over-a-stream idiom), honoring the rate limit's batch slicing") {
+    val layout = Layout(tmpDir("cdfsrc-avail"))
+    val s = spark
+    import s.implicits._
+    val versions = (1 to 4).map(i => Catalog.commitLake(spark, layout,
+      Seq(("clicks", s"k$i", i.toLong)).toDF("source", "key", "v")))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .format("graft-lake-cdf")
+      .option("root", layout.root)
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdfsrc-avail-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select("_commit_version").collect().map(_.getLong(0))
+        if (vs.nonEmpty) { nBatches.incrementAndGet()
+          vs.foreach(v => got.add(java.lang.Long.valueOf(v))) }
+        ()
+      }
+      .start()
+    // AvailableNow terminates on its own once the backlog is drained
+    assert(q.awaitTermination(120000), "AvailableNow must stop by itself")
+    assert(got.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq.sorted ==
+      versions.sorted, s"the whole backlog, exactly once: $got")
+    assert(nBatches.get() >= 2,
+      s"rate limit must slice the drain into multiple batches: ${nBatches.get()}")
+  }
+
   test("startingVersion skips already-consumed history") {
     val layout = Layout(tmpDir("cdfsrc-sv"))
     val s = spark
