@@ -150,6 +150,47 @@ object Catalog {
     sys.error("Catalog.append: could not claim a commit id after 10000 attempts")
   }
 
+  /** Claim EXACTLY seq `expected` — the OPTIMISTIC-CONCURRENCY claim
+    * (the Delta commit protocol): succeeds iff no other commit landed
+    * since the caller computed its state at head `expected - 1`. The
+    * per-source locks exclude other LOCK-TAKING writers, but a plain
+    * append ([[commitLake]]) takes no lock — it can land between a
+    * caller's under-lock recheck and its claim, and a state-dependent
+    * commit (RESTORE: "head becomes exactly version v's content")
+    * would then silently include the unseen append. Claiming the exact
+    * next id closes that window completely: ANY interleaving commit
+    * takes the id first and this returns false — recompute and retry.
+    * Gap-free by construction ([[claimBody]] always fills max+1, so a
+    * failed exact claim means the id is genuinely taken). */
+  private[lake] def claimBodyAt(fs: org.apache.hadoop.fs.FileSystem,
+      layout: Layout, body: String, expected: Long): Boolean = {
+    val dir = new org.apache.hadoop.fs.Path(logDir(layout))
+    fs.mkdirs(dir)
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val rec = new org.apache.hadoop.fs.Path(dir, f"$expected%020d.commit")
+    if (isLocal) {
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_claim-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(rec.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      try {
+        val out = fs.create(rec, false) // atomic on HDFS
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Rename staged files into the live partition dirs under their
     * commit-prefixed names, then mark the commit done and drop the
     * staging dir. Idempotent: skips files already published (so
@@ -2096,10 +2137,16 @@ object Catalog {
           missing.take(3).mkString(", ") +
           (if (missing.size > 3) s" (+${missing.size - 3} more)" else ""))
       // the restore moves the live set wholesale — lock every source
-      // either state touches, and re-verify both live sets under them
+      // either state touches (excludes other lock-takers cheaply), and
+      // commit OPTIMISTICALLY at exactly head+1: a plain append takes
+      // no lock and can land between any recheck and the claim, but it
+      // cannot land between the claim and itself — claimBodyAt refuses
+      // a taken id, so a restore can never silently include a commit
+      // its diff never saw (the race the full-suite run caught)
       val sources = (livePre ++ liveAtV).map(sourceOfRel).distinct.sorted
       val committed = withSourceLocks(spark, layout, sources,
           lockTtlMs, waitMs) {
+        val h = headVersion(spark, layout)
         if (lakeFilesAsOf(spark, layout) != livePre ||
             dvFilesAsOf(spark, layout) != dvPre) None
         else {
@@ -2119,14 +2166,20 @@ object Catalog {
             None, Seq.empty, lakeRemoves = lakeRm,
             dvRemoves = dvRm, lakeReAdds = lakeRe, dvReAdds = dvRe,
             note = Some(s"restore $version"))
-          val seq = claimBody(fs, layout, v2Body(rec))
-          finishV2(fs, layout, seq, rec)
-          Some(seq)
+          if (claimBodyAt(fs, layout, v2Body(rec), h + 1)) {
+            finishV2(fs, layout, h + 1, rec)
+            Some(h + 1)
+          } else None // an interleaving commit took the id: recompute
         }
       }
       committed match {
         case Some(seq) => return seq
-        case None => attempt += 1; conflictBackoff(attempt)
+        case None =>
+          attempt += 1
+          // a claimed-but-unfinished straggler would hold the id
+          // forever — finish it before recomputing
+          recoverAppends(spark, layout)
+          conflictBackoff(attempt)
       }
     }
     throw new java.io.IOException(

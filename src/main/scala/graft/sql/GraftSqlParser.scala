@@ -52,7 +52,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(mode).map(_.trim.toLowerCase).getOrElse("simple")))
     case Restore(table, how, valueRaw) =>
       val value = valueRaw.trim
-      val parts = table.split('.')
+      val parts = table.split('.').map(_.stripPrefix("`").stripSuffix("`"))
       require(parts.length == 2 && parts.last.equalsIgnoreCase("lake"),
         s"RESTORE TABLE wants <catalog>.lake, got '$table' — only the " +
           "head lake table is restorable")
@@ -103,7 +103,7 @@ object GraftSqlParser {
     * anchored and whitespace-tolerant; the value runs to the end so
     * quoted timestamps with spaces survive. */
   private val Restore =
-    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.$]+)\s+TO\s+(VERSION|TIMESTAMP)""" +
+    ("""(?is)\s*RESTORE\s+TABLE\s+([\w.$`]+)\s+TO\s+(VERSION|TIMESTAMP)""" +
       """\s+AS\s+OF\s+(.+?)\s*;?\s*""").r
 
   private val Explain =

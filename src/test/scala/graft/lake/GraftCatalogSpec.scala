@@ -637,6 +637,9 @@ class GraftCatalogSpec extends SparkTestBase {
     // the TIMESTAMP form: far future = head state = no-op
     assert(spark.sql(s"RESTORE TABLE $cat.lake TO TIMESTAMP AS OF " +
       "'2099-01-01 00:00:00'").collect().head.getLong(1) == -1L)
+    // backquoted identifiers parse too
+    assert(spark.sql(s"RESTORE TABLE `$cat`.`lake` TO VERSION AS OF $v1")
+      .collect().head.getLong(1) == -1L)
 
     // only <catalog>.lake is restorable; and ordinary SQL (including a
     // query with 'restore' inside it) still parses through the delegate

@@ -206,15 +206,19 @@ class RestoreSpec extends SparkTestBase {
     // twice — the restore must either win a clean slot (content == v1
     // state at its commit) or exhaust retries loudly, never commit a
     // half-reconciled set
+    // harsher than the original catch (a lock-free append landing
+    // between restore's recheck and its claim): 10 appends, 3 restore
+    // attempts, minimal stagger — the optimistic claim at head+1 must
+    // refuse every interleaving it did not see
     val appender = Future {
-      (1 to 6).map { i =>
+      (1 to 10).map { i =>
         Catalog.commitLake(spark, layout,
           Seq(("clicks", s"k$i", i.toLong)).toDF("source", "key", "v"))
       }
     }
     val restorer = Future {
-      (1 to 2).map { _ =>
-        Thread.sleep(150)
+      (1 to 3).map { _ =>
+        Thread.sleep(50)
         try Some(Catalog.restoreLake(spark, layout, v1)).filter(_ > 0)
         catch { case e: java.io.IOException
             if e.getMessage.contains("restoreLake") => None }
@@ -234,6 +238,7 @@ class RestoreSpec extends SparkTestBase {
       assert(snap(layout, seq).contains(("clicks", s"k${i + 1}", (i + 1).toLong)),
         s"append $seq lost its row")
     }
+    assert(appends.size == 10)
     // the head equals the last event in seq order, recomputed from the
     // log itself — the ultimate consistency check
     val headV = Catalog.headVersion(spark, layout)
