@@ -91,25 +91,92 @@ object Catalog {
       uuid: String, staged: Seq[String]): Long =
     claimBody(fs, layout, (uuid +: staged).mkString("\n"))
 
+  // --------------------------------------------------------------------
+  // The log-commit primitive and its object-store seam
+  // --------------------------------------------------------------------
+
+  /** A conditional-put primitive: atomically create `path` with `body`
+    * iff it does not exist, returning whether this caller won. The
+    * pluggable seam for object stores (the Delta `LogStore` idea):
+    * S3 has `If-None-Match` conditional PUT, GCS has precondition
+    * generation-match — a deployment registers the one that matches
+    * its store and every manifest-log claim routes through it. */
+  type ExclusiveCreate =
+    (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path,
+      Array[Byte]) => Boolean
+
+  private val logCommitters =
+    new java.util.concurrent.ConcurrentHashMap[String, ExclusiveCreate]()
+
+  /** Register the conditional-put for an FS scheme (`"s3a"`, `"gs"`,
+    * …). Without one, commits on that scheme REFUSE LOUD — Hadoop's
+    * `create(overwrite = false)` is exists()-then-PUT there, and two
+    * racing writers would both "win" the same commit id, silently
+    * losing one record. JVM-wide, like the FileSystem cache itself. */
+  def registerLogCommitter(scheme: String, put: ExclusiveCreate): Unit =
+    logCommitters.put(scheme.toLowerCase, put)
+
+  /** Schemes where `fs.create(path, overwrite = false)` IS an atomic
+    * claim (a namenode/metadata-server arbitrates the create). */
+  private val atomicCreateSchemes =
+    Set("hdfs", "viewfs", "webhdfs", "ofs", "o3fs")
+
+  /** One atomic create-exclusive of `rec` with `body`; true = this
+    * caller won the name. Dispatch:
+    *  - LOCAL FS: hard-link claim — Hadoop's `create(false)` is
+    *    check-then-act there; `link(2)` fails EEXIST atomically and
+    *    the record only ever appears with its full body (no torn-read
+    *    window for recovery either);
+    *  - HDFS-like ([[atomicCreateSchemes]]): `create(false)`, atomic
+    *    at the namenode;
+    *  - anything else: a registered [[ExclusiveCreate]], or a LOUD
+    *    refusal — an S3A "claim" that can silently lose a commit is
+    *    strictly worse than an error naming the fix. */
+  private[lake] def exclusiveCreate(fs: org.apache.hadoop.fs.FileSystem,
+      rec: org.apache.hadoop.fs.Path, body: String): Boolean = {
+    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      val tmp = new org.apache.hadoop.fs.Path(rec.getParent,
+        s"_claim-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(rec.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      val scheme = Option(fs.getScheme).getOrElse("").toLowerCase
+      val custom = logCommitters.get(scheme)
+      if (custom != null) custom(fs, rec, body.getBytes("UTF-8"))
+      else if (atomicCreateSchemes(scheme)) {
+        try {
+          val out = fs.create(rec, false) // claim: atomic at the namenode
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      } else throw new UnsupportedOperationException(
+        s"manifest-log commits on scheme '$scheme' have no atomic " +
+          "create-exclusive (Hadoop's create(overwrite=false) is " +
+          "check-then-act there; two racing writers would both claim " +
+          "the same commit id and one record would be silently lost) — " +
+          "register a conditional-put via " +
+          s"Catalog.registerLogCommitter(\"$scheme\", …) (S3: " +
+          "If-None-Match PUT; GCS: generation-match precondition)")
+    }
+  }
+
   /** The claim primitive shared by v1 catalog appends and v2 unified
     * ingest commits: atomic create-no-overwrite on the next dense
-    * commit id.
-    *
-    * On HDFS, `create(path, overwrite = false)` IS the atomic claim.
-    * On the LOCAL filesystem it is check-then-act (exists() + open),
-    * so two concurrent claimers can both "win" the same id and one
-    * body silently overwrites the other — observed as a rare lost
-    * commit under thread-concurrent ingests. There the claim is a
-    * HARD LINK instead: the body is written to a private `_claim-*`
-    * temp and `link(2)`-ed to the record name — link fails with
-    * EEXIST atomically, and the record only ever appears with its
-    * full body (no torn-read window for recovery either). */
+    * commit id ([[exclusiveCreate]] for the per-store dispatch). */
   private[lake] def claimBody(fs: org.apache.hadoop.fs.FileSystem, layout: Layout,
       body: String): Long = {
     val dir = new org.apache.hadoop.fs.Path(logDir(layout))
     fs.mkdirs(dir)
-    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     var attempts = 0
     while (attempts < 10000) {
       // checkpoints count in the numbering scan: after pruneLog drops
@@ -123,28 +190,7 @@ object Catalog {
         }
         .foldLeft(0L)(math.max)
       val rec = new org.apache.hadoop.fs.Path(dir, f"$next%020d.commit")
-      val won =
-        if (isLocal) {
-          val tmp = new org.apache.hadoop.fs.Path(dir,
-            s"_claim-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
-          val out = fs.create(tmp, true)
-          try out.write(body.getBytes("UTF-8")) finally out.close()
-          try {
-            java.nio.file.Files.createLink(
-              java.nio.file.Paths.get(rec.toUri.getPath),
-              java.nio.file.Paths.get(tmp.toUri.getPath))
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          } finally fs.delete(tmp, false)
-        } else {
-          try {
-            val out = fs.create(rec, false) // claim: atomic on HDFS
-            try out.write(body.getBytes("UTF-8")) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
-        }
-      if (won) return next
+      if (exclusiveCreate(fs, rec, body)) return next
       attempts += 1 // lost the race; renumber
     }
     sys.error("Catalog.append: could not claim a commit id after 10000 attempts")
@@ -166,29 +212,8 @@ object Catalog {
       layout: Layout, body: String, expected: Long): Boolean = {
     val dir = new org.apache.hadoop.fs.Path(logDir(layout))
     fs.mkdirs(dir)
-    val isLocal = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
-    val rec = new org.apache.hadoop.fs.Path(dir, f"$expected%020d.commit")
-    if (isLocal) {
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s"_claim-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(rec.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally fs.delete(tmp, false)
-    } else {
-      try {
-        val out = fs.create(rec, false) // atomic on HDFS
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
+    exclusiveCreate(fs,
+      new org.apache.hadoop.fs.Path(dir, f"$expected%020d.commit"), body)
   }
 
   /** Rename staged files into the live partition dirs under their
@@ -260,6 +285,12 @@ object Catalog {
       fileStats: Seq[(String, String)] = Seq.empty,
       expects: Seq[(String, String)] = Seq.empty,
       expectRms: Seq[String] = Seq.empty,
+      // table properties (`prop k v` / `proprm k`): last-wins per key
+      // — the Delta TBLPROPERTIES shape. The two load-bearing keys are
+      // `stats.cols`/`bloom.cols`, read by EVERY lake write path so a
+      // SQL/streaming-built lake file-skips like a typed one
+      props: Seq[(String, String)] = Seq.empty,
+      propRms: Seq[String] = Seq.empty,
       // free-form commit annotation; the one load-bearing value is
       // "erase" — a CONTENT-CHANGING rewrite (vs compaction/optimize/
       // materialize, which preserve the live view), the fact an
@@ -286,6 +317,8 @@ object Catalog {
     r.fileStats.foreach { case (rel, json) => b ++= s"\nfstat $rel $json" }
     r.expects.foreach { case (n, pred) => b ++= s"\nexpect $n $pred" }
     r.expectRms.foreach(n => b ++= s"\nexpectrm $n")
+    r.props.foreach { case (k, v) => b ++= s"\nprop $k $v" }
+    r.propRms.foreach(k => b ++= s"\nproprm $k")
     r.note.foreach(n => b ++= s"\nnote $n")
     b.result()
   }
@@ -309,6 +342,8 @@ object Catalog {
     val fileStats = Seq.newBuilder[(String, String)]
     val expects = Seq.newBuilder[(String, String)]
     val expectRms = Seq.newBuilder[String]
+    val props = Seq.newBuilder[(String, String)]
+    val propRms = Seq.newBuilder[String]
     var note: Option[String] = None
     var section = ""
     lines.tail.foreach { l =>
@@ -324,6 +359,12 @@ object Catalog {
         val rest = l.stripPrefix("expect ")
         val sp = rest.indexOf(' ')
         expects += ((rest.substring(0, sp), rest.substring(sp + 1)))
+      }
+      else if (l.startsWith("proprm ")) propRms += l.stripPrefix("proprm ")
+      else if (l.startsWith("prop ")) {
+        val rest = l.stripPrefix("prop ")
+        val sp = rest.indexOf(' ')
+        props += ((rest.substring(0, sp), rest.substring(sp + 1)))
       }
       else if (l.startsWith("cat ")) { section = "cat"; catUuid = Some(l.stripPrefix("cat ")) }
       else if (l.startsWith("dist ")) { section = "dist"; distUuid = Some(l.stripPrefix("dist ")) }
@@ -367,7 +408,8 @@ object Catalog {
       widenCols.result(), renameCols.result(), dropCols.result(),
       dvUuid, dv.result(), dvRemoves.result(),
       lakeReAdds.result(), dvReAdds.result(), fileStats.result(),
-      expects.result(), expectRms.result(), note)
+      expects.result(), expectRms.result(),
+      props.result(), propRms.result(), note)
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -485,10 +527,16 @@ object Catalog {
     if (lakeFiles.isEmpty && catFiles.isEmpty) {
       fs.delete(lakeStage, true); fs.delete(catStage, true); return
     }
+    val (declStats, declBloom) = declaredStatsCols(spark, layout)
+    val stats =
+      if (lakeFiles.isEmpty || (declStats.isEmpty && declBloom.isEmpty))
+        Seq.empty[(String, String)]
+      else computeFileStats(spark, lakeStage.toString, declStats, declBloom)
     val rec = V2Record(-1L, System.currentTimeMillis(), None,
       if (catFiles.nonEmpty) Some(catUuid) else None, catFiles,
       None, Seq.empty, Seq.empty,
-      if (lakeFiles.nonEmpty) Some(lakeUuid) else None, lakeFiles)
+      if (lakeFiles.nonEmpty) Some(lakeUuid) else None, lakeFiles,
+      fileStats = stats)
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (catFiles.isEmpty) fs.delete(catStage, true)
@@ -522,10 +570,16 @@ object Catalog {
       .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
     val staged = stagedFiles(fs, stage)
     if (staged.isEmpty && removes.isEmpty) { fs.delete(stage, true); return -1L }
+    // caller-supplied stats columns UNION the table-declared ones
+    // (`TBLPROPERTIES('stats.cols'=…)`) — the declaration makes file
+    // skipping a table fact, not a per-caller courtesy
+    val (declStats, declBloom) = declaredStatsCols(spark, layout)
+    val allStats = (statsCols ++ declStats).distinct
+    val allBloom = (bloomCols ++ declBloom).distinct
     val stats =
-      if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
+      if (staged.isEmpty || (allStats.isEmpty && allBloom.isEmpty))
         Seq.empty[(String, String)]
-      else computeFileStats(spark, stage.toString, statsCols, bloomCols)
+      else computeFileStats(spark, stage.toString, allStats, allBloom)
     val rec = V2Record(-1L, System.currentTimeMillis(), marker,
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (staged.nonEmpty) Some(uuid) else None, staged, removes,
@@ -1100,9 +1154,12 @@ object Catalog {
       expectRms: Seq[String] = Seq.empty,
       renameCols: Seq[(String, String)] = Seq.empty,
       dropCols: Seq[String] = Seq.empty,
+      setProps: Seq[(String, String)] = Seq.empty,
+      unsetProps: Seq[String] = Seq.empty,
       lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
     require(addCols.nonEmpty || widenCols.nonEmpty || expectAdds.nonEmpty ||
-      expectRms.nonEmpty || renameCols.nonEmpty || dropCols.nonEmpty,
+      expectRms.nonEmpty || renameCols.nonEmpty || dropCols.nonEmpty ||
+      setProps.nonEmpty || unsetProps.nonEmpty,
       "ALTER with no changes")
     SourceLock.withLock(spark, layout, schemaLockName, lockTtlMs, waitMs) {
       // ---- validate EVERYTHING before committing ANYTHING ----
@@ -1185,6 +1242,42 @@ object Catalog {
         if (!inForce.contains(n)) throw new IllegalArgumentException(
           s"no such constraint: $n")
       }
+      // ---- table properties ----
+      (setProps.map(_._1) ++ unsetProps).foreach { k =>
+        require(k.nonEmpty && !k.contains(' ') && !k.contains('\n'),
+          s"bad property key: '$k'")
+      }
+      setProps.foreach { case (_, v) =>
+        require(!v.contains('\n'), "property values must be single-line")
+      }
+      // the skipping-index keys must name columns of the POST-change
+      // schema — a typo'd stats column would silently stat nothing on
+      // every future write
+      setProps.filter(p => p._1 == StatsColsProp || p._1 == BloomColsProp)
+        .foreach { case (k, v) =>
+          splitCols(v).foreach(c => require(types.contains(c),
+            s"$k names unknown column '$c' (lake columns: " +
+              s"${types.keys.mkString(", ")})"))
+        }
+      val propsNow = lakeProperties(spark, layout)
+      unsetProps.foreach { k =>
+        if (!propsNow.contains(k)) throw new IllegalArgumentException(
+          s"no such table property: $k")
+      }
+      // a RENAME of a declared stats/bloom column re-points the
+      // declaration in the SAME record — new files stat the new name
+      // (old files' stats stay keyed physically, doc'd on rename)
+      val renameMap = renameCols.toMap
+      val repointedProps =
+        if (renameCols.isEmpty) setProps
+        else setProps ++ Seq(StatsColsProp, BloomColsProp).flatMap { key =>
+          if (setProps.exists(_._1 == key)) None
+          else propsNow.get(key).flatMap { v =>
+            val mapped = splitCols(v).map(c => renameMap.getOrElse(c, c))
+            if (mapped == splitCols(v)) None
+            else Some(key -> mapped.mkString(","))
+          }
+        }
       // ---- one record for the whole statement ----
       val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1192,7 +1285,8 @@ object Catalog {
         None, Seq.empty, None, Seq.empty, Seq.empty,
         None, Seq.empty, Seq.empty, addCols = addCols, widenCols = widenCols,
         renameCols = renameCols, dropCols = dropCols,
-        expects = expectAdds, expectRms = expectRms)
+        expects = expectAdds, expectRms = expectRms,
+        props = repointedProps, propRms = unsetProps)
       val seq = claimBody(fs, layout, v2Body(rec))
       finishV2(fs, layout, seq, rec)
       seq
@@ -1415,6 +1509,45 @@ object Catalog {
       case (acc, (_, n, Some(p))) => acc + (n -> p)
       case (acc, (_, n, None)) => acc - n
     }
+  }
+
+  /** The table properties in force at `version`: key → value, last
+    * SET wins, an UNSET removes (the Delta TBLPROPERTIES semantics).
+    * Committed via [[commitLakeAlter]]'s `setProps`/`unsetProps` (SQL:
+    * `CREATE TABLE … TBLPROPERTIES(…)` / `ALTER TABLE … SET
+    * TBLPROPERTIES(…)`). */
+  def lakeProperties(spark: SparkSession, layout: Layout,
+      version: Long = Long.MaxValue): Map[String, String] = {
+    val st = readLog(spark, layout)
+    val events = (st.props.collect {
+      case (seq, k, v) if seq <= version => (seq, k, Some(v))
+    } ++ st.propRms.collect {
+      case (seq, k) if seq <= version => (seq, k, None)
+    }).sortBy(_._1)
+    events.foldLeft(Map.empty[String, String]) {
+      case (acc, (_, k, Some(v))) => acc + (k -> v)
+      case (acc, (_, k, None)) => acc - k
+    }
+  }
+
+  /** The two load-bearing property keys: columns whose per-file
+    * min/max (resp. bloom) land in EVERY write's commit record — a
+    * TABLE fact, so a lake built purely through SQL INSERT / MERGE /
+    * the streaming sink file-skips exactly like one built by typed
+    * `commitLake(statsCols = …)` callers. */
+  private[graft] val StatsColsProp = "stats.cols"
+  private[graft] val BloomColsProp = "bloom.cols"
+
+  private def splitCols(v: String): Seq[String] =
+    v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The declared (statsCols, bloomCols) of the table — what every
+    * write path unions into its caller-supplied lists. */
+  private[graft] def declaredStatsCols(spark: SparkSession,
+      layout: Layout): (Seq[String], Seq[String]) = {
+    val props = lakeProperties(spark, layout)
+    (props.get(StatsColsProp).map(splitCols).getOrElse(Seq.empty),
+      props.get(BloomColsProp).map(splitCols).getOrElse(Seq.empty))
   }
 
   /** Enforce the committed expectations on a typed batch BEFORE it is
@@ -1796,11 +1929,19 @@ object Catalog {
       fs.delete(lakeStage, true); fs.delete(dvStage, true)
       return -1L
     }
+    // table-declared skipping stats ride every DV+append commit too —
+    // MERGE/UPDATE/upsert/overwrite/streaming-sink appends stay
+    // prunable on a stats-declared table
+    val (declStats, declBloom) = declaredStatsCols(spark, layout)
+    val stats =
+      if (lakeStaged.isEmpty || (declStats.isEmpty && declBloom.isEmpty))
+        Seq.empty[(String, String)]
+      else computeFileStats(spark, lakeStage.toString, declStats, declBloom)
     val rec = V2Record(-1L, System.currentTimeMillis(), marker,
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (lakeStaged.nonEmpty) Some(lakeUuid) else None, lakeStaged,
       dvUuid = if (dvStaged.nonEmpty) Some(dvUuid) else None, dv = dvStaged,
-      note = note)
+      fileStats = stats, note = note)
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (lakeStaged.isEmpty) fs.delete(lakeStage, true)
@@ -2246,10 +2387,17 @@ object Catalog {
             .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
           stagedFiles(fs, stage)
         }
+      // table-declared skipping stats are recomputed for the rewrites
+      // (their content changed: the deleted rows are gone)
+      val (declStats, declBloom) = declaredStatsCols(spark, layout)
+      val stats =
+        if (staged.isEmpty || (declStats.isEmpty && declBloom.isEmpty))
+          Seq.empty[(String, String)]
+        else computeFileStats(spark, stage.toString, declStats, declBloom)
       val rec = V2Record(-1L, System.currentTimeMillis(), None,
         None, Seq.empty, None, Seq.empty, Seq.empty,
         if (staged.nonEmpty) Some(uuid) else None, staged,
-        lakeRemoves = lockedAffected, dvRemoves = dvRm)
+        lakeRemoves = lockedAffected, dvRemoves = dvRm, fileStats = stats)
       val seq = claimBody(fs, layout, v2Body(rec))
       finishV2(fs, layout, seq, rec)
       if (staged.isEmpty) fs.delete(stage, true)
@@ -2356,10 +2504,14 @@ object Catalog {
             val staged = stagedFiles(fs, stage)
             val dvRm = staleDvsAfterRemoval(spark, layout, chosen.toSet,
               dvFilesAsOf(spark, layout), prefix)
+            // caller cols UNION the table-declared stats.cols/bloom.cols
+            val (declStats, declBloom) = declaredStatsCols(spark, layout)
+            val allStats = (statsCols ++ declStats).distinct
+            val allBloom = (bloomCols ++ declBloom).distinct
             val stats =
-              if (staged.isEmpty || (statsCols.isEmpty && bloomCols.isEmpty))
+              if (staged.isEmpty || (allStats.isEmpty && allBloom.isEmpty))
                 Seq.empty[(String, String)]
-              else computeFileStats(spark, stage.toString, statsCols, bloomCols)
+              else computeFileStats(spark, stage.toString, allStats, allBloom)
             val rec = V2Record(-1L, System.currentTimeMillis(), None,
               None, Seq.empty, None, Seq.empty, Seq.empty,
               if (staged.nonEmpty) Some(uuid) else None, staged,
@@ -2614,6 +2766,14 @@ object Catalog {
     * prefix) and one over its DV files joined against their distinct
     * target files. Cost is O(changed data), independent of lake size
     * and version count. */
+  /** Whether `(from, to]` contains any row-level DELETE — planned from
+    * the LOG alone (a DV file committed in the range; overwrites and
+    * DV deletes both land one). The plain-rows streaming source's
+    * refusal gate: no data file is opened to decide. */
+  def lakeHasDeletesBetween(spark: SparkSession, layout: Layout,
+      from: Long, to: Long): Boolean =
+    readLog(spark, layout).dv.exists(e => e._1 > from && e._1 <= to)
+
   def lakeChangesBetween(spark: SparkSession, layout: Layout,
       fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {
     val state = readLog(spark, layout)
@@ -2942,10 +3102,13 @@ object Catalog {
     val fsF = state.fileStats.filter(_._1 <= cap)
     val exF = state.expects.filter(_._1 <= cap)
     val exrF = state.expectRms.filter(_._1 <= cap)
+    val psF = state.props.filter(_._1 <= cap)
+    val psrF = state.propRms.filter(_._1 <= cap)
     val seqs = catF.map(_._1) ++ distF.map(_._1) ++ rmF.map(_._1) ++
       lakeF.map(_._1) ++ lrmF.map(_._1) ++
       dvF.map(_._1) ++ dvrF.map(_._1) ++ fsF.map(_._1) ++
       exF.map(_._1) ++ exrF.map(_._1) ++
+      psF.map(_._1) ++ psrF.map(_._1) ++
       state.addCols.filter(_._1 <= cap).map(_._1) ++
       state.widenCols.filter(_._1 <= cap).map(_._1) ++
       state.renameCols.filter(_._1 <= cap).map(_._1) ++
@@ -2980,6 +3143,8 @@ object Catalog {
       fsF.sortBy(e => (e._1, e._2)).map { case (s, rel, j) => s"FS $s $rel $j" } ++
       exF.sortBy(e => (e._1, e._2)).map { case (s, n, p) => s"EX $s $n $p" } ++
       exrF.sortBy(e => (e._1, e._2)).map { case (s, n) => s"EXR $s $n" } ++
+      psF.sortBy(e => (e._1, e._2)).map { case (s, k, v) => s"PS $s $k $v" } ++
+      psrF.sortBy(e => (e._1, e._2)).map { case (s, k) => s"PSR $s $k" } ++
       state.notes.filter(_._1 <= cap).sortBy(_._1)
         .map { case (s, n) => s"N $s $n" }
     val body = (lines :+ s"#end ${lines.size}").mkString("\n")
@@ -3041,6 +3206,8 @@ object Catalog {
       fileStats: Seq[(Long, String, String)] = Seq.empty,
       expects: Seq[(Long, String, String)] = Seq.empty,
       expectRms: Seq[(Long, String)] = Seq.empty,
+      props: Seq[(Long, String, String)] = Seq.empty,
+      propRms: Seq[(Long, String)] = Seq.empty,
       notes: Seq[(Long, String)] = Seq.empty,
       // listing digest this state was parsed from ([[readLog]]'s memo
       // key) — lets downstream memos (snapshot plans) validate with
@@ -3138,10 +3305,16 @@ object Catalog {
     val fileStats = Seq.newBuilder[(Long, String, String)]
     val expects = Seq.newBuilder[(Long, String, String)]
     val expectRms = Seq.newBuilder[(Long, String)]
+    val props = Seq.newBuilder[(Long, String, String)]
+    val propRms = Seq.newBuilder[(Long, String)]
     val notes = Seq.newBuilder[(Long, String)]
     cpLines.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("N ")) {
         val a = l.split(" ", 3); notes += ((a(1).toLong, a(2)))
+      } else if (l.startsWith("PSR ")) {
+        val a = l.split(' '); propRms += ((a(1).toLong, a(2)))
+      } else if (l.startsWith("PS ")) {
+        val a = l.split(" ", 4); props += ((a(1).toLong, a(2), a(3)))
       } else if (l.startsWith("FS ")) {
         val a = l.split(" ", 4); fileStats += ((a(1).toLong, a(2), a(3)))
       } else if (l.startsWith("EXR ")) {
@@ -3202,6 +3375,8 @@ object Catalog {
           r.fileStats.foreach { case (rel, json) => fileStats += ((seq, live(rel), json)) }
           r.expects.foreach { case (n, pred) => expects += ((seq, n, pred)) }
           r.expectRms.foreach(n => expectRms += ((seq, n)))
+          r.props.foreach { case (k, v) => props += ((seq, k, v)) }
+          r.propRms.foreach(k => propRms += ((seq, k)))
           r.note.foreach(n => notes += ((seq, n)))
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
@@ -3211,7 +3386,8 @@ object Catalog {
       lake.result(), lakeRemoves.result(), addCols.result(),
       widenCols.result(), renameCols.result(), dropCols.result(),
       dv.result(), dvRemoves.result(), fileStats.result(),
-      expects.result(), expectRms.result(), notes.result())
+      expects.result(), expectRms.result(),
+      props.result(), propRms.result(), notes.result())
   }
 
   /** The committed distribution file set (relative paths): every

@@ -49,6 +49,21 @@ object Artifacts {
     exportDir
   }
 
+  /** Corpus key from testdata table file lengths (dir basename + bytes
+    * per table) — stable per generated corpus, no data scan needed.
+    * The key for artifacts derived from raw corpus tables (the
+    * lake-fixture keys in [[graft.sql.SqlLake]] use the same shape). */
+  def tableKey(spark: SparkSession, sfDir: String,
+      tables: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val lens = tables.map { t =>
+      val p = new Path(s"$sfDir/$t.parquet")
+      p.getFileSystem(conf).getContentSummary(p).getLength
+    }
+    s"${base}_${lens.mkString("_")}"
+  }
+
   /** The shared artifact root every corpus-keyed artifact lives under
     * (`near_dup_pairs/k=…`, `pq_codebooks/v1/k=…`, `ivfpq_codebooks`,
     * `ivfpq_codes`, `ivf_assignments`). */

@@ -305,11 +305,20 @@ object Sketch {
     val k = KmvK
     // ONE corpus pass: the distinct (type, user) table feeds the
     // sketches (hashed on the distinct pairs, not on every event row),
-    // the exact sizes, and the exact intersection — truncated so the
-    // three consumers do not each rescan events
-    val du = Truncate(Tables.events(spark, sfDir)
-      .select(col("event_type").as("t"), col("user_id").as("u"))
-      .distinct(), "kmv-setops-du")
+    // the exact sizes, and the exact intersection — committed as a
+    // CORPUS-KEYED shared artifact (the buildIncrementalProbe pattern,
+    // round 12) so a fresh JVM's first consumer pays one metadata read
+    // instead of the family build; within a JVM it also serves every
+    // reference without re-scanning events
+    val duDir = s"${Artifacts.sharedRoot}/kmv_du/k=${
+      Artifacts.tableKey(spark, sfDir, Seq("events"))}"
+    Artifacts.commit(spark, duDir) { tmp =>
+      Tables.events(spark, sfDir)
+        .select(col("event_type").as("t"), col("user_id").as("u"))
+        .distinct().coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    val du = spark.read.parquet(duDir)
     val h = conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10).cast("long")
     val hashes = du.select(col("t"), h.as("h")).distinct()
     val w = org.apache.spark.sql.expressions.Window

@@ -88,29 +88,88 @@ class GraftCatalog extends TableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
-  private val tableNames =
-    Seq("lake", "lake_changes", "lake_catalog", "lake_history", "lake_detail")
+  /** Derived read-surface suffixes: for any base table `t`, the names
+    * `t_changes` / `t_history` / `t_detail` serve its change feed,
+    * DESCRIBE HISTORY and DESCRIBE DETAIL. Reserved at CREATE, so
+    * identifier parsing stays unambiguous. */
+  private val derivedSuffixes = Seq("_changes", "_history", "_detail")
+
+  /** Base table → its layout. The legacy `lake` table IS the catalog
+    * root (the reference pipeline's bronze/catalog/distribution areas
+    * live beside it); every other table is a self-contained layout
+    * under `_tables/<name>` — one manifest log per table, every typed
+    * verb addressed per table. The `_` prefix keeps whole-root file
+    * listings from picking table dirs up as data; the nesting keeps
+    * user table names from colliding with the root's area dirs. */
+  private[sql] def tableLayout(table: String): Layout =
+    if (table == "lake") layout
+    else Layout(s"${layout.root}/${GraftAddress.TablesDir}/$table")
+
+  private val tableNameRe = "[A-Za-z][A-Za-z0-9_]*".r
+  private def validBaseName(n: String): Boolean =
+    n == "lake" || (tableNameRe.matches(n) && n != "lake_catalog" &&
+      !derivedSuffixes.exists(n.endsWith))
+
+  /** Identifier name → (base table, derived surface). `lake_catalog`
+    * parses as a derived surface of the root (the ingest area). */
+  private def parseName(name: String): Option[(String, Option[String])] =
+    if (name == "lake_catalog") Some(("lake", Some("_catalog")))
+    else derivedSuffixes.find(name.endsWith) match {
+      case Some(sfx) =>
+        val base = name.stripSuffix(sfx)
+        if (validBaseName(base)) Some((base, Some(sfx))) else None
+      case None => if (validBaseName(name)) Some((name, None)) else None
+    }
+
+  private def defaultNs(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("default"))
 
   private def resolvable(ident: Identifier): Boolean =
-    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("default"))) &&
-      tableNames.contains(ident.name)
+    defaultNs(ident.namespace) && parseName(ident.name).isDefined
+
+  /** The base tables that EXIST: `lake` when the root log carries lake
+    * facts, plus every `_tables/<t>` whose own log does. */
+  private def existingTables: Seq[String] = {
+    val s = spark
+    val legacy = if (Lake.lakeTableExists(s, layout)) Seq("lake") else Seq.empty
+    val dir = new org.apache.hadoop.fs.Path(
+      s"${layout.root}/${GraftAddress.TablesDir}")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val subs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => validBaseName(n) && n != "lake")
+        .filter(n => Lake.lakeTableExists(s, tableLayout(n)))
+        .toSeq.sorted
+    legacy ++ subs
+  }
 
   // mirror resolvable(): listing a namespace loadTable would refuse
-  // (SHOW TABLES IN graft.foo) returns nothing, not phantom tables
+  // (SHOW TABLES IN graft.foo) returns nothing, not phantom tables.
+  // The legacy surfaces list unconditionally (they always resolve);
+  // created tables list with their derived surfaces once they exist.
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty || namespace.sameElements(Array("default")))
-      tableNames.map(Identifier.of(namespace, _)).toArray
-    else Array.empty
+    if (defaultNs(namespace)) {
+      val legacy =
+        Seq("lake", "lake_changes", "lake_catalog", "lake_history", "lake_detail")
+      val created = existingTables.filterNot(_ == "lake")
+        .flatMap(t => t +: derivedSuffixes.map(sfx => s"$t$sfx"))
+      (legacy ++ created).map(Identifier.of(namespace, _)).toArray
+    } else Array.empty
 
-  /** The `lake` table "exists" once the log carries any LAKE fact —
-    * a data file ever committed or a CREATE's schema facts; catalog/
+  /** A base table "exists" once its log carries any LAKE fact — a data
+    * file ever committed or a CREATE's schema facts; catalog/
     * distribution-area commits don't count (an ingest-only root's lake
     * is still creatable). Gates `CREATE TABLE` vs
     * `TableAlreadyExistsException` and makes `IF NOT EXISTS` a no-op
-    * on a populated root. The derived surfaces always exist. */
+    * on a populated root. The legacy lake's derived surfaces always
+    * exist; a created table's exist with it. */
   override def tableExists(ident: Identifier): Boolean =
-    resolvable(ident) && (ident.name != "lake" ||
-      Lake.lakeTableExists(spark, layout))
+    resolvable(ident) && {
+      val (base, derived) = parseName(ident.name).get
+      (base == "lake" && derived.isDefined) ||
+        Lake.lakeTableExists(spark, tableLayout(base))
+    }
 
   override def loadTable(ident: Identifier): Table = tableAt(ident, None)
 
@@ -135,74 +194,83 @@ class GraftCatalog extends TableCatalog {
   private def tableAt(ident: Identifier, version: Option[Long]): Table = {
     if (!resolvable(ident)) throw new NoSuchTableException(ident)
     val s = spark
-    ident.name match {
-      case "lake" =>
+    val (base, derived) = parseName(ident.name).get
+    val tl = tableLayout(base)
+    // a created table must actually exist to serve reads; the legacy
+    // lake stays loadable pre-creation (its derived surfaces and the
+    // empty-frame read predate CREATE TABLE support)
+    if (base != "lake" && !Lake.lakeTableExists(s, tl))
+      throw new NoSuchTableException(ident)
+    val qname = s"$catalogName.${ident.name}"
+    derived match {
+      case None =>
         version match {
-          // the HEAD table is the DML surface: DELETE FROM graft.lake
+          // the HEAD table is the DML surface: DELETE FROM graft.<t>
           // WHERE … routes into the typed path (locks + expectations)
-          case None => new GraftLakeTable(s"$catalogName.lake", layout,
-            () => Lake.loadLakeSnapshot(s, layout))
-          case Some(v) => new GraftTable(s"$catalogName.lake",
-            () => Lake.loadLakeSnapshot(s, layout, v))
+          case None => new GraftLakeTable(qname, tl,
+            () => Lake.loadLakeSnapshot(s, tl))
+          case Some(v) => new GraftTable(qname,
+            () => Lake.loadLakeSnapshot(s, tl, v))
         }
-      case "lake_catalog" =>
-        new GraftTable(s"$catalogName.lake_catalog",
+      case Some("_catalog") =>
+        new GraftTable(qname,
           () => version match {
-            case Some(v) => Lake.loadAsOf(s, layout, v)
-            case None => Lake.load(s, layout)
+            case Some(v) => Lake.loadAsOf(s, tl, v)
+            case None => Lake.load(s, tl)
           })
-      case "lake_history" =>
+      case Some("_history") =>
         // DESCRIBE HISTORY: per-retained-version commit summary
         if (version.isDefined) throw new UnsupportedOperationException(
-          "lake_history is the version timeline itself — no AS OF")
-        new GraftTable(s"$catalogName.lake_history",
-          () => Lake.lakeHistory(s, layout))
-      case "lake_detail" =>
+          s"${ident.name} is the version timeline itself — no AS OF")
+        new GraftTable(qname, () => Lake.lakeHistory(s, tl))
+      case Some("_detail") =>
         // DESCRIBE DETAIL: one row of table-level facts at head
         if (version.isDefined) throw new UnsupportedOperationException(
-          "lake_detail describes the head — use VERSION AS OF on lake")
-        new GraftTable(s"$catalogName.lake_detail",
-          () => Lake.lakeDetail(s, layout))
-      case "lake_changes" =>
+          s"${ident.name} describes the head — use VERSION AS OF on $base")
+        new GraftTable(qname, () => Lake.lakeDetail(s, tl))
+      case Some("_changes") =>
         if (version.isDefined) throw new UnsupportedOperationException(
-          "lake_changes is already a version range — set " +
+          s"${ident.name} is already a version range — set " +
             "spark.graft.cdf.startingVersion / endingVersion instead of AS OF")
         // conf is read HERE (loadTable runs per query analysis), so two
         // queries under different conf values see different ranges
         val from = s.conf.get("spark.graft.cdf.startingVersion", "0").toLong
         val to = s.conf.get("spark.graft.cdf.endingVersion",
           Long.MaxValue.toString).toLong
-        new GraftTable(s"$catalogName.lake_changes",
-          () => Lake.lakeChangesBetween(s, layout, from, to))
+        new GraftTable(qname, () => Lake.lakeChangesBetween(s, tl, from, to))
       case _ => throw new NoSuchTableException(ident)
     }
   }
 
-  /** `CREATE TABLE <cat>.lake (…) PARTITIONED BY (source)` — schema
+  /** `CREATE TABLE <cat>.<name> (…) PARTITIONED BY (source)` — schema
     * facts on an EMPTY log: every declared column lands as an addcol
     * fact in ONE atomic record ([[graft.lake.Catalog.commitLakeAlter]]),
     * so the table reads as an empty frame WITH that schema and the
     * whole lifecycle — `INSERT INTO`, `MERGE INTO` (the NOT-MATCHED
     * bootstrap), constraints, evolution — is reachable from pure SQL
-    * with no typed bootstrap commit. Requirements: the one table name
-    * is `lake` (the catalog stays single-lake-per-root — more lakes =
-    * more catalogs, the root is the unit of layout); the schema
-    * carries `source STRING` (the partition key every maintenance path
-    * keys on); partitioning is absent or exactly `source`. The
-    * reported column order puts `source` LAST (the data-born
-    * convention), regardless of declaration order. Refuses on a
-    * populated root ([[tableExists]] gates `IF NOT EXISTS` upstream). */
+    * with no typed bootstrap commit. Any valid base name is creatable
+    * (its manifest log lives under `_tables/<name>`; `lake` is the
+    * catalog-root table itself); derived-surface suffixes
+    * (`*_changes`/`*_history`/`*_detail`) and `lake_catalog` are
+    * reserved. The schema carries `source STRING` (the partition key
+    * every maintenance path keys on); partitioning is absent or
+    * exactly `source`. The reported column order puts `source` LAST
+    * (the data-born convention), regardless of declaration order.
+    * Refuses on an existing table ([[tableExists]] gates
+    * `IF NOT EXISTS` upstream). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (!resolvable(ident) || ident.name != "lake")
+    if (!defaultNs(ident.namespace) || !validBaseName(ident.name) ||
+        parseName(ident.name).exists(_._2.isDefined))
       throw new UnsupportedOperationException(
-        s"only the 'lake' table is creatable (one lake per catalog " +
-          s"root — register another catalog for another lake), got " +
-          s"${ident.name}")
+        s"'${ident.name}' is not a creatable table name — any " +
+          "identifier not ending in the reserved derived suffixes " +
+          s"(${derivedSuffixes.mkString(", ")}) works")
     val s = spark
-    if (Lake.lakeTableExists(s, layout))
+    val tblLayout = tableLayout(ident.name)
+    if (Lake.lakeTableExists(s, tblLayout))
       throw new org.apache.spark.sql.catalyst.analysis
-        .TableAlreadyExistsException(Array(name(), "lake"))
+        .TableAlreadyExistsException(Array(name(), ident.name))
     val src = schema.fields.find(_.name == "source").getOrElse(
       throw new IllegalArgumentException(
         "CREATE TABLE needs a 'source STRING' column — the lake's " +
@@ -220,8 +288,18 @@ class GraftCatalog extends TableCatalog {
     Option(properties.get("location")).foreach(_ =>
       throw new UnsupportedOperationException(
         "LOCATION is the catalog root — set spark.sql.catalog.<name>.root"))
-    Lake.commitLakeAlter(s, layout,
-      addCols = schema.fields.toSeq.map(f => f.name -> f.dataType.sql))
+    // TBLPROPERTIES land as atomic log facts with the schema —
+    // `stats.cols`/`bloom.cols` make file skipping a TABLE fact every
+    // write path honors. Spark's own bookkeeping keys are dropped.
+    val sparkManaged = Set("location", "provider", "owner", "external",
+      "is_managed_location")
+    val props = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toSeq.filterNot(p => sparkManaged(p._1.toLowerCase))
+    }
+    Lake.commitLakeAlter(s, tblLayout,
+      addCols = schema.fields.toSeq.map(f => f.name -> f.dataType.sql),
+      setProps = props)
     tableAt(ident, None)
   }
   /** SQL DDL for the evolutions the manifest log supports — each maps
@@ -250,8 +328,14 @@ class GraftCatalog extends TableCatalog {
     * committed prefix of itself. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!resolvable(ident)) throw new NoSuchTableException(ident)
-    if (ident.name != "lake") throw new UnsupportedOperationException(
-      s"${ident.name} is not alterable; evolutions land on the lake table")
+    val (base, derived) = parseName(ident.name).get
+    if (derived.isDefined) throw new UnsupportedOperationException(
+      s"${ident.name} is a derived surface; evolutions land on '$base'")
+    // deliberately shadows the catalog-root field: every commit below
+    // lands on THIS table's manifest log
+    val layout = tableLayout(base)
+    if (base != "lake" && !Lake.lakeTableExists(spark, layout))
+      throw new NoSuchTableException(ident)
     val s = spark
     def topLevel(fieldNames: Array[String]): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(
@@ -264,7 +348,13 @@ class GraftCatalog extends TableCatalog {
     val dropCols = Seq.newBuilder[String]
     val expectAdds = Seq.newBuilder[(String, String)]
     val expectRms = Seq.newBuilder[String]
+    val setProps = Seq.newBuilder[(String, String)]
+    val unsetProps = Seq.newBuilder[String]
     changes.foreach {
+      case sp: TableChange.SetProperty =>
+        setProps += ((sp.property(), sp.value()))
+      case rp: TableChange.RemoveProperty =>
+        unsetProps += rp.property()
       case ac: TableChange.AddColumn =>
         addCols += ((topLevel(ac.fieldNames()), ac.dataType().sql))
       case ut: TableChange.UpdateColumnType =>
@@ -289,20 +379,77 @@ class GraftCatalog extends TableCatalog {
           "ADD COLUMNS, ALTER COLUMN TYPE (lossless widening), " +
           "RENAME COLUMN, DROP COLUMN, ADD/DROP CONSTRAINT … CHECK")
     }
-    val (ac, wc, rc, dc, ea, er) =
+    val (ac, wc, rc, dc, ea, er, ps, pr) =
       (addCols.result(), widenCols.result(), renameCols.result(),
-        dropCols.result(), expectAdds.result(), expectRms.result())
+        dropCols.result(), expectAdds.result(), expectRms.result(),
+        setProps.result(), unsetProps.result())
     // a lone DROP CONSTRAINT IF EXISTS on a missing name is a no-op
     if (ac.nonEmpty || wc.nonEmpty || rc.nonEmpty || dc.nonEmpty ||
-        ea.nonEmpty || er.nonEmpty)
+        ea.nonEmpty || er.nonEmpty || ps.nonEmpty || pr.nonEmpty)
       Lake.commitLakeAlter(s, layout, ac, wc, ea, er,
-        renameCols = rc, dropCols = dc)
+        renameCols = rc, dropCols = dc, setProps = ps, unsetProps = pr)
     tableAt(ident, None)
   }
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  /** `DROP TABLE <cat>.<name>`: a created table is a self-contained
+    * layout under `_tables/<name>` — dropping deletes it whole (log,
+    * data, DVs, history; there is nothing else in the dir). The legacy
+    * `lake` table REFUSES: it shares the catalog root with the ingest
+    * pipeline's bronze/catalog/distribution areas, and deleting those
+    * as a side effect of a table verb would be a destructive surprise
+    * (clear the root itself to retire a whole deployment). */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!resolvable(ident)) return false
+    val (base, derived) = parseName(ident.name).get
+    if (derived.isDefined) throw new UnsupportedOperationException(
+      s"${ident.name} is a derived surface of '$base' — drop the table")
+    if (base == "lake") throw new UnsupportedOperationException(
+      "the root 'lake' table shares the catalog root with the ingest " +
+        "areas (bronze/catalog/distribution) and cannot be dropped " +
+        "through a table verb — created tables (CREATE TABLE " +
+        s"$catalogName.<name>) drop cleanly")
+    val s = spark
+    val tl = tableLayout(base)
+    if (!Lake.lakeTableExists(s, tl)) return false
+    val dir = new org.apache.hadoop.fs.Path(tl.root)
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported: checkpoints, subscriber offsets " +
+        "and shared-artifact keys are addressed by layout root — " +
+        "create-as-select into the new name instead")
+}
+
+/** Shared lake-addressing for every out-of-band SQL surface (TVFs,
+  * RESTORE, maintenance statements): a target string is a registered
+  * catalog name (its root `lake` table), `catalog.table` (that
+  * catalog's created table), or a literal layout-root path. */
+private[graft] object GraftAddress {
+  /** Created tables live under `<root>/_tables/<name>` — `_`-prefixed
+    * so whole-root file listings skip them, nested so user table names
+    * can never collide with the root's area dirs. */
+  val TablesDir = "_tables"
+
+  def layout(spark: SparkSession, target: String): Layout = {
+    def rootOf(cat: String): Option[String] =
+      spark.conf.getOption(s"spark.sql.catalog.$cat.root")
+    rootOf(target) match {
+      case Some(r) => Layout(r)
+      case None =>
+        val dot = target.indexOf('.')
+        if (dot > 0) {
+          val (cat, tbl) = (target.substring(0, dot), target.substring(dot + 1))
+          rootOf(cat) match {
+            case Some(r) =>
+              if (tbl == "lake") Layout(r)
+              else Layout(s"$r/$TablesDir/$tbl")
+            case None => Layout(target) // a path that happens to contain '.'
+          }
+        } else Layout(target)
+    }
+  }
 }
 
 /** A lazily-planned read-only table: `frame` builds the DataFrame from
@@ -354,6 +501,14 @@ private[sql] class GraftLakeTable(tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // SHOW TBLPROPERTIES / DESCRIBE EXTENDED read committed log facts
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    Lake.lakeProperties(SparkSession.active, layout)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   // the head table's scans consult the manifest-log skipping index:
   // pushed range/point conjuncts prune the FILE LIST (min/max stats)

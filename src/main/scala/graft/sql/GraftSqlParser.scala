@@ -6,37 +6,43 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.Row
 import graft.lake.{Catalog => Lake, Layout}
 
-/** The one statement Spark's grammar lacks and no injection point can
-  * express: `RESTORE TABLE <catalog>.lake TO VERSION|TIMESTAMP AS OF …`
-  * — a DELEGATING parser (the Delta `DeltaSqlParser` pattern, the
-  * public precedent for out-of-tree lakehouse statements): everything
-  * that is not a RESTORE statement passes to Spark's own parser
-  * verbatim, so the session's SQL surface is unchanged except for the
-  * one new verb.
+/** The statements Spark's grammar lacks and no injection point can
+  * express — a DELEGATING parser (the Delta `DeltaSqlParser` pattern,
+  * the public precedent for out-of-tree lakehouse statements):
+  * everything that is not one of the verbs below passes to Spark's own
+  * parser verbatim, so the session's SQL surface is otherwise
+  * unchanged.
   *
-  * Why not a TVF like the maintenance verbs: TVF builders run at
-  * ANALYSIS (`EXPLAIN` would execute them), which [[Maintenance]]
-  * accepts only because its verbs are content-preserving and
-  * idempotent. RESTORE changes the live content — it must be a
-  * statement, like MERGE/UPDATE ([[GraftDmlRule]]).
-  *
-  * Forms (a trailing `;` is accepted):
+  * Verbs (a trailing `;` is accepted; `<tbl>` is `catalog.table`,
+  * a bare catalog name — its root `lake` table — or a layout root,
+  * resolved through [[GraftAddress]] at EXECUTION so `EXPLAIN` stays
+  * side-effect-free):
   * {{{
-  * RESTORE TABLE graft.lake TO VERSION AS OF 3
+  * RESTORE TABLE graft.events TO VERSION AS OF 3
   * RESTORE TABLE graft.lake TO TIMESTAMP AS OF '2026-08-16 12:00:00'
+  * OPTIMIZE graft.events [TARGET 268435456] [ZORDER BY (ts, user_id)]
+  * VACUUM graft.events [RETAIN 168 HOURS] [DRY RUN]
+  * CHECKPOINT graft.events
+  * MATERIALIZE DELETES graft.events
   * }}}
-  * The table must be a registered [[GraftCatalog]]'s `lake` table (or
-  * `<root>.lake` with a literal layout root, the
-  * [[TableChanges]]/[[Maintenance]] addressing convention). The
-  * timestamp form resolves through [[graft.lake.Catalog.versionAtTimestamp]]
-  * — same session-timezone epoch-ms contract as `TIMESTAMP AS OF`
-  * reads, refusing loud below retained history. Returns one row
-  * `(restored_to_version, commit_seq)`; `commit_seq = -1` when head
-  * already equals the target. */
+  *
+  * Why statements and not TVFs: TVF builders run at ANALYSIS, so
+  * `EXPLAIN SELECT * FROM lake_optimize(…)` would run the optimize —
+  * observable (rewritten files, a pruned log) even when the verb is
+  * content-preserving. Every verb that MUTATES storage is therefore a
+  * statement whose command body runs only at execution, exactly like
+  * MERGE/UPDATE ([[GraftDmlRule]]); the TVF face remains only for the
+  * read-only forms ([[Maintenance]]: `lake_fsck`, dry `lake_vacuum`).
+  *
+  * Each maintenance statement returns one row
+  * `(verb, result, head_version)` — `result` the verb's own count
+  * (files rewritten / reclaimed, the checkpoint seq, -1 for nothing to
+  * do), `head_version` the log head AFTER the verb. RESTORE returns
+  * `(restored_to_version, commit_seq)`. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import GraftSqlParser._
@@ -44,24 +50,63 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     // Spark's grammar owns EXPLAIN and would re-parse the inner
     // statement itself (never reaching this parser) — intercept the
-    // prefix so EXPLAIN RESTORE plans without executing
-    case Explain(mode, rest) if Restore.pattern.matcher(rest).matches() =>
+    // prefix so EXPLAIN <graft statement> plans without executing
+    case Explain(mode, rest) if graftStatement(rest) =>
       org.apache.spark.sql.execution.command.ExplainCommand(
         parsePlan(rest),
         mode = org.apache.spark.sql.execution.ExplainMode.fromString(
           Option(mode).map(_.trim.toLowerCase).getOrElse("simple")))
     case Restore(table, how, valueRaw) =>
       val value = valueRaw.trim
-      val parts = table.split('.').map(_.stripPrefix("`").stripSuffix("`"))
-      require(parts.length == 2 && parts.last.equalsIgnoreCase("lake"),
-        s"RESTORE TABLE wants <catalog>.lake, got '$table' — only the " +
-          "head lake table is restorable")
-      GraftRestoreCommand(parts.head,
+      val t = tableAddress(table, "RESTORE TABLE")
+      GraftRestoreCommand(t,
         if (how.equalsIgnoreCase("VERSION")) Left(value.toLongOption.getOrElse(
           throw new IllegalArgumentException(
             s"RESTORE … VERSION AS OF wants a commit seq, got '$value'")))
         else Right(unquote(value)))
+    case Optimize(table, target, zcols) =>
+      val targetBytes = Option(target).map(_.toLong).getOrElse(128L << 20)
+      require(targetBytes > 0, s"OPTIMIZE TARGET must be positive")
+      val zorder = Option(zcols).map { cs =>
+        val cols = cs.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)
+        require(cols.length == 2,
+          "ZORDER BY wants exactly two columns (the two-dimensional " +
+            s"Z-interleave), got (${cols.mkString(", ")})")
+        (cols(0), cols(1))
+      }
+      GraftMaintenanceCommand("optimize", tableAddress(table, "OPTIMIZE"),
+        (s, l) => Lake.optimizeLake(s, l, targetBytes = targetBytes,
+          zorder = zorder))
+    case Vacuum(table, hours, dry) =>
+      val graceMs = Option(hours).map(_.toLong * 3600 * 1000)
+        .getOrElse(24L * 3600 * 1000)
+      val dryRun = dry != null
+      GraftMaintenanceCommand(if (dryRun) "vacuum_dry" else "vacuum",
+        tableAddress(table, "VACUUM"),
+        (s, l) => Lake.vacuumLake(s, l, graceMs = graceMs, dryRun = dryRun))
+    case Checkpoint(table) =>
+      GraftMaintenanceCommand("checkpoint", tableAddress(table, "CHECKPOINT"),
+        (s, l) => {
+          val seq = Lake.checkpoint(s, l)
+          Lake.pruneLog(s, l)
+          seq.getOrElse(-1L)
+        })
+    case Materialize(table) =>
+      GraftMaintenanceCommand("materialize_deletes",
+        tableAddress(table, "MATERIALIZE DELETES"),
+        (s, l) => Lake.materializeLakeDeletes(s, l))
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** Strip backticks per part; refuse derived surfaces (maintenance
+    * lands on base tables only). */
+  private def tableAddress(raw: String, verb: String): String = {
+    val parts = raw.split('.').map(_.stripPrefix("`").stripSuffix("`"))
+    require(!Seq("_changes", "_history", "_detail").exists(parts.last.endsWith)
+        && parts.last != "lake_catalog",
+      s"$verb wants a base table, got derived surface '$raw'")
+    parts.mkString(".")
   }
 
   private def unquote(v: String): String =
@@ -71,14 +116,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   /** Parameterized `spark.sql(text, args)`: the delegate OVERRIDES the
     * interface default (its parameter substitution lives there), so
-    * forward rather than inherit — a RESTORE statement takes no
-    * parameters and goes through [[parsePlan]]. */
+    * forward rather than inherit — graft statements take no parameters
+    * and go through [[parsePlan]]. */
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    sqlText match {
-      case Restore(_, _, _) | Explain(_, _) => parsePlan(sqlText)
-      case _ => delegate.parsePlanWithParameters(sqlText, ctx)
-    }
+    if (graftStatement(sqlText) || Explain.pattern.matcher(sqlText).matches())
+      parsePlan(sqlText)
+    else delegate.parsePlanWithParameters(sqlText, ctx)
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -106,12 +150,38 @@ object GraftSqlParser {
     ("""(?is)\s*RESTORE\s+TABLE\s+([\w.$`]+)\s+TO\s+(VERSION|TIMESTAMP)""" +
       """\s+AS\s+OF\s+(.+?)\s*;?\s*""").r
 
+  /** `OPTIMIZE <ident> [TARGET <bytes>] [ZORDER BY (c1, c2)][;]`. */
+  private val Optimize =
+    ("""(?is)\s*OPTIMIZE\s+([\w.$`/\-]+)""" +
+      """(?:\s+TARGET\s+(\d+))?""" +
+      """(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*""").r
+
+  /** `VACUUM <ident> [RETAIN <n> HOURS] [DRY RUN][;]` (Delta's form). */
+  private val Vacuum =
+    ("""(?is)\s*VACUUM\s+([\w.$`/\-]+)""" +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?""" +
+      """(?:\s+(DRY\s+RUN))?\s*;?\s*""").r
+
+  /** `CHECKPOINT <ident>[;]` — fold the log + prune folded records. */
+  private val Checkpoint =
+    """(?is)\s*CHECKPOINT\s+([\w.$`/\-]+)\s*;?\s*""".r
+
+  /** `MATERIALIZE DELETES <ident>[;]` — rewrite DV'd files. */
+  private val Materialize =
+    """(?is)\s*MATERIALIZE\s+DELETES\s+([\w.$`/\-]+)\s*;?\s*""".r
+
+  private[sql] def graftStatement(text: String): Boolean =
+    Seq(Restore, Optimize, Vacuum, Checkpoint, Materialize)
+      .exists(_.pattern.matcher(text).matches())
+
   private val Explain =
-    """(?is)\s*EXPLAIN(\s+EXTENDED|\s+FORMATTED|\s+CODEGEN|\s+COST)?\s+(RESTORE\s.+)""".r
+    ("""(?is)\s*EXPLAIN(\s+EXTENDED|\s+FORMATTED|\s+CODEGEN|\s+COST)?""" +
+      """\s+((?:RESTORE|OPTIMIZE|VACUUM|CHECKPOINT|MATERIALIZE)\s.+)""").r
 }
 
-/** The captured RESTORE statement: resolves the catalog name to its
-  * layout root at EXECUTION (so `EXPLAIN` stays side-effect-free) and
+/** The captured RESTORE statement: resolves the table address
+  * (`catalog.table` / bare catalog / root path — [[GraftAddress]]) to
+  * its layout at EXECUTION (so `EXPLAIN` stays side-effect-free) and
   * commits the metadata-only rewind ([[graft.lake.Catalog.restoreLake]]). */
 case class GraftRestoreCommand(catalogOrRoot: String,
     target: Either[Long, String]) extends LeafRunnableCommand {
@@ -121,9 +191,7 @@ case class GraftRestoreCommand(catalogOrRoot: String,
     AttributeReference("commit_seq", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val root = spark.conf.getOption(s"spark.sql.catalog.$catalogOrRoot.root")
-      .getOrElse(catalogOrRoot)
-    val layout = Layout(root)
+    val layout = GraftAddress.layout(spark, catalogOrRoot)
     val version = target match {
       case Left(v) => v
       case Right(ts) =>
@@ -135,5 +203,24 @@ case class GraftRestoreCommand(catalogOrRoot: String,
     }
     val seq = Lake.restoreLake(spark, layout, version)
     Seq(Row(version, seq))
+  }
+}
+
+/** A captured maintenance statement (OPTIMIZE / VACUUM / CHECKPOINT /
+  * MATERIALIZE DELETES): the verb body runs at EXECUTION only —
+  * `EXPLAIN` plans it without touching storage. One row
+  * `(verb, result, head_version)`, the [[Maintenance]] TVF shape. */
+case class GraftMaintenanceCommand(verb: String, targetTable: String,
+    body: (SparkSession, Layout) => Long) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("result", LongType, nullable = false)(),
+    AttributeReference("head_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val layout = GraftAddress.layout(spark, targetTable)
+    val result = body(spark, layout)
+    Seq(Row(verb, result, Lake.headVersion(spark, layout)))
   }
 }

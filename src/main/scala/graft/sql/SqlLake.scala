@@ -567,6 +567,70 @@ object SqlLake {
       |FROM events
       |GROUP BY event_type ORDER BY source""".stripMargin
 
+  /** Seventh deterministic fixture — the MULTI-TABLE catalog: two
+    * tables born via `CREATE TABLE <cat>.<name>` (per-table manifest
+    * logs under `_tables/`), filled by SQL INSERT, one thinned by a
+    * per-table SQL DELETE — no typed Scala commit anywhere. The join
+    * query below is only right if each verb landed on ITS OWN log
+    * (the DELETE's deletion vector must thin `usr` without touching
+    * `ev`) and the cross-table join reads both snapshots. */
+  private def twoTablesRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_2t/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val srcView = s"graft_2t_src_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      base.createOrReplaceTempView(srcView)
+      val name = s"graft2t_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      spark.sql(s"CREATE TABLE $name.ev (event_id BIGINT, user_id BIGINT, " +
+        "cents BIGINT, source STRING) PARTITIONED BY (source)")
+      spark.sql(s"CREATE TABLE $name.usr (user_id BIGINT, grp BIGINT, " +
+        "source STRING)")
+      spark.sql(s"INSERT INTO $name.ev " +
+        s"SELECT event_id, user_id, cents, source FROM $srcView")
+      spark.sql(s"INSERT INTO $name.usr " +
+        s"SELECT DISTINCT user_id, user_id % 7, 'dim' FROM $srcView")
+      // an attribute-level predicate (the SupportsDelete filter language)
+      spark.sql(s"DELETE FROM $name.usr WHERE grp = 0")
+      spark.catalog.dropTempView(srcView)
+      require(Catalog.headVersion(spark,
+        Layout(s"$tmp/_tables/ev")) == 2L, "2t fixture: ev log drifted")
+      require(Catalog.headVersion(spark,
+        Layout(s"$tmp/_tables/usr")) == 3L, "2t fixture: usr log drifted")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_two_tables`: the cross-table join over two SQL-born
+    * tables with independent histories — per user group, events of
+    * surviving (undeleted) users. */
+  def twoTablesAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = twoTablesRoot(spark, sfDir)
+    val name = s"graft2t_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT u.grp, count(*) AS n_events,
+         |  CAST(sum(e.cents) AS BIGINT) AS sum_cents
+         |FROM $name.ev e JOIN $name.usr u ON e.user_id = u.user_id
+         |GROUP BY u.grp ORDER BY u.grp""".stripMargin)
+  }
+
+  val twoTablesAggOracleSql: String =
+    """SELECT user_id % 7 AS grp, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE NOT (user_id % 7 = 0)
+      |GROUP BY user_id % 7 ORDER BY grp""".stripMargin
+
   val mergeCdfAggOracleSql: String =
     """WITH base AS (
       |  SELECT event_type AS source, event_id,

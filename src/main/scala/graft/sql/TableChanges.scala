@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import graft.lake.{Catalog => Lake, Layout}
+import graft.lake.{Catalog => Lake}
 
 /** `table_changes(catalog_or_root, fromVersion [, toVersion])` — the
   * Delta-style change-feed TABLE-VALUED FUNCTION, registered through
@@ -18,7 +18,8 @@ import graft.lake.{Catalog => Lake, Layout}
   * }}}
   *
   * The first argument is a registered [[GraftCatalog]] name (resolved
-  * through `spark.sql.catalog.<name>.root`) or a layout root path;
+  * through `spark.sql.catalog.<name>.root`), `catalog.table` for a
+  * created table's own feed, or a layout root path;
   * the versions are manifest-log commit seqs, `(from, to]` as in
   * [[graft.lake.Catalog.lakeChangesBetween]]. This supersedes the
   * session-conf range of the `lake_changes` DSv2 table
@@ -47,9 +48,8 @@ object TableChanges {
     val from = asVersion(args(1), "fromVersion")
     val to = if (args.length == 3) asVersion(args(2), "toVersion")
              else Long.MaxValue
-    val root = spark.conf.getOption(s"spark.sql.catalog.$target.root")
-      .getOrElse(target) // not a registered catalog name: a root path
-    Lake.lakeChangesBetween(spark, Layout(root), from, to)
+    // 'catalog' | 'catalog.table' | a literal layout-root path
+    Lake.lakeChangesBetween(spark, GraftAddress.layout(spark, target), from, to)
       .queryExecution.analyzed
   }
 

@@ -133,9 +133,20 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(toLong).getOrElse(startVersion)
+    val projected = batchFrame(
+      start.map(toLong).getOrElse(startVersion), toLong(end))
+    // v1 sources must hand back a STREAMING frame; the projected plan's
+    // executed RDD keeps the work distributed
+    org.apache.spark.sql.GraftStreamingBridge.streamingFrame(
+      sqlContext, projected.queryExecution.toRdd, schema)
+  }
+
+  /** The BATCH-level frame for `(from, to]` — split out so the
+    * plain-rows subclass ([[LakeRowsSource]]) can post-process before
+    * the streaming wrap. */
+  protected def batchFrame(from: Long, to: Long): DataFrame = {
     val changes = Catalog.lakeChangesBetween(
-      sqlContext.sparkSession, layout, from, toLong(end))
+      sqlContext.sparkSession, layout, from, to)
     val cols = declaredSchema.fields.map { f =>
       if (changes.columns.contains(f.name)) {
         // a TYPE WIDENING committed after stream start makes the feed
@@ -159,7 +170,6 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
         // the feed predates its ADD; a declared name the feed lost to
         // a RENAME/DROP after stream start would null real data — the
         // same silent-corruption class as a narrow-cast, refuse loud
-        val to = toLong(end)
         val retired =
           Catalog.lakeRenamedColumns(sqlContext.sparkSession, layout, to)
             .exists(_._2 == f.name) ||
@@ -172,11 +182,7 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
         lit(null).cast(f.dataType).as(f.name)
       }
     }
-    val projected = changes.select(cols.toSeq: _*)
-    // v1 sources must hand back a STREAMING frame; the projected plan's
-    // executed RDD keeps the work distributed
-    org.apache.spark.sql.GraftStreamingBridge.streamingFrame(
-      sqlContext, projected.queryExecution.toRdd, declaredSchema)
+    changes.select(cols.toSeq: _*)
   }
 
   private def toLong(o: Offset): Long = o match {
@@ -186,4 +192,48 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   }
 
   override def stop(): Unit = ()
+}
+
+/** PLAIN-ROWS streaming read of the lake —
+  * `spark.readStream.format("graft-lake").option("root", …)`: the
+  * append stream as payload rows (no feed columns), the Delta
+  * streaming-table read. A consumer that just wants new rows no
+  * longer needs to know the CDF's `_change_type` contract.
+  *
+  * Built ON the change-feed source (same offsets = committed
+  * versions, same admission control / `Trigger.AvailableNow` drain,
+  * same exactly-once replay), keeping ONE read path: each batch is
+  * the feed's `insert` rows projected to the payload.
+  *
+  * DELETES REFUSE LOUD unless `ignoreDeletes=true` (Delta's source
+  * contract): a range containing row-level deletes cannot be served
+  * as an append-only stream — silently dropping the retractions would
+  * leave every downstream aggregate permanently wrong. The check is
+  * log-only ([[graft.lake.Catalog.lakeHasDeletesBetween]]): no data
+  * file is opened to decide. With `ignoreDeletes=true` the consumer
+  * has declared deletes irrelevant (an append-mostly table vacuumed
+  * by partition — Delta's same opt-in). */
+class LakeRowsSource(sqlContext: SQLContext, layout: Layout,
+    payloadSchema: StructType, startVersion: Long,
+    maxVersionsPerTrigger: Option[Long], ignoreDeletes: Boolean)
+    extends LakeCdfSource(sqlContext, layout,
+      payloadSchema.add("_commit_version", LongType)
+        .add("_change_type", StringType),
+      startVersion, maxVersionsPerTrigger) {
+
+  override def schema: StructType = payloadSchema
+
+  override protected def batchFrame(from: Long, to: Long): DataFrame = {
+    if (!ignoreDeletes &&
+        Catalog.lakeHasDeletesBetween(sqlContext.sparkSession, layout, from, to))
+      throw new IllegalStateException(
+        s"graft-lake source: versions ($from, $to] contain row-level " +
+          "deletes — an append-only rows stream cannot represent them " +
+          "(downstream state would silently keep deleted rows). Read " +
+          "format(\"graft-lake-cdf\") to consume the retractions, or " +
+          "opt in with option(\"ignoreDeletes\", \"true\")")
+    super.batchFrame(from, to)
+      .filter(org.apache.spark.sql.functions.col("_change_type") === "insert")
+      .select(payloadSchema.fieldNames.toSeq.map(col): _*)
+  }
 }

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 import graft.lake.{Catalog, Layout}
 
 /** FIRST-CLASS STREAMING SINK into the lake — the write half of the
@@ -44,9 +45,50 @@ import graft.lake.{Catalog, Layout}
   * the same choice Delta's sink makes). Multiple actions over the
   * batch (expectation gates + the staging write) re-execute a
   * deterministic incremental plan. */
-class LakeSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class LakeSinkProvider extends StreamSinkProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-lake"
+
+  // ------------------------------------------------------------------
+  // The READ half: `readStream.format("graft-lake")` — the lake's
+  // append stream as plain payload rows ([[LakeRowsSource]]), so ONE
+  // format name is the table's streaming identity in both directions
+  // (the Delta idiom: readStream and writeStream on the same format).
+  // ------------------------------------------------------------------
+
+  private def payloadSchema(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    val layout = Layout(parameters.getOrElse("root",
+      throw new IllegalArgumentException(
+        "graft-lake source: option 'root' (the layout root) is required")))
+    val snap = Catalog.loadLakeSnapshot(sqlContext.sparkSession, layout)
+    require(snap.columns.nonEmpty,
+      "graft-lake source: the lake has no committed files yet — commit " +
+        "first or pass an explicit schema")
+    snap.schema
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(payloadSchema(sqlContext, parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    def opt(name: String): Option[String] =
+      parameters.get(name).orElse(parameters.get(name.toLowerCase))
+    val layout = Layout(parameters("root"))
+    val from = opt("startingVersion").map(_.toLong).getOrElse(0L)
+    val maxPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
+    maxPerTrigger.foreach(k => require(k >= 1,
+      s"graft-lake: maxVersionsPerTrigger must be >= 1, got $k"))
+    val ignoreDeletes = opt("ignoreDeletes").exists(_.toBoolean)
+    new LakeRowsSource(sqlContext, layout,
+      schema.getOrElse(payloadSchema(sqlContext, parameters)), from,
+      maxPerTrigger, ignoreDeletes)
+  }
 
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],

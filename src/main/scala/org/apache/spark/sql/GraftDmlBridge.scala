@@ -30,4 +30,13 @@ object GraftDmlBridge {
 
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The inverse of [[column]] — a `Column`'s underlying catalyst
+    * expression, for structural inspection (the merge file-pruner
+    * walks the ON condition's conjuncts). Converted EAGERLY through
+    * the session converter: `ExpressionUtils.expression` would return
+    * a lazy `ColumnNodeExpression` wrapper whose tree is opaque to
+    * pattern matching. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

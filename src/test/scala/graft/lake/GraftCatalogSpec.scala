@@ -127,8 +127,10 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"INSERT INTO $cat.lake_changes SELECT * FROM $cat.lake_changes"))
     assert(e.getMessage.toLowerCase.contains("does not support") ||
       e.getMessage.contains("UNSUPPORTED"), e.getMessage)
+    // round-12: created tables drop; the ROOT lake still refuses (it
+    // shares the root with the ingest areas)
     val e2 = intercept[Exception](spark.sql(s"DROP TABLE $cat.lake"))
-    assert(e2.getMessage.toLowerCase.contains("read-only"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("cannot be dropped"), e2.getMessage)
     assert(spark.sql(s"SHOW TABLES IN $cat").collect()
       .map(_.getString(1)).toSet ==
       Set("lake", "lake_changes", "lake_catalog", "lake_history",
@@ -430,10 +432,11 @@ class GraftCatalogSpec extends SparkTestBase {
       s"SELECT count(*) FROM $cat2.lake WHERE k >= 0").collect())
   }
 
-  test("maintenance TVFs ≡ the typed verbs: lake_optimize compacts with " +
-      "every prior version readable, lake_materialize_deletes rewrites " +
-      "DV'd files, lake_vacuum reclaims, lake_checkpoint folds the log — " +
-      "content identical throughout; bad args refuse loud") {
+  test("maintenance statements ≡ the typed verbs: OPTIMIZE compacts with " +
+      "every prior version readable, MATERIALIZE DELETES rewrites " +
+      "DV'd files, VACUUM reclaims, CHECKPOINT folds the log — " +
+      "content identical throughout; EXPLAIN plans without executing; " +
+      "the retired mutating TVFs refuse naming their statement") {
     val layout = Layout(tmpDir("dsv2-maint"))
     val s = spark
     import s.implicits._
@@ -449,11 +452,17 @@ class GraftCatalogSpec extends SparkTestBase {
         .map(r => (r.getString(0), r.getLong(1))).toSet
     val before = content
 
+    // EXPLAIN OPTIMIZE plans WITHOUT executing — the whole reason the
+    // mutating verbs are statements, not analysis-time TVFs
+    spark.sql(s"EXPLAIN OPTIMIZE $cat.lake").collect()
+    assert(Catalog.headVersion(spark, layout) == vPre,
+      "EXPLAIN must not run the optimize")
+
     // OPTIMIZE: the 3 small files bin-pack; snapshot content identical;
     // every prior version still readable (old files only logically
     // removed until vacuum)
-    val opt = spark.sql(s"SELECT * FROM lake_optimize('$cat')").head
-    assert(opt.getAs[String]("verb") == "lake_optimize")
+    val opt = spark.sql(s"OPTIMIZE $cat.lake").head
+    assert(opt.getAs[String]("verb") == "optimize")
     assert(opt.getAs[Long]("result") == 3L, s"3 small files rewritten: $opt")
     assert(opt.getAs[Long]("head_version") == vPre + 1)
     assert(content == before)
@@ -464,7 +473,8 @@ class GraftCatalogSpec extends SparkTestBase {
     // MATERIALIZE: nothing left (optimize already materialized the DV);
     // add a fresh DV and materialize it away
     Catalog.deleteLakeWhere(spark, layout, col("key") === "k3")
-    val mat = spark.sql(s"SELECT * FROM lake_materialize_deletes('$cat')").head
+    val mat = spark.sql(s"MATERIALIZE DELETES $cat.lake").head
+    assert(mat.getAs[String]("verb") == "materialize_deletes")
     assert(mat.getAs[Long]("result") == 1L, s"one DV'd file rewritten: $mat")
     assert(content == Set(("k1", 1L)))
 
@@ -475,10 +485,11 @@ class GraftCatalogSpec extends SparkTestBase {
     (1L to vPre).foreach { v =>
       Catalog.loadLakeSnapshot(spark, layout, v).count() // still readable
     }
-    // VACUUM(grace 0): the superseded originals reclaim — exactly the
-    // dry-run's count; head content unchanged (vacuum never touches
-    // the live view)
-    val vac = spark.sql(s"SELECT * FROM lake_vacuum('$cat', 0)").head
+    // VACUUM RETAIN 0 HOURS: the superseded originals reclaim —
+    // exactly the dry-run's count; head content unchanged (vacuum
+    // never touches the live view)
+    val vac = spark.sql(s"VACUUM $cat.lake RETAIN 0 HOURS").head
+    assert(vac.getAs[String]("verb") == "vacuum")
     assert(vac.getAs[Long]("result") == dry.getAs[Long]("result"),
       s"real run must reclaim what the dry run counted: $dry vs $vac")
     assert(content == Set(("k1", 1L)))
@@ -486,15 +497,19 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql(s"SELECT * FROM lake_vacuum('$cat', 0, 'wet')"))
 
     // CHECKPOINT: folds + prunes; reads keep working above it
-    val ck = spark.sql(s"SELECT * FROM lake_checkpoint('$cat')").head
+    val ck = spark.sql(s"CHECKPOINT $cat.lake").head
+    assert(ck.getAs[String]("verb") == "checkpoint")
     assert(ck.getAs[Long]("result") >= 1L, s"checkpoint seq: $ck")
     assert(content == Set(("k1", 1L)))
 
-    // refusals: negative grace, non-literal arg, extra args
-    intercept[Exception](spark.sql(s"SELECT * FROM lake_vacuum('$cat', -5)"))
-    intercept[Exception](
-      spark.sql(s"SELECT * FROM lake_optimize('$cat', rand())"))
-    intercept[Exception](spark.sql(s"SELECT * FROM lake_checkpoint('$cat', 1)"))
+    // the RETIRED mutating TVFs refuse loud, each naming its statement
+    Seq(s"SELECT * FROM lake_optimize('$cat')",
+        s"SELECT * FROM lake_vacuum('$cat', 0)", // wet form
+        s"SELECT * FROM lake_checkpoint('$cat')",
+        s"SELECT * FROM lake_materialize_deletes('$cat')").foreach { q =>
+      val e = intercept[Exception](spark.sql(q))
+      assert(e.getMessage.toLowerCase.contains("statement"), s"$q → $e")
+    }
     assert(content == Set(("k1", 1L)))
 
     // FSCK: the healthy lake audits clean through SQL…
@@ -706,10 +721,11 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(intercept[Exception](spark.sql(
       s"CREATE TABLE $cat3.lake (source STRING) LOCATION '/tmp/x'"))
       .getMessage.contains("root"))
-    // only 'lake' is creatable
+    // round-12: other base names are creatable too (MultiTableSpec);
+    // only reserved derived-surface names refuse
     assert(intercept[Exception](spark.sql(
-      s"CREATE TABLE $cat3.other (source STRING)"))
-      .getMessage.toLowerCase.contains("lake"))
+      s"CREATE TABLE $cat3.other_history (source STRING)"))
+      .getMessage.toLowerCase.contains("creatable"))
 
     // CTAS: createTable + the write path in one statement
     spark.sql(s"CREATE TABLE $cat3.lake PARTITIONED BY (source) AS " +
@@ -717,5 +733,51 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT key, v, source FROM $cat3.lake").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
       Seq(("k1", 10L, "clicks")))
+  }
+
+  test("SQL `OPTIMIZE … ZORDER BY` ≡ the typed zorder optimize: stats " +
+      "tighten on both dimensions through a PURE-SQL lifecycle " +
+      "(declared stats.cols feed the rewrite), live view unchanged") {
+    val layout = Layout(tmpDir("dsv2-zorder"))
+    val s = spark
+    import s.implicits._
+    // insertion-ordered commits: every file spans the full (a, b)
+    // space — the worst case for skipping (OptimizeLakeSpec's shape)
+    val rows = (for (a <- 0 until 32; b <- 0 until 32)
+      yield ("ev", a.toLong, b.toLong))
+      .sortBy { case (_, a, b) => ((a * 37 + b * 17) % 101, a, b) }
+    rows.grouped(256).foreach { chunk =>
+      Catalog.commitLake(spark, layout,
+        chunk.toDF("source", "a", "b").coalesce(1))
+    }
+    val cat = register(layout)
+    // declare the skipping columns as a TABLE fact — the SQL OPTIMIZE
+    // statement has no statsCols argument on purpose
+    spark.sql(s"ALTER TABLE $cat.lake SET TBLPROPERTIES('stats.cols'='a,b')")
+    val before = Catalog.loadLakeSnapshot(spark, layout)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    def prunedCount(): Int =
+      Catalog.lakeFilesOverlapping(spark, layout, "a", 3L, 4L).toSet
+        .intersect(
+          Catalog.lakeFilesOverlapping(spark, layout, "b", 3L, 4L).toSet).size
+    val total = Catalog.lakeFilesAsOf(spark, layout).map(rel =>
+      new java.io.File(s"${layout.lakeDir}/$rel").length).sum
+    val out = spark.sql(
+      s"OPTIMIZE $cat.lake TARGET ${total / 4} ZORDER BY (a, b)").head
+    assert(out.getAs[String]("verb") == "optimize")
+    assert(out.getAs[Long]("result") >= 4L, s"all files re-clustered: $out")
+    val after = Catalog.loadLakeSnapshot(spark, layout)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after == before, "re-clustering must not change the live view")
+    val filesAfter = Catalog.lakeFilesAsOf(spark, layout).size
+    assert(filesAfter >= 2, s"multi-file clustered layout: $filesAfter")
+    assert(prunedCount() < filesAfter,
+      "a 2-D point range must now skip at least one clustered file")
+    // a one-column ZORDER refuses at parse
+    assert(intercept[Exception](
+      spark.sql(s"OPTIMIZE $cat.lake ZORDER BY (a)"))
+      .getMessage.contains("two columns"))
   }
 }

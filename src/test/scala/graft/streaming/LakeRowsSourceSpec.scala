@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.lake.{Catalog, Layout}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Round-12: the PLAIN-ROWS streaming read of the lake
+  * (`readStream.format("graft-lake")` — the same format name as the
+  * sink, the Delta streaming-table idiom): appends arrive as payload
+  * rows exactly once across batches and restarts; a range containing
+  * deletes refuses loud unless `ignoreDeletes=true`; admission
+  * control + `Trigger.AvailableNow` drain in capped batches. */
+class LakeRowsSourceSpec extends SparkTestBase {
+
+  private val received =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+  private val batchSizes =
+    new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+
+  private def startStream(layout: Layout, ckpt: String,
+      extra: Map[String, String] = Map.empty,
+      trigger: Option[Trigger] = None) = {
+    var r = spark.readStream.format("graft-lake").option("root", layout.root)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    var w = r.load().writeStream.option("checkpointLocation", ckpt)
+    trigger.foreach(t => w = w.trigger(t))
+    w.foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("key", "v").collect()
+        if (rows.nonEmpty) batchSizes.add(rows.length)
+        rows.foreach(r => received.add((r.getString(0), r.getLong(1))))
+        ()
+      }
+      .start()
+  }
+
+  test("appends stream as payload rows exactly once across batches and " +
+      "restarts; the schema carries NO feed columns") {
+    val layout = Layout(tmpDir("rowsrc"))
+    val ckpt = tmpDir("rowsrc-ckpt")
+    val s = spark
+    import s.implicits._
+    received.clear(); batchSizes.clear()
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L)).toDF("source", "key", "v"))
+
+    val src = spark.readStream.format("graft-lake")
+      .option("root", layout.root).load()
+    assert(!src.columns.contains("_change_type") &&
+      !src.columns.contains("_commit_version"),
+      s"plain rows only: ${src.columns.toSeq}")
+
+    val q1 = startStream(layout, ckpt)
+    q1.processAllAvailable()
+    assert(received.toArray(Array.empty[(String, Long)]).sorted.toSeq ==
+      Seq(("k1", 10L), ("k2", 20L)))
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", 30L)).toDF("source", "key", "v"))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(received.size == 3)
+
+    // restart: nothing redelivered, the next commit arrives
+    received.clear()
+    val q2 = startStream(layout, ckpt)
+    q2.processAllAvailable()
+    assert(received.isEmpty, s"no redelivery: $received")
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k4", 40L)).toDF("source", "key", "v"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(received.toArray(Array.empty[(String, Long)]).toSeq ==
+      Seq(("k4", 40L)))
+  }
+
+  test("a range containing row-level deletes REFUSES loud (the Delta " +
+      "source contract); ignoreDeletes=true serves the inserts only") {
+    val layout = Layout(tmpDir("rowsrc-del"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    Catalog.deleteLakeWhere(spark, layout, col("key") === "k2")
+
+    received.clear(); batchSizes.clear()
+    val q1 = startStream(layout, tmpDir("rowsrc-del-ckpt1"))
+    val e = intercept[Exception](q1.processAllAvailable())
+    q1.stop()
+    assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+
+    received.clear()
+    val q2 = startStream(layout, tmpDir("rowsrc-del-ckpt2"),
+      Map("ignoreDeletes" -> "true"))
+    q2.processAllAvailable()
+    q2.stop()
+    // inserts only — the delete retraction is declared irrelevant
+    assert(received.toArray(Array.empty[(String, Long)]).sorted.toSeq ==
+      Seq(("k1", 10L), ("k2", 20L)))
+  }
+
+  test("admission control + Trigger.AvailableNow: a capped drain serves " +
+      "the whole backlog in version-bounded batches, then stops") {
+    val layout = Layout(tmpDir("rowsrc-drain"))
+    val s = spark
+    import s.implicits._
+    (1 to 4).foreach { i =>
+      Catalog.commitLake(spark, layout,
+        Seq(("clicks", s"k$i", i * 10L)).toDF("source", "key", "v"))
+    }
+    received.clear(); batchSizes.clear()
+    val q = startStream(layout, tmpDir("rowsrc-drain-ckpt"),
+      Map("maxVersionsPerTrigger" -> "1"),
+      Some(Trigger.AvailableNow()))
+    q.awaitTermination(120000)
+    assert(received.toArray(Array.empty[(String, Long)]).sorted.toSeq ==
+      (1 to 4).map(i => (s"k$i", i * 10L)),
+      s"the WHOLE backlog drains (no one-shot truncation): $received")
+    assert(batchSizes.size == 4,
+      s"one version per batch under the cap: $batchSizes")
+  }
+}
