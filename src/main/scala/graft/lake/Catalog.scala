@@ -2644,10 +2644,13 @@ object Catalog {
       "source",
       (st.renameCols.map(_._2) ++ st.dropCols.map(_._2)).distinct
         .sorted.mkString(","),
-      lakeExpectations(spark, layout).keys.toSeq.sorted.mkString(",")))
+      lakeExpectations(spark, layout).keys.toSeq.sorted.mkString(","),
+      // the committed TBLPROPERTIES, k=v comma-joined (round 12)
+      lakeProperties(spark, layout).toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString(",")))
       .toDF("head_version", "n_files", "total_bytes", "n_dv_files",
         "dv_bytes", "n_sources", "schema_ddl", "partition_columns",
-        "retired_columns", "expectations")
+        "retired_columns", "expectations", "properties")
   }
 
   def lakeHistory(spark: SparkSession, layout: Layout): DataFrame = {

@@ -518,8 +518,11 @@ object SqlLake {
     * (source reported LAST), Spark's INSERT alignment against it, and
     * the ordinary snapshot read all compose. */
   private def createLakeRoot(spark: SparkSession, sfDir: String): String = {
+    // `_cr2`: the round-12 fixture declares skipping stats as TABLE
+    // properties (a different build than round 11's `_cr` — the
+    // artifact path must change with it)
     val dir =
-      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_cr/k=${corpusKey(spark, sfDir)}"
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_cr2/k=${corpusKey(spark, sfDir)}"
     graft.ops.Artifacts.commit(spark, dir) { tmp =>
       val lay = Layout(tmp)
       val base = graft.Events.events(spark, sfDir).select(
@@ -534,7 +537,12 @@ object SqlLake {
       spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
       val colsDdl = base.schema.fields
         .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
-      spark.sql(s"CREATE TABLE $name.lake ($colsDdl) PARTITIONED BY (source)")
+      // skipping stats as a TABLE fact (round 12): the INSERT below
+      // commits per-file min/max on event_id and a bloom on user_id
+      // with no typed call anywhere — [[pointAgg]] reads through them
+      spark.sql(s"CREATE TABLE $name.lake ($colsDdl) " +
+        "PARTITIONED BY (source) " +
+        "TBLPROPERTIES('stats.cols'='event_id', 'bloom.cols'='user_id')")
       // positional INSERT against the reported order: source LAST
       val nonSrc = base.schema.fieldNames.filterNot(_ == "source")
       spark.sql(s"INSERT INTO $name.lake SELECT ${nonSrc.mkString(", ")}, " +
@@ -566,6 +574,32 @@ object SqlLake {
       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events
       |GROUP BY event_type ORDER BY source""".stripMargin
+
+  /** `q_sql_lake_point`: a selective range + point predicate over the
+    * SQL-born, TBLPROPERTIES-stats lake — the pushed conjuncts reach
+    * the manifest-log skipping index (file-level min/max on
+    * `event_id`, bloom on `user_id`) before any footer opens; the
+    * DuckDB replay over raw events gates that the pruned read is
+    * EXACT, at corpus volume, through a lake no typed call ever
+    * touched. */
+  def pointAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = createLakeRoot(spark, sfDir)
+    val name = s"graftcr_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT event_id, user_id, cents
+         |FROM $name.lake
+         |WHERE event_id >= 1000 AND event_id <= 1200
+         |ORDER BY event_id, user_id, cents""".stripMargin)
+  }
+
+  val pointAggOracleSql: String =
+    """SELECT event_id, user_id,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |FROM events
+      |WHERE event_id >= 1000 AND event_id <= 1200
+      |ORDER BY event_id, user_id, cents""".stripMargin
 
   /** Seventh deterministic fixture — the MULTI-TABLE catalog: two
     * tables born via `CREATE TABLE <cat>.<name>` (per-table manifest

@@ -44,7 +44,7 @@ class LakeCdfSourceProvider extends StreamSourceProvider with DataSourceRegister
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val layout = Layout(parameters("root"))
+    val layout = LakeCdfSource.layoutOf(parameters)
     val from = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")).map(_.toLong).getOrElse(0L)
     val maxPerTrigger = parameters.get("maxversionspertrigger")
@@ -58,10 +58,25 @@ class LakeCdfSourceProvider extends StreamSourceProvider with DataSourceRegister
 }
 
 object LakeCdfSource {
+  /** Streaming options → layout: `root` is the catalog root; the
+    * optional `table` addresses a created table's own layout
+    * (`<root>/_tables/<table>` — the [[graft.sql.GraftCatalog]]
+    * convention), so every table a SQL user creates is streamable by
+    * name. Shared by the CDF source, the plain-rows source and the
+    * sink. */
+  private[streaming] def layoutOf(parameters: Map[String, String]): Layout = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException(
+        "graft-lake streaming: option 'root' (the layout root) is required"))
+    parameters.get("table").orElse(parameters.get("Table"))
+      .map(t => Layout(s"$root/${graft.sql.GraftAddress.TablesDir}/$t"))
+      .getOrElse(Layout(root))
+  }
+
   /** The stream's declared schema: current committed payload columns
     * (evolution merged as of NOW) + the feed columns. */
   def schemaFor(sqlContext: SQLContext, parameters: Map[String, String]): StructType = {
-    val layout = Layout(parameters("root"))
+    val layout = layoutOf(parameters)
     val snap = Catalog.loadLakeSnapshot(sqlContext.sparkSession, layout)
     require(snap.columns.nonEmpty,
       "graft-lake-cdf: the lake has no committed files yet — commit first " +

@@ -59,9 +59,7 @@ class LakeSinkProvider extends StreamSinkProvider with StreamSourceProvider
 
   private def payloadSchema(sqlContext: SQLContext,
       parameters: Map[String, String]): StructType = {
-    val layout = Layout(parameters.getOrElse("root",
-      throw new IllegalArgumentException(
-        "graft-lake source: option 'root' (the layout root) is required")))
+    val layout = LakeCdfSource.layoutOf(parameters)
     val snap = Catalog.loadLakeSnapshot(sqlContext.sparkSession, layout)
     require(snap.columns.nonEmpty,
       "graft-lake source: the lake has no committed files yet — commit " +
@@ -79,7 +77,7 @@ class LakeSinkProvider extends StreamSinkProvider with StreamSourceProvider
       parameters: Map[String, String]): Source = {
     def opt(name: String): Option[String] =
       parameters.get(name).orElse(parameters.get(name.toLowerCase))
-    val layout = Layout(parameters("root"))
+    val layout = LakeCdfSource.layoutOf(parameters)
     val from = opt("startingVersion").map(_.toLong).getOrElse(0L)
     val maxPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
     maxPerTrigger.foreach(k => require(k >= 1,
@@ -95,9 +93,8 @@ class LakeSinkProvider extends StreamSinkProvider with StreamSourceProvider
       outputMode: OutputMode): Sink = {
     def opt(name: String): Option[String] =
       parameters.get(name).orElse(parameters.get(name.toLowerCase))
-    val layout = Layout(parameters.getOrElse("root",
-      throw new IllegalArgumentException("graft-lake sink: option 'root' " +
-        "(the layout root) is required")))
+    // root [+ table] — a created table is a streaming sink by name too
+    val layout = LakeCdfSource.layoutOf(parameters)
     val checkpoint = opt("checkpointLocation").getOrElse(
       throw new IllegalArgumentException("graft-lake sink: " +
         "checkpointLocation is required — it keys the exactly-once markers"))

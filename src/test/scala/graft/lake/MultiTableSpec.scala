@@ -131,5 +131,22 @@ class MultiTableSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $cat.side VALUES (7, 's')")
     assert(spark.sql(s"SELECT count(*) FROM $cat.lake").head.getLong(0) == 1L)
     assert(spark.sql(s"SELECT k FROM $cat.side").head.getLong(0) == 7L)
+
+    // CTAS into a new sub-table: createTable + the write path in one
+    // statement, landing on its own log
+    spark.sql(s"CREATE TABLE $cat.side2 PARTITIONED BY (source) AS " +
+      s"SELECT k, source FROM $cat.side")
+    assert(spark.sql(s"SELECT k FROM $cat.side2").head.getLong(0) == 7L)
+    assert(Catalog.headVersion(spark, Layout(s"$root/_tables/side2")) == 2L)
+
+    // MEMO INDEPENDENCE: snapshot plans are keyed per table layout —
+    // a commit into side2 must NOT invalidate side's memoized plan
+    // (the per-statement analysis cost stays once-per-COMMIT per
+    // TABLE, not once-per-statement across tables)
+    val sideLay = Layout(s"$root/_tables/side")
+    val planBefore = Catalog.loadLakeSnapshot(spark, sideLay)
+    spark.sql(s"INSERT INTO $cat.side2 VALUES (8, 's')")
+    assert(Catalog.loadLakeSnapshot(spark, sideLay) eq planBefore,
+      "a commit to another table invalidated this table's plan memo")
   }
 }

@@ -46,6 +46,9 @@ class TablePropsSpec extends SparkTestBase {
     val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.lake").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown.get("tier").contains("silver"))
+    // DESCRIBE DETAIL carries them too
+    assert(spark.sql(s"SELECT properties FROM $cat.lake_detail")
+      .head.getString(0).contains("tier=silver"))
   }
 
   test("declared stats.cols ride every write path: typed append, SQL " +

@@ -98,6 +98,43 @@ class LakeRowsSourceSpec extends SparkTestBase {
       Seq(("k1", 10L), ("k2", 20L)))
   }
 
+  test("option 'table' addresses a CREATED table's own layout: the " +
+      "sink writes its log, SQL reads it, the rows source streams it — " +
+      "the root lake untouched") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("rowsrc-table")
+    val cat = s"grs_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.events (key STRING, v BIGINT, source STRING)")
+
+    // stream INTO the created table by name
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, Long)]
+    mem.addData(("clicks", "k1", 10L), ("clicks", "k2", 20L))
+    val q = mem.toDF().toDF("source", "key", "v")
+      .writeStream.format("graft-lake")
+      .option("root", root).option("table", "events")
+      .option("checkpointLocation", tmpDir("rowsrc-table-ckpt"))
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    assert(spark.sql(s"SELECT count(*) FROM $cat.events").head.getLong(0) == 2L)
+    assert(!graft.lake.Catalog.lakeTableExists(spark,
+      graft.lake.Layout(root)), "the root lake must stay untouched")
+
+    // stream OUT of it by name
+    received.clear()
+    val q2 = startStream(graft.lake.Layout(root), tmpDir("rowsrc-table-out"),
+      Map("table" -> "events"))
+    q2.processAllAvailable(); q2.stop()
+    assert(received.toArray(Array.empty[(String, Long)]).sorted.toSeq ==
+      Seq(("k1", 10L), ("k2", 20L)))
+  }
+
   test("admission control + Trigger.AvailableNow: a capped drain serves " +
       "the whole backlog in version-bounded batches, then stops") {
     val layout = Layout(tmpDir("rowsrc-drain"))
