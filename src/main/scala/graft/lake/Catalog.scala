@@ -758,10 +758,19 @@ object Catalog {
       column: String, lo: Any, hi: Any,
       version: Long = Long.MaxValue): Seq[String] = {
     val stats = lakeFileStatsAsOf(spark, layout, version)
+    lakeFilesAsOf(spark, layout, version).filter(
+      overlapKeeps(stats, _, column, lo, hi))
+  }
+
+  /** Stats-overlap test against a CALLER-CAPTURED stats map — for
+    * retry loops ([[graft.lake.Merge]]) that pinned a `live` listing
+    * and must not mix it with a fresher log read: a file the captured
+    * map does not know is always KEPT (absence is sound), so pruning
+    * never drops a file the caller's snapshot still considers live. */
+  private[lake] def overlapKeeps(stats: Map[String, String], rel: String,
+      column: String, lo: Any, hi: Any): Boolean = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    lakeFilesAsOf(spark, layout, version).filter { rel =>
-      stats.get(rel).forall(statsMightOverlap(_, column, lo, hi, mapper))
-    }
+    stats.get(rel).forall(statsMightOverlap(_, column, lo, hi, mapper))
   }
 
   /** Snapshot-semantics read of an explicit committed file subset —
@@ -1264,20 +1273,30 @@ object Catalog {
         if (!propsNow.contains(k)) throw new IllegalArgumentException(
           s"no such table property: $k")
       }
-      // a RENAME of a declared stats/bloom column re-points the
-      // declaration in the SAME record — new files stat the new name
-      // (old files' stats stay keyed physically, doc'd on rename)
+      // a RENAME re-points, and a DROP strips, the declared skipping
+      // columns in the SAME record — new files stat the new names
+      // (old files' stats stay keyed physically, doc'd on rename); a
+      // dangling declaration after a DROP would silently stat nothing
+      // forever (exactly what the SET-time validation exists to
+      // prevent — review catch), and a declaration emptied by drops
+      // UNSETs the key
       val renameMap = renameCols.toMap
-      val repointedProps =
-        if (renameCols.isEmpty) setProps
-        else setProps ++ Seq(StatsColsProp, BloomColsProp).flatMap { key =>
+      val droppedSet = dropCols.toSet
+      val declChanges =
+        if (renameCols.isEmpty && dropCols.isEmpty)
+          Seq.empty[(String, Seq[String])]
+        else Seq(StatsColsProp, BloomColsProp).flatMap { key =>
           if (setProps.exists(_._1 == key)) None
           else propsNow.get(key).flatMap { v =>
             val mapped = splitCols(v).map(c => renameMap.getOrElse(c, c))
-            if (mapped == splitCols(v)) None
-            else Some(key -> mapped.mkString(","))
+              .filterNot(droppedSet)
+            if (mapped == splitCols(v)) None else Some(key -> mapped)
           }
         }
+      val repointedProps = setProps ++ declChanges.collect {
+        case (k, cs) if cs.nonEmpty => k -> cs.mkString(",") }
+      val allUnsetProps = unsetProps ++ declChanges.collect {
+        case (k, cs) if cs.isEmpty => k }
       // ---- one record for the whole statement ----
       val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1286,7 +1305,7 @@ object Catalog {
         None, Seq.empty, Seq.empty, addCols = addCols, widenCols = widenCols,
         renameCols = renameCols, dropCols = dropCols,
         expects = expectAdds, expectRms = expectRms,
-        props = repointedProps, propRms = unsetProps)
+        props = repointedProps, propRms = allUnsetProps)
       val seq = claimBody(fs, layout, v2Body(rec))
       finishV2(fs, layout, seq, rec)
       seq
@@ -2712,7 +2731,11 @@ object Catalog {
       s.widenCols.map(_._1) ++ s.renameCols.map(_._1) ++
       s.dropCols.map(_._1) ++
       s.dv.map(_._1) ++ s.dvRemoves.map(_._1) ++
-      s.expects.map(_._1) ++ s.expectRms.map(_._1)).maxOption.getOrElse(0L)
+      s.expects.map(_._1) ++ s.expectRms.map(_._1) ++
+      // a props-only ALTER is a commit like any other: omitting it
+      // would freeze the reported head and brick RESTORE's optimistic
+      // head+1 claim whenever it is the newest record (review catch)
+      s.props.map(_._1) ++ s.propRms.map(_._1)).maxOption.getOrElse(0L)
   }
 
   /** Commit annotations, in seq order: (version, note). The one
@@ -2769,13 +2792,23 @@ object Catalog {
     * prefix) and one over its DV files joined against their distinct
     * target files. Cost is O(changed data), independent of lake size
     * and version count. */
-  /** Whether `(from, to]` contains any row-level DELETE — planned from
-    * the LOG alone (a DV file committed in the range; overwrites and
-    * DV deletes both land one). The plain-rows streaming source's
-    * refusal gate: no data file is opened to decide. */
+  /** Whether `(from, to]` contains any row-level content REMOVAL —
+    * planned from the LOG alone (no data file opened): a DV file
+    * committed in the range (DV deletes and overwrites both land one)
+    * OR an `"erase"` note (the content-changing rewrite commits
+    * removes + rewrites with NO DV — the change feed stays silent for
+    * it by legal design, but an append-only rows stream must still
+    * refuse rather than silently keep erased rows downstream; review
+    * catch). CONSERVATIVE by construction: a boundary-duplicate DV
+    * whose rows were all already deleted at `from` still counts — a
+    * spurious loud refusal, never a silent wrong stream. */
   def lakeHasDeletesBetween(spark: SparkSession, layout: Layout,
-      from: Long, to: Long): Boolean =
-    readLog(spark, layout).dv.exists(e => e._1 > from && e._1 <= to)
+      from: Long, to: Long): Boolean = {
+    val st = readLog(spark, layout)
+    st.dv.exists(e => e._1 > from && e._1 <= to) ||
+      st.notes.exists { case (seq, n) =>
+        n == "erase" && seq > from && seq <= to }
+  }
 
   def lakeChangesBetween(spark: SparkSession, layout: Layout,
       fromVersion: Long, toVersion: Long = Long.MaxValue): DataFrame = {

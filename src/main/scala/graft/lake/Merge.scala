@@ -160,7 +160,16 @@ object Merge {
   private def pruneByOn(spark: SparkSession, layout: Layout,
       live: Seq[String], source: DataFrame, on: Column,
       targetAlias: String, sourceAlias: String): Seq[String] = {
-    if (Catalog.lakeFileStatsAsOf(spark, layout).isEmpty) return live
+    // ONE stats capture, filtered against the caller's OWN `live`
+    // listing — never a fresh log read per conjunct: a concurrent
+    // OPTIMIZE between the caller's listing and a re-read would
+    // replace a live file's stats key, and an overlap test against
+    // the NEW head's keys would wrongly prune the OLD (still-live,
+    // still-on-disk) file — its matched rows would then read as
+    // not-matched with no conflict check firing (review catch). With
+    // the captured map, an unknown file is always kept.
+    val stats = Catalog.lakeFileStatsAsOf(spark, layout)
+    if (stats.isEmpty) return live
     val pairs = splitConjuncts(GraftDmlBridge.expression(on))
       .flatMap(asEquality).flatMap { case (l, r) =>
         (targetRefName(l, targetAlias), targetRefName(r, targetAlias)) match {
@@ -183,7 +192,7 @@ object Merge {
     pairs.indices.foldLeft(live) { (keep, i) =>
       if (keep.isEmpty) keep
       else if (row.isNullAt(2 * i)) Seq.empty // all-NULL: matches nothing
-      else keep.intersect(Catalog.lakeFilesOverlapping(spark, layout,
+      else keep.filter(Catalog.overlapKeeps(stats, _,
         pairs(i)._1, row.get(2 * i), row.get(2 * i + 1)))
     }
   }

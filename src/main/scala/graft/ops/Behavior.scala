@@ -1025,15 +1025,18 @@ object Behavior {
       minSupPct: Int = 1): DataFrame = {
     // the distinct (basket, brand) table is the corpus pass — a
     // CORPUS-KEYED shared artifact (round 12), so a fresh JVM's first
-    // consumer reads ~brand²-bounded parquet instead of re-running
-    // the lineitem⋈part join + distinct (the measured cold tail)
+    // consumer reads orders×brands-bounded parquet instead of
+    // re-running the lineitem⋈part join + distinct (the measured cold
+    // tail). Bounded repartition, NOT coalesce(1): coalesce would
+    // collapse the distinct's final stage to one task at larger
+    // corpora (review catch).
     val obDir = s"${Artifacts.sharedRoot}/assoc_ob/k=${
       Artifacts.tableKey(spark, sfDir, Seq("lineitem", "part"))}"
     Artifacts.commit(spark, obDir) { tmp =>
       Tables.lineitem(spark, sfDir)
         .join(Tables.part(spark, sfDir), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("basket"), col("p_brand").as("brand"))
-        .distinct().coalesce(1)
+        .distinct().repartition(8)
         .write.mode("overwrite").parquet(tmp)
     }
     assocRulesFrom(spark.read.parquet(obDir), minSupPct)

@@ -313,9 +313,12 @@ object Sketch {
     val duDir = s"${Artifacts.sharedRoot}/kmv_du/k=${
       Artifacts.tableKey(spark, sfDir, Seq("events"))}"
     Artifacts.commit(spark, duDir) { tmp =>
+      // bounded repartition, NOT coalesce(1): the distinct is
+      // types×users-sized, and coalesce would collapse its final
+      // stage to one task at larger corpora (review catch)
       Tables.events(spark, sfDir)
         .select(col("event_type").as("t"), col("user_id").as("u"))
-        .distinct().coalesce(1)
+        .distinct().repartition(8)
         .write.mode("overwrite").parquet(tmp)
     }
     val du = spark.read.parquet(duDir)

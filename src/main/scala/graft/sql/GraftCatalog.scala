@@ -91,8 +91,9 @@ class GraftCatalog extends TableCatalog {
   /** Derived read-surface suffixes: for any base table `t`, the names
     * `t_changes` / `t_history` / `t_detail` serve its change feed,
     * DESCRIBE HISTORY and DESCRIBE DETAIL. Reserved at CREATE, so
-    * identifier parsing stays unambiguous. */
-  private val derivedSuffixes = Seq("_changes", "_history", "_detail")
+    * identifier parsing stays unambiguous. ONE shared definition
+    * ([[GraftAddress]]) with the parser and streaming providers. */
+  private def derivedSuffixes = GraftAddress.DerivedSuffixes
 
   /** Base table → its layout. The legacy `lake` table IS the catalog
     * root (the reference pipeline's bronze/catalog/distribution areas
@@ -102,18 +103,15 @@ class GraftCatalog extends TableCatalog {
     * listings from picking table dirs up as data; the nesting keeps
     * user table names from colliding with the root's area dirs. */
   private[sql] def tableLayout(table: String): Layout =
-    if (table == "lake") layout
-    else Layout(s"${layout.root}/${GraftAddress.TablesDir}/$table")
+    GraftAddress.tableLayout(layout.root, table)
 
-  private val tableNameRe = "[A-Za-z][A-Za-z0-9_]*".r
   private def validBaseName(n: String): Boolean =
-    n == "lake" || (tableNameRe.matches(n) && n != "lake_catalog" &&
-      !derivedSuffixes.exists(n.endsWith))
+    GraftAddress.validBaseName(n)
 
   /** Identifier name → (base table, derived surface). `lake_catalog`
     * parses as a derived surface of the root (the ingest area). */
   private def parseName(name: String): Option[(String, Option[String])] =
-    if (name == "lake_catalog") Some(("lake", Some("_catalog")))
+    if (name == GraftAddress.RootCatalogName) Some(("lake", Some("_catalog")))
     else derivedSuffixes.find(name.endsWith) match {
       case Some(sfx) =>
         val base = name.stripSuffix(sfx)
@@ -432,6 +430,29 @@ private[graft] object GraftAddress {
     * can never collide with the root's area dirs. */
   val TablesDir = "_tables"
 
+  /** Reserved derived-surface suffixes and the root ingest-area name —
+    * ONE definition shared by the catalog, the statement parser and
+    * the streaming providers (a second copy would drift). */
+  val DerivedSuffixes: Seq[String] = Seq("_changes", "_history", "_detail")
+  val RootCatalogName = "lake_catalog"
+
+  private val baseNameRe = "[A-Za-z][A-Za-z0-9_]*".r
+
+  /** A creatable / addressable BASE table name: the identifier rule
+    * also blocks path traversal (`../..`) from surfaces that
+    * interpolate the name into a layout path. */
+  def validBaseName(n: String): Boolean =
+    n == "lake" || (baseNameRe.matches(n) && n != RootCatalogName &&
+      !DerivedSuffixes.exists(n.endsWith))
+
+  /** The layout of catalog root `root`'s table `name` — validated, so
+    * no caller can aim outside the `_tables` namespace. */
+  def tableLayout(root: String, name: String): Layout = {
+    require(validBaseName(name),
+      s"'$name' is not a valid graft table name")
+    if (name == "lake") Layout(root) else Layout(s"$root/$TablesDir/$name")
+  }
+
   def layout(spark: SparkSession, target: String): Layout = {
     def rootOf(cat: String): Option[String] =
       spark.conf.getOption(s"spark.sql.catalog.$cat.root")
@@ -442,9 +463,7 @@ private[graft] object GraftAddress {
         if (dot > 0) {
           val (cat, tbl) = (target.substring(0, dot), target.substring(dot + 1))
           rootOf(cat) match {
-            case Some(r) =>
-              if (tbl == "lake") Layout(r)
-              else Layout(s"$r/$TablesDir/$tbl")
+            case Some(r) => tableLayout(r, tbl)
             case None => Layout(target) // a path that happens to contain '.'
           }
         } else Layout(target)

@@ -100,11 +100,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   /** Strip backticks per part; refuse derived surfaces (maintenance
-    * lands on base tables only). */
+    * lands on base tables only). A literal layout-root PATH target
+    * (contains '/') is exempt — the suffix reservation is an
+    * identifier rule, and a root named `…/pipeline_history` is a
+    * perfectly valid directory. */
   private def tableAddress(raw: String, verb: String): String = {
     val parts = raw.split('.').map(_.stripPrefix("`").stripSuffix("`"))
-    require(!Seq("_changes", "_history", "_detail").exists(parts.last.endsWith)
-        && parts.last != "lake_catalog",
+    require(raw.contains("/") ||
+        (!GraftAddress.DerivedSuffixes.exists(parts.last.endsWith) &&
+          parts.last != GraftAddress.RootCatalogName),
       s"$verb wants a base table, got derived surface '$raw'")
     parts.mkString(".")
   }

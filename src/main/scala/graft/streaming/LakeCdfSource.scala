@@ -69,7 +69,10 @@ object LakeCdfSource {
       throw new IllegalArgumentException(
         "graft-lake streaming: option 'root' (the layout root) is required"))
     parameters.get("table").orElse(parameters.get("Table"))
-      .map(t => Layout(s"$root/${graft.sql.GraftAddress.TablesDir}/$t"))
+      // validated name → layout: the identifier rule also blocks a
+      // crafted option("table", "../..") from escaping the _tables
+      // namespace (review catch)
+      .map(t => graft.sql.GraftAddress.tableLayout(root, t))
       .getOrElse(Layout(root))
   }
 

@@ -108,6 +108,23 @@ class MultiTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("cannot be dropped"))
   }
 
+  test("maintenance statements accept a literal root PATH whose last " +
+      "segment ends with a reserved suffix (the reservation is an " +
+      "identifier rule, not a path rule)") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("mt-path-suffix") + "/pipeline_history"
+    Catalog.commitLake(spark, Layout(root),
+      Seq(("a", 1L)).toDF("source", "k"))
+    val out = spark.sql(s"VACUUM $root RETAIN 0 HOURS").head
+    assert(out.getAs[String]("verb") == "vacuum")
+    // the identifier form still refuses derived surfaces
+    val cat = registerCatalog(tmpDir("mt-path-suffix2"))
+    val e = intercept[Exception](
+      spark.sql(s"OPTIMIZE $cat.events_history"))
+    assert(e.getMessage.contains("derived surface"))
+  }
+
   test("reserved names refuse at CREATE; a missing created table is " +
       "NoSuchTable; the legacy root lake still works beside created tables") {
     val s = spark

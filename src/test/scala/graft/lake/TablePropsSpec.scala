@@ -120,6 +120,44 @@ class TablePropsSpec extends SparkTestBase {
     assert(hit.map(_.getLong(0)).toSeq == Seq(10050L))
   }
 
+  test("a props-only ALTER advances the head (review catch: RESTORE's " +
+      "optimistic head+1 claim would otherwise brick); RESTORE works " +
+      "with a props commit as the newest record") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("props-head"))
+    val v1 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", 1L)).toDF("source", "k"))
+    Catalog.commitLake(spark, layout, Seq(("clicks", 2L)).toDF("source", "k"))
+    Catalog.commitLakeAlter(spark, layout, setProps = Seq("team" -> "data"))
+    assert(Catalog.headVersion(spark, layout) == 3L,
+      "the props-only commit must advance the head")
+    val cat = registerCatalog(layout.root)
+    val out = spark.sql(s"RESTORE TABLE $cat.lake TO VERSION AS OF $v1")
+      .collect().head
+    assert(out.getLong(0) == v1 && out.getLong(1) == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.lake").head.getLong(0) == 1L)
+  }
+
+  test("DROP COLUMN strips the column from declared stats/bloom cols in " +
+      "the same record (review catch: a dangling declaration would " +
+      "silently stat nothing forever); emptied declarations unset") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("props-drop"))
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", 1L, 2L)).toDF("source", "a", "b"))
+    Catalog.commitLakeAlter(spark, layout,
+      setProps = Seq(Catalog.StatsColsProp -> "a,b",
+        Catalog.BloomColsProp -> "a"))
+    Catalog.commitLakeDropColumn(spark, layout, "a")
+    val props = Catalog.lakeProperties(spark, layout)
+    assert(props.get(Catalog.StatsColsProp).contains("b"),
+      s"'a' must be stripped: $props")
+    assert(!props.contains(Catalog.BloomColsProp),
+      s"an emptied declaration unsets: $props")
+  }
+
   test("stats.cols validation: unknown column refuses; a RENAME of a " +
       "declared stats column re-points the declaration in the same record") {
     val s = spark

@@ -98,6 +98,41 @@ class LakeRowsSourceSpec extends SparkTestBase {
       Seq(("k1", 10L), ("k2", 20L)))
   }
 
+  test("an ERASE in range refuses too (review catch: the content-" +
+      "changing rewrite commits no DV, and the CDF stays silent by " +
+      "legal design — an append-only stream must still not silently " +
+      "keep erased rows downstream)") {
+    val layout = Layout(tmpDir("rowsrc-erase"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L), ("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    // the erase rewrite leg's commit shape: rewritten adds + removes +
+    // the "erase" note, NO DV
+    val live = Catalog.lakeFilesAsOf(spark, layout)
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "v"),
+      removes = live, note = Some("erase"))
+    assert(Catalog.lakeHasDeletesBetween(spark, layout, 1L, 2L))
+    received.clear()
+    val q = startStream(layout, tmpDir("rowsrc-erase-ckpt"))
+    val e = intercept[Exception](q.processAllAvailable())
+    q.stop()
+    assert(e.getMessage.contains("ignoreDeletes"), e.getMessage)
+  }
+
+  test("a crafted 'table' option cannot escape the _tables namespace") {
+    val layout = Layout(tmpDir("rowsrc-traverse"))
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-lake")
+        .option("root", layout.root).option("table", "../..")
+        .load()
+    }
+    assert(e.getMessage.contains("not a valid graft table name") ||
+      Option(e.getCause).exists(_.getMessage
+        .contains("not a valid graft table name")), e.getMessage)
+  }
+
   test("option 'table' addresses a CREATED table's own layout: the " +
       "sink writes its log, SQL reads it, the rows source streams it — " +
       "the root lake untouched") {
