@@ -2474,7 +2474,14 @@ object Catalog {
       zorder: Option[(String, String)] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L,
+      zorderCols: Seq[String] = Seq.empty): Long = {
+    // the historical two-column form and the round-12 N-column form
+    // (2..6 dims, [[ZOrder.clusteredByN]]) — one effective list
+    val zdims: Seq[String] =
+      zorder.map(t => Seq(t._1, t._2)).getOrElse(zorderCols)
+    require(zdims.isEmpty || (zdims.length >= 2 && zdims.length <= 6),
+      s"ZORDER BY wants 2..6 columns, got ${zdims.mkString(", ")}")
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a None length = the file vanished between the (unlocked) live
@@ -2489,7 +2496,7 @@ object Catalog {
     // candidacy for ONE source's live files — the under-lock re-check
     // stats only that source's files (never O(sources × files) RPCs)
     def candidatesIn(files: Seq[String]): Option[Seq[String]] =
-      if (zorder.isDefined && files.nonEmpty) Some(files.sorted)
+      if (zdims.nonEmpty && files.nonEmpty) Some(files.sorted)
       else {
         // candidacy threshold is HALF the target so the outputs of a
         // pack (avg ≥ target/2 by construction) are never re-chosen —
@@ -2513,10 +2520,9 @@ object Catalog {
             // compacted outputs land in the new name epoch too
             val undeleted = applyNameMap(spark, layout,
               applyCommittedDvs(spark, layout, scan), Long.MaxValue)
-            val packed = zorder match {
-              case Some((a, b)) => ZOrder.clusteredBy(undeleted, a, b, n)
-              case None => undeleted.repartition(n)
-            }
+            val packed =
+              if (zdims.nonEmpty) ZOrder.clusteredByN(undeleted, zdims, n)
+              else undeleted.repartition(n)
             val uuid = java.util.UUID.randomUUID().toString
             val stage = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged/$uuid")
             packed.write.mode("overwrite").partitionBy("source").parquet(stage.toString)

@@ -67,17 +67,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Optimize(table, target, zcols) =>
       val targetBytes = Option(target).map(_.toLong).getOrElse(128L << 20)
       require(targetBytes > 0, s"OPTIMIZE TARGET must be positive")
-      val zorder = Option(zcols).map { cs =>
+      val zdims: Seq[String] = Option(zcols).map { cs =>
         val cols = cs.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
-          .filter(_.nonEmpty)
-        require(cols.length == 2,
-          "ZORDER BY wants exactly two columns (the two-dimensional " +
+          .filter(_.nonEmpty).toSeq
+        require(cols.length >= 2 && cols.length <= 6,
+          "ZORDER BY wants 2..6 columns (the N-dimensional " +
             s"Z-interleave), got (${cols.mkString(", ")})")
-        (cols(0), cols(1))
-      }
+        cols
+      }.getOrElse(Seq.empty)
       GraftMaintenanceCommand("optimize", tableAddress(table, "OPTIMIZE"),
         (s, l) => Lake.optimizeLake(s, l, targetBytes = targetBytes,
-          zorder = zorder))
+          zorderCols = zdims))
     case Vacuum(table, hours, dry) =>
       val graceMs = Option(hours).map(_.toLong * 3600 * 1000)
         .getOrElse(24L * 3600 * 1000)

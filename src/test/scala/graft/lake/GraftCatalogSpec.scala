@@ -775,9 +775,9 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(filesAfter >= 2, s"multi-file clustered layout: $filesAfter")
     assert(prunedCount() < filesAfter,
       "a 2-D point range must now skip at least one clustered file")
-    // a one-column ZORDER refuses at parse
+    // a one-column ZORDER refuses at parse (2..6 dims supported)
     assert(intercept[Exception](
       spark.sql(s"OPTIMIZE $cat.lake ZORDER BY (a)"))
-      .getMessage.contains("two columns"))
+      .getMessage.contains("2..6 columns"))
   }
 }

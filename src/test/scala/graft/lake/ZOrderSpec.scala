@@ -56,4 +56,31 @@ class ZOrderSpec extends SparkTestBase {
     val zPart = avgSpread(zPath, "l_partkey")
     assert(zPart < globalPart * 0.8, s"z part spread $zPart vs global $globalPart")
   }
+
+  test("N-dim key (round 12): zorderKeyN(2) ≡ the historical 2-dim " +
+      "layout; 3-dim clustering shrinks per-file spread on ALL THREE " +
+      "dimensions vs single-column sort") {
+    // bit-layout compatibility: the 2-dim N-key must equal zorderKey
+    val pairs = Seq((3, 5), (65535, 65535), (0, 1), (1234, 4321)).toDF("a", "b")
+    val both = pairs.select(
+      ZOrder.zorderKey(col("a"), col("b")).as("z2"),
+      ZOrder.zorderKeyN(Seq(col("a"), col("b"))).as("zn")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    // 2..6 bounds refuse
+    intercept[IllegalArgumentException](ZOrder.zorderKeyN(Seq(col("a"))))
+
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"))
+    val z3Path = tmpDir("zorder3")
+    ZOrder.clusteredByN(li, Seq("l_partkey", "l_suppkey", "l_orderkey"), 8)
+      .write.mode("overwrite").parquet(z3Path)
+    assert(spark.read.parquet(z3Path).count() == li.count())
+    Seq("l_partkey", "l_suppkey", "l_orderkey").foreach { c =>
+      val global = li.agg(max(col(c)) - min(col(c))).collect()(0)
+        .getLong(0).toDouble
+      val spread = avgSpread(z3Path, c)
+      assert(spread < global * 0.9,
+        s"3-dim clustering must tighten $c: $spread vs $global")
+    }
+  }
 }
