@@ -295,7 +295,11 @@ object Catalog {
       // "erase" — a CONTENT-CHANGING rewrite (vs compaction/optimize/
       // materialize, which preserve the live view), the fact an
       // incremental consumer needs to know it cannot refresh across
-      note: Option[String] = None)
+      note: Option[String] = None,
+      // cross-table transaction id ([[commitLakeTransaction]]): the
+      // record is INVISIBLE until `<root>/_txn/<id>.txn` says commit —
+      // the one root file is the atomic commit point for all N tables
+      txn: Option[String] = None)
 
   private def v2Body(r: V2Record): String = {
     val b = new StringBuilder
@@ -320,6 +324,7 @@ object Catalog {
     r.props.foreach { case (k, v) => b ++= s"\nprop $k $v" }
     r.propRms.foreach(k => b ++= s"\nproprm $k")
     r.note.foreach(n => b ++= s"\nnote $n")
+    r.txn.foreach(t => b ++= s"\ntxn $t")
     b.result()
   }
 
@@ -345,10 +350,12 @@ object Catalog {
     val props = Seq.newBuilder[(String, String)]
     val propRms = Seq.newBuilder[String]
     var note: Option[String] = None
+    var txn: Option[String] = None
     var section = ""
     lines.tail.foreach { l =>
       if (l.startsWith("marker ")) marker = Some(l.stripPrefix("marker "))
       else if (l.startsWith("note ")) note = Some(l.stripPrefix("note "))
+      else if (l.startsWith("txn ")) txn = Some(l.stripPrefix("txn "))
       else if (l.startsWith("fstat ")) {
         val rest = l.stripPrefix("fstat ")
         val sp = rest.indexOf(' ')
@@ -409,7 +416,7 @@ object Catalog {
       dvUuid, dv.result(), dvRemoves.result(),
       lakeReAdds.result(), dvReAdds.result(), fileStats.result(),
       expects.result(), expectRms.result(),
-      props.result(), propRms.result(), note)
+      props.result(), propRms.result(), note, txn)
   }
 
   /** Finish a v2 commit from its record: publish both legs (idempotent
@@ -587,14 +594,146 @@ object Catalog {
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (staged.isEmpty) fs.delete(stage, true)
+    maybeAutoOptimize(spark, layout, staged.map(sourceOfRel))
     seq
   }
 
-  /** Per-staged-file min/max of `statsCols` plus the file's row count
-    * (`_nrows` — the metadata-only `count(*)` input), as (staged rel
-    * path, single-line JSON `{"_nrows":…,"col":{"min":…,"max":…}}`).
-    * Timestamps are stored as epoch millis; all-null columns are
-    * omitted. */
+  /** CROSS-TABLE ATOMIC COMMIT — append one batch into EACH of N
+    * tables with a SINGLE commit point, the engine's equivalent of the
+    * reference recorder applying catalog-append + fan-out as one
+    * retried unit per batch (`event_recorder/lambda_function.py:91,
+    * 55-65`): a reader can never observe one table's half of the
+    * transaction committed and another's not.
+    *
+    * Protocol (all tables must share one catalog root — their layouts
+    * resolve to the same `<root>/_txn` namespace):
+    *  1. per table: stage + claim its next commit seq with a record
+    *     carrying `txn <id>` — claimed, published, `.done`, but
+    *     INVISIBLE: [[readLog]] excludes txn'd records until the root
+    *     txn file binds them;
+    *  2. ONE atomic create of `<root>/_txn/<id>.txn` body `commit`
+    *     (through the same [[exclusiveCreate]] seam as every log
+    *     claim, so it is object-store-safe) — THE commit point: before
+    *     it, no table serves any leg; after it, every table serves its
+    *     leg (on its next read).
+    *
+    * Crash between 1 and 2 leaves the claimed legs invisible;
+    * [[resolveTransactions]] (run by anyone, any time) arbitrates the
+    * SAME file to `abort`, making them invisible PERMANENTLY — the
+    * single-name create is the arbitration, so a late writer bind and
+    * a recovery abort cannot both win. A lost bind throws (the caller
+    * retries the whole transaction; its claimed seqs stay dead).
+    *
+    * Scale: cost is N independent appends + one tiny marker create —
+    * no cross-table lock, no coordinator; concurrent single-table
+    * writers are unaffected (appends are conflict-free by design).
+    * Pending-txn windows are transient; while one exists, readers of
+    * THAT table re-parse its log tail instead of memoizing (documented
+    * on [[LogState.pendingTxns]]) and [[checkpoint]] folds stop below
+    * it. Returns the per-table commit seqs, in input order. */
+  def commitLakeTransaction(spark: SparkSession,
+      writes: Seq[(Layout, DataFrame)],
+      note: Option[String] = None): Seq[Long] =
+    commitLakeTransactionImpl(spark, writes, note, () => ())
+
+  /** [[commitLakeTransaction]] with a crash-injection seam between the
+    * last per-table claim and the root bind (specs and the oracle
+    * fixture's aborted-txn case). */
+  private[graft] def commitLakeTransactionImpl(spark: SparkSession,
+      writes: Seq[(Layout, DataFrame)], note: Option[String],
+      beforeBind: () => Unit): Seq[Long] = {
+    require(writes.nonEmpty, "transaction with no writes")
+    require(writes.map(_._1.root).distinct.size == writes.size,
+      "transaction writes the same table twice — union the batches")
+    val txnDirs = writes.map(w => txnDirOf(w._1).toString).distinct
+    require(txnDirs.size == 1,
+      s"cross-table transactions need one shared catalog root, got " +
+        s"${txnDirs.mkString(" vs ")}")
+    // validate EVERY table's gates before staging ANY leg
+    writes.foreach { case (layout, batch) =>
+      enforceExpectations(spark, layout, batch) }
+    val id = java.util.UUID.randomUUID().toString
+    val fs = new org.apache.hadoop.fs.Path(writes.head._1.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seqs = writes.map { case (layout, batch) =>
+      val uuid = java.util.UUID.randomUUID().toString
+      val stage = new org.apache.hadoop.fs.Path(
+        s"${layout.lakeDir}/_staged/$uuid")
+      widenBatch(spark, layout, batch)
+        .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
+      val staged = stagedFiles(fs, stage)
+      val (declStats, declBloom) = declaredStatsCols(spark, layout)
+      val stats =
+        if (staged.isEmpty || (declStats.isEmpty && declBloom.isEmpty))
+          Seq.empty[(String, String)]
+        else computeFileStats(spark, stage.toString, declStats, declBloom)
+      val rec = V2Record(-1L, System.currentTimeMillis(), None,
+        None, Seq.empty, None, Seq.empty, Seq.empty,
+        if (staged.nonEmpty) Some(uuid) else None, staged,
+        fileStats = stats, note = note, txn = Some(id))
+      val seq = claimBody(fs, layout, v2Body(rec))
+      finishV2(fs, layout, seq, rec)
+      if (staged.isEmpty) fs.delete(stage, true)
+      seq
+    }
+    beforeBind()
+    // ---- THE commit point ----
+    val txnDir = txnDirOf(writes.head._1)
+    fs.mkdirs(txnDir)
+    val bound = exclusiveCreate(fs,
+      new org.apache.hadoop.fs.Path(txnDir, s"$id.txn"), "commit")
+    if (!bound) {
+      // single-name arbitration: only a recovery abort can beat us
+      val st = txnStatus(fs, txnDir, id)
+      if (!st.contains("commit")) throw new java.io.IOException(
+        s"transaction $id was aborted by recovery before its bind " +
+          s"(status: ${st.getOrElse("absent")}) — the claimed legs are " +
+          "permanently invisible; retry the whole transaction")
+    }
+    seqs
+  }
+
+  /** Observability: the UNRESOLVED cross-table transaction legs this
+    * table's log carries — (commit seq, txn id, claim ms). Non-empty
+    * means a transaction is in flight (or its writer crashed; see
+    * [[resolveTransactions]]). */
+  def pendingTransactions(spark: SparkSession,
+      layout: Layout): Seq[(Long, String, Long)] =
+    readLog(spark, layout).pendingTxns
+
+  /** Recovery for crashed cross-table transactions: arbitrate every
+    * txn id this table's log still carries UNBOUND and older than
+    * `olderThanMs` to `abort` (the same single-name create the
+    * writer's bind uses — exactly one outcome wins). Run by anyone:
+    * a maintenance cron, [[fsckLake]] operators, or a spec. Returns
+    * the ids this call settled (either way — a concurrent writer bind
+    * observed mid-arbitration counts as settled). */
+  def resolveTransactions(spark: SparkSession, layout: Layout,
+      olderThanMs: Long = 10 * 60 * 1000L): Seq[String] = {
+    val state = readLog(spark, layout)
+    if (state.pendingTxns.isEmpty) return Seq.empty
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txnDir = txnDirOf(layout)
+    fs.mkdirs(txnDir)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    state.pendingTxns.collect {
+      case (_, id, claimMs) if claimMs <= cutoff =>
+        exclusiveCreate(fs,
+          new org.apache.hadoop.fs.Path(txnDir, s"$id.txn"), "abort")
+        id // created abort, or lost to a concurrent bind: settled either way
+    }.distinct
+  }
+
+  /** Per-staged-file min/max AND NULL COUNT of `statsCols` plus the
+    * file's row count (`_nrows` — the metadata-only `count(*)` input),
+    * as (staged rel path, single-line JSON
+    * `{"_nrows":…,"col":{"min":…,"max":…,"nulls":…}}`).
+    * Timestamps are stored as epoch millis. An all-null column records
+    * `{"nulls":n}` with no min/max — a range probe can then PRUNE the
+    * file (NULL never satisfies a comparison), and the null counts
+    * feed `IS NULL` / `IS NOT NULL` file skipping (the quality-gate
+    * scan shape min/max can never serve). */
   private def computeFileStats(spark: SparkSession, stage: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Seq.empty): Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(stage)
@@ -636,7 +775,9 @@ object Catalog {
           }
       }.toMap
     val aggs = count(lit(1)).as("__nrows") +: present.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+        sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L)))
+          .as(s"__nl_$c")))
     val rows = df
       .withColumn("_graft_f", fileCol)
       .groupBy(col("_graft_f")).agg(aggs.head, aggs.tail: _*)
@@ -653,8 +794,11 @@ object Catalog {
       }
       present.foreach { c =>
         val mnI = r.fieldIndex(s"__mn_$c")
-        if (!r.isNullAt(mnI)) {
+        val nulls = r.getLong(r.fieldIndex(s"__nl_$c"))
+        if (!r.isNullAt(mnI) || nulls > 0) {
           val o = node.putObject(c)
+          o.put("nulls", nulls)
+          if (!r.isNullAt(mnI)) {
           def put(k: String, v: Any): Unit = v match {
             case l: java.lang.Long => o.put(k, l.longValue())
             case i: java.lang.Integer => o.put(k, i.intValue())
@@ -667,6 +811,7 @@ object Catalog {
             case other => o.put(k, other.toString)
           }
           put("min", r.get(mnI)); put("max", r.get(r.fieldIndex(s"__mx_$c")))
+          }
         }
       }
       (r.getString(0), mapper.writeValueAsString(node))
@@ -710,8 +855,33 @@ object Catalog {
       }
     val node = mapper.readTree(json).get(column)
     if (node == null) true
+    else if (node.get("min") == null || node.get("max") == null)
+      // a nulls-only stats object (every value NULL in this file): no
+      // range/point probe can match — NULL never satisfies a
+      // comparison. Unknown shapes without the marker stay kept.
+      !node.has("nulls")
     else !(cmp(node.get("max"), lo).exists(_ < 0) ||
       cmp(node.get("min"), hi).exists(_ > 0))
+  }
+
+  /** NULL-predicate file skipping against the committed null counts —
+    * both sides SOUND-BY-ABSENCE (no recorded count keeps the file):
+    *  - `IS NULL` prunes a file whose stats PROVE zero nulls;
+    *  - `IS NOT NULL` prunes one whose stats prove ALL-null
+    *    (`nulls == _nrows`). A recorded min implies a non-null value,
+    *    so legacy records without counts can still keep correctly. */
+  private def statsKeepForNullCheck(json: String, column: String,
+      wantNull: Boolean,
+      mapper: com.fasterxml.jackson.databind.ObjectMapper): Boolean = {
+    val tree = mapper.readTree(json)
+    val node = tree.get(column)
+    if (node == null || !node.has("nulls")) return true
+    val nulls = node.get("nulls").asLong()
+    if (wantNull) nulls > 0
+    else {
+      val nrows = tree.path("_nrows")
+      if (!nrows.isNumber) true else nulls < nrows.asLong()
+    }
   }
 
   /** FILE-LEVEL data skipping for the SQL catalog's pushed filters:
@@ -724,8 +894,9 @@ object Catalog {
     * (stats skip files, never rows). */
   private[graft] def loadLakeSnapshotForBounds(spark: SparkSession,
       layout: Layout,
-      bounds: Seq[(String, Option[Any], Option[Any])]): Option[DataFrame] = {
-    if (bounds.isEmpty) return None
+      bounds: Seq[(String, Option[Any], Option[Any])],
+      nullChecks: Seq[(String, Boolean)] = Seq.empty): Option[DataFrame] = {
+    if (bounds.isEmpty && nullChecks.isEmpty) return None
     val live = lakeFilesAsOf(spark, layout)
     if (live.isEmpty) return None
     val stats = lakeFileStatsAsOf(spark, layout)
@@ -747,6 +918,8 @@ object Catalog {
       stats.get(rel).forall(json => bounds.forall { case (c, lo, hi) =>
         statsMightOverlap(json, c, lo.orNull, hi.orNull, mapper) &&
           (lo.isEmpty || lo != hi || bloomKeeps(json, c, lo.get))
+      } && nullChecks.forall { case (c, wantNull) =>
+        statsKeepForNullCheck(json, c, wantNull, mapper)
       })
     }
     if (keep.size == live.size) None
@@ -760,6 +933,20 @@ object Catalog {
     val stats = lakeFileStatsAsOf(spark, layout, version)
     lakeFilesAsOf(spark, layout, version).filter(
       overlapKeeps(stats, _, column, lo, hi))
+  }
+
+  /** NULL-predicate file skipping (the typed face of the SQL
+    * `IS [NOT] NULL` pushdown): live files that might hold a NULL
+    * (`wantNull = true`) resp. a non-NULL for `column`, per the
+    * committed per-file null counts — stat-less files always kept. */
+  def lakeFilesForNullCheck(spark: SparkSession, layout: Layout,
+      column: String, wantNull: Boolean,
+      version: Long = Long.MaxValue): Seq[String] = {
+    val stats = lakeFileStatsAsOf(spark, layout, version)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lakeFilesAsOf(spark, layout, version).filter(rel =>
+      stats.get(rel).forall(
+        statsKeepForNullCheck(_, column, wantNull, mapper)))
   }
 
   /** Stats-overlap test against a CALLER-CAPTURED stats map — for
@@ -1268,6 +1455,12 @@ object Catalog {
             s"$k names unknown column '$c' (lake columns: " +
               s"${types.keys.mkString(", ")})"))
         }
+      // the auto-compaction knobs are load-bearing numbers — a typo'd
+      // value would silently disable the policy on every future commit
+      setProps.filter(p =>
+          p._1 == AutoOptimizeTargetProp || p._1 == AutoOptimizeMinFilesProp)
+        .foreach { case (k, v) => require(v.toLongOption.exists(_ > 0),
+          s"$k wants a positive integer, got '$v'") }
       val propsNow = lakeProperties(spark, layout)
       unsetProps.foreach { k =>
         if (!propsNow.contains(k)) throw new IllegalArgumentException(
@@ -1557,6 +1750,46 @@ object Catalog {
   private[graft] val StatsColsProp = "stats.cols"
   private[graft] val BloomColsProp = "bloom.cols"
 
+  /** AUTO-COMPACTION policy (the Delta `autoOptimize.autoCompact`
+    * idea as table facts): when `autoOptimize.target` (bytes) is set,
+    * every [[commitLake]] append checks the sources it touched and —
+    * once a source's live file count reaches `autoOptimize.minFiles`
+    * (default 16) — runs the committed bin-pack ([[optimizeLake]]) on
+    * that source inline, post-commit. Sustained small appends
+    * (streaming sinks, per-row SQL INSERTs) then keep the live file
+    * count bounded at ~(data/target + minFiles) instead of growing
+    * one file per commit — at 100 TB, file count is the planning cost
+    * every reader pays. A source whose maintenance lock is busy is
+    * skipped (the next commit retries); snapshot reads are unchanged
+    * by construction (OPTIMIZE's contract). */
+  private[graft] val AutoOptimizeTargetProp = "autoOptimize.target"
+  private[graft] val AutoOptimizeMinFilesProp = "autoOptimize.minFiles"
+
+  /** The post-commit auto-compaction hook (see
+    * [[AutoOptimizeTargetProp]]). Zero cost when the policy is unset:
+    * one memoized-log property lookup. */
+  private def maybeAutoOptimize(spark: SparkSession, layout: Layout,
+      touchedSources: Seq[String]): Unit = {
+    if (touchedSources.isEmpty) return
+    val props = lakeProperties(spark, layout)
+    val target = props.get(AutoOptimizeTargetProp).flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(return)
+    val minFiles = props.get(AutoOptimizeMinFilesProp)
+      .flatMap(_.toIntOption).filter(_ > 1).getOrElse(16)
+    val bySource = lakeFilesAsOf(spark, layout).groupBy(sourceOfRel)
+    val crowded = touchedSources.distinct
+      .filter(s => bySource.getOrElse(s, Seq.empty).size >= minFiles)
+    if (crowded.isEmpty) return
+    try optimizeLake(spark, layout, targetBytes = target,
+      onlySources = Some(crowded.toSet), waitMs = 0L)
+    catch {
+      // a busy source lock means compaction is ALREADY running there —
+      // the append is durable either way; the next commit re-checks
+      case e: java.io.IOException
+        if e.getMessage != null && e.getMessage.contains("SourceLock") => ()
+    }
+  }
+
   private def splitCols(v: String): Seq[String] =
     v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
@@ -1632,13 +1865,25 @@ object Catalog {
     if (hit != null && hit._1 == digest && (hit._2.sparkSession eq spark))
       return hit._2
     val df = buildLakeSnapshot(spark, layout, version)
-    if (snapMemo.size > 64) snapMemo.clear()
     snapMemo.put(key, (digest, df))
     df
   }
 
-  private val snapMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+  /** Tiny thread-safe LRU for the log/plan memos (round 13): the old
+    * >64 WHOLESALE clear made a >64-table hot set re-plan every
+    * statement — per-entry eviction keeps a wide multi-table namespace
+    * (e.g. a 100-table round-robin) at once-per-commit analysis, while
+    * still bounding memory on many-layout JVMs (test suites). */
+  private final class LruMemo[V](capacity: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = size() > capacity
+    }
+    def get(k: String): V = m.synchronized(m.get(k))
+    def put(k: String, v: V): Unit = m.synchronized { m.put(k, v); () }
+  }
+
+  private val snapMemo = new LruMemo[(String, DataFrame)](256)
 
   /** The FACTS-BORN schema of a lake with no data files: addcol facts
     * in commit order with renames/drops/widenings applied, `source`
@@ -1670,8 +1915,13 @@ object Catalog {
     st.lake.nonEmpty || st.addCols.nonEmpty
   }
 
+  /** Observability counter for the plan-memo pins: how many times a
+    * snapshot plan was BUILT (vs served memoized). */
+  private[lake] val snapshotBuilds = new java.util.concurrent.atomic.AtomicLong
+
   private def buildLakeSnapshot(spark: SparkSession, layout: Layout,
       version: Long): DataFrame = {
+    snapshotBuilds.incrementAndGet()
     val live = lakeFilesAsOf(spark, layout, version)
     if (live.isEmpty) {
       val facts = factsBornSchema(spark, layout, version)
@@ -2277,6 +2527,33 @@ object Catalog {
       s"RESTORE: version $version outside committed history [0, $head]")
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // TBLPROPERTIES rewind (Delta's RESTORE restores table config
+    // along with the data): compensating `prop`/`proprm` facts land in
+    // the SAME record as the file-set diff. Schema is NOT rewound
+    // (monotone by contract), so the two skipping-declaration keys are
+    // re-pointed through renames committed since `v` and purged of
+    // since-dropped columns — a restored stats.cols naming a retired
+    // column would silently stat nothing on every future write.
+    val propsAtV: Map[String, String] = {
+      val raw = lakeProperties(spark, layout, version)
+      val st = readLog(spark, layout)
+      val renames = st.renameCols.filter(_._1 > version).sortBy(_._1)
+      val dropped = st.dropCols.filter(_._1 > version).map(_._2).toSet
+      raw.flatMap { case (k, v) =>
+        if (k == StatsColsProp || k == BloomColsProp) {
+          val cs = splitCols(v)
+            .map(c => renames.foldLeft(c)((n, r) => if (r._2 == n) r._3 else n))
+            .filterNot(dropped)
+          if (cs.isEmpty) None else Some(k -> cs.mkString(","))
+        } else Some(k -> v)
+      }
+    }
+    def propDiff(): (Seq[(String, String)], Seq[String]) = {
+      val now = lakeProperties(spark, layout)
+      (propsAtV.filter { case (k, v) => !now.get(k).contains(v) }
+        .toSeq.sortBy(_._1),
+        (now.keySet -- propsAtV.keySet).toSeq.sorted)
+    }
     var attempt = 0
     while (attempt < 8) {
       val liveAtV = lakeFilesAsOf(spark, layout, version)
@@ -2287,7 +2564,9 @@ object Catalog {
       val lakeRm = (livePre.toSet -- liveAtV).toSeq.sorted
       val dvRe = (dvAtV.toSet -- dvPre).toSeq.sorted
       val dvRm = (dvPre.toSet -- dvAtV).toSeq.sorted
-      if (lakeRe.isEmpty && lakeRm.isEmpty && dvRe.isEmpty && dvRm.isEmpty)
+      val (propSet0, propRm0) = propDiff()
+      if (lakeRe.isEmpty && lakeRm.isEmpty && dvRe.isEmpty && dvRm.isEmpty &&
+          propSet0.isEmpty && propRm0.isEmpty)
         return -1L
       val missing = (lakeRe ++ dvRe).filterNot(rel =>
         fs.exists(new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel")))
@@ -2321,10 +2600,15 @@ object Catalog {
             s"RESTORE to $version: ${gone.size} required files vacuumed " +
               s"mid-restore — version no longer restorable: " +
               gone.take(3).mkString(", "))
+          // prop diff recomputed UNDER the lock at head `h` — the
+          // exact-id claim at h+1 then guarantees no commit (and so no
+          // property change) interleaves between this read and the claim
+          val (propSets, propRms) = propDiff()
           val rec = V2Record(-1L, System.currentTimeMillis(), None,
             None, Seq.empty, None, Seq.empty, Seq.empty,
             None, Seq.empty, lakeRemoves = lakeRm,
             dvRemoves = dvRm, lakeReAdds = lakeRe, dvReAdds = dvRe,
+            props = propSets, propRms = propRms,
             note = Some(s"restore $version"))
           if (claimBodyAt(fs, layout, v2Body(rec), h + 1)) {
             finishV2(fs, layout, h + 1, rec)
@@ -2475,13 +2759,14 @@ object Catalog {
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
       lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L,
-      zorderCols: Seq[String] = Seq.empty): Long = {
+      zorderCols: Seq[String] = Seq.empty,
+      onlySources: Option[Set[String]] = None): Long = {
     // the historical two-column form and the round-12 N-column form
     // (2..6 dims, [[ZOrder.clusteredByN]]) — one effective list
     val zdims: Seq[String] =
       zorder.map(t => Seq(t._1, t._2)).getOrElse(zorderCols)
-    require(zdims.isEmpty || (zdims.length >= 2 && zdims.length <= 6),
-      s"ZORDER BY wants 2..6 columns, got ${zdims.mkString(", ")}")
+    require(zdims.length <= 6,
+      s"ZORDER BY wants 1..6 columns, got ${zdims.mkString(", ")}")
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a None length = the file vanished between the (unlocked) live
@@ -2506,6 +2791,7 @@ object Catalog {
       }
     val prefix = qualifiedLakeDir(spark, layout)
     val bySource = lakeFilesAsOf(spark, layout).groupBy(sourceOfRel)
+      .filter(e => onlySources.forall(_.contains(e._1)))
     var rewritten = 0L
     bySource.collect { case (src, files) if candidatesIn(files).isDefined => src }
       .toSeq.sorted.foreach { src =>
@@ -3132,8 +3418,13 @@ object Catalog {
     val undone = names
       .filter(n => n.endsWith(".commit") && !done.contains(n.stripSuffix(".commit")))
       .map(_.stripSuffix(".commit").toLong)
-    val cap = if (undone.isEmpty) Long.MaxValue else undone.min - 1
+    val cap0 = if (undone.isEmpty) Long.MaxValue else undone.min - 1
     val state = readLog(spark, layout)
+    // never fold past an UNRESOLVED cross-table txn record: its facts
+    // are absent from this state, but a later root-file bind makes
+    // them real — folding+pruning here would lose that commit forever
+    val cap = state.pendingTxns.map(_._1).minOption
+      .map(p => math.min(cap0, p - 1)).getOrElse(cap0)
     val catF = state.cat.filter(_._1 <= cap)
     val distF = state.dist.filter(_._1 <= cap)
     val rmF = state.removes.filter(_._1 <= cap)
@@ -3251,9 +3542,17 @@ object Catalog {
       props: Seq[(Long, String, String)] = Seq.empty,
       propRms: Seq[(Long, String)] = Seq.empty,
       notes: Seq[(Long, String)] = Seq.empty,
+      // UNRESOLVED cross-table transaction records in the tail:
+      // (seq, txn id, claimMs). Their facts are EXCLUDED from this
+      // state (invisible until the root txn file binds them); their
+      // presence makes the state non-memoizable (resolution can land
+      // without a log-listing change) and caps [[checkpoint]] below
+      // them (folding would lose a later-committed record's facts)
+      pendingTxns: Seq[(Long, String, Long)] = Seq.empty,
       // listing digest this state was parsed from ([[readLog]]'s memo
-      // key) — lets downstream memos (snapshot plans) validate with
-      // zero extra filesystem calls
+      // key) — extended with observed txn resolutions, so a snapshot
+      // plan memoized against a pre-commit parse can never be served
+      // for the post-commit state (same listing, different content)
       digest: String = "")
 
   /** Read one checkpoint file and validate its `#end <n>` terminator;
@@ -3295,8 +3594,7 @@ object Catalog {
     * digest re-checks the filesystem on every call, so cross-process
     * writers are always observed; bounded so long-lived many-layout
     * JVMs (test suites) cannot leak. */
-  private val logMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, LogState)]()
+  private val logMemo = new LruMemo[(String, LogState)](256)
 
   /** Every committed log fact: the latest VALID checkpoint's folded
     * history plus the committed `.commit` tail above it. */
@@ -3314,16 +3612,67 @@ object Catalog {
       d.digest().map(b => f"$b%02x").mkString
     }
     val hit = logMemo.get(layout.catalogDir)
+    // a memoized state is pending-free by construction (see put below),
+    // and a pending-free parse is fully determined by the listing:
+    // every txn id it saw resolved to commit/abort, both PERMANENT
     if (hit != null && hit._1 == digest) return hit._2
-    val state = parseLog(fs, log, statuses.map(_.getPath.getName))
-      .copy(digest = digest)
-    if (logMemo.size > 64) logMemo.clear() // many-layout JVMs: stay bounded
-    logMemo.put(layout.catalogDir, (digest, state))
+    val (parsed, resolutions) =
+      parseLog(fs, log, statuses.map(_.getPath.getName), txnDirOf(layout))
+    val fullDigest =
+      if (resolutions.isEmpty) digest
+      else {
+        val d = java.security.MessageDigest.getInstance("SHA-1")
+        d.update(digest.getBytes("UTF-8"))
+        resolutions.toSeq.sorted.foreach { case (id, st) =>
+          d.update(s"$id=$st".getBytes("UTF-8")) }
+        d.digest().map(b => f"$b%02x").mkString
+      }
+    val state = parsed.copy(digest = fullDigest)
+    if (state.pendingTxns.isEmpty)
+      logMemo.put(layout.catalogDir, (digest, state))
+    // an unresolved txn can bind without a listing change: re-parse
     state
   }
 
+  /** The shared transaction directory for a layout: created tables
+    * (`<root>/_tables/<t>`) and their catalog root bind through ONE
+    * `<root>/_txn` — the single namespace a cross-table commit point
+    * needs. */
+  private[lake] def txnDirOf(layout: Layout): org.apache.hadoop.fs.Path = {
+    val idx = layout.root.indexOf("/_tables/")
+    val root = if (idx > 0) layout.root.substring(0, idx) else layout.root
+    new org.apache.hadoop.fs.Path(s"$root/_txn")
+  }
+
+  /** The txn file's resolution: Some("commit") / Some("abort") /
+    * None (unbound). Any other content fails loud — a torn txn file
+    * must never default to either outcome. */
+  private def txnStatus(fs: org.apache.hadoop.fs.FileSystem,
+      txnDir: org.apache.hadoop.fs.Path, id: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(txnDir, s"$id.txn")
+    val in = try fs.open(p) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    body match {
+      case "commit" | "abort" => Some(body)
+      case other => throw new java.io.IOException(
+        s"transaction file $p carries '$other' — expected commit/abort " +
+          "(torn write on a non-atomic store?)")
+    }
+  }
+
   private def parseLog(fs: org.apache.hadoop.fs.FileSystem,
-      log: org.apache.hadoop.fs.Path, names: Array[String]): LogState = {
+      log: org.apache.hadoop.fs.Path, names: Array[String],
+      txnDir: org.apache.hadoop.fs.Path): (LogState, Map[String, String]) = {
+    val pendingTxns = Seq.newBuilder[(Long, String, Long)]
+    // one resolution read per DISTINCT txn id in the tail (zero for
+    // txn-free logs); resolved outcomes are permanent facts
+    val txnSeen = scala.collection.mutable.Map.empty[String, String]
+    def resolveTxn(id: String): String =
+      txnSeen.getOrElseUpdate(id,
+        txnStatus(fs, txnDir, id).getOrElse("pending"))
     def readLines(p: org.apache.hadoop.fs.Path): List[String] = {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
@@ -3400,6 +3749,14 @@ object Catalog {
         }
         if (lines.headOption.exists(_.startsWith("v2 "))) {
           val r = parseV2(lines)
+          // a txn'd record is visible ONLY once its root txn file says
+          // commit; aborted = invisible forever; unbound = invisible
+          // now, tracked so the state stays un-memoized and the
+          // checkpoint fold stops below it
+          val txnGate = r.txn.map(resolveTxn)
+          if (txnGate.contains("pending"))
+            pendingTxns += ((seq, r.txn.get, r.claimMs))
+          if (txnGate.forall(_ == "commit")) {
           r.cat.foreach(rel => cat += ((seq, live(rel))))
           r.dist.foreach(rel => dist += ((seq, live(rel))))
           r.removes.foreach(p => removes += ((seq, r.claimMs, p)))
@@ -3420,16 +3777,19 @@ object Catalog {
           r.props.foreach { case (k, v) => props += ((seq, k, v)) }
           r.propRms.foreach(k => propRms += ((seq, k)))
           r.note.foreach(n => notes += ((seq, n)))
+          }
         } else {
           lines.tail.foreach(rel => cat += ((seq, live(rel))))
         }
       }
-    LogState(cat.result(), dist.result(), removes.result(),
+    (LogState(cat.result(), dist.result(), removes.result(),
       lake.result(), lakeRemoves.result(), addCols.result(),
       widenCols.result(), renameCols.result(), dropCols.result(),
       dv.result(), dvRemoves.result(), fileStats.result(),
       expects.result(), expectRms.result(),
-      props.result(), propRms.result(), notes.result())
+      props.result(), propRms.result(), notes.result(),
+      pendingTxns = pendingTxns.result()),
+      txnSeen.toMap)
   }
 
   /** The committed distribution file set (relative paths): every

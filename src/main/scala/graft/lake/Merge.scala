@@ -292,6 +292,31 @@ object Merge {
 
     val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // MERGE SOURCE MATERIALIZATION (Delta's merge-source-
+    // materialization idea): the merge executes the source plan more
+    // than once — [[pruneByOn]]'s min/max aggregate, then the action
+    // join (and again per conflict retry). A NONDETERMINISTIC source
+    // (rand(), uuid(), a nondeterministic UDF) could report a narrower
+    // key range to the pruner than the rows the join later produces —
+    // files holding matched rows would be wrongly pruned and those
+    // rows silently re-inserted as duplicates, with no conflict check
+    // firing. Staging such a source to parquet ONCE makes every
+    // execution read the same rows. Deterministic plans skip the copy:
+    // their file listings are pinned at read time, so repeated
+    // executions agree.
+    val sourceNondet = source.queryExecution.analyzed.exists(
+      p => p.expressions.exists(e => e.exists(!_.deterministic)))
+    val (src, srcStage) =
+      if (!sourceNondet) (source, None)
+      else {
+        val p = s"${layout.lakeDir}/_staged/merge-src-" +
+          java.util.UUID.randomUUID().toString
+        source.write.mode("overwrite").parquet(p)
+        // schema passed explicitly: an empty staged source writes no
+        // part files and inference would fail
+        (spark.read.schema(source.schema).parquet(p), Some(p))
+      }
+    try {
     var attempt = 0
     while (attempt < 8) {
       val live = Catalog.lakeFilesAsOf(spark, layout)
@@ -300,7 +325,7 @@ object Merge {
       // SOURCE clause reads the whole target, so nothing may prune
       val scanFiles =
         if (live.isEmpty || notMatchedBySource.nonEmpty) live
-        else pruneByOn(spark, layout, live, source, on,
+        else pruneByOn(spark, layout, live, src, on,
           targetAlias, sourceAlias)
       val tgt0 =
         if (scanFiles.nonEmpty)
@@ -345,7 +370,7 @@ object Merge {
       val actionsPath = s"${layout.lakeDir}/_staged/" +
         s"merge-${java.util.UUID.randomUUID().toString}"
       try {
-        actionFrame(tgt0, source, on, matched, notMatched,
+        actionFrame(tgt0, src, on, matched, notMatched,
             notMatchedBySource, targetAlias, sourceAlias)
           .write.mode("overwrite").parquet(actionsPath)
         val st = spark.read.parquet(actionsPath)
@@ -410,6 +435,10 @@ object Merge {
     throw new java.io.IOException(
       "mergeIntoLake: 8 attempts lost to concurrent commits into merged " +
         "sources — serialize writers per key space or retry")
+    } finally {
+      srcStage.foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    }
   }
 
   /** SQL `UPDATE lake SET … [WHERE …]` — a merge whose source is a

@@ -67,7 +67,13 @@ object ZOrder {
   def clusteredByN(df: DataFrame, dims: Seq[String],
       nFiles: Int): DataFrame = {
     val n = dims.length
-    require(n >= 2 && n <= 6, s"zorder wants 2..6 dimensions, got $n")
+    require(n >= 1 && n <= 6, s"zorder wants 1..6 dimensions, got $n")
+    // one dimension: Z-order IS a linear sort there (no interleave) —
+    // range-partition + sort on the column itself, the exact Delta
+    // degradation for a single ZORDER BY column
+    if (n == 1) return df
+      .repartitionByRange(nFiles, col(dims.head))
+      .sortWithinPartitions(col(dims.head))
     val maxKey = (1 << bitsFor(n)) - 1
     val aggs = dims.flatMap(d =>
       Seq(min(col(d)).cast("double"), max(col(d)).cast("double")))

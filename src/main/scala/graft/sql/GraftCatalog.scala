@@ -458,16 +458,49 @@ private[graft] object GraftAddress {
       spark.conf.getOption(s"spark.sql.catalog.$cat.root")
     rootOf(target) match {
       case Some(r) => Layout(r)
+      case None if target.contains('/') =>
+        Layout(target) // a literal layout-root path
       case None =>
+        // an identifier-shaped target (no '/') MUST resolve through a
+        // registered catalog — falling back to a relative-path layout
+        // here would turn a typo'd catalog (`VACUUM grft.events`) into
+        // a phantom empty table that every verb "succeeds" against
         val dot = target.indexOf('.')
         if (dot > 0) {
           val (cat, tbl) = (target.substring(0, dot), target.substring(dot + 1))
           rootOf(cat) match {
             case Some(r) => tableLayout(r, tbl)
-            case None => Layout(target) // a path that happens to contain '.'
+            case None => throw new NoSuchElementException(
+              s"'$cat' is not a registered graft catalog — register it " +
+                s"(spark.sql.catalog.$cat = graft.sql.GraftCatalog + " +
+                s"spark.sql.catalog.$cat.root = <dir>) or address the " +
+                "table by its layout-root path")
           }
-        } else Layout(target)
+        } else throw new NoSuchElementException(
+          s"'$target' is neither a registered graft catalog nor a " +
+            "layout-root path (paths contain '/')")
     }
+  }
+
+  /** [[layout]] + an EXISTENCE gate for the mutating statements
+    * (RESTORE / OPTIMIZE / VACUUM / CHECKPOINT / MATERIALIZE): a
+    * created table or a path target must already carry a manifest log
+    * — otherwise the verb would run against a phantom empty layout
+    * and report success (result -1, head 0) where Delta raises
+    * no-such-table. A BARE registered catalog is exempt: its root
+    * `lake` table exists by registration, and maintenance on a
+    * not-yet-written deployment is a legitimate no-op. */
+  def existingLayout(spark: SparkSession, target: String): Layout = {
+    val l = layout(spark, target)
+    val bareRegisteredCatalog =
+      spark.conf.getOption(s"spark.sql.catalog.$target.root").isDefined
+    if (!bareRegisteredCatalog &&
+        graft.lake.Catalog.headVersion(spark, l) == 0L)
+      throw new NoSuchElementException(
+        s"no graft table at '$target' — nothing is committed there " +
+          "(check the table name; CREATE TABLE / a first commit " +
+          "creates the manifest log)")
+    l
   }
 }
 
@@ -537,7 +570,8 @@ private[sql] class GraftLakeTable(tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(df, filters =>
       Lake.loadLakeSnapshotForBounds(SparkSession.active, layout,
-        GraftFilters.boundsOf(filters)))
+        GraftFilters.boundsOf(filters),
+        GraftFilters.nullChecksOf(filters)))
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftFilters.toColumn(f).isDefined)
@@ -682,6 +716,22 @@ private[sql] object GraftFilters {
         Seq((a, None, Some(v)))
       case sources.And(l, r) => walk(l) ++ walk(r)
       case _ => Seq.empty // OR/IN/nulls/...: no file bound, never wrong
+    }
+    filters.toSeq.flatMap(walk)
+  }
+
+  /** Per-column `(col, wantNull)` conjuncts from the pushed filters —
+    * the `IS [NOT] NULL` file-skipping input (committed per-file null
+    * counts). Only top-level/AND conjuncts translate; anything under
+    * OR/NOT contributes nothing (sound). */
+  def nullChecksOf(filters: Array[Filter]): Seq[(String, Boolean)] = {
+    def simple(attr: String): Boolean = !attr.contains(".")
+    def walk(f: Filter): Seq[(String, Boolean)] = f match {
+      case sources.IsNull(a) if simple(a) => Seq((a, true))
+      case sources.IsNotNull(a) if simple(a) => Seq((a, false))
+      case sources.EqualNullSafe(a, null) if simple(a) => Seq((a, true))
+      case sources.And(l, r) => walk(l) ++ walk(r)
+      case _ => Seq.empty
     }
     filters.toSeq.flatMap(walk)
   }

@@ -70,9 +70,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val zdims: Seq[String] = Option(zcols).map { cs =>
         val cols = cs.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq
-        require(cols.length >= 2 && cols.length <= 6,
-          "ZORDER BY wants 2..6 columns (the N-dimensional " +
-            s"Z-interleave), got (${cols.mkString(", ")})")
+        require(cols.length >= 1 && cols.length <= 6,
+          "ZORDER BY wants 1..6 columns (one column degrades to a " +
+            "linear range-sort, like Delta; 2..6 Z-interleave), got " +
+            s"(${cols.mkString(", ")})")
         cols
       }.getOrElse(Seq.empty)
       GraftMaintenanceCommand("optimize", tableAddress(table, "OPTIMIZE"),
@@ -96,6 +97,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand("materialize_deletes",
         tableAddress(table, "MATERIALIZE DELETES"),
         (s, l) => Lake.materializeLakeDeletes(s, l))
+    case DescribeHistory(table) =>
+      // the Delta `DESCRIBE HISTORY` syntax, REWRITTEN onto the
+      // derived `_history` surface (one engine path, no second
+      // history reader to drift): `<cat>.<t>` → `<cat>.<t>_history`,
+      // a bare catalog → its root `lake_history`
+      val t = tableAddress(table, "DESCRIBE HISTORY")
+      require(!t.contains("/"),
+        "DESCRIBE HISTORY wants a catalog table (the `_history` " +
+          "surface); for a bare layout path use the typed " +
+          "Catalog.lakeHistory")
+      val rewritten =
+        if (t.contains(".")) s"${t}_history"
+        else s"$t.lake_history"
+      delegate.parsePlan(s"SELECT * FROM $rewritten")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -121,12 +136,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   /** Parameterized `spark.sql(text, args)`: the delegate OVERRIDES the
     * interface default (its parameter substitution lives there), so
     * forward rather than inherit — graft statements take no parameters
-    * and go through [[parsePlan]]. */
+    * and go through [[parsePlan]]. An EXPLAIN short-circuits here ONLY
+    * when its inner statement actually parses as a graft verb: an
+    * EXPLAIN whose inner text merely STARTS with a verb-looking word
+    * but belongs to Spark's grammar must delegate WITH the
+    * ParameterContext, or its parameter markers would go unbound. */
   override def parsePlanWithParameters(sqlText: String,
       ctx: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan =
-    if (graftStatement(sqlText) || Explain.pattern.matcher(sqlText).matches())
-      parsePlan(sqlText)
-    else delegate.parsePlanWithParameters(sqlText, ctx)
+    sqlText match {
+      case _ if graftStatement(sqlText) => parsePlan(sqlText)
+      case Explain(_, rest) if graftStatement(rest) => parsePlan(sqlText)
+      case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -174,13 +195,19 @@ object GraftSqlParser {
   private val Materialize =
     """(?is)\s*MATERIALIZE\s+DELETES\s+([\w.$`/\-]+)\s*;?\s*""".r
 
+  /** `DESCRIBE HISTORY <ident>[;]` (Delta's syntax) — rewritten onto
+    * the `_history` derived surface. */
+  private val DescribeHistory =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.$`/\-]+)\s*;?\s*""".r
+
   private[sql] def graftStatement(text: String): Boolean =
-    Seq(Restore, Optimize, Vacuum, Checkpoint, Materialize)
+    Seq(Restore, Optimize, Vacuum, Checkpoint, Materialize, DescribeHistory)
       .exists(_.pattern.matcher(text).matches())
 
   private val Explain =
     ("""(?is)\s*EXPLAIN(\s+EXTENDED|\s+FORMATTED|\s+CODEGEN|\s+COST)?""" +
-      """\s+((?:RESTORE|OPTIMIZE|VACUUM|CHECKPOINT|MATERIALIZE)\s.+)""").r
+      """\s+((?:RESTORE|OPTIMIZE|VACUUM|CHECKPOINT|MATERIALIZE|""" +
+      """DESCRIBE\s+HISTORY)\s.+)""").r
 }
 
 /** The captured RESTORE statement: resolves the table address
@@ -195,7 +222,7 @@ case class GraftRestoreCommand(catalogOrRoot: String,
     AttributeReference("commit_seq", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val layout = GraftAddress.layout(spark, catalogOrRoot)
+    val layout = GraftAddress.existingLayout(spark, catalogOrRoot)
     val version = target match {
       case Left(v) => v
       case Right(ts) =>
@@ -223,7 +250,9 @@ case class GraftMaintenanceCommand(verb: String, targetTable: String,
     AttributeReference("head_version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val layout = GraftAddress.layout(spark, targetTable)
+    // existence-gated: a maintenance verb against a never-written
+    // layout is a phantom no-op, not a success (ADVICE r12 catch)
+    val layout = GraftAddress.existingLayout(spark, targetTable)
     val result = body(spark, layout)
     Seq(Row(verb, result, Lake.headVersion(spark, layout)))
   }

@@ -665,6 +665,82 @@ object SqlLake {
       |FROM events WHERE NOT (user_id % 7 = 0)
       |GROUP BY user_id % 7 ORDER BY grp""".stripMargin
 
+  /** Eighth fixture — CROSS-TABLE ATOMIC COMMIT
+    * ([[Catalog.commitLakeTransaction]]): the pair (ev, usr) is built
+    * by TWO transactions (each writing half of both tables as one
+    * unit) with a deliberately CRASHED transaction in between whose
+    * poison rows (cents inflated ×10⁶, a phantom user group 999) must
+    * never surface — recovery aborts it, and the final join is only
+    * right if every committed leg is visible and the aborted legs are
+    * not. The reference analogue is the recorder's catalog+fan-out
+    * retried as one unit (`event_recorder/lambda_function.py:91`). */
+  private def txnRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_txn/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val users = base.select(col("user_id"),
+        (col("user_id") % 7).as("grp"), lit("dim").as("source")).distinct()
+      val name = s"grafttxn_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      spark.sql(s"CREATE TABLE $name.ev (source STRING, event_id BIGINT, " +
+        "user_id BIGINT, cents BIGINT) PARTITIONED BY (source)")
+      spark.sql(s"CREATE TABLE $name.usr (user_id BIGINT, grp BIGINT, " +
+        "source STRING)")
+      val evL = Layout(s"$tmp/_tables/ev")
+      val usrL = Layout(s"$tmp/_tables/usr")
+      Catalog.commitLakeTransaction(spark, Seq(
+        evL -> base.filter(col("event_id") % 2 === 0),
+        usrL -> users.filter(col("grp") % 2 === 0)))
+      // the crashed transaction: poison in BOTH tables, never bound
+      try Catalog.commitLakeTransactionImpl(spark, Seq(
+          evL -> base.limit(50).withColumn("cents",
+            col("cents") + lit(1000000000L)),
+          usrL -> users.limit(50).withColumn("grp", lit(999L))),
+        None, beforeBind =
+          () => throw new RuntimeException("injected crash"))
+      catch { case e: RuntimeException
+          if e.getMessage == "injected crash" => () }
+      require(Catalog.resolveTransactions(spark, evL, 0L).nonEmpty,
+        "txn fixture: the crashed transaction must be pending")
+      Catalog.resolveTransactions(spark, usrL, 0L)
+      Catalog.commitLakeTransaction(spark, Seq(
+        evL -> base.filter(col("event_id") % 2 === 1),
+        usrL -> users.filter(col("grp") % 2 === 1)))
+      require(Catalog.pendingTransactions(spark, evL).isEmpty &&
+        Catalog.pendingTransactions(spark, usrL).isEmpty,
+        "txn fixture: unresolved legs remain")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_txn`: per user group, events of transactionally-
+    * committed users — exact iff both transactions are fully visible
+    * and the aborted one fully invisible. */
+  def txnAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = txnRoot(spark, sfDir)
+    val name = s"grafttxn_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT u.grp, count(*) AS n_events,
+         |  CAST(sum(e.cents) AS BIGINT) AS sum_cents
+         |FROM $name.ev e JOIN $name.usr u ON e.user_id = u.user_id
+         |GROUP BY u.grp ORDER BY u.grp""".stripMargin)
+  }
+
+  val txnAggOracleSql: String =
+    """SELECT user_id % 7 AS grp, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin
+
   val mergeCdfAggOracleSql: String =
     """WITH base AS (
       |  SELECT event_type AS source, event_id,

@@ -184,4 +184,83 @@ class FileStatsSpec extends SparkTestBase {
     // most the fp-rate tail, and the result is exactly empty
     assert(Catalog.loadLakePoint(spark, layout, "uid", "nosuchuser").count() == 0)
   }
+
+  test("NULL-COUNT stats (round 13): IS NULL prunes proven-null-free " +
+      "files, IS NOT NULL prunes all-null files, a range probe prunes " +
+      "an all-null file — and legacy records without counts stay kept") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("fstat-nulls"))
+    // file A: no nulls; file B: mixed; file C: all-null v
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", 1L, Some(10L)), ("clicks", 2L, Some(20L)))
+        .toDF("source", "k", "v").coalesce(1), statsCols = Seq("v"))
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", 3L, Some(30L)), ("clicks", 4L, Option.empty[Long]))
+        .toDF("source", "k", "v").coalesce(1), statsCols = Seq("v"))
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", 5L, Option.empty[Long]), ("clicks", 6L, Option.empty[Long]))
+        .toDF("source", "k", "v").coalesce(1), statsCols = Seq("v"))
+    val live = Catalog.lakeFilesAsOf(spark, layout)
+    assert(live.size == 3)
+    val wantNull = Catalog.lakeFilesForNullCheck(spark, layout, "v", wantNull = true)
+    assert(wantNull.size == 2, s"IS NULL keeps B and C only: $wantNull")
+    val wantVal = Catalog.lakeFilesForNullCheck(spark, layout, "v", wantNull = false)
+    assert(wantVal.size == 2, s"IS NOT NULL keeps A and B only: $wantVal")
+    // a range probe can prune the ALL-NULL file: no comparison matches NULL
+    val range = Catalog.lakeFilesOverlapping(spark, layout, "v", 0L, 100L)
+    assert(range.size == 2, s"range keeps A and B only: $range")
+    // soundness: a column with NO recorded stats never prunes
+    assert(Catalog.lakeFilesForNullCheck(spark, layout, "k", wantNull = true)
+      .size == 3)
+    // counts survive the checkpoint fold
+    assert(Catalog.checkpoint(spark, layout).isDefined)
+    Catalog.pruneLog(spark, layout)
+    assert(Catalog.lakeFilesForNullCheck(spark, layout, "v", wantNull = true)
+      .size == 2)
+  }
+
+  test("NULL-predicate SQL pushdown is PHYSICAL (round 13): the " +
+      "null-free file's bytes are deleted and `WHERE v IS NULL` still " +
+      "answers exactly — the pruned file is never opened; the " +
+      "unpruned control predicate fails loud on the same table") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("fstat-null-sql")
+    val layout = Layout(root)
+    val cat = s"fns_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    Catalog.commitLakeAlter(spark, layout,
+      addCols = Seq(("k", "BIGINT"), ("v", "BIGINT")))
+    Catalog.commitLakeAlter(spark, layout,
+      setProps = Seq(Catalog.StatsColsProp -> "v"))
+    Catalog.commitLake(spark, layout, // null-free file (the prune target)
+      (1L to 50L).map(k => ("clicks", k, Some(k * 10)))
+        .toDF("source", "k", "v").coalesce(1))
+    Catalog.commitLake(spark, layout, // the nulls live here
+      Seq(("clicks", 100L, Option.empty[Long]), ("clicks", 101L, Some(7L)))
+        .toDF("source", "k", "v").coalesce(1))
+    // warm the digest-keyed snapshot-plan memo while all bytes exist
+    // (statement ANALYSIS binds the full plan — memory: plan-memo pin)
+    spark.sql(s"SELECT count(*) FROM $cat.lake").collect()
+    val nullFree = Catalog.lakeFilesForNullCheck(spark, layout, "v",
+      wantNull = true)
+    val toDelete = Catalog.lakeFilesAsOf(spark, layout)
+      .filterNot(nullFree.contains)
+    assert(toDelete.size == 1)
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    toDelete.foreach(rel => assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel"), false)))
+    val hit = spark.sql(s"SELECT k FROM $cat.lake WHERE v IS NULL").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(100L),
+      "IS NULL answered exactly without the deleted file")
+    // control: a predicate the index cannot serve must try to read
+    // the deleted bytes and fail loud — proving the skip was physical
+    intercept[Exception] {
+      spark.sql(s"SELECT sum(k) FROM $cat.lake WHERE v IS NOT NULL").collect()
+    }
+  }
 }

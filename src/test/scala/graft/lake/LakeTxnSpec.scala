@@ -1,0 +1,170 @@
+package graft.lake
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+
+/** Round-13: cross-table ATOMIC commit
+  * ([[Catalog.commitLakeTransaction]]) — the reference recorder's
+  * catalog-append + fan-out as one retried unit, generalized to N
+  * created tables under one catalog root: readers see both legs or
+  * neither, a crash between the claims and the bind recovers to a
+  * permanent abort, and the single-name txn file arbitrates
+  * bind-vs-abort races. */
+class LakeTxnSpec extends SparkTestBase {
+
+  private def twoTables(prefix: String): (String, Layout, Layout) = {
+    val root = tmpDir(prefix)
+    val a = Layout(s"$root/_tables/t_a")
+    val b = Layout(s"$root/_tables/t_b")
+    (root, a, b)
+  }
+
+  private def df(rows: Seq[(String, Long, Long)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("source", "k", "v")
+  }
+
+  private def keys(layout: Layout): Set[Long] =
+    Catalog.loadLakeSnapshot(spark, layout) match {
+      case d if d.columns.isEmpty => Set.empty
+      case d => d.select("k").collect().map(_.getLong(0)).toSet
+    }
+
+  test("a two-table transaction is all-or-nothing: during the write " +
+      "(legs claimed, bind not yet) BOTH tables serve the pre-txn " +
+      "state; after the bind both serve the new one — no torn pair") {
+    val (_, a, b) = twoTables("txn-atomic")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    var observedDuring: Option[(Set[Long], Set[Long])] = None
+    val seqs = Catalog.commitLakeTransactionImpl(spark,
+      Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+      None, beforeBind = () => {
+        observedDuring = Some((keys(a), keys(b)))
+        // both legs are pending and observable as such
+        assert(Catalog.pendingTransactions(spark, a).size == 1)
+        assert(Catalog.pendingTransactions(spark, b).size == 1)
+      })
+    assert(seqs.size == 2 && seqs.forall(_ > 0))
+    assert(observedDuring.contains((Set(1L), Set(2L))),
+      s"a reader mid-transaction must see NEITHER leg: $observedDuring")
+    // after the bind, WITHOUT any further commit (the memo-freshness
+    // trap: the log listing did not change when the bind landed)
+    assert(keys(a) == Set(1L, 100L))
+    assert(keys(b) == Set(2L, 200L))
+    assert(Catalog.pendingTransactions(spark, a).isEmpty)
+  }
+
+  test("crash between the claims and the bind: nothing is visible, " +
+      "resolveTransactions aborts PERMANENTLY, a retry of the whole " +
+      "transaction works, and numbering continued over the dead seqs") {
+    val (_, a, b) = twoTables("txn-crash")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    val boom = intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    assert(boom.getMessage == "crash")
+    assert(keys(a) == Set(1L) && keys(b) == Set(2L))
+    // recovery (any caller, any table of the pair)
+    val settled = Catalog.resolveTransactions(spark, a, olderThanMs = 0L)
+    assert(settled.size == 1)
+    Catalog.resolveTransactions(spark, b, olderThanMs = 0L)
+    assert(Catalog.pendingTransactions(spark, a).isEmpty)
+    assert(Catalog.pendingTransactions(spark, b).isEmpty)
+    assert(keys(a) == Set(1L) && keys(b) == Set(2L),
+      "aborted legs are invisible forever")
+    // the retry binds cleanly; dead seqs were consumed, not reused
+    val seqs = Catalog.commitLakeTransaction(spark,
+      Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))))
+    assert(keys(a) == Set(1L, 100L) && keys(b) == Set(2L, 200L))
+    assert(seqs.forall(_ >= 3L), s"numbering continues above dead seqs: $seqs")
+  }
+
+  test("bind-vs-abort races arbitrate on the single txn file: a " +
+      "recovery abort landing first makes the writer's bind FAIL LOUD " +
+      "(never a half-visible transaction)") {
+    val (_, a, b) = twoTables("txn-race")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    val e = intercept[java.io.IOException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () =>
+          // recovery fires in the window before the bind
+          Catalog.resolveTransactions(spark, a, olderThanMs = 0L))
+    }
+    assert(e.getMessage.contains("aborted by recovery"), e.getMessage)
+    assert(keys(a) == Set(1L) && keys(b) == Set(2L))
+  }
+
+  test("a checkpoint never folds past an unresolved txn leg; a LATE " +
+      "bind (after the crash, before recovery) still surfaces the leg, " +
+      "and the next checkpoint folds it") {
+    val (root, a, b) = twoTables("txn-cp")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    Catalog.commitLake(spark, a, df(Seq(("s", 3L, 30L)))) // above the leg
+    val pending = Catalog.pendingTransactions(spark, a)
+    assert(pending.size == 1)
+    val legSeq = pending.head._1
+    // fold: must cap BELOW the pending leg even though later commits exist
+    val cp = Catalog.checkpoint(spark, a)
+    assert(cp.exists(_ < legSeq), s"checkpoint $cp must stop below $legSeq")
+    Catalog.pruneLog(spark, a)
+    assert(keys(a) == Set(1L, 3L))
+    // late bind (the writer's bind finally lands — simulated directly)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val txnFile = new Path(s"$root/_txn/${pending.head._2}.txn")
+    val out = fs.create(txnFile, false)
+    try out.write("commit".getBytes("UTF-8")) finally out.close()
+    assert(keys(a) == Set(1L, 3L, 100L), "the late-bound leg surfaces")
+    assert(keys(b) == Set(2L, 200L))
+    // and now the fold proceeds over it
+    val cp2 = Catalog.checkpoint(spark, a)
+    assert(cp2.exists(_ >= legSeq), s"post-bind checkpoint $cp2")
+    Catalog.pruneLog(spark, a)
+    assert(keys(a) == Set(1L, 3L, 100L))
+  }
+
+  test("guardrails: same table twice refuses; tables under DIFFERENT " +
+      "catalog roots refuse (no shared txn namespace)") {
+    val (_, a, _) = twoTables("txn-guard-1")
+    val (_, c, _) = twoTables("txn-guard-2")
+    intercept[IllegalArgumentException] {
+      Catalog.commitLakeTransaction(spark,
+        Seq(a -> df(Seq(("s", 1L, 1L))), a -> df(Seq(("s", 2L, 2L)))))
+    }
+    val e = intercept[IllegalArgumentException] {
+      Catalog.commitLakeTransaction(spark,
+        Seq(a -> df(Seq(("s", 1L, 1L))), c -> df(Seq(("s", 2L, 2L)))))
+    }
+    assert(e.getMessage.contains("one shared catalog root"))
+  }
+
+  test("declared table stats flow through txn legs: a point predicate " +
+      "file-skips over a transactionally-committed file") {
+    val (_, a, b) = twoTables("txn-stats")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    // declared BEFORE the seed so both files carry k stats
+    Catalog.commitLakeAlter(spark, a,
+      setProps = Seq(Catalog.StatsColsProp -> "k"))
+    Catalog.commitLake(spark, a, df(Seq(("s", 5L, 50L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    Catalog.commitLakeTransaction(spark,
+      Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))))
+    val overlapping = Catalog.lakeFilesOverlapping(spark, a, "k", 100L, 100L)
+    // kept: the stat-less seed (sound) + the txn leg; pruned: k=5
+    assert(overlapping.size == 2 && Catalog.lakeFilesAsOf(spark, a).size == 3,
+      s"min/max stats from the txn leg must prune the k=5 file: $overlapping")
+  }
+}

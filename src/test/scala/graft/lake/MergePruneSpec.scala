@@ -118,6 +118,50 @@ class MergePruneSpec extends SparkTestBase {
     }
   }
 
+  test("a NONDETERMINISTIC merge source is materialized once (round 13): " +
+      "the pruning aggregate and the action join read the SAME rows, so " +
+      "a source whose re-execution would shift its key range can never " +
+      "prune a file that holds its matched rows") {
+    val s = spark
+    import s.implicits._
+    val layout = Layout(tmpDir("r13-merge-src-mat"))
+    Catalog.commitLake(spark, layout,
+      (0L to 9L).map(k => ("clicks", k, k * 10)).toDF("source", "k", "v"),
+      statsCols = Seq("k"))
+    Catalog.commitLake(spark, layout,
+      (1000L to 1009L).map(k => ("clicks", k, k * 10)).toDF("source", "k", "v"),
+      statsCols = Seq("k"))
+    // each full execution of the source yields a DIFFERENT key: run 1
+    // → 5 (in file A's range), run 2 → 1005 (file B's) — without
+    // materialization the pruner would see one range and the join the
+    // other, dropping the matched row into the INSERT arm as a
+    // duplicate
+    val runs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shifty = udf { () =>
+      if (runs.incrementAndGet() == 1L) 5L else 1005L
+    }.asNondeterministic()
+    val src = spark.range(1)
+      .select(lit("clicks").as("source"), shifty().as("k"), lit(-1L).as("v"))
+    val seq = Merge.mergeIntoLake(spark, layout, src,
+      on = col("t.k") === col("s.k"),
+      matched = Seq(Merge.Update(None, Map("v" -> col("s.v")))),
+      notMatched = Seq(Merge.Insert(None, Map(
+        "source" -> col("s.source"), "k" -> col("s.k"), "v" -> col("s.v")))))
+    assert(seq > 0)
+    val all = Catalog.loadLakeSnapshot(spark, layout)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.length == 20,
+      s"one UPDATE, zero inserts — a duplicate means the pruner and the " +
+        s"join disagreed on the source: ${all.sorted.mkString(", ")}")
+    assert(all.groupBy(_._1).forall(_._2.length == 1), "duplicate keys")
+    assert(all.count(_._2 == -1L) == 1, "exactly one row updated")
+    // and the staging copy is cleaned up
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagedDir = new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/_staged")
+    assert(!fs.exists(stagedDir) || fs.listStatus(stagedDir).isEmpty)
+  }
+
   test("all-NULL source key: the equi-conjunct matches nothing — the " +
       "scan prunes to zero files and the NOT-MATCHED arm still inserts") {
     val s = spark

@@ -166,4 +166,29 @@ class MultiTableSpec extends SparkTestBase {
     assert(Catalog.loadLakeSnapshot(spark, sideLay) eq planBefore,
       "a commit to another table invalidated this table's plan memo")
   }
+
+  test("memo LRU (round 13): an 80-table round-robin re-plans " +
+      "once-per-commit per table, not once-per-statement — the old " +
+      ">64 wholesale clear would rebuild every round") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("memo-lru")
+    val layouts = (0 until 80).map(i => Layout(s"$root/_tables/t$i"))
+    layouts.zipWithIndex.foreach { case (l, i) =>
+      Catalog.commitLake(spark, l,
+        Seq(("s", i.toLong)).toDF("source", "k"))
+    }
+    // warm every table's plan once
+    layouts.foreach(Catalog.loadLakeSnapshot(spark, _))
+    val before = Catalog.snapshotBuilds.get()
+    (1 to 3).foreach(_ => layouts.foreach(Catalog.loadLakeSnapshot(spark, _)))
+    assert(Catalog.snapshotBuilds.get() == before,
+      "three round-robin rounds over 80 hot tables must be ALL memo hits")
+    // one commit invalidates exactly its own table's plan
+    Catalog.commitLake(spark, layouts.head,
+      Seq(("s", 999L)).toDF("source", "k"))
+    layouts.foreach(Catalog.loadLakeSnapshot(spark, _))
+    assert(Catalog.snapshotBuilds.get() == before + 1,
+      "a commit re-plans its OWN table once; the other 79 stay memoized")
+  }
 }
