@@ -567,6 +567,22 @@ object Catalog {
       note: Option[String] = None,
       marker: Option[String] = None): Long = {
     enforceExpectations(spark, layout, batch)
+    val (seq, stagedSources) = stageAndCommitLake(spark, layout, batch,
+      removes, statsCols, bloomCols, note, marker, txn = None)
+    if (seq > 0) maybeAutoOptimize(spark, layout, stagedSources)
+    seq
+  }
+
+  /** The ONE stage→stats→claim→finish sequence behind [[commitLake]]
+    * and every cross-table txn leg ([[commitLakeTransaction]]) — a
+    * second hand-rolled copy already diverged once (review catch).
+    * Returns (commit seq, staged sources); seq -1 = nothing to do
+    * (a txn leg ALWAYS claims: its seq binds the transaction even
+    * when its batch staged empty). */
+  private def stageAndCommitLake(spark: SparkSession, layout: Layout,
+      batch: DataFrame, removes: Seq[String], statsCols: Seq[String],
+      bloomCols: Seq[String], note: Option[String], marker: Option[String],
+      txn: Option[String]): (Long, Seq[String]) = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val uuid = java.util.UUID.randomUUID().toString
@@ -576,7 +592,9 @@ object Catalog {
     widenBatch(spark, layout, batch)
       .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
     val staged = stagedFiles(fs, stage)
-    if (staged.isEmpty && removes.isEmpty) { fs.delete(stage, true); return -1L }
+    if (staged.isEmpty && removes.isEmpty && txn.isEmpty) {
+      fs.delete(stage, true); return (-1L, Seq.empty)
+    }
     // caller-supplied stats columns UNION the table-declared ones
     // (`TBLPROPERTIES('stats.cols'=…)`) — the declaration makes file
     // skipping a table fact, not a per-caller courtesy
@@ -590,12 +608,11 @@ object Catalog {
     val rec = V2Record(-1L, System.currentTimeMillis(), marker,
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (staged.nonEmpty) Some(uuid) else None, staged, removes,
-      fileStats = stats, note = note)
+      fileStats = stats, note = note, txn = txn)
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (staged.isEmpty) fs.delete(stage, true)
-    maybeAutoOptimize(spark, layout, staged.map(sourceOfRel))
-    seq
+    (seq, staged.map(sourceOfRel).distinct)
   }
 
   /** CROSS-TABLE ATOMIC COMMIT — append one batch into EACH of N
@@ -656,25 +673,9 @@ object Catalog {
     val fs = new org.apache.hadoop.fs.Path(writes.head._1.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seqs = writes.map { case (layout, batch) =>
-      val uuid = java.util.UUID.randomUUID().toString
-      val stage = new org.apache.hadoop.fs.Path(
-        s"${layout.lakeDir}/_staged/$uuid")
-      widenBatch(spark, layout, batch)
-        .write.mode("overwrite").partitionBy("source").parquet(stage.toString)
-      val staged = stagedFiles(fs, stage)
-      val (declStats, declBloom) = declaredStatsCols(spark, layout)
-      val stats =
-        if (staged.isEmpty || (declStats.isEmpty && declBloom.isEmpty))
-          Seq.empty[(String, String)]
-        else computeFileStats(spark, stage.toString, declStats, declBloom)
-      val rec = V2Record(-1L, System.currentTimeMillis(), None,
-        None, Seq.empty, None, Seq.empty, Seq.empty,
-        if (staged.nonEmpty) Some(uuid) else None, staged,
-        fileStats = stats, note = note, txn = Some(id))
-      val seq = claimBody(fs, layout, v2Body(rec))
-      finishV2(fs, layout, seq, rec)
-      if (staged.isEmpty) fs.delete(stage, true)
-      seq
+      stageAndCommitLake(spark, layout, batch, removes = Seq.empty,
+        statsCols = Seq.empty, bloomCols = Seq.empty, note = note,
+        marker = None, txn = Some(id))._1
     }
     beforeBind()
     // ---- THE commit point ----
@@ -711,18 +712,91 @@ object Catalog {
   def resolveTransactions(spark: SparkSession, layout: Layout,
       olderThanMs: Long = 10 * 60 * 1000L): Seq[String] = {
     val state = readLog(spark, layout)
-    if (state.pendingTxns.isEmpty) return Seq.empty
+    if (state.pendingTxns.isEmpty && state.abortedTxns.isEmpty)
+      return Seq.empty
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val txnDir = txnDirOf(layout)
     fs.mkdirs(txnDir)
     val cutoff = System.currentTimeMillis() - olderThanMs
-    state.pendingTxns.collect {
-      case (_, id, claimMs) if claimMs <= cutoff =>
+    val settled = state.pendingTxns.collect {
+      case (seq, id, claimMs) if claimMs <= cutoff =>
         exclusiveCreate(fs,
           new org.apache.hadoop.fs.Path(txnDir, s"$id.txn"), "abort")
-        id // created abort, or lost to a concurrent bind: settled either way
-    }.distinct
+        (seq, id) // abort created, or lost to a bind: settled either way
+    }
+    // BYTE CLEANUP (review catch): an aborted leg's files were
+    // published by finishV2 before the bind and are referenced by no
+    // live set and no remove fact — vacuumLake can never reach them.
+    // Delete them here, for legs we just settled AND for aborted legs
+    // a crashed earlier resolver left behind (idempotent deletes).
+    (settled ++ state.abortedTxns.map(e => (e._1, e._2))).distinct
+      .foreach { case (seq, id) =>
+        if (txnStatus(fs, txnDir, id).contains("abort"))
+          txnLegFiles(fs, layout, seq).foreach { rel =>
+            try fs.delete(
+              new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel"), false)
+            catch { case _: java.io.IOException => () }
+          }
+      }
+    settled.map(_._2).distinct
+  }
+
+  /** Retention for the `_txn` namespace: delete txn marker files older
+    * than `graceMs` that NO table's un-folded log tail references —
+    * once every referencing record is checkpoint-folded (committed:
+    * its facts are plain history; aborted: it vanished entirely) the
+    * marker carries no information. Deleting a still-referenced marker
+    * would flip its records back to `pending`, so liveness is checked
+    * against the root table's tail AND every `_tables/<t>` tail; the
+    * grace bound additionally protects markers bound mid-scan (a fresh
+    * bind has a fresh mtime). Returns markers reclaimed. */
+  def vacuumTransactions(spark: SparkSession, rootLayout: Layout,
+      graceMs: Long = 7L * 24 * 3600 * 1000): Long = {
+    val txnDir = txnDirOf(rootLayout)
+    val fs = txnDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(txnDir)) return 0L
+    val cutoff = System.currentTimeMillis() - graceMs
+    val candidates = fs.listStatus(txnDir)
+      .filter(st => st.getPath.getName.endsWith(".txn") &&
+        st.getModificationTime <= cutoff)
+    if (candidates.isEmpty) return 0L
+    val root = {
+      val idx = rootLayout.root.indexOf("/_tables/")
+      if (idx > 0) rootLayout.root.substring(0, idx) else rootLayout.root
+    }
+    val tablesDir = new org.apache.hadoop.fs.Path(s"$root/_tables")
+    val layouts = Layout(root) +: (
+      if (!fs.exists(tablesDir)) Seq.empty
+      else fs.listStatus(tablesDir).filter(_.isDirectory)
+        .map(st => Layout(st.getPath.toString)).toSeq)
+    val live = layouts.flatMap(l => readLog(spark, l).txnIds).toSet
+    var reclaimed = 0L
+    candidates.foreach { st =>
+      val id = st.getPath.getName.stripSuffix(".txn")
+      if (!live.contains(id) && fs.delete(st.getPath, false)) reclaimed += 1
+    }
+    reclaimed
+  }
+
+  /** The live-named data/DV files an aborted txn leg PUBLISHED — read
+    * back from its commit record (empty if the record was pruned). */
+  private def txnLegFiles(fs: org.apache.hadoop.fs.FileSystem,
+      layout: Layout, seq: Long): Seq[String] = {
+    val padded = f"$seq%020d"
+    val p = new org.apache.hadoop.fs.Path(logDir(layout), s"$padded.commit")
+    val lines =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    if (!lines.headOption.exists(_.startsWith("v2 "))) return Seq.empty
+    val r = parseV2(lines)
+    (r.lake ++ r.dv).map { rel =>
+      val slash = rel.indexOf('/')
+      s"${rel.substring(0, slash)}/c$padded-${rel.substring(slash + 1)}"
+    }
   }
 
   /** Per-staged-file min/max AND NULL COUNT of `statsCols` plus the
@@ -1775,18 +1849,25 @@ object Catalog {
     val target = props.get(AutoOptimizeTargetProp).flatMap(_.toLongOption)
       .filter(_ > 0).getOrElse(return)
     val minFiles = props.get(AutoOptimizeMinFilesProp)
-      .flatMap(_.toIntOption).filter(_ > 1).getOrElse(16)
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(16)
     val bySource = lakeFilesAsOf(spark, layout).groupBy(sourceOfRel)
     val crowded = touchedSources.distinct
       .filter(s => bySource.getOrElse(s, Seq.empty).size >= minFiles)
     if (crowded.isEmpty) return
+    // the append is DURABLE before this hook runs: a failing inline
+    // compaction must never surface as a failed write (the caller
+    // would retry an already-committed batch). Busy locks skip
+    // silently (compaction is already running there); anything else
+    // warns loud and leaves the small files for the next trigger.
     try optimizeLake(spark, layout, targetBytes = target,
       onlySources = Some(crowded.toSet), waitMs = 0L)
     catch {
-      // a busy source lock means compaction is ALREADY running there —
-      // the append is durable either way; the next commit re-checks
       case e: java.io.IOException
         if e.getMessage != null && e.getMessage.contains("SourceLock") => ()
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] auto-optimize after commit into " +
+          s"${layout.root} FAILED (the append itself IS committed; " +
+          s"small files remain until the next trigger): $e")
     }
   }
 
@@ -1966,6 +2047,11 @@ object Catalog {
         if (fs.exists(p) && (dryRun || fs.delete(p, false))) n += 1
       }
     }
+    // retention for the shared `_txn` namespace rides the CATALOG
+    // ROOT's vacuum (created tables share the root's markers — a
+    // per-table vacuum must not reason about siblings)
+    if (!dryRun && !layout.root.contains("/_tables/"))
+      vacuumTransactions(spark, layout, graceMs)
     n
   }
 
@@ -2525,6 +2611,15 @@ object Catalog {
     val head = headVersion(spark, layout)
     require(version >= 0 && version <= head,
       s"RESTORE: version $version outside committed history [0, $head]")
+    // an in-flight cross-table txn leg could bind AFTER this restore
+    // commits, surfacing files at a seq BELOW the restore — head would
+    // then no longer equal version v's content. Quiesce first.
+    readLog(spark, layout).pendingTxns.headOption.foreach { case (s, id, _) =>
+      throw new java.io.IOException(
+        s"RESTORE: version $s is an unresolved cross-table transaction " +
+          s"leg (txn $id) — wait for its bind or resolveTransactions " +
+          "before rewinding")
+    }
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // TBLPROPERTIES rewind (Delta's RESTORE restores table config
@@ -2915,13 +3010,19 @@ object Catalog {
       (check, info || bad.isEmpty, bad.size.toLong,
         bad.take(3).mkString(",") +
           (if (bad.size > 3) s" (+${bad.size - 3} more)" else ""))
+    // cross-table txn observability (round 13): unresolved legs block
+    // incremental consumers and checkpoint folds — the operator's cue
+    // to wait out a live writer or run resolveTransactions
+    val pending = readLog(spark, layout).pendingTxns
+      .map { case (seq, id, _) => s"$seq:$id" }
     Seq(
       row("live_files_exist", liveMissing),
       row("dv_files_exist", dvMissing),
       row("dv_targets_live", dangling, info = true),
       row("recovery_backlog", unfinished, info = true),
       row("checkpoint_valid", if (tornCheckpoint) Seq("torn") else Seq.empty),
-      row("staged_orphans", staged, info = true))
+      row("staged_orphans", staged, info = true),
+      row("pending_transactions", pending, info = true))
       .toDF("check", "ok", "n_bad", "detail")
   }
 
@@ -2986,6 +3087,14 @@ object Catalog {
           .getLines().toList finally in.close()
         if (lines.headOption.exists(_.startsWith("v2 "))) {
           val r = parseV2(lines)
+          // a cross-table txn leg reports its RESOLUTION — an aborted
+          // or unbound record must never read as a served version
+          // (review catch: an operator would see adds the table never
+          // served, with no indication)
+          val txnNote = r.txn.map { id =>
+            val st = txnStatus(fs, txnDirOf(layout), id).getOrElse("pending")
+            s"txn $id $st" + (if (st == "commit") "" else " (invisible)")
+          }
           // restore re-adds count as adds: history reports set movement
           (seq, r.claimMs, r.lake.size + r.lakeReAdds.size,
             r.lakeRemoves.size, r.dv.size + r.dvReAdds.size,
@@ -2995,7 +3104,7 @@ object Catalog {
             (r.renameCols.map { case (o, n) => s"$o->$n" } ++
               r.dropCols.map("-" + _)).mkString(","),
             (r.expects.map("+" + _._1) ++ r.expectRms.map("-" + _)).mkString(","),
-            r.note.getOrElse(""))
+            (r.note.toSeq ++ txnNote).mkString("; "))
         } else (seq, fs.getFileStatus(p).getModificationTime,
           0, 0, 0, lines.tail.size, 0, "", "", "", "", "")
       }
@@ -3016,18 +3125,24 @@ object Catalog {
   /** Highest committed version across ALL manifest areas (0 when the
     * log is empty) — the version a change-feed consumer reads up to.
     * ([[versions]] lists catalog-area commits only.) */
-  def headVersion(spark: SparkSession, layout: Layout): Long = {
+  def headVersion(spark: SparkSession, layout: Layout): Long =
+    // EVERY done commit counts, fact-bearing or not: a fact-only head
+    // froze on props-only ALTERs (round-12 review catch) and again on
+    // fact-less aborted/pending txn legs (round-13 review catch) —
+    // either way RESTORE's optimistic head+1 claim would hit a taken
+    // id forever. parseLog records the true max claimed-and-done seq.
+    readLog(spark, layout).maxSeq
+
+  /** The highest version an INCREMENTAL consumer (change feed, CDF
+    * stream, [[Mv]]) may safely advance its cursor to: [[headVersion]]
+    * capped BELOW any unresolved cross-table txn leg. A late bind
+    * surfaces the leg's rows at its CLAIM seq — a cursor already past
+    * that seq would never emit them (silent loss). With the cap, the
+    * consumer simply does not advance until the leg resolves. */
+  def resolvedHead(spark: SparkSession, layout: Layout): Long = {
     val s = readLog(spark, layout)
-    (s.cat.map(_._1) ++ s.dist.map(_._1) ++ s.removes.map(_._1) ++
-      s.lake.map(_._1) ++ s.lakeRemoves.map(_._1) ++ s.addCols.map(_._1) ++
-      s.widenCols.map(_._1) ++ s.renameCols.map(_._1) ++
-      s.dropCols.map(_._1) ++
-      s.dv.map(_._1) ++ s.dvRemoves.map(_._1) ++
-      s.expects.map(_._1) ++ s.expectRms.map(_._1) ++
-      // a props-only ALTER is a commit like any other: omitting it
-      // would freeze the reported head and brick RESTORE's optimistic
-      // head+1 claim whenever it is the newest record (review catch)
-      s.props.map(_._1) ++ s.propRms.map(_._1)).maxOption.getOrElse(0L)
+    s.pendingTxns.map(_._1 - 1).minOption
+      .map(math.min(_, s.maxSeq)).getOrElse(s.maxSeq)
   }
 
   /** Commit annotations, in seq order: (version, note). The one
@@ -3119,6 +3234,20 @@ object Catalog {
           "RESTORE — a rewind has no incremental delta; rebuild the " +
           "consumer from the snapshot (Mv.refresh does this " +
           "automatically), or read ranges that do not span it")
+    }
+    // an UNRESOLVED cross-table txn leg inside the range REFUSES loud:
+    // a later bind surfaces its rows AT THE CLAIM SEQ, so a consumer
+    // that advanced past it would silently never emit them (the
+    // checkpoint fold got the same cap). Incremental consumers read to
+    // [[resolvedHead]] and simply wait out the window.
+    state.pendingTxns.collectFirst {
+      case (seq, id, _) if inRange(seq) => (seq, id)
+    }.foreach { case (seq, id) =>
+      throw new java.io.IOException(
+        s"change feed ($fromVersion, $toVersion]: version $seq is an " +
+          s"UNRESOLVED cross-table transaction leg (txn $id) — it may " +
+          "still bind and surface rows at that version; read up to " +
+          s"resolvedHead (${seq - 1}) or resolve the transaction first")
     }
     val insertFiles = state.lake.collect {
       case (seq, rel) if inRange(seq) && !rewriteSeqs.contains(seq) => rel
@@ -3286,13 +3415,24 @@ object Catalog {
         }
       }
     }
-    val sweepCutoff = System.currentTimeMillis() - stageGraceMs
+    val now = System.currentTimeMillis()
+    val sweepCutoff = now - stageGraceMs
+    // merge working state (`merge-*`: the per-attempt action table and
+    // the materialized nondeterministic source) legitimately lives in
+    // _staged for the whole 8-retry merge — sweeping it at the commit
+    // grace would yank a LIVE merge's staged source out from under its
+    // retries (review catch). Such entries get a much longer leash; a
+    // crashed merge's leftovers still reclaim, just later.
+    val mergeCutoff = now - math.max(stageGraceMs, 24L * 3600 * 1000)
     def sweep(root: String, claimed: Set[String]): Unit = {
       val stagedRoot = new org.apache.hadoop.fs.Path(s"$root/_staged")
       if (fs.exists(stagedRoot))
         fs.listStatus(stagedRoot)
-          .filter(st => !claimed.contains(st.getPath.getName) &&
-            st.getModificationTime <= sweepCutoff)
+          .filter { st =>
+            val name = st.getPath.getName
+            !claimed.contains(name) && st.getModificationTime <= (
+              if (name.startsWith("merge-")) mergeCutoff else sweepCutoff)
+          }
           .foreach(st => fs.delete(st.getPath, true))
     }
     sweep(layout.catalogDir, claimedCat)
@@ -3350,15 +3490,22 @@ object Catalog {
     val committed = sts
       .filter(s => s.getPath.getName.endsWith(".commit") &&
         done.contains(s.getPath.getName.stripSuffix(".commit")))
-      .map { s =>
+      .flatMap { s =>
         val seq = s.getPath.getName.stripSuffix(".commit").toLong
         val in = fs.open(s.getPath)
-        val head = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().nextOption().getOrElse("") finally in.close()
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        val head = lines.headOption.getOrElse("")
+        // a txn leg that is not COMMITTED is not a version that
+        // happened — TIMESTAMP AS OF must never resolve to it
+        val txnOk = lines.collectFirst {
+          case l if l.startsWith("txn ") => l.stripPrefix("txn ")
+        }.forall(id =>
+          txnStatus(fs, txnDirOf(layout), id).contains("commit"))
         val t =
           if (head.startsWith("v2 ")) head.split(' ')(2).toLong
           else s.getModificationTime
-        (seq, t)
+        if (txnOk) Some((seq, t)) else None
       }.sortBy(_._1)
     val cps = names.filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong)
@@ -3549,6 +3696,21 @@ object Catalog {
       // without a log-listing change) and caps [[checkpoint]] below
       // them (folding would lose a later-committed record's facts)
       pendingTxns: Seq[(Long, String, Long)] = Seq.empty,
+      // EVERY txn id referenced by a tail record, any status — the
+      // liveness set [[vacuumTransactions]] consults before reclaiming
+      // a `_txn/<id>.txn` file (deleting one still referenced would
+      // flip its records back to pending)
+      txnIds: Seq[String] = Seq.empty,
+      // ABORTED txn records still in the tail — permanently invisible,
+      // but their published bytes may still exist until
+      // [[resolveTransactions]]' cleanup sweep deletes them
+      abortedTxns: Seq[(Long, String)] = Seq.empty,
+      // the highest DONE commit seq in the log, fact-bearing OR NOT:
+      // [[headVersion]] must count fact-less records (aborted/pending
+      // txn legs) — their id is TAKEN, and an exact head+1 claim
+      // (RESTORE) against a facts-only head would retry forever
+      // (review catch, the props-only headVersion bug's general form)
+      maxSeq: Long = 0L,
       // listing digest this state was parsed from ([[readLog]]'s memo
       // key) — extended with observed txn resolutions, so a snapshot
       // plan memoized against a pre-commit parse can never be served
@@ -3667,6 +3829,8 @@ object Catalog {
       log: org.apache.hadoop.fs.Path, names: Array[String],
       txnDir: org.apache.hadoop.fs.Path): (LogState, Map[String, String]) = {
     val pendingTxns = Seq.newBuilder[(Long, String, Long)]
+    val abortedTxns = Seq.newBuilder[(Long, String)]
+    var maxSeq = 0L
     // one resolution read per DISTINCT txn id in the tail (zero for
     // txn-free logs); resolved outcomes are permanent facts
     val txnSeen = scala.collection.mutable.Map.empty[String, String]
@@ -3682,6 +3846,7 @@ object Catalog {
       case Some((seq, lines)) => (seq, lines)
       case None => (0L, List.empty[String])
     }
+    maxSeq = cpSeq
     val cat = Seq.newBuilder[(Long, String)]
     val dist = Seq.newBuilder[(Long, String)]
     val removes = Seq.newBuilder[(Long, Long, String)]
@@ -3741,6 +3906,7 @@ object Catalog {
       .filter(n => n.endsWith(".commit") && done.contains(n.stripSuffix(".commit")))
       .map(_.stripSuffix(".commit").toLong).filter(_ > cpSeq).sorted
       .foreach { seq =>
+        maxSeq = math.max(maxSeq, seq)
         val padded = f"$seq%020d"
         val lines = readLines(new org.apache.hadoop.fs.Path(log, s"$padded.commit"))
         def live(rel: String): String = {
@@ -3756,6 +3922,8 @@ object Catalog {
           val txnGate = r.txn.map(resolveTxn)
           if (txnGate.contains("pending"))
             pendingTxns += ((seq, r.txn.get, r.claimMs))
+          if (txnGate.contains("abort"))
+            abortedTxns += ((seq, r.txn.get))
           if (txnGate.forall(_ == "commit")) {
           r.cat.foreach(rel => cat += ((seq, live(rel))))
           r.dist.foreach(rel => dist += ((seq, live(rel))))
@@ -3788,7 +3956,9 @@ object Catalog {
       dv.result(), dvRemoves.result(), fileStats.result(),
       expects.result(), expectRms.result(),
       props.result(), propRms.result(), notes.result(),
-      pendingTxns = pendingTxns.result()),
+      pendingTxns = pendingTxns.result(),
+      txnIds = txnSeen.keys.toSeq.sorted,
+      abortedTxns = abortedTxns.result(), maxSeq = maxSeq),
       txnSeen.toMap)
   }
 

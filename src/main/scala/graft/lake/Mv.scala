@@ -64,7 +64,7 @@ object Mv {
       trackExtrema: Boolean = false): Long = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     register(spark, layout, ViewDef(stateDir, keyCols, valueCol, trackExtrema))
-    val head = Catalog.headVersion(spark, layout)
+    val head = Catalog.resolvedHead(spark, layout)
     val cur = liveState(spark, stateDir)
     val v0 = cur.map(_._1).getOrElse(0L)
     if (head <= v0) return v0
@@ -176,7 +176,7 @@ object Mv {
       keyCols: Seq[String], valueCol: String,
       trackExtrema: Boolean = false): Long = {
     register(spark, layout, ViewDef(stateDir, keyCols, valueCol, trackExtrema))
-    val head = Catalog.headVersion(spark, layout)
+    val head = Catalog.resolvedHead(spark, layout)
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
     if (snap.columns.isEmpty) return liveState(spark, stateDir) match {
       case None => 0L
@@ -216,7 +216,7 @@ object Mv {
     require(joinCols.nonEmpty, "joinCols must be non-empty")
     register(spark, layout,
       ViewDef(stateDir, keyCols, valueCol, dimPath = Some(dimPath), joinCols = joinCols))
-    val head = Catalog.headVersion(spark, layout)
+    val head = Catalog.resolvedHead(spark, layout)
     val cur = liveState(spark, stateDir)
     val v0 = cur.map(_._1).getOrElse(0L)
     if (head <= v0) return v0
@@ -258,7 +258,7 @@ object Mv {
       keyCols: Seq[String], valueCol: String): Long = {
     register(spark, layout,
       ViewDef(stateDir, keyCols, valueCol, dimPath = Some(dimPath), joinCols = joinCols))
-    val head = Catalog.headVersion(spark, layout)
+    val head = Catalog.resolvedHead(spark, layout)
     val snap = Catalog.loadLakeSnapshot(spark, layout, head)
     if (snap.columns.isEmpty) return liveState(spark, stateDir) match {
       case None => 0L

@@ -56,7 +56,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         parsePlan(rest),
         mode = org.apache.spark.sql.execution.ExplainMode.fromString(
           Option(mode).map(_.trim.toLowerCase).getOrElse("simple")))
-    case Restore(table, how, valueRaw) =>
+    case Restore(table, how, valueRaw) if graftTarget(table) =>
       val value = valueRaw.trim
       val t = tableAddress(table, "RESTORE TABLE")
       GraftRestoreCommand(t,
@@ -64,7 +64,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           throw new IllegalArgumentException(
             s"RESTORE … VERSION AS OF wants a commit seq, got '$value'")))
         else Right(unquote(value)))
-    case Optimize(table, target, zcols) =>
+    case Optimize(table, target, zcols) if graftTarget(table) =>
       val targetBytes = Option(target).map(_.toLong).getOrElse(128L << 20)
       require(targetBytes > 0, s"OPTIMIZE TARGET must be positive")
       val zdims: Seq[String] = Option(zcols).map { cs =>
@@ -79,25 +79,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand("optimize", tableAddress(table, "OPTIMIZE"),
         (s, l) => Lake.optimizeLake(s, l, targetBytes = targetBytes,
           zorderCols = zdims))
-    case Vacuum(table, hours, dry) =>
+    case Vacuum(table, hours, dry) if graftTarget(table) =>
       val graceMs = Option(hours).map(_.toLong * 3600 * 1000)
         .getOrElse(24L * 3600 * 1000)
       val dryRun = dry != null
       GraftMaintenanceCommand(if (dryRun) "vacuum_dry" else "vacuum",
         tableAddress(table, "VACUUM"),
         (s, l) => Lake.vacuumLake(s, l, graceMs = graceMs, dryRun = dryRun))
-    case Checkpoint(table) =>
+    case Checkpoint(table) if graftTarget(table) =>
       GraftMaintenanceCommand("checkpoint", tableAddress(table, "CHECKPOINT"),
         (s, l) => {
           val seq = Lake.checkpoint(s, l)
           Lake.pruneLog(s, l)
           seq.getOrElse(-1L)
         })
-    case Materialize(table) =>
+    case Materialize(table) if graftTarget(table) =>
       GraftMaintenanceCommand("materialize_deletes",
         tableAddress(table, "MATERIALIZE DELETES"),
         (s, l) => Lake.materializeLakeDeletes(s, l))
-    case DescribeHistory(table) =>
+    case DescribeHistory(table) if graftTarget(table) =>
       // the Delta `DESCRIBE HISTORY` syntax, REWRITTEN onto the
       // derived `_history` surface (one engine path, no second
       // history reader to drift): `<cat>.<t>` → `<cat>.<t>_history`,
@@ -200,9 +200,31 @@ object GraftSqlParser {
   private val DescribeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.$`/\-]+)\s*;?\s*""".r
 
-  private[sql] def graftStatement(text: String): Boolean =
-    Seq(Restore, Optimize, Vacuum, Checkpoint, Materialize, DescribeHistory)
-      .exists(_.pattern.matcher(text).matches())
+  /** Is this target OURS to execute? A literal layout-root path
+    * always is; an identifier only when its catalog (the first dotted
+    * part, or the whole name) is REGISTERED to [[GraftCatalog]].
+    * Anything else DELEGATES — `RESTORE TABLE` / `OPTIMIZE` / `VACUUM`
+    * / `DESCRIBE HISTORY` are also Delta's public syntax, and a
+    * session chaining both parsers must route each statement to the
+    * engine that owns the table (review catch: unconditional capture
+    * stole other catalogs' statements). */
+  private[sql] def graftTarget(raw: String): Boolean = {
+    if (raw.contains("/")) return true
+    val base = raw.split('.').head.stripPrefix("`").stripSuffix("`")
+    org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+      s.conf.getOption(s"spark.sql.catalog.$base")
+        .exists(_.contains("GraftCatalog")))
+  }
+
+  private[sql] def graftStatement(text: String): Boolean = (text match {
+    case Restore(t, _, _) => Some(t)
+    case Optimize(t, _, _) => Some(t)
+    case Vacuum(t, _, _) => Some(t)
+    case Checkpoint(t) => Some(t)
+    case Materialize(t) => Some(t)
+    case DescribeHistory(t) => Some(t)
+    case _ => None
+  }).exists(graftTarget)
 
   private val Explain =
     ("""(?is)\s*EXPLAIN(\s+EXTENDED|\s+FORMATTED|\s+CODEGEN|\s+COST)?""" +

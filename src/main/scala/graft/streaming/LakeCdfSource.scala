@@ -108,7 +108,7 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   private var availableNowCap: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(Catalog.headVersion(sqlContext.sparkSession, layout))
+    availableNowCap = Some(Catalog.resolvedHead(sqlContext.sparkSession, layout))
 
   /** RATE LIMITING (`maxVersionsPerTrigger`): at 100 TB a cold start —
     * or a consumer catching up after downtime — must not serve the
@@ -126,7 +126,7 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   override def latestOffset(startOffset: cstream.Offset,
       limit: cstream.ReadLimit): cstream.Offset = {
     val base = Option(startOffset).map(anyToLong).getOrElse(startVersion)
-    val head0 = Catalog.headVersion(sqlContext.sparkSession, layout)
+    val head0 = Catalog.resolvedHead(sqlContext.sparkSession, layout)
     val head = availableNowCap.fold(head0)(math.min(head0, _))
     val end = limit match {
       case r: cstream.ReadMaxRows => math.min(head, base + r.maxRows())
@@ -136,7 +136,7 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   }
 
   override def reportLatestOffset(): cstream.Offset =
-    LongOffset(Catalog.headVersion(sqlContext.sparkSession, layout))
+    LongOffset(Catalog.resolvedHead(sqlContext.sparkSession, layout))
 
   /** Admission-control sources are driven through [[latestOffset]];
     * the engine never calls this (the `FileStreamSource` posture). */

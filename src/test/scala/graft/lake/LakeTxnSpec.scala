@@ -136,6 +136,130 @@ class LakeTxnSpec extends SparkTestBase {
     assert(keys(a) == Set(1L, 3L, 100L))
   }
 
+  test("review catches (round 13): incremental consumers cap at " +
+      "resolvedHead below a pending leg, the change feed REFUSES a " +
+      "range spanning one, RESTORE refuses while one is in flight, " +
+      "and a late bind is then lossless end-to-end") {
+    val (root, a, b) = twoTables("txn-cdf")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    val preHead = Catalog.headVersion(spark, a)
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    val legSeq = Catalog.pendingTransactions(spark, a).head._1
+    // ANOTHER commit lands above the leg — the trap: a cursor at
+    // headVersion would skip the leg forever once it binds
+    Catalog.commitLake(spark, a, df(Seq(("s", 3L, 30L))))
+    assert(Catalog.headVersion(spark, a) > legSeq,
+      "headVersion counts the fact-less leg (RESTORE head+1 claim)")
+    assert(Catalog.resolvedHead(spark, a) == legSeq - 1,
+      "the incremental cursor cap stops BELOW the pending leg")
+    val feedErr = intercept[java.io.IOException] {
+      Catalog.lakeChangesBetween(spark, a, preHead)
+    }
+    assert(feedErr.getMessage.contains("UNRESOLVED cross-table"))
+    // reading up to resolvedHead stays served
+    assert(Catalog.lakeChangesBetween(spark, a, preHead,
+      Catalog.resolvedHead(spark, a)).columns.nonEmpty)
+    val restoreErr = intercept[java.io.IOException] {
+      Catalog.restoreLake(spark, a, preHead)
+    }
+    assert(restoreErr.getMessage.contains("unresolved cross-table"))
+    // late bind → the consumer that waited at resolvedHead now reads
+    // the leg's rows exactly once
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(
+      s"$root/_txn/${Catalog.pendingTransactions(spark, a).head._2}.txn"),
+      false)
+    try out.write("commit".getBytes("UTF-8")) finally out.close()
+    val resolved = Catalog.resolvedHead(spark, a)
+    assert(resolved == Catalog.headVersion(spark, a))
+    val feed = Catalog.lakeChangesBetween(spark, a, preHead, resolved)
+    assert(feed.filter(feed("k") === 100L).count() == 1,
+      "the late-bound leg's insert is emitted exactly once")
+  }
+
+  test("review catches (round 13): an ABORTED leg's published bytes " +
+      "are deleted by resolveTransactions (vacuum can never reach " +
+      "them); history annotates the leg; TIMESTAMP AS OF skips it; " +
+      "RESTORE works with the aborted leg as the newest record") {
+    val (_, a, b) = twoTables("txn-leak")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    val v1 = Catalog.headVersion(spark, a)
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    val legSeq = Catalog.pendingTransactions(spark, a).head._1
+    val fs = new Path(a.lakeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def legBytes(l: Layout): Seq[String] = {
+      val dir = new Path(s"${l.lakeDir}/source=s")
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(f"c$legSeq%020d-")).toSeq
+    }
+    assert(legBytes(a).nonEmpty, "the leg published physical bytes")
+    Catalog.resolveTransactions(spark, a, olderThanMs = 0L)
+    Catalog.resolveTransactions(spark, b, olderThanMs = 0L)
+    assert(legBytes(a).isEmpty,
+      "abort cleanup deletes the leg's unreachable bytes")
+    assert(legBytes(b).isEmpty)
+    // history names the abort instead of showing a normal version
+    val hist = Catalog.lakeHistory(spark, a).collect()
+    val legRow = hist.find(_.getLong(0) == legSeq).get
+    assert(legRow.getString(11).contains("abort"),
+      s"history must mark the aborted leg: ${legRow.getString(11)}")
+    // TIMESTAMP AS OF never resolves to the aborted seq
+    assert(!Catalog.versionAtTimestamp(spark, a,
+      System.currentTimeMillis()).contains(legSeq))
+    // RESTORE with the aborted (fact-less) leg as the NEWEST record:
+    // the head+1 claim must not retry forever against its taken id
+    assert(Catalog.restoreLake(spark, a, v1) == -1L ||
+      keys(a) == Set(1L))
+    Catalog.commitLake(spark, a, df(Seq(("s", 9L, 90L))))
+    assert(Catalog.restoreLake(spark, a, v1) > 0)
+    assert(keys(a) == Set(1L))
+  }
+
+  test("txn-marker retention: vacuumTransactions reclaims a marker " +
+      "only once NO table's log tail references it (checkpoint-folded " +
+      "everywhere) — and never one inside the grace window") {
+    val (root, a, b) = twoTables("txn-vacuum")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    Catalog.commitLakeTransaction(spark,
+      Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))))
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def markers(): Int =
+      Option(fs.listStatus(new Path(s"$root/_txn")))
+        .map(_.count(_.getPath.getName.endsWith(".txn"))).getOrElse(0)
+    assert(markers() == 1)
+    // grace protects a fresh marker outright
+    assert(Catalog.vacuumTransactions(spark, Layout(root)) == 0L)
+    // grace 0 but table a's tail still references it → kept
+    assert(Catalog.vacuumTransactions(spark, Layout(root), 0L) == 0L)
+    assert(markers() == 1)
+    // fold ONE table only: still referenced by the other's tail
+    assert(Catalog.checkpoint(spark, a).isDefined)
+    Catalog.pruneLog(spark, a)
+    assert(Catalog.vacuumTransactions(spark, Layout(root), 0L) == 0L)
+    // fold both: the marker carries no information — reclaimed, and
+    // every read stays exact (the folded facts are plain history)
+    assert(Catalog.checkpoint(spark, b).isDefined)
+    Catalog.pruneLog(spark, b)
+    assert(Catalog.vacuumTransactions(spark, Layout(root), 0L) == 1L)
+    assert(markers() == 0)
+    assert(keys(a) == Set(1L, 100L) && keys(b) == Set(2L, 200L))
+  }
+
   test("guardrails: same table twice refuses; tables under DIFFERENT " +
       "catalog roots refuse (no shared txn namespace)") {
     val (_, a, _) = twoTables("txn-guard-1")
