@@ -121,6 +121,32 @@ object Catalog {
   private val atomicCreateSchemes =
     Set("hdfs", "viewfs", "webhdfs", "ofs", "o3fs")
 
+  /** CONF-DRIVEN committer registration — the zero-code deployment
+    * path: set (spark.hadoop.)`graft.committer.<scheme>.endpoint` to
+    * the store's path-style REST endpoint (plus optional `.dialect` =
+    * `s3`|`gcs`, default by scheme) and claims on that scheme route
+    * through [[graft.lake.ObjectStoreCommit.HttpStore]] automatically.
+    * Unsigned requests — for IAM/auth proxies, gateway endpoints, or
+    * MinIO-style deployments; a store needing request signing
+    * registers in code ([[ObjectStoreCommit.register]]'s `sign` hook).
+    * Resolved once per scheme and cached in the same registry code
+    * registration uses (code wins: it registered first). */
+  private def confCommitter(fs: org.apache.hadoop.fs.FileSystem,
+      scheme: String): Option[ExclusiveCreate] =
+    Option(fs.getConf.getTrimmed(s"graft.committer.$scheme.endpoint"))
+      .map { endpoint =>
+        val dialect = Option(
+          fs.getConf.getTrimmed(s"graft.committer.$scheme.dialect"))
+          .map(_.toLowerCase).getOrElse(if (scheme == "gs") "gcs" else "s3")
+        val store = new ObjectStoreCommit.HttpStore(
+          ObjectStoreCommit.HttpStore.pathStyle(endpoint),
+          if (dialect == "gcs") ObjectStoreCommit.GcsDialect
+          else ObjectStoreCommit.S3Dialect)
+        val put = ObjectStoreCommit.committer(store)
+        logCommitters.putIfAbsent(scheme, put)
+        logCommitters.get(scheme)
+      }
+
   /** One atomic create-exclusive of `rec` with `body`; true = this
     * caller won the name. Dispatch:
     *  - LOCAL FS: hard-link claim — Hadoop's `create(false)` is
@@ -151,7 +177,8 @@ object Catalog {
       } finally fs.delete(tmp, false)
     } else {
       val scheme = Option(fs.getScheme).getOrElse("").toLowerCase
-      val custom = logCommitters.get(scheme)
+      val custom = Option(logCommitters.get(scheme))
+        .orElse(confCommitter(fs, scheme)).orNull
       if (custom != null) custom(fs, rec, body.getBytes("UTF-8"))
       else if (atomicCreateSchemes(scheme)) {
         try {

@@ -210,8 +210,13 @@ object ObjectStoreCommit {
       * path-style endpoints serve. */
     def pathStyle(base: String): Path => URI = { p =>
       val u = p.toUri
-      val bucket = Option(u.getAuthority).getOrElse("")
-      URI.create(s"${base.stripSuffix("/")}/$bucket${u.getPath}")
+      // an authority-less path (a local-FS test double) must not leave
+      // a degenerate `//` in the URL — some servers 400 an empty
+      // leading segment
+      val bucket = Option(u.getAuthority).filter(_.nonEmpty)
+        .map(_ + "/").getOrElse("")
+      URI.create(
+        s"${base.stripSuffix("/")}/$bucket${u.getPath.stripPrefix("/")}")
     }
   }
 

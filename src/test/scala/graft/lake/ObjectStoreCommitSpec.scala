@@ -207,6 +207,29 @@ class ObjectStoreCommitSpec extends SparkTestBase {
     assert(!put(raw, p, "two".getBytes))
   }
 
+  test("CONF-DRIVEN registration (zero-code deployment): a scheme with " +
+      "graft.committer.<scheme>.endpoint set in the Hadoop conf " +
+      "auto-routes claims through the HTTP committer — no register() " +
+      "call anywhere") {
+    val raw = new RawLocalFileSystem
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("graft.committer.s3conf.endpoint",
+      s"http://127.0.0.1:${server.getAddress.getPort}")
+    raw.initialize(java.net.URI.create("file:///"), conf)
+    val fs = new FilterFileSystem(raw) {
+      override def getScheme: String = "s3conf"
+    }
+    val layout = Layout(tmpDir("osc-conf"))
+    assert(Catalog.claimBody(fs, layout, "v2 -1 70") == 1L)
+    fault = "land-then-500"
+    assert(Catalog.claimBody(fs, layout, "v2 -1 71") == 2L,
+      "the conf-registered committer arbitrates ambiguity like any other")
+    // endpoint mapping sanity: pathStyle on a file path keeps the
+    // path; the double served it, so the record really went over HTTP
+    assert(logRecords(layout).size == 2)
+  }
+
   override def afterAll(): Unit = {
     try server.stop(0) finally super.afterAll()
   }

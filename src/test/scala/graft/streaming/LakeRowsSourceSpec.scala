@@ -190,4 +190,50 @@ class LakeRowsSourceSpec extends SparkTestBase {
     assert(batchSizes.size == 4,
       s"one version per batch under the cap: $batchSizes")
   }
+
+  test("a cross-table transaction streams LOSSLESSLY (round 13): the " +
+      "stream does not advance past an unresolved leg, and after the " +
+      "bind it emits the leg's rows exactly once — even though a later " +
+      "plain append already sat above them") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("rowsrc-txn")
+    val a = Layout(s"$root/_tables/t_a")
+    val b = Layout(s"$root/_tables/t_b")
+    val ckpt = tmpDir("rowsrc-txn-ckpt")
+    received.clear(); batchSizes.clear()
+    Catalog.commitLake(spark, a,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "v"))
+    Catalog.commitLake(spark, b,
+      Seq(("clicks", "x1", 1L)).toDF("source", "key", "v"))
+    val q = startStream(a, ckpt)
+    q.processAllAvailable()
+    assert(received.size == 1)
+    // a txn whose writer "crashes" before the bind, then a PLAIN
+    // append above it — the trap shape: a cursor at the raw head
+    // would pass the leg and lose its rows when the bind lands
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> Seq(("clicks", "txk", 100L)).toDF("source", "key", "v"),
+          b -> Seq(("clicks", "txx", 2L)).toDF("source", "key", "v")),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    Catalog.commitLake(spark, a,
+      Seq(("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    q.processAllAvailable()
+    assert(received.size == 1,
+      s"the stream must NOT advance past the unresolved leg: $received")
+    // the bind finally lands (late writer)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = Catalog.pendingTransactions(spark, a).head._2
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$root/_txn/$id.txn"), false)
+    try out.write("commit".getBytes("UTF-8")) finally out.close()
+    q.processAllAvailable()
+    q.stop()
+    val all = received.toArray(Array.empty[(String, Long)]).sorted.toSeq
+    assert(all == Seq(("k1", 10L), ("k2", 20L), ("txk", 100L)),
+      s"leg + later append each exactly once, in one resume: $all")
+  }
 }
