@@ -699,11 +699,12 @@ object Catalog {
     val id = java.util.UUID.randomUUID().toString
     val fs = new org.apache.hadoop.fs.Path(writes.head._1.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seqs = writes.map { case (layout, batch) =>
+    val staged = writes.map { case (layout, batch) =>
       stageAndCommitLake(spark, layout, batch, removes = Seq.empty,
         statsCols = Seq.empty, bloomCols = Seq.empty, note = note,
-        marker = None, txn = Some(id))._1
+        marker = None, txn = Some(id))
     }
+    val seqs = staged.map(_._1)
     beforeBind()
     // ---- THE commit point ----
     val txnDir = txnDirOf(writes.head._1)
@@ -717,6 +718,12 @@ object Catalog {
         s"transaction $id was aborted by recovery before its bind " +
           s"(status: ${st.getOrElse("absent")}) — the claimed legs are " +
           "permanently invisible; retry the whole transaction")
+    }
+    // auto-compaction fires AFTER the bind (the legs are visible now),
+    // per table — a sustained transactional-append workload must stay
+    // file-bounded exactly like the single-table path
+    writes.zip(staged).foreach { case ((layout, _), (_, sources)) =>
+      maybeAutoOptimize(spark, layout, sources)
     }
     seqs
   }

@@ -741,6 +741,64 @@ object SqlLake {
       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin
 
+  /** Ninth fixture — NULL-COUNT file skipping at corpus volume: a
+    * SQL-born table whose `cents` is NULL on a deterministic slice
+    * (event_id % 11 = 0), `stats.cols` declared so every committed
+    * file carries per-column null counts. The `IS NULL` query below
+    * consults them through the DSv2 pushdown
+    * ([[GraftFilters.nullChecksOf]]) — the quality-gate scan shape
+    * min/max can never serve (physical deleted-bytes pin:
+    * FileStatsSpec). */
+  private def nullsRoot(spark: SparkSession, sfDir: String): String = {
+    val dir =
+      s"${graft.ops.Artifacts.sharedRoot}/sql_lake_nulls/k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"),
+        when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+          .as("cents"))
+      val srcView = s"graft_nulls_src_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      base.createOrReplaceTempView(srcView)
+      val name = s"graftnulls_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      spark.sql(s"CREATE TABLE $name.nt (event_id BIGINT, cents BIGINT, " +
+        "source STRING) PARTITIONED BY (source) " +
+        "TBLPROPERTIES('stats.cols'='cents')")
+      spark.sql(s"INSERT INTO $name.nt " +
+        s"SELECT event_id, cents, source FROM $srcView")
+      spark.catalog.dropTempView(srcView)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_nulls`: the `IS NULL` quality-gate scan per source —
+    * exact iff the null-count skip keeps every null-bearing file and
+    * the residual predicate stays applied. */
+  def nullsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = nullsRoot(spark, sfDir)
+    val name = s"graftnulls_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT source, count(*) AS n_null,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_id
+         |FROM $name.nt WHERE cents IS NULL
+         |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val nullsAggOracleSql: String =
+    """SELECT event_type AS source, count(*) AS n_null,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_id
+      |FROM events WHERE event_id % 11 = 0
+      |GROUP BY event_type ORDER BY source""".stripMargin
+
   val mergeCdfAggOracleSql: String =
     """WITH base AS (
       |  SELECT event_type AS source, event_id,
