@@ -764,16 +764,31 @@ object Catalog {
     // live set and no remove fact — vacuumLake can never reach them.
     // Delete them here, for legs we just settled AND for aborted legs
     // a crashed earlier resolver left behind (idempotent deletes).
-    (settled ++ state.abortedTxns.map(e => (e._1, e._2))).distinct
-      .foreach { case (seq, id) =>
-        if (txnStatus(fs, txnDir, id).contains("abort"))
-          txnLegFiles(fs, layout, seq).foreach { rel =>
-            try fs.delete(
-              new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel"), false)
-            catch { case _: java.io.IOException => () }
-          }
-      }
+    cleanAbortedLegBytes(spark, layout,
+      (settled ++ state.abortedTxns.map(e => (e._1, e._2))).distinct)
     settled.map(_._2).distinct
+  }
+
+  /** Delete the published bytes of ABORTED txn legs (idempotent;
+    * status re-checked per leg so a concurrently-bound txn is never
+    * touched). Runs from [[resolveTransactions]] and — load-bearing —
+    * from [[checkpoint]]: the leg's record is the ONLY pointer to its
+    * bytes, and a fold+prune that outruns cleanup would orphan them
+    * forever (review catch). */
+  private def cleanAbortedLegBytes(spark: SparkSession, layout: Layout,
+      legs: Seq[(Long, String)]): Unit = {
+    if (legs.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txnDir = txnDirOf(layout)
+    legs.foreach { case (seq, id) =>
+      if (txnStatus(fs, txnDir, id).contains("abort"))
+        txnLegFiles(fs, layout, seq).foreach { rel =>
+          try fs.delete(
+            new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel"), false)
+          catch { case _: java.io.IOException => () }
+        }
+    }
   }
 
   /** Retention for the `_txn` namespace: delete txn marker files older
@@ -804,13 +819,35 @@ object Catalog {
       if (!fs.exists(tablesDir)) Seq.empty
       else fs.listStatus(tablesDir).filter(_.isDirectory)
         .map(st => Layout(st.getPath.toString)).toSeq)
-    val live = layouts.flatMap(l => readLog(spark, l).txnIds).toSet
+    // liveness must cover every RETAINED record, not just the
+    // post-checkpoint tail (parseLog's txnIds): versionAtTimestamp and
+    // lakeHistory consult the marker for folded-but-unpruned records
+    // too — reclaiming it would flip a served version to "pending"
+    // in those surfaces (review catch). A full-body scan per retained
+    // record is fine at vacuum cadence.
+    val live = layouts.flatMap(retainedTxnIds(fs, _)).toSet
     var reclaimed = 0L
     candidates.foreach { st =>
       val id = st.getPath.getName.stripSuffix(".txn")
       if (!live.contains(id) && fs.delete(st.getPath, false)) reclaimed += 1
     }
     reclaimed
+  }
+
+  /** Every txn id any RETAINED `.commit` record of `layout` carries —
+    * the [[vacuumTransactions]] liveness set. */
+  private def retainedTxnIds(fs: org.apache.hadoop.fs.FileSystem,
+      layout: Layout): Set[String] = {
+    val log = new org.apache.hadoop.fs.Path(logDir(layout))
+    if (!fs.exists(log)) return Set.empty
+    fs.listStatus(log).map(_.getPath).filter(_.getName.endsWith(".commit"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .collect { case l if l.startsWith("txn ") => l.stripPrefix("txn ") }
+          .toList
+        finally in.close()
+      }.toSet
   }
 
   /** The live-named data/DV files an aborted txn leg PUBLISHED — read
@@ -2729,6 +2766,17 @@ object Catalog {
             s"RESTORE to $version: ${gone.size} required files vacuumed " +
               s"mid-restore — version no longer restorable: " +
               gone.take(3).mkString(", "))
+          // the pending-txn quiesce check REPEATS under the locks: the
+          // entry check races a writer claiming its leg right after it
+          // (the leg would later bind BELOW the restore seq and break
+          // "head == exactly version v" — review catch); checked here,
+          // the exact-id claim then excludes any later interleaving
+          readLog(spark, layout).pendingTxns.headOption.foreach {
+            case (s, id, _) => throw new java.io.IOException(
+              s"RESTORE: version $s is an unresolved cross-table " +
+                s"transaction leg (txn $id) claimed mid-restore — wait " +
+                "for its bind or resolveTransactions, then retry")
+          }
           // prop diff recomputed UNDER the lock at head `h` — the
           // exact-id claim at h+1 then guarantees no commit (and so no
           // property change) interleaves between this read and the claim
@@ -3527,23 +3575,29 @@ object Catalog {
       .flatMap { s =>
         val seq = s.getPath.getName.stripSuffix(".commit").toLong
         val in = fs.open(s.getPath)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toList finally in.close()
-        val head = lines.headOption.getOrElse("")
-        // a txn leg that is not COMMITTED is not a version that
-        // happened — TIMESTAMP AS OF must never resolve to it
-        val txnOk = lines.collectFirst {
-          case l if l.startsWith("txn ") => l.stripPrefix("txn ")
-        }.forall(id =>
-          txnStatus(fs, txnDirOf(layout), id).contains("commit"))
+        // FIRST LINE ONLY (`v2 batchId claimMs`): a full-body read per
+        // record would make TIMESTAMP AS OF O(total log bytes); the
+        // txn gate below comes from the parsed state instead
+        val head = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse("") finally in.close()
         val t =
           if (head.startsWith("v2 ")) head.split(' ')(2).toLong
           else s.getModificationTime
-        if (txnOk) Some((seq, t)) else None
+        Some((seq, t))
       }.sortBy(_._1)
+    // a txn leg that is not COMMITTED is not a version that happened —
+    // TIMESTAMP AS OF must never resolve to it. Pending/aborted seqs
+    // come from the parsed tail (one memoized read); a FOLDED-retained
+    // aborted record slips through harmlessly (state at that seq
+    // equals seq-1's — the resolution is identical either way).
+    val gatedOut: Set[Long] = {
+      val st = readLog(spark, layout)
+      (st.pendingTxns.map(_._1) ++ st.abortedTxns.map(_._1)).toSet
+    }
+    val gated = committed.filterNot(e => gatedOut.contains(e._1))
     val cps = names.filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong)
-    if (committed.isEmpty) {
+    if (gated.isEmpty) {
       if (cps.nonEmpty)
         throw new java.io.IOException(
           s"versionAtTimestamp($ms): all commit times pruned — history below " +
@@ -3552,10 +3606,10 @@ object Catalog {
     }
     // pruned history exists iff some checkpoint folded seqs below the
     // oldest RETAINED commit (pruneLog removes exactly those records)
-    val pruned = cps.exists(_ < committed.head._1)
+    val pruned = cps.exists(_ < gated.head._1)
     // monotonize in seq order
     var mono = Long.MinValue
-    val timeline = committed.map { case (seq, t) =>
+    val timeline = gated.map { case (seq, t) =>
       mono = math.max(mono, t); (seq, mono)
     }
     if (ms < timeline.head._2) {
@@ -3606,6 +3660,10 @@ object Catalog {
     // them real — folding+pruning here would lose that commit forever
     val cap = state.pendingTxns.map(_._1).minOption
       .map(p => math.min(cap0, p - 1)).getOrElse(cap0)
+    // ABORTED legs fold away freely — but their published bytes must
+    // be reclaimed FIRST: the record this fold will let pruneLog drop
+    // is the only pointer to them (review catch)
+    cleanAbortedLegBytes(spark, layout, state.abortedTxns)
     val catF = state.cat.filter(_._1 <= cap)
     val distF = state.dist.filter(_._1 <= cap)
     val rmF = state.removes.filter(_._1 <= cap)

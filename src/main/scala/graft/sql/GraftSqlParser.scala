@@ -211,7 +211,11 @@ object GraftSqlParser {
   private[sql] def graftTarget(raw: String): Boolean = {
     if (raw.contains("/")) return true
     val base = raw.split('.').head.stripPrefix("`").stripSuffix("`")
-    org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+    // no active session on the parsing thread (a harness driving the
+    // parser directly): fall back to claiming the verb — graft-only
+    // deployments keep working; precise mixed-session routing needs
+    // the session's catalog registrations and parses inside sql()
+    org.apache.spark.sql.SparkSession.getActiveSession.forall(s =>
       s.conf.getOption(s"spark.sql.catalog.$base")
         .exists(_.contains("GraftCatalog")))
   }

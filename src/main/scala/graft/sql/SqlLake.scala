@@ -753,10 +753,16 @@ object SqlLake {
     val dir =
       s"${graft.ops.Artifacts.sharedRoot}/sql_lake_nulls/k=${corpusKey(spark, sfDir)}"
     graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      // cents NULL iff event_id % 11 = 0, REGARDLESS of `value`: a
+      // NULL value must not add extra null rows the oracle's
+      // event_id-only predicate would miss (review catch — the tested
+      // corpora carry no NULL value, but the fixture must not depend
+      // on that)
       val base = graft.Events.events(spark, sfDir).select(
         col("event_type").as("source"), col("event_id"),
         when(col("event_id") % 11 === 0, lit(null))
-          .otherwise(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+          .otherwise(coalesce(
+            floor(col("value") * lit(100) + lit(0.5)).cast("long"), lit(0L)))
           .as("cents"))
       val srcView = s"graft_nulls_src_${java.util.UUID.randomUUID()
         .toString.replace("-", "")}"

@@ -260,6 +260,60 @@ class LakeTxnSpec extends SparkTestBase {
     assert(keys(a) == Set(1L, 100L) && keys(b) == Set(2L, 200L))
   }
 
+  test("second-review pins (round 13): a marker referenced by a " +
+      "FOLDED-but-unpruned record survives vacuumTransactions (the " +
+      "timestamp surface still consults it), and checkpoint cleans an " +
+      "aborted leg's bytes BEFORE the fold can orphan them") {
+    // -- marker liveness across checkpoint-without-prune --
+    val (root, a, b) = twoTables("txn-rev2")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    Catalog.commitLakeTransaction(spark,
+      Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))))
+    assert(Catalog.checkpoint(spark, a).isDefined)
+    assert(Catalog.checkpoint(spark, b).isDefined)
+    // records folded but RETAINED: the marker must survive a
+    // zero-grace vacuum, or TIMESTAMP AS OF would stop resolving the
+    // served txn version
+    assert(Catalog.vacuumTransactions(spark, Layout(root), 0L) == 0L)
+    val now = System.currentTimeMillis()
+    assert(Catalog.versionAtTimestamp(spark, a, now).isDefined)
+    Catalog.pruneLog(spark, a); Catalog.pruneLog(spark, b)
+    assert(Catalog.vacuumTransactions(spark, Layout(root), 0L) == 1L)
+
+    // -- checkpoint-time byte cleanup of an aborted leg --
+    val (_, c, d) = twoTables("txn-rev2b")
+    Catalog.commitLake(spark, c, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, d, df(Seq(("s", 2L, 20L))))
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(c -> df(Seq(("s", 100L, 1L))), d -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    val legSeq = Catalog.pendingTransactions(spark, d).head._1
+    // recovery runs on table c ONLY (the realistic partial-cron case);
+    // the shared abort makes d's leg aborted too, but nothing cleaned
+    // d's bytes yet
+    Catalog.resolveTransactions(spark, c, olderThanMs = 0L)
+    val fs = new Path(d.lakeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def dLegBytes(): Int = {
+      val dir = new Path(s"${d.lakeDir}/source=s")
+      fs.listStatus(dir).map(_.getPath.getName)
+        .count(_.startsWith(f"c$legSeq%020d-"))
+    }
+    assert(dLegBytes() > 0)
+    // routine maintenance on d (no resolveTransactions call): the
+    // checkpoint must reclaim the bytes before fold+prune drops the
+    // record — the only pointer to them
+    Catalog.commitLake(spark, d, df(Seq(("s", 3L, 30L))))
+    assert(Catalog.checkpoint(spark, d).isDefined)
+    Catalog.pruneLog(spark, d)
+    assert(dLegBytes() == 0,
+      "checkpoint must clean aborted-leg bytes before the fold")
+    assert(keys(d) == Set(2L, 3L))
+  }
+
   test("guardrails: same table twice refuses; tables under DIFFERENT " +
       "catalog roots refuse (no shared txn namespace)") {
     val (_, a, _) = twoTables("txn-guard-1")
