@@ -126,26 +126,90 @@ object Catalog {
     * the store's path-style REST endpoint (plus optional `.dialect` =
     * `s3`|`gcs`, default by scheme) and claims on that scheme route
     * through [[graft.lake.ObjectStoreCommit.HttpStore]] automatically.
-    * Unsigned requests — for IAM/auth proxies, gateway endpoints, or
-    * MinIO-style deployments; a store needing request signing
-    * registers in code ([[ObjectStoreCommit.register]]'s `sign` hook).
-    * Resolved once per scheme and cached in the same registry code
-    * registration uses (code wins: it registered first). */
+    * `.auth` selects request signing: `none` (default — IAM/auth
+    * proxies, gateway endpoints, MinIO-style deployments) or `sigv4`
+    * (plain S3: [[graft.lake.SigV4]], credentials from
+    * `.access`/`.secret`/`.token` conf keys or the standard
+    * `AWS_ACCESS_KEY_ID`/`AWS_SECRET_ACCESS_KEY`/`AWS_SESSION_TOKEN`
+    * environment variables, `.region` default `us-east-1`, `.service`
+    * default `s3`). A code registration
+    * ([[ObjectStoreCommit.register]]) wins over conf for its scheme.
+    *
+    * Cached per scheme WITH the resolved configuration fingerprint
+    * (endpoint + dialect + auth): a second session in the same JVM
+    * asking for a DIFFERENT endpoint on an already-resolved scheme
+    * FAILS LOUD instead of silently routing its claims through the
+    * first-resolved store — if the endpoints front different stores,
+    * exclusive-create mutual exclusion against writers on the correct
+    * endpoint would be lost without any error (advice-r13 catch). */
+  private val confResolved = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, ExclusiveCreate)]()
+
   private def confCommitter(fs: org.apache.hadoop.fs.FileSystem,
-      scheme: String): Option[ExclusiveCreate] =
-    Option(fs.getConf.getTrimmed(s"graft.committer.$scheme.endpoint"))
+      scheme: String): Option[ExclusiveCreate] = {
+    val conf = fs.getConf
+    Option(conf.getTrimmed(s"graft.committer.$scheme.endpoint"))
       .map { endpoint =>
-        val dialect = Option(
-          fs.getConf.getTrimmed(s"graft.committer.$scheme.dialect"))
+        val dialect = Option(conf.getTrimmed(s"graft.committer.$scheme.dialect"))
           .map(_.toLowerCase).getOrElse(if (scheme == "gs") "gcs" else "s3")
-        val store = new ObjectStoreCommit.HttpStore(
-          ObjectStoreCommit.HttpStore.pathStyle(endpoint),
-          if (dialect == "gcs") ObjectStoreCommit.GcsDialect
-          else ObjectStoreCommit.S3Dialect)
-        val put = ObjectStoreCommit.committer(store)
-        logCommitters.putIfAbsent(scheme, put)
-        logCommitters.get(scheme)
+        val auth = Option(conf.getTrimmed(s"graft.committer.$scheme.auth"))
+          .map(_.toLowerCase).getOrElse("none")
+        val fingerprint = s"$endpoint $dialect $auth"
+        def conflict(registered: String): Nothing =
+          throw new IllegalStateException(
+            s"graft.committer.$scheme.* conflict: this JVM already " +
+              "routes claims on scheme '" + scheme + "' through a " +
+              "committer resolved from a DIFFERENT configuration " +
+              s"(registered: ${registered.split(' ').mkString(" / ")}; " +
+              s"this session asks: $endpoint / $dialect / $auth). If the " +
+              "endpoints front different stores, exclusive-create mutual " +
+              "exclusion against writers on the correct endpoint is lost " +
+              "— refusing to route silently. Unify the configuration, or " +
+              "register per-store committers in code " +
+              "(ObjectStoreCommit.register).")
+        val cached = confResolved.get(scheme)
+        if (cached != null) {
+          if (cached._1 != fingerprint) conflict(cached._1)
+          cached._2
+        } else {
+          def key(k: String, env: String): Option[String] =
+            Option(conf.getTrimmed(s"graft.committer.$scheme.$k"))
+              .orElse(sys.env.get(env))
+          val signer: ObjectStoreCommit.RequestSigner = auth match {
+            case "none" => ObjectStoreCommit.NoSign
+            case "sigv4" =>
+              def required(k: String, env: String): String =
+                key(k, env).getOrElse(throw new IllegalArgumentException(
+                  s"graft.committer.$scheme.auth=sigv4 needs credentials " +
+                    s"— set graft.committer.$scheme.$k or the standard " +
+                    s"$env environment variable"))
+              new SigV4(
+                required("access", "AWS_ACCESS_KEY_ID"),
+                required("secret", "AWS_SECRET_ACCESS_KEY"),
+                region = Option(conf.getTrimmed(
+                  s"graft.committer.$scheme.region")).getOrElse("us-east-1"),
+                service = Option(conf.getTrimmed(
+                  s"graft.committer.$scheme.service")).getOrElse("s3"),
+                sessionToken = key("token", "AWS_SESSION_TOKEN"))
+            case other => throw new IllegalArgumentException(
+              s"graft.committer.$scheme.auth='$other' — expected " +
+                "'none' or 'sigv4'")
+          }
+          val store = new ObjectStoreCommit.HttpStore(
+            ObjectStoreCommit.HttpStore.pathStyle(endpoint),
+            if (dialect == "gcs") ObjectStoreCommit.GcsDialect
+            else ObjectStoreCommit.S3Dialect, signer)
+          val put = ObjectStoreCommit.committer(store)
+          val winner = Option(
+            confResolved.putIfAbsent(scheme, (fingerprint, put)))
+            .getOrElse((fingerprint, put))
+          // a concurrent resolver may have won the race with a
+          // DIFFERENT conf — the loser must not silently adopt it
+          if (winner._1 != fingerprint) conflict(winner._1)
+          winner._2
+        }
       }
+  }
 
   /** One atomic create-exclusive of `rec` with `body`; true = this
     * caller won the name. Dispatch:
@@ -596,7 +660,10 @@ object Catalog {
     enforceExpectations(spark, layout, batch)
     val (seq, stagedSources) = stageAndCommitLake(spark, layout, batch,
       removes, statsCols, bloomCols, note, marker, txn = None)
-    if (seq > 0) maybeAutoOptimize(spark, layout, stagedSources)
+    if (seq > 0) {
+      maybeAutoOptimize(spark, layout, stagedSources)
+      maybeAutoCheckpoint(spark, layout)
+    }
     seq
   }
 
@@ -685,47 +752,145 @@ object Catalog {
     * fixture's aborted-txn case). */
   private[graft] def commitLakeTransactionImpl(spark: SparkSession,
       writes: Seq[(Layout, DataFrame)], note: Option[String],
+      beforeBind: () => Unit): Seq[Long] =
+    commitLakeTransactionLegsImpl(spark,
+      writes.map { case (layout, batch) => TxnLeg(layout, Some(batch)) },
+      note, beforeBind)
+
+  /** One leg of a MIXED-VERB cross-table transaction: append `batch`
+    * into `layout` and/or DV-delete its committed rows matching
+    * `deleteWhere` — all legs atomic under ONE commit point. The
+    * round-13 machinery staged append-only legs; the classic
+    * move/reconciliation shape ("delete from A + insert into B") then
+    * needed two commits and re-opened exactly the torn window the txn
+    * machinery exists to close. */
+  final case class TxnLeg(layout: Layout,
+      batch: Option[DataFrame] = None,
+      deleteWhere: Option[org.apache.spark.sql.Column] = None)
+
+  /** Mixed-verb cross-table atomic commit — the [[TxnLeg]] form of
+    * [[commitLakeTransaction]] (same protocol, same recovery, same
+    * single-name arbitration; see that scaladoc). Delete-carrying
+    * legs additionally hold their touched sources' maintenance locks
+    * from the under-lock liveness re-verification THROUGH THE BIND:
+    * a leg's DV rows are invisible until the bind, so a concurrent
+    * DELETE committing between the leg's claim and the bind could
+    * land the same `(file, pos)` twice — the double retraction
+    * [[excludeCommittedDvRows]] exists to prevent; the committed DV
+    * set cannot move while the locks are held. Lock acquisition is
+    * globally ordered (legs sorted by table root, sources sorted
+    * within — the same total order every multi-source writer uses),
+    * so cross-table and single-table writers cannot deadlock. */
+  def commitLakeTransactionLegs(spark: SparkSession, legs: Seq[TxnLeg],
+      note: Option[String] = None): Seq[Long] =
+    commitLakeTransactionLegsImpl(spark, legs, note, () => ())
+
+  private[graft] def commitLakeTransactionLegsImpl(spark: SparkSession,
+      legs: Seq[TxnLeg], note: Option[String],
       beforeBind: () => Unit): Seq[Long] = {
-    require(writes.nonEmpty, "transaction with no writes")
-    require(writes.map(_._1.root).distinct.size == writes.size,
-      "transaction writes the same table twice — union the batches")
-    val txnDirs = writes.map(w => txnDirOf(w._1).toString).distinct
+    require(legs.nonEmpty, "transaction with no legs")
+    require(legs.forall(l => l.batch.nonEmpty || l.deleteWhere.nonEmpty),
+      "a transaction leg needs a batch, a deleteWhere, or both")
+    require(legs.map(_.layout.root).distinct.size == legs.size,
+      "transaction writes the same table twice — union the legs")
+    val txnDirs = legs.map(l => txnDirOf(l.layout).toString).distinct
     require(txnDirs.size == 1,
       s"cross-table transactions need one shared catalog root, got " +
         s"${txnDirs.mkString(" vs ")}")
     // validate EVERY table's gates before staging ANY leg
-    writes.foreach { case (layout, batch) =>
-      enforceExpectations(spark, layout, batch) }
-    val id = java.util.UUID.randomUUID().toString
-    val fs = new org.apache.hadoop.fs.Path(writes.head._1.catalogDir)
+    legs.foreach(l => l.batch.foreach(b =>
+      enforceExpectations(spark, l.layout, b)))
+    val fs = new org.apache.hadoop.fs.Path(legs.head.layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = writes.map { case (layout, batch) =>
-      stageAndCommitLake(spark, layout, batch, removes = Seq.empty,
-        statsCols = Seq.empty, bloomCols = Seq.empty, note = note,
-        marker = None, txn = Some(id))
+    val ordered = legs.sortBy(_.layout.root)
+    var attempt = 0
+    while (attempt < 8) {
+      val id = java.util.UUID.randomUUID().toString
+      // position scan per delete leg OUTSIDE the locks (same shape as
+      // deleteLakeWhere): data files are immutable once committed, so
+      // the positions stay exact as long as every referenced file is
+      // still live — re-verified under the locks below
+      val scans: Seq[(TxnLeg, Option[(DataFrame, Seq[String])])] =
+        ordered.map { leg =>
+          leg.deleteWhere match {
+            case None => (leg, None)
+            case Some(pred) =>
+              val dels = lakePositionsWhere(spark, leg.layout, pred)
+              val files =
+                if (dels.columns.isEmpty) Seq.empty[String]
+                else dels.select("file").distinct()
+                  .collect().map(_.getString(0)).toSeq
+              (leg, Some((dels, files)))
+          }
+        }
+      def withLegLocks[T](
+          rest: Seq[(TxnLeg, Option[(DataFrame, Seq[String])])])(
+          body: => T): T = rest match {
+        case Seq() => body
+        case (leg, scan) +: more =>
+          val sources = scan.map(_._2.map(sourceOfRel).distinct.sorted)
+            .getOrElse(Seq.empty)
+          withSourceLocks(spark, leg.layout, sources,
+            lockTtlMs = 10 * 60 * 1000L, waitMs = 60 * 1000L)(
+            withLegLocks(more)(body))
+      }
+      val committed: Option[(Seq[Long], Seq[(Layout, Seq[String])])] =
+        withLegLocks(scans) {
+        val stale = scans.exists { case (leg, scan) =>
+          scan.exists { case (_, files) =>
+            val liveNow = lakeFilesAsOf(spark, leg.layout).toSet
+            !files.forall(liveNow.contains)
+          }
+        }
+        if (stale) None
+        else {
+          val staged = scans.map { case (leg, scan) =>
+            commitStagedDvAndAppend(spark, leg.layout,
+              leg.batch.map(widenBatch(spark, leg.layout, _)),
+              scan.map(_._1).filter(_.columns.nonEmpty),
+              note = note, txn = Some(id))
+          }
+          beforeBind()
+          // ---- THE commit point (under the delete legs' locks:
+          // between a leg's claim and this bind the committed DV set
+          // of its sources must not move) ----
+          val txnDir = txnDirOf(ordered.head.layout)
+          fs.mkdirs(txnDir)
+          val bound = exclusiveCreate(fs,
+            new org.apache.hadoop.fs.Path(txnDir, s"$id.txn"), "commit")
+          if (!bound) {
+            // single-name arbitration: only a recovery abort beats us
+            val st = txnStatus(fs, txnDir, id)
+            if (!st.contains("commit")) throw new java.io.IOException(
+              s"transaction $id was aborted by recovery before its bind " +
+                s"(status: ${st.getOrElse("absent")}) — the claimed legs " +
+                "are permanently invisible; retry the whole transaction")
+          }
+          // report seqs in the CALLER's leg order, not lock order
+          val byRoot = scans.map(_._1.layout.root).zip(staged.map(_._1)).toMap
+          Some((legs.map(l => byRoot(l.layout.root)),
+            scans.map(_._1.layout).zip(staged.map(_._2))))
+        }
+      }
+      committed match {
+        case Some((seqs, stagedSources)) =>
+          // auto-compaction/auto-checkpoint fire AFTER the bind AND
+          // AFTER the locks release (review catch: under the held
+          // locks, optimizeLake's waitMs=0 acquisition always found
+          // its own lock busy and silently skipped every time) —
+          // transactional traffic stays file- and log-bounded like
+          // the single-table paths
+          stagedSources.foreach { case (layout, sources) =>
+            maybeAutoOptimize(spark, layout, sources)
+            maybeAutoCheckpoint(spark, layout)
+          }
+          return seqs
+        case None => attempt += 1; conflictBackoff(attempt)
+      }
     }
-    val seqs = staged.map(_._1)
-    beforeBind()
-    // ---- THE commit point ----
-    val txnDir = txnDirOf(writes.head._1)
-    fs.mkdirs(txnDir)
-    val bound = exclusiveCreate(fs,
-      new org.apache.hadoop.fs.Path(txnDir, s"$id.txn"), "commit")
-    if (!bound) {
-      // single-name arbitration: only a recovery abort can beat us
-      val st = txnStatus(fs, txnDir, id)
-      if (!st.contains("commit")) throw new java.io.IOException(
-        s"transaction $id was aborted by recovery before its bind " +
-          s"(status: ${st.getOrElse("absent")}) — the claimed legs are " +
-          "permanently invisible; retry the whole transaction")
-    }
-    // auto-compaction fires AFTER the bind (the legs are visible now),
-    // per table — a sustained transactional-append workload must stay
-    // file-bounded exactly like the single-table path
-    writes.zip(staged).foreach { case ((layout, _), (_, sources)) =>
-      maybeAutoOptimize(spark, layout, sources)
-    }
-    seqs
+    throw new java.io.IOException(
+      "commitLakeTransactionLegs: delete-leg target files kept " +
+        "disappearing under concurrent maintenance after 8 attempts")
   }
 
   /** Observability: the UNRESOLVED cross-table transaction legs this
@@ -766,7 +931,34 @@ object Catalog {
     // a crashed earlier resolver left behind (idempotent deletes).
     cleanAbortedLegBytes(spark, layout,
       (settled ++ state.abortedTxns.map(e => (e._1, e._2))).distinct)
+    // SIBLING SWEEP (advice-r13): the txns this call settled (and any
+    // earlier aborts) have legs in OTHER tables sharing the _txn root
+    // — aborted by the same marker, their published bytes are equally
+    // unreachable by vacuumLake, but waiting for each sibling to
+    // independently run resolve/checkpoint leaks them indefinitely.
+    // One readLog per sibling at resolve cadence; deletes idempotent.
+    tablesSharingTxnRoot(fs, layout)
+      .filterNot(_.root == layout.root)
+      .foreach { sib =>
+        val sibAborted = readLog(spark, sib).abortedTxns
+        cleanAbortedLegBytes(spark, sib, sibAborted)
+      }
     settled.map(_._2).distinct
+  }
+
+  /** Every table layout bound to `layout`'s `_txn` namespace: the
+    * catalog root plus each `<root>/_tables/<t>` — the enumeration
+    * [[vacuumTransactions]] and [[resolveTransactions]]' sibling
+    * sweep share. */
+  private def tablesSharingTxnRoot(fs: org.apache.hadoop.fs.FileSystem,
+      layout: Layout): Seq[Layout] = {
+    val idx = layout.root.indexOf("/_tables/")
+    val root = if (idx > 0) layout.root.substring(0, idx) else layout.root
+    val tablesDir = new org.apache.hadoop.fs.Path(s"$root/_tables")
+    Layout(root) +: (
+      if (!fs.exists(tablesDir)) Seq.empty
+      else fs.listStatus(tablesDir).filter(_.isDirectory)
+        .map(st => Layout(st.getPath.toString)).toSeq)
   }
 
   /** Delete the published bytes of ABORTED txn legs (idempotent;
@@ -810,15 +1002,7 @@ object Catalog {
       .filter(st => st.getPath.getName.endsWith(".txn") &&
         st.getModificationTime <= cutoff)
     if (candidates.isEmpty) return 0L
-    val root = {
-      val idx = rootLayout.root.indexOf("/_tables/")
-      if (idx > 0) rootLayout.root.substring(0, idx) else rootLayout.root
-    }
-    val tablesDir = new org.apache.hadoop.fs.Path(s"$root/_tables")
-    val layouts = Layout(root) +: (
-      if (!fs.exists(tablesDir)) Seq.empty
-      else fs.listStatus(tablesDir).filter(_.isDirectory)
-        .map(st => Layout(st.getPath.toString)).toSeq)
+    val layouts = tablesSharingTxnRoot(fs, rootLayout)
     // liveness must cover every RETAINED record, not just the
     // post-checkpoint tail (parseLog's txnIds): versionAtTimestamp and
     // lakeHistory consult the marker for folded-but-unpruned records
@@ -885,7 +1069,12 @@ object Catalog {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qual = fs.makeQualified(p).toString
     val df = spark.read.option("basePath", stage).parquet(stage)
-    val present = statsCols.filter(df.columns.contains)
+    // a dotted path (`props.user_id`) stats a NESTED field — resolved
+    // through the analyzer rather than the top-level column list, so
+    // struct-typed lakes file-skip too; the JSON records it under the
+    // dotted key, which is exactly the name a nested predicate probes
+    val present = statsCols.filter(c => df.columns.contains(c) ||
+      (c.contains('.') && scala.util.Try(df.select(col(c))).isSuccess))
     val fileCol = expr(s"substring(_metadata.file_path, ${qual.length + 2})")
     // Bloom build: a count gate first (cheap agg), then collect distinct
     // values ONLY for under-cap (file, col) pairs — a high-cardinality
@@ -1596,14 +1785,23 @@ object Catalog {
       // every future write
       setProps.filter(p => p._1 == StatsColsProp || p._1 == BloomColsProp)
         .foreach { case (k, v) =>
-          splitCols(v).foreach(c => require(types.contains(c),
+          // a dotted path declares a NESTED field (stats only — blooms
+          // stay top-level): validate its ROOT column; the leaf is
+          // checked by the analyzer at stat time (absent leaves simply
+          // record no stats, the same sound-by-absence rule as a
+          // pre-declaration file)
+          splitCols(v).foreach(c => require(types.contains(c) ||
+            (k == StatsColsProp && c.contains('.') &&
+              types.contains(c.takeWhile(_ != '.'))),
             s"$k names unknown column '$c' (lake columns: " +
               s"${types.keys.mkString(", ")})"))
         }
-      // the auto-compaction knobs are load-bearing numbers — a typo'd
-      // value would silently disable the policy on every future commit
+      // the auto-compaction/auto-checkpoint knobs are load-bearing
+      // numbers — a typo'd value would silently disable the policy on
+      // every future commit
       setProps.filter(p =>
-          p._1 == AutoOptimizeTargetProp || p._1 == AutoOptimizeMinFilesProp)
+          p._1 == AutoOptimizeTargetProp || p._1 == AutoOptimizeMinFilesProp ||
+            p._1 == CheckpointEveryProp)
         .foreach { case (k, v) => require(v.toLongOption.exists(_ > 0),
           s"$k wants a positive integer, got '$v'") }
       val propsNow = lakeProperties(spark, layout)
@@ -1910,6 +2108,53 @@ object Catalog {
   private[graft] val AutoOptimizeTargetProp = "autoOptimize.target"
   private[graft] val AutoOptimizeMinFilesProp = "autoOptimize.minFiles"
 
+  /** AUTO-CHECKPOINT policy (Delta folds its log every 10 commits
+    * automatically; here it is a table fact like auto-compaction):
+    * with `TBLPROPERTIES('checkpoint.every'='N')`, any write path
+    * whose commit leaves ≥ N un-folded records in the log tail folds
+    * them ([[checkpoint]]) and drops the folded records
+    * ([[pruneLog]]) inline, post-commit. Without it, only
+    * [[graft.streaming.StreamIngest]] self-checkpointed — a SQL-born
+    * table under sustained INSERT/MERGE traffic or the `graft-lake`
+    * streaming sink grew an unbounded un-folded tail, and every cold
+    * read paid LIST + parse over it (at 100 TB a table takes
+    * thousands of commits; the per-read metadata cost is the log
+    * design's whole point). Zero cost when unset: one memoized-log
+    * property lookup per commit. */
+  private[graft] val CheckpointEveryProp = "checkpoint.every"
+
+  /** The post-commit auto-checkpoint hook (see
+    * [[CheckpointEveryProp]]). Best-effort like [[maybeAutoOptimize]]:
+    * the commit it runs after is already durable, so a failed fold
+    * must never surface as a failed write — it warns and leaves the
+    * tail for the next trigger. Time travel below the fold stays
+    * intact by [[checkpoint]]'s own contract (folded adds keep their
+    * seq; removed adds are retained alongside their remove facts). */
+  private def maybeAutoCheckpoint(spark: SparkSession, layout: Layout): Unit = {
+    val every = lakeProperties(spark, layout).get(CheckpointEveryProp)
+      .flatMap(_.toLongOption).filter(_ > 0).getOrElse(return)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val log = new org.apache.hadoop.fs.Path(logDir(layout))
+      if (!fs.exists(log)) return
+      val names = fs.listStatus(log).map(_.getPath.getName)
+      val cp = names.filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong)
+        .foldLeft(0L)(math.max)
+      val tail = names.count(n => n.endsWith(".commit") &&
+        n.stripSuffix(".commit").toLong > cp)
+      if (tail >= every) {
+        checkpoint(spark, layout)
+        pruneLog(spark, layout)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] auto-checkpoint after commit into " +
+        s"${layout.root} FAILED (the commit itself IS durable; the " +
+        s"un-folded tail remains until the next trigger): $e")
+    }
+  }
+
   /** The post-commit auto-compaction hook (see
     * [[AutoOptimizeTargetProp]]). Zero cost when the policy is unset:
     * one memoized-log property lookup. */
@@ -1933,8 +2178,7 @@ object Catalog {
     try optimizeLake(spark, layout, targetBytes = target,
       onlySources = Some(crowded.toSet), waitMs = 0L)
     catch {
-      case e: java.io.IOException
-        if e.getMessage != null && e.getMessage.contains("SourceLock") => ()
+      case _: LockBusyException => () // typed: compaction already running
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] auto-optimize after commit into " +
           s"${layout.root} FAILED (the append itself IS committed; " +
@@ -2316,14 +2560,19 @@ object Catalog {
   /** Stage `batch` (appends, partitioned by source) and `dels`
     * (`(file, pos)` deletion-vector rows) and commit BOTH as one
     * atomic log record — the shared tail of [[upsertLakeByKey]],
-    * [[overwriteLake]] and [[Merge.mergeIntoLake]]. The caller holds
-    * the per-source locks and has re-validated its conflict
-    * invariants; `dels` is re-filtered against already-committed DV
-    * rows here (the double-retraction guard). Returns the commit seq,
-    * -1 when both sides stage empty (nothing to commit). */
+    * [[overwriteLake]], [[Merge.mergeIntoLake]] and (round 14) every
+    * MIXED-VERB cross-table transaction leg. The caller holds the
+    * per-source locks and has re-validated its conflict invariants;
+    * `dels` is re-filtered against already-committed DV rows here
+    * (the double-retraction guard). With `txn` set the record claims
+    * even when both sides stage empty (a leg's seq binds the
+    * transaction) and stays INVISIBLE until the root txn file binds
+    * it. Returns (commit seq, staged sources); seq -1 = nothing to
+    * do. */
   private[lake] def commitStagedDvAndAppend(spark: SparkSession, layout: Layout,
       batch: Option[DataFrame], dels: Option[DataFrame],
-      note: Option[String] = None, marker: Option[String] = None): Long = {
+      note: Option[String] = None, marker: Option[String] = None,
+      txn: Option[String] = None): (Long, Seq[String]) = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lakeUuid = java.util.UUID.randomUUID().toString
@@ -2351,9 +2600,9 @@ object Catalog {
           Seq.empty[String]
         else s
     }
-    if (lakeStaged.isEmpty && dvStaged.isEmpty) {
+    if (lakeStaged.isEmpty && dvStaged.isEmpty && txn.isEmpty) {
       fs.delete(lakeStage, true); fs.delete(dvStage, true)
-      return -1L
+      return (-1L, Seq.empty)
     }
     // table-declared skipping stats ride every DV+append commit too —
     // MERGE/UPDATE/upsert/overwrite/streaming-sink appends stay
@@ -2367,12 +2616,12 @@ object Catalog {
       None, Seq.empty, None, Seq.empty, Seq.empty,
       if (lakeStaged.nonEmpty) Some(lakeUuid) else None, lakeStaged,
       dvUuid = if (dvStaged.nonEmpty) Some(dvUuid) else None, dv = dvStaged,
-      fileStats = stats, note = note)
+      fileStats = stats, note = note, txn = txn)
     val seq = claimBody(fs, layout, v2Body(rec))
     finishV2(fs, layout, seq, rec)
     if (lakeStaged.isEmpty) fs.delete(lakeStage, true)
     if (dvStaged.isEmpty) fs.delete(dvStage, true)
-    seq
+    (seq, lakeStaged.map(sourceOfRel).distinct)
   }
 
   /** Drop from `dels` — `(file, pos)` rows — every position already
@@ -2461,7 +2710,7 @@ object Catalog {
         else None
       }
       committed match {
-        case Some(seq) => return seq
+        case Some(seq) => maybeAutoCheckpoint(spark, layout); return seq
         case None => attempt += 1; conflictBackoff(attempt)
       }
     }
@@ -2573,10 +2822,10 @@ object Catalog {
           // the helper re-filters against committed DVs (the same
           // under-lock double-retraction guard as deleteLakeWhere)
           if (files.isEmpty) None else Some(matched),
-          marker = markerPath))
+          marker = markerPath)._1)
       }
       committed match {
-        case Some(seq) => return seq
+        case Some(seq) => maybeAutoCheckpoint(spark, layout); return seq
         case None => attempt += 1; conflictBackoff(attempt)
       }
     }
@@ -2625,10 +2874,10 @@ object Catalog {
         // concurrent DELETEs cannot add files, so they pass the
         // live-set check — the helper excludes their committed DV rows
         else Some(commitStagedDvAndAppend(spark, layout, Some(wide), dels,
-          note = Some("overwrite"), marker = marker))
+          note = Some("overwrite"), marker = marker)._1)
       }
       committed match {
-        case Some(seq) => return seq
+        case Some(seq) => maybeAutoCheckpoint(spark, layout); return seq
         case None => attempt += 1; conflictBackoff(attempt)
       }
     }
@@ -3689,7 +3938,10 @@ object Catalog {
     val upTo = seqs.max
     val rec = new org.apache.hadoop.fs.Path(logDir(layout), f"$upTo%020d.checkpoint")
     if (fs.exists(rec)) {
-      if (readCheckpointLines(fs, rec).isDefined) return Some(upTo)
+      if (readCheckpointLines(fs, rec).isDefined) {
+        writeLastCheckpoint(fs, log, upTo, names.length.toLong) // refresh
+        return Some(upTo)
+      }
       fs.delete(rec, false) // torn leftover: nobody trusts it; rewrite
     }
     // removed adds are KEPT in the fold (alongside their R/LR lines):
@@ -3725,6 +3977,7 @@ object Catalog {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, rec)) fs.delete(tmp, false) // concurrent winner kept
+    writeLastCheckpoint(fs, log, upTo, names.length.toLong + 1)
     Some(upTo)
   }
 
@@ -3743,6 +3996,21 @@ object Catalog {
       case Some((seq, _)) => seq
       case None => return 0L
     }
+    // PROBE-SAFETY ORDER: advance the pointer to this prune's horizon
+    // BEFORE deleting anything — a pointer-guided reader whose walk we
+    // cut re-reads the pointer, sees it moved, and restarts from the
+    // fold; were the deletes first, a stale-pointer walk could mistake
+    // the cut for the head and silently serve a truncated state. The
+    // advertised entry count is the post-prune estimate (hint only).
+    val doneSet0 = names.filter(_.endsWith(".done"))
+      .map(_.stripSuffix(".done")).toSet
+    val willDrop = names.count { n =>
+      (n.endsWith(".commit") || n.endsWith(".done")) && {
+        val seq = n.stripSuffix(".commit").stripSuffix(".done").toLong
+        seq <= upTo && doneSet0.contains(f"$seq%020d")
+      }
+    }
+    writeLastCheckpoint(fs, log, upTo, (names.length - willDrop).toLong)
     val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
     var dropped = 0L
     names.foreach { n =>
@@ -3755,6 +4023,24 @@ object Catalog {
           dropped += 1
         }
       }
+    }
+    // SUPERSEDED checkpoints: a later valid fold is a strict superset
+    // of an earlier one (it folds the earlier checkpoint's own lines),
+    // so only the latest matters — but keep TWO valid ones so a torn
+    // write of the newest never strands readers, and never touch
+    // anything ≥ the second-kept (torn-above files are the next
+    // checkpoint()'s to rewrite). Without this the dir grows one
+    // checkpoint per fold forever — the LIST cost the pointer exists
+    // to bound. Numbering stays safe: claimBody's max-scan keeps its
+    // maximum (the latest checkpoint survives).
+    val validCps = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted
+      .filter(seq => seq == upTo || readCheckpointLines(fs,
+        new org.apache.hadoop.fs.Path(log, f"$seq%020d.checkpoint")).isDefined)
+    validCps.dropRight(2).foreach { seq =>
+      if (fs.delete(
+        new org.apache.hadoop.fs.Path(log, f"$seq%020d.checkpoint"), false))
+        dropped += 1
     }
     dropped
   }
@@ -3809,6 +4095,122 @@ object Catalog {
       // for the post-commit state (same listing, different content)
       digest: String = "")
 
+  /** `_log/_last_checkpoint` — the Delta-style POINTER HINT bounding
+    * the object-store LIST cost of a cold log read: at 10⁴ commits a
+    * full-directory LIST per read is the dominant metadata cost, so
+    * [[readLog]] on non-local schemes reads this pointer (1 GET),
+    * reads the named checkpoint directly, and PROBES the dense commit
+    * tail forward ([[probeLogTail]]) instead of listing the whole
+    * dir. Strictly a hint — torn, stale, missing, or pointing at a
+    * missing/invalid checkpoint all fall back to the full listing,
+    * which remains the authority. Written by [[checkpoint]] and
+    * refreshed by [[pruneLog]] BEFORE it deletes anything (the
+    * probe-safety invariant: the prune horizon never exceeds the
+    * pointer, so a probed walk can only be cut by a prune that
+    * already advanced the pointer — which the probe detects by
+    * re-reading it). Monotone: a writer never regresses it. */
+  private val LastCheckpointName = "_last_checkpoint"
+
+  /** Listing beats probing until the dir dwarfs the tail: an S3 LIST
+    * page serves 1000 names in one request where the probe pays ~3
+    * point requests per tail record — measured in `ListCostProbe`
+    * (maintained dir: 34 requests listed vs 101 probed; the probe's
+    * O(tail) only wins once retained names reach ~100k, i.e. a fold
+    * that ran where prune cannot delete). The pointer therefore
+    * carries the writer's dir-entry count and the reader probes only
+    * above this threshold — conf-tunable for deployments whose LIST
+    * latency dominates. */
+  private val ProbeThresholdConf = "graft.log.probeThreshold"
+  private val ProbeThresholdDefault = 100000L
+
+  /** Pointer body `"<seq> <dirEntries>"` (entry count = the writer's
+    * post-write estimate, strictly a routing hint). */
+  private def readLastCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path): Option[(Long, Option[Long])] =
+    try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(log, LastCheckpointName))
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val parts = s.trim.split(' ')
+      parts.head.toLongOption.map(seq =>
+        (seq, parts.lift(1).flatMap(_.toLongOption)))
+    } catch { case _: java.io.IOException => None }
+
+  /** Best-effort monotone pointer refresh (a hint may lag, never
+    * regress — and its write must never fail a commit or a prune).
+    * Same-seq rewrites are allowed so a prune can shrink the entry
+    * count it advertises. */
+  private def writeLastCheckpoint(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path, seq: Long, dirEntries: Long): Unit =
+    try {
+      if (readLastCheckpoint(fs, log).forall(_._1 <= seq)) {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(log, LastCheckpointName), true)
+        try out.write(s"$seq $dirEntries".getBytes("UTF-8")) finally out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Pointer-guided log read (non-local schemes): checkpoint + dense
+    * tail via point lookups — O(tail) GET/HEAD requests instead of a
+    * full-directory LIST. Sound because commit ids are DENSE
+    * ([[claimBody]] always fills max+1, [[claimBodyAt]] claims exactly
+    * head+1), so the first missing `.commit` above the fold IS the
+    * head — unless a concurrent prune cut the walked range, which it
+    * can only do after advancing the pointer ([[pruneLog]]'s write-
+    * before-delete order); the post-walk pointer re-read catches that
+    * and restarts from the new fold. Returns None on any anomaly
+    * (no/torn pointer, missing checkpoint, churn) — the caller falls
+    * back to the authoritative listing. */
+  private def probeLogTail(fs: org.apache.hadoop.fs.FileSystem,
+      log: org.apache.hadoop.fs.Path)
+      : Option[Array[org.apache.hadoop.fs.FileStatus]] = {
+    def stat(name: String): Option[org.apache.hadoop.fs.FileStatus] =
+      try Some(fs.getFileStatus(new org.apache.hadoop.fs.Path(log, name)))
+      catch { case _: java.io.FileNotFoundException => None }
+    val threshold = fs.getConf.getLong(ProbeThresholdConf,
+      ProbeThresholdDefault)
+    var start = readLastCheckpoint(fs, log) match {
+      // probe only when the writer-advertised dir size says listing
+      // would cost more pages than the tail walk costs point lookups;
+      // a pointer with no size hint routes to the listing (safe: a
+      // probe over an unknown, possibly-unfolded tail could be 10⁴
+      // point reads)
+      case Some((seq, Some(entries))) if entries >= threshold => seq
+      case _ => return None
+    }
+    var attempt = 0
+    while (attempt < 5) {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      stat(f"$start%020d.checkpoint") match {
+        case Some(st) => buf += st
+        case None => return None // corrupt/ancient pointer: list instead
+      }
+      var seq = start + 1
+      var walking = true
+      while (walking) {
+        stat(f"$seq%020d.commit") match {
+          case Some(st) =>
+            buf += st
+            stat(f"$seq%020d.done").foreach(buf += _)
+            // a NEWER fold can exist at a tail seq (pointer write is
+            // best-effort) — deliberately NOT probed: replaying the
+            // tail over the older fold parses to the IDENTICAL state
+            // (a checkpoint is a lossless fold of exactly those
+            // records), so the extra lookup per seq buys nothing
+            seq += 1
+          case None => walking = false
+        }
+      }
+      readLastCheckpoint(fs, log) match {
+        case Some((p, _)) if p == start => return Some(buf.toArray) // stable
+        case Some((p, _)) if p > start => start = p; attempt += 1 // pruned under us
+        case _ => return None
+      }
+    }
+    None // churning faster than we can walk: the listing settles it
+  }
+
   /** Read one checkpoint file and validate its `#end <n>` terminator;
     * None for a torn/invalid record (ignored by all readers). */
   private def readCheckpointLines(fs: org.apache.hadoop.fs.FileSystem,
@@ -3856,8 +4258,17 @@ object Catalog {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
-    if (!fs.exists(log)) return LogState(Seq.empty, Seq.empty, Seq.empty)
-    val statuses = fs.listStatus(log)
+    // non-local schemes: pointer-guided probe first (O(tail) point
+    // lookups, no full-dir LIST); the listing below stays the
+    // authority whenever the probe declines
+    val probed =
+      if (scala.util.Try(fs.getScheme).toOption.exists(s =>
+          s.nonEmpty && s != "file")) probeLogTail(fs, log)
+      else None
+    val statuses = probed.getOrElse {
+      if (!fs.exists(log)) return LogState(Seq.empty, Seq.empty, Seq.empty)
+      fs.listStatus(log)
+    }
     val digest = {
       val d = java.security.MessageDigest.getInstance("SHA-1")
       statuses.map(st =>

@@ -26,6 +26,13 @@ final case class Layout(root: String) {
   def bronzeSourceDir(source: String): String = s"$bronzeDir/$source"
 }
 
+/** Thrown when a [[SourceLock]] acquisition times out because another
+  * maintenance job holds the mutex — the BENIGN contention outcome.
+  * A typed class (not an error-message substring) so best-effort
+  * callers like auto-compaction can skip silently without coupling to
+  * the message text, while real lock-path failures stay loud. */
+final class LockBusyException(msg: String) extends java.io.IOException(msg)
+
 /** Per-source maintenance mutex shared by committed compaction and the
   * erase rewrite legs: both read a snapshot of the live file set and
   * later commit `adds + removes(snapshot)` — two such writers racing on
@@ -36,17 +43,40 @@ final case class Layout(root: String) {
   * stealable after `lockTtlMs`. */
 private[lake] object SourceLock {
   import org.apache.spark.sql.SparkSession
-  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  def withLock[T](spark: SparkSession, layout: Layout, source: String,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 0L)(body: => T): T = {
+    val fs = new Path(s"${layout.catalogDir}/_log")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withLockFs(fs, layout, source, lockTtlMs, waitMs)(body)
+  }
 
   /** Run `body` holding the `_compact-<source>.lock` mutex. Waits up to
-    * `waitMs` for a contended lock (0 = fail immediately, the
-    * compaction posture: a maintenance job skipping a busy source is
-    * fine; an ERASE must not silently skip, so erase waits).
+    * `waitMs` for a contended lock (0 = fail immediately with
+    * [[LockBusyException]], the compaction posture: a maintenance job
+    * skipping a busy source is fine; an ERASE must not silently skip,
+    * so erase waits).
     *
-    * Acquisition is an ATOMIC exclusive create, not check-then-act:
-    * `java.io.File.createNewFile` (O_CREAT|O_EXCL) on the local FS where
-    * Hadoop's `create(overwrite=false)` is exists()-then-create, and
-    * `fs.create(lock, false)` on HDFS where the namenode makes it atomic.
+    * Acquisition is an ATOMIC exclusive create, not check-then-act,
+    * DISPATCHED THROUGH THE SAME PER-STORE SEAM AS EVERY MANIFEST-LOG
+    * CLAIM ([[Catalog.exclusiveCreate]]): hard-link claim on the local
+    * FS, `create(overwrite=false)` where a namenode arbitrates it
+    * (HDFS-like), and the registered conditional-PUT committer on
+    * object-store schemes — where the pre-round-14 direct
+    * `fs.create(p, false)` was exists()-then-PUT, so two JVMs could
+    * both "hold" a lock that is LOAD-BEARING for correctness
+    * (`excludeCommittedDvRows` relies on "the committed DV set cannot
+    * move" under it to stop two DELETEs committing the same
+    * `(file, pos)` twice, double-retracting the CDF). A scheme with no
+    * atomic primitive and no registered committer REFUSES LOUD, exactly
+    * like a log claim would. An ambiguity the committer cannot resolve
+    * (IOException after its retry budget) counts as NOT ACQUIRED: worst
+    * case our PUT landed and the lock file orphans holder-less until
+    * the TTL steal — the documented TTL-lock hazard, never a double
+    * hold. Lock bodies are writer-unique so read-back arbitration of an
+    * ambiguous PUT is sound.
+    *
     * The round-10 overwrite-token protocol (write, sleep, read back) had
     * two real defects the stress spec reproduced: a racer's re-create
     * mid-read escaped as a ChecksumException from the maintenance job,
@@ -63,21 +93,20 @@ private[lake] object SourceLock {
     * to every TTL lock: a live holder stalled past the TTL can be
     * stolen from; callers size lockTtlMs far above any legitimate
     * critical-section duration. */
-  def withLock[T](spark: SparkSession, layout: Layout, source: String,
-      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 0L)(body: => T): T = {
+  private[lake] def withLockFs[T](fs: FileSystem, layout: Layout,
+      source: String, lockTtlMs: Long = 10 * 60 * 1000L,
+      waitMs: Long = 0L)(body: => T): T = {
     val lockDir = new Path(s"${layout.catalogDir}/_log")
-    val fs = lockDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(lockDir)
     val lock = new Path(lockDir, s"_compact-$source.lock")
-    val isLocalFs = "file" == Option(fs.getScheme).getOrElse("")
     def atomicCreate(p: Path): Boolean =
-      try {
-        if (isLocalFs) {
-          // O_CREAT|O_EXCL — genuinely atomic on the local FS, where
-          // Hadoop's own create(overwrite=false) is check-then-act
-          new java.io.File(p.toUri.getPath).createNewFile()
-        } else { fs.create(p, false).close(); true }
-      } catch { case _: java.io.IOException => false }
+      // seam dispatch (local hard-link / HDFS create / registered
+      // committer / LOUD UnsupportedOperationException — propagated).
+      // IOException = the committer exhausted its ambiguity budget:
+      // treat as not-acquired (see scaladoc), never as held.
+      try Catalog.exclusiveCreate(fs, p,
+        s"holder ${java.util.UUID.randomUUID()}")
+      catch { case _: java.io.IOException => false }
     def mtimeOf(p: Path): Option[Long] =
       try Some(fs.getFileStatus(p).getModificationTime)
       catch { case _: java.io.IOException => None }
@@ -112,7 +141,7 @@ private[lake] object SourceLock {
       locked = tryLock()
     }
     if (!locked)
-      throw new java.io.IOException(
+      throw new LockBusyException(
         s"SourceLock($source): another maintenance job holds the lock")
     try body finally fs.delete(lock, false)
   }

@@ -422,7 +422,7 @@ object Merge {
           else Some(Catalog.commitStagedDvAndAppend(spark, layout,
             Some(Catalog.widenBatch(spark, layout, inserts)),
             if (files.isEmpty) None else Some(dels),
-            note = Some("merge")))
+            note = Some("merge"))._1)
         }
         committed match {
           case Some(seq) => return seq

@@ -145,27 +145,45 @@ object ObjectStoreCommit {
     val conditionalHeaders = Seq("x-goog-if-generation-match" -> "0")
   }
 
+  /** Authentication hook for [[HttpStore]]: receives the request
+    * builder PLUS everything a signature covers — method, final URI,
+    * payload — and returns the builder with the deployment's auth
+    * added ([[SigV4]] for plain S3, a bearer token, nothing for an
+    * auth proxy / IAM-fronted endpoint). A plain
+    * `Builder => Builder` hook was the round-13 shape; it cannot
+    * compute a payload hash (the JDK builder is write-only), which is
+    * exactly what SigV4 needs — hence the wider contract. */
+  trait RequestSigner {
+    def sign(b: HttpRequest.Builder, method: String, uri: URI,
+        payload: Array[Byte]): HttpRequest.Builder
+  }
+
+  /** No authentication (IAM proxy / MinIO-style deployments). */
+  object NoSign extends RequestSigner {
+    override def sign(b: HttpRequest.Builder, method: String, uri: URI,
+        payload: Array[Byte]): HttpRequest.Builder = b
+  }
+
   /** REST conditional store over `java.net.http`. `endpoint` maps the
     * Hadoop path to the object URL — use [[HttpStore.pathStyle]] for
-    * path-style S3/MinIO/GCS endpoints. `sign` is the auth hook: it
-    * receives the fully-built request builder (method, URI, body,
-    * conditional headers) and returns it with whatever the deployment
-    * adds (SigV4 headers, a bearer token, nothing for an auth
-    * proxy / IAM-fronted endpoint). */
+    * path-style S3/MinIO/GCS endpoints. `signer` is the auth hook
+    * ([[RequestSigner]]); the protocol code does not change with
+    * authentication. */
   final class HttpStore(endpoint: Path => URI, dialect: Dialect,
-      sign: HttpRequest.Builder => HttpRequest.Builder = identity,
+      signer: RequestSigner = NoSign,
       requestTimeout: Duration = Duration.ofSeconds(30),
       client: HttpClient = HttpClient.newBuilder()
         .connectTimeout(Duration.ofSeconds(10)).build())
       extends ConditionalStore {
 
     override def putIfAbsent(path: Path, body: Array[Byte]): PutResult = {
-      val b = HttpRequest.newBuilder(endpoint(path))
+      val uri = endpoint(path)
+      val b = HttpRequest.newBuilder(uri)
         .timeout(requestTimeout)
         .PUT(HttpRequest.BodyPublishers.ofByteArray(body))
       dialect.conditionalHeaders.foreach { case (k, v) => b.header(k, v) }
       val resp =
-        try client.send(sign(b).build(),
+        try client.send(signer.sign(b, "PUT", uri, body).build(),
           HttpResponse.BodyHandlers.ofByteArray())
         catch { case e: Exception => return Ambiguous(e) }
       resp.statusCode() match {
@@ -180,14 +198,19 @@ object ObjectStoreCommit {
     }
 
     override def read(path: Path): Option[Array[Byte]] = {
-      val b = HttpRequest.newBuilder(endpoint(path))
-        .timeout(requestTimeout).GET()
+      val uri = endpoint(path)
+      // a FRESH builder per attempt: signing mutates the builder
+      // (adds auth headers), so reusing one across retries would
+      // accumulate duplicate headers and a stale date
+      def request() = signer.sign(
+        HttpRequest.newBuilder(uri).timeout(requestTimeout).GET(),
+        "GET", uri, Array.emptyByteArray).build()
       // read-back failures RETRY here, then throw — arbitration must
       // never mistake "could not read" for "absent"
       var last: Throwable = null
       for (attempt <- 1 to 3) {
         try {
-          val resp = client.send(sign(b).build(),
+          val resp = client.send(request(),
             HttpResponse.BodyHandlers.ofByteArray())
           resp.statusCode() match {
             case c if c >= 200 && c < 300 => return Some(resp.body())
@@ -207,16 +230,23 @@ object ObjectStoreCommit {
   object HttpStore {
     /** Path-style endpoint mapping: `s3a://bucket/a/b` →
       * `<base>/bucket/a/b` — the layout MinIO/R2 and regional S3
-      * path-style endpoints serve. */
+      * path-style endpoints serve. Path segments are PERCENT-ENCODED
+      * via the multi-arg `URI` constructor (the Hadoop path is an
+      * unencoded name: a layout root with spaces or reserved URI
+      * characters must become a valid — and correct — object key,
+      * not a `URI.create` parse failure). */
     def pathStyle(base: String): Path => URI = { p =>
       val u = p.toUri
       // an authority-less path (a local-FS test double) must not leave
       // a degenerate `//` in the URL — some servers 400 an empty
       // leading segment
       val bucket = Option(u.getAuthority).filter(_.nonEmpty)
-        .map(_ + "/").getOrElse("")
-      URI.create(
-        s"${base.stripSuffix("/")}/$bucket${u.getPath.stripPrefix("/")}")
+        .map("/" + _).getOrElse("")
+      val baseUri = URI.create(base.stripSuffix("/"))
+      new URI(baseUri.getScheme, baseUri.getAuthority,
+        s"${Option(baseUri.getPath).getOrElse("")}$bucket/" +
+          u.getPath.stripPrefix("/"),
+        null, null)
     }
   }
 

@@ -1,0 +1,122 @@
+package graft.lake
+
+import java.net.URI
+import java.net.http.HttpRequest
+import java.time.Instant
+import java.time.ZoneOffset
+import java.time.format.DateTimeFormatter
+
+/** AWS Signature Version 4 request signer for [[ObjectStoreCommit.HttpStore]]
+  * — the missing piece between the round-13 committers and PLAIN S3,
+  * the reference's actual storage
+  * (`serverless_datalake_stack.py:38-52`): every PUT/GET against a
+  * non-proxied S3 endpoint must carry a SigV4 `Authorization` header.
+  * Pure-JVM (HmacSHA256 + SHA-256 from the JDK), no SDK; the
+  * algorithm is AWS's published one:
+  *
+  *   1. canonical request  = METHOD \n canonical-URI \n
+  *      canonical-query \n canonical-headers \n signed-headers \n
+  *      hex(sha256(payload))
+  *   2. string to sign     = "AWS4-HMAC-SHA256" \n amz-date \n
+  *      date/region/service/aws4_request \n hex(sha256(canonical))
+  *   3. signing key        = HMAC-chain of "AWS4"+secret over
+  *      date → region → service → "aws4_request"
+  *   4. Authorization      = algorithm, credential scope,
+  *      signed-header list, hex signature.
+  *
+  * Signed headers are exactly the set this signer ADDS plus `host`
+  * (which `java.net.http` derives from the URI and always sends):
+  * `host`, `x-amz-date`, `x-amz-content-sha256` (S3 requires the
+  * payload-hash header; `signPayload = false` drops it for non-S3
+  * services — the mode AWS's published test vectors use), and
+  * `x-amz-security-token` when temporary credentials carry one.
+  * The committer's requests never add other headers except the
+  * conditional-write precondition (`If-None-Match` /
+  * `x-goog-if-generation-match`), which S3 does not require signed.
+  *
+  * Correctness is pinned two ways in `SigV4Spec`: the signing-key
+  * derivation and the `get-vanilla` request against AWS's PUBLISHED
+  * test-vector constants, and an end-to-end claim against the HTTP
+  * double whose server side INDEPENDENTLY re-canonicalizes each
+  * request and rejects signature mismatches.
+  *
+  * `clock` is injectable for the fixed-date vectors; production uses
+  * wall time (AWS allows ±15 min skew). */
+final class SigV4(
+    accessKey: String,
+    secretKey: String,
+    region: String,
+    service: String = "s3",
+    sessionToken: Option[String] = None,
+    signPayload: Boolean = true,
+    clock: () => Instant = () => Instant.now())
+    extends ObjectStoreCommit.RequestSigner {
+
+  private val amzFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(ZoneOffset.UTC)
+  private val dayFmt =
+    DateTimeFormatter.ofPattern("yyyyMMdd").withZone(ZoneOffset.UTC)
+
+  override def sign(b: HttpRequest.Builder, method: String, uri: URI,
+      payload: Array[Byte]): HttpRequest.Builder = {
+    val now = clock()
+    val amzDate = amzFmt.format(now)
+    val day = dayFmt.format(now)
+    val payloadHash = SigV4.hex(SigV4.sha256(payload))
+    val host =
+      if (uri.getPort == -1) uri.getHost else s"${uri.getHost}:${uri.getPort}"
+    val headers: Seq[(String, String)] = (Seq("host" -> host) ++
+      (if (signPayload) Seq("x-amz-content-sha256" -> payloadHash) else Nil) ++
+      Seq("x-amz-date" -> amzDate) ++
+      sessionToken.map("x-amz-security-token" -> _)).sortBy(_._1)
+    val signedHeaders = headers.map(_._1).mkString(";")
+    val canonical = Seq(
+      method,
+      Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/"),
+      SigV4.canonicalQuery(Option(uri.getRawQuery).getOrElse("")),
+      headers.map { case (k, v) => s"$k:${v.trim}\n" }.mkString,
+      signedHeaders,
+      payloadHash).mkString("\n")
+    val scope = s"$day/$region/$service/aws4_request"
+    val stringToSign = Seq("AWS4-HMAC-SHA256", amzDate, scope,
+      SigV4.hex(SigV4.sha256(canonical.getBytes("UTF-8")))).mkString("\n")
+    val signature = SigV4.hex(SigV4.hmac(signingKey(day), stringToSign))
+    var out = b.header("x-amz-date", amzDate)
+    if (signPayload) out = out.header("x-amz-content-sha256", payloadHash)
+    sessionToken.foreach(t => out = out.header("x-amz-security-token", t))
+    out.header("Authorization",
+      s"AWS4-HMAC-SHA256 Credential=$accessKey/$scope, " +
+        s"SignedHeaders=$signedHeaders, Signature=$signature")
+  }
+
+  /** The derived per-day signing key — exposed for the published
+    * AWS derivation test vector. */
+  private[lake] def signingKey(day: String): Array[Byte] =
+    SigV4.hmac(SigV4.hmac(SigV4.hmac(SigV4.hmac(
+      ("AWS4" + secretKey).getBytes("UTF-8"), day), region), service),
+      "aws4_request")
+}
+
+object SigV4 {
+  private[lake] def sha256(data: Array[Byte]): Array[Byte] =
+    java.security.MessageDigest.getInstance("SHA-256").digest(data)
+
+  private[lake] def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes("UTF-8"))
+  }
+
+  private[lake] def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  /** Canonical query string: parameters sorted by name then value.
+    * The committer's own requests carry none; raw (already-encoded)
+    * components are kept as-is, matching the URI the client sends. */
+  private[lake] def canonicalQuery(rawQuery: String): String =
+    if (rawQuery.isEmpty) ""
+    else rawQuery.split('&').map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) (kv, "") else (kv.substring(0, i), kv.substring(i + 1))
+    }.sortBy(identity).map { case (k, v) => s"$k=$v" }.mkString("&")
+}

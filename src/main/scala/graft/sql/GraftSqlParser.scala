@@ -209,12 +209,26 @@ object GraftSqlParser {
     * engine that owns the table (review catch: unconditional capture
     * stole other catalogs' statements). */
   private[sql] def graftTarget(raw: String): Boolean = {
-    if (raw.contains("/")) return true
     val base = raw.split('.').head.stripPrefix("`").stripSuffix("`")
+    if (raw.contains("/")) {
+      // a literal layout-root path is ours — UNLESS the dotted prefix
+      // names a catalog registered to a FOREIGN implementation: that
+      // is another lakehouse's path form (Delta's
+      // ``RESTORE TABLE delta.`/path/to/t` ``) and claiming it would
+      // steal the statement only to fail in existingLayout
+      // (advice-r13 catch). A prefix registered to graft, or no
+      // registered prefix at all, keeps the path ours.
+      val foreign = base != raw && !base.contains("/") &&
+        org.apache.spark.sql.SparkSession.getActiveSession.exists(s =>
+          s.conf.getOption(s"spark.sql.catalog.$base")
+            .exists(impl => !impl.contains("GraftCatalog")))
+      return !foreign
+    }
     // no active session on the parsing thread (a harness driving the
     // parser directly): fall back to claiming the verb — graft-only
-    // deployments keep working; precise mixed-session routing needs
-    // the session's catalog registrations and parses inside sql()
+    // deployments keep working; precise mixed-session routing (both
+    // here and in the path form above) needs the session's catalog
+    // registrations and therefore only happens inside sql()
     org.apache.spark.sql.SparkSession.getActiveSession.forall(s =>
       s.conf.getOption(s"spark.sql.catalog.$base")
         .exists(_.contains("GraftCatalog")))

@@ -741,6 +741,97 @@ object SqlLake {
       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY user_id % 7 ORDER BY grp""".stripMargin
 
+  /** Round-14 fixture — MIXED-VERB cross-table transaction
+    * ([[Catalog.commitLakeTransactionLegs]]): the classic MOVE shape.
+    * After a committed full build of (ev, usr), ONE transaction
+    * deletes the `user_id % 13 = 0` slice from `ev` AND inserts
+    * exactly those rows into `quar` — atomic, so the final split is
+    * exact iff the delete leg's DV and the insert leg became visible
+    * together. A second mixed-verb transaction (poison: delete the
+    * `% 13 = 1` slice + quarantine rows with cents ×10⁹) CRASHES
+    * before its bind and is recovery-aborted — neither its DV nor its
+    * rows may surface, and `resolveTransactions` on `ev` alone must
+    * sweep the quarantine leg's bytes (the round-14 sibling sweep). */
+  private def txnMoveRoot(spark: SparkSession, sfDir: String): String = {
+    val dir = s"${graft.ops.Artifacts.sharedRoot}/sql_lake_txn_move/" +
+      s"k=${corpusKey(spark, sfDir)}"
+    graft.ops.Artifacts.commit(spark, dir) { tmp =>
+      val base = graft.Events.events(spark, sfDir).select(
+        col("event_type").as("source"), col("event_id"), col("user_id"),
+        floor(col("value") * lit(100) + lit(0.5)).cast("long").as("cents"))
+      val users = base.select(col("user_id"),
+        (col("user_id") % 7).as("grp"), lit("dim").as("source")).distinct()
+      val name = s"graftmv_build_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.root", tmp)
+      spark.sql(s"CREATE TABLE $name.ev (source STRING, event_id BIGINT, " +
+        "user_id BIGINT, cents BIGINT) PARTITIONED BY (source)")
+      spark.sql(s"CREATE TABLE $name.usr (user_id BIGINT, grp BIGINT, " +
+        "source STRING)")
+      spark.sql(s"CREATE TABLE $name.quar (source STRING, event_id BIGINT, " +
+        "user_id BIGINT, cents BIGINT) PARTITIONED BY (source)")
+      val evL = Layout(s"$tmp/_tables/ev")
+      val usrL = Layout(s"$tmp/_tables/usr")
+      val quarL = Layout(s"$tmp/_tables/quar")
+      Catalog.commitLakeTransaction(spark, Seq(evL -> base, usrL -> users))
+      // THE MOVE: one atomic delete-from-ev + insert-into-quar
+      Catalog.commitLakeTransactionLegs(spark, Seq(
+        Catalog.TxnLeg(evL, deleteWhere = Some(col("user_id") % 13 === 0)),
+        Catalog.TxnLeg(quarL,
+          batch = Some(base.filter(col("user_id") % 13 === 0)))))
+      // the crashed mixed-verb transaction: a poison delete slice in
+      // ev + poison rows in quar, never bound
+      try Catalog.commitLakeTransactionLegsImpl(spark, Seq(
+          Catalog.TxnLeg(evL, deleteWhere = Some(col("user_id") % 13 === 1)),
+          Catalog.TxnLeg(quarL, batch = Some(base.limit(50)
+            .withColumn("cents", col("cents") + lit(1000000000L))))),
+        None, beforeBind = () => throw new RuntimeException("injected crash"))
+      catch { case e: RuntimeException
+          if e.getMessage == "injected crash" => () }
+      require(Catalog.resolveTransactions(spark, evL, 0L).nonEmpty,
+        "txn-move fixture: the crashed transaction must be pending")
+      require(Catalog.pendingTransactions(spark, evL).isEmpty &&
+        Catalog.pendingTransactions(spark, quarL).isEmpty,
+        "txn-move fixture: unresolved legs remain (sibling sweep ran)")
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), true).close()
+    }
+    dir
+  }
+
+  /** `q_sql_lake_txn_move`: the post-move split, both sides — exact
+    * iff the move's delete leg and insert leg are visible TOGETHER
+    * and the aborted mixed-verb transaction is fully invisible. */
+  def txnMoveAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = txnMoveRoot(spark, sfDir)
+    val name = s"graftmv_${corpusKey(spark, sfDir)}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    spark.sql(
+      s"""SELECT 'live' AS part, u.grp, count(*) AS n_events,
+         |  CAST(sum(e.cents) AS BIGINT) AS sum_cents
+         |FROM $name.ev e JOIN $name.usr u ON e.user_id = u.user_id
+         |GROUP BY u.grp
+         |UNION ALL
+         |SELECT 'moved' AS part, u.grp, count(*) AS n_events,
+         |  CAST(sum(q.cents) AS BIGINT) AS sum_cents
+         |FROM $name.quar q JOIN $name.usr u ON q.user_id = u.user_id
+         |GROUP BY u.grp
+         |ORDER BY part, grp""".stripMargin)
+  }
+
+  val txnMoveAggOracleSql: String =
+    """SELECT 'live' AS part, user_id % 7 AS grp, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE NOT user_id % 13 = 0 GROUP BY user_id % 7
+      |UNION ALL
+      |SELECT 'moved' AS part, user_id % 7 AS grp, count(*) AS n_events,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events WHERE user_id % 13 = 0 GROUP BY user_id % 7
+      |ORDER BY part, grp""".stripMargin
+
   /** Ninth fixture — NULL-COUNT file skipping at corpus volume: a
     * SQL-born table whose `cents` is NULL on a deterministic slice
     * (event_id % 11 = 0), `stats.cols` declared so every committed

@@ -45,8 +45,7 @@ class LakeCdfSourceProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val layout = LakeCdfSource.layoutOf(parameters)
-    val from = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    val from = LakeCdfSource.startingVersionOf(sqlContext, parameters, layout)
     val maxPerTrigger = parameters.get("maxversionspertrigger")
       .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
     maxPerTrigger.foreach(k => require(k >= 1,
@@ -74,6 +73,39 @@ object LakeCdfSource {
       // namespace (review catch)
       .map(t => graft.sql.GraftAddress.tableLayout(root, t))
       .getOrElse(Layout(root))
+  }
+
+  /** `startingVersion` / `startingTimestamp` → the stream's starting
+    * version (EXCLUSIVE lower bound: the stream emits versions
+    * strictly above it). A timestamp resolves through
+    * [[Catalog.versionAtTimestamp]] — Delta-parity wiring: the as-of
+    * version at the timestamp is where history "had already happened",
+    * so everything after it streams. A timestamp below the first
+    * commit streams everything; one that falls in PRUNED history
+    * refuses LOUD inside versionAtTimestamp (below-checkpoint commits
+    * are no longer timestamp-addressable — silently starting at the
+    * fold would drop changes the caller asked for). Accepts epoch
+    * millis, SQL timestamp (`yyyy-MM-dd HH:mm:ss[.f]`, session-free
+    * UTC), or ISO-8601 instant. */
+  private[streaming] def startingVersionOf(sqlContext: SQLContext,
+      parameters: Map[String, String], layout: Layout): Long = {
+    def opt(name: String): Option[String] =
+      parameters.get(name).orElse(parameters.get(name.toLowerCase))
+    val sv = opt("startingVersion")
+    val st = opt("startingTimestamp")
+    require(sv.isEmpty || st.isEmpty, "graft-lake streaming: set " +
+      "startingVersion OR startingTimestamp, not both")
+    st match {
+      case None => sv.map(_.toLong).getOrElse(0L)
+      case Some(raw) =>
+        val ms = raw.trim.toLongOption.getOrElse {
+          try java.sql.Timestamp.valueOf(raw.trim).getTime
+          catch { case _: IllegalArgumentException =>
+            java.time.Instant.parse(raw.trim).toEpochMilli }
+        }
+        Catalog.versionAtTimestamp(sqlContext.sparkSession, layout, ms)
+          .getOrElse(0L)
+    }
   }
 
   /** The stream's declared schema: current committed payload columns

@@ -220,6 +220,61 @@ class FileStatsSpec extends SparkTestBase {
       .size == 2)
   }
 
+  test("round-14 NESTED-FIELD stats: a dotted stats.cols path " +
+      "('props.k') stats the struct leaf, range planning prunes by it " +
+      "PHYSICALLY (deleted-bytes pin), and declaring an unknown root " +
+      "refuses at SET time") {
+    import org.apache.spark.sql.functions._
+    val layout = Layout(tmpDir("fstat-nested"))
+    def mk(lo: Long) = spark.range(lo, lo + 10).select(
+      lit("clicks").as("source"), col("id"),
+      struct(col("id").as("k"), concat(lit("u"), col("id")).as("tag"))
+        .as("props")).coalesce(1)
+    Catalog.commitLake(spark, layout, mk(0L), statsCols = Seq("props.k"))
+    Catalog.commitLake(spark, layout, mk(100L), statsCols = Seq("props.k"))
+    val stats = Catalog.lakeFileStatsAsOf(spark, layout)
+    assert(stats.size == 2 && stats.values.forall(_.contains("\"props.k\"")),
+      s"nested leaf stats recorded under the dotted key: $stats")
+    val keep = Catalog.lakeFilesOverlapping(spark, layout, "props.k", 100L, 150L)
+    assert(keep.size == 1, s"nested range prunes to one file: $keep")
+    // declaration surface (BEFORE the deleted-bytes pin — SET-time
+    // validation reads the live snapshot's schema): a dotted path with
+    // a KNOWN root is declarable; an unknown root refuses; blooms stay
+    // top-level
+    Catalog.commitLakeAlter(spark, layout,
+      setProps = Seq(Catalog.StatsColsProp -> "props.k"))
+    intercept[IllegalArgumentException] {
+      Catalog.commitLakeAlter(spark, layout,
+        setProps = Seq(Catalog.StatsColsProp -> "nope.k"))
+    }
+    intercept[IllegalArgumentException] {
+      Catalog.commitLakeAlter(spark, layout,
+        setProps = Seq(Catalog.BloomColsProp -> "props.k"))
+    }
+    // warm the digest-keyed snapshot-plan memo while all bytes exist
+    // (evolveFrame's born-schema derivation binds the FULL snapshot —
+    // memory: plan-memo pin)
+    assert(Catalog.loadLakeSnapshot(spark, layout).count() == 20)
+    assert(Catalog.loadLakeRange(spark, layout, "props.k", 100L, 105L)
+      .count() == 6)
+    // PHYSICAL: delete the pruned file's bytes — the nested range scan
+    // must still answer exactly; the unprunable full read fails loud
+    val doomed = Catalog.lakeFilesAsOf(spark, layout)
+      .filterNot(keep.contains)
+    assert(doomed.size == 1)
+    val fs = new org.apache.hadoop.fs.Path(layout.lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(rel => assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"${layout.lakeDir}/$rel"), false)))
+    assert(Catalog.loadLakeRange(spark, layout, "props.k", 100L, 103L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 101L, 102L, 103L),
+      "nested-stat skip is physical: the deleted file was never opened")
+    intercept[Exception] {
+      Catalog.loadLakeSnapshot(spark, layout).count()
+    }
+  }
+
   test("NULL-predicate SQL pushdown is PHYSICAL (round 13): the " +
       "null-free file's bytes are deleted and `WHERE v IS NULL` still " +
       "answers exactly — the pruned file is never opened; the " +

@@ -291,10 +291,7 @@ class LakeTxnSpec extends SparkTestBase {
         None, beforeBind = () => throw new RuntimeException("crash"))
     }
     val legSeq = Catalog.pendingTransactions(spark, d).head._1
-    // recovery runs on table c ONLY (the realistic partial-cron case);
-    // the shared abort makes d's leg aborted too, but nothing cleaned
-    // d's bytes yet
-    Catalog.resolveTransactions(spark, c, olderThanMs = 0L)
+    val txnId = Catalog.pendingTransactions(spark, d).head._2
     val fs = new Path(d.lakeDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     def dLegBytes(): Int = {
@@ -303,15 +300,47 @@ class LakeTxnSpec extends SparkTestBase {
         .count(_.startsWith(f"c$legSeq%020d-"))
     }
     assert(dLegBytes() > 0)
-    // routine maintenance on d (no resolveTransactions call): the
+    // recovery runs on table c ONLY (the realistic partial-cron case):
+    // since round 14 the SIBLING SWEEP reclaims d's leg bytes in the
+    // same call — no per-table resolve cadence needed
+    Catalog.resolveTransactions(spark, c, olderThanMs = 0L)
+    assert(dLegBytes() == 0,
+      "c's resolve sweeps the sibling table's aborted-leg bytes")
+
+    // -- checkpoint-time cleanup still backstops a resolver that died
+    // BETWEEN the abort arbitration and its cleanup sweep --
+    val (_, e, f) = twoTables("txn-rev2c")
+    Catalog.commitLake(spark, e, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, f, df(Seq(("s", 2L, 20L))))
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(e -> df(Seq(("s", 100L, 1L))), f -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    val fLegSeq = Catalog.pendingTransactions(spark, f).head._1
+    val fTxnId = Catalog.pendingTransactions(spark, f).head._2
+    // the resolver's abort landed; its cleanup never ran (crash)
+    val fTxnDir = new Path(s"${f.root.stripSuffix("/_tables/t_b")
+      .replaceAll("/_tables/.*$", "")}/_txn")
+    fs.mkdirs(fTxnDir)
+    val out = fs.create(new Path(fTxnDir, s"$fTxnId.txn"), false)
+    try out.write("abort".getBytes("UTF-8")) finally out.close()
+    def fLegBytes(): Int = {
+      val dir = new Path(s"${f.lakeDir}/source=s")
+      fs.listStatus(dir).map(_.getPath.getName)
+        .count(_.startsWith(f"c$fLegSeq%020d-"))
+    }
+    assert(fLegBytes() > 0)
+    // routine maintenance on f (no resolveTransactions call): the
     // checkpoint must reclaim the bytes before fold+prune drops the
     // record — the only pointer to them
-    Catalog.commitLake(spark, d, df(Seq(("s", 3L, 30L))))
-    assert(Catalog.checkpoint(spark, d).isDefined)
-    Catalog.pruneLog(spark, d)
-    assert(dLegBytes() == 0,
+    Catalog.commitLake(spark, f, df(Seq(("s", 3L, 30L))))
+    assert(Catalog.checkpoint(spark, f).isDefined)
+    Catalog.pruneLog(spark, f)
+    assert(fLegBytes() == 0,
       "checkpoint must clean aborted-leg bytes before the fold")
-    assert(keys(d) == Set(2L, 3L))
+    assert(keys(f) == Set(2L, 3L))
+    assert(txnId != fTxnId) // two independent fixtures, two txns
   }
 
   test("guardrails: same table twice refuses; tables under DIFFERENT " +
@@ -327,6 +356,107 @@ class LakeTxnSpec extends SparkTestBase {
         Seq(a -> df(Seq(("s", 1L, 1L))), c -> df(Seq(("s", 2L, 2L)))))
     }
     assert(e.getMessage.contains("one shared catalog root"))
+  }
+
+  test("round-14 MIXED-VERB transaction — the move shape ('delete " +
+      "from A + insert into B'): a mid-txn reader sees NEITHER the DV " +
+      "nor the insert; after the bind the row moved atomically; the " +
+      "change feed emits the delete and the insert at their bound " +
+      "versions") {
+    val (_, a, b) = twoTables("txn-move")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L), ("s", 2L, 20L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 9L, 90L))))
+    val bFrom = Catalog.headVersion(spark, b)
+    val aFrom = Catalog.headVersion(spark, a)
+    import org.apache.spark.sql.functions.col
+    var during: Option[(Set[Long], Set[Long])] = None
+    val seqs = Catalog.commitLakeTransactionLegsImpl(spark, Seq(
+      Catalog.TxnLeg(a, deleteWhere = Some(col("k") === 1L)),
+      Catalog.TxnLeg(b, batch = Some(df(Seq(("s", 1L, 10L)))))),
+      None, beforeBind = () => { during = Some((keys(a), keys(b))) })
+    assert(seqs.size == 2 && seqs.forall(_ > 0))
+    assert(during.contains((Set(1L, 2L), Set(9L))),
+      s"mid-txn: neither the DV nor the insert is visible: $during")
+    assert(keys(a) == Set(2L), "the moved row left A atomically")
+    assert(keys(b) == Set(9L, 1L), "and arrived in B atomically")
+    // CDF: A emits the delete at its bound version, B the insert
+    val aCh = Catalog.lakeChangesBetween(spark, a, aFrom).collect()
+    assert(aCh.exists(r => r.getAs[String]("_change_type") == "delete" &&
+      r.getAs[Long]("_commit_version") == seqs.head))
+    val bCh = Catalog.lakeChangesBetween(spark, b, bFrom).collect()
+    assert(bCh.exists(r => r.getAs[String]("_change_type") == "insert" &&
+      r.getAs[Long]("_commit_version") == seqs(1) &&
+      r.getAs[Long]("k") == 1L))
+  }
+
+  test("round-14 mixed-verb ABORT: a crash before the bind leaves " +
+      "both the DV and the insert invisible forever; resolve cleans " +
+      "the DV bytes AND — called on ONE table only — sweeps the " +
+      "SIBLING leg's bytes too (advice-r13 sibling sweep)") {
+    val (_, a, b) = twoTables("txn-move-abort")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L), ("s", 2L, 20L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 9L, 90L))))
+    import org.apache.spark.sql.functions.col
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionLegsImpl(spark, Seq(
+        Catalog.TxnLeg(a, deleteWhere = Some(col("k") === 1L)),
+        Catalog.TxnLeg(b, batch = Some(df(Seq(("s", 1L, 10L)))))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    assert(keys(a) == Set(1L, 2L), "the unbound DV must not delete")
+    assert(keys(b) == Set(9L), "the unbound insert must not appear")
+    val aLegSeq = Catalog.pendingTransactions(spark, a).head._1
+    val bLegSeq = Catalog.pendingTransactions(spark, b).head._1
+    val fs = new Path(a.lakeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def legFiles(l: Layout, seq: Long): Seq[String] = {
+      Seq(s"${l.lakeDir}/source=s", s"${l.lakeDir}/_dv").flatMap { d =>
+        val p = new Path(d)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).map(_.getPath.getName)
+          .filter(_.startsWith(f"c$seq%020d-")).toSeq
+      }
+    }
+    assert(legFiles(a, aLegSeq).nonEmpty, "A's DV leg published bytes")
+    assert(legFiles(b, bLegSeq).nonEmpty, "B's insert leg published bytes")
+    // resolve on A ONLY: the sibling sweep must reclaim B's leg too
+    Catalog.resolveTransactions(spark, a, olderThanMs = 0L)
+    assert(legFiles(a, aLegSeq).isEmpty, "A's aborted DV bytes reclaimed")
+    assert(legFiles(b, bLegSeq).isEmpty,
+      "B's aborted leg bytes reclaimed by A's resolve (sibling sweep)")
+    assert(keys(a) == Set(1L, 2L) && keys(b) == Set(9L))
+    // the whole transaction retries cleanly after the abort
+    val seqs = Catalog.commitLakeTransactionLegs(spark, Seq(
+      Catalog.TxnLeg(a, deleteWhere = Some(col("k") === 1L)),
+      Catalog.TxnLeg(b, batch = Some(df(Seq(("s", 1L, 10L)))))))
+    assert(seqs.forall(_ > 0) && keys(a) == Set(2L) && keys(b) == Set(9L, 1L))
+  }
+
+  test("round-14 guardrails: an empty leg refuses; a delete-leg " +
+      "whose predicate matches NOTHING still binds (the txn is " +
+      "atomic, not conditional); a combined append+delete leg on one " +
+      "table works (CDC reconciliation shape)") {
+    val (_, a, b) = twoTables("txn-mixed-guard")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 9L, 90L))))
+    import org.apache.spark.sql.functions.col
+    intercept[IllegalArgumentException] {
+      Catalog.commitLakeTransactionLegs(spark, Seq(Catalog.TxnLeg(a)))
+    }
+    // no-match delete + insert: still atomic, still bound
+    val s1 = Catalog.commitLakeTransactionLegs(spark, Seq(
+      Catalog.TxnLeg(a, deleteWhere = Some(col("k") === 777L)),
+      Catalog.TxnLeg(b, batch = Some(df(Seq(("s", 10L, 100L)))))))
+    assert(s1.forall(_ > 0) && keys(a) == Set(1L) && keys(b) == Set(9L, 10L))
+    // one leg carrying BOTH verbs: replace A's k=1 with k=5 while
+    // appending k=11 to B
+    val s2 = Catalog.commitLakeTransactionLegs(spark, Seq(
+      Catalog.TxnLeg(a, batch = Some(df(Seq(("s", 5L, 50L)))),
+        deleteWhere = Some(col("k") === 1L)),
+      Catalog.TxnLeg(b, batch = Some(df(Seq(("s", 11L, 110L)))))))
+    assert(s2.forall(_ > 0))
+    assert(keys(a) == Set(5L) && keys(b) == Set(9L, 10L, 11L))
+    assert(Catalog.pendingTransactions(spark, a).isEmpty)
   }
 
   test("declared table stats flow through txn legs: a point predicate " +

@@ -230,6 +230,81 @@ class ObjectStoreCommitSpec extends SparkTestBase {
     assert(logRecords(layout).size == 2)
   }
 
+  test("round-14: SourceLock routes through the commit seam — two " +
+      "racing writers over the HTTP double hold the per-source " +
+      "maintenance lock strictly one-at-a-time (every acquisition is a " +
+      "conditional PUT, so s3a-style exists()-then-PUT double holds " +
+      "cannot happen)") {
+    ObjectStoreCommit.register("s3t6", store(ObjectStoreCommit.S3Dialect))
+    val layout = Layout(tmpDir("osc-lock-race"))
+    val held = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxHeld = new java.util.concurrent.atomic.AtomicInteger(0)
+    val entries = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 6).map { _ =>
+      new Thread(() => {
+        try SourceLock.withLockFs(schemeFs("s3t6"), layout, "clicks",
+          waitMs = 60000L) {
+          val h = held.incrementAndGet()
+          maxHeld.updateAndGet(m => math.max(m, h))
+          entries.incrementAndGet()
+          Thread.sleep(25)
+          held.decrementAndGet()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    assert(entries.get == 6, "every contender eventually acquired")
+    assert(maxHeld.get == 1, s"mutual exclusion violated: ${maxHeld.get}")
+  }
+
+  test("round-14: steal arbitration through the committer stays " +
+      "single-winner — a stale lock over the HTTP double is stolen by " +
+      "exactly one of two racing stealers (the steal MARKER create is a " +
+      "conditional PUT too)") {
+    ObjectStoreCommit.register("s3t7", store(ObjectStoreCommit.S3Dialect))
+    val layout = Layout(tmpDir("osc-lock-steal"))
+    val fs = schemeFs("s3t7")
+    // a crashed holder: lock exists with an ancient mtime
+    val lockDir = new Path(s"${layout.catalogDir}/_log")
+    fs.mkdirs(lockDir)
+    assert(Catalog.exclusiveCreate(fs,
+      new Path(lockDir, "_compact-clicks.lock"), "holder dead"))
+    val lockFile = Paths.get(s"${layout.catalogDir}/_log/_compact-clicks.lock")
+    Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600_000L))
+    val held = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxHeld = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try SourceLock.withLockFs(schemeFs("s3t7"), layout, "clicks",
+          lockTtlMs = 60000L, waitMs = 60000L) {
+          val h = held.incrementAndGet()
+          maxHeld.updateAndGet(m => math.max(m, h))
+          Thread.sleep(25)
+          held.decrementAndGet()
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    assert(maxHeld.get == 1, s"steal produced a double hold: ${maxHeld.get}")
+  }
+
+  test("round-14: an object-store scheme with NO registered committer " +
+      "refuses the lock LOUD (exists-then-PUT must not masquerade as " +
+      "mutual exclusion), exactly like a log claim") {
+    val layout = Layout(tmpDir("osc-lock-refuse"))
+    val e = intercept[UnsupportedOperationException] {
+      SourceLock.withLockFs(schemeFs("s3-unregistered"), layout,
+        "clicks")(fail("body must not run"))
+    }
+    assert(e.getMessage.contains("registerLogCommitter"))
+  }
+
   override def afterAll(): Unit = {
     try server.stop(0) finally super.afterAll()
   }

@@ -184,4 +184,37 @@ class Round13FixSpec extends SparkTestBase {
     val out = spark.sql(s"CHECKPOINT $root", Map.empty[String, Any]).head
     assert(out.getString(0) == "checkpoint")
   }
+
+  test("round-14 (advice-r13): a FOREIGN catalog's path form " +
+      "(delta.`/path/to/t`) is NOT stolen by the '/'-is-ours rule — " +
+      "the statement delegates to the chain; bare paths stay ours") {
+    // a catalog registered to some OTHER lakehouse implementation
+    spark.conf.set("spark.sql.catalog.fdelta", "org.example.DeltaCatalog")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("RESTORE TABLE fdelta.`/tmp/never` TO VERSION AS OF 0")
+          .collect()
+      }
+      // delegated: the failure is the CHAIN's (nothing downstream
+      // parses it), never graft's layout-resolution error
+      assert(!e.getMessage.contains("no graft table"), e.getMessage)
+      assert(!e.isInstanceOf[NoSuchElementException], e.toString)
+      val e2 = intercept[Exception] {
+        spark.sql("VACUUM fdelta.`/tmp/never`").collect()
+      }
+      assert(!e2.getMessage.contains("no graft table"), e2.getMessage)
+      // a BARE path (no dotted prefix) keeps routing to graft
+      val empty = tmpDir("r14-bare-path")
+      val e3 = intercept[Exception](spark.sql(s"OPTIMIZE $empty").collect())
+      assert(e3.getMessage.contains("no graft table"), e3.getMessage)
+      // and a GRAFT-registered catalog prefix with a path target stays
+      // ours (routing only; address resolution decides validity)
+      val cat = freshCat(tmpDir("r14-graft-path"))
+      val e4 = intercept[Exception] {
+        spark.sql(s"VACUUM $cat.`/tmp/never`").collect()
+      }
+      assert(e4.getMessage.contains("no graft table") ||
+        e4.getMessage.contains("identifier"), e4.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.fdelta")
+  }
 }

@@ -274,4 +274,73 @@ class LakeCdfSourceSpec extends SparkTestBase {
     assert(got2.forall(vs => vs.max - vs.min < 2) && got2.size >= 2,
       s"restart pacing still bounded: $got2")
   }
+
+  test("round-14 startingTimestamp: the stream starts after the AS-OF " +
+      "version at the timestamp (Delta parity); a timestamp in PRUNED " +
+      "history refuses loud; startingVersion+startingTimestamp " +
+      "together refuse") {
+    val layout = Layout(tmpDir("cdfsrc-ts"))
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "v"))
+    Thread.sleep(30)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    val v2 = Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    received.clear()
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("root", layout.root)
+      .option("startingTimestamp", tMid.toString)
+      .load().writeStream
+      .option("checkpointLocation", tmpDir("cdfsrc-ts-ckpt"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("key", "v", "_change_type", "_commit_version").collect()
+          .foreach(r => received.add(
+            (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))))
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(received.toArray(Array.empty[(String, Long, String, Long)]).toSeq
+      == Seq(("k2", 20L, "insert", v2)),
+      s"only history after the as-of point streams: $received")
+
+    // both options together: ambiguous, refuse at source creation
+    val both = intercept[Exception] {
+      val qb = spark.readStream.format("graft-lake-cdf")
+        .option("root", layout.root)
+        .option("startingVersion", "0")
+        .option("startingTimestamp", tMid.toString)
+        .load().writeStream
+        .option("checkpointLocation", tmpDir("cdfsrc-both-ckpt"))
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    assert(both.getMessage.contains("not both") ||
+      Option(both.getCause).exists(_.getMessage.contains("not both")))
+
+    // PRUNED history: fold + prune, then ask for a timestamp below the
+    // oldest retained commit time — loud, never a silent start-at-fold
+    Catalog.checkpoint(spark, layout)
+    Catalog.pruneLog(spark, layout)
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", 30L)).toDF("source", "key", "v"))
+    val pruned = intercept[Exception] {
+      val qp = spark.readStream.format("graft-lake-cdf")
+        .option("root", layout.root)
+        .option("startingTimestamp", (tMid - 3600000L).toString)
+        .load().writeStream
+        .option("checkpointLocation", tmpDir("cdfsrc-pruned-ckpt"))
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start()
+      try qp.processAllAvailable() finally qp.stop()
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("not timestamp-addressable")) || mentions(t.getCause))
+    assert(mentions(pruned), s"pruned-history refusal must be loud: $pruned")
+  }
 }
