@@ -4310,22 +4310,41 @@ object Catalog {
   }
 
   /** The txn file's resolution: Some("commit") / Some("abort") /
-    * None (unbound). Any other content fails loud — a torn txn file
-    * must never default to either outcome. */
+    * None (unbound). Any other content is first treated as
+    * IN-FLIGHT and re-read with backoff: [[exclusiveCreate]] on
+    * HDFS-like schemes claims the NAME atomically but streams the
+    * body after it, so a concurrent reader landing in that window
+    * sees a short/empty marker (round-14 catch: a live stream's
+    * poll read '' mid-bind and died loud on a benign ms-wide race;
+    * same for a mid-write ChecksumException on the local FS). A
+    * marker still unreadable after the retry budget IS torn — fail
+    * loud; it must never default to either outcome. */
   private def txnStatus(fs: org.apache.hadoop.fs.FileSystem,
       txnDir: org.apache.hadoop.fs.Path, id: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(txnDir, s"$id.txn")
-    val in = try fs.open(p) catch {
-      case _: java.io.FileNotFoundException => return None
+    var attempt = 0
+    while (true) {
+      val body =
+        try {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+          case _: org.apache.hadoop.fs.ChecksumException => None // mid-write
+        }
+      body match {
+        case Some(s @ ("commit" | "abort")) => return Some(s)
+        case other =>
+          attempt += 1
+          if (attempt >= 6) throw new java.io.IOException(
+            s"transaction file $p carries '${other.getOrElse("<unreadable>")}'" +
+              " after retries — expected commit/abort (torn write on a " +
+              "non-atomic store?)")
+          Thread.sleep(25L * attempt)
+      }
     }
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    body match {
-      case "commit" | "abort" => Some(body)
-      case other => throw new java.io.IOException(
-        s"transaction file $p carries '$other' — expected commit/abort " +
-          "(torn write on a non-atomic store?)")
-    }
+    None // unreachable
   }
 
   private def parseLog(fs: org.apache.hadoop.fs.FileSystem,

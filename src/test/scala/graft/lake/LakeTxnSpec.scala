@@ -459,6 +459,58 @@ class LakeTxnSpec extends SparkTestBase {
     assert(Catalog.pendingTransactions(spark, a).isEmpty)
   }
 
+  test("round-14: a txn marker read MID-BIND (the name exists, the " +
+      "body not yet streamed — the HDFS-shape claim window) is " +
+      "RETRIED, not fatal: the reader resolves once the body lands; " +
+      "persistent garbage still refuses loud after the retry budget") {
+    val (_, a, b) = twoTables("txn-midbind")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 2L, 20L))))
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(a -> df(Seq(("s", 100L, 1L))), b -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    val id = Catalog.pendingTransactions(spark, a).head._2
+    val fs = new Path(a.lakeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(Catalog.txnDirOf(a), s"$id.txn")
+    fs.mkdirs(Catalog.txnDirOf(a))
+    // the mid-bind window, held open deliberately: the marker NAME is
+    // visible with an empty body; "commit" streams in ~120 ms later
+    val out = fs.create(marker, false)
+    val late = new Thread(() => {
+      Thread.sleep(120L)
+      try out.write("commit".getBytes("UTF-8")) finally out.close()
+    })
+    late.start()
+    try {
+      // a reader polling now lands inside the window — it must WAIT
+      // OUT the stream rather than die loud (round-14 regression: a
+      // live stream's poll read '' mid-bind and terminated)
+      assert(keys(a) == Set(1L, 100L), "resolved once the body landed")
+      assert(keys(b) == Set(2L, 200L))
+    } finally late.join(5000L)
+    assert(Catalog.pendingTransactions(spark, a).isEmpty)
+
+    // persistent garbage: a fully-written junk marker is TORN, loud
+    val (_, c, d) = twoTables("txn-midbind-garbage")
+    Catalog.commitLake(spark, c, df(Seq(("s", 1L, 10L))))
+    Catalog.commitLake(spark, d, df(Seq(("s", 2L, 20L))))
+    intercept[RuntimeException] {
+      Catalog.commitLakeTransactionImpl(spark,
+        Seq(c -> df(Seq(("s", 100L, 1L))), d -> df(Seq(("s", 200L, 2L)))),
+        None, beforeBind = () => throw new RuntimeException("crash"))
+    }
+    val gid = Catalog.pendingTransactions(spark, c).head._2
+    val gm = new Path(Catalog.txnDirOf(c), s"$gid.txn")
+    val gout = fs.create(gm, false)
+    try gout.write("banana".getBytes("UTF-8")) finally gout.close()
+    val e = intercept[java.io.IOException](keys(c))
+    assert(e.getMessage.contains("banana") &&
+      e.getMessage.contains("after retries"), e.getMessage)
+  }
+
   test("declared table stats flow through txn legs: a point predicate " +
       "file-skips over a transactionally-committed file") {
     val (_, a, b) = twoTables("txn-stats")
