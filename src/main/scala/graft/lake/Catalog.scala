@@ -136,7 +136,10 @@ object Catalog {
     * ([[ObjectStoreCommit.register]]) wins over conf for its scheme.
     *
     * Cached per scheme WITH the resolved configuration fingerprint
-    * (endpoint + dialect + auth): a second session in the same JVM
+    * (endpoint + dialect + auth — for sigv4 including region/service
+    * and the credential IDENTITY as digests, so rotated credentials
+    * in a second session fail loud instead of silently signing with
+    * the stale ones): a second session in the same JVM
     * asking for a DIFFERENT endpoint on an already-resolved scheme
     * FAILS LOUD instead of silently routing its claims through the
     * first-resolved store — if the endpoints front different stores,
@@ -154,14 +157,40 @@ object Catalog {
           .map(_.toLowerCase).getOrElse(if (scheme == "gs") "gcs" else "s3")
         val auth = Option(conf.getTrimmed(s"graft.committer.$scheme.auth"))
           .map(_.toLowerCase).getOrElse("none")
-        val fingerprint = s"$endpoint $dialect $auth"
+        def key(k: String, env: String): Option[String] =
+          Option(conf.getTrimmed(s"graft.committer.$scheme.$k"))
+            .orElse(sys.env.get(env))
+        // the fingerprint covers EVERYTHING that changes request
+        // behavior — endpoint, dialect, auth, and for sigv4 the
+        // region/service and credential IDENTITY (access key id +
+        // digests, never the secret itself): a second session with
+        // the same endpoint but rotated credentials or another region
+        // must fail loud, not silently sign with the first-resolved
+        // ones (review catch — the silent-adoption class the check
+        // exists for)
+        def digest(s: String): String = SigV4.hex(
+          SigV4.sha256(s.getBytes("UTF-8"))).take(16)
+        val authDetail = if (auth != "sigv4") auth else {
+          val region = Option(conf.getTrimmed(
+            s"graft.committer.$scheme.region")).getOrElse("us-east-1")
+          val service = Option(conf.getTrimmed(
+            s"graft.committer.$scheme.service")).getOrElse("s3")
+          val access = key("access", "AWS_ACCESS_KEY_ID").getOrElse("")
+          val secretD = key("secret", "AWS_SECRET_ACCESS_KEY")
+            .map(digest).getOrElse("")
+          val tokenD = key("token", "AWS_SESSION_TOKEN")
+            .map(digest).getOrElse("-")
+          s"sigv4:$region:$service:$access:$secretD:$tokenD"
+        }
+        val fingerprint = s"$endpoint $dialect $authDetail"
         def conflict(registered: String): Nothing =
           throw new IllegalStateException(
             s"graft.committer.$scheme.* conflict: this JVM already " +
               "routes claims on scheme '" + scheme + "' through a " +
               "committer resolved from a DIFFERENT configuration " +
               s"(registered: ${registered.split(' ').mkString(" / ")}; " +
-              s"this session asks: $endpoint / $dialect / $auth). If the " +
+              s"this session asks: $endpoint / $dialect / $authDetail). " +
+              "If the " +
               "endpoints front different stores, exclusive-create mutual " +
               "exclusion against writers on the correct endpoint is lost " +
               "— refusing to route silently. Unify the configuration, or " +
@@ -172,9 +201,6 @@ object Catalog {
           if (cached._1 != fingerprint) conflict(cached._1)
           cached._2
         } else {
-          def key(k: String, env: String): Option[String] =
-            Option(conf.getTrimmed(s"graft.committer.$scheme.$k"))
-              .orElse(sys.env.get(env))
           val signer: ObjectStoreCommit.RequestSigner = auth match {
             case "none" => ObjectStoreCommit.NoSign
             case "sigv4" =>
@@ -2145,10 +2171,14 @@ object Catalog {
       val tail = names.count(n => n.endsWith(".commit") &&
         n.stripSuffix(".commit").toLong > cp)
       if (tail >= every) {
-        checkpoint(spark, layout)
-        pruneLog(spark, layout)
+        // best-effort: another fold already running bounds the tail
+        // for us — skip instead of queueing behind it
+        checkpoint(spark, layout, waitMs = 0L)
+        pruneLog(spark, layout, waitMs = 0L)
       }
-    } catch { case scala.util.control.NonFatal(e) =>
+    } catch {
+      case _: LockBusyException => () // typed: a fold is already running
+      case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] auto-checkpoint after commit into " +
         s"${layout.root} FAILED (the commit itself IS durable; the " +
         s"un-folded tail remains until the next trigger): $e")
@@ -3892,11 +3922,14 @@ object Catalog {
     *    orphaned by a subsequent prune.
     * Returns the checkpointed seq (None when there is nothing
     * foldable). */
-  def checkpoint(spark: SparkSession, layout: Layout): Option[Long] = {
+  def checkpoint(spark: SparkSession, layout: Layout,
+      lockTtlMs: Long = 10 * 60 * 1000L,
+      waitMs: Long = 60 * 1000L): Option[Long] = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
     if (!fs.exists(log)) return None
+    SourceLock.withLockFs(fs, layout, foldLockName, lockTtlMs, waitMs) {
     val names = fs.listStatus(log).map(_.getPath.getName)
     val done = names.filter(_.endsWith(".done")).map(_.stripSuffix(".done")).toSet
     val undone = names
@@ -3979,18 +4012,35 @@ object Catalog {
     if (!fs.rename(tmp, rec)) fs.delete(tmp, false) // concurrent winner kept
     writeLastCheckpoint(fs, log, upTo, names.length.toLong + 1)
     Some(upTo)
+    } // foldLockName
   }
+
+  /** The table-wide fold/prune mutex (a [[SourceLock]] name no data
+    * source can collide with, like [[schemaLockName]]): EVERY
+    * `_last_checkpoint` pointer write and every prune delete runs
+    * under it, with the fold/prune horizon derived INSIDE — without
+    * it two concurrent pruners (the auto-checkpoint policy fires
+    * post-commit from any writer) could interleave so that a stale
+    * pointer write lands AFTER a higher prune already deleted its
+    * range, regressing the pointer below deleted commits and making
+    * a probe-guided reader mistake the cut for the head (review
+    * catch: the monotone guard alone was a non-atomic
+    * read-then-overwrite). */
+  private val foldLockName = "__fold__"
 
   /** Drop `.commit`/`.done` records already folded into a VALIDATED
     * checkpoint — the log-growth bound. Only records ≤ the latest
     * terminator-valid checkpoint seq are removable; the checkpoint
     * itself carries their history. A torn checkpoint (no valid
     * terminator) is never used as a prune horizon. */
-  def pruneLog(spark: SparkSession, layout: Layout): Long = {
+  def pruneLog(spark: SparkSession, layout: Layout,
+      lockTtlMs: Long = 10 * 60 * 1000L, waitMs: Long = 60 * 1000L): Long = {
     val fs = new org.apache.hadoop.fs.Path(layout.catalogDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(logDir(layout))
     if (!fs.exists(log)) return 0L
+    SourceLock.withLockFs(fs, layout, foldLockName, lockTtlMs, waitMs) {
+    // horizon derived UNDER the fold/prune mutex — see [[foldLockName]]
     val names = fs.listStatus(log).map(_.getPath.getName)
     val upTo = latestValidCheckpoint(fs, log, names) match {
       case Some((seq, _)) => seq
@@ -4043,6 +4093,7 @@ object Catalog {
         dropped += 1
     }
     dropped
+    } // foldLockName
   }
 
   /** Parsed committed log state: catalog (seq, live path), distribution
@@ -4183,8 +4234,15 @@ object Catalog {
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.hadoop.fs.FileStatus]
       stat(f"$start%020d.checkpoint") match {
-        case Some(st) => buf += st
-        case None => return None // corrupt/ancient pointer: list instead
+        // VALIDITY, not just existence (review catch): a TORN fold at
+        // the pointer would make the downstream parse find no valid
+        // checkpoint among the probed names and silently serve a
+        // tail-only truncated state — the listing path would have
+        // fallen back to the second retained fold (why pruneLog keeps
+        // two). One extra GET per cold probe read buys the guarantee.
+        case Some(st) if readCheckpointLines(fs, st.getPath).isDefined =>
+          buf += st
+        case _ => return None // missing/torn/ancient pointer: list instead
       }
       var seq = start + 1
       var walking = true

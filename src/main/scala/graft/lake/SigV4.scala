@@ -72,7 +72,7 @@ final class SigV4(
     val signedHeaders = headers.map(_._1).mkString(";")
     val canonical = Seq(
       method,
-      Option(uri.getRawPath).filter(_.nonEmpty).getOrElse("/"),
+      SigV4.canonicalPath(Option(uri.getRawPath).getOrElse("")),
       SigV4.canonicalQuery(Option(uri.getRawQuery).getOrElse("")),
       headers.map { case (k, v) => s"$k:${v.trim}\n" }.mkString,
       signedHeaders,
@@ -109,6 +109,42 @@ object SigV4 {
 
   private[lake] def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
+
+  /** Canonical URI path per AWS's S3 rule (single-encoded): every
+    * byte that is not RFC-3986 unreserved (`A-Z a-z 0-9 - . _ ~`) or
+    * the `/` separator is percent-encoded, uppercase hex. The wire
+    * path is decoded first and strictly re-encoded, because a legal
+    * URI path may carry sub-delims RAW (`+ = : , !` — `URI` never
+    * encodes them) while AWS recomputes the canonical request with
+    * them encoded — signing the raw form would 403 every key
+    * containing one (review catch: a source named `ads+web` broke
+    * its lock object's signature). Pre-encoded escapes normalize
+    * unchanged (`%20` → `%20`), so this never double-encodes. */
+  private[lake] def canonicalPath(rawPath: String): String = {
+    if (rawPath.isEmpty) return "/"
+    def hexAt(s: String, i: Int): Boolean = i + 2 < s.length &&
+      Character.digit(s.charAt(i + 1), 16) >= 0 &&
+      Character.digit(s.charAt(i + 2), 16) >= 0
+    def decode(seg: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < seg.length) {
+        val c = seg.charAt(i)
+        if (c == '%' && hexAt(seg, i)) {
+          out.write(Integer.parseInt(seg.substring(i + 1, i + 3), 16))
+          i += 3
+        } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      }
+      out.toByteArray
+    }
+    def encode(bytes: Array[Byte]): String = bytes.map { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '.' ||
+        c == '_' || c == '~') c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
+    rawPath.split("/", -1).map(seg => encode(decode(seg))).mkString("/")
+  }
 
   /** Canonical query string: parameters sorted by name then value.
     * The committer's own requests carry none; raw (already-encoded)

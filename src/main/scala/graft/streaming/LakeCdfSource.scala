@@ -45,7 +45,8 @@ class LakeCdfSourceProvider extends StreamSourceProvider with DataSourceRegister
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val layout = LakeCdfSource.layoutOf(parameters)
-    val from = LakeCdfSource.startingVersionOf(sqlContext, parameters, layout)
+    val from = LakeCdfSource.persistedStart(sqlContext, metadataPath,
+      LakeCdfSource.startingVersionOf(sqlContext, parameters, layout))
     val maxPerTrigger = parameters.get("maxversionspertrigger")
       .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toLong)
     maxPerTrigger.foreach(k => require(k >= 1,
@@ -85,10 +86,20 @@ object LakeCdfSource {
     * refuses LOUD inside versionAtTimestamp (below-checkpoint commits
     * are no longer timestamp-addressable — silently starting at the
     * fold would drop changes the caller asked for). Accepts epoch
-    * millis, SQL timestamp (`yyyy-MM-dd HH:mm:ss[.f]`, session-free
-    * UTC), or ISO-8601 instant. */
+    * millis, SQL timestamp (`yyyy-MM-dd HH:mm:ss[.f]`, parsed as UTC
+    * explicitly — `Timestamp.valueOf` would bind it to the driver's
+    * default zone, review catch), or ISO-8601 instant.
+    *
+    * Returns a THUNK, and option/format validation happens here
+    * (eagerly, at stream construction) while the version RESOLUTION
+    * is deferred to first use: a RESTARTING stream recovers its
+    * position from checkpointed offsets and never consults the
+    * starting option (the Delta contract) — an eager resolve would
+    * permanently brick a restart once routine log maintenance (this
+    * round's auto-checkpoint folds included) prunes history below
+    * the original timestamp (review catch). */
   private[streaming] def startingVersionOf(sqlContext: SQLContext,
-      parameters: Map[String, String], layout: Layout): Long = {
+      parameters: Map[String, String], layout: Layout): () => Long = {
     def opt(name: String): Option[String] =
       parameters.get(name).orElse(parameters.get(name.toLowerCase))
     val sv = opt("startingVersion")
@@ -96,15 +107,55 @@ object LakeCdfSource {
     require(sv.isEmpty || st.isEmpty, "graft-lake streaming: set " +
       "startingVersion OR startingTimestamp, not both")
     st match {
-      case None => sv.map(_.toLong).getOrElse(0L)
+      case None =>
+        val v = sv.map(_.toLong).getOrElse(0L)
+        () => v
       case Some(raw) =>
         val ms = raw.trim.toLongOption.getOrElse {
-          try java.sql.Timestamp.valueOf(raw.trim).getTime
-          catch { case _: IllegalArgumentException =>
+          try java.time.LocalDateTime
+            .parse(raw.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
             java.time.Instant.parse(raw.trim).toEpochMilli }
         }
-        Catalog.versionAtTimestamp(sqlContext.sparkSession, layout, ms)
+        () => Catalog.versionAtTimestamp(sqlContext.sparkSession, layout, ms)
           .getOrElse(0L)
+    }
+  }
+
+  /** Persist the RESOLVED starting version under the source's
+    * `metadataPath` (the KafkaSource/FileStreamSource pattern): the
+    * engine replays `getBatch(None, end)` for batch 0 on EVERY
+    * restart, so the start must come back identical — re-resolving a
+    * startingTimestamp later would either throw (history pruned
+    * below it — the bricked-restart failure) or resolve to a
+    * DIFFERENT version (monotonized commit times can shift as the
+    * tail grows), silently changing what batch 0 meant. First start
+    * resolves and writes once (temp + rename, concurrent winner
+    * read back); every restart reads the persisted value and never
+    * consults the option again. */
+  private[streaming] def persistedStart(sqlContext: SQLContext,
+      metadataPath: String, resolve: () => Long): () => Long = () => {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val p = new org.apache.hadoop.fs.Path(dir, "graft-start")
+    val fs = p.getFileSystem(
+      sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    def read(): Option[Long] =
+      try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .toLongOption
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    read().getOrElse {
+      val v = resolve()
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"graft-start.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, p)) v
+      else { fs.delete(tmp, false); read().getOrElse(v) } // winner kept
     }
   }
 
@@ -121,7 +172,7 @@ object LakeCdfSource {
 }
 
 class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
-    declaredSchema: StructType, startVersion: Long,
+    declaredSchema: StructType, startVersionThunk: () => Long,
     maxVersionsPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -129,6 +180,15 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   import org.apache.spark.sql.connector.read.{streaming => cstream}
 
   override def schema: StructType = declaredSchema
+
+  /** Resolved on FIRST USE through [[LakeCdfSource.persistedStart]]:
+    * a fresh start resolves the starting option once and persists the
+    * result under the stream's metadata path; every restart reads the
+    * persisted value back — so a startingTimestamp whose history was
+    * later pruned can never brick a restart, and the engine's batch-0
+    * replay (`getBatch(None, end)` on every restart) always means the
+    * same range. */
+  private lazy val startVersion: Long = startVersionThunk()
 
   /** `Trigger.AvailableNow` terminal: the head captured at start-up —
     * the drain target. Without [[cstream.SupportsTriggerAvailableNow]]
@@ -264,12 +324,12 @@ class LakeCdfSource(sqlContext: SQLContext, layout: Layout,
   * has declared deletes irrelevant (an append-mostly table vacuumed
   * by partition — Delta's same opt-in). */
 class LakeRowsSource(sqlContext: SQLContext, layout: Layout,
-    payloadSchema: StructType, startVersion: Long,
+    payloadSchema: StructType, startVersionThunk: () => Long,
     maxVersionsPerTrigger: Option[Long], ignoreDeletes: Boolean)
     extends LakeCdfSource(sqlContext, layout,
       payloadSchema.add("_commit_version", LongType)
         .add("_change_type", StringType),
-      startVersion, maxVersionsPerTrigger) {
+      startVersionThunk, maxVersionsPerTrigger) {
 
   override def schema: StructType = payloadSchema
 

@@ -78,7 +78,8 @@ class LakeSinkProvider extends StreamSinkProvider with StreamSourceProvider
     def opt(name: String): Option[String] =
       parameters.get(name).orElse(parameters.get(name.toLowerCase))
     val layout = LakeCdfSource.layoutOf(parameters)
-    val from = LakeCdfSource.startingVersionOf(sqlContext, parameters, layout)
+    val from = LakeCdfSource.persistedStart(sqlContext, metadataPath,
+      LakeCdfSource.startingVersionOf(sqlContext, parameters, layout))
     val maxPerTrigger = opt("maxVersionsPerTrigger").map(_.toLong)
     maxPerTrigger.foreach(k => require(k >= 1,
       s"graft-lake: maxVersionsPerTrigger must be >= 1, got $k"))

@@ -99,6 +99,56 @@ class LastCheckpointPointerSpec extends SparkTestBase {
     assert(CountingLocalFs.logLists.get == 0,
       "the stale-pointer read stayed on the probe path")
     assert(cp2 > cp1) // the fixture really has two folds
+    // TORN newest fold AT the pointer (the crash-mid-write shape):
+    // the probe must decline on VALIDITY, not mere existence — were
+    // it existence-only, the downstream parse would find no valid
+    // fold among the probed names and silently serve a tail-only
+    // truncated state (review catch). The listing authority falls
+    // back to the older valid fold and serves everything.
+    writePtr(s"$cp2 500")
+    val cp2File = new java.io.File(localLogDir(layout),
+      f"$cp2%020d.checkpoint")
+    val fullBody = java.nio.file.Files.readAllBytes(cp2File.toPath)
+    java.nio.file.Files.write(cp2File.toPath,
+      fullBody.dropRight(10)) // strip the #end terminator
+    assert(keys(layout) == all, "torn fold at the pointer → listing")
+    java.nio.file.Files.write(cp2File.toPath, fullBody)
+  }
+
+  test("round-14 (review catch): a concurrent fold+prune storm never " +
+      "regresses the pointer below a prune horizon — the fold/prune " +
+      "mutex serializes pointer writes with the deletes, so the " +
+      "probe-served state stays exact throughout") {
+    val layout = newLayout("ptr-race")
+    (0 until 10).foreach(k =>
+      Catalog.commitLake(spark, layout, oneRow(k.toLong)))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val folders = (1 to 2).map { _ =>
+      new Thread(() => {
+        try while (!stop.get()) {
+          Catalog.checkpoint(spark, layout)
+          Catalog.pruneLog(spark, layout)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    folders.foreach(_.start())
+    (10 until 40).foreach { k =>
+      Catalog.commitLake(spark, layout, oneRow(k.toLong))
+      if (k % 7 == 0) {
+        // mid-storm probe reads: every one must serve the full state
+        assert(keys(layout) == (0L to k.toLong).toSet,
+          s"probe state exact under the storm at $k")
+      }
+    }
+    stop.set(true); folders.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    assert(keys(layout) == (0L until 40L).toSet)
+    // pointer names a VALID fold and never exceeds the head
+    val ptr = new java.io.File(localLogDir(layout), "_last_checkpoint")
+    val seq = new String(java.nio.file.Files.readAllBytes(ptr.toPath),
+      "UTF-8").trim.split(' ').head.toLong
+    assert(seq <= Catalog.headVersion(spark, layout))
   }
 
   test("pruneLog advances the pointer BEFORE deleting (the probe-" +

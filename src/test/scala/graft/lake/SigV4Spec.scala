@@ -77,6 +77,32 @@ class SigV4Spec extends SparkTestBase {
     * (so a shared bug in [[SigV4]] cannot self-certify): rebuild the
     * canonical request from what actually arrived on the wire, re-run
     * the HMAC chain with the shared secret, compare signatures. */
+  /** AWS's documented S3 canonical-URI rule, reimplemented
+    * INDEPENDENTLY of [[SigV4.canonicalPath]] (byte-range checks, no
+    * shared code): decode the wire path, re-encode every byte outside
+    * RFC-3986 unreserved as uppercase %XX — raw sub-delims a URI may
+    * legally carry ('+', '=', ':') MUST come out encoded, which is
+    * what real S3 computes and what an identity re-canonicalization
+    * would miss. */
+  private def awsCanonicalPath(raw: String): String =
+    raw.split("/", -1).map { seg =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var i = 0
+      while (i < seg.length) {
+        if (seg(i) == '%' && i + 2 < seg.length) {
+          buf += java.lang.Integer.valueOf(seg.substring(i + 1, i + 3), 16)
+            .byteValue
+          i += 3
+        } else { seg(i).toString.getBytes("UTF-8").foreach(buf += _); i += 1 }
+      }
+      buf.map { b =>
+        val ok = (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+          (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' ||
+          b == '~'
+        if (ok) (b & 0xff).toChar.toString else f"%%${b & 0xff}%02X"
+      }.mkString
+    }.mkString("/")
+
   private def verifySigV4(x: HttpExchange, body: Array[Byte]): Boolean = {
     val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
       .getOrElse(return false)
@@ -93,7 +119,7 @@ class SigV4Spec extends SparkTestBase {
           s"$h:${x.getRequestHeaders.getFirst(h).trim}\n"
         }.mkString
         val canonical = Seq(x.getRequestMethod,
-          x.getRequestURI.getRawPath,
+          awsCanonicalPath(x.getRequestURI.getRawPath),
           Option(x.getRequestURI.getRawQuery).getOrElse(""),
           canonicalHeaders, signedHeaders, bodyHash).mkString("\n")
         val toSign = Seq("AWS4-HMAC-SHA256",
@@ -188,6 +214,36 @@ class SigV4Spec extends SparkTestBase {
     assert(d.listFiles().map(_.getName).count(_.endsWith(".commit")) == 2)
   }
 
+  test("canonicalPath applies AWS's S3 single-encode rule: raw " +
+      "sub-delims a URI legally carries get percent-encoded, " +
+      "pre-encoded escapes normalize unchanged, unreserved bytes " +
+      "stay raw, multibyte UTF-8 encodes per byte") {
+    assert(SigV4.canonicalPath("") == "/")
+    assert(SigV4.canonicalPath("/") == "/")
+    assert(SigV4.canonicalPath("/bkt/a+b=c:d,e!f") ==
+      "/bkt/a%2Bb%3Dc%3Ad%2Ce%21f")
+    assert(SigV4.canonicalPath("/bkt/a%20dir/x~-._9") ==
+      "/bkt/a%20dir/x~-._9")
+    assert(SigV4.canonicalPath("/bkt/café") == "/bkt/caf%C3%A9")
+  }
+
+  test("end-to-end: a layout root carrying RAW sub-delims ('+') and " +
+      "spaces still signs verifiably — the double's independent " +
+      "canonicalization encodes them exactly like real S3 would, so " +
+      "an identity-canonicalizing signer would 403 here") {
+    val conf = Map(
+      "graft.committer.s3enc.endpoint" ->
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+      "graft.committer.s3enc.auth" -> "sigv4",
+      "graft.committer.s3enc.access" -> testAccess,
+      "graft.committer.s3enc.secret" -> testSecret)
+    val fs = schemeFs("s3enc", conf)
+    val layout = Layout(tmpDir("sigv4-enc") + "/ads+web dir")
+    rejected = 0
+    assert(Catalog.claimBody(fs, layout, "v2 -1 40") == 1L)
+    assert(rejected == 0, s"the double rejected $rejected signed requests")
+  }
+
   test("a WRONG secret is rejected by the double (the verification " +
       "loop actually bites) and surfaces as a loud non-conditional " +
       "status, never a silent claim") {
@@ -225,6 +281,31 @@ class SigV4Spec extends SparkTestBase {
     assert(e.getMessage.contains("conflict"))
     // the SAME conf keeps working (fingerprint match, cached reuse)
     assert(Catalog.claimBody(fs1, layout, "v2 -1 32") == 2L)
+  }
+
+  test("rotated credentials on the SAME endpoint conflict too (review " +
+      "catch): the fingerprint covers credential identity, so a " +
+      "session with a new secret fails loud instead of silently " +
+      "signing with the stale one — and no secret leaks into the " +
+      "error") {
+    val port = server.getAddress.getPort
+    val base = Map(
+      "graft.committer.s3rot.endpoint" -> s"http://127.0.0.1:$port",
+      "graft.committer.s3rot.auth" -> "sigv4",
+      "graft.committer.s3rot.access" -> testAccess)
+    val fs1 = schemeFs("s3rot",
+      base + ("graft.committer.s3rot.secret" -> testSecret))
+    val layout = Layout(tmpDir("sigv4-rot"))
+    assert(Catalog.claimBody(fs1, layout, "v2 -1 50") == 1L)
+    val fs2 = schemeFs("s3rot",
+      base + ("graft.committer.s3rot.secret" -> "rotated-secret"))
+    val e = intercept[IllegalStateException] {
+      Catalog.claimBody(fs2, layout, "v2 -1 51")
+    }
+    assert(e.getMessage.contains("conflict"))
+    assert(!e.getMessage.contains("rotated-secret") &&
+      !e.getMessage.contains(testSecret),
+      s"secrets must never leak into the error: ${e.getMessage}")
   }
 
   test("pathStyle percent-encodes reserved characters (advice-r13): a " +

@@ -343,4 +343,52 @@ class LakeCdfSourceSpec extends SparkTestBase {
         m.contains("not timestamp-addressable")) || mentions(t.getCause))
     assert(mentions(pruned), s"pruned-history refusal must be loud: $pruned")
   }
+
+  test("round-14 (review catch): startingTimestamp is resolved " +
+      "LAZILY, so a checkpointed stream RESTARTS cleanly even after " +
+      "log maintenance pruned history below its original timestamp — " +
+      "an eager re-resolve would brick the restart forever") {
+    val layout = Layout(tmpDir("cdfsrc-ts-restart"))
+    val ckpt = tmpDir("cdfsrc-ts-restart-ckpt")
+    val s = spark
+    import s.implicits._
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k1", 10L)).toDF("source", "key", "v"))
+    Thread.sleep(30)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(30)
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k2", 20L)).toDF("source", "key", "v"))
+    received.clear()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-lake-cdf")
+        .option("root", layout.root)
+        .option("startingTimestamp", t0.toString)
+        .load().writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("key").collect().foreach(r =>
+            received.add((r.getString(0), 0L, "", 0L)))
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(received.size == 1) // k2 only (after the as-of point)
+    // maintenance makes t0 un-addressable: fold + prune the history,
+    // then append fresh commits
+    Catalog.checkpoint(spark, layout)
+    Catalog.pruneLog(spark, layout)
+    Catalog.commitLake(spark, layout,
+      Seq(("clicks", "k3", 30L)).toDF("source", "key", "v"))
+    intercept[Exception] { // t0 IS pruned now (the fixture really bites)
+      Catalog.versionAtTimestamp(spark, layout, t0)
+    }
+    // the restart recovers its cursor from the offset log and must
+    // NEVER consult the timestamp again
+    run()
+    assert(received.toArray(Array.empty[(String, Long, String, Long)])
+      .map(_._1).sorted.toSeq == Seq("k2", "k3"),
+      s"restart continues exactly: $received")
+  }
 }
