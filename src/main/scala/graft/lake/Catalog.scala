@@ -4239,8 +4239,14 @@ object Catalog {
         // checkpoint among the probed names and silently serve a
         // tail-only truncated state — the listing path would have
         // fallen back to the second retained fold (why pruneLog keeps
-        // two). One extra GET per cold probe read buys the guarantee.
-        case Some(st) if readCheckpointLines(fs, st.getPath).isDefined =>
+        // two). The extra GET per cold probe read buys the guarantee
+        // (the parse re-reads the body — accepted 2× on the one
+        // checkpoint object). A concurrent prune can delete the fold
+        // between the stat and this read (second-pass review catch) —
+        // any failure to READ is itself an anomaly: decline to the
+        // listing, never crash the reader.
+        case Some(st) if scala.util.Try(
+            readCheckpointLines(fs, st.getPath)).toOption.flatten.isDefined =>
           buf += st
         case _ => return None // missing/torn/ancient pointer: list instead
       }

@@ -230,23 +230,27 @@ object ObjectStoreCommit {
   object HttpStore {
     /** Path-style endpoint mapping: `s3a://bucket/a/b` →
       * `<base>/bucket/a/b` — the layout MinIO/R2 and regional S3
-      * path-style endpoints serve. Path segments are PERCENT-ENCODED
-      * via the multi-arg `URI` constructor (the Hadoop path is an
-      * unencoded name: a layout root with spaces or reserved URI
-      * characters must become a valid — and correct — object key,
-      * not a `URI.create` parse failure). */
+      * path-style endpoints serve. Every path segment is STRICTLY
+      * single-encoded ([[SigV4.strictEncodeSegment]]: all
+      * non-unreserved bytes, uppercase hex — the form the AWS SDKs
+      * put on the wire), not merely made URI-legal: a URI may
+      * legally carry `+ = :` raw, but then the bytes SENT differ
+      * from the bytes a strict canonicalizer SIGNS, and whether the
+      * request verifies would depend on how the server
+      * re-canonicalizes (second-pass review catch). Emitting the
+      * strict form makes signed bytes ≡ sent bytes, so the
+      * signature is valid under BOTH server interpretations
+      * (literal-path and decode-re-encode). */
     def pathStyle(base: String): Path => URI = { p =>
       val u = p.toUri
       // an authority-less path (a local-FS test double) must not leave
       // a degenerate `//` in the URL — some servers 400 an empty
       // leading segment
       val bucket = Option(u.getAuthority).filter(_.nonEmpty)
-        .map("/" + _).getOrElse("")
-      val baseUri = URI.create(base.stripSuffix("/"))
-      new URI(baseUri.getScheme, baseUri.getAuthority,
-        s"${Option(baseUri.getPath).getOrElse("")}$bucket/" +
-          u.getPath.stripPrefix("/"),
-        null, null)
+        .map(a => "/" + SigV4.strictEncodeSegment(a)).getOrElse("")
+      val enc = u.getPath.stripPrefix("/").split("/", -1)
+        .map(SigV4.strictEncodeSegment).mkString("/")
+      URI.create(s"${base.stripSuffix("/")}$bucket/$enc")
     }
   }
 

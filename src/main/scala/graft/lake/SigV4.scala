@@ -110,6 +110,19 @@ object SigV4 {
   private[lake] def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
 
+  /** Strict RFC-3986 single-encoding of ONE path segment (UTF-8
+    * bytes; unreserved `A-Z a-z 0-9 - . _ ~` kept; everything else
+    * uppercase %XX) — the form the AWS SDKs put on the wire, shared
+    * by [[ObjectStoreCommit.HttpStore.pathStyle]] so sent bytes ≡
+    * signed bytes. */
+  private[lake] def strictEncodeSegment(seg: String): String =
+    seg.getBytes("UTF-8").map { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '-' || c == '.' ||
+        c == '_' || c == '~') c.toString
+      else f"%%${b & 0xff}%02X"
+    }.mkString
+
   /** Canonical URI path per AWS's S3 rule (single-encoded): every
     * byte that is not RFC-3986 unreserved (`A-Z a-z 0-9 - . _ ~`) or
     * the `/` separator is percent-encoded, uppercase hex. The wire

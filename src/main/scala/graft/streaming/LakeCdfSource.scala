@@ -140,13 +140,20 @@ object LakeCdfSource {
     val p = new org.apache.hadoop.fs.Path(dir, "graft-start")
     val fs = p.getFileSystem(
       sqlContext.sparkSession.sparkContext.hadoopConfiguration)
+    // ONLY FileNotFoundException means "absent" — any other
+    // IOException must propagate (second-pass review catch):
+    // swallowing a transient read failure here would silently
+    // RE-RESOLVE the starting option, which either bricks the restart
+    // (timestamp pruned) or quietly changes what batch 0 means; a
+    // loud failure lets the stream's own restart policy retry the
+    // read instead
     def read(): Option[Long] =
       try {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           .toLongOption
         finally in.close()
-      } catch { case _: java.io.IOException => None }
+      } catch { case _: java.io.FileNotFoundException => None }
     read().getOrElse {
       val v = resolve()
       fs.mkdirs(dir)

@@ -117,9 +117,16 @@ object StreamIngest {
         // and maintenance must never crash-loop a committed batch.
         if (batchId > 0 && batchId % checkpointEvery == 0)
           try {
-            Catalog.checkpoint(batch.sparkSession, layout)
-            Catalog.pruneLog(batch.sparkSession, layout)
-          } catch { case scala.util.control.NonFatal(e) =>
+            // waitMs=0: best-effort maintenance must never stall a
+            // micro-batch behind the fold/prune mutex (a stale lock
+            // only clears at the 10-min TTL steal — blocking here
+            // would add up to 2×waitMs of trigger latency); a fold
+            // already running bounds the tail for us
+            Catalog.checkpoint(batch.sparkSession, layout, waitMs = 0L)
+            Catalog.pruneLog(batch.sparkSession, layout, waitMs = 0L)
+          } catch {
+            case _: graft.lake.LockBusyException => () // another fold runs
+            case scala.util.control.NonFatal(e) =>
             System.err.println(s"[StreamIngest] catalog-log maintenance failed (deferred): $e")
           }
       }

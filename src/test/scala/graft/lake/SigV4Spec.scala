@@ -317,6 +317,15 @@ class SigV4Spec extends SparkTestBase {
     // and the unreserved fast path is byte-identical to round-13
     assert(f(new Path("s3a://bkt/a/b.commit")).toString ==
       "http://h:1/bkt/a/b.commit")
+    // STRICT single-encoding on the wire (second-pass review catch):
+    // sub-delims a URI could legally carry raw are emitted encoded,
+    // so the sent bytes equal the strictly-canonicalized signed bytes
+    // under EITHER server interpretation
+    assert(f(new Path("s3a://bkt/ads+web/k=1,v:2.commit")).toString ==
+      "http://h:1/bkt/ads%2Bweb/k%3D1%2Cv%3A2.commit")
+    assert(SigV4.canonicalPath("/bkt/ads%2Bweb/k%3D1%2Cv%3A2.commit") ==
+      "/bkt/ads%2Bweb/k%3D1%2Cv%3A2.commit",
+      "canonicalization is the IDENTITY on pathStyle's own output")
   }
 
   override def afterAll(): Unit = {
