@@ -919,6 +919,135 @@ object Catalog {
         "disappearing under concurrent maintenance after 8 attempts")
   }
 
+  /** ATOMIC MOVE — the quarantine/reconciliation primitive as ONE
+    * cross-table transaction: every committed row of `from` matching
+    * `predicate` is DV-deleted from `from` AND appended to `to`, both
+    * invisible until one `_txn` marker binds them (the
+    * [[commitLakeTransaction]] protocol — same recovery, same
+    * single-name arbitration, same sibling-sweep byte reclaim on
+    * abort).
+    *
+    * EXACTNESS is the whole point, and the reason this is not just
+    * sugar over [[commitLakeTransactionLegs]] with a caller-built
+    * batch: the insert rows and the deletion vector derive from the
+    * SAME matched-row frame, re-filtered ONCE against the committed
+    * DV set UNDER the per-source locks — so a concurrent DELETE
+    * committing in the pre-lock window shrinks both sides in
+    * lockstep, and an already-deleted row can never be resurrected
+    * into `to` (a caller-built batch pinned before the locks could).
+    * Under the held locks the committed DV set of the touched
+    * sources cannot move (the [[excludeCommittedDvRows]] invariant),
+    * data files are immutable, and the scan is deterministic — the
+    * two evaluations (DV staging, batch staging) see identical rows.
+    *
+    * `to`'s expectations gate the batch (refusal aborts the whole
+    * move, nothing stages); `to` may have a wider/evolved schema
+    * ([[widenBatch]] validates). The CDF tells the truth on both
+    * ends: `from` emits deletes, `to` emits inserts, each at its
+    * bound version. Returns (fromSeq, toSeq); (-1, -1) when nothing
+    * matches. */
+  def moveLakeRows(spark: SparkSession, from: Layout, to: Layout,
+      predicate: org.apache.spark.sql.Column, note: Option[String] = None,
+      lockTtlMs: Long = 10 * 60 * 1000L,
+      waitMs: Long = 60 * 1000L): (Long, Long) =
+    moveLakeRowsImpl(spark, from, to, predicate, note, lockTtlMs, waitMs,
+      beforeLocks = () => ())
+
+  /** Test seam: `beforeLocks` runs between the matched-row scan and
+    * the lock acquisition — the window a concurrent DELETE can land
+    * in, which the under-lock lockstep re-filter exists to survive. */
+  private[graft] def moveLakeRowsImpl(spark: SparkSession, from: Layout,
+      to: Layout, predicate: org.apache.spark.sql.Column,
+      note: Option[String], lockTtlMs: Long, waitMs: Long,
+      beforeLocks: () => Unit): (Long, Long) = {
+    require(from.root != to.root,
+      "MOVE within one table is a DELETE — use deleteLakeWhere")
+    require(txnDirOf(from).toString == txnDirOf(to).toString,
+      "MOVE needs both tables under one shared catalog root (the " +
+        s"_txn namespace): ${txnDirOf(from)} vs ${txnDirOf(to)}")
+    val fs = new org.apache.hadoop.fs.Path(from.catalogDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt < 8) {
+      // pinned matched-row scan WITH payload (the lakePositionsWhere
+      // shape, keeping row content so the insert leg can derive from
+      // the same frame as the deletion vector)
+      val live = lakeFilesAsOf(spark, from)
+      if (live.isEmpty) return (-1L, -1L)
+      val prefix = qualifiedLakeDir(spark, from)
+      val scan0 = lakeScan(spark, from, live)
+        .withColumn("_graft_file", lakeRelFileCol(prefix))
+        .withColumn("_graft_pos", col("_metadata.row_index"))
+      val matching = evolveFrame(spark, from, scan0, Long.MaxValue)
+        .filter(predicate)
+      val files = matching.select("_graft_file").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (files.isEmpty) return (-1L, -1L)
+      val sources = files.map(sourceOfRel).distinct.sorted
+      beforeLocks()
+      val committed: Option[(Long, Long, Seq[String])] =
+        withSourceLocks(spark, from, sources, lockTtlMs, waitMs) {
+          val liveNow = lakeFilesAsOf(spark, from).toSet
+          if (!files.forall(liveNow.contains)) None
+          else {
+            // ONE re-filter against the committed DV set, pinned by
+            // the locks — both legs derive from `moved`, so they
+            // shrink in lockstep with any pre-lock DELETE
+            val dvNow = dvFilesAsOf(spark, from)
+            val moved =
+              if (dvNow.isEmpty) matching
+              else {
+                val dvk = spark.read.parquet(
+                  dvNow.map(rel => s"${from.lakeDir}/$rel"): _*)
+                  .select(col("file").as("_dvk_file"),
+                    col("pos").as("_dvk_pos"))
+                matching.join(dvk,
+                  matching("_graft_file") === dvk("_dvk_file") &&
+                    matching("_graft_pos") === dvk("_dvk_pos"), "left_anti")
+              }
+            val dels = moved.select(col("_graft_file").as("file"),
+              col("_graft_pos").as("pos"))
+            val batch = moved.drop("_graft_file", "_graft_pos")
+            enforceExpectations(spark, to, batch)
+            val id = java.util.UUID.randomUUID().toString
+            val (fromSeq, _) = commitStagedDvAndAppend(spark, from,
+              None, Some(dels), note = note.orElse(Some("move")),
+              txn = Some(id))
+            val (toSeq, toSources) = commitStagedDvAndAppend(spark, to,
+              Some(widenBatch(spark, to, batch)), None,
+              note = note.orElse(Some("move")), txn = Some(id))
+            // ---- THE commit point (under from's source locks: the
+            // committed DV set must not move between the delete leg's
+            // claim and the bind) ----
+            val txnDir = txnDirOf(from)
+            fs.mkdirs(txnDir)
+            val bound = exclusiveCreate(fs,
+              new org.apache.hadoop.fs.Path(txnDir, s"$id.txn"), "commit")
+            if (!bound) {
+              val st = txnStatus(fs, txnDir, id)
+              if (!st.contains("commit")) throw new java.io.IOException(
+                s"move transaction $id was aborted by recovery before " +
+                  s"its bind (status: ${st.getOrElse("absent")}) — the " +
+                  "claimed legs are permanently invisible; retry the move")
+            }
+            Some((fromSeq, toSeq, toSources))
+          }
+        }
+      committed match {
+        case Some((fromSeq, toSeq, toSources)) =>
+          // post-bind, post-lock-release maintenance, like every path
+          maybeAutoOptimize(spark, to, toSources)
+          maybeAutoCheckpoint(spark, from)
+          maybeAutoCheckpoint(spark, to)
+          return (fromSeq, toSeq)
+        case None => attempt += 1; conflictBackoff(attempt)
+      }
+    }
+    throw new java.io.IOException(
+      "moveLakeRows: matched files kept disappearing under concurrent " +
+        "maintenance after 8 attempts")
+  }
+
   /** Observability: the UNRESOLVED cross-table transaction legs this
     * table's log carries — (commit seq, txn id, claim ms). Non-empty
     * means a transaction is in flight (or its writer crashed; see

@@ -97,6 +97,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftMaintenanceCommand("materialize_deletes",
         tableAddress(table, "MATERIALIZE DELETES"),
         (s, l) => Lake.materializeLakeDeletes(s, l))
+    case Move(src, dst, pred) if graftTarget(src) && graftTarget(dst) =>
+      // validate the predicate's GRAMMAR at parse time (loud syntax
+      // errors stay at the statement), resolution happens at
+      // execution against the source snapshot
+      delegate.parseExpression(pred)
+      GraftMoveCommand(tableAddress(src, "MOVE"),
+        tableAddress(dst, "MOVE … TO"), pred)
     case DescribeHistory(table) if graftTarget(table) =>
       // the Delta `DESCRIBE HISTORY` syntax, REWRITTEN onto the
       // derived `_history` surface (one engine path, no second
@@ -200,6 +207,13 @@ object GraftSqlParser {
   private val DescribeHistory =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.$`/\-]+)\s*;?\s*""".r
 
+  /** `MOVE <src> TO <dst> WHERE <predicate>[;]` — the atomic
+    * quarantine/reconciliation statement
+    * ([[graft.lake.Catalog.moveLakeRows]]): matching rows leave `src`
+    * and land in `dst` under ONE transaction marker. */
+  private val Move =
+    """(?is)\s*MOVE\s+([\w.$`/\-]+)\s+TO\s+([\w.$`/\-]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+
   /** Is this target OURS to execute? A literal layout-root path
     * always is; an identifier only when its catalog (the first dotted
     * part, or the whole name) is REGISTERED to [[GraftCatalog]].
@@ -241,12 +255,13 @@ object GraftSqlParser {
     case Checkpoint(t) => Some(t)
     case Materialize(t) => Some(t)
     case DescribeHistory(t) => Some(t)
+    case Move(s, d, _) => return graftTarget(s) && graftTarget(d)
     case _ => None
   }).exists(graftTarget)
 
   private val Explain =
     ("""(?is)\s*EXPLAIN(\s+EXTENDED|\s+FORMATTED|\s+CODEGEN|\s+COST)?""" +
-      """\s+((?:RESTORE|OPTIMIZE|VACUUM|CHECKPOINT|MATERIALIZE|""" +
+      """\s+((?:RESTORE|OPTIMIZE|VACUUM|CHECKPOINT|MATERIALIZE|MOVE|""" +
       """DESCRIBE\s+HISTORY)\s.+)""").r
 }
 
@@ -274,6 +289,32 @@ case class GraftRestoreCommand(catalogOrRoot: String,
     }
     val seq = Lake.restoreLake(spark, layout, version)
     Seq(Row(version, seq))
+  }
+}
+
+/** The captured `MOVE <src> TO <dst> WHERE <pred>` statement — the
+  * atomic quarantine/reconciliation verb: matching rows are DV-deleted
+  * from `src` and appended to `dst` under ONE `_txn` marker
+  * ([[graft.lake.Catalog.moveLakeRows]] — the insert batch and the
+  * deletion vector derive from the same under-lock scan, so
+  * concurrent deletes can never resurrect rows into `dst`). Address
+  * resolution and the move itself run at EXECUTION only (`EXPLAIN`
+  * stays side-effect-free). One row
+  * `(verb, from_version, to_version)`; both -1 when nothing matched. */
+case class GraftMoveCommand(fromTable: String, toTable: String,
+    predicateSql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("from_version", LongType, nullable = false)(),
+    AttributeReference("to_version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fromL = GraftAddress.existingLayout(spark, fromTable)
+    val toL = GraftAddress.existingLayout(spark, toTable)
+    val (fromSeq, toSeq) = Lake.moveLakeRows(spark, fromL, toL,
+      org.apache.spark.sql.functions.expr(predicateSql))
+    Seq(Row("move", fromSeq, toSeq))
   }
 }
 

@@ -775,11 +775,14 @@ object SqlLake {
       val usrL = Layout(s"$tmp/_tables/usr")
       val quarL = Layout(s"$tmp/_tables/quar")
       Catalog.commitLakeTransaction(spark, Seq(evL -> base, usrL -> users))
-      // THE MOVE: one atomic delete-from-ev + insert-into-quar
-      Catalog.commitLakeTransactionLegs(spark, Seq(
-        Catalog.TxnLeg(evL, deleteWhere = Some(col("user_id") % 13 === 0)),
-        Catalog.TxnLeg(quarL,
-          batch = Some(base.filter(col("user_id") % 13 === 0)))))
+      // THE MOVE, through the round-14 SQL statement (the atomic
+      // delete-from-ev + insert-into-quar under one txn marker; the
+      // statement path exercises moveLakeRows' under-lock lockstep
+      // derivation end-to-end against the oracle)
+      val mv = spark.sql(
+        s"MOVE $name.ev TO $name.quar WHERE user_id % 13 = 0").head
+      require(mv.getString(0) == "move" && mv.getLong(1) > 0 &&
+        mv.getLong(2) > 0, s"move must claim both legs: $mv")
       // the crashed mixed-verb transaction: a poison delete slice in
       // ev + poison rows in quar, never bound
       try Catalog.commitLakeTransactionLegsImpl(spark, Seq(

@@ -511,6 +511,103 @@ class LakeTxnSpec extends SparkTestBase {
       e.getMessage.contains("after retries"), e.getMessage)
   }
 
+  test("round-14 moveLakeRows: the atomic quarantine primitive — " +
+      "matching rows leave A and land in B exactly once, the CDF " +
+      "tells the truth on both ends, a no-match move is a no-op, and " +
+      "the guardrails refuse same-table and cross-root moves") {
+    import org.apache.spark.sql.functions.col
+    val (_, a, b) = twoTables("txn-mvapi")
+    Catalog.commitLake(spark, a, df(Seq(("s", 1L, 10L), ("s", 2L, 20L),
+      ("s", 3L, 30L), ("s", 4L, 40L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 9L, 90L))))
+    val aFrom = Catalog.headVersion(spark, a)
+    val bFrom = Catalog.headVersion(spark, b)
+    val (s1, s2) = Catalog.moveLakeRows(spark, a, b, col("k") % 2 === 0)
+    assert(s1 > 0 && s2 > 0)
+    assert(keys(a) == Set(1L, 3L) && keys(b) == Set(9L, 2L, 4L))
+    val aCh = Catalog.lakeChangesBetween(spark, a, aFrom).collect()
+    assert(aCh.count(_.getAs[String]("_change_type") == "delete") == 2)
+    val bCh = Catalog.lakeChangesBetween(spark, b, bFrom).collect()
+    assert(bCh.count(_.getAs[String]("_change_type") == "insert") == 2)
+    // no-match: nothing claims, versions unchanged
+    val head = (Catalog.headVersion(spark, a), Catalog.headVersion(spark, b))
+    assert(Catalog.moveLakeRows(spark, a, b, col("k") === 777L) ==
+      ((-1L, -1L)))
+    assert((Catalog.headVersion(spark, a),
+      Catalog.headVersion(spark, b)) == head)
+    intercept[IllegalArgumentException] {
+      Catalog.moveLakeRows(spark, a, a, col("k") === 1L)
+    }
+    val elsewhere = Layout(s"${tmpDir("txn-mv-otherroot")}/_tables/t_x")
+    intercept[IllegalArgumentException] {
+      Catalog.moveLakeRows(spark, a, elsewhere, col("k") === 1L)
+    }
+  }
+
+  test("round-14 moveLakeRows EXACTNESS: a DELETE racing the pre-lock " +
+      "window shrinks the insert batch and the deletion vector in " +
+      "LOCKSTEP — the already-deleted row is neither resurrected into " +
+      "B nor double-retracted from A") {
+    import org.apache.spark.sql.functions.col
+    val (_, a, b) = twoTables("txn-mvrace")
+    Catalog.commitLake(spark, a, df(Seq(("s", 2L, 20L), ("s", 3L, 30L),
+      ("s", 4L, 40L))))
+    Catalog.commitLake(spark, b, df(Seq(("s", 9L, 90L))))
+    val aFrom = Catalog.headVersion(spark, a)
+    // the race: after the move's matched-row scan pinned {2, 4}, a
+    // concurrent DELETE commits k=4 before the move takes its locks
+    val (s1, s2) = Catalog.moveLakeRowsImpl(spark, a, b,
+      col("k") % 2 === 0, None, 10 * 60 * 1000L, 60 * 1000L,
+      beforeLocks = () =>
+        Catalog.deleteLakeWhere(spark, a, col("k") === 4L))
+    assert(s1 > 0 && s2 > 0)
+    assert(keys(a) == Set(3L), "both evens left A (one by the racing " +
+      "delete, one by the move)")
+    assert(keys(b) == Set(9L, 2L),
+      "ONLY the still-live row moved — k=4 was deleted, not moved, " +
+        s"and must not resurrect into B: ${keys(b)}")
+    // A's CDF across the window: k=4 deleted EXACTLY once (the racing
+    // delete), k=2 exactly once (the move) — no double retraction
+    val dels = Catalog.lakeChangesBetween(spark, a, aFrom).collect()
+      .filter(_.getAs[String]("_change_type") == "delete")
+      .map(_.getAs[Long]("k")).toSeq.sorted
+    assert(dels == Seq(2L, 4L), s"each delete exactly once: $dels")
+  }
+
+  test("round-14 MOVE statement: SQL `MOVE a TO b WHERE …` runs the " +
+      "atomic move, EXPLAIN plans it without moving anything, and a " +
+      "non-graft target delegates") {
+    val root = tmpDir("txn-mvsql")
+    val cat = s"mv_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sql.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, v BIGINT, source STRING) " +
+      "PARTITIONED BY (source)")
+    spark.sql(s"CREATE TABLE $cat.quar (k BIGINT, v BIGINT, source STRING) " +
+      "PARTITIONED BY (source)")
+    (1 to 6).foreach(k =>
+      spark.sql(s"INSERT INTO $cat.ev VALUES ($k, ${k * 10}, 's')"))
+    // EXPLAIN is side-effect-free
+    spark.sql(s"EXPLAIN MOVE $cat.ev TO $cat.quar WHERE k > 4").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.quar").head.getLong(0) == 0L)
+    val out = spark.sql(s"MOVE $cat.ev TO $cat.quar WHERE k > 4").head
+    assert(out.getString(0) == "move" && out.getLong(1) > 0 &&
+      out.getLong(2) > 0)
+    assert(spark.sql(s"SELECT k FROM $cat.ev ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(spark.sql(s"SELECT k FROM $cat.quar ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L, 6L))
+    // a foreign catalog's MOVE is not ours to execute
+    spark.conf.set("spark.sql.catalog.fmove", "org.example.OtherCatalog")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("MOVE fmove.a TO fmove.b WHERE k = 1").collect()
+      }
+      assert(!e.getMessage.contains("no graft table"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.catalog.fmove")
+  }
+
   test("declared table stats flow through txn legs: a point predicate " +
       "file-skips over a transactionally-committed file") {
     val (_, a, b) = twoTables("txn-stats")
