@@ -231,7 +231,10 @@ object Dedup {
     * with the [[guardHotBuckets]] cap on the candidate join. */
   private[ops] def nearDupPairsOf(docs: DataFrame,
       maxBucket: Int = maxLshBucket): DataFrame = {
-    val banded = guardHotBuckets(bandIndexOf(docs), maxBucket)
+    // self-joined (a/b sides): truncate so the signature pass + the
+    // hot-bucket guard window run once, not once per side (r14)
+    val banded = Truncate(guardHotBuckets(bandIndexOf(docs), maxBucket),
+      "neardup-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val")) // equi join: hash shuffle on band key
@@ -241,8 +244,10 @@ object Dedup {
     // Only the (few) candidates pay for token arrays: join the docs
     // back by id — at scale this is the "fetch text for candidates"
     // hash join, keeping heavyweight payloads out of the LSH shuffle.
-    val docToks = docs
-      .select(col("doc_id"), array_distinct(tokens).as("toks"))
+    // two join arms: truncate so the scan + token-array build runs
+    // once, not once per arm (r14)
+    val docToks = Truncate(docs
+      .select(col("doc_id"), array_distinct(tokens).as("toks")), "neardup-toks")
     candidates
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
@@ -554,14 +559,18 @@ object Dedup {
     * sets cannot see). Shingle arrays are fetched per candidate only,
     * like the token arrays. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val banded = guardHotBuckets(bandIndexOf(Tables.documents(spark, sfDir)), maxLshBucket)
+    // self-joined + the guard window: one signature pass, not two (r14)
+    val banded = Truncate(
+      guardHotBuckets(bandIndexOf(Tables.documents(spark, sfDir)), maxLshBucket),
+      "ngramjac-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val docShingles = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    // two join arms: one scan + shingle-array build, not two (r14)
+    val docShingles = Truncate(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(shingles).as("sh")), "ngramjac-sh")
     candidates
       .join(docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(docShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -602,14 +611,18 @@ object Dedup {
     * candidate by id-join, never doc×doc. */
   def shingleContainment(spark: SparkSession, sfDir: String,
       minPpm: Long = 600000L): DataFrame = {
-    val banded = guardHotBuckets(bandIndexOf(Tables.documents(spark, sfDir)), maxLshBucket)
+    // self-joined + the guard window: one signature pass, not two (r14)
+    val banded = Truncate(
+      guardHotBuckets(bandIndexOf(Tables.documents(spark, sfDir)), maxLshBucket),
+      "shcont-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val docShingles = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), array_distinct(shingles).as("sh"))
+    // two join arms: one scan + shingle-array build, not two (r14)
+    val docShingles = Truncate(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(shingles).as("sh")), "shcont-sh")
     candidates
       .join(docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(docShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
@@ -874,12 +887,17 @@ object Dedup {
   def simhashNearDup(spark: SparkSession, sfDir: String,
       nBands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming <= nBands - 1, "banding is only exact for hamming <= nBands-1")
-    val f = simhashFieldsOf(Tables.documents(spark, sfDir), nBands)
-    val bands = guardHotBuckets(
+    // three consumers (the band explode and both fingerprint fetch
+    // arms): one SimHash signature pass, not three (r14); the banded
+    // index is additionally self-joined — truncate it too so the
+    // explode + guard window run once
+    val f = Truncate(simhashFieldsOf(Tables.documents(spark, sfDir), nBands),
+      "simhash-f")
+    val bands = Truncate(guardHotBuckets(
       f.select(col("doc_id"), explode(array(
           (0 until nBands).map(m => struct(lit(m).as("band_no"), col(s"f$m").as("band_val"))): _*)).as("b"))
         .select(col("doc_id"), col("b.band_no"), col("b.band_val")),
-      maxLshBucket)
+      maxLshBucket), "simhash-bands")
     val a = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))
@@ -970,7 +988,10 @@ object Dedup {
     val docs = Tables.documents(spark, sfDir)
     val evalSh = shingleSetOf(docs.filter(col("doc_id") % 20 === 0))
       .select(col("sh")).distinct()
-    val trainSh = shingleSetOf(docs.filter(col("doc_id") % 20 =!= 0))
+    // two consumers (totals, shared): one shingle explode over the
+    // train split, not two (r14)
+    val trainSh = Truncate(shingleSetOf(docs.filter(col("doc_id") % 20 =!= 0)),
+      "decon-trainsh")
     val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val shared = trainSh.join(evalSh, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
@@ -1008,9 +1029,13 @@ object Dedup {
     * key, the decontamination shape applied source-against-all. */
   def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val ssh = shingleSetOf(docs)
+    // the distinct (source, shingle) table feeds both the per-shingle
+    // source-count and the join spine: truncate once or the full
+    // shingle explode+md5+distinct pipeline re-executes per consumer
+    // (r14: 2 corpus passes → 1, measured)
+    val ssh = Truncate(shingleSetOf(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("sh")).distinct()
+      .select(col("source"), col("sh")).distinct(), "novelty-ssh")
     val sc = ssh.groupBy(col("sh")).agg(countDistinct(col("source")).as("ns"))
     ssh.join(sc, Seq("sh"))
       .groupBy(col("source"))
@@ -1096,11 +1121,16 @@ object Dedup {
         explode(sequence(lit(0), size(col("t")) - L)).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(L)))).as("w"))
-    val keep = wins.groupBy(col("w"))
+    // two consumers (the df filter and the semi-joined spine): one
+    // window explode + md5 pass, not two (r14)
+    val winsT = Truncate(wins, "subover-wins")
+    val keep = winsT.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("w"))
-    val rare = wins.join(keep, Seq("w"))
+    // self-joined on the window key: truncate so the semi-join over
+    // the window table runs once, not once per side (r14)
+    val rare = Truncate(winsT.join(keep, Seq("w")), "subover-rare")
     val m = rare.select(col("w"), col("doc_id").as("da"), col("pos").as("pa"))
       .join(rare.select(col("w"), col("doc_id").as("db"), col("pos").as("pb")), Seq("w"))
       .filter(col("da") < col("db"))
@@ -1172,19 +1202,28 @@ object Dedup {
     * small. */
   def sparseCosinePairs(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val banded = bandIndexOf(docs)
+    // doc-sized signature table, self-joined: truncate so the MinHash
+    // signature pass runs once, not once per join side (r14)
+    val banded = Truncate(bandIndexOf(docs), "sparsecos-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
     val candidates = a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     val toks = docs.select(col("doc_id"), explode(tokens).as("token"))
+    // tf has one row per (doc, token), so df = rows per token — derive
+    // it from tf instead of a second full explode + count-distinct
+    // pass (identical counts by construction; r14)
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val w = tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+    // the weighted postings feed three consumers (norms, both dot
+    // sides): truncate once or the explode+tf+df lineage re-executes
+    // per consumer (r14: 3 corpus explodes → 1, measured)
+    val w = Truncate(tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
-        (col("tf") * round(log(col("n_docs") / col("df")) * 10000).cast("long")).as("w"))
+        (col("tf") * round(log(col("n_docs") / col("df")) * 10000).cast("long")).as("w")),
+      "sparsecos-w")
     val norms = w.groupBy(col("doc_id")).agg(sum(col("w") * col("w")).as("n2"))
     val dot = candidates
       .join(w.select(col("doc_id").as("doc_a"), col("token"), col("w").as("wa")), Seq("doc_a"))
@@ -1307,15 +1346,22 @@ object Dedup {
           lit(" band_no="), col("band_no"), lit(" band_val="), col("band_val"),
           lit(" size="), col("bucket_n")))))
       .drop("bucket_n")
-    val a = guarded.select(col("cfg"), col("n_bands"), col("n_rows"),
+    // self-joined (a/b) — truncate so the 6-layout union + guard
+    // window run once, not once per side (r14)
+    val guardedT = Truncate(guarded, "bandtune-guarded")
+    val a = guardedT.select(col("cfg"), col("n_bands"), col("n_rows"),
       col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
-    val b = guarded.select(col("cfg"), col("band_no"), col("band_val"),
+    val b = guardedT.select(col("cfg"), col("band_no"), col("band_val"),
       col("doc_id").as("doc_b"))
-    val cand = a.join(b, Seq("cfg", "band_no", "band_val"))
+    // two consumers (the confirm filter and the per-cfg report):
+    // truncate so the band self-join runs once (r14)
+    val cand = Truncate(a.join(b, Seq("cfg", "band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("cfg"), col("n_bands"), col("n_rows"), col("doc_a"), col("doc_b"))
-      .distinct()
-    val docToks = docs.select(col("doc_id"), array_distinct(tokens).as("toks"))
+      .distinct(), "bandtune-cand")
+    // two join arms: one scan + token-array build (r14)
+    val docToks = Truncate(
+      docs.select(col("doc_id"), array_distinct(tokens).as("toks")), "bandtune-toks")
     val confirmed = cand.filter(col("cfg") === "b4r1")
       .select(col("doc_a"), col("doc_b"))
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
@@ -1422,9 +1468,14 @@ object Dedup {
     * one equi-join on a 32-byte digest — two `q_dedup_exact`-budget
     * shuffles, never text×text. */
   def normDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val fps = Tables.documents(spark, sfDir)
+    // three consumers (rawC, normC, and the join spine) each re-run
+    // the scan plus the regex-normalize + double-md5 over full text —
+    // the query's dominant per-row cost — unless the fingerprint table
+    // is truncated once (r14: 3 corpus passes → 1, measured)
+    val fps = Truncate(Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"),
-        md5(col("text")).as("raw_fp"), md5(normText(col("text"))).as("norm_fp"))
+        md5(col("text")).as("raw_fp"), md5(normText(col("text"))).as("norm_fp")),
+      "normdedup-fps")
     val rawC = fps.groupBy(col("raw_fp")).agg(count(lit(1)).as("n_raw"))
     val normC = fps.groupBy(col("norm_fp")).agg(count(lit(1)).as("n_norm"))
     fps.join(rawC, Seq("raw_fp")).join(normC, Seq("norm_fp"))

@@ -404,9 +404,14 @@ object Selection {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(concat(lit("sample:"), col("doc_id"))), 1, 8), 16, 10)
       .cast("long")
-    val docs = Tables.documents(spark, sfDir)
+    // the hashed-and-bucketed doc table feeds the histogram AND the
+    // tagged spine (which itself fans out to the full/edge branches):
+    // truncate once or the scan + token-split + md5 re-executes per
+    // consumer (r14: 3 corpus passes → 1, measured)
+    val docs = Truncate(Tables.documents(spark, sfDir)
       .select(col("source"), col("doc_id"), wsTokens.as("n_tokens"), h.as("h"))
-      .withColumn("b", expr(s"h DIV ${(1L << 32) / buckets}")) // contiguous hash ranges
+      .withColumn("b", expr(s"h DIV ${(1L << 32) / buckets}")), // contiguous hash ranges
+      "exactsample-docs")
     val quotas = proportionalAlloc(spark, sfDir, budget)
       .select(col("source"), col("quota"))
     val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
@@ -415,9 +420,15 @@ object Selection {
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("cum_below", col("cum") - col("cnt"))
       .join(broadcast(quotas), Seq("source"))
-    val tagged = docs
+    // two consumers (the kept-whole-bucket filter and the boundary
+    // rank) — truncate so the histogram join runs once (r14). The
+    // branches stay SEPARATE on purpose: merging them would put a full
+    // per-source rank over the corpus; only the boundary bucket may
+    // pay a window (the operator's scale contract).
+    val tagged = Truncate(docs
       .join(broadcast(hist.select(col("source"), col("b"),
-        col("cum"), col("cum_below"), col("quota"))), Seq("source", "b"))
+        col("cum"), col("cum_below"), col("quota"))), Seq("source", "b")),
+      "exactsample-tagged")
     val keptFull = tagged.filter(col("cum") <= col("quota"))
     // only the boundary bucket (cum_below < quota < cum) pays a rank,
     // over ~corpus/buckets rows per source

@@ -323,11 +323,16 @@ object Sketch {
     }
     val du = spark.read.parquet(duDir)
     val h = conv(substring(md5(col("u").cast("string")), 1, 8), 16, 10).cast("long")
-    val hashes = du.select(col("t"), h.as("h")).distinct()
+    // hashed-distinct table feeds the sketch AND the type list;
+    // the k-minimum sketch feeds FOUR consumers (both merge sides,
+    // both membership joins): truncate each once or the md5+distinct
+    // and the per-type rank window re-execute per consumer (r14:
+    // 6 recomputations → 2 passes, measured)
+    val hashes = Truncate(du.select(col("t"), h.as("h")).distinct(), "kmv-hashes")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("t")).orderBy(col("h"))
-    val sk = hashes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).select(col("t"), col("h"))
+    val sk = Truncate(hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("t"), col("h")), "kmv-sk")
     val types = hashes.select(col("t")).distinct()
     val pairs = types.select(col("t").as("ta"))
       .join(types.select(col("t").as("tb")), col("ta") < col("tb"))

@@ -709,11 +709,15 @@ object Text {
     // (map-side combined), so a repeated boilerplate transition rides
     // the join shuffles once with a weight k instead of once per
     // position — per-doc sums become sum(k·nll) / sum(k).
-    val docBg = bigrams.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("k"))
+    // (doc, bigram) counts feed BOTH the probe side and (summed over
+    // docs) the corpus bigram counts: truncate once and derive c12 =
+    // Σ_doc k instead of a second full bigram explode+count pass —
+    // identical counts by definition (r14: 2 explode passes → 1)
+    val docBg = Truncate(bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("k")), "lmnll-docbg")
     val uni = docs.select(explode(t).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bi = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val bi = docBg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
     // Join keys are (w1, xxhash64(bg)) — first token (short; the
     // unigram join needs it anyway) plus a 64-bit hash of the full
     // bigram, so the wide two-token string never rides a join shuffle.
@@ -795,8 +799,13 @@ object Text {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(tokens).cast("long").as("n_tokens"))
-    val scored = lmDocNll(spark, sfDir).select(col("doc_id"), col("avg_nll"))
-      .join(docs, Seq("doc_id"))
+    // the full LM-scoring pipeline (bigram explode + model joins)
+    // would re-execute for every downstream reference — truncate the
+    // scored table once (r14: the lmDocNll subtree ran 2× here, plus
+    // 2× more through `tagged`'s two branches before they were merged)
+    val scored = Truncate(lmDocNll(spark, sfDir)
+      .select(col("doc_id"), col("avg_nll"))
+      .join(docs, Seq("doc_id")), "ccnet-scored")
     val wCum = Window.partitionBy(col("source")).orderBy(col("avg_nll"))
     val wTot = Window.partitionBy(col("source"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -810,15 +819,19 @@ object Text {
       .withColumn("b_first", expr("(cum_below * 3) DIV tot"))
       .withColumn("b_last", expr("((cum - 1) * 3) DIV tot"))
     val tagged = scored.join(hist, Seq("source", "avg_nll"))
-    val whole = tagged.filter(col("b_first") === col("b_last"))
-      .withColumn("bucket", col("b_first"))
+    // one pass instead of a whole/edge union (r14): the cell-local
+    // rank is computed for every row, but a whole-in-one-tercile
+    // cell's bucket is b_first regardless of rank — identical rows to
+    // the old two-branch union, one fewer pass over `tagged` and no
+    // union shuffle. The window stays cell-partitioned (never a
+    // per-source global rank): only ~corpus/|cells| rows per task.
     val wCell = Window.partitionBy(col("source"), col("avg_nll"))
       .orderBy(col("doc_id"))
-    val edge = tagged.filter(col("b_first") =!= col("b_last"))
+    tagged
       .withColumn("r", col("cum_below") + row_number().over(wCell))
-      .withColumn("bucket", expr("((r - 1) * 3) DIV tot"))
+      .withColumn("bucket", when(col("b_first") === col("b_last"), col("b_first"))
+        .otherwise(expr("((r - 1) * 3) DIV tot")))
       .drop("r")
-    whole.unionByName(edge)
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         min(col("avg_nll")).as("min_nll"), max(col("avg_nll")).as("max_nll"))
@@ -1196,7 +1209,11 @@ object Text {
       // (last_token, null) pair or the c1/N marginals overcount by one
       // per document vs the oracle's exact n-1 bigrams
       .filter(col("w2").isNotNull)
-    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // the bigram-count table feeds FOUR consumers (m1, m2, n, and the
+    // reported pairs) — truncate it once or the corpus explode+count
+    // pass re-executes per consumer (r14: 4 scans → 1, measured)
+    val cb = Truncate(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12")), "pmi-cb")
     val m1 = cb.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val m2 = cb.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val n = cb.agg(sum(col("c12")).as("n"))
