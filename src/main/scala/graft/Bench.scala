@@ -14,6 +14,29 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // MEASUREMENT CONTRACT (round 15): the bench starts ARTIFACT-COLD.
+    // Corpus-fingerprint-keyed artifacts (the near-dup pair table, IVF
+    // assignments/centroids, PQ codebooks/codes, the SQL-lake fixtures)
+    // persist across JVMs under Artifacts.sharedRoot by design — but a
+    // bench run that happens to find them warm under-reports ~10
+    // consumer queries and makes two runs incomparable (r14: the cold
+    // 32-core headline vs the warm 8-core scaling leg differed 2.2×
+    // for reasons that had nothing to do with cores). Deleting the
+    // shared root before the timed loop makes every run measure the
+    // same thing: each artifact is built exactly once, inside the
+    // timed region of the first query that needs it — which is what a
+    // fresh driver environment pays anyway. Disable (to measure a
+    // warm-index serving posture explicitly) with
+    // SPARK_GRAFT_KEEP_ARTIFACTS=1.
+    if (!sys.env.get("SPARK_GRAFT_KEEP_ARTIFACTS").contains("1")) {
+      try {
+        val root = new org.apache.hadoop.fs.Path(graft.ops.Artifacts.sharedRoot)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true)
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] artifact vacuum failed: ${e.getMessage}")
+      }
+    }
     // Untimed warmup: first-query numbers otherwise include one-off JVM
     // JIT + codegen-compiler + shuffle-system init (~5 s), which is
     // session cost, not query cost. Three parts, all session init and
@@ -56,13 +79,21 @@ object Bench {
         fn(spark, sfDir).count()
         results(name) = (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable => failures(name) = e.getClass.getSimpleName }
+      // storage hygiene BETWEEN queries (after the clock stops): free
+      // the query's lineage-truncation checkpoint blocks. Without this
+      // a 228-query run accumulates every query's checkpointed
+      // intermediates in executor storage — r14's across-the-board
+      // slowdown. Each query still computes everything from the
+      // parquet inputs inside its own timed region.
+      graft.ops.Truncate.release()
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failures.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failures.size},"failures":$fj,"sf":"$sfDir"}"""
+    val cold = !sys.env.get("SPARK_GRAFT_KEEP_ARTIFACTS").contains("1")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failures.size},"failures":$fj,"artifact_cold":$cold,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only the stdout TAIL, so the per-query map gets
     // truncated in BENCH_r{N}.json on large suites — also write the

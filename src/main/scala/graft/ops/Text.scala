@@ -809,6 +809,10 @@ object Text {
     val wCum = Window.partitionBy(col("source")).orderBy(col("avg_nll"))
     val wTot = Window.partitionBy(col("source"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // histogram-sized (≤ distinct integer NLL values × sources,
+    // corpus-size-independent) and broadcast onto the scored table;
+    // the two branches below carry IDENTICAL hist subtrees, so
+    // ReuseExchange builds the broadcast once
     val hist = scored.groupBy(col("source"), col("avg_nll"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(wCum))
@@ -818,20 +822,22 @@ object Text {
       // lands in one tercile and no doc needs a rank
       .withColumn("b_first", expr("(cum_below * 3) DIV tot"))
       .withColumn("b_last", expr("((cum - 1) * 3) DIV tot"))
-    val tagged = scored.join(hist, Seq("source", "avg_nll"))
-    // one pass instead of a whole/edge union (r14): the cell-local
-    // rank is computed for every row, but a whole-in-one-tercile
-    // cell's bucket is b_first regardless of rank — identical rows to
-    // the old two-branch union, one fewer pass over `tagged` and no
-    // union shuffle. The window stays cell-partitioned (never a
-    // per-source global rank): only ~corpus/|cells| rows per task.
+    val tagged = scored.join(broadcast(hist), Seq("source", "avg_nll"))
+    // two branches, NOT one windowed pass (r15, reverting r14's merge):
+    // ranking every row through the cell window re-shuffles the whole
+    // corpus; the whole-cell branch needs no rank at all, and only the
+    // ≤ 2 boundary cells per source (a corpus/|cells|-sized slice,
+    // filtered BEFORE the window's exchange) pay the shuffle+sort —
+    // the operator's documented scale contract.
+    val whole = tagged.filter(col("b_first") === col("b_last"))
+      .withColumn("bucket", col("b_first"))
     val wCell = Window.partitionBy(col("source"), col("avg_nll"))
       .orderBy(col("doc_id"))
-    tagged
+    val edge = tagged.filter(col("b_first") =!= col("b_last"))
       .withColumn("r", col("cum_below") + row_number().over(wCell))
-      .withColumn("bucket", when(col("b_first") === col("b_last"), col("b_first"))
-        .otherwise(expr("((r - 1) * 3) DIV tot")))
+      .withColumn("bucket", expr("((r - 1) * 3) DIV tot"))
       .drop("r")
+    whole.unionByName(edge)
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
         min(col("avg_nll")).as("min_nll"), max(col("avg_nll")).as("max_nll"))

@@ -2,15 +2,17 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
-/** Lineage truncation for iterative plans (PageRank/BFS frontiers, the
-  * band-tune signature table, the MMR shortlist), with a DURABILITY
-  * POSTURE FLAG:
+/** Lineage truncation for plans that would otherwise re-execute a
+  * shared subtree per consumer (self-joined indexes, iterative
+  * frontiers, multi-branch histograms), with a DURABILITY POSTURE FLAG:
   *
   *  - default (`spark.graft.durableTruncate` unset/false):
-  *    `localCheckpoint(eager)` — partitions live in executor storage,
-  *    zero extra I/O. Right for local mode and for clusters where a
-  *    lost executor may fail the job (localCheckpoint severs the
-  *    recompute lineage, so executor loss IS job loss).
+  *    `localCheckpoint(eager = false)` — partitions land in executor
+  *    storage at the FIRST action, zero extra I/O, and explain-only
+  *    consumers (plan dumps, audits) never execute anything. Right for
+  *    local mode; on a multi-executor cluster a lost executor may fail
+  *    the job (localCheckpoint severs the recompute lineage, so
+  *    executor loss IS job loss) — use the durable posture there.
   *  - durable (`spark.graft.durableTruncate=true`): a parquet
   *    round-trip under `spark.graft.truncateDir` (defaults to the JVM
   *    tmpdir locally; point it at job scratch on shared storage for a
@@ -20,12 +22,36 @@ import org.apache.spark.sql.DataFrame
   *    band-tune run.
   *
   * Both paths return a frame with identical rows and a truncated
-  * lineage; the flag changes fault tolerance, never results. */
+  * lineage; the flag changes fault tolerance, never results.
+  *
+  * `spark.graft.truncate.enabled=false` disables truncation entirely
+  * (identity) — for plan audits that must see the full lineage below
+  * the cut. Results are identical either way, only the number of times
+  * shared subtrees execute changes.
+  *
+  * STORAGE DISCIPLINE (round 15): checkpointed blocks live in executor
+  * storage until released. A long-lived JVM running many queries (the
+  * bench, Verify) must call [[release]] after each query's action, or
+  * the blocks accumulate — measured r14→r15: a full 228-query bench
+  * run without release ended with multi-GB of dead MEMORY_AND_DISK
+  * blocks evicting each other, a global slowdown. Callers must only
+  * release frames they are completely done with: a released local
+  * checkpoint cannot be recomputed (the lineage is gone). */
 object Truncate {
 
   /** True when the durable posture is on for this session. */
   def durable(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.graft.durableTruncate", "false").toBoolean
+
+  /** True unless truncation is disabled for this session. */
+  def enabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.get("spark.graft.truncate.enabled", "true").toBoolean
+
+  /** Ids of checkpointed RDDs this JVM created and has not yet
+    * released (resolved against `getPersistentRDDs` at release time,
+    * so an already-GC'd or already-unpersisted id is a no-op). */
+  private val liveRddIds =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Integer]()
 
   /** Truncate `df`'s lineage per the session posture. `tag` names the
     * scratch dir (uniquified per call — iterations never overwrite a
@@ -37,8 +63,20 @@ object Truncate {
     * service JVM that never exits should point `spark.graft.truncateDir`
     * at job-scoped scratch and reclaim it per job. */
   def apply(df: DataFrame, tag: String): DataFrame =
-    if (!durable(df)) df.localCheckpoint(true)
-    else {
+    if (!enabled(df)) df
+    else if (!durable(df)) {
+      // lazy: materializes inside the first consuming job (one compute
+      // per partition — the block manager serializes concurrent
+      // readers per block), so construction/explain stays free.
+      // localCheckpoint registers its persist immediately, so the id
+      // diff around the call captures exactly the new checkpoint RDD.
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(false)
+      (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+        liveRddIds.add(Int.box(id)))
+      out
+    } else {
       val spark = df.sparkSession
       val root = spark.conf.get("spark.graft.truncateDir",
         s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-truncate")
@@ -48,4 +86,25 @@ object Truncate {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).deleteOnExit(p)
       spark.read.parquet(dir)
     }
+
+  /** Unpersist every checkpoint block [[apply]] created since the last
+    * release — harness hygiene BETWEEN queries (never mid-query: a
+    * released local checkpoint cannot be recomputed). Returns the
+    * number of RDDs released. */
+  def release(): Int = {
+    val persisted = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.getPersistentRDDs)
+      .getOrElse(Map.empty[Int, org.apache.spark.rdd.RDD[_]])
+    var n = 0
+    var id = liveRddIds.poll()
+    while (id != null) {
+      persisted.get(id.intValue()).foreach { rdd =>
+        try { rdd.unpersist(false); n += 1 }
+        catch { case _: Throwable => () } // context stopped: nothing to free
+      }
+      id = liveRddIds.poll()
+    }
+    n
+  }
 }

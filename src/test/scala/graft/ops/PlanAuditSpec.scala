@@ -228,7 +228,13 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("exactSample: model-sized histogram broadcasts; only windows over hist/boundary") {
-    val df = Selection.exactSample(spark, sfDir)
+    // truncation (lineage checkpoint of the hashed-doc and tagged
+    // tables) collapses the audited subtrees to RDD scans in the
+    // executed plan — audit the pre-truncate shape, which is what
+    // actually executes inside the checkpoint's materialization
+    spark.conf.set("spark.graft.truncate.enabled", "false")
+    val df = try Selection.exactSample(spark, sfDir)
+    finally spark.conf.unset("spark.graft.truncate.enabled")
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
