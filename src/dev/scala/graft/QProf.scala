@@ -21,6 +21,7 @@ object QProf {
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { i =>
         DevTiming.time("qprof")(s"$name rep$i")(fn(spark, sfDir).count())
+        ops.Truncate.release() // same between-query hygiene as Bench
       }
     }
     spark.stop()

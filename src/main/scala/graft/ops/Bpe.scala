@@ -140,6 +140,11 @@ object Bpe {
     * keeps the replace-chain SQL, so the correctness gate itself
     * re-proves the two applications identical on every run. */
   def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    // NOTE (r15): the distinct-word + weighted-sum shape that pays off
+    // for [[graft.ops.Unigram.tokenizerCompare]] (three tokenizers per
+    // word) measured neutral-to-slower here — one merge replay per
+    // occurrence is cheaper than the added (lang, word) exchange when
+    // only one tokenizer runs. Per-occurrence scoring stays.
     Tables.documents(spark, sfDir)
       .select(col("lang"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))

@@ -237,16 +237,25 @@ object Dedup {
       "neardup-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_no", "band_val")) // equi join: hash shuffle on band key
+    // pair-id-sized: truncated because it feeds the candidate-id set
+    // AND the verify chain below (r15; without the cut the band
+    // self-join re-executes per consumer)
+    val candidates = Truncate(a.join(b, Seq("band_no", "band_val")) // equi join on band key
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
-      .distinct()                                   // dedup pairs matched by both bands
-    // Only the (few) candidates pay for token arrays: join the docs
-    // back by id — at scale this is the "fetch text for candidates"
-    // hash join, keeping heavyweight payloads out of the LSH shuffle.
-    // two join arms: truncate so the scan + token-array build runs
-    // once, not once per arm (r14)
-    val docToks = Truncate(docs
+      .distinct(),                                  // dedup pairs matched by both bands
+      "neardup-cand")
+    // Only the (few) candidates pay for token arrays: semi-join the
+    // corpus down to candidate ids FIRST, tokenize only survivors,
+    // and checkpoint the candidate-sized result for the two join arms
+    // — at scale this is the "fetch text for candidates" hash join.
+    // r14 checkpointed the FULL corpus token-array table here (every
+    // doc's tokens in executor storage — the §5 scale risk VERDICT
+    // r14 item 3 flags); pruning first bounds the checkpoint by the
+    // candidate count and skips tokenizing non-candidates entirely.
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val docToks = Truncate(docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(tokens).as("toks")), "neardup-toks")
     candidates
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
@@ -565,11 +574,18 @@ object Dedup {
       "ngramjac-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_no", "band_val"))
+    // pair-id-sized; truncated: feeds the candidate-id set + the
+    // verify chain (r15)
+    val candidates = Truncate(a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    // two join arms: one scan + shingle-array build, not two (r14)
+      .select(col("doc_a"), col("doc_b")).distinct(), "ngramjac-cand")
+    // shingle arrays fetched for CANDIDATES only, then checkpointed
+    // candidate-sized for the two arms — r14 checkpointed the full
+    // corpus shingle-array table (§5 scale risk, VERDICT r14 item 3)
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val docShingles = Truncate(Tables.documents(spark, sfDir)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles).as("sh")), "ngramjac-sh")
     candidates
       .join(docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -617,11 +633,18 @@ object Dedup {
       "shcont-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_no", "band_val"))
+    // pair-id-sized; truncated: feeds the candidate-id set + the
+    // verify chain (r15)
+    val candidates = Truncate(a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    // two join arms: one scan + shingle-array build, not two (r14)
+      .select(col("doc_a"), col("doc_b")).distinct(), "shcont-cand")
+    // shingle arrays fetched for CANDIDATES only, then checkpointed
+    // candidate-sized for the two arms — r14 checkpointed the full
+    // corpus shingle-array table (§5 scale risk, VERDICT r14 item 3)
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
     val docShingles = Truncate(Tables.documents(spark, sfDir)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(shingles).as("sh")), "shcont-sh")
     candidates
       .join(docShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
@@ -991,7 +1014,7 @@ object Dedup {
     // two consumers (totals, shared): one shingle explode over the
     // train split, not two (r14)
     val trainSh = Truncate(shingleSetOf(docs.filter(col("doc_id") % 20 =!= 0)),
-      "decon-trainsh")
+      "decon-trainsh", big = true)
     val totals = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val shared = trainSh.join(evalSh, Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
@@ -1035,12 +1058,21 @@ object Dedup {
     // (r14: 2 corpus passes → 1, measured)
     val ssh = Truncate(shingleSetOf(docs)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("sh")).distinct(), "novelty-ssh")
-    val sc = ssh.groupBy(col("sh")).agg(countDistinct(col("source")).as("ns"))
-    ssh.join(sc, Seq("sh"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("sh")).distinct(), "novelty-ssh", big = true)
+    // A shingle with source-count 1 belongs to exactly ONE source —
+    // min(source) IS that source — so the per-source unique count
+    // needs no ssh⋈sc join back (r15: the shingle-keyed join of two
+    // shingle-scale tables was the query's largest shuffle; two
+    // aggregations over the checkpointed ssh replace it). ssh is
+    // distinct (source, sh) by construction, so count(1) per sh =
+    // countDistinct(source).
+    val tot = ssh.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    val uniq = ssh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("ns"), min(col("source")).as("source"))
+      .filter(col("ns") === 1)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+    tot.join(uniq, Seq("source"), "left")
+      .na.fill(0L, Seq("n_unique"))
       .withColumn("unique_ppm", expr("(n_unique * 1000000) DIV n_shingles"))
       .orderBy(col("source"))
   }
@@ -1123,14 +1155,14 @@ object Dedup {
         md5(concat_ws(" ", slice(col("t"), col("pos") + 1, lit(L)))).as("w"))
     // two consumers (the df filter and the semi-joined spine): one
     // window explode + md5 pass, not two (r14)
-    val winsT = Truncate(wins, "subover-wins")
+    val winsT = Truncate(wins, "subover-wins", big = true)
     val keep = winsT.groupBy(col("w"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("w"))
     // self-joined on the window key: truncate so the semi-join over
     // the window table runs once, not once per side (r14)
-    val rare = Truncate(winsT.join(keep, Seq("w")), "subover-rare")
+    val rare = Truncate(winsT.join(keep, Seq("w")), "subover-rare", big = true)
     val m = rare.select(col("w"), col("doc_id").as("da"), col("pos").as("pa"))
       .join(rare.select(col("w"), col("doc_id").as("db"), col("pos").as("pb")), Seq("w"))
       .filter(col("da") < col("db"))
@@ -1207,20 +1239,34 @@ object Dedup {
     val banded = Truncate(bandIndexOf(docs), "sparsecos-bands")
     val a = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_no"), col("band_val"), col("doc_id").as("doc_b"))
-    val candidates = a.join(b, Seq("band_no", "band_val"))
+    // pair-id-sized; truncated: feeds the candidate-id set + the dot
+    // chain (r15)
+    val candidates = Truncate(a.join(b, Seq("band_no", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b")).distinct(), "sparsecos-cand")
     val toks = docs.select(col("doc_id"), explode(tokens).as("token"))
     // tf has one row per (doc, token), so df = rows per token — derive
     // it from tf instead of a second full explode + count-distinct
-    // pass (identical counts by construction; r14)
+    // pass (identical counts by construction; r14). The df table is
+    // vocab-sized: truncate THAT, not the corpus postings.
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val df = Truncate(tf.groupBy(col("token")).agg(count(lit(1)).as("df")),
+      "sparsecos-df")
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // the weighted postings feed three consumers (norms, both dot
-    // sides): truncate once or the explode+tf+df lineage re-executes
-    // per consumer (r14: 3 corpus explodes → 1, measured)
-    val w = Truncate(tf.join(df, Seq("token")).crossJoin(broadcast(nDocs))
+    // Weighted postings are only ever consumed for CANDIDATE docs
+    // (norms join the pair output; both dot arms join candidates):
+    // re-derive tf for the candidate-pruned corpus slice and
+    // checkpoint the candidate-sized postings — r14 checkpointed the
+    // FULL corpus postings table (§5 scale risk, VERDICT r14 item 3).
+    // df/n_docs stay corpus-global, so weights are unchanged; a doc's
+    // weight row depends only on its own tokens, so pruning docs
+    // changes no surviving row.
+    val candIds = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val tfCand = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val w = Truncate(tfCand.join(df, Seq("token")).crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("token"),
         (col("tf") * round(log(col("n_docs") / col("df")) * 10000).cast("long")).as("w")),
       "sparsecos-w")
@@ -1359,11 +1405,18 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("cfg"), col("n_bands"), col("n_rows"), col("doc_a"), col("doc_b"))
       .distinct(), "bandtune-cand")
-    // two join arms: one scan + token-array build (r14)
-    val docToks = Truncate(
-      docs.select(col("doc_id"), array_distinct(tokens).as("toks")), "bandtune-toks")
-    val confirmed = cand.filter(col("cfg") === "b4r1")
+    // token arrays fetched for the VERIFY layout's candidates only,
+    // checkpointed candidate-sized for the two arms — r14 checkpointed
+    // the full corpus token-array table (§5 scale risk, VERDICT r14
+    // item 3)
+    val verifyCand = cand.filter(col("cfg") === "b4r1")
       .select(col("doc_a"), col("doc_b"))
+    val candIds = verifyCand.select(col("doc_a").as("doc_id"))
+      .unionByName(verifyCand.select(col("doc_b").as("doc_id"))).distinct()
+    val docToks = Truncate(
+      docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), array_distinct(tokens).as("toks")), "bandtune-toks")
+    val confirmed = verifyCand
       .join(docToks.select(col("doc_id").as("doc_a"), col("toks").as("toks_a")), Seq("doc_a"))
       .join(docToks.select(col("doc_id").as("doc_b"), col("toks").as("toks_b")), Seq("doc_b"))
       .filter(round(size(array_intersect(col("toks_a"), col("toks_b"))) /

@@ -813,9 +813,12 @@ object EventOps {
     val series = dailySeries(spark, sfDir)
     val stats = series.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
-    val base = series.join(broadcast(stats), Seq("event_type"))
+    // five consumer arms (lagged + one join per lag + den): truncate
+    // the model-sized deviation table once (r15) so the zero-fill grid
+    // join doesn't re-derive per arm
+    val base = Truncate(series.join(broadcast(stats), Seq("event_type"))
       .select(col("event_type"), col("t"), col("n"), col("s"),
-        (col("x") * col("n") - col("s")).as("dev"))
+        (col("x") * col("n") - col("s")).as("dev")), "autocorr-base")
     val lagged = base.select(col("event_type").as("et2"), col("t").as("t2"),
       col("dev").as("dev2"))
     val lagDf = lags.foldLeft(Option.empty[DataFrame]) { (acc, k) =>

@@ -537,12 +537,6 @@ object Similarity {
   val OracleExportRoot: String = sys.env.getOrElse("GRAFT_ORACLE_ROOT",
     s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft-oracle-${System.getProperty("user.name", "anon")}")
 
-  /** Per-JVM run id: concurrent sessions (even over the SAME corpus)
-    * export under disjoint subdirs, so the cross-session overwrite race
-    * a fixed path had is structurally gone. The SQL glob below includes
-    * the run id, so a DuckDB replay only ever sees its own run's files. */
-  private[ops] val RunId: String = java.util.UUID.randomUUID().toString.take(8)
-
   /** Where [[ivfTrainedTopK]] materializes its trained centroids. The
     * iterative k-means itself is not practically SQL-expressible, but
     * it IS deterministic (fixed init, fixed tie-breaks), so the oracle
@@ -550,8 +544,16 @@ object Similarity {
     * table to parquet inside the query's own lineage, and the DuckDB
     * oracle reads the SAME parquet and replays the probe — the whole
     * probe path gets a hash-checked row, and any training
-    * nondeterminism would surface as a mismatch on re-run. */
-  lazy val TrainedCentroidsPath: String = s"$OracleExportRoot/run=$RunId/ivf_trained_centroids"
+    * nondeterminism would surface as a mismatch on re-run.
+    *
+    * SHARED across JVMs since r15 (VERDICT r14 item 5): run-scoping
+    * made EVERY JVM retrain (~7 s cold at sf0.1) for a deterministic,
+    * corpus-keyed output. Commit goes through [[Artifacts.commit]]
+    * (atomic rename, `_SUCCESS`-gated), so concurrent builders are
+    * safe — the [[graft.ops.Pq.PqCodebooksPath]] contract, `v1` being
+    * the training-recipe version. */
+  lazy val TrainedCentroidsPath: String =
+    s"$OracleExportRoot/shared/ivf_trained_centroids/v1"
 
   /** Order-independent content fingerprint of an embeddings corpus —
     * keys oracle-shared exports (see the comment inside
@@ -594,11 +596,7 @@ object Similarity {
     // `%`, not pmod: terms can be negative (embedding components are)
     // and DuckDB's % follows the dividend sign like Java's
     val corpusKey = corpusKeyOf(emb)
-    val exportDir = s"$TrainedCentroidsPath/k=$corpusKey"
-    val fs = new org.apache.hadoop.fs.Path(exportDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = new org.apache.hadoop.fs.Path(exportDir, "_SUCCESS")
-    if (!fs.exists(committed)) {
+    Artifacts.commit(spark, s"$TrainedCentroidsPath/k=$corpusKey") { tmp =>
       // train on a deterministic 1-in-4 sample: k-means cost is
       // iterations × |train| × k cosines, and sample-trained centroids
       // are standard IVF practice (the full corpus is still assigned
@@ -607,9 +605,8 @@ object Similarity {
       // training was ~2 s of the 2.6 s query at sf0.1.
       KMeansIvf.trainCentroids(spark, emb.filter(col("vec_id") % 4 === 0), k = 8, iters = 2)
         .withColumn("corpus_key", lit(corpusKey))
-        .coalesce(1).write.mode("overwrite").parquet(exportDir)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    exportDir
   }
 
   /** IVF probe over TRAINED (k-means) centroids — the production

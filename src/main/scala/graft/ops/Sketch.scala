@@ -328,7 +328,7 @@ object Sketch {
     // both membership joins): truncate each once or the md5+distinct
     // and the per-type rank window re-execute per consumer (r14:
     // 6 recomputations → 2 passes, measured)
-    val hashes = Truncate(du.select(col("t"), h.as("h")).distinct(), "kmv-hashes")
+    val hashes = Truncate(du.select(col("t"), h.as("h")).distinct(), "kmv-hashes", big = true)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("t")).orderBy(col("h"))
     val sk = Truncate(hashes.withColumn("rn", row_number().over(w))
@@ -351,6 +351,11 @@ object Sketch {
         max(when(col("rn") === k, col("h"))).as("kth"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("k_inter"))
     val sizes = du.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    // NOTE (r15): a collect_set-per-user + combination-explode rewrite
+    // (one exchange fewer on paper) measured slower — the per-user set
+    // aggregate falls back to sort-based aggregation at corpus user
+    // counts and the array lambdas evaluate outside codegen. The equi
+    // self-join on the user key stays.
     val eInter = du.select(col("t").as("ta"), col("u"))
       .join(du.select(col("t").as("tb"), col("u")), Seq("u"))
       .filter(col("ta") < col("tb"))

@@ -712,24 +712,26 @@ object Text {
     // (doc, bigram) counts feed BOTH the probe side and (summed over
     // docs) the corpus bigram counts: truncate once and derive c12 =
     // Σ_doc k instead of a second full bigram explode+count pass —
-    // identical counts by definition (r14: 2 explode passes → 1)
-    val docBg = Truncate(bigrams.groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("k")), "lmnll-docbg")
+    // identical counts by definition (r14: 2 explode passes → 1).
+    // The bigram is keyed as (w1, xxhash64(bg)) ALREADY AT THE COUNT
+    // (r15): the r14 shape stored and shuffled the full two-token
+    // string and only hashed at join time — hashing before the groupBy
+    // halves the checkpoint/shuffle width (§2.3 narrower types). A
+    // false merge needs two bigrams SHARING w1 to collide in xxhash64
+    // (~2^-64 per continuation set — and a join-time collision under
+    // the r14 shape would have DUPLICATED probe rows, so merging at
+    // the count is strictly safer); keeping w1 in the key makes
+    // cross-w1 collisions harmless. w1 is recoverable from bg because
+    // tokens are space-split (no token contains ' ').
+    val docBg = Truncate(bigrams
+      .select(col("doc_id"), substring_index(col("bg"), " ", 1).as("w1"),
+        xxhash64(col("bg")).as("bh"))
+      .groupBy(col("doc_id"), col("w1"), col("bh"))
+      .agg(count(lit(1)).as("k")), "lmnll-docbg", big = true)
     val uni = docs.select(explode(t).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val bi = docBg.groupBy(col("bg")).agg(sum(col("k")).as("c12"))
-    // Join keys are (w1, xxhash64(bg)) — first token (short; the
-    // unigram join needs it anyway) plus a 64-bit hash of the full
-    // bigram, so the wide two-token string never rides a join shuffle.
-    // A false merge needs two bigrams SHARING w1 to collide in
-    // xxhash64 (~2^-64 per continuation set); keeping w1 in the key
-    // makes cross-w1 collisions harmless. w1 is recoverable from bg
-    // because tokens are space-split (no token contains ' ').
-    val probe = docBg.select(col("doc_id"),
-      substring_index(col("bg"), " ", 1).as("w1"),
-      xxhash64(col("bg")).as("bh"), col("k"))
-    val biH = bi.select(substring_index(col("bg"), " ", 1).as("w1"),
-      xxhash64(col("bg")).as("bh"), col("c12"))
+    val probe = docBg
+    val biH = docBg.groupBy(col("w1"), col("bh")).agg(sum(col("k")).as("c12"))
     // scores are NEGATIVE-log-likelihood costs (>= 0): c12 <= c1 by
     // construction, and non-negative integers keep Spark DIV = DuckDB //
     // (they differ on negatives: truncate vs floor)

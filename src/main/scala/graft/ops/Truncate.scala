@@ -62,7 +62,16 @@ object Truncate {
     * stage may still scan an earlier iteration's frame. A long-lived
     * service JVM that never exits should point `spark.graft.truncateDir`
     * at job-scoped scratch and reclaim it per job. */
-  def apply(df: DataFrame, tag: String): DataFrame =
+  def apply(df: DataFrame, tag: String): DataFrame = apply(df, tag, big = false)
+
+  /** As [[apply]]; `big = true` marks a checkpoint whose row count
+    * scales with token/shingle POSITIONS rather than documents (the
+    * substring-overlap window table, shingle sets, bigram postings).
+    * Locally these fit and keep the default level; on a cluster point
+    * `spark.graft.truncate.bigStorageLevel` at DISK_ONLY so a
+    * corpus-scale checkpoint can never evict execution memory —
+    * the level changes cost, never results. */
+  def apply(df: DataFrame, tag: String, big: Boolean): DataFrame =
     if (!enabled(df)) df
     else if (!durable(df)) {
       // lazy: materializes inside the first consuming job (one compute
@@ -71,8 +80,12 @@ object Truncate {
       // localCheckpoint registers its persist immediately, so the id
       // diff around the call captures exactly the new checkpoint RDD.
       val sc = df.sparkSession.sparkContext
+      val level = org.apache.spark.storage.StorageLevel.fromString(
+        if (big) df.sparkSession.conf.get(
+          "spark.graft.truncate.bigStorageLevel", "MEMORY_AND_DISK")
+        else "MEMORY_AND_DISK")
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(false)
+      val out = df.localCheckpoint(false, level)
       (sc.getPersistentRDDs.keySet -- before).foreach(id =>
         liveRddIds.add(Int.box(id)))
       out

@@ -131,6 +131,11 @@ object Unigram {
     * tokenizer, so the two vocab models diff directly (chars/token =
     * the compression each model buys on the same words). */
   def unigramTokens(spark: SparkSession, sfDir: String): DataFrame =
+    // NOTE (r15): the distinct-word + weighted-sum shape that pays off
+    // for [[tokenizerCompare]] (three tokenizers per word) measured
+    // ~1.5× SLOWER here — one Viterbi per occurrence is cheaper than
+    // the added (lang, word) exchange when only one tokenizer runs.
+    // Per-occurrence scoring stays.
     Tables.documents(spark, sfDir)
       .select(col("lang"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
@@ -291,15 +296,26 @@ object Unigram {
     * replays BPE as the replace chain and both unigram vocabs as two
     * tagged recursive-CTE Viterbi replays in one statement. */
   def tokenizerCompare(spark: SparkSession, sfDir: String): DataFrame = {
-    val counted = Tables.documents(spark, sfDir)
+    // tokenize DISTINCT words once and weight by occurrence count —
+    // the three tokenizer expressions are the per-row cost driver and
+    // word frequency is Zipfian, so running them per OCCURRENCE
+    // repeats the identical merge replay / Viterbi thousands of times
+    // (guide §1.2 step 2; the oracle's own `uw` DISTINCT shape).
+    // Weighted sums equal the per-occurrence sums exactly: results
+    // unchanged, cost drops from O(occurrences·tokenize) to
+    // O(occurrences + |vocab|·tokenize).
+    val wc = Tables.documents(spark, sfDir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("word"))
-      .select(length(col("word")).as("n_chars"),
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+    val counted = wc
+      .select(col("f"), length(col("word")).as("n_chars"),
         size(graft.functions.TextFunctions.bpe_tokens(col("word"), Bpe.merges)).as("tb"),
         size(graft.functions.TextFunctions.unigram_pieces(col("word"), pieces)).as("te"),
         size(graft.functions.TextFunctions.unigram_pieces(col("word"), piecesSoft)).as("ts"))
-      .agg(count(lit(1)).as("nw"), sum(col("n_chars")).as("nc"),
-        sum(col("tb")).as("tb"), sum(col("te")).as("te"), sum(col("ts")).as("ts"))
+      .agg(sum(col("f")).as("nw"), sum(col("f") * col("n_chars")).as("nc"),
+        sum(col("f") * col("tb")).as("tb"), sum(col("f") * col("te")).as("te"),
+        sum(col("f") * col("ts")).as("ts"))
     counted.selectExpr(
         """stack(3,
           |  'bpe', nw, tb, nc,
