@@ -14,25 +14,35 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // MEASUREMENT CONTRACT (round 15): the bench starts ARTIFACT-COLD.
-    // Corpus-fingerprint-keyed artifacts (the near-dup pair table, IVF
-    // assignments/centroids, PQ codebooks/codes, the SQL-lake fixtures)
-    // persist across JVMs under Artifacts.sharedRoot by design — but a
-    // bench run that happens to find them warm under-reports ~10
-    // consumer queries and makes two runs incomparable (r14: the cold
-    // 32-core headline vs the warm 8-core scaling leg differed 2.2×
-    // for reasons that had nothing to do with cores). Deleting the
-    // shared root before the timed loop makes every run measure the
-    // same thing: each artifact is built exactly once, inside the
+    // MEASUREMENT CONTRACT (round 15): the bench starts ARTIFACT-COLD
+    // for ITS corpus. Corpus-fingerprint-keyed artifacts (the near-dup
+    // pair table, IVF assignments/centroids, PQ codebooks/codes, the
+    // SQL-lake fixtures) persist across JVMs under Artifacts.sharedRoot
+    // by design — but a bench run that happens to find them warm
+    // under-reports ~10 consumer queries and makes two runs
+    // incomparable (r14: the cold 32-core headline vs the warm 8-core
+    // scaling leg differed 2.2× for reasons that had nothing to do
+    // with cores). Erasing exactly THIS corpus's keys (not the whole
+    // shared root: artifacts of OTHER corpora may be pending oracle
+    // inputs of a Verify run at another SF) makes every run measure
+    // the same thing: each artifact is built exactly once, inside the
     // timed region of the first query that needs it — which is what a
     // fresh driver environment pays anyway. Disable (to measure a
     // warm-index serving posture explicitly) with
     // SPARK_GRAFT_KEEP_ARTIFACTS=1.
     if (!sys.env.get("SPARK_GRAFT_KEEP_ARTIFACTS").contains("1")) {
       try {
-        val root = new org.apache.hadoop.fs.Path(graft.ops.Artifacts.sharedRoot)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(root)) fs.delete(root, true)
+        // every artifact-family key derivation this corpus uses:
+        // documents fingerprint (pair table, incremental probe),
+        // embeddings fingerprint (IVF/PQ families), events byte-length
+        // (SQL-lake fixtures, kmv_du), lineitem+part byte-lengths
+        // (assoc_ob)
+        val keys = graft.ops.Artifacts.liveKeysFor(spark, sfDir) ++ Set(
+          graft.ops.Artifacts.tableKey(spark, sfDir, Seq("events")),
+          graft.ops.Artifacts.tableKey(spark, sfDir, Seq("lineitem", "part")))
+        val n = graft.ops.Artifacts.eraseKeys(spark, keys)
+        System.err.println(s"[bench] artifact-cold start: erased $n " +
+          s"artifact dirs keyed by $sfDir")
       } catch { case e: Exception =>
         System.err.println(s"[bench] artifact vacuum failed: ${e.getMessage}")
       }
